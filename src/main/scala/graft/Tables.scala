@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Catalog of the test-warehouse tables (TESTDATA.md / FIXTURES.md).
+  *
+  * The reference declares every warehouse table with a fixed, explicit
+  * schema (`daily_dag.py:121-151`, `weekly_dag.py:500-608`); here that
+  * contract is a `StructType` constant per table plus a loader. Loaders
+  * read straight parquet — predicate pushdown, column pruning and
+  * partition pruning are Catalyst's job, not the caller's.
+  */
+object Tables {
+
+  /** Path of a table's parquet under a scale-factor directory. */
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def region(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "region"))
+  def nation(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "nation"))
+  def customer(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "customer"))
+  def supplier(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "supplier"))
+  def part(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "part"))
+  def orders(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "orders"))
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "lineitem"))
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "events"))
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "documents"))
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "embeddings"))
+
+  /** Declared warehouse schemas, mirroring the reference's DDL blocks
+    * (`daily_dag.py:121-151`, `weekly_dag.py:507-608`) re-keyed onto the
+    * engine's domain. Used by the sink layer (Sinks.scala) for
+    * cast-to-declared-schema semantics (SURVEY §1.4, P3).
+    */
+  val macroDailySchema: StructType = StructType(Seq(
+    StructField("year", IntegerType, nullable = false),
+    StructField("month", IntegerType, nullable = false),
+    StructField("day", IntegerType, nullable = false),
+    StructField("oil_price", DoubleType),
+    StructField("gold_price", DoubleType)))
+
+  val factSchema: StructType = StructType(Seq(
+    StructField("ticker", StringType, nullable = false),
+    StructField("year", IntegerType, nullable = false),
+    StructField("month", IntegerType, nullable = false),
+    StructField("day", IntegerType, nullable = false),
+    StructField("open", DoubleType),
+    StructField("high", DoubleType),
+    StructField("low", DoubleType),
+    StructField("close", DoubleType),
+    StructField("volume", LongType)))
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The reference's relational operator inventory (SURVEY §2.2–§2.9) as
+  * pure `DataFrame => DataFrame` transformations. Every function is
+  * lazy/declarative: it builds a logical plan and lets Catalyst handle
+  * pushdown, pruning, and join selection.
+  */
+object Relational {
+
+  /** Date-part derivation (X1): decompose a timestamp column into
+    * year/month/day INTEGER columns, as the reference does to every
+    * source date (`daily_dag.py:62-66`, `weekly_dag.py:407-410`).
+    * Unlike the reference, the original column is kept by default —
+    * SURVEY §7.5.6: store the real date AND the parts.
+    */
+  def withDateParts(df: DataFrame, dateCol: String,
+                    dropDate: Boolean = false): DataFrame = {
+    val out = df
+      .withColumn("year", year(col(dateCol)))
+      .withColumn("month", month(col(dateCol)))
+      .withColumn("day", dayofmonth(col(dateCol)))
+    if (dropDate) out.drop(dateCol) else out                       // P1
+  }
+
+  /** Bulk positional rename (P2) — `df.columns = [...]`
+    * (`daily_dag.py:104-105`). */
+  def renameAll(df: DataFrame, names: Seq[String]): DataFrame = {
+    require(names.length == df.columns.length,
+      s"renameAll: ${names.length} names for ${df.columns.length} columns")
+    df.toDF(names: _*)
+  }
+
+  /** Projection-to-declared-schema with per-column cast (P3) — the
+    * reference's `.astype(...)` blocks (`daily_dag.py:107-116` etc.).
+    * Column order and types come from the target schema; extra input
+    * columns are dropped, missing ones are an analysis error.
+    */
+  def castToSchema(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+
+  /** Partition probe (F1/S5): conjunctive equality predicate on the
+    * date-part key — `WHERE year={y} AND month={m} [AND day={d}]`
+    * (`daily_dag.py:80`, `weekly_dag.py:112` ...). On a parquet layout
+    * partitioned by (year, month) this is pure partition pruning.
+    */
+  def partitionProbe(df: DataFrame, year: Int, month: Int,
+                     day: Option[Int] = None): DataFrame = {
+    val base = df.filter(col("year") === year && col("month") === month)
+    day.fold(base)(d => base.filter(col("day") === d))
+  }
+
+  /** Multi-way inner equi-join fold (J1) — the reference's
+    * `reduce(pd.merge, on=key)` over per-indicator series
+    * (`weekly_dag.py:393-394`). Catalyst picks broadcast-hash for the
+    * small sides; the fold shape itself imposes no execution order.
+    */
+  def multiJoin(dfs: Seq[DataFrame], keys: Seq[String]): DataFrame =
+    dfs.reduce((l, r) => l.join(r, keys, "inner"))
+
+  /** Left-anti "keep only new keys" (J2) — the distributed rewrite of
+    * the reference's row-at-a-time dedup probe loop
+    * (`weekly_dag.py:420-427`, author comment "This is super slow").
+    * One anti-join replaces N sequential warehouse round-trips.
+    * `existing` is projected to the key columns first so only the key
+    * set shuffles/broadcasts, never the full sink table.
+    */
+  def newKeysOnly(candidates: DataFrame, existing: DataFrame,
+                  keys: Seq[String]): DataFrame =
+    candidates.join(
+      existing.select(keys.map(col): _*).dropDuplicates(keys),
+      keys, "left_anti")
+
+  /** Vertical union of homogeneous frames (U1) — `pd.concat`
+    * (`daily_dag.py:96`). By-name to be robust to column order. */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_))
+
+  /** Bag (multiset) equality (A2) — the reference's
+    * `pulled_df.equals(newdf)` change-detection gate
+    * (`weekly_dag.py:131,213,276,349`), order-insensitive. */
+  def bagEquals(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  /** Key-value long → wide pivot (R1): replaces the reference's brittle
+    * positional `.loc[idx, "Value"]` lookups (`weekly_dag.py:81-88`)
+    * with a name-keyed pivot. `metrics` is the explicit value list —
+    * always pass it so Spark skips the extra distinct-collect job and
+    * the output schema is stable.
+    */
+  def pivotKV(long: DataFrame, keyCol: String, metricCol: String,
+              valueCol: String, metrics: Seq[String]): DataFrame =
+    long.groupBy(col(keyCol))
+      .pivot(metricCol, metrics)
+      .agg(first(col(valueCol)))
+
+  /** Top-k per group (SURVEY §2.6 ★) via row_number — the scalable
+    * pattern (no global sort; one hash-partitioned window). */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[Column],
+                   orderCols: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+}
