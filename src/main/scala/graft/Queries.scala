@@ -7,7 +7,8 @@ import graft.queries._
   */
 object Queries {
   val all: Seq[QuerySpec] =
-    RelationalQueries.specs
+    RelationalQueries.specs ++ WindowQueries.specs ++ TextQueries.specs ++
+      DedupQueries.specs ++ SimilarityQueries.specs
 
   lazy val byName: Map[String, QuerySpec] =
     all.map(q => q.name -> q).toMap

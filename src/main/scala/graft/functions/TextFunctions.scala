@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions (north-star ★ extensions over the
+  * reference's string handling, SURVEY §2.11): tokenization, quality
+  * scoring, language-ID heuristic, fingerprinting. All pure Column
+  * expressions (codegen'd) — no UDFs, per the engine policy
+  * (SURVEY §7.4).
+  *
+  * Every function has a documented DuckDB-oracle SQL spelling in
+  * TextQueries; keep them in sync.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. The documents corpus is single-space
+    * joined (FIXTURES.md), so a literal-space split matches the oracle
+    * (`string_split(text, ' ')`) exactly. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Tokens matched against a fixed vocabulary, as a count. */
+  def vocabHits(text: Column, vocab: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(vocab.map(lit(_)): _*))).cast("long")
+
+  /** English-ish stopword list used by the quality score and the
+    * stopword-ratio feature. Fixed and tiny by design: the score is a
+    * heuristic, not a model. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+      "for", "with", "as", "by", "at")
+
+  def stopwordRatio(text: Column): Column =
+    vocabHits(text, stopwords).cast("double") / tokenCount(text).cast("double")
+
+  /** Mean token length (separator-free character mass / token count) —
+    * cheap shape feature used by quality scoring. */
+  def avgTokenLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - lit(1))).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Composite quality score in [0,1]: length saturation, stopword
+    * presence, and token-shape plausibility. Deterministic per-row
+    * double arithmetic (engine-portable). Weights are part of the
+    * function's contract — change them and the oracle SQL together. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenSat = least(nTok / lit(64.0), lit(1.0))
+    val stopSat = least(stopwordRatio(text) * lit(10.0), lit(1.0))
+    val shape = least(avgTokenLen(text) / lit(8.0), lit(1.0))
+    lit(0.5) * lenSat + lit(0.3) * stopSat + lit(0.2) * shape
+  }
+
+  /** Per-language marker vocabularies for the n-gram-free language-ID
+    * heuristic (SURVEY north star). Order matters: it is the
+    * deterministic tie-break priority. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "que", "y"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai"))
+
+  /** Language-ID: argmax of marker-vocabulary hit counts, first-listed
+    * language wins ties, 'und' (undetermined) when nothing hits. */
+  def langGuess(text: Column): Column = {
+    val hits = langMarkers.map { case (l, vocab) => l -> vocabHits(text, vocab) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((l, h), acc) =>
+      when(h === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Content fingerprint: md5 of the exact text — the engine's exact-dup
+    * key (md5 is engine-portable, unlike xxhash64). */
+  def fingerprint(text: Column): Column = md5(text)
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family (north-star ★ — the training-data
+  * pipeline operators layered over the reference's key-based dedup
+  * protocol, SURVEY §2.10). Four tiers, cheapest first:
+  *
+  *  1. exact — hash-groupBy on content (or md5 fingerprint);
+  *  2. n-gram Jaccard — exact set similarity via a shingle self-join
+  *     (quadratic in colliding shingles; the verification tier);
+  *  3. MinHash + LSH banding — sub-quadratic candidate generation that
+  *     feeds tier 2 on candidates only (the 100 TB path);
+  *  4. SimHash — bit-signature near-dup for hamming-style similarity.
+  *
+  * All pure Column expressions; the only shuffles are the groupBys and
+  * the band-bucket join, each on a key that distributes uniformly.
+  */
+object Dedup {
+
+  /** Word-shingle set per document, exploded to (key, shingle) rows.
+    * Documents shorter than `k` tokens produce no shingles (matches
+    * the oracle's `range(1, n-k+1)` semantics — keep a `size >= k`
+    * guard in queries for engine parity). */
+  def shingles(df: DataFrame, keyCol: String, textCol: String,
+               k: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    df.select(col(keyCol),
+        explode_outer(transform(
+          sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(0))),
+          i => array_join(slice(toks, i, lit(k)), " "))).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .distinct()
+  }
+
+  /** Exact dedup (tier 1): keep the first row (lowest tie-break key)
+    * per identical content value. One shuffle on the content hash. */
+  def exactDedup(df: DataFrame, contentCol: String,
+                 tieBreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(contentCol)).orderBy(col(tieBreakCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Exact pairwise n-gram Jaccard (tier 2): all pairs with
+    * J(A,B) >= threshold, via a shingle equi-join. `left`/`right` key
+    * ordering (a < b) dedups the symmetric pairs. */
+  def ngramJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
+                        k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, keyCol, textCol, k).cache()
+    val counts = sh.groupBy(col(keyCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(keyCol).as("a"), col("shingle"))
+    val b = sh.select(col(keyCol).as("b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.select(col(keyCol).as("a"), col("n_sh").as("n_a")), Seq("a"))
+      .join(counts.select(col(keyCol).as("b"), col("n_sh").as("n_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature (tier 3a): `numHashes` independent min-hashes
+    * per key, as one groupBy with N min-aggregates (map-side combine
+    * keeps the shuffle at |keys| × N longs). Hash family: xxhash64
+    * seeded by column position — engine-deterministic, not
+    * cross-engine (hence no SQL oracle for this tier). */
+  def minhashSignature(sh: DataFrame, keyCol: String,
+                       numHashes: Int = 64): DataFrame =
+    sh.groupBy(col(keyCol))
+      .agg(
+        min(xxhash64(lit(0), col("shingle"))).as("h0"),
+        (1 until numHashes).map(i =>
+          min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
+
+  /** LSH banding (tier 3b): signature → (band, bandHash) buckets;
+    * keys sharing any bucket are candidate pairs. bands×rowsPerBand
+    * must equal the signature width. The bucket join is the only
+    * shuffle and its key (band, hash) is uniform by construction. */
+  def lshCandidatePairs(sig: DataFrame, keyCol: String,
+                        bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val bandCols: Seq[Column] = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        xxhash64((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+          .map(i => col(s"h$i")): _*).as("bucket"))
+    }
+    val buckets = sig.select(col(keyCol),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col(keyCol), col("bb.band"), col("bb.bucket"))
+    val l = buckets.select(col(keyCol).as("a"), col("band"), col("bucket"))
+    val r = buckets.select(col(keyCol).as("b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** End-to-end MinHash near-dup: candidates from LSH, verified with
+    * exact Jaccard on the candidate set only — the 100 TB shape:
+    * sub-quadratic candidates, exact verification where it's cheap. */
+  def minhashNearDupPairs(df: DataFrame, keyCol: String, textCol: String,
+                          k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, keyCol, textCol, k).cache()
+    val cand = lshCandidatePairs(
+      minhashSignature(sh, keyCol, numHashes), keyCol,
+      bands, numHashes / bands)
+    val counts = sh.groupBy(col(keyCol)).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.select(col(keyCol).as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col(keyCol).as("b"), col("shingle").as("sh_b")), Seq("b"))
+      .filter(col("shingle") === col("sh_b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.select(col(keyCol).as("a"), col("n_sh").as("n_a")), Seq("a"))
+      .join(counts.select(col(keyCol).as("b"), col("n_sh").as("n_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash signature (tier 4): 64-bit bit-vote over token hashes.
+    * One groupBy with 64 conditional sums, then bit assembly. */
+  def simhashSignature(df: DataFrame, keyCol: String,
+                       textCol: String): DataFrame = {
+    val tok = df.select(col(keyCol),
+      explode(split(col(textCol), " ")).as("token"))
+      .withColumn("th", xxhash64(col("token")))
+    val votes = tok.groupBy(col(keyCol)).agg(
+      sum(when(col("th").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("v0"),
+      (1 until 64).map(k =>
+        sum(when(shiftright(col("th"), k).bitwiseAND(lit(1L)) =!= 0, 1)
+          .otherwise(-1)).as(s"v$k")): _*)
+    val bits = (0 until 64).map(k =>
+      when(col(s"v$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+    votes.select(col(keyCol),
+      bits.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 16-bit-chunk banding for candidates, then
+    * exact hamming distance filter via bit_count(xor). */
+  def simhashNearDupPairs(df: DataFrame, keyCol: String, textCol: String,
+                          maxHamming: Int = 6): DataFrame = {
+    val sig = simhashSignature(df, keyCol, textCol)
+    val chunks = sig.select(col(keyCol), col("simhash"),
+      explode(array((0 until 4).map(c => struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))
+          .as("v"))): _*)).as("cb"))
+      .select(col(keyCol), col("simhash"), col("cb.chunk"), col("cb.v"))
+    val l = chunks.select(col(keyCol).as("a"), col("simhash").as("sig_a"),
+      col("chunk"), col("v"))
+    val r = chunks.select(col(keyCol).as("b"), col("simhash").as("sig_b"),
+      col("chunk"), col("v"))
+    l.join(r, Seq("chunk", "v"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

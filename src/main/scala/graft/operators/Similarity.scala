@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north-star ★, SURVEY §7.6 — the
+  * broadcast-then-prune top-k structure from the EDBT'20/ICDE'21
+  * similarity-search literature).
+  *
+  * Two tiers: brute-force cosine top-k (exact baseline — broadcast the
+  * small query set, stream the corpus once, per-group heap via
+  * row_number), and random-hyperplane LSH bucketing (the scale path:
+  * bucket join instead of full cross product).
+  */
+object Similarity {
+
+  /** Cosine similarity of two double-array columns as a pure Column
+    * expression: zip_with product + left-fold sum (sequential and
+    * deterministic), over precomputable norms. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column): Column =
+      sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  /** Exact top-k neighbors for each query vector. `queries` must be
+    * the small side — it is broadcast, so the corpus is streamed once
+    * with no shuffle before the per-query top-k window. Similarities
+    * are rounded to `roundScale` decimals BEFORE ranking so that
+    * ranking is stable across engines; ties break on candidate id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     queryId: String = "q_id", queryVec: String = "q_vec",
+                     corpusId: String = "c_id", corpusVec: String = "c_vec",
+                     roundScale: Int = 6): DataFrame = {
+    val joined = corpus.join(broadcast(queries),
+        col(queryId) =!= col(corpusId))
+      .withColumn("sim",
+        round(cosine(col(queryVec).cast("array<double>"),
+          col(corpusVec).cast("array<double>")), roundScale))
+    Relational.topKPerGroup(
+        joined.select(col(queryId), col(corpusId), col("sim")),
+        Seq(col(queryId)),
+        Seq(col("sim").desc, col(corpusId).asc), k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed — no
+    * wall-clock, no engine hash), as literal columns. */
+  private def planes(numPlanes: Int, dim: Int): Seq[Column] = {
+    val rng = new scala.util.Random(20240801L)
+    Seq.fill(numPlanes)(array(
+      Seq.fill(dim)(lit(rng.nextDouble() * 2 - 1)): _*))
+  }
+
+  /** Random-hyperplane LSH bucket id per vector: one bit per plane
+    * (sign of the dot product), packed into a long. Vectors in the
+    * same bucket are near in angle with high probability. */
+  def lshBucket(vec: Column, numPlanes: Int = 12, dim: Int = 64): Column = {
+    val v = vec.cast("array<double>")
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
+      when(dot(v, p) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH
+    * bucket (plus hamming-1 neighbor buckets for recall), then exact
+    * cosine on candidates only. The bucket join replaces the cross
+    * product — at 100 TB this is the difference between a broadcast
+    * NL join over everything and a hash join on a 2^p-ary key. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              queryId: String = "q_id", queryVec: String = "q_vec",
+              corpusId: String = "c_id", corpusVec: String = "c_vec",
+              numPlanes: Int = 12): DataFrame = {
+    val dim = 64
+    val cB = corpus.withColumn("bucket",
+      lshBucket(col(corpusVec), numPlanes, dim))
+    // probe multiple buckets per query: own bucket + hamming-1 flips
+    val qB = queries.withColumn("bucket0",
+        lshBucket(col(queryVec), numPlanes, dim))
+      .withColumn("bucket", explode(array(
+        (col("bucket0") +: (0 until numPlanes).map(i =>
+          col("bucket0").bitwiseXOR(shiftleft(lit(1L), i)))): _*)))
+    val joined = cB.join(broadcast(qB), Seq("bucket"))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("sim",
+        round(cosine(col(queryVec).cast("array<double>"),
+          col(corpusVec).cast("array<double>")), 6))
+    Relational.topKPerGroup(
+        joined.select(col(queryId), col(corpusId), col("sim")).distinct(),
+        Seq(col(queryId)),
+        Seq(col("sim").desc, col(corpusId).asc), k)
+  }
+}

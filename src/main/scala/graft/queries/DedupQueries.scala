@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deduplication queries (north-star ★). The corpus has no natural
+  * duplicates, so each query synthesizes them deterministically
+  * (key-shifted unions / token-dropped copies) before deduplicating —
+  * the dedup path is exercised for real on both engines.
+  *
+  * q30/q31 are oracle-verified. q32/q33 (MinHash, SimHash) depend on
+  * xxhash64, which DuckDB does not implement — they get the driver's
+  * rows-only check plus ScalaTest specs asserting recall against the
+  * exact-Jaccard tier (DedupSpec).
+  */
+object DedupQueries {
+
+  /** q30: exact dedup via content-hash groupBy (tier 1). Duplicates =
+    * every third document re-keyed. Output: kept doc per text plus the
+    * dup-group size, aggregated per source. */
+  val q30ExactDedup: QuerySpec = QuerySpec(
+    "q30_exact_dedup",
+    """WITH all_docs AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, source, text FROM documents
+      |    WHERE doc_id % 3 = 0),
+      |kept AS (
+      |  SELECT source, text, MIN(doc_id) AS kept_id, COUNT(*) AS copies
+      |  FROM all_docs GROUP BY source, text)
+      |SELECT source, COUNT(*) AS n_kept,
+      |  CAST(SUM(copies) AS BIGINT) AS n_seen,
+      |  CAST(SUM(copies - 1) AS BIGINT) AS n_removed
+      |FROM kept GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+    val copy = d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("source"), col("text"))
+    d.unionByName(copy)
+      .groupBy(col("source"), col("text"))
+      .agg(min(col("doc_id")).as("kept_id"), count(lit(1)).as("copies"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("copies")).cast("long").as("n_seen"),
+        sum(col("copies") - 1).cast("long").as("n_removed"))
+      .orderBy(col("source"))
+  }
+
+  /** q31: exact n-gram Jaccard near-dup pairs (tier 2). Near-dups are
+    * synthesized by re-keying each doc with its first token dropped —
+    * a controlled J≈1-ε perturbation. The shingle equi-join is the
+    * verification tier of the MinHash pipeline; at scale it runs on
+    * LSH candidates only (see Dedup.minhashNearDupPairs).
+    */
+  val q31NgramJaccard: QuerySpec = QuerySpec(
+    "q31_ngram_jaccard",
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 60
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    substr(text, strpos(text, ' ') + 1) AS text
+      |  FROM documents WHERE doc_id < 60 AND doc_id % 2 = 0),
+      |tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+      |  FROM tok),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b,
+      |  CAST(n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE)
+      |    AS jaccard
+      |FROM common
+      |JOIN counts ca ON ca.doc_id = a
+      |JOIN counts cb ON cb.doc_id = b
+      |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE)
+      |  >= 0.5
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("text"))
+    val nearDup = d.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val all = d.unionByName(nearDup)
+      .filter(size(split(col("text"), " ")) >= 3)
+    Dedup.ngramJaccardPairs(all, "doc_id", "text", k = 3, threshold = 0.5)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** q32: MinHash + LSH near-dup (tier 3, the 100 TB path):
+    * sub-quadratic banding candidates verified with exact Jaccard.
+    * xxhash64-based — no cross-engine oracle; recall is asserted
+    * against tier 2 in DedupSpec. */
+  val q32MinhashLsh: QuerySpec = QuerySpec.noOracle("q32_minhash_lsh") { (s, dir) =>
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val nearDup = d.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    Dedup.minhashNearDupPairs(d.unionByName(nearDup), "doc_id", "text",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** q33: SimHash near-dup pairs (tier 4) — hamming-ball matching on
+    * 64-bit signatures with 16-bit-chunk candidate banding. */
+  val q33Simhash: QuerySpec = QuerySpec.noOracle("q33_simhash") { (s, dir) =>
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val nearDup = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    Dedup.simhashNearDupPairs(d.unionByName(nearDup), "doc_id", "text",
+        maxHamming = 6)
+      .orderBy(col("a"), col("b"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash)
+}

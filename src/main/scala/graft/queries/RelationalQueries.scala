@@ -75,5 +75,336 @@ object RelationalQueries {
       .orderBy(col("year"), col("month"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(q01PricingSummary, q02MonthlyRollup)
+  /** q03: projection + pushed conjunctive/range predicates (P3, F1/F3 —
+    * `daily_dag.py:80`, `weekly_dag.py:417`). The whole WHERE clause
+    * must reach the parquet scan as PushedFilters; per-row arithmetic
+    * stays in plain double (element-wise IEEE ops are
+    * engine-deterministic — only aggregation order is not).
+    */
+  val q03FilterProject: QuerySpec = QuerySpec(
+    "q03_filter_project",
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1 - l_discount) AS disc_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00"))
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q04: multi-way star join (J1 generalized — the reference's 9-way
+    * fold `weekly_dag.py:393-394`): fact → orders → customer → nation →
+    * region. The three dimension sides are tiny and must broadcast;
+    * only the lineitem⋈orders join is allowed to shuffle.
+    */
+  val q04RegionRevenue: QuerySpec = QuerySpec(
+    "q04_region_revenue",
+    s"""SELECT r_name, n_name,
+       |  ${Exact.sqlSumExact(Exact.sqlRevenue("l_extendedprice", "l_discount"))} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        Exact.dsumExact(Exact.revenue(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** q05: left-anti existence join (J2) — the distributed form of the
+    * reference's row-at-a-time "insert if absent" probe loop
+    * (`weekly_dag.py:420-427`, author comment "This is super slow" at
+    * `:423`): customers that have no order. One anti-join, no
+    * driver-side loop.
+    */
+  val q05CustomersNoOrders: QuerySpec = QuerySpec(
+    "q05_customers_no_orders",
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |  AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-06-01 00:00:00")))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q06: left-semi existence join (SURVEY §2.3 "absent" row — engine
+    * provides it): customers with at least one urgent 1997 order. */
+  val q06UrgentCustomers: QuerySpec = QuerySpec(
+    "q06_urgent_customers",
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      |    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT"
+        && col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00"))
+        && col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    Tables.customer(s, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q07: vertical union (U1 — `daily_dag.py:96`) of two filtered
+    * batches, then re-aggregated. unionByName keeps it robust to
+    * column order like the engine's ingest path. */
+  val q07UnionBatches: QuerySpec = QuerySpec(
+    "q07_union_batches",
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  ${Exact.sqlSum("o_totalprice")} AS total
+       |FROM (
+       |  SELECT * FROM orders WHERE o_orderstatus = 'F'
+       |  UNION ALL
+       |  SELECT * FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 200000
+       |)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val a = o.filter(col("o_orderstatus") === "F")
+    val b = o.filter(col("o_orderstatus") === "O" && col("o_totalprice") > 200000)
+    Relational.unionAll(Seq(a, b))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q08: global top-k (SURVEY §2.6 ★). orderBy+limit compiles to
+    * TakeOrderedAndProject — per-partition heaps + a k-row driver
+    * merge, never a global sort. Tie-broken on the unique key. */
+  val q08TopOrders: QuerySpec = QuerySpec(
+    "q08_top_orders",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(25)
+  }
+
+  /** q09: top-k per group (SURVEY §2.6 ★) via row_number — one hash
+    * shuffle on the group key, no global sort. */
+  val q09TopCustomersPerSegment: QuerySpec = QuerySpec(
+    "q09_top_customers_per_segment",
+    """SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer)
+      |WHERE rn <= 5
+      |ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin) { (s, dir) =>
+    Relational.topKPerGroup(
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal")),
+      Seq(col("c_mktsegment")),
+      Seq(col("c_acctbal").desc, col("c_custkey").asc), 5)
+      .orderBy(col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey"))
+  }
+
+  /** q10: long→wide pivot (R1/R3 — replaces the reference's positional
+    * `.loc` pivots `weekly_dag.py:81-88` and the per-indicator
+    * join-pivot `:393-394`). Explicit value list so the plan needs no
+    * extra distinct pass and the schema is static. */
+  val q10PivotPriority: QuerySpec = QuerySpec(
+    "q10_pivot_priority",
+    s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+       |  ${Exact.sqlSum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END")} AS urgent,
+       |  ${Exact.sqlSum("CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END")} AS high,
+       |  ${Exact.sqlSum("CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END")} AS medium,
+       |  ${Exact.sqlSum("CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END")} AS unspecified,
+       |  ${Exact.sqlSum("CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END")} AS low
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .withColumn("year", year(col("o_orderdate")))
+      .groupBy(col("year"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(Exact.dsum(col("o_totalprice")))
+      .toDF("year", "urgent", "high", "medium", "unspecified", "low")
+      .orderBy(col("year"))
+  }
+
+  /** q11: hierarchical rollup (SURVEY §2.4 "absent" — engine ★). Null
+    * ordering differs between engines by default, so both sides order
+    * by the grouping-id bitmask first, then keys NULLS FIRST. */
+  val q11RollupYearMonth: QuerySpec = QuerySpec(
+    "q11_rollup_year_month",
+    s"""SELECT CAST(GROUPING(year, month) AS BIGINT) AS gid,
+       |  year, month, COUNT(*) AS n, ${Exact.sqlSum("o_totalprice")} AS total
+       |FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+       |             CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month,
+       |             o_totalprice
+       |      FROM orders)
+       |GROUP BY ROLLUP(year, month)
+       |ORDER BY gid, year ASC NULLS FIRST, month ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("year"),
+        month(col("o_orderdate")).as("month"), col("o_totalprice"))
+      .rollup(col("year"), col("month"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
+        Exact.dsum(col("o_totalprice")).as("total"))
+      .select(col("gid"), col("year"), col("month"), col("n"), col("total"))
+      .orderBy(col("gid"), col("year").asc_nulls_first, col("month").asc_nulls_first)
+  }
+
+  /** q12: distinct aggregation (SURVEY §2.4 ★). Exact COUNT(DISTINCT)
+    * — expands to a two-phase aggregate; the approx_count_distinct
+    * variant lives in the non-oracle specs. */
+  val q12DistinctParts: QuerySpec = QuerySpec(
+    "q12_distinct_parts",
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q13: conditional expression ladder (the engine's form of the
+    * reference's per-field `if x != None` coalescing,
+    * `weekly_dag.py:81-88`) + conditional aggregation. */
+  val q13SegmentBuckets: QuerySpec = QuerySpec(
+    "q13_segment_buckets",
+    s"""SELECT c_mktsegment,
+       |  CASE WHEN c_acctbal < 0 THEN 'negative'
+       |       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket,
+       |  COUNT(*) AS n, ${Exact.sqlSum("c_acctbal")} AS total_bal
+       |FROM customer
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .withColumn("bucket",
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high"))
+      .groupBy(col("c_mktsegment"), col("bucket"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_mktsegment"), col("bucket"))
+  }
+
+  /** q14: string functions (SURVEY §2.8 — X4's family): regexp
+    * extraction, case mapping, concat, LIKE filtering. */
+  val q14StringFuncs: QuerySpec = QuerySpec(
+    "q14_string_funcs",
+    """SELECT CAST(regexp_extract(p_brand, '[0-9]+') AS INTEGER) AS brand_num,
+      |  upper(p_type) AS type_u, COUNT(*) AS n,
+      |  CAST(SUM(length(p_name)) AS BIGINT) AS total_name_len
+      |FROM part
+      |WHERE p_name LIKE '%el%' OR p_type LIKE 'PROMO%'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .filter(col("p_name").like("%el%") || col("p_type").like("PROMO%"))
+      .select(
+        regexp_extract(col("p_brand"), "[0-9]+", 0).cast("int").as("brand_num"),
+        upper(col("p_type")).as("type_u"), col("p_name"))
+      .groupBy(col("brand_num"), col("type_u"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("p_name"))).cast("long").as("total_name_len"))
+      .orderBy(col("brand_num"), col("type_u"))
+  }
+
+  /** q15: date arithmetic (X1/X3 family): ship delay in days per
+    * priority. Integer day-diff sums are exact in both engines. */
+  val q15ShipDelay: QuerySpec = QuerySpec(
+    "q15_ship_delay",
+    """SELECT o_orderpriority,
+      |  CAST(SUM(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS total_delay_days,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(datediff('day', o_orderdate, l_shipdate)) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS avg_delay_days
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("delay"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("delay")).cast("long").as("total_delay_days"),
+        count(lit(1)).as("n"),
+        (sum(col("delay")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_delay_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q16: month truncation spine (the engine's date-part partition key,
+    * SURVEY §1.2): calendar-month rollup on a DATE-typed key. */
+  val q16MonthlySpine: QuerySpec = QuerySpec(
+    "q16_monthly_spine",
+    s"""SELECT date_trunc('month', o_orderdate) AS month_start,
+       |  COUNT(*) AS n_orders, ${Exact.sqlSum("o_totalprice")} AS total
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(trunc(col("o_orderdate"), "month").as("month_start"))
+      .agg(count(lit(1)).as("n_orders"), Exact.dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("month_start"))
+  }
+
+  /** q17: multi-series J1 fold + R3 reshape — the reference's
+    * signature pattern (`weekly_dag.py:382-394`): three per-indicator
+    * monthly series built independently, inner-joined on the month key
+    * into one wide frame. Each series is a tiny aggregate; Catalyst
+    * broadcasts the join sides.
+    */
+  val q17MacroSeriesJoin: QuerySpec = QuerySpec(
+    "q17_macro_series_join",
+    s"""WITH s_orders AS (
+       |  SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS value_ORDERS
+       |  FROM orders GROUP BY 1),
+       |s_revenue AS (
+       |  SELECT date_trunc('month', o_orderdate) AS m,
+       |    ${Exact.sqlSum("o_totalprice")} AS value_REVENUE
+       |  FROM orders GROUP BY 1),
+       |s_open AS (
+       |  SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS value_OPEN
+       |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+       |SELECT m, value_ORDERS, value_REVENUE, value_OPEN
+       |FROM s_orders JOIN s_revenue USING (m) JOIN s_open USING (m)
+       |ORDER BY m""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .withColumn("m", trunc(col("o_orderdate"), "month"))
+    val sOrders = o.groupBy(col("m")).agg(count(lit(1)).as("value_ORDERS"))
+    val sRevenue = o.groupBy(col("m"))
+      .agg(Exact.dsum(col("o_totalprice")).as("value_REVENUE"))
+    val sOpen = o.filter(col("o_orderstatus") === "O")
+      .groupBy(col("m")).agg(count(lit(1)).as("value_OPEN"))
+    Relational.multiJoin(Seq(sOrders, sRevenue, sOpen), Seq("m"))
+      .orderBy(col("m"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
+    q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
+    q09TopCustomersPerSegment, q10PivotPriority, q11RollupYearMonth,
+    q12DistinctParts, q13SegmentBuckets, q14StringFuncs, q15ShipDelay,
+    q16MonthlySpine, q17MacroSeriesJoin)
 }

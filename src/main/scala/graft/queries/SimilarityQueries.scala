@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.functions.Exact
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search queries (north-star ★, SURVEY §7.6).
+  * Cosine values are rounded to 6 decimals before ranking on BOTH
+  * sides so rank order is stable under sub-ulp accumulation
+  * differences; ties break on candidate id.
+  */
+object SimilarityQueries {
+
+  /** q34: brute-force exact cosine top-k — query vectors broadcast,
+    * corpus streamed once, per-query top-k window (no global sort).
+    * Oracle: DuckDB list_cosine_similarity over the same float→double
+    * casts. */
+  val q34CosineTopK: QuerySpec = QuerySpec(
+    "q34_cosine_topk",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+      |           FROM embeddings WHERE vec_id < 16),
+      |sims AS (
+      |  SELECT q.q_id, e.vec_id AS c_id,
+      |    round(list_cosine_similarity(
+      |      CAST(q.q_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT q_id, c_id, sim,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+      |  FROM sims)
+      |SELECT q_id, c_id, sim, rn FROM ranked WHERE rn <= 5
+      |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(Similarity.cosine(
+        col("q_vec").cast("array<double>"),
+        col("c_vec").cast("array<double>")), 6))
+      .select(col("q_id"), col("c_id"), col("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .withColumnRenamed("rn", "rn0")
+      .select(col("q_id"), col("c_id"), col("sim"), col("rn0").cast("long").as("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** q35: embedding norm / centroid-ish statistics per label — array
+    * aggregation via exact decimal sums of per-row double features
+    * (per-row array fold is sequential and portable; only the
+    * cross-row aggregation needs the decimal rule). */
+  val q35EmbeddingStats: QuerySpec = QuerySpec(
+    "q35_embedding_stats",
+    s"""SELECT label, COUNT(*) AS n,
+       |  ${Exact.sqlSum("round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6)")} AS total_norm,
+       |  ${Exact.sqlSum("round(CAST(embedding[1] AS DOUBLE), 6)")} AS total_first,
+       |  ${Exact.sqlSum("round(CAST(embedding[64] AS DOUBLE), 6)")} AS total_last
+       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+    val v = col("embedding").cast("array<double>")
+    val dot = aggregate(zip_with(v, v, (p, q) => p * q), lit(0.0),
+      (acc, x) => acc + x)
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        round(sqrt(dot), 6).as("norm"),
+        round(element_at(v, 1), 6).as("first_d"),
+        round(element_at(v, 64), 6).as("last_d"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        Exact.dsum(col("norm")).as("total_norm"),
+        Exact.dsum(col("first_d")).as("total_first"),
+        Exact.dsum(col("last_d")).as("total_last"))
+      .orderBy(col("label"))
+  }
+
+  /** q36: LSH-bucketed approximate top-k (the scale path: bucket join
+    * instead of cross product; hamming-1 probe set for recall).
+    * Plane constants are seeded literals, but dot-product fold order
+    * inside DuckDB's list kernels is not contractual — so this tier is
+    * ScalaTest-verified (recall vs q34), rows-only for the driver. */
+  val q36CosineLshTopK: QuerySpec = QuerySpec.noOracle("q36_cosine_lsh_topk") { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    Similarity.lshTopK(queries, corpus, k = 5)
+      .orderBy(col("q_id"), col("sim").desc, col("c_id"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats, q36CosineLshTopK)
+}

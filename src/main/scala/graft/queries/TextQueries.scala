@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over the documents corpus (north-star ★).
+  * The oracle SQL fragments are generated from the same vocabulary
+  * constants as the Column implementations, so the two sides cannot
+  * drift.
+  */
+object TextQueries {
+
+  private def sqlQuote(s: String) = s"'${s.replace("'", "''")}'"
+
+  /** DuckDB: token count as BIGINT. */
+  private val sqlNTok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+
+  private def sqlVocabHits(vocab: Seq[String]): String =
+    s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${
+      vocab.map(sqlQuote).mkString(", ")}))) AS BIGINT)"
+
+  /** q26: corpus shape statistics per source — token counting over the
+    * documents table (SURVEY ★ text analysis). Integer sums only, so
+    * exact in both engines. */
+  val q26TokenStats: QuerySpec = QuerySpec(
+    "q26_token_stats",
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM($sqlNTok) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(SUM($sqlNTok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+       |  CAST(MIN($sqlNTok) AS BIGINT) AS min_tokens,
+       |  CAST(MAX($sqlNTok) AS BIGINT) AS max_tokens
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("source"), col("n_chars"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_tok")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_tokens"),
+        min(col("n_tok")).as("min_tokens"),
+        max(col("n_tok")).as("max_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** q27: per-document quality scoring (SURVEY ★): length saturation +
+    * stopword ratio + token shape, all engine-portable per-row double
+    * arithmetic. The SQL is the literal spelling of
+    * TextFunctions.qualityScore. */
+  val q27QualityScore: QuerySpec = QuerySpec(
+    "q27_quality_score",
+    s"""SELECT doc_id, $sqlNTok AS n_tokens,
+       |  ${sqlVocabHits(TextFunctions.stopwords)} AS stop_hits,
+       |  0.5 * least(CAST($sqlNTok AS DOUBLE) / 64.0, 1.0)
+       |  + 0.3 * least(CAST(${sqlVocabHits(TextFunctions.stopwords)} AS DOUBLE)
+       |      / CAST($sqlNTok AS DOUBLE) * 10.0, 1.0)
+       |  + 0.2 * least((CAST(length(text) AS DOUBLE) - (CAST($sqlNTok AS DOUBLE) - 1))
+       |      / CAST($sqlNTok AS DOUBLE) / 8.0, 1.0) AS quality
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.vocabHits(col("text"), TextFunctions.stopwords)
+          .as("stop_hits"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q28: language-ID heuristic vs the labeled lang column — a
+    * confusion-matrix rollup. Argmax with first-listed-language
+    * tie-break, identical CASE ladder on both sides. */
+  val q28LangId: QuerySpec = {
+    val hitExprs = TextFunctions.langMarkers.map { case (l, vocab) =>
+      l -> sqlVocabHits(vocab)
+    }
+    val bestExpr = s"greatest(${hitExprs.map(_._2).mkString(", ")})"
+    val caseLadder = hitExprs.map { case (l, e) =>
+      s"WHEN $e = $bestExpr AND $bestExpr > 0 THEN '$l'"
+    }.mkString(" ")
+    QuerySpec(
+      "q28_lang_id",
+      s"""SELECT lang, CASE $caseLadder ELSE 'und' END AS predicted,
+         |  COUNT(*) AS n
+         |FROM documents
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          TextFunctions.langGuess(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }
+  }
+
+  /** q29: md5 content fingerprinting (SURVEY ★ document
+    * fingerprinting; md5 is the engine-portable choice — xxhash64 is
+    * Spark-specific). Dup groups are synthesized by unioning a
+    * key-shifted copy of the corpus so the rollup exercises real
+    * collisions. */
+  val q29Fingerprint: QuerySpec = QuerySpec(
+    "q29_fingerprint",
+    """WITH all_docs AS (
+      |  SELECT doc_id, source, md5(text) AS fp FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, source, md5(text) AS fp FROM documents
+      |    WHERE doc_id % 3 = 0)
+      |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |FROM all_docs GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+    val base = d.select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val copy = d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("source"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    base.unionByName(copy)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        min(col("doc_id")).cast("long").as("first_doc"))
+      .orderBy(col("source"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint)
+}

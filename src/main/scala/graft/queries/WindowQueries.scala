@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.functions.Exact
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function layer (SURVEY §2.5 — absent in the reference, which
+  * stores OHLCV facts but never computes the consumer analytics its
+  * README promises (`/root/reference/README.md:4`); these are the
+  * canonical stock-style rolling queries over the fact table).
+  *
+  * Determinism rules: every window ORDER BY ends in a unique key, and
+  * rolling means are computed as exact-decimal rolling SUM divided by
+  * rolling COUNT in double space (window frames are sequential per
+  * partition, but the decimal rule keeps Spark and the oracle
+  * bit-identical regardless).
+  */
+object WindowQueries {
+
+  /** q20: rolling mean over a row frame — the 30-day moving average of
+    * SURVEY §2.5, on the supplier axis. One hash shuffle on the
+    * partition key; frames evaluate inside the partition, no further
+    * exchange. */
+  val q20MovingAvg: QuerySpec = QuerySpec(
+    "q20_moving_avg",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |    / CAST(COUNT(*) OVER w AS DOUBLE) AS mov_avg_price
+      |FROM lineitem
+      |WHERE l_suppkey <= 3
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-6, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") <= 3)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        (sum(col("l_extendedprice").cast("decimal(18,4)")).over(w).cast("double")
+          / count(lit(1)).over(w).cast("double")).as("mov_avg_price"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q21: lag-based deltas — the daily-returns query of SURVEY §2.5.
+    * Per-row double arithmetic on lag pairs is engine-deterministic. */
+  val q21OrderDeltas: QuerySpec = QuerySpec(
+    "q21_order_deltas",
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  o_totalprice - lag(o_totalprice) OVER w AS delta,
+      |  o_totalprice / lag(o_totalprice) OVER w - 1 AS pct_change
+      |FROM orders
+      |WHERE o_custkey <= 30
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") <= 30)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta"),
+        (col("o_totalprice") / lag(col("o_totalprice"), 1).over(w) - 1)
+          .as("pct_change"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** q22: cumulative volume (SURVEY §2.5's running total) — unbounded
+    * preceding frame, exact decimal running sum. */
+  val q22CumulativeVolume: QuerySpec = QuerySpec(
+    "q22_cumulative_volume",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) AS cum_qty
+      |FROM lineitem
+      |WHERE l_suppkey <= 3
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") <= 3)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast("decimal(18,4)")).over(w).cast("double")
+          .as("cum_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q23: ranking family (rank / dense_rank) — price ranking within
+    * brand, keeping only the podium. */
+  val q23RankParts: QuerySpec = QuerySpec(
+    "q23_rank_parts",
+    """SELECT p_brand, p_partkey, p_retailprice, rnk, drnk FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |    rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+      |  FROM part
+      |  WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey))
+      |WHERE rnk <= 3
+      |ORDER BY p_brand, rnk, p_partkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(s, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
+  }
+
+  /** q24: ntile quartiles over account balance per segment, then
+    * per-tile stats — distribution summary without a global sort. */
+  val q24BalanceQuartiles: QuerySpec = QuerySpec(
+    "q24_balance_quartiles",
+    s"""SELECT c_mktsegment, tile, COUNT(*) AS n,
+       |  ${Exact.sqlSum("c_acctbal")} AS total_bal
+       |FROM (
+       |  SELECT c_mktsegment, c_acctbal,
+       |    ntile(4) OVER (PARTITION BY c_mktsegment
+       |      ORDER BY c_acctbal, c_custkey) AS tile
+       |  FROM customer)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).as("tile"))
+      .groupBy(col("c_mktsegment"), col("tile"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_mktsegment"), col("tile"))
+  }
+
+  /** q25: first/last value over an unbounded frame — each order's
+    * price against its customer's first and latest order price. */
+  val q25FirstLast: QuerySpec = QuerySpec(
+    "q25_first_last",
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_totalprice) OVER w AS first_price,
+      |  last_value(o_totalprice) OVER w AS last_price
+      |FROM orders
+      |WHERE o_custkey <= 30
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") <= 30)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    q20MovingAvg, q21OrderDeltas, q22CumulativeVolume, q23RankParts,
+    q24BalanceQuartiles, q25FirstLast)
+}
