@@ -8,7 +8,8 @@ import graft.queries._
 object Queries {
   val all: Seq[QuerySpec] =
     RelationalQueries.specs ++ WindowQueries.specs ++ TextQueries.specs ++
-      DedupQueries.specs ++ SimilarityQueries.specs
+      DedupQueries.specs ++ SimilarityQueries.specs ++ EventQueries.specs ++
+      ScalarQueries.specs ++ ProtocolQueries.specs ++ MultimodalQueries.specs
 
   lazy val byName: Map[String, QuerySpec] =
     all.map(q => q.name -> q).toMap

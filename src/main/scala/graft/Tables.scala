@@ -30,8 +30,16 @@ object Tables {
     spark.read.parquet(path(sfDir, "orders"))
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(path(sfDir, "lineitem"))
-  def events(spark: SparkSession, sfDir: String): DataFrame =
+  /** The events table carries nanosecond parquet timestamps, which
+    * Spark's vectorized reader rejects; read them as raw nanos and
+    * truncate to micros (exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP
+    * coercion does, so oracle comparisons agree). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path(sfDir, "events"))
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(path(sfDir, "documents"))
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =

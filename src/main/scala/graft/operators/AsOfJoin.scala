@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join (SURVEY §2.3 ★ — the natural finance-domain
+  * extension: align each fact row with the latest reference-series
+  * observation at or before its timestamp, e.g. OHLCV rows against a
+  * macro series, `weekly_dag.py`'s monthly/quarterly tables).
+  *
+  * Two physical strategies, chosen by the caller:
+  *
+  *  - `broadcastAsOf`: the reference series is small (the reference
+  *    repo's macro tables are ~10³ rows) — collect it sorted to the
+  *    driver, broadcast, binary-search per probe row. ZERO shuffles:
+  *    scales to any probe size at 100 TB because the probe side is
+  *    embarrassingly parallel.
+  *  - `unionWindowAsOf`: both sides large — union tagged rows and take
+  *    a running last over a single time-ordered window. Exact, pure
+  *    Column, but the unpartitioned window serializes; use only when
+  *    the reference side is too big to broadcast AND a bucketing key
+  *    exists (pass `partitionCols` to window within buckets).
+  */
+object AsOfJoin {
+
+  /** Small-reference path. `ref` must have exactly (refTimeCol:
+    * timestamp, refValCol: double); emits probe columns + ref_ts +
+    * ref_val, inner semantics (probes before the first ref row drop).
+    */
+  def broadcastAsOf(spark: SparkSession, probe: DataFrame, ref: DataFrame,
+                    probeTimeCol: String, refTimeCol: String,
+                    refValCol: String): DataFrame = {
+    // sorted (epochMicros, value) pairs; ~series-sized, driver-safe
+    val series: Array[(Long, Double)] = ref
+      .select(col(refTimeCol).cast("timestamp"), col(refValCol).cast("double"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime * 1000 +
+        r.getTimestamp(0).getNanos / 1000 % 1000, r.getDouble(1)))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(series)
+    val lookup = udf { (micros: Long) =>
+      val s = bc.value
+      var lo = 0; var hi = s.length - 1; var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (s(mid)._1 <= micros) { ans = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (ans < 0) None else Some((s(ans)._1, s(ans)._2))
+    }
+    probe
+      .withColumn("_hit", lookup(unix_micros(col(probeTimeCol))))
+      .filter(col("_hit").isNotNull)
+      .withColumn("ref_ts", timestamp_micros(col("_hit._1")))
+      .withColumn("ref_val", col("_hit._2"))
+      .drop("_hit")
+  }
+
+  /** General path: tagged union + running last over the time order.
+    * With `partitionCols` empty this is exact but single-partition;
+    * callers at scale supply a bucketing key whose buckets contain
+    * both sides (e.g. symbol). */
+  def unionWindowAsOf(probe: DataFrame, ref: DataFrame,
+                      probeTimeCol: String, refTimeCol: String,
+                      refValCol: String,
+                      partitionCols: Seq[String] = Nil): DataFrame = {
+    val probeCols = probe.columns
+    val p = probe.withColumn("_t", col(probeTimeCol).cast("timestamp"))
+      .withColumn("_isRef", lit(0))
+      .withColumn("_refTs", lit(null).cast("timestamp"))
+      .withColumn("_refVal", lit(null).cast("double"))
+    val r0 = ref.select(
+      (partitionCols.map(col) ++ Seq(
+        col(refTimeCol).cast("timestamp").as("_t"),
+        lit(1).as("_isRef"),
+        col(refTimeCol).cast("timestamp").as("_refTs"),
+        col(refValCol).cast("double").as("_refVal"))): _*)
+    val rAligned = probeCols.foldLeft(r0) { (acc, c) =>
+      if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null))
+    }.select((probeCols.map(col) ++ Seq(col("_t"), col("_isRef"),
+      col("_refTs"), col("_refVal"))): _*)
+    val unioned = p.select((probeCols.map(col) ++ Seq(col("_t"),
+      col("_isRef"), col("_refTs"), col("_refVal"))): _*)
+      .unionByName(rAligned)
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col("_t"), col("_isRef").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("ref_ts", last(col("_refTs"), ignoreNulls = true).over(w))
+      .withColumn("ref_val", last(col("_refVal"), ignoreNulls = true).over(w))
+      .filter(col("_isRef") === 0 && col("ref_ts").isNotNull)
+      .drop("_t", "_isRef", "_refTs", "_refVal")
+  }
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.functions.Exact
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time semantics over the events stream table (SURVEY §2.10 ★ —
+  * the reference's only "stream" is Airflow cron; the engine adds real
+  * event-time windows). These are the batch forms with DuckDB oracles;
+  * the streaming forms (same transformations over readStream, plus
+  * watermark/late-data handling) live in streaming.Streams and are
+  * ScalaTest-verified.
+  */
+object EventQueries {
+
+  /** q40: stringly-JSON property extraction (X6 — the reference digs
+    * scalar fields out of nested JSON payloads, `daily_dag.py:54-60`,
+    * `weekly_dag.py:386-389`) + grouped rollup. */
+  val q40JsonProps: QuerySpec = QuerySpec(
+    "q40_json_props",
+    s"""SELECT event_type,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(CAST(props->>'$$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+       |  ${Exact.sqlSum("value")} AS sum_value
+       |FROM events
+       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).cast("long").as("sum_k"),
+        Exact.dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q41: tumbling event-time window (10 min) — Spark `window()`
+    * aligns to the epoch, as does DuckDB `time_bucket` for minute
+    * intervals. */
+  val q41Tumbling: QuerySpec = QuerySpec(
+    "q41_tumbling_window",
+    s"""SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+       |  event_type, COUNT(*) AS n, ${Exact.sqlSum("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** q42: sliding window (10 min, every 5 min) — each event lands in
+    * two windows; the oracle reproduces Spark's window assignment by
+    * explicit bucket arithmetic. */
+  val q42Sliding: QuerySpec = QuerySpec(
+    "q42_sliding_window",
+    s"""WITH assigned AS (
+       |  SELECT unnest([
+       |      time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+       |      time_bucket(INTERVAL '5 minutes', ts)]) AS win_start,
+       |    event_type, value
+       |  FROM events)
+       |SELECT win_start, event_type, COUNT(*) AS n,
+       |  ${Exact.sqlSum("value")} AS sum_value
+       |FROM assigned
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** q43: session windows (30-minute gap) per user — Spark
+    * `session_window`; the oracle rebuilds identical sessions with the
+    * islands technique (new session iff gap >= 30 min, matching
+    * Spark's half-open [start, last+gap) windows). */
+  val q43Sessions: QuerySpec = QuerySpec(
+    "q43_session_windows",
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      >= INTERVAL '30 minutes' OR
+       |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |    THEN 1 ELSE 0 END AS new_session
+       |  FROM events),
+       |sessions AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       |  ${Exact.sqlSum("value")} AS sum_value
+       |FROM sessions
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** q44: exactly-once-per-key dedup over a replayed stream (the batch
+    * form of dropDuplicatesWithinWatermark; the reference's J2/J3
+    * protocol applied to events): the events table unioned with
+    * itself, deduped on event_id keeping the earliest arrival. */
+  val q44DedupReplay: QuerySpec = QuerySpec(
+    "q44_dedup_replay",
+    s"""WITH replayed AS (
+       |  SELECT * FROM events UNION ALL SELECT * FROM events),
+       |deduped AS (
+       |  SELECT DISTINCT event_id, ts, user_id, event_type, value FROM replayed)
+       |SELECT event_type, COUNT(*) AS n, ${Exact.sqlSum("value")} AS sum_value
+       |FROM deduped GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    e.unionByName(e)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q45: backward as-of join (SURVEY §2.3 ★): each purchase aligned
+    * to the latest preceding error event's value (a "condition at time
+    * of trade" query). Reference series is small → the broadcast
+    * binary-search strategy (zero shuffles); oracle is DuckDB's native
+    * ASOF JOIN. */
+  val q45AsOf: QuerySpec = QuerySpec(
+    "q45_asof_join",
+    """WITH probe AS (
+      |  SELECT event_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |ref AS (
+      |  SELECT ts AS ref_ts0, value AS ref_val0 FROM events
+      |  WHERE event_type = 'error')
+      |SELECT p.event_id, p.ts, p.value,
+      |  r.ref_ts0 AS ref_ts, r.ref_val0 AS ref_val
+      |FROM probe p ASOF JOIN ref r ON p.ts >= r.ref_ts0
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    val probe = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("value"))
+    val ref = e.filter(col("event_type") === "error")
+      .select(col("ts").as("ref_ts0"), col("value").as("ref_val0"))
+    AsOfJoin.broadcastAsOf(s, probe, ref, "ts", "ref_ts0", "ref_val0")
+      .orderBy(col("event_id"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    q40JsonProps, q41Tumbling, q42Sliding, q43Sessions, q44DedupReplay, q45AsOf)
+}
