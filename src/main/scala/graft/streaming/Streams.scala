@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the engine's incremental semantics
+  * (SURVEY §2.10): the reference's "streams" are Airflow cron loads
+  * (`daily_dag.py:40`, `weekly_dag.py:47`) with idempotency protocols;
+  * here the same semantics run as real event-time streams —
+  * watermarked windowed aggregation, within-watermark dedup, and
+  * keyed running state.
+  *
+  * Each transformation is a pure DataFrame => DataFrame so the SAME
+  * code serves readStream (StreamingSpec drives it with a memory sink
+  * and Trigger.AvailableNow semantics) and batch (the oracle-verified
+  * q41/q43/q44 twins in EventQueries).
+  */
+object Streams {
+
+  /** Raw-parquet schema of the events table (ts is nanoseconds-as-long;
+    * see Tables.events). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a DIRECTORY of events parquet files (the
+    * file stream source requires a directory basePath; tests stage
+    * `events.parquet` into one). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling counts — the streaming twin of q41. Late
+    * rows beyond the watermark are dropped by the engine. */
+  def tumblingCounts(events: DataFrame,
+                     watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Watermarked session windows — streaming twin of q43. */
+  def sessionCounts(events: DataFrame,
+                    watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Exactly-once-per-key over a replayed/at-least-once stream
+    * (SURVEY §2.10 dedup-by-key ★): state is bounded by the watermark
+    * instead of growing forever — the streaming form of the
+    * reference's J2 protocol. */
+  def dedupWithinWatermark(events: DataFrame,
+                           watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class UserEvent(user_id: Long, value: Double)
+
+  /** Keyed running aggregate via explicit state (SURVEY §2.10 stateful
+    * ops ★): per-user cumulative event count + value total. */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events.select(col("user_id"), col("value")).as[UserEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { e => n += 1; v += e.value }
+          state.update((n, v))
+          Iterator((uid, n, v))
+      }.toDF("user_id", "n_events", "total_value")
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** The two as-of strategies must agree with each other and with the
+  * hand-computed expectation (the DuckDB ASOF JOIN oracle covers the
+  * broadcast path again at driver time via q45). */
+class AsOfSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("broadcast and union-window strategies agree on a known case") {
+    val probe = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:05:00")),
+      (3L, ts("2024-01-01 09:00:00")),  // before first ref → dropped
+      (4L, ts("2024-01-01 11:00:00")))
+      .toDF("id", "t")
+    val ref = Seq(
+      (ts("2024-01-01 09:30:00"), 1.0),
+      (ts("2024-01-01 10:00:00"), 2.0),
+      (ts("2024-01-01 10:30:00"), 3.0))
+      .toDF("rt", "rv")
+    val a = AsOfJoin.broadcastAsOf(spark, probe, ref, "t", "rt", "rv")
+      .select("id", "ref_ts", "ref_val")
+    val b = AsOfJoin.unionWindowAsOf(probe, ref, "t", "rt", "rv")
+      .select("id", "ref_ts", "ref_val")
+    assertBagEqual(a, b)
+    val m = a.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m == Map(1L -> 2.0, 2L -> 2.0, 4L -> 3.0)) // exact-tie → ref row 2.0
+  }
+
+  test("strategies agree on the events table") {
+    val e = Tables.events(spark, sf)
+    val probe = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"))
+    val ref = e.filter(col("event_type") === "error")
+      .select(col("ts").as("rt"), col("value").as("rv"))
+    val a = AsOfJoin.broadcastAsOf(spark, probe, ref, "ts", "rt", "rv")
+      .select("event_id", "ref_ts", "ref_val")
+    val b = AsOfJoin.unionWindowAsOf(probe, ref, "ts", "rt", "rv")
+      .select("event_id", "ref_ts", "ref_val")
+    assertBagEqual(a, b)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Recall/precision of the hash-based dedup tiers against the exact
+  * Jaccard tier (the one the DuckDB oracle verifies). */
+class DedupSpec extends SparkSpecBase {
+
+  private lazy val corpus = {
+    val d = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 120)
+    val nearDup = d.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    d.unionByName(nearDup).cache()
+  }
+
+  test("minhash LSH recalls high-Jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "expected synthesized near-dup pairs")
+    val found = Dedup.minhashNearDupPairs(corpus, "doc_id", "text", 3, 64, 16, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(found.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall < 0.9 (|exact|=${exact.size})")
+    // verification step makes candidates exact: no false positives
+    assert(found.subsetOf(
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.8)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
+  }
+
+  test("simhash flags the token-dropped near-dups") {
+    val pairs = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = corpus.filter(col("doc_id") < 1000000 && col("doc_id") % 2 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000)).toSet
+    val recall = expected.count(pairs.contains).toDouble / expected.size
+    assert(recall >= 0.8, s"simhash recall $recall < 0.8")
+  }
+
+  test("exactDedup keeps exactly one row per content, lowest key") {
+    val dup = corpus.unionByName(corpus)
+    val kept = Dedup.exactDedup(dup, "text", "doc_id")
+    assert(kept.count() == corpus.select("text").distinct().count())
+    assert(kept.groupBy("text").count().filter(col("count") > 1).isEmpty)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.{Scalars, TextFunctions}
+import org.apache.spark.sql.functions._
+
+class ScalarsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def parse(ss: Seq[String]): Seq[Option[Double]] =
+    ss.toDF("s").select(Scalars.parseHumanNumber(col("s"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+
+  test("parse_human_number handles the reference's cases") {
+    // weekly_dag.py:313 strips a trailing "B": float("12.3B"[:-1]) * 1e9
+    assert(parse(Seq("12.3B")) == Seq(Some(12.3e9)))
+    assert(parse(Seq("456.7M")) == Seq(Some(456.7e6)))
+    assert(parse(Seq("1K", "2T", "15", "N/A", "")) ==
+      Seq(Some(1000.0), Some(2e12), Some(15.0), None, None))
+  }
+
+  test("parse_human_number round-trips generated suffixed numbers") {
+    val rng = new scala.util.Random(20240812L)
+    val suffixes = Seq(("K", 1e3), ("M", 1e6), ("B", 1e9), ("T", 1e12), ("", 1.0))
+    val cases = Seq.fill(200) {
+      val n = rng.nextInt(1000); val frac = rng.nextInt(10)
+      val (suffix, mult) = suffixes(rng.nextInt(suffixes.size))
+      (s"$n.$frac$suffix", (n + frac / 10.0) * mult)
+    }
+    val got = parse(cases.map(_._1))
+    cases.zip(got).foreach { case ((s, expected), g) =>
+      assert(g.isDefined, s"parse($s) was null")
+      assert(math.abs(g.get - expected) <= math.ulp(expected) * 4,
+        s"parse($s) = ${g.get}, expected $expected")
+    }
+  }
+
+  test("nanToNull is total: NaN→null, finite values unchanged") {
+    val df = Seq(1.5, Double.NaN, -0.0, Double.MaxValue).toDF("x")
+    val out = df.select(Scalars.nanToNull(col("x"))).collect()
+    assert(out(0).getDouble(0) == 1.5)
+    assert(out(1).isNullAt(0))
+    assert(out(2).getDouble(0) == -0.0)
+    assert(out(3).getDouble(0) == Double.MaxValue)
+  }
+
+  test("language markers pick the seeded language") {
+    val df = Seq(
+      ("der und das nicht x", "de"),
+      ("le et la est y", "fr"),
+      ("xyz qqq www", "und")).toDF("text", "expected")
+    val got = df.select(TextFunctions.langGuess(col("text")), col("expected"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+}

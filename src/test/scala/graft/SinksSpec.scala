@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{Relational, Sinks}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The reference's load protocols (SURVEY §3.3, FIXTURES.md §B):
+  * dedup-append idempotency and the three-way upsert intent
+  * (absent→append, changed→replace, identical→no-op). */
+class SinksSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sink").toString
+
+  private def macroDaily(rows: (Int, Int, Int, Double, Double)*): DataFrame =
+    rows.toSeq.toDF("year", "month", "day", "oil_price", "gold_price")
+
+  test("dedupAppend inserts only absent keys and is idempotent") {
+    val path = tmp()
+    val seed = macroDaily((2024, 1, 1, 70.0, 1900.0), (2024, 1, 2, 71.0, 1910.0))
+    Sinks.append(seed, path, Seq("year", "month"))
+    val batch = macroDaily(
+      (2024, 1, 2, 999.0, 999.0),   // existing key — must NOT replace
+      (2024, 1, 3, 72.0, 1920.0))   // new key — must append
+    Sinks.dedupAppend(spark, batch, path, Seq("year", "month", "day"),
+      Seq("year", "month"))
+    Sinks.dedupAppend(spark, batch, path, Seq("year", "month", "day"),
+      Seq("year", "month")) // second run is a no-op
+    val result = spark.read.parquet(path)
+    assert(result.count() == 3)
+    assert(result.filter($"day" === 2).select("oil_price").head.getDouble(0) == 71.0)
+  }
+
+  test("upsertPartitions: absent appends, changed replaces, identical no-ops") {
+    val path = tmp()
+    val v1 = macroDaily((2024, 1, 1, 70.0, 1900.0), (2024, 2, 1, 75.0, 1950.0))
+    Sinks.upsertPartitions(spark, v1, path, Seq("year", "month"))
+    // changed January, identical February, new March
+    val v2 = macroDaily(
+      (2024, 1, 1, 99.0, 1999.0),
+      (2024, 2, 1, 75.0, 1950.0),
+      (2024, 3, 1, 80.0, 2000.0))
+    Sinks.upsertPartitions(spark, v2, path, Seq("year", "month"))
+    val result = spark.read.parquet(path)
+      .select("year", "month", "day", "oil_price", "gold_price")
+    assertBagEqual(result, v2.select(result.columns.map(col): _*))
+    // idempotency: re-upserting the same batch changes nothing
+    Sinks.upsertPartitions(spark, v2, path, Seq("year", "month"))
+    assertBagEqual(spark.read.parquet(path)
+      .select(result.columns.map(col): _*), v2.select(result.columns.map(col): _*))
+  }
+
+  test("upsert replaces whole partition, not just matching rows") {
+    val path = tmp()
+    val v1 = macroDaily((2024, 1, 1, 70.0, 1900.0), (2024, 1, 2, 71.0, 1910.0))
+    Sinks.upsertPartitions(spark, v1, path, Seq("year", "month"))
+    val v2 = macroDaily((2024, 1, 5, 72.0, 1920.0)) // restated January: 1 row
+    Sinks.upsertPartitions(spark, v2, path, Seq("year", "month"))
+    val jan = spark.read.parquet(path)
+      .filter($"year" === 2024 && $"month" === 1)
+    assert(jan.count() == 1)
+    assert(jan.select("day").head.getInt(0) == 5)
+  }
+
+  test("bagEquals (A2 change detection) is order-insensitive") {
+    val a = macroDaily((2024, 1, 1, 1.0, 2.0), (2024, 1, 2, 3.0, 4.0))
+    val b = macroDaily((2024, 1, 2, 3.0, 4.0), (2024, 1, 1, 1.0, 2.0))
+    assert(Relational.bagEquals(a, b))
+    assert(!Relational.bagEquals(a, macroDaily((2024, 1, 1, 1.0, 2.0))))
+  }
+}
