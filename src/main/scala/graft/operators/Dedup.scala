@@ -68,16 +68,21 @@ object Dedup {
 
   /** MinHash signature (tier 3a): `numHashes` independent min-hashes
     * per key, as one groupBy with N min-aggregates (map-side combine
-    * keeps the shuffle at |keys| × N longs). Hash family: xxhash64
-    * seeded by column position — engine-deterministic, not
-    * cross-engine (hence no SQL oracle for this tier). */
+    * keeps the shuffle at |keys| × N longs). Hash family: the variable-
+    * length shingle is hashed ONCE (`xxhash64(shingle)`), then the N
+    * family members re-hash that fixed 8-byte value — O(len + N) per
+    * row instead of O(len·N). (A multiply-add family would be cheaper
+    * still but long wraparound throws under ANSI mode.) xxhash64 is
+    * engine-deterministic, not cross-engine — hence no SQL oracle for
+    * this tier. */
   def minhashSignature(sh: DataFrame, keyCol: String,
                        numHashes: Int = 64): DataFrame =
-    sh.groupBy(col(keyCol))
+    sh.withColumn("_hb", xxhash64(col("shingle")))
+      .groupBy(col(keyCol))
       .agg(
-        min(xxhash64(lit(0), col("shingle"))).as("h0"),
+        min(xxhash64(lit(0), col("_hb"))).as("h0"),
         (1 until numHashes).map(i =>
-          min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
+          min(xxhash64(lit(i), col("_hb"))).as(s"h$i")): _*)
 
   /** LSH banding (tier 3b): signature → (band, bandHash) buckets;
     * keys sharing any bucket are candidate pairs. bands×rowsPerBand
@@ -111,10 +116,13 @@ object Dedup {
       minhashSignature(sh, keyCol, numHashes), keyCol,
       bands, numHashes / bands)
     val counts = sh.groupBy(col(keyCol)).agg(count(lit(1)).as("n_sh"))
+    // intersection size via equi-join on (b, shingle): the a-side
+    // expansion is |cand|·|shingles(a)| rows, and the b-side probe is a
+    // hash join on the composite key — never a pairwise shingle×shingle
+    // product.
     val common = cand
       .join(sh.select(col(keyCol).as("a"), col("shingle")), Seq("a"))
-      .join(sh.select(col(keyCol).as("b"), col("shingle").as("sh_b")), Seq("b"))
-      .filter(col("shingle") === col("sh_b"))
+      .join(sh.select(col(keyCol).as("b"), col("shingle")), Seq("b", "shingle"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
     common
       .join(counts.select(col(keyCol).as("a"), col("n_sh").as("n_a")), Seq("a"))

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source adapters for the reference's API-shaped payloads (SURVEY
+  * §2.1 S1–S4, S6). Network fetching is the caller's concern (the
+  * engine is a library; rate limits like the reference's 18 s sleeps,
+  * `weekly_dag.py:381`, belong to the ingestion scheduler) — these
+  * adapters turn already-fetched JSON payload strings into typed
+  * DataFrames, distributed via `spark.read.json` over a
+  * Dataset[String].
+  */
+object Ingest {
+
+  /** S1 — scalar-field spot payload (`daily_dag.py:48-60`: gold/oil
+    * spot JSON like `{"data": {"price": ...}}` / `{"rates": {"SGD":
+    * ...}}`): nested field access, one row per payload. */
+  def spotPrices(spark: SparkSession, payloads: Dataset[String],
+                 fieldPath: String, asName: String): DataFrame =
+    spark.read.json(payloads).select(col(fieldPath).as(asName))
+
+  /** S4 — macro-series payload (`weekly_dag.py:367-391`: Alpha-Vantage
+    * shape `{"name": ..., "data": [{"date": ..., "value": ...}]}`) →
+    * tall (date, value_<NAME>) frame via explode. The reference builds
+    * this with a Python loop per element; here it is one distributed
+    * explode + projection. */
+  def macroSeries(spark: SparkSession, payloads: Dataset[String],
+                  indicator: String): DataFrame =
+    spark.read.json(payloads)
+      .select(explode(col("data")).as("d"))
+      .select(to_date(col("d.date")).as("date"),
+        col("d.value").cast("double").as(s"value_$indicator"))
+
+  /** S3 — scraped key-value table (`weekly_dag.py:56-71`: long
+    * (attribute, value) rows per ticker) → typed long frame, ready for
+    * the R1 pivot (Relational.pivotKV). */
+  val kvSchema: StructType = StructType(Seq(
+    StructField("ticker", StringType),
+    StructField("metric", StringType),
+    StructField("value", StringType)))
+
+  def keyValueScrape(spark: SparkSession, payloads: Dataset[String]): DataFrame =
+    spark.read.schema(StructType(Seq(
+        StructField("ticker", StringType),
+        StructField("rows", ArrayType(StructType(Seq(
+          StructField("metric", StringType),
+          StructField("value", StringType))))))))
+      .json(payloads)
+      .select(col("ticker"), explode(col("rows")).as("kv"))
+      .select(col("ticker"), col("kv.metric").as("metric"),
+        col("kv.value").as("value"))
+
+  /** S2 — per-entity history frames tagged with their entity id
+    * (`daily_dag.py:91-96`: per-ticker OHLCV histories unioned):
+    * tag each frame with a literal and union by name. */
+  def taggedUnion(frames: Seq[(String, DataFrame)],
+                  tagCol: String): DataFrame =
+    frames.map { case (tag, df) => df.withColumn(tagCol, lit(tag)) }
+      .reduce(_.unionByName(_))
+}
