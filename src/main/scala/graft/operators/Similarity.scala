@@ -14,10 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two double-array columns as a pure Column
-    * expression: zip_with product + left-fold sum (sequential and
-    * deterministic), over precomputable norms. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity — the native codegen expression
+    * (graft.plans.CosineSimilarity): one fused loop per row, no
+    * intermediate arrays. Bit-identical to `cosineHof` (same
+    * accumulation order; SimilaritySpec asserts equality). */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimilarity(a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Built-in-HOF baseline (zip_with product + left-fold sum over
+    * precomputable norms) — kept as the portability reference and for
+    * the equivalence test. */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     def norm(x: Column): Column =

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into the `private[sql]` Column↔Expression converters
+  * (`org.apache.spark.sql.classic.ExpressionUtils`) so the engine's
+  * native expressions (graft.plans.*) can expose a public Column API
+  * without forking Spark. This is the standard pattern for Catalyst
+  * extension libraries; nothing else in the repo lives outside the
+  * `graft` namespace.
+  */
+object GraftSqlShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

