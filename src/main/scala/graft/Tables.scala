@@ -45,6 +45,21 @@ object Tables {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(path(sfDir, "embeddings"))
 
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every warehouse table as a temp view so the engine's SQL
+    * surface (`spark.sql`) works alongside the Column DSL — the
+    * reference's only query language was SQL text shipped to BigQuery
+    * (S5/K3 sites); here the same statements run on Spark's parser
+    * against the same tables. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir)
+      else spark.read.parquet(path(sfDir, n))
+      df.createOrReplaceTempView(n)
+    }
+
   /** Declared warehouse schemas, mirroring the reference's DDL blocks
     * (`daily_dag.py:121-151`, `weekly_dag.py:507-608`) re-keyed onto the
     * engine's domain. Used by the sink layer (Sinks.scala) for

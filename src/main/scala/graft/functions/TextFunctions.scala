@@ -76,4 +76,27 @@ object TextFunctions {
   /** Content fingerprint: md5 of the exact text — the engine's exact-dup
     * key (md5 is engine-portable, unlike xxhash64). */
   def fingerprint(text: Column): Column = md5(text)
+
+  /** BPE-ish regex tokenization (north-star "whitespace + a BPE-ish
+    * regex" token counting): alpha runs, digit runs, and single
+    * non-alnum marks each count as one token — the shape a byte-pair
+    * vocabulary degenerates to without merges. Pattern kept to the
+    * RE2 ∩ Java-regex common subset so the DuckDB oracle matches. */
+  val bpeTokenPattern: String = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0))).cast("long")
+
+  /** Rolling (rotate-xor) fingerprint over the token stream — an
+    * order-sensitive 64-bit document signature: equal token sequences
+    * collide, any reorder/edit diverges. Pure bitwise fold (rotl ^
+    * tokenHash), so it is ANSI-overflow-safe and needs no UDF; built
+    * on xxhash64, so engine-deterministic (rows-only driver check +
+    * TextSpec). */
+  def rollingFingerprint(text: Column): Column = {
+    def rotl5(h: Column): Column =
+      shiftleft(h, 5).bitwiseOR(shiftrightunsigned(h, 59))
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => rotl5(acc).bitwiseXOR(xxhash64(t)))
+  }
 }

@@ -53,6 +53,38 @@ object Similarity {
         Seq(col("sim").desc, col(corpusId).asc), k)
   }
 
+  /** Embedding-cosine near-dup pairs (north-star dedup tier 5): all
+    * (a < b) pairs with cosine >= threshold. Brute-force form — a
+    * self-join that AQE executes as a single shuffle; similarities are
+    * rounded before thresholding for cross-engine set stability. The
+    * 100 TB path swaps the cross pair-join for `lshBucket` equality
+    * (see `cosineNearDupPairsLsh`). */
+  def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, roundScale: Int = 6): DataFrame = {
+    val a = vectors.select(col(idCol).as("a"), col(vecCol).as("_va"))
+    val b = vectors.select(col(idCol).as("b"), col(vecCol).as("_vb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("sim", round(cosine(col("_va"), col("_vb")), roundScale))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
+  /** LSH-bucketed near-dup pairs: candidates share a hyperplane
+    * bucket, exact cosine verifies. Sub-quadratic; recall tied to the
+    * plane count (near-identical vectors collide with prob. ~1). */
+  def cosineNearDupPairsLsh(vectors: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, numPlanes: Int = 12): DataFrame = {
+    val bucketed = vectors.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), numPlanes).as("bucket"))
+    val a = bucketed.select(col(idCol).as("a"), col(vecCol).as("_va"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("b"), col(vecCol).as("_vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim", round(cosine(col("_va"), col("_vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim")).distinct()
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed — no
     * wall-clock, no engine hash), as literal columns. */
   private def planes(numPlanes: Int, dim: Int): Seq[Column] = {

@@ -90,5 +90,24 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("sim").desc, col("c_id"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats, q36CosineLshTopK)
+  /** q37: embedding-cosine near-dup pairs (the dedup family's
+    * embedding tier): every (a<b) pair at cosine >= 0.25 — on this
+    * corpus of near-orthogonal random vectors that is the extreme
+    * upper tail, so the set is small but non-empty and exact. */
+  val q37CosineNearDup: QuerySpec = QuerySpec(
+    "q37_cosine_neardup",
+    """SELECT x.vec_id AS a, y.vec_id AS b,
+      |  round(list_cosine_similarity(
+      |    CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) AS sim
+      |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+      |WHERE round(list_cosine_similarity(
+      |    CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.25
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 0.25)
+      .orderBy(col("a"), col("b"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
+    q36CosineLshTopK, q37CosineNearDup)
 }

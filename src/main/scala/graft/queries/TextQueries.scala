@@ -125,6 +125,45 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** q38: BPE-ish regex token counting next to whitespace counting —
+    * the two tokenizer tiers of the north star, compared per source. */
+  val q38BpeTokens: QuerySpec = QuerySpec(
+    "q38_bpe_tokens",
+    s"""SELECT source,
+       |  CAST(SUM($sqlNTok) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(len(regexp_extract_all(text,
+       |    '${TextFunctions.bpeTokenPattern}'))) AS BIGINT) AS bpe_tokens
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).as("ws"),
+        TextFunctions.bpeTokenCount(col("text")).as("bpe"))
+      .groupBy(col("source"))
+      .agg(sum(col("ws")).cast("long").as("ws_tokens"),
+        sum(col("bpe")).cast("long").as("bpe_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** q39: rolling-hash document signatures (order-sensitive, unlike
+    * the md5 content key of q29): dup-count per signature over a
+    * replayed corpus. xxhash64-based → rows-only driver check;
+    * TextFunctions-level semantics asserted in ScalarsSpec. */
+  val q39RollingFingerprint: QuerySpec =
+    QuerySpec.noOracle("q39_rolling_fingerprint") { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.rollingFingerprint(col("text")).as("rfp"))
+      val copy = d.filter(col("doc_id") % 4 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      d.unionByName(copy)
+        .groupBy(col("rfp"))
+        .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("kept"))
+        .groupBy(col("copies"))
+        .agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("copies"))
+    }
+
   val specs: Seq[QuerySpec] = Seq(
-    q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint)
+    q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
+    q38BpeTokens, q39RollingFingerprint)
 }

@@ -43,6 +43,26 @@ class ScalarsSpec extends SparkSpecBase {
     assert(out(3).getDouble(0) == Double.MaxValue)
   }
 
+  test("rolling fingerprint: order-sensitive, equality-preserving") {
+    val df = Seq(
+      ("a b c", "a b c"),     // equal → equal fp
+      ("a b c", "c b a"),     // reorder → different fp
+      ("a b c", "a b"))       // edit → different fp
+      .toDF("t1", "t2")
+      .select(TextFunctions.rollingFingerprint(col("t1")).as("f1"),
+        TextFunctions.rollingFingerprint(col("t2")).as("f2"))
+      .collect()
+    assert(df(0).getLong(0) == df(0).getLong(1))
+    assert(df(1).getLong(0) != df(1).getLong(1))
+    assert(df(2).getLong(0) != df(2).getLong(1))
+  }
+
+  test("bpe token count splits runs and marks") {
+    val n = Seq("abc12 de-f").toDF("text")
+      .select(TextFunctions.bpeTokenCount(col("text"))).head.getLong(0)
+    assert(n == 5) // abc | 12 | de | - | f
+  }
+
   test("language markers pick the seeded language") {
     val df = Seq(
       ("der und das nicht x", "de"),
