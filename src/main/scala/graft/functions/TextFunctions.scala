@@ -77,6 +77,30 @@ object TextFunctions {
     * key (md5 is engine-portable, unlike xxhash64). */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Sentiment lexicons — the engine's eponymous capability (the
+    * reference repo is Sentiment-Analysis-Data-Engineering; its README
+    * frames the warehouse as stock analysis `README.md:4`). A
+    * broadcast-lexicon hit count inside a Column expression — no UDF,
+    * per SURVEY §2.11's mechanism table. */
+  val positiveWords: Seq[String] =
+    Seq("good", "great", "fast", "win", "up", "gain", "strong", "new",
+      "best", "top", "growth", "profit", "merge", "stream")
+  val negativeWords: Seq[String] =
+    Seq("bad", "slow", "loss", "down", "drop", "weak", "error", "fail",
+      "risk", "wrong", "crash", "spill")
+
+  /** Net sentiment in [-1, 1]: (pos − neg) / tokens. Per-row double
+    * division — engine-portable. */
+  def sentimentScore(text: Column): Column =
+    (vocabHits(text, positiveWords) - vocabHits(text, negativeWords))
+      .cast("double") / tokenCount(text).cast("double")
+
+  /** Ternary sentiment label with a ±0.01 neutral band. */
+  def sentimentLabel(text: Column): Column = {
+    val s = sentimentScore(text)
+    when(s > 0.01, "positive").when(s < -0.01, "negative").otherwise("neutral")
+  }
+
   /** BPE-ish regex tokenization (north-star "whitespace + a BPE-ish
     * regex" token counting): alpha runs, digit runs, and single
     * non-alnum marks each count as one token — the shape a byte-pair

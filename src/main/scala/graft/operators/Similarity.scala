@@ -53,6 +53,32 @@ object Similarity {
         Seq(col("sim").desc, col(corpusId).asc), k)
   }
 
+  /** Aggregator-based exact top-k (same contract as bruteForceTopK,
+    * different physical plan): the per-group bounded buffer ships ≤2k
+    * rows per group per partition through the shuffle instead of every
+    * candidate row — the scale-preferred shape when |groups| is large.
+    * Rounded sims + (score DESC, id ASC) ordering keep it
+    * interchangeable with the window variant. */
+  def bruteForceTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int,
+                        roundScale: Int = 6): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val scored = corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .select(col("q_id"),
+        col("c_id"),
+        round(cosine(col("q_vec").cast("array<double>"),
+          col("c_vec").cast("array<double>")), roundScale).as("sim"))
+      .as[(Long, Long, Double)]
+    val agg = new TopK.TopKAggregator(k)
+    scored.groupByKey(_._1)
+      .mapValues(r => TopK.Scored(r._2, r._3))
+      .agg(agg.toColumn)
+      .flatMap { case (qId, top) =>
+        top.zipWithIndex.map { case (s, i) => (qId, s.id, s.score, i + 1L) }
+      }
+      .toDF("q_id", "c_id", "sim", "rn")
+  }
+
   /** Embedding-cosine near-dup pairs (north-star dedup tier 5): all
     * (a < b) pairs with cosine >= threshold. Brute-force form — a
     * self-join that AQE executes as a single shuffle; similarities are
@@ -83,6 +109,36 @@ object Similarity {
       .withColumn("sim", round(cosine(col("_va"), col("_vb")), 6))
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), col("sim")).distinct()
+  }
+
+  /** IVF (inverted-file) approximate top-k — the clustering-flavored
+    * scale path next to hyperplane LSH: `numCells` deterministic seed
+    * centroids (lowest ids — a production build k-means-refines them),
+    * corpus vectors assigned to their nearest centroid once, queries
+    * probe their `nprobe` nearest cells. The search join is a hash
+    * join on cell id over ~nprobe/numCells of the corpus. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              numCells: Int = 16, nprobe: Int = 3,
+              queryId: String = "q_id", queryVec: String = "q_vec",
+              corpusId: String = "c_id", corpusVec: String = "c_vec"): DataFrame = {
+    val centroids = corpus.orderBy(col(corpusId)).limit(numCells)
+      .select(col(corpusId).as("cell"), col(corpusVec).as("cent_vec"))
+    def assign(df: DataFrame, id: String, vec: String, n: Int): DataFrame =
+      Relational.topKPerGroup(
+        df.join(broadcast(centroids), lit(true))
+          .withColumn("cd", round(cosine(col(vec).cast("array<double>"),
+            col("cent_vec").cast("array<double>")), 6)),
+        Seq(col(id)), Seq(col("cd").desc, col("cell").asc), n)
+        .select(df.columns.map(col) :+ col("cell"): _*)
+    val corpusCells = assign(corpus, corpusId, corpusVec, 1)
+    val queryCells = assign(queries, queryId, queryVec, nprobe)
+    val joined = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("sim", round(cosine(col(queryVec).cast("array<double>"),
+        col(corpusVec).cast("array<double>")), 6))
+    Relational.topKPerGroup(
+        joined.select(col(queryId), col(corpusId), col("sim")).distinct(),
+        Seq(col(queryId)), Seq(col("sim").desc, col(corpusId).asc), k)
   }
 
   /** Deterministic pseudo-random hyperplanes (fixed seed — no

@@ -108,6 +108,18 @@ object SimilarityQueries {
       .orderBy(col("a"), col("b"))
   }
 
+  /** q52: IVF approximate top-k (clustering-flavored ANN scale path
+    * next to q36's hyperplane LSH). Deterministic seed centroids →
+    * rows-only driver check + SimilaritySpec planted-dup recall. */
+  val q52IvfTopK: QuerySpec = QuerySpec.noOracle("q52_ivf_topk") { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    Similarity.ivfTopK(queries, corpus, k = 5)
+      .orderBy(col("q_id"), col("sim").desc, col("c_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
-    q36CosineLshTopK, q37CosineNearDup)
+    q36CosineLshTopK, q37CosineNearDup, q52IvfTopK)
 }

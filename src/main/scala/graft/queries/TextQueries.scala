@@ -163,7 +163,47 @@ object TextQueries {
         .orderBy(col("copies"))
     }
 
+  /** q51: lexicon sentiment scoring — the reference repo's eponymous
+    * capability, as one distributed pass: per-doc hit counts (pure
+    * Column set-membership over the broadcast lexicon), per-row score
+    * and label, rolled up per (source, label). The oracle spells out
+    * the same lexicons (generated from the same constants). */
+  val q51Sentiment: QuerySpec = {
+    val pos = sqlVocabHits(TextFunctions.positiveWords)
+    val neg = sqlVocabHits(TextFunctions.negativeWords)
+    val score = s"CAST(($pos - $neg) AS DOUBLE) / CAST($sqlNTok AS DOUBLE)"
+    QuerySpec(
+      "q51_sentiment",
+      s"""SELECT source,
+         |  CASE WHEN $score > 0.01 THEN 'positive'
+         |       WHEN $score < -0.01 THEN 'negative'
+         |       ELSE 'neutral' END AS label,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM($pos) AS BIGINT) AS pos_hits,
+         |  CAST(SUM($neg) AS BIGINT) AS neg_hits,
+         |  CAST(SUM($pos) - SUM($neg) AS DOUBLE) / CAST(SUM($sqlNTok) AS DOUBLE)
+         |    AS net_per_token
+         |FROM documents
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          TextFunctions.sentimentLabel(col("text")).as("label"),
+          TextFunctions.vocabHits(col("text"), TextFunctions.positiveWords)
+            .as("p"),
+          TextFunctions.vocabHits(col("text"), TextFunctions.negativeWords)
+            .as("n"),
+          TextFunctions.tokenCount(col("text")).as("t"))
+        .groupBy(col("source"), col("label"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("p")).cast("long").as("pos_hits"),
+          sum(col("n")).cast("long").as("neg_hits"),
+          ((sum(col("p")) - sum(col("n"))).cast("double") /
+            sum(col("t")).cast("double")).as("net_per_token"))
+        .orderBy(col("source"), col("label"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
-    q38BpeTokens, q39RollingFingerprint)
+    q38BpeTokens, q39RollingFingerprint, q51Sentiment)
 }

@@ -58,6 +58,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(hits == 16, s"only $hits/16 planted duplicates found at rank 1")
   }
 
+  test("Aggregator top-k equals the window top-k plan") {
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val win = Similarity.bruteForceTopK(queries, corpus, 5)
+      .select("q_id", "c_id", "sim")
+    val agg = Similarity.bruteForceTopKAgg(queries, corpus, 5)
+      .select("q_id", "c_id", "sim")
+    assertBagEqual(win, agg)
+  }
+
+  test("IVF top-k finds planted duplicates through cell assignment") {
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val planted = e.filter(col("vec_id") < 16)
+      .select((col("vec_id") + 10000).as("c_id"), col("embedding").as("c_vec"))
+    val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .unionByName(planted)
+    val top1 = Similarity.ivfTopK(queries, corpus, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0L until 16L).count(q => top1.get(q).contains(q + 10000))
+    assert(hits == 16, s"only $hits/16 planted duplicates found at rank 1")
+  }
+
   test("brute-force top-k respects k and excludes self") {
     val e = Tables.embeddings(spark, sf)
     val queries = e.filter(col("vec_id") < 4)

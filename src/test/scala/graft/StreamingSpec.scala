@@ -66,6 +66,66 @@ class StreamingSpec extends SparkSpecBase {
     assert(finalRows.exceptAll(batch).isEmpty)
   }
 
+  test("watermark advances across micro-batches; on-time windows emit exactly once") {
+    import spark.implicits._
+    // two micro-batches via maxFilesPerTrigger=1: batch 1 advances the
+    // watermark to ~max(ts) - 10min; batch 2 is one event far in the
+    // past → its window is below the watermark and must be dropped.
+    val dir = java.nio.file.Files.createTempDirectory("graft_late")
+    val base = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    base.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    val late = Seq((999999L, java.sql.Timestamp.valueOf("2023-06-01 00:00:00"),
+        1L, "late", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    late.coalesce(1).write.parquet(dir.resolve("b2").toString)
+    // the file source orders by modification time: force b1 strictly
+    // before b2 so the watermark advances before the late row arrives
+    import java.nio.file.attribute.FileTime
+    def touch(sub: String, t: Long): Unit =
+      java.nio.file.Files.walk(dir.resolve(sub)).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, FileTime.fromMillis(t)))
+    val now = System.currentTimeMillis()
+    touch("b1", now - 60000)
+    touch("b2", now)
+    val stream = spark.readStream
+      .schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString + "/*/")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("t_late")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val wms = q.recentProgress.filter(_.numInputRows > 0)
+      .map(_.eventTime.get("watermark")).toSeq
+    q.stop()
+    // watermark must advance between the two micro-batches (epoch → the
+    // first batch's max(ts) - 10min)
+    assert(wms.length == 2 && wms(0) < wms(1),
+      s"watermark did not advance: $wms")
+    val out = spark.table("t_late")
+    // on-time windows emit exactly once (append mode: emit on eviction)
+    assert(out.groupBy("window", "event_type").count()
+      .filter(col("count") > 1).isEmpty, "a window emitted more than once")
+    // the late row must not merge into any on-time window: Spark's
+    // watermark guarantee is one-directional (in-watermark data is
+    // never dropped; beyond-watermark data MAY still emit as its own
+    // closed group), so assert non-contamination, not absence
+    val lateOut = out.filter(col("event_type") === "late")
+    assert(lateOut.count() <= 1)
+    // append mode emits a window only once the watermark passes its
+    // end: windows still open at the final watermark stay in state, so
+    // expected emissions = events whose 10-min window closed
+    val finalWm = java.sql.Timestamp.from(java.time.Instant.parse(wms(1)))
+    val closed = base.filter(
+      window(col("ts"), "10 minutes")("end") <= lit(finalWm)).count()
+    assert(out.filter(col("event_type") =!= "late")
+      .agg(sum(col("n"))).head.getLong(0) == closed)
+  }
+
   test("streaming session windows produce the q43 session starts") {
     val streamed = runToMemory(
       Streams.sessionCounts(Streams.eventsStream(spark, eventsDir)), "t_sessions")
