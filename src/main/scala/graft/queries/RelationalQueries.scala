@@ -401,10 +401,53 @@ object RelationalQueries {
       .orderBy(col("m"))
   }
 
+  /** q18: set operations (SURVEY §2.7 — intersect/except are the
+    * formal form of the reference's A2 symmetric-except emptiness
+    * check): customer-activity cohorts across two years. */
+  val q18SetOps: QuerySpec = QuerySpec(
+    "q18_set_ops",
+    """WITH y97 AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      |y98 AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+      |SELECT cohort, COUNT(*) AS n FROM (
+      |  SELECT 'both' AS cohort, * FROM (SELECT * FROM y97 INTERSECT SELECT * FROM y98)
+      |  UNION ALL
+      |  SELECT 'only97', * FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y98)
+      |  UNION ALL
+      |  SELECT 'only98', * FROM (SELECT * FROM y98 EXCEPT SELECT * FROM y97))
+      |GROUP BY cohort ORDER BY cohort""".stripMargin) { (s, dir) =>
+    def active(y: Int) = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit(f"$y-01-01 00:00:00"))
+        && col("o_orderdate") < to_timestamp(lit(f"${y + 1}-01-01 00:00:00")))
+      .select(col("o_custkey")).distinct()
+    val y97 = active(1997); val y98 = active(1998)
+    y97.intersect(y98).withColumn("cohort", lit("both"))
+      .unionByName(y97.except(y98).withColumn("cohort", lit("only97")))
+      .unionByName(y98.except(y97).withColumn("cohort", lit("only98")))
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n"))
+      .orderBy(col("cohort"))
+  }
+
+  /** q19: approximate distinct counting (SURVEY §2.4 ★,
+    * `approx_count_distinct` = HLL++) — sketch values are
+    * implementation-specific, so the driver check is rows-only and
+    * QueriesSpec bounds the error against the exact count. */
+  val q19ApproxDistinct: QuerySpec =
+    QuerySpec.noOracle("q19_approx_distinct") { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
     q09TopCustomersPerSegment, q10PivotPriority, q11RollupYearMonth,
     q12DistinctParts, q13SegmentBuckets, q14StringFuncs, q15ShipDelay,
-    q16MonthlySpine, q17MacroSeriesJoin)
+    q16MonthlySpine, q17MacroSeriesJoin, q18SetOps, q19ApproxDistinct)
 }

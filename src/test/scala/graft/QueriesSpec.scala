@@ -31,6 +31,14 @@ class QueriesSpec extends SparkSpecBase {
     assert(total == raw)
   }
 
+  test("q19 approx distinct within 5% of exact") {
+    Queries.byName("q19_approx_distinct").run(spark, sf).collect().foreach { r =>
+      val approx = r.getLong(1); val exact = r.getLong(2)
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
   test("q08 top-k is ordered and bounded") {
     val rows = Queries.byName("q08_top_orders").run(spark, sf).collect()
     assert(rows.length == 25)

@@ -64,6 +64,22 @@ class SinksSpec extends SparkSpecBase {
     assert(jan.select("day").head.getInt(0) == 5)
   }
 
+  test("partitioned layout turns key probes into partition pruning") {
+    // SURVEY §1.2: the reference's `WHERE year= AND month=` probes
+    // (daily_dag.py:80) must become partition pruning, not data reads
+    val path = tmp()
+    Sinks.append(macroDaily(
+      (2024, 1, 1, 70.0, 1900.0), (2024, 2, 1, 75.0, 1950.0),
+      (2023, 12, 1, 65.0, 1850.0)), path, Seq("year", "month"))
+    val probe = graft.operators.Relational.partitionProbe(
+      spark.read.parquet(path), 2024, 1)
+    assert(probe.count() == 1)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("year") && plan.contains("2024"),
+      s"expected partition filters in plan:\n$plan")
+  }
+
   test("bagEquals (A2 change detection) is order-insensitive") {
     val a = macroDaily((2024, 1, 1, 1.0, 2.0), (2024, 1, 2, 3.0, 4.0))
     val b = macroDaily((2024, 1, 2, 3.0, 4.0), (2024, 1, 1, 1.0, 2.0))
