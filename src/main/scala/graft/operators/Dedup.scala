@@ -68,21 +68,19 @@ object Dedup {
 
   /** MinHash signature (tier 3a): `numHashes` independent min-hashes
     * per key, as one groupBy with N min-aggregates (map-side combine
-    * keeps the shuffle at |keys| × N longs). Hash family: the variable-
-    * length shingle is hashed ONCE (`xxhash64(shingle)`), then the N
-    * family members re-hash that fixed 8-byte value — O(len + N) per
-    * row instead of O(len·N). (A multiply-add family would be cheaper
-    * still but long wraparound throws under ANSI mode.) xxhash64 is
-    * engine-deterministic, not cross-engine — hence no SQL oracle for
-    * this tier. */
+    * keeps the shuffle at |keys| × N longs). Feed it `shingleHashes`
+    * output: the N family members then hash a fixed 8-byte value —
+    * O(len + N) per shingle instead of O(len·N). (A multiply-add
+    * family would be cheaper still but long wraparound throws under
+    * ANSI mode.) xxhash64 is engine-deterministic, not cross-engine —
+    * hence no SQL oracle for this tier. */
   def minhashSignature(sh: DataFrame, keyCol: String,
                        numHashes: Int = 64): DataFrame =
-    sh.withColumn("_hb", xxhash64(col("shingle")))
-      .groupBy(col(keyCol))
+    sh.groupBy(col(keyCol))
       .agg(
-        min(xxhash64(lit(0), col("_hb"))).as("h0"),
+        min(xxhash64(lit(0), col("shingle"))).as("h0"),
         (1 until numHashes).map(i =>
-          min(xxhash64(lit(i), col("_hb"))).as(s"h$i")): _*)
+          min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
 
   /** LSH banding (tier 3b): signature → (band, bandHash) buckets;
     * keys sharing any bucket are candidate pairs. bands×rowsPerBand
@@ -95,14 +93,34 @@ object Dedup {
         xxhash64((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
           .map(i => col(s"h$i")): _*).as("bucket"))
     }
+    // cached: the self-join consumes this twice, and upstream of it
+    // sits the full signature aggregation (|keys| × bands rows — tiny)
     val buckets = sig.select(col(keyCol),
       explode(array(bandCols: _*)).as("bb"))
       .select(col(keyCol), col("bb.band"), col("bb.bucket"))
+      .cache()
     val l = buckets.select(col(keyCol).as("a"), col("band"), col("bucket"))
     val r = buckets.select(col(keyCol).as("b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+  }
+
+  /** Shingle set with each shingle reduced to its 64-bit hash —
+    * everything downstream of shingling (signatures, banding, Jaccard
+    * verification) only needs set identity, so the pipeline shuffles
+    * 16-byte (key, long) rows instead of strings. Collisions
+    * (~n²/2⁶⁴) are deterministic and negligible. */
+  def shingleHashes(df: DataFrame, keyCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    df.select(col(keyCol),
+        explode_outer(transform(
+          sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(0))),
+          i => xxhash64(array_join(slice(toks, i, lit(k)), " "))))
+          .as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .distinct()
   }
 
   /** End-to-end MinHash near-dup: candidates from LSH, verified with
@@ -111,7 +129,7 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, keyCol: String, textCol: String,
                           k: Int = 3, numHashes: Int = 64, bands: Int = 16,
                           threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, keyCol, textCol, k).cache()
+    val sh = shingleHashes(df, keyCol, textCol, k).cache()
     val cand = lshCandidatePairs(
       minhashSignature(sh, keyCol, numHashes), keyCol,
       bands, numHashes / bands)
@@ -162,6 +180,7 @@ object Dedup {
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))
           .as("v"))): _*)).as("cb"))
       .select(col(keyCol), col("simhash"), col("cb.chunk"), col("cb.v"))
+      .cache() // consumed by both sides of the self-join; |keys|×4 rows
     val l = chunks.select(col(keyCol).as("a"), col("simhash").as("sig_a"),
       col("chunk"), col("v"))
     val r = chunks.select(col(keyCol).as("b"), col("simhash").as("sig_b"),

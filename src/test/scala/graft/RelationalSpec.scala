@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Direct unit tests for the projection/rename/cast operators (SURVEY
+  * P1–P3) and the typed Dataset API. */
+class RelationalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("withDateParts derives and (optionally) drops the date (P1/X1)") {
+    val df = Seq(java.sql.Timestamp.valueOf("1997-03-15 00:00:00"))
+      .toDF("o_orderdate")
+    val kept = Relational.withDateParts(df, "o_orderdate")
+    assert(kept.columns.toSeq == Seq("o_orderdate", "year", "month", "day"))
+    val r = kept.head
+    assert(r.getInt(1) == 1997 && r.getInt(2) == 3 && r.getInt(3) == 15)
+    val dropped = Relational.withDateParts(df, "o_orderdate", dropDate = true)
+    assert(!dropped.columns.contains("o_orderdate"))
+  }
+
+  test("renameAll is the positional bulk rename (P2)") {
+    val df = Seq((1, "x")).toDF("a", "b")
+    assert(Relational.renameAll(df, Seq("c1", "c2")).columns.toSeq
+      == Seq("c1", "c2"))
+    intercept[IllegalArgumentException] {
+      Relational.renameAll(df, Seq("only_one"))
+    }
+  }
+
+  test("castToSchema projects, reorders, casts, and drops extras (P3)") {
+    // the reference's .astype(str) round-trip then per-column recast
+    // (weekly_dag.py:91-104): strings in, declared types out
+    val df = Seq(("2024", "1", "70.5", "extra")).toDF(
+      "year", "month", "oil_price", "junk")
+    val schema = StructType(Seq(
+      StructField("oil_price", DoubleType),
+      StructField("year", IntegerType),
+      StructField("month", IntegerType)))
+    val out = Relational.castToSchema(df, schema)
+    assert(out.columns.toSeq == Seq("oil_price", "year", "month"))
+    assert(out.schema.fields.map(_.dataType).toSeq ==
+      Seq(DoubleType, IntegerType, IntegerType))
+    val r = out.head
+    assert(r.getDouble(0) == 70.5 && r.getInt(1) == 2024 && r.getInt(2) == 1)
+  }
+
+  test("typed Dataset API: compile-time fields over the fact table") {
+    val revenue = Domain.lineitems(spark, sf)
+      .filter(_.l_returnflag == "R")
+      .map(l => l.l_extendedprice * (1 - l.l_discount))
+      .reduce(_ + _)
+    assert(revenue > 0)
+    val perStatus = Domain.orders(spark, sf)
+      .groupByKey(_.o_orderstatus)
+      .count().collect().toMap
+    assert(perStatus.values.sum == Tables.orders(spark, sf).count())
+  }
+}
