@@ -154,7 +154,58 @@ object WindowQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** q53: time-based RANGE frame — the true "30-day moving spend"
+    * (row frames approximate it only under uniform spacing). Both
+    * engines order by epoch-microseconds and use the same numeric
+    * range, so frame contents are identical. */
+  val q53RangeWindow: QuerySpec = {
+    val thirtyDaysUs = 30L * 86400 * 1000000
+    QuerySpec(
+      "q53_range_window",
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+         |    AS spend_30d,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS n_30d
+         |FROM orders
+         |WHERE o_custkey <= 40
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+         |  RANGE BETWEEN $thirtyDaysUs PRECEDING AND CURRENT ROW)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      // parquet timestamps surface as TIMESTAMP_NTZ; the UTC-pinned
+      // session makes the NTZ→LTZ cast micro-identical to epoch_us
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-thirtyDaysUs, Window.currentRow)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") <= 40)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double")
+            .as("spend_30d"),
+          count(lit(1)).over(w).cast("long").as("n_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }
+  }
+
+  /** q54: GROUPING SETS — a single ANSI SQL text executed verbatim by
+    * BOTH engines (Spark via the registered-view SQL surface, DuckDB
+    * as the oracle): the dialects' common subset is itself part of
+    * the engine's contract. */
+  val q54GroupingSets: QuerySpec = {
+    val sql =
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS year,
+        |  o_orderstatus, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS (
+        |  (CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER), o_orderstatus),
+        |  (CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)), ())
+        |ORDER BY year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
+    QuerySpec("q54_grouping_sets", sql) { (s, dir) =>
+      graft.Tables.registerViews(s, dir)
+      s.sql(sql)
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q20MovingAvg, q21OrderDeltas, q22CumulativeVolume, q23RankParts,
-    q24BalanceQuartiles, q25FirstLast)
+    q24BalanceQuartiles, q25FirstLast, q53RangeWindow, q54GroupingSets)
 }
