@@ -53,8 +53,11 @@ object Sinks {
     * exceptAll both ways per partition. */
   private def partitionDigest(df: DataFrame, partitionCols: Seq[String]) = {
     val dataCols = df.columns.filterNot(partitionCols.contains).sorted
+    // hashes summed in DECIMAL(38,0): exact, associative (order-
+    // insensitive), and immune to ANSI long-overflow
     df.groupBy(partitionCols.map(col): _*)
-      .agg(sum(xxhash64(dataCols.map(col): _*)).as("_digest"),
+      .agg(sum(xxhash64(dataCols.map(col): _*).cast("decimal(38,0)"))
+        .as("_digest"),
         count(lit(1)).as("_n"))
   }
 
