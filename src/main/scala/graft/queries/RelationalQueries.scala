@@ -444,10 +444,40 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }
 
+  /** q55: interval/range-containment join (SURVEY §2.3's missing join
+    * family): how many orders from the broad customer base fall inside
+    * each VIP customer's active trading window. Spark side uses the
+    * bucketed equi-join strategy (RangeJoin.bucketed — grid join, not
+    * a nested loop); the oracle states the raw range predicate. */
+  val q55RangeJoin: QuerySpec = QuerySpec(
+    "q55_range_join",
+    """WITH ivals AS (
+      |  SELECT o_custkey AS vip, MIN(o_orderdate) AS w_start,
+      |    MAX(o_orderdate) + INTERVAL 1 DAY AS w_end
+      |  FROM orders WHERE o_custkey <= 20 GROUP BY o_custkey),
+      |probe AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_custkey > 20)
+      |SELECT vip, COUNT(*) AS n_inside
+      |FROM probe JOIN ivals
+      |  ON o_orderdate >= w_start AND o_orderdate < w_end
+      |GROUP BY vip ORDER BY vip""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val ivals = o.filter(col("o_custkey") <= 20)
+      .groupBy(col("o_custkey").as("vip"))
+      .agg(min(col("o_orderdate")).as("w_start"),
+        (max(col("o_orderdate")) + expr("INTERVAL 1 DAY")).as("w_end"))
+    val probe = o.filter(col("o_custkey") > 20)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    graft.operators.RangeJoin.bucketed(probe, ivals, "o_orderdate",
+        "w_start", "w_end")
+      .groupBy(col("vip")).agg(count(lit(1)).as("n_inside"))
+      .orderBy(col("vip"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
     q09TopCustomersPerSegment, q10PivotPriority, q11RollupYearMonth,
     q12DistinctParts, q13SegmentBuckets, q14StringFuncs, q15ShipDelay,
-    q16MonthlySpine, q17MacroSeriesJoin, q18SetOps, q19ApproxDistinct)
+    q16MonthlySpine, q17MacroSeriesJoin, q18SetOps, q19ApproxDistinct,
+    q55RangeJoin)
 }
