@@ -56,6 +56,30 @@ object AsOfJoin {
       .drop("_hit")
   }
 
+  /** Plan-integrated path (custom-operator tier (c)): builds the
+    * graft.plans.AsOfJoinPlan logical node directly, planned by
+    * AsOfStrategy (inject via GraftExtensions, or rely on the
+    * session-local strategy registration done here). Same semantics
+    * and physical shape as `broadcastAsOf`, but as a first-class plan
+    * node visible to Catalyst. `ref` must be (refTimeCol, refValCol)
+    * only. */
+  def nativeAsOf(spark: SparkSession, probe: DataFrame, ref: DataFrame,
+                 probeTimeCol: String, refTimeCol: String,
+                 refValCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShim
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfStrategy
+    val lp = probe.queryExecution.analyzed
+    val rp = ref.select(col(refTimeCol), col(refValCol).cast("double"))
+      .queryExecution.analyzed
+    val lIdx = lp.output.indexWhere(_.name == probeTimeCol)
+    require(lIdx >= 0, s"probe column $probeTimeCol not found")
+    GraftSqlShim.ofRows(spark,
+      graft.plans.AsOfJoinPlan.create(lp, rp, lIdx, 0, 1,
+        rp.output.head.dataType))
+  }
+
   /** General path: tagged union + running last over the time order.
     * With `partitionCols` empty this is exact but single-partition;
     * callers at scale supply a bucketing key whose buckets contain

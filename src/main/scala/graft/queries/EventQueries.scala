@@ -155,6 +155,31 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** q56: the same as-of semantics through the engine's custom plan
+    * node (graft.plans.AsOfJoinPlan — LogicalPlan + Strategy + Exec,
+    * custom-operator tier (c)) against the same DuckDB ASOF oracle as
+    * q45: both integration styles are held to the identical answer. */
+  val q56AsOfNative: QuerySpec = QuerySpec(
+    "q56_asof_native",
+    """WITH probe AS (
+      |  SELECT event_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |ref AS (
+      |  SELECT ts AS ref_ts0, value AS ref_val0 FROM events
+      |  WHERE event_type = 'error')
+      |SELECT p.event_id, p.ts, p.value,
+      |  r.ref_ts0 AS ref_ts, r.ref_val0 AS ref_val
+      |FROM probe p ASOF JOIN ref r ON p.ts >= r.ref_ts0
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    val probe = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("value"))
+    val ref = e.filter(col("event_type") === "error")
+      .select(col("ts").as("ref_ts0"), col("value").as("ref_val0"))
+    AsOfJoin.nativeAsOf(s, probe, ref, "ts", "ref_ts0", "ref_val0")
+      .orderBy(col("event_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
-    q40JsonProps, q41Tumbling, q42Sliding, q43Sessions, q44DedupReplay, q45AsOf)
+    q40JsonProps, q41Tumbling, q42Sliding, q43Sessions, q44DedupReplay,
+    q45AsOf, q56AsOfNative)
 }

@@ -44,4 +44,19 @@ class AsOfSpec extends SparkSpecBase {
       .select("event_id", "ref_ts", "ref_val")
     assertBagEqual(a, b)
   }
+
+  test("custom-plan as-of (LogicalPlan+Strategy+Exec) matches both strategies") {
+    val e = Tables.events(spark, sf)
+    val probe = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"))
+    val ref = e.filter(col("event_type") === "error")
+      .select(col("ts").as("rt"), col("value").as("rv"))
+    val native = AsOfJoin.nativeAsOf(spark, probe, ref, "ts", "rt", "rv")
+      .select("event_id", "ref_ts", "ref_val")
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "expected the custom exec node in the physical plan")
+    val baseline = AsOfJoin.broadcastAsOf(spark, probe, ref, "ts", "rt", "rv")
+      .select("event_id", "ref_ts", "ref_val")
+    assertBagEqual(native, baseline)
+  }
 }
