@@ -59,4 +59,25 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("media"),
       struct(lit("text/plain").as("mime"), col("lang").as("lang"),
         col("n_chars").as("n_chars")).as("meta"))
+
+  /** Frame sampling over an opaque binary payload (the video-style
+    * operator of the north star): a `frameSize`-byte window every
+    * `stride` bytes, exploded to (id, frame_idx, frame) rows — all
+    * byte slicing happens in Column expressions on the BINARY column,
+    * so the scan never decodes whole payloads and the explode output
+    * is the only thing that grows. Payloads shorter than one frame
+    * yield no rows. */
+  def frameSample(media: DataFrame, idCol: String, mediaCol: String,
+                  frameSize: Int, stride: Int): DataFrame = {
+    val len = length(col(mediaCol))
+    val nFrames = floor((len - frameSize).cast("double") / stride).cast("long")
+    media
+      .filter(len >= frameSize)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0L), nFrames),
+          i => col(mediaCol).substr(
+            (i * stride + 1).cast("int"), lit(frameSize)))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame")
+  }
 }

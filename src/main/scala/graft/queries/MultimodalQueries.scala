@@ -45,5 +45,33 @@ object MultimodalQueries {
       .orderBy(col("lang"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(q50MediaStats)
+  /** q57: frame sampling — 64-byte frames every 128 bytes over the
+    * binary payload, fingerprinted per frame. Spark slices the BINARY
+    * column; the oracle slices VARCHAR, which is byte-identical
+    * because the synthetic payload is ASCII (a real codec payload
+    * keeps the Spark side unchanged and drops the oracle, as with the
+    * other engine-side-only tiers). */
+  val q57FrameSample: QuerySpec = QuerySpec(
+    "q57_frame_sample",
+    """WITH frames AS (
+      |  SELECT doc_id, u.i AS frame_idx,
+      |    substring(text, u.i * 128 + 1, 64) AS frame
+      |  FROM documents,
+      |    unnest(range(0, CAST(floor((length(text) - 64) / 128.0) AS BIGINT) + 1))
+      |      AS u(i)
+      |  WHERE length(text) >= 64)
+      |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      |  CAST(length(frame) AS BIGINT) AS frame_len,
+      |  substr(md5(frame), 1, 8) AS frame_fp
+      |FROM frames ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    val media = Multimodal.syntheticMediaTable(Tables.documents(s, dir))
+    Multimodal.frameSample(media, "doc_id", "media", frameSize = 64,
+        stride = 128)
+      .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"),
+        substring(md5(col("frame")), 1, 8).as("frame_fp"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(q50MediaStats, q57FrameSample)
 }
