@@ -203,7 +203,84 @@ object TextQueries {
     }
   }
 
+  /** q61: corpus vocabulary — global term frequencies with document
+    * frequency, top 25 terms (the vocabulary-building pass of a
+    * training-data pipeline). One explode + one aggregate; top-k via
+    * per-partition heaps (orderBy+limit), no global sort. */
+  val q61Vocabulary: QuerySpec = QuerySpec(
+    "q61_vocabulary",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      |FROM tok GROUP BY term
+      |ORDER BY tf DESC, term LIMIT 25""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(25)
+  }
+
+  /** q62: TF-IDF scoring — the weighting pass over the vocabulary:
+    * per-(doc, term) tf · ln(N/df), top 3 terms per document for a
+    * doc subset. Double log/division on integer inputs is
+    * engine-portable; ties break on the term. */
+  val q62TfIdf: QuerySpec = QuerySpec(
+    "q62_tfidf",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+      |df AS (
+      |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |    CAST(tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE))
+      |      AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, round(tfidf, 6) AS tfidf,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY round(tfidf, 6) DESC, term) AS rn
+      |  FROM scored)
+      |SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rn
+      |FROM ranked WHERE rn <= 3 AND doc_id < 40
+      |ORDER BY doc_id, rn""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("tfidf", round(col("tf").cast("double") *
+        log(col("n") / col("df").cast("double")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("doc_id") < 40)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rn").cast("int").as("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** q60: deterministic stratified sampling (training-data pipeline
+    * ★): per-language rates, selection a pure function of doc_id —
+    * re-runs and repartitions pick identical rows (xxhash64-keyed →
+    * rows-only driver check; SamplingSpec pins determinism + rates). */
+  val q60StratifiedSample: QuerySpec =
+    QuerySpec.noOracle("q60_stratified_sample") { (s, dir) =>
+      graft.operators.Sampling.stratifiedSample(
+          Tables.documents(s, dir), "doc_id", "lang",
+          Map("en" -> 500, "zh" -> 100), defaultPermille = 250)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))
+    }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
-    q38BpeTokens, q39RollingFingerprint, q51Sentiment)
+    q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
+    q61Vocabulary, q62TfIdf)
 }

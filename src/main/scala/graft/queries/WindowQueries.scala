@@ -205,7 +205,29 @@ object WindowQueries {
     }
   }
 
+  /** q58: distribution window functions — percent_rank / cume_dist of
+    * each supplier's account balance within its nation. Both are
+    * rank-ratio definitions, identical across engines; ties broken by
+    * the unique key in the window order. */
+  val q58Distribution: QuerySpec = QuerySpec(
+    "q58_distribution",
+    """SELECT s_nationkey, s_suppkey, s_acctbal,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+      |ORDER BY s_nationkey, s_suppkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal"), col("s_suppkey"))
+    Tables.supplier(s, dir)
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("s_nationkey"), col("s_suppkey"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q20MovingAvg, q21OrderDeltas, q22CumulativeVolume, q23RankParts,
-    q24BalanceQuartiles, q25FirstLast, q53RangeWindow, q54GroupingSets)
+    q24BalanceQuartiles, q25FirstLast, q53RangeWindow, q54GroupingSets,
+    q58Distribution)
 }
