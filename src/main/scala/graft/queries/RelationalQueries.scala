@@ -473,11 +473,64 @@ object RelationalQueries {
       .orderBy(col("vip"))
   }
 
+  /** q63: correlation + regression slope from exact sums — built-in
+    * `corr()` accumulates in floating point (not cross-engine stable),
+    * so the engine computes Pearson r and the OLS slope from
+    * decimal-exact moment sums, then finishes in double (identical
+    * expression tree on both sides). x = order price, y = days since
+    * epoch start of the order date. */
+  val q63CorrRegression: QuerySpec = {
+    val y = "datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)"
+    QuerySpec(
+      "q63_corr_regression",
+      s"""WITH m AS (
+         |  SELECT o_orderpriority,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         |    CAST(SUM($y) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+         |      * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+         |    CAST(SUM($y * $y) AS DOUBLE) AS syy,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * $y) AS DOUBLE) AS sxy
+         |  FROM orders GROUP BY o_orderpriority)
+         |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+         |  round((n * sxy - sx * sy) /
+         |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 7) AS pearson_r,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 10) AS ols_slope
+         |FROM m ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val x = Exact.money(col("o_totalprice"))
+      val yc = datediff(col("o_orderdate"),
+        to_timestamp(lit("1995-01-01 00:00:00")))
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(yc).cast("double").as("sy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(yc * yc).cast("double").as("syy"),
+          sum(x * yc).cast("double").as("sxy"))
+        // rounded well above the cancellation-amplified conversion
+        // noise (~1e-8 relative): DuckDB double-rounds hugeint→double
+        // for >2^53 scaled decimals, so raw last-ulp equality is not
+        // achievable on these moments
+        .select(col("o_orderpriority"), col("n").cast("long").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 7)
+            .as("pearson_r"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 10)
+            .as("ols_slope"))
+        .orderBy(col("o_orderpriority"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
     q09TopCustomersPerSegment, q10PivotPriority, q11RollupYearMonth,
     q12DistinctParts, q13SegmentBuckets, q14StringFuncs, q15ShipDelay,
     q16MonthlySpine, q17MacroSeriesJoin, q18SetOps, q19ApproxDistinct,
-    q55RangeJoin)
+    q55RangeJoin, q63CorrRegression)
 }
