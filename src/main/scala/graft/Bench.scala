@@ -20,18 +20,40 @@ object Bench {
       SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
     } catch { case _: Throwable => () }
     // two timed passes, per-query minimum: the host is multi-tenant and
-    // a single pass can catch a 10x noisy-neighbor stall on any query
+    // a single pass can catch a 10x noisy-neighbor stall on any query.
+    // A crashing query is recorded in `errors`, never as a fast time.
+    val errors = scala.collection.mutable.Map[String, String]()
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          errors(name) = e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(200).replaceAll("[\"\\\\\n]", " ")
+          false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val (p1, p2) = (pass(), pass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = p1.map { case (k, v) =>
+      k -> (if (v < 0 || p2(k) < 0) -1.0 else math.min(v, p2(k)))
+    }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, m) => s"\"" + k + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // the driver parses this artifact from a file first, stdout second:
+    // sbt interleaves its own log lines into stdout, which broke the
+    // round-1 machine extraction (BENCH_r01 "parsed": null)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    val p = java.nio.file.Paths.get(out)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p, line.getBytes("UTF-8"))
     spark.stop()
+    // final stdout line, after spark shutdown so nothing prints below it
+    println(line)
   }
 }

@@ -1,34 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-/** Scratch profiler for heavy pipelines (dev tool). */
+/** Scratch profiler for heavy pipelines (dev tool): times the named
+  * registered queries at SPARK_GRAFT_SF_DIR (default sf0.1), two
+  * passes, reporting min. */
 object Prof {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[prof] $name: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq else Seq("q37_cosine_neardup")
+    spark.read.parquet(s"$dir/lineitem.parquet").count() // warm
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[prof] $n: ${times.min}%.2f s (passes: ${times.map(t => f"$t%.2f").mkString(", ")})")
     }
-    // warm
-    spark.read.parquet(s"$dir/documents.parquet").count()
-    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val nearDup = d.filter(col("doc_id") % 2 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"),
-        expr("substring(text, instr(text, ' ') + 1)").as("text"))
-    val all = d.unionByName(nearDup)
-    val sh = operators.Dedup.shingleHashes(all, "doc_id", "text", 3).cache()
-    time("shingleHashes+cache")(sh.count())
-    val sig = operators.Dedup.minhashSignature(sh, "doc_id", 64)
-    time("signature")(sig.count())
-    val cand = operators.Dedup.lshCandidatePairs(sig, "doc_id", 16, 4)
-    time("candidates")(cand.count())
-    val full = operators.Dedup.minhashNearDupPairs(all, "doc_id", "text", 3, 64, 16, 0.5)
-    time("full-pipeline")(full.count())
     spark.stop()
   }
 }

@@ -27,10 +27,23 @@ object AsOfJoin {
   /** Small-reference path. `ref` must have exactly (refTimeCol:
     * timestamp, refValCol: double); emits probe columns + ref_ts +
     * ref_val, inner semantics (probes before the first ref row drop).
-    */
+    *
+    * Since round 2 this routes through the native plan node
+    * (`nativeAsOf` / graft.plans.AsOfJoinPlan): the former Scala-UDF
+    * strategy (`udfAsOf`) boxed an Option per probe row, escaped
+    * codegen, and blocked predicate movement through its `_hit`
+    * column — the plan-integrated exec produces the identical answer
+    * (AsOfSpec asserts 3-way equivalence) without any of that. */
   def broadcastAsOf(spark: SparkSession, probe: DataFrame, ref: DataFrame,
                     probeTimeCol: String, refTimeCol: String,
-                    refValCol: String): DataFrame = {
+                    refValCol: String): DataFrame =
+    nativeAsOf(spark, probe, ref, probeTimeCol, refTimeCol, refValCol)
+
+  /** UDF strategy, kept ONLY as a spec-side cross-check for the native
+    * node (never on a query path: boxed per-row Option, no codegen). */
+  private[graft] def udfAsOf(spark: SparkSession, probe: DataFrame, ref: DataFrame,
+                             probeTimeCol: String, refTimeCol: String,
+                             refValCol: String): DataFrame = {
     // sorted (epochMicros, value) pairs; ~series-sized, driver-safe
     val series: Array[(Long, Double)] = ref
       .select(col(refTimeCol).cast("timestamp"), col(refValCol).cast("double"))
@@ -38,6 +51,10 @@ object AsOfJoin {
       .map(r => (r.getTimestamp(0).getTime * 1000 +
         r.getTimestamp(0).getNanos / 1000 % 1000, r.getDouble(1)))
       .sortBy(_._1)
+    require(series.length <= graft.plans.AsOfJoinPlan.maxRefRows(spark),
+      s"as-of reference side has ${series.length} rows — over the " +
+        "spark.graft.asof.maxRefRows broadcast contract; use unionWindowAsOf " +
+        "with a bucketing key for large references")
     val bc = spark.sparkContext.broadcast(series)
     val lookup = udf { (micros: Long) =>
       val s = bc.value

@@ -20,16 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** 1-based slice-start positions for `k`-shingles over `toks`;
+    * empty (not a descending sequence) when the document has fewer
+    * than `k` tokens, so short docs genuinely produce no shingles —
+    * `sequence(1, n-k+1)` alone would yield the DESCENDING [1, 0] for
+    * n = k-1 and `slice(_, 0, _)` throws under ANSI. */
+  private def shinglePositions(toks: Column, k: Int): Column =
+    when(size(toks) >= k, sequence(lit(1), size(toks) - lit(k - 1)))
+      .otherwise(array().cast("array<int>"))
+
   /** Word-shingle set per document, exploded to (key, shingle) rows.
     * Documents shorter than `k` tokens produce no shingles (matches
-    * the oracle's `range(1, n-k+1)` semantics — keep a `size >= k`
-    * guard in queries for engine parity). */
+    * the oracle's `range(1, n-k+1)` semantics). */
   def shingles(df: DataFrame, keyCol: String, textCol: String,
                k: Int = 3): DataFrame = {
     val toks = split(col(textCol), " ")
     df.select(col(keyCol),
         explode_outer(transform(
-          sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(0))),
+          shinglePositions(toks, k),
           i => array_join(slice(toks, i, lit(k)), " "))).as("shingle"))
       .filter(col("shingle").isNotNull)
       .distinct()
@@ -116,7 +124,7 @@ object Dedup {
     val toks = split(col(textCol), " ")
     df.select(col(keyCol),
         explode_outer(transform(
-          sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(0))),
+          shinglePositions(toks, k),
           i => xxhash64(array_join(slice(toks, i, lit(k)), " "))))
           .as("shingle"))
       .filter(col("shingle").isNotNull)

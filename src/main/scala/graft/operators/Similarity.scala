@@ -80,13 +80,27 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs (north-star dedup tier 5): all
-    * (a < b) pairs with cosine >= threshold. Brute-force form — a
-    * self-join that AQE executes as a single shuffle; similarities are
-    * rounded before thresholding for cross-engine set stability. The
-    * 100 TB path swaps the cross pair-join for `lshBucket` equality
+    * (a < b) pairs with cosine >= threshold, EXACT — via a block/grid
+    * self-join, not a theta join. A naive `a.join(b, a < b)` plans as
+    * a BroadcastNestedLoopJoin: the whole corpus broadcast regardless
+    * of size and the O(n²) pair stream on a handful of tasks — the
+    * scale-killer at 100 TB. Here each vector gets a block id
+    * (hash mod `blocks`); a tiny exploded (i ≤ j) block-pair table
+    * turns the triangle into B(B+1)/2 equi-join buckets, so the n²/2
+    * comparisons spread evenly with per-task memory bounded by two
+    * blocks (pick B ≈ n / rows-that-fit-per-task at scale). Each
+    * unordered pair lands in exactly one bucket: off-diagonal pairs by
+    * block orientation, diagonal ones by the id filter. Similarities
+    * are rounded before thresholding for cross-engine set stability.
+    * The approximate path swaps the grid for `lshBucket` equality
     * (see `cosineNearDupPairsLsh`). */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, roundScale: Int = 6): DataFrame = {
+                         threshold: Double, roundScale: Int = 6,
+                         blocks: Int = 16): DataFrame = {
+    require(blocks >= 1 && blocks <= 4096,
+      s"blocks=$blocks out of range: the pair table is blocks(blocks+1)/2 rows")
+    val spark = vectors.sparkSession
+    import spark.implicits._
     // norms computed once per ROW (not per pair): sim =
     // dot/(norm_a*norm_b) is bit-identical to the fused cosine (same
     // accumulation order), at a third of the per-pair work
@@ -95,16 +109,28 @@ object Similarity {
     val prepped = vectors.select(col(idCol),
       col(vecCol).cast("array<double>").as("_v"))
       .withColumn("_n", norm(col("_v")))
+      .withColumn("_blk", pmod(xxhash64(col(idCol)), lit(blocks)).cast("int"))
+    val pairTable = broadcast(
+      (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+        .toDF("_i", "_j"))
+    // the a side owns grid row i, the b side grid column j; each side
+    // is replicated ~B/2× (vs n× for the broadcast in a BNL join)
     val a = prepped.select(col(idCol).as("a"), col("_v").as("_va"),
-      col("_n").as("_na"))
+        col("_n").as("_na"), col("_blk").as("_ba"))
+      .join(pairTable, col("_ba") === col("_i"))
     val b = prepped.select(col(idCol).as("b"), col("_v").as("_vb"),
-      col("_n").as("_nb"))
-    a.join(b, col("a") < col("b"))
+        col("_n").as("_nb"), col("_blk").as("_bb"))
+      .join(pairTable, col("_bb") === col("_j"))
+    a.join(b, Seq("_i", "_j"))
+      // off-diagonal buckets already hold each unordered pair once
+      // (orientation fixed by the blocks); the diagonal needs a < b
+      .filter(col("_i") < col("_j") || col("a") < col("b"))
       .withColumn("sim", round(
         graft.plans.DotProduct(col("_va"), col("_vb")) /
           (col("_na") * col("_nb")), roundScale))
       .filter(col("sim") >= threshold)
-      .select(col("a"), col("b"), col("sim"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("sim"))
   }
 
   /** LSH-bucketed near-dup pairs: candidates share a hyperplane

@@ -8,6 +8,15 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 object AsOfJoinPlan {
+  /** Conf key bounding the collected/broadcast reference side — the
+    * small-by-contract assumption made enforceable: misuse at scale
+    * fails fast instead of OOMing the driver. */
+  val MaxRefRowsKey = "spark.graft.asof.maxRefRows"
+  val MaxRefRowsDefault = 10000000L
+
+  def maxRefRows(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get(MaxRefRowsKey, MaxRefRowsDefault.toString).toLong
+
   /** Stable output attributes must be minted ONCE per node (plan copy
     * during analysis must not re-mint exprIds). */
   def create(left: LogicalPlan, right: LogicalPlan, leftTimeIdx: Int,
@@ -64,10 +73,17 @@ case class AsOfJoinExec(
     // reference side: small by contract — collect sorted once (the
     // planner would wrap a big side in its own exchange; this operator
     // targets the macro-series-sized case, reference §1.1 grains)
+    val maxRef = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(AsOfJoinPlan.MaxRefRowsKey,
+        AsOfJoinPlan.MaxRefRowsDefault.toString).toLong
     val ref: Array[(Long, Double)] = right.execute()
       .map(r => (r.getLong(rightTimeIdx), r.getDouble(rightValIdx)))
       .collect()
       .sortBy(_._1)
+    require(ref.length <= maxRef,
+      s"as-of reference side has ${ref.length} rows — over the " +
+        s"${AsOfJoinPlan.MaxRefRowsKey} broadcast contract ($maxRef); " +
+        "use AsOfJoin.unionWindowAsOf with a bucketing key instead")
     val refBc = sparkContext.broadcast(ref)
     val leftOutput = left.output
     val outAttrs = output

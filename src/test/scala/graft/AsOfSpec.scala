@@ -3,9 +3,11 @@ package graft
 import graft.operators.AsOfJoin
 import org.apache.spark.sql.functions._
 
-/** The two as-of strategies must agree with each other and with the
-  * hand-computed expectation (the DuckDB ASOF JOIN oracle covers the
-  * broadcast path again at driver time via q45). */
+/** All as-of strategies (native plan node — the default behind
+  * broadcastAsOf — the union-window form, and the spec-only UDF
+  * cross-check) must agree with each other and with the hand-computed
+  * expectation (the DuckDB ASOF JOIN oracle covers the default path
+  * again at driver time via q45/q56). */
 class AsOfSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -55,8 +57,34 @@ class AsOfSpec extends SparkSpecBase {
       .select("event_id", "ref_ts", "ref_val")
     assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin"),
       "expected the custom exec node in the physical plan")
-    val baseline = AsOfJoin.broadcastAsOf(spark, probe, ref, "ts", "rt", "rv")
+    val baseline = AsOfJoin.udfAsOf(spark, probe, ref, "ts", "rt", "rv")
       .select("event_id", "ref_ts", "ref_val")
     assertBagEqual(native, baseline)
+    // and broadcastAsOf IS the native path now
+    assert(AsOfJoin.broadcastAsOf(spark, probe, ref, "ts", "rt", "rv")
+      .queryExecution.executedPlan.toString.contains("AsOfJoin"))
+  }
+
+  test("reference side over maxRefRows fails fast instead of broadcasting") {
+    val e = Tables.events(spark, sf)
+    val probe = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"))
+    val ref = e.filter(col("event_type") === "error")
+      .select(col("ts").as("rt"), col("value").as("rv"))
+    spark.conf.set(graft.plans.AsOfJoinPlan.MaxRefRowsKey, "3")
+    try {
+      val thrown = intercept[Throwable] {
+        AsOfJoin.nativeAsOf(spark, probe, ref, "ts", "rt", "rv").count()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      assert(chain(thrown).exists(c =>
+        Option(c.getMessage).exists(_.contains("maxRefRows"))), s"got: $thrown")
+      val thrownUdf = intercept[Throwable] {
+        AsOfJoin.udfAsOf(spark, probe, ref, "ts", "rt", "rv").count()
+      }
+      assert(chain(thrownUdf).exists(c =>
+        Option(c.getMessage).exists(_.contains("maxRefRows"))))
+    } finally spark.conf.unset(graft.plans.AsOfJoinPlan.MaxRefRowsKey)
   }
 }

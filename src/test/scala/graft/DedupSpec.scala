@@ -40,6 +40,21 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"simhash recall $recall < 0.8")
   }
 
+  test("documents shorter than k tokens yield no shingles (no ANSI slice crash)") {
+    import spark.implicits._
+    val short = Seq((1L, "one two"), (2L, "single"), (3L, ""),
+      (4L, "exactly three tokens"), (5L, "a b c d")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(short, "doc_id", "text", 3)
+    assert(sh.filter(col("doc_id").isin(1L, 2L, 3L)).count() == 0)
+    assert(sh.filter(col("doc_id") === 4L).count() == 1)
+    assert(sh.filter(col("doc_id") === 5L).count() == 2)
+    val shH = Dedup.shingleHashes(short, "doc_id", "text", 3)
+    assert(shH.filter(col("doc_id").isin(1L, 2L, 3L)).count() == 0)
+    assert(shH.filter(col("doc_id") === 5L).count() == 2)
+    // end-to-end tiers survive a short-doc corpus
+    assert(Dedup.minhashNearDupPairs(short, "doc_id", "text").count() == 0)
+  }
+
   test("exactDedup keeps exactly one row per content, lowest key") {
     val dup = corpus.unionByName(corpus)
     val kept = Dedup.exactDedup(dup, "text", "doc_id")
