@@ -44,4 +44,18 @@ object Scalars {
 
   def sqlNanToNull(e: String): String =
     s"CASE WHEN isnan($e) THEN NULL ELSE $e END"
+
+  /** Engine-PORTABLE 60-bit hash: the first 15 hex chars of md5 as a
+    * (nonnegative) long. md5 is the one hash both Spark and DuckDB
+    * spell identically, so keys derived from this are oracle-checkable
+    * — unlike xxhash64, which exists only in Spark. 15 hex chars = 60
+    * bits keeps the value positive and overflow-free under ANSI.
+    * Non-string inputs are cast to string first so both engines hash
+    * the same rendered text. */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB spelling of portableHash64 (hex-literal string cast). */
+  def sqlPortableHash64(e: String): String =
+    s"CAST('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 15) AS BIGINT)"
 }

@@ -111,16 +111,30 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0))).cast("long")
 
-  /** Rolling (rotate-xor) fingerprint over the token stream — an
-    * order-sensitive 64-bit document signature: equal token sequences
-    * collide, any reorder/edit diverges. Pure bitwise fold (rotl ^
-    * tokenHash), so it is ANSI-overflow-safe and needs no UDF; built
-    * on xxhash64, so engine-deterministic (rows-only driver check +
-    * TextSpec). */
-  def rollingFingerprint(text: Column): Column = {
-    def rotl5(h: Column): Column =
-      shiftleft(h, 5).bitwiseOR(shiftrightunsigned(h, 59))
+  /** Rolling (Rabin-Karp polynomial) fingerprint over the token
+    * stream — an order-sensitive document signature: equal token
+    * sequences collide, any reorder/edit diverges. The fold is
+    * `acc ← (acc·31 + h(token)) mod (2³¹−1)` with h =
+    * `Scalars.portableHash64` (md5-derived): acc < 2³¹ and h < 2⁶⁰
+    * keep every intermediate below 2⁶¹, so the fold is ANSI-overflow-
+    * safe with no UDF — and, unlike the xxhash64 rotate-xor form it
+    * replaces, every term is spellable in DuckDB (`list_reduce` +
+    * hex-cast md5), making the fingerprint oracle-verifiable. */
+  val rollingMod = 2147483647L // 2^31 - 1 (Mersenne prime)
+  val rollingBase = 31L
+
+  def rollingFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, t) => rotl5(acc).bitwiseXOR(xxhash64(t)))
-  }
+      (acc, t) => (acc * lit(rollingBase) +
+        graft.functions.Scalars.portableHash64(t)) % lit(rollingMod))
+
+  /** DuckDB spelling of rollingFingerprint: hash tokens, prepend the
+    * zero seed (DuckDB's list_reduce has no initial-value parameter),
+    * fold the same recurrence. */
+  def sqlRollingFingerprint(textExpr: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split($textExpr, ' '),
+       |      t -> ${graft.functions.Scalars.sqlPortableHash64("t")})),
+       |  (a, b) -> (a * $rollingBase + b) % $rollingMod)""".stripMargin
 }

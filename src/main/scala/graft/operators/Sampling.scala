@@ -8,14 +8,26 @@ import org.apache.spark.sql.functions._
   * row's key, so re-runs, retries, and different partitionings all
   * select the same rows (the property `df.sample` cannot give you),
   * and the filter pushes down like any other predicate.
+  *
+  * Keyed on `Scalars.portableHash64` (md5-derived) rather than
+  * xxhash64: equally uncorrelated with key structure, but spellable
+  * in ANSI SQL — so the sampling queries are hash-verified against
+  * the DuckDB oracle instead of rows-only checked.
   */
 object Sampling {
 
-  /** Keep ~`permille`/1000 of rows, keyed on a stable column. Uses
-    * xxhash64 so the selection is uncorrelated with key structure. */
+  private def bucket(keyCol: String): org.apache.spark.sql.Column =
+    pmod(graft.functions.Scalars.portableHash64(col(keyCol)), lit(1000))
+
+  /** The oracle spelling of the per-key bucket (value is nonnegative,
+    * so `%` and pmod agree). */
+  def sqlBucket(keyExpr: String): String =
+    s"${graft.functions.Scalars.sqlPortableHash64(keyExpr)} % 1000"
+
+  /** Keep ~`permille`/1000 of rows, keyed on a stable column. */
   def deterministicSample(df: DataFrame, keyCol: String,
                           permille: Int): DataFrame =
-    df.filter(pmod(xxhash64(col(keyCol)), lit(1000)) < permille)
+    df.filter(bucket(keyCol) < permille)
 
   /** Stratified variant: a per-stratum permille map (strata absent
     * from the map keep `defaultPermille`). */
@@ -26,6 +38,6 @@ object Sampling {
       case (acc, (stratum, p)) =>
         when(col(stratumCol) === stratum, lit(p)).otherwise(acc)
     }
-    df.filter(pmod(xxhash64(col(keyCol)), lit(1000)) < rate)
+    df.filter(bucket(keyCol) < rate)
   }
 }

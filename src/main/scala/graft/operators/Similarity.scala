@@ -149,27 +149,73 @@ object Similarity {
       .select(col("a"), col("b"), col("sim")).distinct()
   }
 
+  /** Nearest-centroid assignment: each row of `df` gains the `cell` of
+    * its top-`n` centroids by (rounded) cosine, ties on cell asc. The
+    * centroid set is small BY CONTRACT (≤4096, guarded at the call
+    * sites) — the `lit(true)` join is a deliberate broadcast cross
+    * join against that bounded side, NOT a data-sized cross product. */
+  private def assignCells(df: DataFrame, centroids: DataFrame,
+                          id: String, vec: String, n: Int): DataFrame =
+    Relational.topKPerGroup(
+      df.join(broadcast(centroids), lit(true))
+        .withColumn("cd", round(cosine(col(vec).cast("array<double>"),
+          col("cent_vec").cast("array<double>")), 6)),
+      Seq(col(id)), Seq(col("cd").desc, col("cell").asc), n)
+      .select(df.columns.map(col) :+ col("cell"): _*)
+
+  /** One Lloyd's (k-means) pass: assign every corpus vector to its
+    * nearest centroid, recompute each centroid as the element-wise
+    * mean of its members. The mean runs through DECIMAL sums so the
+    * refined centroids are bit-deterministic across partitionings
+    * (double accumulation order is not); cells that attract no member
+    * keep their previous centroid. */
+  private def lloydStep(corpus: DataFrame, corpusId: String,
+                        corpusVec: String, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val assigned = assignCells(corpus, centroids, corpusId, corpusVec, 1)
+    val comps = assigned.select(col("cell"),
+      posexplode(col(corpusVec).cast("array<double>")).as(Seq("pos", "v")))
+    val means = comps.groupBy(col("cell"), col("pos"))
+      .agg((sum(col("v").cast(DecimalType(30, 18))).cast("double") /
+        count(lit(1)).cast("double")).as("mv"))
+    val refined = means.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+        s => s.getField("mv")).as("cent_vec"))
+    centroids.select(col("cell"), col("cent_vec").as("seed_vec"))
+      .join(refined, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("cent_vec"), col("seed_vec")).as("cent_vec"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the clustering-flavored
-    * scale path next to hyperplane LSH: `numCells` deterministic seed
-    * centroids (lowest ids — a production build k-means-refines them),
-    * corpus vectors assigned to their nearest centroid once, queries
-    * probe their `nprobe` nearest cells. The search join is a hash
-    * join on cell id over ~nprobe/numCells of the corpus. */
+    * scale path next to hyperplane LSH: `numCells` seed centroids
+    * (lowest ids), k-means-refined for `kmeansIters` deterministic
+    * Lloyd's passes, corpus vectors assigned to their nearest centroid
+    * once, queries probe their `nprobe` nearest cells. The search join
+    * is a hash join on cell id over ~nprobe/numCells of the corpus. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               numCells: Int = 16, nprobe: Int = 3,
               queryId: String = "q_id", queryVec: String = "q_vec",
-              corpusId: String = "c_id", corpusVec: String = "c_vec"): DataFrame = {
-    val centroids = corpus.orderBy(col(corpusId)).limit(numCells)
-      .select(col(corpusId).as("cell"), col(corpusVec).as("cent_vec"))
-    def assign(df: DataFrame, id: String, vec: String, n: Int): DataFrame =
-      Relational.topKPerGroup(
-        df.join(broadcast(centroids), lit(true))
-          .withColumn("cd", round(cosine(col(vec).cast("array<double>"),
-            col("cent_vec").cast("array<double>")), 6)),
-        Seq(col(id)), Seq(col("cd").desc, col("cell").asc), n)
-        .select(df.columns.map(col) :+ col("cell"): _*)
-    val corpusCells = assign(corpus, corpusId, corpusVec, 1)
-    val queryCells = assign(queries, queryId, queryVec, nprobe)
+              corpusId: String = "c_id", corpusVec: String = "c_vec",
+              kmeansIters: Int = 2): DataFrame = {
+    require(numCells >= 1 && numCells <= 4096,
+      s"numCells=$numCells out of range: centroids are broadcast to every " +
+        "task — the cross join below is only safe against a bounded side")
+    require(nprobe >= 1 && nprobe <= numCells,
+      s"nprobe=$nprobe must be in [1, numCells=$numCells]")
+    require(kmeansIters >= 0 && kmeansIters <= 16,
+      s"kmeansIters=$kmeansIters out of range (each pass rescans the corpus)")
+    val seed = corpus.orderBy(col(corpusId)).limit(numCells)
+      .select(col(corpusId).as("cell"),
+        col(corpusVec).cast("array<double>").as("cent_vec"))
+    // cached: the refined-centroid plan embeds `kmeansIters` corpus
+    // scans and is consumed by BOTH assignment broadcasts below —
+    // without the cache each broadcast re-runs the whole Lloyd's chain
+    // (the materialized set itself is ≤numCells rows)
+    val centroids = (0 until kmeansIters).foldLeft(seed)((c, _) =>
+      lloydStep(corpus, corpusId, corpusVec, c)).cache()
+    val corpusCells = assignCells(corpus, centroids, corpusId, corpusVec, 1)
+    val queryCells = assignCells(queries, centroids, queryId, queryVec, nprobe)
     val joined = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col(queryId) =!= col(corpusId))
       .withColumn("sim", round(cosine(col(queryVec).cast("array<double>"),

@@ -119,6 +119,23 @@ object DedupQueries {
       .orderBy(col("a"), col("b"))
   }
 
+  /** q66: the MLlib MinHashLSH cross-check of q32 (north star
+    * "DataFrame ops + MLlib"): same synthesized near-dup corpus, stock
+    * `org.apache.spark.ml.feature.MinHashLSH` pipeline. Seeded model →
+    * rows-only driver check; DedupSpec holds its recall to at least
+    * the custom tier's on the planted pairs. */
+  val q66MllibMinhash: QuerySpec = QuerySpec.noOracle("q66_mllib_minhash") { (s, dir) =>
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val nearDup = d.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    graft.operators.MllibCrossCheck.minhashPairs(
+        d.unionByName(nearDup), "doc_id", "text",
+        k = 3, numHashTables = 8, threshold = 0.5)
+      .orderBy(col("a"), col("b"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
-    q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash)
+    q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash,
+    q66MllibMinhash)
 }

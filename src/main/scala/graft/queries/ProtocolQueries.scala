@@ -100,5 +100,86 @@ object ProtocolQueries {
       .orderBy(col("year"), col("month"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(q48DedupAppend, q49UpsertPartition)
+  /** q65: the reference's signature pipeline end to end as ONE
+    * oracle-checked query (`weekly_dag.py:366-432`): macro-series
+    * JSON payloads → `Ingest.macroSeries` (S4 explode) → `multiJoin`
+    * into the wide frame → date parts → anti-join dedup against the
+    * already-loaded months → read-back yearly aggregate. The JSON leg
+    * is real: payloads are built from the warehouse (deterministic),
+    * serialized to Alpha-Vantage-shaped strings, and re-ingested via
+    * spark.read.json — the oracle computes the same result
+    * relationally, so any drift in the ingest adapters breaks the
+    * hash. Existing-sink values are perturbed (+1000) so a wrong
+    * dedup direction shows in the totals. */
+  val q65Lifecycle: QuerySpec = QuerySpec(
+    "q65_lifecycle",
+    s"""WITH m AS (
+       |  SELECT date_trunc('month', o_orderdate) AS date,
+       |    CAST(COUNT(*) AS DOUBLE) AS value_ORDERS,
+       |    ${Exact.sqlSum("o_totalprice")} AS value_REVENUE
+       |  FROM orders GROUP BY 1),
+       |wide AS (
+       |  SELECT CAST(EXTRACT(year FROM date) AS INTEGER) AS year,
+       |    CAST(EXTRACT(month FROM date) AS INTEGER) AS month,
+       |    date, value_ORDERS, value_REVENUE
+       |  FROM m),
+       |existing AS (
+       |  SELECT year, month, value_ORDERS + 1000 AS value_ORDERS,
+       |    value_REVENUE + 1000 AS value_REVENUE
+       |  FROM wide WHERE date < DATE '1997-01-01'),
+       |merged AS (
+       |  SELECT * FROM existing
+       |  UNION ALL
+       |  SELECT year, month, value_ORDERS, value_REVENUE FROM wide c
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM existing e
+       |    WHERE e.year = c.year AND e.month = c.month))
+       |SELECT year, COUNT(*) AS n_months,
+       |  ${Exact.sqlSum("value_ORDERS")} AS total_orders,
+       |  ${Exact.sqlSum("value_REVENUE")} AS total_revenue
+       |FROM merged GROUP BY year ORDER BY year""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // 1. build the two per-indicator monthly series and serialize each
+    //    to ONE Alpha-Vantage-shaped payload string (series-sized by
+    //    contract — the reference fetches one JSON per indicator)
+    val o = Tables.orders(s, dir)
+      .withColumn("m", trunc(col("o_orderdate"), "month"))
+    def payload(series: org.apache.spark.sql.DataFrame,
+                indicator: String): org.apache.spark.sql.Dataset[String] =
+      series.agg(to_json(struct(lit(indicator).as("name"),
+        collect_list(struct(date_format(col("m"), "yyyy-MM-dd").as("date"),
+          col("value"))).as("data")))).as[String]
+    val pOrders = payload(
+      o.groupBy(col("m")).agg(count(lit(1)).cast("double").as("value")),
+      "ORDERS")
+    val pRevenue = payload(
+      o.groupBy(col("m")).agg(Exact.dsum(col("o_totalprice")).as("value")),
+      "REVENUE")
+    // 2. ingest (S4) + 3. multiJoin into the wide frame + date parts
+    val wide = Relational.multiJoin(Seq(
+        graft.sources.Ingest.macroSeries(s, pOrders, "ORDERS"),
+        graft.sources.Ingest.macroSeries(s, pRevenue, "REVENUE")),
+        Seq("date"))
+      .withColumn("year", year(col("date")))
+      .withColumn("month", month(col("date")))
+    // 4. anti-join dedup against the already-loaded months
+    val existing = wide.filter(col("date") < to_date(lit("1997-01-01")))
+      .select(col("year"), col("month"),
+        (col("value_ORDERS") + 1000).as("value_ORDERS"),
+        (col("value_REVENUE") + 1000).as("value_REVENUE"))
+    val merged = existing.unionByName(
+      Relational.newKeysOnly(
+        wide.select(col("year"), col("month"), col("value_ORDERS"),
+          col("value_REVENUE")),
+        existing, Seq("year", "month")))
+    // 5. read-back aggregate
+    merged.groupBy(col("year"))
+      .agg(count(lit(1)).as("n_months"),
+        Exact.dsum(col("value_ORDERS")).as("total_orders"),
+        Exact.dsum(col("value_REVENUE")).as("total_revenue"))
+      .orderBy(col("year"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(q48DedupAppend, q49UpsertPartition,
+    q65Lifecycle)
 }

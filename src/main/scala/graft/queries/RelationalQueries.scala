@@ -526,11 +526,39 @@ object RelationalQueries {
     }
   }
 
+  /** q64: salted join under deliberate key skew (SURVEY §4 / the
+    * 100 TB checklist): a derived fact key funnels ~⅓ of lineitem onto
+    * one part, the shape that puts a whole hot key on one task in a
+    * plain shuffle join. `Skew.saltedJoin` splits the hot key across
+    * 8 sub-keys (fact side salted deterministically, dimension side
+    * replicated ×8) — bag-identical to the plain join, which is
+    * exactly what the oracle states. */
+  val q64SkewJoin: QuerySpec = QuerySpec(
+    "q64_skew_join",
+    s"""WITH large AS (
+       |  SELECT CASE WHEN l_partkey % 3 = 0 THEN 1 ELSE l_partkey END AS sk,
+       |    l_quantity FROM lineitem),
+       |small AS (SELECT p_partkey AS sk, p_brand FROM part)
+       |SELECT p_brand, COUNT(*) AS n, ${Exact.sqlSum("l_quantity")} AS sum_qty
+       |FROM large JOIN small USING (sk)
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    val large = Tables.lineitem(s, dir).select(
+      when(col("l_partkey") % 3 === 0, lit(1L))
+        .otherwise(col("l_partkey")).as("sk"),
+      col("l_quantity"))
+    val small = Tables.part(s, dir)
+      .select(col("p_partkey").as("sk"), col("p_brand"))
+    graft.operators.Skew.saltedJoin(large, small, Seq("sk"), 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
     q09TopCustomersPerSegment, q10PivotPriority, q11RollupYearMonth,
     q12DistinctParts, q13SegmentBuckets, q14StringFuncs, q15ShipDelay,
     q16MonthlySpine, q17MacroSeriesJoin, q18SetOps, q19ApproxDistinct,
-    q55RangeJoin, q63CorrRegression)
+    q55RangeJoin, q63CorrRegression, q64SkewJoin)
 }

@@ -120,6 +120,21 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("sim").desc, col("c_id"))
   }
 
+  /** q67: the MLlib BucketedRandomProjectionLSH cross-check of q36
+    * (north star "DataFrame ops + MLlib"): normalized embeddings,
+    * Euclidean buckets ordering exactly like cosine on the unit
+    * sphere. Seeded model → rows-only driver check; SimilaritySpec
+    * holds its planted-duplicate recall to the custom tier's. */
+  val q67MllibBrpTopK: QuerySpec = QuerySpec.noOracle("q67_mllib_brp_topk") { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    graft.operators.MllibCrossCheck.brpTopK(queries, corpus, k = 5)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
-    q36CosineLshTopK, q37CosineNearDup, q52IvfTopK)
+    q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK)
 }

@@ -146,10 +146,23 @@ object TextQueries {
 
   /** q39: rolling-hash document signatures (order-sensitive, unlike
     * the md5 content key of q29): dup-count per signature over a
-    * replayed corpus. xxhash64-based → rows-only driver check;
-    * TextFunctions-level semantics asserted in ScalarsSpec. */
-  val q39RollingFingerprint: QuerySpec =
-    QuerySpec.noOracle("q39_rolling_fingerprint") { (s, dir) =>
+    * replayed corpus. The Rabin-Karp fold over md5-derived token
+    * hashes is engine-portable, so this is fully oracle-verified
+    * (round 1 ran a Spark-only xxhash64 form, rows-only). */
+  val q39RollingFingerprint: QuerySpec = QuerySpec(
+    "q39_rolling_fingerprint",
+    s"""WITH fps AS (
+       |  SELECT doc_id, ${TextFunctions.sqlRollingFingerprint("text")} AS rfp
+       |  FROM documents),
+       |all_docs AS (
+       |  SELECT doc_id, rfp FROM fps
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, rfp FROM fps WHERE doc_id % 4 = 0),
+       |groups AS (
+       |  SELECT rfp, COUNT(*) AS copies, MIN(doc_id) AS kept
+       |  FROM all_docs GROUP BY rfp)
+       |SELECT copies, COUNT(*) AS n_groups
+       |FROM groups GROUP BY copies ORDER BY copies""".stripMargin) { (s, dir) =>
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           TextFunctions.rollingFingerprint(col("text")).as("rfp"))
@@ -268,10 +281,19 @@ object TextQueries {
 
   /** q60: deterministic stratified sampling (training-data pipeline
     * ★): per-language rates, selection a pure function of doc_id —
-    * re-runs and repartitions pick identical rows (xxhash64-keyed →
-    * rows-only driver check; SamplingSpec pins determinism + rates). */
-  val q60StratifiedSample: QuerySpec =
-    QuerySpec.noOracle("q60_stratified_sample") { (s, dir) =>
+    * re-runs and repartitions pick identical rows. The md5-derived
+    * sampling key is engine-portable, so the exact selected set is
+    * hash-verified against the oracle (round 1's xxhash64 key was
+    * rows-only); SamplingSpec still pins determinism + rates. */
+  val q60StratifiedSample: QuerySpec = QuerySpec(
+    "q60_stratified_sample",
+    s"""SELECT lang, COUNT(*) AS n_sampled
+       |FROM documents
+       |WHERE ${graft.operators.Sampling.sqlBucket("doc_id")} <
+       |  CASE WHEN lang = 'en' THEN 500
+       |       WHEN lang = 'zh' THEN 100
+       |       ELSE 250 END
+       |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       graft.operators.Sampling.stratifiedSample(
           Tables.documents(s, dir), "doc_id", "lang",
           Map("en" -> 500, "zh" -> 100), defaultPermille = 250)

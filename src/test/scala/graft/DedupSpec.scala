@@ -40,6 +40,24 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"simhash recall $recall < 0.8")
   }
 
+  test("MLlib MinHashLSH cross-check recalls at least the custom tier") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    def recallOf(pairs: Set[(Long, Long)]): Double =
+      exact.count(pairs.contains).toDouble / exact.size
+    val custom = recallOf(
+      Dedup.minhashNearDupPairs(corpus, "doc_id", "text", 3, 64, 16, 0.8)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val mllib = recallOf(
+      graft.operators.MllibCrossCheck
+        .minhashPairs(corpus, "doc_id", "text", 3, 8, 0.8)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(mllib >= custom,
+      s"MLlib recall $mllib below custom tier's $custom — independent " +
+        "implementations disagree on the planted corpus")
+  }
+
   test("documents shorter than k tokens yield no shingles (no ANSI slice crash)") {
     import spark.implicits._
     val short = Seq((1L, "one two"), (2L, "single"), (3L, ""),

@@ -84,6 +84,67 @@ class SimilaritySpec extends SparkSpecBase {
     assert(hits == 16, s"only $hits/16 planted duplicates found at rank 1")
   }
 
+  test("MLlib BRP-LSH cross-check finds planted duplicates like the custom tier") {
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val planted = e.filter(col("vec_id") < 16)
+      .select((col("vec_id") + 10000).as("c_id"), col("embedding").as("c_vec"))
+    val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .unionByName(planted)
+    // an exact copy is at distance 0 — it collides in every projection
+    // bucket, so rank 1 is guaranteed if the pipeline is wired right
+    val top1 = graft.operators.MllibCrossCheck.brpTopK(queries, corpus, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0L until 16L).count(q => top1.get(q).contains(q + 10000))
+    assert(hits == 16, s"only $hits/16 planted duplicates found at rank 1")
+  }
+
+  test("k-means refinement strictly improves IVF recall on a clustered corpus") {
+    // Two true clusters on orthogonal axes, but BOTH seed centroids
+    // (lowest ids) sit in cluster 0 — one tilted 0.3 along e2. Cluster
+    // 1's members alternate a 0/0.2 e2 component, so the unrefined
+    // cells split cluster 1 across both seeds and nprobe=1 misses the
+    // other half. Two Lloyd's passes pull one centroid onto cluster 1,
+    // consolidating it into a single cell. Fully deterministic — no RNG.
+    def vec(e: Int, e2: Double, e3: Double): Array[Double] = {
+      val v = Array.fill(8)(0.0); v(e) = 1.0; v(2) += e2; v(3) += e3; v
+    }
+    val seeds = Seq(0L -> vec(0, 0.0, 0.0), 1L -> vec(0, 0.3, 0.0))
+    val cluster0 = (2 to 11).map(j => j.toLong -> vec(0, 0.0, 0.01 * j))
+    val cluster1 = (0 to 9).map(j =>
+      (100L + j) -> vec(1, 0.2 * (j % 2), 0.01 * j))
+    val corpus = (seeds ++ cluster0 ++ cluster1).toDF("c_id", "c_vec")
+    val queries = cluster1.filter(_._1 == 101L).toDF("q_id", "q_vec")
+    val truth = Similarity.bruteForceTopK(queries, corpus, 5)
+      .select("c_id").collect().map(_.getLong(0)).toSet
+    def recall(iters: Int): Double = {
+      val got = Similarity.ivfTopK(queries, corpus, 5, numCells = 2,
+        nprobe = 1, kmeansIters = iters)
+        .select("c_id").collect().map(_.getLong(0)).toSet
+      truth.count(got.contains).toDouble / truth.size
+    }
+    val (r0, r2) = (recall(0), recall(2))
+    assert(r2 > r0, s"refined recall $r2 not strictly above unrefined $r0")
+    assert(r2 == 1.0, s"refined recall $r2 expected perfect on this corpus")
+  }
+
+  test("IVF contract guards fail fast on misuse") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(q, c, 5, numCells = 5000)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(q, c, 5, numCells = 4, nprobe = 9)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(c, "c_id", "c_vec", 0.5, blocks = 0)
+    }
+  }
+
   test("brute-force top-k respects k and excludes self") {
     val e = Tables.embeddings(spark, sf)
     val queries = e.filter(col("vec_id") < 4)
