@@ -97,6 +97,61 @@ object AsOfJoin {
         rp.output.head.dataType))
   }
 
+  /** Big-big path (the 100 TB shape when NO natural bucketing key
+    * exists): range-bucket both sides on the time axis, then run the
+    * union-window as-of WITHIN each bucket — the per-bucket sort is
+    * bounded by bucket volume, and buckets process in parallel.
+    * Correctness across bucket boundaries comes from a carry-forward
+    * pass: each bucket's latest ref observation is aggregated to one
+    * row (B rows total — metadata-sized), a prefix-window computes
+    * every probe bucket's "opening" observation from strictly earlier
+    * buckets, and that opening is injected into the bucket as a
+    * synthetic ref row (carrying its REAL timestamp, so `ref_ts` is
+    * still exact). Probes before the first ref observation anywhere
+    * drop, matching the inner as-of contract.
+    *
+    * `bucket` is a date_trunc unit (e.g. "day", "hour"): pick it so a
+    * bucket's rows fit a task — the only single-partition step left is
+    * the B-row opening window. */
+  def rangeAsOf(probe: DataFrame, ref: DataFrame,
+                probeTimeCol: String, refTimeCol: String,
+                refValCol: String, bucket: String = "day"): DataFrame = {
+    val pb = probe.withColumn("_tb",
+      date_trunc(bucket, col(probeTimeCol).cast("timestamp")))
+    val rb = ref.select(
+      date_trunc(bucket, col(refTimeCol).cast("timestamp")).as("_tb"),
+      col(refTimeCol).cast("timestamp").as("_rts"),
+      col(refValCol).cast("double").as("_rv"))
+    // per-bucket closing observation (max struct → deterministic on
+    // duplicate timestamps: highest value wins the tie on both passes)
+    val closing = rb.groupBy(col("_tb"))
+      .agg(max(struct(col("_rts"), col("_rv"))).as("c"))
+      .select(col("_tb"), col("c._rts").as("_ots"), col("c._rv").as("_ov"))
+    // opening per probe bucket = latest closing of any STRICTLY earlier
+    // bucket: same-bucket closings sort after the probe marker, so the
+    // running last never sees them. B rows — the one serial step.
+    val probeBuckets = pb.select(col("_tb")).distinct()
+      .withColumn("_isP", lit(1))
+      .withColumn("_ots", lit(null).cast("timestamp"))
+      .withColumn("_ov", lit(null).cast("double"))
+    val marked = probeBuckets.unionByName(
+      closing.withColumn("_isP", lit(0))
+        .select(col("_tb"), col("_isP"), col("_ots"), col("_ov")))
+    val w = Window.orderBy(col("_tb"), col("_isP").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val openings = marked
+      .withColumn("_bts", last(col("_ots"), ignoreNulls = true).over(w))
+      .withColumn("_bv", last(col("_ov"), ignoreNulls = true).over(w))
+      .filter(col("_isP") === 1 && col("_bts").isNotNull)
+      .select(col("_tb"), col("_bts").as("_rts"), col("_bv").as("_rv"))
+    // in-bucket refs ∪ injected openings, then the bucketed window
+    val refAug = rb.select(col("_tb"), col("_rts"), col("_rv"))
+      .unionByName(openings)
+    unionWindowAsOf(pb, refAug, probeTimeCol, "_rts", "_rv",
+        partitionCols = Seq("_tb"))
+      .drop("_tb")
+  }
+
   /** General path: tagged union + running last over the time order.
     * With `partitionCols` empty this is exact but single-partition;
     * callers at scale supply a bucketing key whose buckets contain

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed managed tables — the shuffle-elimination tier the 100 TB
+  * checklist asks for on repeatedly-joined fact tables (SURVEY §4):
+  * both sides written with `bucketBy(n, keys)` hash-place their rows
+  * identically, so an equi-join on the bucket keys reads co-located
+  * buckets with NO Exchange on either side (sort-merge runs directly
+  * on the bucket files; `spark.sql.sources.bucketing.enabled` is on
+  * by default). Salting (Skew.saltedJoin) handles hot keys at join
+  * time; bucketing removes the join shuffle entirely for stable key
+  * columns — the two compose.
+  *
+  * Uses the session catalog's managed-table storage (parquet under
+  * spark.sql.warehouse.dir) — the open-source stand-in for the
+  * reference's warehouse-native tables (`weekly_dag.py` DDL blocks).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, bucket-sorted managed parquet table
+    * (overwriting any previous version). `numBuckets` sizes a bucket
+    * to one task's worth of rows at the target scale. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    numBuckets: Int): Unit = {
+    require(keys.nonEmpty, "bucketing needs at least one key column")
+    require(numBuckets >= 1 && numBuckets <= 100000,
+      s"numBuckets=$numBuckets out of range")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // an in-memory catalog forgets tables across JVMs but their
+    // managed locations persist — clear any orphan so overwrite
+    // doesn't trip LOCATION_ALREADY_EXISTS
+    val loc = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$table"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(loc))
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Equi-join two same-bucketed tables on their bucket keys. When
+    * both were written with identical (keys, numBuckets) this plans
+    * with zero Exchange operators (BucketingSpec asserts it). */
+  def cocatedJoin(spark: SparkSession, leftTable: String,
+                  rightTable: String, keys: Seq[String]): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), keys)
+}

@@ -179,7 +179,34 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** q68: BIG-BIG as-of join (SURVEY §2.3 ★ scale completion): click
+    * stream aligned to the latest preceding view event — both sides
+    * are full event streams, so neither the broadcast contract
+    * (q45/q56) nor a single-partition window applies. The range-bucket
+    * carry-forward strategy (AsOfJoin.rangeAsOf) windows within
+    * day-buckets and stitches boundaries with per-bucket openings;
+    * the oracle is DuckDB's native ASOF JOIN over the same streams. */
+  val q68RangeAsOf: QuerySpec = QuerySpec(
+    "q68_range_asof",
+    """WITH probe AS (
+      |  SELECT event_id, ts, value FROM events WHERE event_type = 'click'),
+      |ref AS (
+      |  SELECT ts AS rts, value AS rv FROM events
+      |  WHERE event_type = 'view')
+      |SELECT p.event_id, p.ts, p.value,
+      |  r.rts AS ref_ts, r.rv AS ref_val
+      |FROM probe p ASOF JOIN ref r ON p.ts >= r.rts
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    val probe = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("value"))
+    val ref = e.filter(col("event_type") === "view")
+      .select(col("ts").as("rts"), col("value").as("rv"))
+    AsOfJoin.rangeAsOf(probe, ref, "ts", "rts", "rv", bucket = "day")
+      .orderBy(col("event_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q40JsonProps, q41Tumbling, q42Sliding, q43Sessions, q44DedupReplay,
-    q45AsOf, q56AsOfNative)
+    q45AsOf, q56AsOfNative, q68RangeAsOf)
 }

@@ -65,6 +65,42 @@ class AsOfSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString.contains("AsOfJoin"))
   }
 
+  test("range-bucketed big-big as-of agrees with the serial strategies") {
+    val e = Tables.events(spark, sf)
+    val probe = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"))
+    val ref = e.filter(col("event_type") === "error")
+      .select(col("ts").as("rt"), col("value").as("rv"))
+    val bucketed = AsOfJoin.rangeAsOf(probe, ref, "ts", "rt", "rv", "day")
+      .select("event_id", "ref_ts", "ref_val")
+    val serial = AsOfJoin.unionWindowAsOf(probe, ref, "ts", "rt", "rv")
+      .select("event_id", "ref_ts", "ref_val")
+    assertBagEqual(bucketed, serial)
+  }
+
+  test("range-bucketed as-of carries values across empty buckets") {
+    // refs only on day 1; probes span days 1-4 → days 2-4 have no
+    // in-bucket ref and must inherit day 1's closing observation with
+    // its REAL timestamp; the pre-ref probe drops
+    val probe = Seq(
+      (1L, ts("2024-01-01 05:00:00")),  // before any ref → dropped
+      (2L, ts("2024-01-01 12:00:00")),
+      (3L, ts("2024-01-02 08:00:00")),  // empty bucket
+      (4L, ts("2024-01-04 23:00:00")))  // two empty buckets later
+      .toDF("id", "t")
+    val ref = Seq(
+      (ts("2024-01-01 09:00:00"), 1.0),
+      (ts("2024-01-01 11:00:00"), 2.0))
+      .toDF("rt", "rv")
+    val out = AsOfJoin.rangeAsOf(probe, ref, "t", "rt", "rv", "day")
+      .select("id", "ref_ts", "ref_val").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toList
+      .sortBy(_._1)
+    assert(out.map(_._1) == List(2L, 3L, 4L))
+    assert(out.map(_._3) == List(2.0, 2.0, 2.0))
+    assert(out.forall(_._2 == ts("2024-01-01 11:00:00")))
+  }
+
   test("reference side over maxRefRows fails fast instead of broadcasting") {
     val e = Tables.events(spark, sf)
     val probe = e.filter(col("event_type") === "purchase")
