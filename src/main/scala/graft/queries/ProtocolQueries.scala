@@ -180,6 +180,39 @@ object ProtocolQueries {
       .orderBy(col("year"))
   }
 
+  /** q69: the scraped key-value leg end to end (`weekly_dag.py:56-88`
+    * S3 → R1): per-entity KV payloads (ticker + (metric, value) rows)
+    * serialized to JSON, re-ingested via `Ingest.keyValueScrape`, and
+    * pivoted wide with `Relational.pivotKV` — then a segment rollup so
+    * the oracle (computed relationally from the same table) verifies
+    * the whole JSON→long→wide round trip. Doubles survive the string
+    * round trip exactly (shortest-repr rendering both ways). */
+  val q69KvScrapePivot: QuerySpec = QuerySpec(
+    "q69_kv_scrape_pivot",
+    s"""SELECT c_mktsegment AS mktsegment, COUNT(*) AS n,
+       |  ${Exact.sqlSum("c_acctbal")} AS total_bal
+       |FROM customer WHERE c_custkey < 500
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val payloads = Tables.customer(s, dir)
+      .filter(col("c_custkey") < 500)
+      .select(to_json(struct(
+        col("c_name").as("ticker"),
+        array(
+          struct(lit("acctbal").as("metric"),
+            col("c_acctbal").cast("string").as("value")),
+          struct(lit("mktsegment").as("metric"),
+            col("c_mktsegment").as("value"))).as("rows"))))
+      .as[String]
+    val wide = Relational.pivotKV(
+      graft.sources.Ingest.keyValueScrape(s, payloads),
+      "ticker", "metric", "value", Seq("acctbal", "mktsegment"))
+    wide.groupBy(col("mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        Exact.dsum(col("acctbal").cast("double")).as("total_bal"))
+      .orderBy(col("mktsegment"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q48DedupAppend, q49UpsertPartition,
-    q65Lifecycle)
+    q65Lifecycle, q69KvScrapePivot)
 }

@@ -554,11 +554,33 @@ object RelationalQueries {
       .orderBy(col("p_brand"))
   }
 
+  /** q70: exact continuous percentiles (SURVEY §2.4 widening): both
+    * engines linearly interpolate at index p·(n−1) over the sorted
+    * values (Spark `percentile` ≡ DuckDB `quantile_cont`); results are
+    * rounded to 6 decimals so sub-ulp interpolation-order differences
+    * cannot flip the hash. The approx_percentile sketch twin is
+    * error-bounded against this in QueriesSpec. */
+  val q70Percentiles: QuerySpec = QuerySpec(
+    "q70_percentiles",
+    """SELECT c_mktsegment AS mktsegment,
+      |  round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+      |  round(quantile_cont(c_acctbal, 0.50), 6) AS p50,
+      |  round(quantile_cont(c_acctbal, 0.90), 6) AS p90
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(
+        round(percentile(col("c_acctbal"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("c_acctbal"), lit(0.50)), 6).as("p50"),
+        round(percentile(col("c_acctbal"), lit(0.90)), 6).as("p90"))
+      .orderBy(col("mktsegment"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
     q09TopCustomersPerSegment, q10PivotPriority, q11RollupYearMonth,
     q12DistinctParts, q13SegmentBuckets, q14StringFuncs, q15ShipDelay,
     q16MonthlySpine, q17MacroSeriesJoin, q18SetOps, q19ApproxDistinct,
-    q55RangeJoin, q63CorrRegression, q64SkewJoin)
+    q55RangeJoin, q63CorrRegression, q64SkewJoin, q70Percentiles)
 }

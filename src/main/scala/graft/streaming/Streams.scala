@@ -66,6 +66,31 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join (SURVEY §2.10 ★ widening): each
+    * purchase joined to the same user's clicks in the preceding hour.
+    * Both sides are watermarked so the join state is bounded — the
+    * range condition gives the engine the eviction bound; without it a
+    * stream-stream inner join would buffer forever. Pure DataFrame =>
+    * DataFrame: the batch twin (same expression, static frames) is the
+    * cross-verification in StreamingSpec. */
+  def purchaseClickJoin(events: DataFrame,
+                        watermark: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"),
+        col("c_ts"), col("p_value"))
+  }
+
   case class UserEvent(user_id: Long, value: Double)
 
   /** Keyed running aggregate via explicit state (SURVEY §2.10 stateful

@@ -31,6 +31,27 @@ class QueriesSpec extends SparkSpecBase {
     assert(total == raw)
   }
 
+  test("approx_percentile sketch lands within 5% rank error of exact q70") {
+    val exact = Queries.byName("q70_percentiles").run(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap // p50
+    val approx = Tables.customer(spark, sf)
+      .groupBy(col("c_mktsegment"))
+      .agg(approx_percentile(col("c_acctbal"), lit(0.5), lit(1000)).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // compare by value range: the sketch guarantees rank error, so the
+    // value must sit between exact p45 and p55
+    val bounds = Tables.customer(spark, sf)
+      .groupBy(col("c_mktsegment"))
+      .agg(percentile(col("c_acctbal"), lit(0.45)).as("lo"),
+        percentile(col("c_acctbal"), lit(0.55)).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.keys.foreach { seg =>
+      val (lo, hi) = bounds(seg)
+      assert(approx(seg) >= lo && approx(seg) <= hi,
+        s"$seg: approx ${approx(seg)} outside exact p45..p55 [$lo, $hi]")
+    }
+  }
+
   test("q19 approx distinct within 5% of exact") {
     Queries.byName("q19_approx_distinct").run(spark, sf).collect().foreach { r =>
       val approx = r.getLong(1); val exact = r.getLong(2)

@@ -126,6 +126,23 @@ class StreamingSpec extends SparkSpecBase {
       .agg(sum(col("n"))).head.getLong(0) == closed)
   }
 
+  test("stream-stream interval join matches its batch twin") {
+    val streamed = runToMemory(
+      Streams.purchaseClickJoin(Streams.eventsStream(spark, eventsDir)),
+      "t_ssjoin", mode = "append")
+    val batch = Streams.purchaseClickJoin(Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value"))
+    // a watermarked stream-stream join may hold back pairs whose
+    // eviction bound never passes (tail of the stream) — every emitted
+    // pair must be correct and the on-time bulk must be present
+    val got = streamed.count()
+    val want = batch.count()
+    assert(streamed.exceptAll(batch).isEmpty,
+      "stream emitted a pair the batch twin does not contain")
+    assert(got >= (want * 0.95).toLong,
+      s"stream emitted $got of $want batch pairs — more than the tail missing")
+  }
+
   test("streaming session windows produce the q43 session starts") {
     val streamed = runToMemory(
       Streams.sessionCounts(Streams.eventsStream(spark, eventsDir)), "t_sessions")
