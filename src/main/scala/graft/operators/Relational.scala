@@ -97,6 +97,29 @@ object Relational {
       .pivot(metricCol, metrics)
       .agg(first(col(valueCol)))
 
+  /** Snapshot diff (CDC-style change detection — the set-valued form
+    * of the reference's A2 bag-equality gate): classify every key of
+    * two snapshots as added / removed / changed / unchanged. One full
+    * outer join on the keys; value comparison is a null-safe struct
+    * equality, so NULL-vs-value differences count as changed. At 100 TB
+    * pre-aggregate or pre-hash wide value sets before calling — the
+    * join ships the value struct. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val valCols = oldDf.columns.filterNot(keys.contains).toSeq
+    require(valCols.nonEmpty, "snapshotDiff needs at least one value column")
+    require(newDf.columns.sorted.sameElements(oldDf.columns.sorted),
+      "old and new snapshots must share a schema")
+    def packed(df: DataFrame, as: String) = df.select(
+      keys.map(col) :+ struct(valCols.map(col): _*).as(as): _*)
+    packed(oldDf, "_ov").join(packed(newDf, "_nv"), keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("_ov").isNull, "added")
+          .when(col("_nv").isNull, "removed")
+          .when(!(col("_ov") <=> col("_nv")), "changed")
+          .otherwise("unchanged").as("change"): _*)
+  }
+
   /** Top-k per group (SURVEY §2.6 ★) via row_number — the scalable
     * pattern (no global sort; one hash-partitioned window). */
   def topKPerGroup(df: DataFrame, partitionCols: Seq[Column],

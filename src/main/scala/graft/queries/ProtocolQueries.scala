@@ -213,6 +213,63 @@ object ProtocolQueries {
       .orderBy(col("mktsegment"))
   }
 
+  /** q71: snapshot diff / CDC change classification
+    * (`Relational.snapshotDiff` — the set-valued form of the A2 gate):
+    * the old snapshot holds monthly totals before 1998; the new one
+    * re-states 1997 (doubled) and adds 1998 — so the diff must read
+    * exactly: pre-1997 unchanged, 1997 changed, 1998 added. The oracle
+    * classifies with direct value comparison over the same full outer
+    * join. */
+  val q71SnapshotDiff: QuerySpec = QuerySpec(
+    "q71_snapshot_diff",
+    s"""WITH olds AS (
+       |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+       |    CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month,
+       |    ${Exact.sqlSum("o_totalprice")} AS total
+       |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  GROUP BY 1, 2),
+       |news AS (
+       |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+       |    CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month,
+       |    ${Exact.sqlSum(
+                "CASE WHEN EXTRACT(year FROM o_orderdate) = 1997 " +
+                "THEN o_totalprice * 2 ELSE o_totalprice END")} AS total
+       |  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+       |  GROUP BY 1, 2),
+       |diff AS (
+       |  SELECT COALESCE(o.year, n.year) AS year,
+       |    COALESCE(o.month, n.month) AS month,
+       |    CASE WHEN o.year IS NULL THEN 'added'
+       |         WHEN n.year IS NULL THEN 'removed'
+       |         WHEN o.total <> n.total THEN 'changed'
+       |         ELSE 'unchanged' END AS change
+       |  FROM olds o FULL OUTER JOIN news n
+       |    ON o.year = n.year AND o.month = n.month)
+       |SELECT change, COUNT(*) AS n,
+       |  CAST(MIN(year * 100 + month) AS INTEGER) AS first_ym,
+       |  CAST(MAX(year * 100 + month) AS INTEGER) AS last_ym
+       |FROM diff GROUP BY change ORDER BY change""".stripMargin) { (s, dir) =>
+    def monthly(df: org.apache.spark.sql.DataFrame) = df
+      .select(year(col("o_orderdate")).as("year"),
+        month(col("o_orderdate")).as("month"), col("p"))
+      .groupBy(col("year"), col("month"))
+      .agg(Exact.dsum(col("p")).as("total"))
+    val o = Tables.orders(s, dir)
+    val olds = monthly(
+      o.filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .withColumn("p", col("o_totalprice")))
+    val news = monthly(
+      o.filter(col("o_orderdate") < to_timestamp(lit("1999-01-01 00:00:00")))
+        .withColumn("p", when(year(col("o_orderdate")) === 1997,
+          col("o_totalprice") * 2).otherwise(col("o_totalprice"))))
+    Relational.snapshotDiff(olds, news, Seq("year", "month"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n"),
+        min(col("year") * 100 + col("month")).cast("int").as("first_ym"),
+        max(col("year") * 100 + col("month")).cast("int").as("last_ym"))
+      .orderBy(col("change"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q48DedupAppend, q49UpsertPartition,
-    q65Lifecycle, q69KvScrapePivot)
+    q65Lifecycle, q69KvScrapePivot, q71SnapshotDiff)
 }
