@@ -301,8 +301,36 @@ object TextQueries {
         .orderBy(col("lang"))
     }
 
+  /** q72: token-window chunking (LLM training-data pipeline ★ — the
+    * corpus→training-pieces pass): 32-token windows, stride 24, chunk
+    * text verified by portable md5 so the oracle checks CONTENT, not
+    * just counts. Window starts are 1, 1+stride, … while ≤ n (the tail
+    * chunk is shorter; every token lands in ≥1 chunk). */
+  val q72Chunking: QuerySpec = QuerySpec(
+    "q72_chunking",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents WHERE doc_id < 40),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    CAST((start - 1) / 24 AS BIGINT) AS chunk_id,
+      |    CAST(start AS BIGINT) AS start_tok,
+      |    CAST(least(32, n - start + 1) AS BIGINT) AS n_tok,
+      |    md5(array_to_string(toks[start : start + 31], ' ')) AS chunk_md5
+      |  FROM tok, LATERAL (SELECT unnest(range(1, n + 1, 24)) AS start))
+      |SELECT doc_id, chunk_id, start_tok, n_tok, chunk_md5
+      |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    graft.operators.Chunking.chunkTokenWindows(
+        Tables.documents(s, dir).filter(col("doc_id") < 40),
+        "doc_id", "text", chunkSize = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("n_tok"), md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
-    q61Vocabulary, q62TfIdf)
+    q61Vocabulary, q62TfIdf, q72Chunking)
 }

@@ -57,6 +57,22 @@ class ScalarsSpec extends SparkSpecBase {
     assert(df(2).getLong(0) != df(2).getLong(1))
   }
 
+  test("chunking covers every token; tail chunk shortens; no overlap at stride=size") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "x")).toDF("doc_id", "text")
+    // size 3, stride 2: starts 1,3,5,7 → chunks abc, cde, efg, g
+    val c = graft.operators.Chunking
+      .chunkTokenWindows(df, "doc_id", "text", 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getString(4))).sortBy(t => (t._1, t._2)).toList
+    assert(c == List((1L, 0L, 3L, "a b c"), (1L, 1L, 3L, "c d e"),
+      (1L, 2L, 3L, "e f g"), (1L, 3L, 1L, "g"), (2L, 0L, 1L, "x")))
+    // stride == size → a partition, every token exactly once
+    val p = graft.operators.Chunking
+      .chunkTokenWindows(df.filter(col("doc_id") === 1), "doc_id", "text", 3, 3)
+      .agg(sum(col("n_tok"))).head.getLong(0)
+    assert(p == 7)
+  }
+
   test("bpe token count splits runs and marks") {
     val n = Seq("abc12 de-f").toDF("text")
       .select(TextFunctions.bpeTokenCount(col("text"))).head.getLong(0)
