@@ -329,8 +329,27 @@ object TextQueries {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** q73: bounded-memory heavy hitters per source — the SpaceSaving
+    * TypedImperativeAggregate next to q61's exact vocabulary: a
+    * k-entry summary per partition instead of shuffling every distinct
+    * term. Estimates vary with encounter order (rows-only driver
+    * check); the sketch guarantees are pinned in SketchSpec. */
+  val q73HeavyHitters: QuerySpec =
+    QuerySpec.noOracle("q73_heavy_hitters") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("source"))
+        .agg(graft.plans.SpaceSavingAgg.approxTopTerms(col("term"), 10)
+          .as("top_terms"))
+        .select(col("source"), posexplode(col("top_terms")).as(Seq("rank", "e")))
+        .select(col("source"), col("rank"), col("e.term"),
+          col("e.count_est"), col("e.err"))
+        .filter(col("rank") < 5)
+        .orderBy(col("source"), col("rank"))
+    }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
-    q61Vocabulary, q62TfIdf, q72Chunking)
+    q61Vocabulary, q62TfIdf, q72Chunking, q73HeavyHitters)
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.plans.SpaceSavingAgg
+import org.apache.spark.sql.functions._
+
+/** SpaceSaving heavy-hitters guarantees (the TypedImperativeAggregate
+  * tier): estimates over-count by at most `err`, never under-count,
+  * and any term with frequency > n/k must survive the summary. */
+class SketchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exact when distinct terms fit the summary") {
+    val df = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")
+    val got = df.toDF("t")
+      .agg(SpaceSavingAgg.approxTopTerms(col("t"), 10).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.term"), col("e.count_est"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toList == List(("a", 5L, 0L), ("b", 3L, 0L), ("c", 2L, 0L)))
+  }
+
+  test("planted heavy hitter survives a k-bounded summary with valid bounds") {
+    // 300 "hot" + 700 singleton-ish tail terms, k=20 → hot freq ≫ n/k
+    val rows = (Seq.fill(300)("hot") ++
+      (0 until 700).map(i => s"tail_${i % 350}")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("id", "t").repartition(7, col("id"))
+    val top = df.agg(SpaceSavingAgg.approxTopTerms(col("t"), 20).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.term"), col("e.count_est"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top.length <= 20)
+    val hot = top.find(_._1 == "hot")
+    assert(hot.isDefined, s"heavy hitter evicted; summary: ${top.take(5).toList}")
+    val (_, est, err) = hot.get
+    assert(est >= 300, s"under-count: $est < 300 (SpaceSaving never undercounts)")
+    assert(est - err <= 300, s"lower bound ${est - err} above true 300")
+  }
+
+  test("per-group aggregation: each group keeps its own summary") {
+    val df = (Seq.fill(50)(("g1", "x")) ++ Seq.fill(50)(("g2", "y")))
+      .toDF("g", "t")
+    val got = df.groupBy(col("g"))
+      .agg(SpaceSavingAgg.approxTopTerms(col("t"), 5).as("top"))
+      .select(col("g"), element_at(col("top"), 1).getField("term").as("t0"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("g1" -> "x", "g2" -> "y"))
+  }
+}
