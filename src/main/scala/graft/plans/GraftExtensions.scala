@@ -18,14 +18,84 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * graft.plans.GraftExtensions` on a cluster.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfStrategy)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_product takes exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+    // scalar functions built as PURE Catalyst trees (a Column-builder
+    // extraction would leave unresolved ColumnNode wrappers behind the
+    // analyzer's back — Spark 4 resolves Column ASTs only at Dataset
+    // boundaries)
+    ext.injectFunction((
+      new FunctionIdentifier("parse_human_number"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "parse_human_number"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "parse_human_number takes 1 argument")
+        GraftExtensions.parseHumanNumberExpr(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("portable_hash64"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "portable_hash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "portable_hash64 takes 1 argument")
+        GraftExtensions.portableHash64Expr(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("approx_top_terms"),
+      new ExpressionInfo(classOf[SpaceSavingAgg].getName, "approx_top_terms"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "approx_top_terms takes (term, k) arguments")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other =>
+            throw new IllegalArgumentException(s"k must be a literal: $other")
+        }
+        SpaceSavingAgg(children.head, k).toAggregateExpression()
+      }))
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+  /** Catalyst tree of `Scalars.portableHash64` (same semantics; the
+    * Column form stays the library API, this one feeds the SQL
+    * registry). */
+  def portableHash64Expr(child: Expression): Expression =
+    Cast(Conv(Substring(Md5(Cast(child, StringType)),
+      Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+
+  /** Catalyst tree of `Scalars.parseHumanNumber`. */
+  def parseHumanNumberExpr(child: Expression): Expression = {
+    val num = Cast(RegExpExtract(child,
+      Literal("^([0-9]+\\.?[0-9]*)"), Literal(1)), DoubleType,
+      evalMode = EvalMode.TRY)
+    val suffix = RegExpExtract(child, Literal("([KMBT])$"), Literal(1))
+    val mult = CaseWhen(Seq(
+      (EqualTo(suffix, Literal("K")), Literal(1e3)),
+      (EqualTo(suffix, Literal("M")), Literal(1e6)),
+      (EqualTo(suffix, Literal("B")), Literal(1e9)),
+      (EqualTo(suffix, Literal("T")), Literal(1e12))),
+      Some(Literal(1.0)))
+    Multiply(num, mult)
   }
 }

@@ -206,7 +206,38 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** q74: the stream-stream interval join's BATCH twin, oracle-checked
+    * (StreamingSpec proves the streaming form emits a subset of
+    * exactly this): purchases × same-user clicks in the preceding
+    * hour, rolled up per user. The equi-component (user_id) keeps the
+    * plan a hash/SMJ join with a range filter — never a pure theta
+    * join. */
+  val q74IntervalJoin: QuerySpec = QuerySpec(
+    "q74_interval_join",
+    s"""WITH p AS (
+       |  SELECT event_id AS p_id, user_id, ts AS p_ts, value AS p_value
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT event_id AS c_id, user_id, ts AS c_ts
+       |  FROM events WHERE event_type = 'click')
+       |SELECT p.user_id, COUNT(*) AS n_pairs,
+       |  CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases,
+       |  ${Exact.sqlSum("p_value")} AS sum_value
+       |FROM p JOIN c ON c.user_id = p.user_id
+       |  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
+       |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin) { (s, dir) =>
+    graft.streaming.Streams.purchaseClickJoin(
+        Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        Exact.dsum(col("p_value")).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q40JsonProps, q41Tumbling, q42Sliding, q43Sessions, q44DedupReplay,
-    q45AsOf, q56AsOfNative, q68RangeAsOf)
+    q45AsOf, q56AsOfNative, q68RangeAsOf, q74IntervalJoin)
 }

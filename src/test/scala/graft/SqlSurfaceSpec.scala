@@ -22,6 +22,44 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assertBagEqual(sqlResult, dsl)
   }
 
+  test("engine functions are SQL-callable (the GraftExtensions builders)") {
+    // extensions apply at session BUILD time and this suite shares one
+    // SparkContext, so drive the same expression builders the
+    // extension injects through the live session's function registry
+    val s2 = spark.newSession()
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "parse_human_number",
+      exprs => graft.plans.GraftExtensions.parseHumanNumberExpr(exprs.head),
+      "scala_udf")
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "portable_hash64",
+      exprs => graft.plans.GraftExtensions.portableHash64Expr(exprs.head),
+      "scala_udf")
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "approx_top_terms",
+      exprs => graft.plans.SpaceSavingAgg(exprs.head, 5).toAggregateExpression(),
+      "scala_udf")
+    assert(s2.sql("SELECT parse_human_number('1.2B') AS v").head.getDouble(0)
+      == 1.2e9)
+    assert(s2.sql("SELECT portable_hash64('hello') AS v").head.getLong(0)
+      == 419982666956583591L)
+    // and the Catalyst tree agrees with the Column-API original
+    import spark.implicits._
+    val roundTrip = Seq("1.2B", "5K", "junk", "7").toDF("x")
+      .select(graft.functions.Scalars.parseHumanNumber(col("x")).as("a"))
+      .collect().map(r => Option(r.get(0)))
+    val viaSql = s2.sql(
+      """SELECT parse_human_number(x) FROM VALUES
+        |('1.2B'), ('5K'), ('junk'), ('7') AS v(x)""".stripMargin)
+      .collect().map(r => Option(r.get(0)))
+    assert(roundTrip.toList == viaSql.toList)
+    val top = s2.sql(
+      """SELECT approx_top_terms(t, 5) AS top FROM VALUES
+        |('a'), ('a'), ('b') AS v(t)""".stripMargin)
+      .selectExpr("top[0].term", "top[0].count_est").head
+    assert(top.getString(0) == "a" && top.getLong(1) == 2L)
+  }
+
   test("events view exposes micro-truncated timestamps") {
     Tables.registerViews(spark, sf)
     val n = spark.sql(
