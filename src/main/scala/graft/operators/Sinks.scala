@@ -61,6 +61,49 @@ object Sinks {
         count(lit(1)).as("_n"))
   }
 
+  /** Small-file compaction (the production hygiene pass every
+    * partitioned append sink eventually needs: a year of daily
+    * dedupAppends leaves hundreds of row-group-sized files per
+    * partition, and at 100 TB the scan's task-scheduling overhead and
+    * footer reads start to dominate). Rewrites ONLY the partitions
+    * whose file count exceeds `maxFiles`, each to `targetFiles` files,
+    * via dynamic partition overwrite — untouched partitions keep their
+    * files byte-identical. The rewrite hash-partitions on the partition
+    * key, so each compacted partition lands as ONE file (`rewriteTasks`
+    * only spreads concurrent partition rewrites across tasks; a
+    * partition too big for one file shouldn't be fragmented into
+    * row-group-sized pieces in the first place). Content is preserved
+    * bag-for-bag (SinksSpec asserts both properties). */
+  def compactPartitions(spark: SparkSession, path: String,
+                        partitionCols: Seq[String], maxFiles: Int = 8,
+                        rewriteTasks: Int = 32): Unit = {
+    require(maxFiles >= 1 && rewriteTasks >= 1)
+    val df = spark.read.parquet(path)
+    // input_file_name() is non-deterministic to the analyzer — project
+    // it out first, then aggregate the materialized column
+    val fragmented = df
+      .select(partitionCols.map(col) :+ input_file_name().as("_f"): _*)
+      .groupBy(partitionCols.map(col): _*)
+      .agg(countDistinct(col("_f")).as("_nf"))
+      .filter(col("_nf") > maxFiles)
+      .select(partitionCols.map(col): _*)
+    val toRewrite = df.join(fragmented, partitionCols, "left_semi")
+      .repartition(rewriteTasks, partitionCols.map(col): _*)
+      .cache()
+    try {
+      if (!toRewrite.isEmpty) {
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try toRewrite.write.mode(SaveMode.Overwrite)
+          .partitionBy(partitionCols: _*).parquet(path)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+    } finally toRewrite.unpersist()
+  }
+
   /** Replace-partition upsert with change detection (§3.3 intent):
     * write exactly the partitions that are new or whose digest
     * changed, via dynamic partition overwrite; identical partitions

@@ -80,6 +80,32 @@ class SinksSpec extends SparkSpecBase {
       s"expected partition filters in plan:\n$plan")
   }
 
+  test("compactPartitions rewrites only fragmented partitions, keeps content") {
+    val path = tmp()
+    // month 1 fragmented: 12 single-row appends → 12 files; month 2: one
+    (1 to 12).foreach { d =>
+      Sinks.append(macroDaily((2024, 1, d, 70.0 + d, 1900.0)),
+        path, Seq("year", "month"))
+    }
+    Sinks.append(macroDaily((2024, 2, 1, 80.0, 2000.0)), path, Seq("year", "month"))
+    val before = spark.read.parquet(path)
+    val beforeRows = before.collect().toList
+    def filesOf(month: Int): Long = spark.read.parquet(path)
+      .filter(col("month") === month)
+      .select(input_file_name()).distinct().count()
+    val m2FileBefore = spark.read.parquet(path).filter(col("month") === 2)
+      .select(input_file_name()).head.getString(0)
+    assert(filesOf(1) == 12)
+    Sinks.compactPartitions(spark, path, Seq("year", "month"), maxFiles = 8)
+    assert(filesOf(1) == 1, s"month 1 still has ${filesOf(1)} files")
+    // untouched partition keeps its exact file
+    assert(spark.read.parquet(path).filter(col("month") === 2)
+      .select(input_file_name()).head.getString(0) == m2FileBefore)
+    // content identical bag-for-bag
+    val after = spark.read.parquet(path).collect().toList
+    assert(after.map(_.toString).sorted == beforeRows.map(_.toString).sorted)
+  }
+
   test("bagEquals (A2 change detection) is order-insensitive") {
     val a = macroDaily((2024, 1, 1, 1.0, 2.0), (2024, 1, 2, 3.0, 4.0))
     val b = macroDaily((2024, 1, 2, 3.0, 4.0), (2024, 1, 1, 1.0, 2.0))
