@@ -160,6 +160,65 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected pair list — the step
+    * that turns near-dup PAIRS (tiers 2–5) into dedup CLUSTERS so a
+    * pipeline can keep one canonical document per group (pairs alone
+    * can't: a–b, b–c must collapse to one group of three).
+    *
+    * Min-label propagation: every vertex starts labeled with itself;
+    * each round joins labels across edges and takes the min; stops
+    * when a round changes nothing. Rounds needed = component diameter
+    * — tiny for near-dup clusters — and each round is one shuffle on
+    * the vertex key, so the 100 TB cost is (diameter × one hash join),
+    * never a transitive-closure blowup. The per-round `count` action
+    * is metadata-sized (the changed-row count). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 1 && maxIter <= 100, s"maxIter=$maxIter out of range")
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    // localCheckpoint (not cache) each round: an iterative plan that
+    // keeps its lineage nests one join per round and the logical tree
+    // grows past what the planner can even stringify — checkpointing
+    // truncates it to the materialized result, the standard shape for
+    // iterative algorithms on Spark
+    var labels = edges.select(col("src").as("v"))
+      .distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate label for v = min over neighbors' labels (and its own)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("v", "dst2"), col("dst") === col("dst2"))
+        .select(col("src").as("v"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("v")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("v"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** Canonical keep-list from near-dup pairs: one row per component —
+    * the component label IS the minimum member key, so it doubles as
+    * the canonical survivor — plus the group size: the final artifact
+    * a dedup pass hands to the filter stage. */
+  def canonicalKeepList(pairs: DataFrame, aCol: String,
+                        bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("group_size"))
+      .select(col("component").as("keep"), col("group_size"))
+
   /** SimHash signature (tier 4): 64-bit bit-vote over token hashes.
     * One groupBy with 64 conditional sums, then bit assembly. */
   def simhashSignature(df: DataFrame, keyCol: String,

@@ -139,7 +139,62 @@ object DedupQueries {
       .orderBy(col("a"), col("b"))
   }
 
+  /** q75: dedup clusters — connected components over the q31 near-dup
+    * pairs, reduced to the canonical keep-list (min key per component
+    * + group size). Spark side is iterated min-label propagation
+    * (diameter × one hash join per round); the oracle spells the same
+    * answer as a recursive transitive closure, affordable at oracle
+    * scale only. Shared pair-generation SQL with q31. */
+  val q75DedupClusters: QuerySpec = QuerySpec(
+    "q75_dedup_clusters",
+    """WITH RECURSIVE all_docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 60
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    substr(text, strpos(text, ' ') + 1) AS text
+      |  FROM documents WHERE doc_id < 60 AND doc_id % 2 = 0),
+      |tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+      |  FROM tok),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  JOIN counts ca ON ca.doc_id = x.doc_id
+      |  JOIN counts cb ON cb.doc_id = y.doc_id
+      |  GROUP BY 1, 2
+      |  HAVING CAST(COUNT(*) AS DOUBLE) /
+      |    CAST(ANY_VALUE(ca.n_sh) + ANY_VALUE(cb.n_sh) - COUNT(*) AS DOUBLE)
+      |    >= 0.5),
+      |und(src, dst) AS (
+      |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+      |  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM und
+      |  UNION
+      |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+      |comp AS (SELECT src AS v, MIN(dst) AS component FROM reach GROUP BY src)
+      |SELECT component AS keep, COUNT(*) AS group_size
+      |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("text"))
+    val nearDup = d.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val all = d.unionByName(nearDup)
+      .filter(size(split(col("text"), " ")) >= 3)
+    val pairs = Dedup.ngramJaccardPairs(all, "doc_id", "text", k = 3,
+      threshold = 0.5)
+    Dedup.canonicalKeepList(pairs, "a", "b")
+      .orderBy(col("keep"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash,
-    q66MllibMinhash)
+    q66MllibMinhash, q75DedupClusters)
 }

@@ -73,6 +73,25 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.minhashNearDupPairs(short, "doc_id", "text").count() == 0)
   }
 
+  test("connected components collapse chains and pick canonical keys") {
+    import spark.implicits._
+    // a-b-c chain, isolated pair (10,11), triangle (20,21,22)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val keep = Dedup.canonicalKeepList(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep == Map(1L -> 3L, 10L -> 2L, 20L -> 3L))
+    // long chain needs diameter rounds, not closure blowup
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val one = Dedup.connectedComponents(chain, "a", "b")
+      .select(countDistinct(col("component"))).head.getLong(0)
+    assert(one == 1L)
+  }
+
   test("exactDedup keeps exactly one row per content, lowest key") {
     val dup = corpus.unionByName(corpus)
     val kept = Dedup.exactDedup(dup, "text", "doc_id")
