@@ -97,6 +97,26 @@ object Relational {
       .pivot(metricCol, metrics)
       .agg(first(col(valueCol)))
 
+  /** Column profile (warehouse data-quality pass): one row per
+    * requested column with row/non-null/distinct counts and min/max
+    * (rendered to string for a uniform schema). ONE scan total — all
+    * measures ride a single aggregate, then `stack` unpivots the wide
+    * row; at 100 TB this is the difference between one pass and
+    * 4×|cols| passes. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max"))) :+ count(lit(1)).as("__n")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, " + cols.map(c =>
+          s"'$c', __n, ${c}__nn, ${c}__nd, ${c}__min, ${c}__max")
+          .mkString(", ") +
+        ") AS (column, n_rows, n_nonnull, n_distinct, min_val, max_val)"))
+  }
+
   /** Snapshot diff (CDC-style change detection — the set-valued form
     * of the reference's A2 bag-equality gate): classify every key of
     * two snapshots as added / removed / changed / unchanged. One full

@@ -576,11 +576,32 @@ object RelationalQueries {
       .orderBy(col("mktsegment"))
   }
 
+  /** q76: column profiling (`Relational.profile` — the data-quality
+    * pass): counts, distincts, min/max per column in ONE scan, stacked
+    * tall. The oracle states the same measures per column explicitly;
+    * min/max render through string casts whose formats agree across
+    * engines for ints, doubles, strings, and NTZ timestamps. */
+  val q76Profile: QuerySpec = {
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    QuerySpec(
+      "q76_profile",
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           |  COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_val,
+           |  CAST(MAX($c) AS VARCHAR) AS max_val
+           |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")) { (s, dir) =>
+      graft.operators.Relational.profile(Tables.orders(s, dir), cols)
+        .orderBy(col("column"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
     q09TopCustomersPerSegment, q10PivotPriority, q11RollupYearMonth,
     q12DistinctParts, q13SegmentBuckets, q14StringFuncs, q15ShipDelay,
     q16MonthlySpine, q17MacroSeriesJoin, q18SetOps, q19ApproxDistinct,
-    q55RangeJoin, q63CorrRegression, q64SkewJoin, q70Percentiles)
+    q55RangeJoin, q63CorrRegression, q64SkewJoin, q70Percentiles, q76Profile)
 }
