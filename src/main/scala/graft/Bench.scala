@@ -27,8 +27,11 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
-          errors(name) = e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse("").take(200).replaceAll("[\"\\\\\n]", " ")
+          // strip every JSON-illegal char (controls incl. \t\r\n, quote,
+          // backslash) — one survivor makes the whole artifact unparseable
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(200))
+            .replaceAll("[\\x00-\\x1F\"\\\\]", " ")
           false
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

@@ -44,17 +44,24 @@ object AsOfJoin {
   private[graft] def udfAsOf(spark: SparkSession, probe: DataFrame, ref: DataFrame,
                              probeTimeCol: String, refTimeCol: String,
                              refValCol: String): DataFrame = {
-    // sorted (epochMicros, value) pairs; ~series-sized, driver-safe
-    val series: Array[(Long, Double)] = ref
+    // sorted (epochMicros, value) pairs; ~series-sized, driver-safe.
+    // limit(maxRef+1) bounds what can reach the driver BEFORE the
+    // collect (a collect-then-check would OOM first); within bound the
+    // limit is a no-op and every row arrives.
+    val maxRef = math.min(graft.plans.AsOfJoinPlan.maxRefRows(spark),
+      Int.MaxValue - 8L).toInt
+    val taken = ref
       .select(col(refTimeCol).cast("timestamp"), col(refValCol).cast("double"))
+      .limit(maxRef + 1)
       .collect()
+    require(taken.length <= maxRef,
+      s"as-of reference side exceeds the spark.graft.asof.maxRefRows " +
+        s"broadcast contract ($maxRef rows); use unionWindowAsOf " +
+        "with a bucketing key for large references")
+    val series: Array[(Long, Double)] = taken
       .map(r => (r.getTimestamp(0).getTime * 1000 +
         r.getTimestamp(0).getNanos / 1000 % 1000, r.getDouble(1)))
-      .sortBy(_._1)
-    require(series.length <= graft.plans.AsOfJoinPlan.maxRefRows(spark),
-      s"as-of reference side has ${series.length} rows — over the " +
-        "spark.graft.asof.maxRefRows broadcast contract; use unionWindowAsOf " +
-        "with a bucketing key for large references")
+      .sorted // tuple order: duplicate-ts ties resolve to highest value
     val bc = spark.sparkContext.broadcast(series)
     val lookup = udf { (micros: Long) =>
       val s = bc.value
@@ -178,8 +185,12 @@ object AsOfJoin {
     val unioned = p.select((probeCols.map(col) ++ Seq(col("_t"),
       col("_isRef"), col("_refTs"), col("_refVal"))): _*)
       .unionByName(rAligned)
+    // _refVal asc after (_t, _isRef desc): among DUPLICATE ref
+    // timestamps the running `last` lands on the highest value —
+    // deterministic, and the same choice rangeAsOf's max-struct closing
+    // row makes, so the two strategies can never disagree on ties
     val w = Window.partitionBy(partitionCols.map(col): _*)
-      .orderBy(col("_t"), col("_isRef").desc)
+      .orderBy(col("_t"), col("_isRef").desc, col("_refVal").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("ref_ts", last(col("_refTs"), ignoreNulls = true).over(w))

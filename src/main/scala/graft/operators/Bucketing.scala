@@ -26,13 +26,19 @@ object Bucketing {
     require(keys.nonEmpty, "bucketing needs at least one key column")
     require(numBuckets >= 1 && numBuckets <= 100000,
       s"numBuckets=$numBuckets out of range")
+    // unqualified identifier chars only: the name feeds a filesystem
+    // delete below — anything traversal-shaped must not get near it
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"table name '$table' must match [A-Za-z0-9_]+")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // an in-memory catalog forgets tables across JVMs but their
     // managed locations persist — clear any orphan so overwrite
-    // doesn't trip LOCATION_ALREADY_EXISTS
+    // doesn't trip LOCATION_ALREADY_EXISTS (the metastore lowercases
+    // identifiers, so the location uses the lowercased name)
     val loc = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath + s"/$table"
+      spark.conf.get("spark.sql.warehouse.dir")).getPath +
+      s"/${table.toLowerCase(java.util.Locale.ROOT)}"
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(); ()

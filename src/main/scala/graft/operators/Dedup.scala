@@ -205,6 +205,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // an exhausted iteration budget means labels are still moving —
+    // returning them anyway would silently split true components
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — the " +
+        "pair graph has a component of diameter > maxIter; raise maxIter")
     labels.withColumnRenamed("label", "component")
   }
 

@@ -102,14 +102,26 @@ object Relational {
     * (rendered to string for a uniform schema). ONE scan total — all
     * measures ride a single aggregate, then `stack` unpivots the wide
     * row; at 100 TB this is the difference between one pass and
-    * 4×|cols| passes. */
+    * 4×|cols| passes. Float/double min/max render through a
+    * DECIMAL(38,6) cast: a plain double→string cast goes scientific at
+    * |x| ≥ 1e7 in Spark but stays positional in other engines, so the
+    * fixed-point form is the cross-engine-stable spelling (mirror it
+    * in any oracle). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    val schema = df.schema
+    def render(c: Column, name: String): Column =
+      schema(name).dataType match {
+        case DoubleType | FloatType =>
+          c.cast(DecimalType(38, 6)).cast("string")
+        case _ => c.cast("string")
+      }
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"${c}__nn"),
       countDistinct(col(c)).as(s"${c}__nd"),
-      min(col(c)).cast("string").as(s"${c}__min"),
-      max(col(c)).cast("string").as(s"${c}__max"))) :+ count(lit(1)).as("__n")
+      render(min(col(c)), c).as(s"${c}__min"),
+      render(max(col(c)), c).as(s"${c}__max"))) :+ count(lit(1)).as("__n")
     df.agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${cols.size}, " + cols.map(c =>
           s"'$c', __n, ${c}__nn, ${c}__nd, ${c}__min, ${c}__max")

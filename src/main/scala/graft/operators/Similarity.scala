@@ -208,12 +208,21 @@ object Similarity {
     val seed = corpus.orderBy(col(corpusId)).limit(numCells)
       .select(col(corpusId).as("cell"),
         col(corpusVec).cast("array<double>").as("cent_vec"))
-    // cached: the refined-centroid plan embeds `kmeansIters` corpus
-    // scans and is consumed by BOTH assignment broadcasts below —
-    // without the cache each broadcast re-runs the whole Lloyd's chain
-    // (the materialized set itself is ≤numCells rows)
-    val centroids = (0 until kmeansIters).foldLeft(seed)((c, _) =>
-      lloydStep(corpus, corpusId, corpusVec, c)).cache()
+    // the refined-centroid plan embeds `kmeansIters` corpus scans and
+    // is consumed by BOTH assignment broadcasts below — materialize it
+    // ONCE into a local relation (bounded: ≤numCells rows by the guard
+    // above) instead of caching, which would pin an entry in the cache
+    // manager for the session's lifetime on every call
+    val centroids = {
+      val refined = (0 until kmeansIters).foldLeft(seed)((c, _) =>
+        lloydStep(corpus, corpusId, corpusVec, c))
+      if (kmeansIters == 0) refined
+      else {
+        val spark = corpus.sparkSession
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(refined.collect().toSeq.asJava, refined.schema)
+      }
+    }
     val corpusCells = assignCells(corpus, centroids, corpusId, corpusVec, 1)
     val queryCells = assignCells(queries, centroids, queryId, queryVec, nprobe)
     val joined = corpusCells.join(broadcast(queryCells), Seq("cell"))

@@ -66,7 +66,7 @@ object Sinks {
     * dedupAppends leaves hundreds of row-group-sized files per
     * partition, and at 100 TB the scan's task-scheduling overhead and
     * footer reads start to dominate). Rewrites ONLY the partitions
-    * whose file count exceeds `maxFiles`, each to `targetFiles` files,
+    * whose file count exceeds `maxFiles`,
     * via dynamic partition overwrite — untouched partitions keep their
     * files byte-identical. The rewrite hash-partitions on the partition
     * key, so each compacted partition lands as ONE file (`rewriteTasks`

@@ -73,17 +73,25 @@ case class AsOfJoinExec(
     // reference side: small by contract — collect sorted once (the
     // planner would wrap a big side in its own exchange; this operator
     // targets the macro-series-sized case, reference §1.1 grains)
-    val maxRef = org.apache.spark.sql.internal.SQLConf.get
+    val maxRef = math.min(org.apache.spark.sql.internal.SQLConf.get
       .getConfString(AsOfJoinPlan.MaxRefRowsKey,
-        AsOfJoinPlan.MaxRefRowsDefault.toString).toLong
-    val ref: Array[(Long, Double)] = right.execute()
+        AsOfJoinPlan.MaxRefRowsDefault.toString).toLong,
+      Int.MaxValue - 8L).toInt
+    // take(maxRef+1) scans partitions incrementally and aborts BEFORE
+    // materializing an oversized side on the driver (collect-then-check
+    // would OOM first, defeating the guard); within bound, take returns
+    // every row
+    val taken: Array[(Long, Double)] = right.execute()
       .map(r => (r.getLong(rightTimeIdx), r.getDouble(rightValIdx)))
-      .collect()
-      .sortBy(_._1)
-    require(ref.length <= maxRef,
-      s"as-of reference side has ${ref.length} rows — over the " +
-        s"${AsOfJoinPlan.MaxRefRowsKey} broadcast contract ($maxRef); " +
+      .take(maxRef + 1)
+    require(taken.length <= maxRef,
+      s"as-of reference side exceeds the ${AsOfJoinPlan.MaxRefRowsKey} " +
+        s"broadcast contract ($maxRef rows); " +
         "use AsOfJoin.unionWindowAsOf with a bucketing key instead")
+    // full tuple sort: among duplicate timestamps the binary search's
+    // last-match lands on the highest value — the same tie choice as
+    // the window strategies
+    val ref = taken.sorted
     val refBc = sparkContext.broadcast(ref)
     val leftOutput = left.output
     val outAttrs = output

@@ -5,6 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -34,6 +35,13 @@ case class SpaceSavingAgg(
   extends TypedImperativeAggregate[mutable.HashMap[String, (Long, Long)]] {
 
   require(k >= 1 && k <= 100000, s"k=$k out of range")
+
+  // analysis-time type contract: a non-string child fails cleanly at
+  // planning instead of a ClassCastException inside executor tasks
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"approx_top_terms needs a STRING term column, got ${child.dataType.sql}")
 
   type Buf = mutable.HashMap[String, (Long, Long)]
 
@@ -65,13 +73,11 @@ case class SpaceSavingAgg(
       }
     }
     if (buf.size > k) {
-      // trim back to k; dropped mass becomes error on the survivors'
-      // floor exactly like a single-structure eviction would
+      // trim back to k by estimated count (term-asc tie-break), the
+      // summary-merge analogue of a single-structure eviction
       val keep = buf.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.take(k)
-      val dropped = buf.size - k
       buf.clear()
       keep.foreach { case (t, ce) => buf(t) = ce }
-      val _ = dropped
     }
     buf
   }
@@ -84,12 +90,16 @@ case class SpaceSavingAgg(
     new GenericArrayData(rows.toArray[Any]): ArrayData
   }
 
+  // length-prefixed raw UTF-8 (writeUTF caps terms at 64 KB and a
+  // pathological unbroken token would kill the partial-agg exchange)
   override def serialize(buf: Buf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreach { case (t, (c, e)) =>
-      out.writeUTF(t); out.writeLong(c); out.writeLong(e)
+      val b = t.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b)
+      out.writeLong(c); out.writeLong(e)
     }
     out.flush(); bos.toByteArray
   }
@@ -99,8 +109,11 @@ case class SpaceSavingAgg(
     val n = in.readInt()
     val buf: Buf = mutable.HashMap.empty
     (0 until n).foreach { _ =>
-      val t = in.readUTF(); val c = in.readLong(); val e = in.readLong()
-      buf(t) = (c, e)
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val t = new String(b, "UTF-8")
+      buf(t) = (in.readLong(), in.readLong())
     }
     buf
   }

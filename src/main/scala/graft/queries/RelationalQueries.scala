@@ -582,17 +582,25 @@ object RelationalQueries {
     * min/max render through string casts whose formats agree across
     * engines for ints, doubles, strings, and NTZ timestamps. */
   val q76Profile: QuerySpec = {
-    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    // (name, isFloat): float/double min/max render through the
+    // DECIMAL(38,6) fixed-point spelling on BOTH sides — a plain
+    // double→string cast goes scientific at |x| ≥ 1e7 in Spark but
+    // stays positional in DuckDB (see Relational.profile)
+    val cols = Seq("o_custkey" -> false, "o_orderstatus" -> false,
+      "o_totalprice" -> true, "o_orderdate" -> false)
     QuerySpec(
       "q76_profile",
-      cols.map(c =>
+      cols.map { case (c, isFloat) =>
+        def r(e: String) =
+          if (isFloat) s"CAST(CAST($e AS DECIMAL(38,6)) AS VARCHAR)"
+          else s"CAST($e AS VARCHAR)"
         s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
            |  COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct,
-           |  CAST(MIN($c) AS VARCHAR) AS min_val,
-           |  CAST(MAX($c) AS VARCHAR) AS max_val
-           |FROM orders""".stripMargin)
-        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")) { (s, dir) =>
-      graft.operators.Relational.profile(Tables.orders(s, dir), cols)
+           |  ${r(s"MIN($c)")} AS min_val,
+           |  ${r(s"MAX($c)")} AS max_val
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")) { (s, dir) =>
+      graft.operators.Relational.profile(Tables.orders(s, dir), cols.map(_._1))
         .orderBy(col("column"))
     }
   }

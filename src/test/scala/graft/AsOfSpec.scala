@@ -101,6 +101,24 @@ class AsOfSpec extends SparkSpecBase {
     assert(out.forall(_._2 == ts("2024-01-01 11:00:00")))
   }
 
+  test("duplicate reference timestamps resolve identically in every strategy") {
+    val probe = Seq((1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 11:00:00"))).toDF("id", "t")
+    val ref = Seq((ts("2024-01-01 10:00:00"), 1.0),
+      (ts("2024-01-01 10:00:00"), 2.0)).toDF("rt", "rv")
+    val strategies = Seq(
+      "native" -> AsOfJoin.broadcastAsOf(spark, probe, ref, "t", "rt", "rv"),
+      "udf" -> AsOfJoin.udfAsOf(spark, probe, ref, "t", "rt", "rv"),
+      "window" -> AsOfJoin.unionWindowAsOf(probe, ref, "t", "rt", "rv"),
+      "range" -> AsOfJoin.rangeAsOf(probe, ref, "t", "rt", "rv", "day"))
+    strategies.foreach { case (name, df) =>
+      val m = df.select("id", "ref_val").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(m == Map(1L -> 2.0, 2L -> 2.0),
+        s"strategy $name picked $m — duplicate-ts tie must go to the highest value")
+    }
+  }
+
   test("reference side over maxRefRows fails fast instead of broadcasting") {
     val e = Tables.events(spark, sf)
     val probe = e.filter(col("event_type") === "purchase")
