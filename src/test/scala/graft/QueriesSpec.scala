@@ -10,6 +10,19 @@ class QueriesSpec extends SparkSpecBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("oracle coverage never regresses") {
+    // 67/75 as of round 2; every no-oracle query must be one of the
+    // documented hash-/seed-/sketch-dependent exceptions — a new query
+    // without an oracle needs a reason of that kind, not an omission
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val documented = Set("q19_approx_distinct", "q32_minhash_lsh",
+      "q33_simhash", "q36_cosine_lsh_topk", "q52_ivf_topk",
+      "q66_mllib_minhash", "q67_mllib_brp_topk", "q73_heavy_hitters")
+    assert(noOracle.subsetOf(documented),
+      s"undocumented oracle-less queries: ${noOracle -- documented}")
+    assert(SparkEntry.oracleSql.size >= 67)
+  }
+
   test("entry (flagship) returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
