@@ -155,13 +155,18 @@ object ProtocolQueries {
     val pRevenue = payload(
       o.groupBy(col("m")).agg(Exact.dsum(col("o_totalprice")).as("value")),
       "REVENUE")
-    // 2. ingest (S4) + 3. multiJoin into the wide frame + date parts
+    // 2. ingest (S4) + 3. multiJoin into the wide frame + date parts.
+    // `wide` fans out into three consumers below (existing, candidates,
+    // and existing again inside the anti-join) — materialize the tiny
+    // months-sized frame ONCE so the orders-scan → aggregate → to_json
+    // → re-parse chain doesn't execute per consumer.
     val wide = Relational.multiJoin(Seq(
         graft.sources.Ingest.macroSeries(s, pOrders, "ORDERS"),
         graft.sources.Ingest.macroSeries(s, pRevenue, "REVENUE")),
         Seq("date"))
       .withColumn("year", year(col("date")))
       .withColumn("month", month(col("date")))
+      .localCheckpoint()
     // 4. anti-join dedup against the already-loaded months
     val existing = wide.filter(col("date") < to_date(lit("1997-01-01")))
       .select(col("year"), col("month"),

@@ -126,7 +126,10 @@ object SimilarityQueries {
     * sphere. Seeded model → rows-only driver check; SimilaritySpec
     * holds its planted-duplicate recall to the custom tier's. */
   val q67MllibBrpTopK: QuerySpec = QuerySpec.noOracle("q67_mllib_brp_topk") { (s, dir) =>
-    val e = Tables.embeddings(s, dir)
+    // capped corpus, same rationale as q66: cross-check tier only —
+    // q36 (hyperplane LSH) and q52 (IVF) run the full table; the MLlib
+    // fit()+transform cost belongs out of the hot registry
+    val e = Tables.embeddings(s, dir).filter(col("vec_id") < 1500)
     val queries = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))

@@ -16,19 +16,36 @@ object Ingest {
 
   /** S1 — scalar-field spot payload (`daily_dag.py:48-60`: gold/oil
     * spot JSON like `{"data": {"price": ...}}` / `{"rates": {"SGD":
-    * ...}}`): nested field access, one row per payload. */
+    * ...}}`): nested field access, one row per payload. The schema is
+    * built from the field path (numeric leaf by the spot contract) so
+    * the reader never runs a schema-inference pass over the payload
+    * set — at scale that pass is a full extra read. */
   def spotPrices(spark: SparkSession, payloads: Dataset[String],
-                 fieldPath: String, asName: String): DataFrame =
-    spark.read.json(payloads).select(col(fieldPath).as(asName))
+                 fieldPath: String, asName: String): DataFrame = {
+    val leaf: DataType = DoubleType
+    val schema = fieldPath.split('.').foldRight(leaf) { (name, inner) =>
+      StructType(Seq(StructField(name, inner)))
+    }.asInstanceOf[StructType]
+    spark.read.schema(schema).json(payloads).select(col(fieldPath).as(asName))
+  }
 
   /** S4 — macro-series payload (`weekly_dag.py:367-391`: Alpha-Vantage
     * shape `{"name": ..., "data": [{"date": ..., "value": ...}]}`) →
     * tall (date, value_<NAME>) frame via explode. The reference builds
     * this with a Python loop per element; here it is one distributed
-    * explode + projection. */
+    * explode + projection. Explicit schema: no inference pass, and
+    * `value` reads as string (the API quotes its numbers; a raw JSON
+    * number token round-trips through the string column losslessly)
+    * before the cast to double. */
+  val macroSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("data", ArrayType(StructType(Seq(
+      StructField("date", StringType),
+      StructField("value", StringType)))))))
+
   def macroSeries(spark: SparkSession, payloads: Dataset[String],
                   indicator: String): DataFrame =
-    spark.read.json(payloads)
+    spark.read.schema(macroSchema).json(payloads)
       .select(explode(col("data")).as("d"))
       .select(to_date(col("d.date")).as("date"),
         col("d.value").cast("double").as(s"value_$indicator"))
