@@ -111,6 +111,13 @@ object Relational {
     require(cols.nonEmpty, "profile needs at least one column")
     import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
     val schema = df.schema
+    // caller-supplied names feed a SQL string below: backtick-quote
+    // every identifier (doubling embedded backticks) and escape the
+    // string literal, so a name with spaces/dots/quotes profiles
+    // instead of parsing as SQL of its own
+    def qid(name: String): String = "`" + name.replace("`", "``") + "`"
+    def slit(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     def render(c: Column, name: String): Column =
       schema(name).dataType match {
         case DoubleType | FloatType =>
@@ -118,13 +125,14 @@ object Relational {
         case _ => c.cast("string")
       }
     val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"${c}__nn"),
-      countDistinct(col(c)).as(s"${c}__nd"),
-      render(min(col(c)), c).as(s"${c}__min"),
-      render(max(col(c)), c).as(s"${c}__max"))) :+ count(lit(1)).as("__n")
+      count(col(qid(c))).as(s"${c}__nn"),
+      countDistinct(col(qid(c))).as(s"${c}__nd"),
+      render(min(col(qid(c))), c).as(s"${c}__min"),
+      render(max(col(qid(c))), c).as(s"${c}__max"))) :+ count(lit(1)).as("__n")
     df.agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${cols.size}, " + cols.map(c =>
-          s"'$c', __n, ${c}__nn, ${c}__nd, ${c}__min, ${c}__max")
+          s"${slit(c)}, __n, ${qid(c + "__nn")}, ${qid(c + "__nd")}, " +
+            s"${qid(c + "__min")}, ${qid(c + "__max")}")
           .mkString(", ") +
         ") AS (column, n_rows, n_nonnull, n_distinct, min_val, max_val)"))
   }

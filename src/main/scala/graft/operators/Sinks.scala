@@ -91,7 +91,10 @@ object Sinks {
       .repartition(rewriteTasks, partitionCols.map(col): _*)
       .cache()
     try {
-      if (!toRewrite.isEmpty) {
+      // count() (not isEmpty's take(1)) FULLY materializes the cache
+      // before the overwrite below: the write must never re-read the
+      // source files it is replacing mid-commit
+      if (toRewrite.count() > 0) {
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try toRewrite.write.mode(SaveMode.Overwrite)

@@ -66,19 +66,27 @@ case class SpaceSavingAgg(
   }
 
   override def merge(buf: Buf, other: Buf): Buf = {
-    other.foreach { case (t, (c, e)) =>
-      buf.get(t) match {
-        case Some((c0, e0)) => buf(t) = (c0 + c, e0 + e)
-        case None => buf(t) = (c, e)
-      }
+    // Mergeable-summaries merge (Agarwal et al., TODS 2013): a term
+    // absent from one summary may have been seen there and evicted
+    // with a count of at most that summary's minimum — so absent terms
+    // are offset by the minimum (zero for an under-filled summary,
+    // which is exact over its partition), and the offset lands in err
+    // too. This keeps `count_est ≥ true ≥ count_est − err` valid under
+    // multi-partition aggregation; the min-offset also covers terms a
+    // previous merge level trimmed, so the top-k trim below needs no
+    // extra err inflation.
+    val minBuf = if (buf.size < k) 0L else buf.valuesIterator.map(_._1).min
+    val minOther =
+      if (other.size < k) 0L else other.valuesIterator.map(_._1).min
+    val merged: Buf = mutable.HashMap.empty
+    (buf.keySet ++ other.keySet).foreach { t =>
+      val (c1, e1) = buf.getOrElse(t, (minBuf, minBuf))
+      val (c2, e2) = other.getOrElse(t, (minOther, minOther))
+      merged(t) = (c1 + c2, e1 + e2)
     }
-    if (buf.size > k) {
-      // trim back to k by estimated count (term-asc tie-break), the
-      // summary-merge analogue of a single-structure eviction
-      val keep = buf.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.take(k)
-      buf.clear()
-      keep.foreach { case (t, ce) => buf(t) = ce }
-    }
+    buf.clear()
+    merged.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.take(k)
+      .foreach { case (t, ce) => buf(t) = ce }
     buf
   }
 

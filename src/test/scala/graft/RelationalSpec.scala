@@ -20,6 +20,18 @@ class RelationalSpec extends SparkSpecBase {
     assert(!dropped.columns.contains("o_orderdate"))
   }
 
+  test("profile handles non-identifier column names (quoting, not splicing)") {
+    val df = Seq((1, "a"), (2, "b"), (2, null))
+      .toDF("weird name.v1", "it's")
+    val got = Relational.profile(df, Seq("weird name.v1", "it's"))
+      .orderBy(col("column")).collect()
+    assert(got.length == 2)
+    val byName = got.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byName("weird name.v1") == ((3L, 3L, 2L)))
+    assert(byName("it's") == ((3L, 2L, 2L)))
+  }
+
   test("renameAll is the positional bulk rename (P2)") {
     val df = Seq((1, "x")).toDF("a", "b")
     assert(Relational.renameAll(df, Seq("c1", "c2")).columns.toSeq

@@ -37,6 +37,29 @@ class SketchSpec extends SparkSpecBase {
     assert(est - err <= 300, s"lower bound ${est - err} above true 300")
   }
 
+  test("merge offsets terms missing from a full summary (mergeable summaries)") {
+    // partition A (k=2) sees x,x,y,y,z — x gets evicted by z's arrival;
+    // partition B sees one more x. A plain union-merge reports x as 1
+    // (undercount: true total is 3); the Agarwal et al. merge offsets
+    // the absent term by A's minimum count and keeps the bounds valid.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = SpaceSavingAgg(BoundReference(0, StringType, nullable = true), 2)
+    def row(t: String) = InternalRow(UTF8String.fromString(t))
+    val a = agg.createAggregationBuffer()
+    Seq("x", "x", "y", "y", "z").foreach(t => agg.update(a, row(t)))
+    assert(!a.contains("x"), "precondition: x must have been evicted from A")
+    val b = agg.createAggregationBuffer()
+    agg.update(b, row("x"))
+    val merged = agg.merge(a, b)
+    assert(merged.size <= 2)
+    val (cx, ex) = merged("x")
+    assert(cx >= 3, s"x undercounted after merge: est $cx < true 3")
+    assert(cx - ex <= 3, s"x lower bound ${cx - ex} above true 3")
+  }
+
   test("per-group aggregation: each group keeps its own summary") {
     val df = (Seq.fill(50)(("g1", "x")) ++ Seq.fill(50)(("g2", "y")))
       .toDF("g", "t")
