@@ -35,15 +35,16 @@ object Bucketing {
     // an in-memory catalog forgets tables across JVMs but their
     // managed locations persist — clear any orphan so overwrite
     // doesn't trip LOCATION_ALREADY_EXISTS (the metastore lowercases
-    // identifiers, so the location uses the lowercased name)
-    val loc = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath +
-      s"/${table.toLowerCase(java.util.Locale.ROOT)}"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(loc))
+    // identifiers, so the location uses the lowercased name). Resolved
+    // through the Hadoop FileSystem API so a non-local warehouse
+    // (hdfs://, s3a://) gets cleaned too, not silently skipped. After
+    // the DROP above no catalog table can own this managed location —
+    // only a dead-JVM leftover can.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
@@ -52,8 +53,13 @@ object Bucketing {
 
   /** Equi-join two same-bucketed tables on their bucket keys. When
     * both were written with identical (keys, numBuckets) this plans
-    * with zero Exchange operators (BucketingSpec asserts it). */
+    * with zero Exchange operators (BucketingSpec asserts it). The
+    * MERGE hint pins sort-merge regardless of the session's broadcast
+    * threshold: a broadcast would make the planner drop the bucketed
+    * scan and the zero-shuffle property with it — and at the scale
+    * bucketing targets, neither side is broadcast-able anyway. */
   def cocatedJoin(spark: SparkSession, leftTable: String,
                   rightTable: String, keys: Seq[String]): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable), keys)
+    spark.table(leftTable).hint("merge")
+      .join(spark.table(rightTable).hint("merge"), keys)
 }

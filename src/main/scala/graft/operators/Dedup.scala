@@ -224,6 +224,22 @@ object Dedup {
       .agg(count(lit(1)).as("group_size"))
       .select(col("component").as("keep"), col("group_size"))
 
+  /** The dedup APPLY step — filter the corpus to the canonical
+    * survivors [[canonicalKeepList]] names: every member of a near-dup
+    * cluster except its canonical (minimum-key) representative is
+    * dropped; documents in no cluster pass through untouched. Rather
+    * than semi-joining the corpus against keep-list ∪ untouched keys
+    * (two joins), this anti-joins against the keep-list's complement —
+    * the non-canonical members — which is duplicate-count-sized, so at
+    * corpus scale the join broadcasts and the corpus streams once. */
+  def dedupApply(corpus: DataFrame, keyCol: String, pairs: DataFrame,
+                 aCol: String, bCol: String): DataFrame = {
+    val dropList = connectedComponents(pairs, aCol, bCol)
+      .filter(col("v") =!= col("component"))
+      .select(col("v").as(keyCol))
+    corpus.join(dropList, Seq(keyCol), "left_anti")
+  }
+
   /** SimHash signature (tier 4): 64-bit bit-vote over token hashes.
     * One groupBy with 64 conditional sums, then bit assembly. */
   def simhashSignature(df: DataFrame, keyCol: String,

@@ -197,7 +197,66 @@ object DedupQueries {
       .orderBy(col("keep"))
   }
 
+  /** q77: the dedup APPLY step (`Dedup.dedupApply`, the filter stage
+    * fed by `Dedup.canonicalKeepList`'s clusters): same corpus and
+    * pair generation as q75, then the corpus is filtered to canonical
+    * survivors — non-canonical cluster members anti-joined away,
+    * untouched documents passing through. Content md5 in the output
+    * proves the full rows survive, not just the keys; the oracle
+    * spells the same filter over the recursive-closure components. */
+  val q77DedupApply: QuerySpec = QuerySpec(
+    "q77_dedup_apply",
+    """WITH RECURSIVE all_docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 60
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    substr(text, strpos(text, ' ') + 1) AS text
+      |  FROM documents WHERE doc_id < 60 AND doc_id % 2 = 0),
+      |tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+      |  FROM tok),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  JOIN counts ca ON ca.doc_id = x.doc_id
+      |  JOIN counts cb ON cb.doc_id = y.doc_id
+      |  GROUP BY 1, 2
+      |  HAVING CAST(COUNT(*) AS DOUBLE) /
+      |    CAST(ANY_VALUE(ca.n_sh) + ANY_VALUE(cb.n_sh) - COUNT(*) AS DOUBLE)
+      |    >= 0.5),
+      |und(src, dst) AS (
+      |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+      |  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM und
+      |  UNION
+      |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+      |comp AS (SELECT src AS v, MIN(dst) AS component FROM reach GROUP BY src),
+      |drops AS (SELECT v FROM comp WHERE v <> component)
+      |SELECT doc_id, md5(text) AS content_md5
+      |FROM all_docs WHERE doc_id NOT IN (SELECT v FROM drops)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("text"))
+    val nearDup = d.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val corpus = d.unionByName(nearDup)
+    val pairs = Dedup.ngramJaccardPairs(
+      corpus.filter(size(split(col("text"), " ")) >= 3),
+      "doc_id", "text", k = 3, threshold = 0.5)
+    Dedup.dedupApply(corpus, "doc_id", pairs, "a", "b")
+      .select(col("doc_id"), md5(col("text")).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash,
-    q66MllibMinhash, q75DedupClusters)
+    q66MllibMinhash, q75DedupClusters, q77DedupApply)
 }

@@ -134,14 +134,16 @@ object EventQueries {
     * to the latest preceding error event's value (a "condition at time
     * of trade" query). Reference series is small → the broadcast
     * binary-search strategy (zero shuffles); oracle is DuckDB's native
-    * ASOF JOIN. */
+    * ASOF JOIN, with duplicate ref timestamps pre-aggregated to their
+    * MAX value (the engine's tie rule — DuckDB's ASOF tie choice is
+    * arbitrary, so the oracle must be made deterministic). */
   val q45AsOf: QuerySpec = QuerySpec(
     "q45_asof_join",
     """WITH probe AS (
       |  SELECT event_id, ts, value FROM events WHERE event_type = 'purchase'),
       |ref AS (
-      |  SELECT ts AS ref_ts0, value AS ref_val0 FROM events
-      |  WHERE event_type = 'error')
+      |  SELECT ts AS ref_ts0, MAX(value) AS ref_val0 FROM events
+      |  WHERE event_type = 'error' GROUP BY 1)
       |SELECT p.event_id, p.ts, p.value,
       |  r.ref_ts0 AS ref_ts, r.ref_val0 AS ref_val
       |FROM probe p ASOF JOIN ref r ON p.ts >= r.ref_ts0
@@ -155,27 +157,40 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
-  /** q56: the same as-of semantics through the engine's custom plan
-    * node (graft.plans.AsOfJoinPlan — LogicalPlan + Strategy + Exec,
-    * custom-operator tier (c)) against the same DuckDB ASOF oracle as
-    * q45: both integration styles are held to the identical answer. */
-  val q56AsOfNative: QuerySpec = QuerySpec(
-    "q56_asof_native",
+  /** q56: KEYED as-of join through the union-window strategy
+    * (`AsOfJoin.unionWindowAsOf` with a bucketing key — the large-ref
+    * path the broadcast contract points callers to): each purchase
+    * aligned to the latest preceding error BY THE SAME USER. The
+    * window partitions on user_id, so no single-partition sort exists
+    * at any scale. (Until round 3 this slot ran the native plan node
+    * on q45's exact query — plan-identical to q45 since the node
+    * became the default; AsOfSpec still pins the 3-way strategy
+    * equivalence, and each registered as-of query now exercises a
+    * distinct strategy: q45 broadcast/native, q56 keyed union-window,
+    * q68 big-big range.) The oracle pre-aggregates duplicate (user,
+    * ts) ref rows to their MAX value — the engine's documented tie
+    * rule — because DuckDB's ASOF picks an arbitrary row among equal
+    * timestamps. */
+  val q56AsOfKeyed: QuerySpec = QuerySpec(
+    "q56_asof_keyed",
     """WITH probe AS (
-      |  SELECT event_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |  SELECT event_id, user_id, ts, value FROM events
+      |  WHERE event_type = 'purchase'),
       |ref AS (
-      |  SELECT ts AS ref_ts0, value AS ref_val0 FROM events
-      |  WHERE event_type = 'error')
-      |SELECT p.event_id, p.ts, p.value,
-      |  r.ref_ts0 AS ref_ts, r.ref_val0 AS ref_val
-      |FROM probe p ASOF JOIN ref r ON p.ts >= r.ref_ts0
+      |  SELECT user_id, ts AS rts, MAX(value) AS rv FROM events
+      |  WHERE event_type = 'error' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, p.ts, p.value,
+      |  r.rts AS ref_ts, r.rv AS ref_val
+      |FROM probe p ASOF JOIN ref r
+      |  ON p.user_id = r.user_id AND p.ts >= r.rts
       |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
     val e = Tables.events(s, dir)
     val probe = e.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("ts"), col("value"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     val ref = e.filter(col("event_type") === "error")
-      .select(col("ts").as("ref_ts0"), col("value").as("ref_val0"))
-    AsOfJoin.nativeAsOf(s, probe, ref, "ts", "ref_ts0", "ref_val0")
+      .select(col("user_id"), col("ts").as("rts"), col("value").as("rv"))
+    AsOfJoin.unionWindowAsOf(probe, ref, "ts", "rts", "rv",
+        partitionCols = Seq("user_id"))
       .orderBy(col("event_id"))
   }
 
@@ -185,14 +200,17 @@ object EventQueries {
     * (q45/q56) nor a single-partition window applies. The range-bucket
     * carry-forward strategy (AsOfJoin.rangeAsOf) windows within
     * day-buckets and stitches boundaries with per-bucket openings;
-    * the oracle is DuckDB's native ASOF JOIN over the same streams. */
+    * the oracle is DuckDB's native ASOF JOIN over the same streams,
+    * duplicate ref timestamps pre-aggregated to their MAX value (the
+    * engine's tie rule) so the match can't flap if the generator ever
+    * emits equal view timestamps. */
   val q68RangeAsOf: QuerySpec = QuerySpec(
     "q68_range_asof",
     """WITH probe AS (
       |  SELECT event_id, ts, value FROM events WHERE event_type = 'click'),
       |ref AS (
-      |  SELECT ts AS rts, value AS rv FROM events
-      |  WHERE event_type = 'view')
+      |  SELECT ts AS rts, MAX(value) AS rv FROM events
+      |  WHERE event_type = 'view' GROUP BY 1)
       |SELECT p.event_id, p.ts, p.value,
       |  r.rts AS ref_ts, r.rv AS ref_val
       |FROM probe p ASOF JOIN ref r ON p.ts >= r.rts
@@ -239,5 +257,5 @@ object EventQueries {
 
   val specs: Seq[QuerySpec] = Seq(
     q40JsonProps, q41Tumbling, q42Sliding, q43Sessions, q44DedupReplay,
-    q45AsOf, q56AsOfNative, q68RangeAsOf, q74IntervalJoin)
+    q45AsOf, q56AsOfKeyed, q68RangeAsOf, q74IntervalJoin)
 }

@@ -605,11 +605,44 @@ object RelationalQueries {
     }
   }
 
+  /** q78: the bucketed co-located join end to end (SURVEY §4 / the
+    * 100 TB shuffle-elimination tier, `Bucketing.writeBucketed` +
+    * `cocatedJoin`): orders and customer are written as same-bucketed
+    * managed tables on the join key, then joined with zero Exchange on
+    * either side (PlanAuditSpec pins the plan) and rolled up per
+    * segment. Bucketing changes the physical plan, not the answer —
+    * so the oracle states the same join relationally over the raw
+    * tables, and the full rows+schema+hash check applies. The customer
+    * side is renamed to the fact key before writing so both tables
+    * bucket-place identical key values identically. */
+  val q78BucketedJoin: QuerySpec = QuerySpec(
+    "q78_bucketed_join",
+    s"""SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_orders,
+       |  ${Exact.sqlSum("o_totalprice")} AS total_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import graft.operators.Bucketing
+    val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    Bucketing.writeBucketed(o, "graft_bkt_orders", Seq("o_custkey"), 8)
+    Bucketing.writeBucketed(c, "graft_bkt_customer", Seq("o_custkey"), 8)
+    Bucketing.cocatedJoin(s, "graft_bkt_orders", "graft_bkt_customer",
+        Seq("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.dsum(col("o_totalprice")).as("total_price"))
+      .select(col("c_mktsegment").as("mktsegment"), col("n_orders"),
+        col("total_price"))
+      .orderBy(col("mktsegment"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
     q09TopCustomersPerSegment, q10PivotPriority, q11RollupYearMonth,
     q12DistinctParts, q13SegmentBuckets, q14StringFuncs, q15ShipDelay,
     q16MonthlySpine, q17MacroSeriesJoin, q18SetOps, q19ApproxDistinct,
-    q55RangeJoin, q63CorrRegression, q64SkewJoin, q70Percentiles, q76Profile)
+    q55RangeJoin, q63CorrRegression, q64SkewJoin, q70Percentiles, q76Profile,
+    q78BucketedJoin)
 }

@@ -265,7 +265,10 @@ object TextQueries {
     val docs = Tables.documents(s, dir)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    // df derives from tf (each tf row IS a distinct (doc, term)), so the
+    // corpus is tokenized once: both consumers share the tf exchange
+    // (ReuseExchange), and the count replaces a countDistinct expand.
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))

@@ -18,29 +18,40 @@ import org.apache.spark.sql.functions._
   */
 object WindowQueries {
 
-  /** q20: rolling mean over a row frame — the 30-day moving average of
-    * SURVEY §2.5, on the supplier axis. One hash shuffle on the
-    * partition key; frames evaluate inside the partition, no further
-    * exchange. */
+  /** q20: row-frame family — the 30-day moving average of SURVEY §2.5
+    * (bounded sliding frame) AND the running total (unbounded-preceding
+    * frame, formerly its own q22 — merged round 3: same table,
+    * partition key, and ordering, so two registry slots bought one
+    * shuffle's worth of coverage; as two measures over one window spec
+    * both frame kinds still verify, in one pass). */
   val q20MovingAvg: QuerySpec = QuerySpec(
     "q20_moving_avg",
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
-      |    / CAST(COUNT(*) OVER w AS DOUBLE) AS mov_avg_price
+      |    / CAST(COUNT(*) OVER w AS DOUBLE) AS mov_avg_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER cum AS DOUBLE)
+      |    AS cum_qty
       |FROM lineitem
       |WHERE l_suppkey <= 3
       |WINDOW w AS (PARTITION BY l_suppkey
       |  ORDER BY l_shipdate, l_orderkey, l_linenumber
-      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+      |cum AS (PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
       .rowsBetween(-6, Window.currentRow)
+    val cum = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, dir)
       .filter(col("l_suppkey") <= 3)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         (sum(col("l_extendedprice").cast("decimal(18,4)")).over(w).cast("double")
-          / count(lit(1)).over(w).cast("double")).as("mov_avg_price"))
+          / count(lit(1)).over(w).cast("double")).as("mov_avg_price"),
+        sum(col("l_quantity").cast("decimal(18,4)")).over(cum).cast("double")
+          .as("cum_qty"))
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
@@ -64,29 +75,6 @@ object WindowQueries {
         (col("o_totalprice") / lag(col("o_totalprice"), 1).over(w) - 1)
           .as("pct_change"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
-  }
-
-  /** q22: cumulative volume (SURVEY §2.5's running total) — unbounded
-    * preceding frame, exact decimal running sum. */
-  val q22CumulativeVolume: QuerySpec = QuerySpec(
-    "q22_cumulative_volume",
-    """SELECT l_suppkey, l_orderkey, l_linenumber,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) AS cum_qty
-      |FROM lineitem
-      |WHERE l_suppkey <= 3
-      |WINDOW w AS (PARTITION BY l_suppkey
-      |  ORDER BY l_shipdate, l_orderkey, l_linenumber
-      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.lineitem(s, dir)
-      .filter(col("l_suppkey") <= 3)
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        sum(col("l_quantity").cast("decimal(18,4)")).over(w).cast("double")
-          .as("cum_qty"))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
   /** q23: ranking family (rank / dense_rank) — price ranking within
@@ -227,7 +215,7 @@ object WindowQueries {
   }
 
   val specs: Seq[QuerySpec] = Seq(
-    q20MovingAvg, q21OrderDeltas, q22CumulativeVolume, q23RankParts,
+    q20MovingAvg, q21OrderDeltas, q23RankParts,
     q24BalanceQuartiles, q25FirstLast, q53RangeWindow, q54GroupingSets,
     q58Distribution)
 }

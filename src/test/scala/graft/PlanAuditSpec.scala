@@ -44,9 +44,28 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(planOf("q08_top_orders").contains("TakeOrderedAndProject"))
   }
 
-  test("as-of queries run on the custom exec node") {
+  test("q45 as-of runs on the custom exec node") {
     assert(planOf("q45_asof_join").contains("AsOfJoin"))
-    assert(planOf("q56_asof_native").contains("AsOfJoin"))
+  }
+
+  test("q56 keyed as-of partitions its window — no single-partition sort") {
+    val plan = planOf("q56_asof_keyed")
+    assert(plan.contains("Window"), s"expected a window plan:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"keyed union-window as-of must not serialize:\n$plan")
+  }
+
+  test("q78 bucketed join plans zero Exchange on either join input") {
+    // run the registered query once so the bucketed tables exist, then
+    // audit the join subtree itself (the registered query appends an
+    // aggregate whose own shuffle is expected and fine)
+    Queries.byName("q78_bucketed_join").run(spark, sf).count()
+    val joined = graft.operators.Bucketing.cocatedJoin(spark,
+      "graft_bkt_orders", "graft_bkt_customer", Seq("o_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed co-located join should not shuffle, got:\n$plan")
   }
 
   test("q37 exact near-dup is grid equi-joined") {
