@@ -160,6 +160,40 @@ object Relational {
           .otherwise("unchanged").as("change"): _*)
   }
 
+  /** CDC APPLY (the inverse of [[snapshotDiff]] — the merge a change
+    * feed needs to land in a warehouse table): fold a stream of keyed
+    * insert/update/delete change rows into a base snapshot, latest
+    * change per key winning. `changes` carries the base schema plus
+    * `opCol` ('I'/'U'/'D') and a monotonically increasing `seqCol`
+    * (commit version / log offset) that totally orders changes to the
+    * same key.
+    *
+    * Shape at scale: one window over `changes` (partitioned by key —
+    * change feeds are small relative to the base), then ONE anti-join
+    * of the base against touched keys (broadcastable: change-feed
+    * sized) and a union of the surviving change rows. The base table
+    * streams through exactly once, no shuffle on the base side when
+    * the anti-join broadcasts. */
+  def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                   opCol: String, seqCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "applyChanges needs at least one key column")
+    val dataCols = base.columns.toSeq
+    require(
+      changes.columns.toSet == (dataCols.toSet + opCol + seqCol),
+      s"changes must carry the base schema plus $opCol and $seqCol")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol)) // op tie-break: D < I < U
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val untouched =
+      base.join(latest.select(keys.map(col): _*), keys, "left_anti")
+    val applied = latest.filter(col(opCol) =!= "D")
+      .select(dataCols.map(col): _*)
+    untouched.unionByName(applied)
+  }
+
   /** Top-k per group (SURVEY §2.6 ★) via row_number — the scalable
     * pattern (no global sort; one hash-partitioned window). */
   def topKPerGroup(df: DataFrame, partitionCols: Seq[Column],

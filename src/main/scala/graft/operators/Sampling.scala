@@ -29,6 +29,29 @@ object Sampling {
                           permille: Int): DataFrame =
     df.filter(bucket(keyCol) < permille)
 
+  /** Deterministic train/val/test split (training-data pipeline ★):
+    * tag every row with its split by hash bucket. The split is a pure
+    * function of the key, so it is stable across re-runs, engines, and
+    * partitionings, rows never migrate between splits as the corpus
+    * grows (bucket membership doesn't depend on other rows), and a
+    * later pipeline stage can recompute membership from the key alone
+    * instead of joining a split table. Remaining buckets are "test". */
+  def hashSplit(df: DataFrame, keyCol: String, splitCol: String,
+                trainPermille: Int, valPermille: Int): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000, "permilles must fit in 1000")
+    df.withColumn(splitCol,
+      when(bucket(keyCol) < trainPermille, "train")
+        .when(bucket(keyCol) < trainPermille + valPermille, "val")
+        .otherwise("test"))
+  }
+
+  /** The oracle spelling of [[hashSplit]]'s tag. */
+  def sqlSplit(keyExpr: String, trainPermille: Int, valPermille: Int): String =
+    s"CASE WHEN ${sqlBucket(keyExpr)} < $trainPermille THEN 'train' " +
+      s"WHEN ${sqlBucket(keyExpr)} < ${trainPermille + valPermille} " +
+      s"THEN 'val' ELSE 'test' END"
+
   /** Stratified variant: a per-stratum permille map (strata absent
     * from the map keep `defaultPermille`). */
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,

@@ -275,6 +275,69 @@ object ProtocolQueries {
       .orderBy(col("change"))
   }
 
+  /** q80: CDC APPLY (`Relational.applyChanges` — the merge that lands
+    * q71's change feed back into a table): a base snapshot of orders
+    * folds in a deterministic change feed — price updates (seq 1),
+    * then deletes of a subset of the same keys (seq 2, so latest-wins
+    * must pick the delete over the update), plus inserts of brand-new
+    * keys. The oracle spells the same latest-change-per-key window +
+    * anti + union relationally; the per-status rollup hashes counts
+    * and exact sums, so a row that survived wrongly, died wrongly, or
+    * applied the wrong version shifts the aggregate. */
+  val q80CdcApply: QuerySpec = QuerySpec(
+    "q80_cdc_apply",
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey < 3000),
+       |changes AS (
+       |  SELECT o_orderkey, o_orderstatus,
+       |    o_totalprice + 100.0 AS o_totalprice, 'U' AS op, 1 AS seq
+       |  FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 7 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'D' AS op, 2 AS seq
+       |  FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 14 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey + 1000000 AS o_orderkey, 'N' AS o_orderstatus,
+       |    o_totalprice, 'I' AS op, 1 AS seq
+       |  FROM orders WHERE o_orderkey < 3000 AND o_orderkey % 13 = 0),
+       |latest AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY o_orderkey ORDER BY seq DESC, op) AS rn
+       |    FROM changes) WHERE rn = 1),
+       |merged AS (
+       |  SELECT b.* FROM base b
+       |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+       |  UNION ALL
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest
+       |  WHERE op <> 'D')
+       |SELECT o_orderstatus AS status, COUNT(*) AS n,
+       |  ${Exact.sqlSum("o_totalprice")} AS total_price,
+       |  MAX(o_orderkey) AS max_key
+       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 3000)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val updates = o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      .withColumn("op", lit("U")).withColumn("seq", lit(1))
+    val deletes = o.filter(col("o_orderkey") % 14 === 0)
+      .withColumn("op", lit("D")).withColumn("seq", lit(2))
+    val inserts = o.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000)
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("op", lit("I")).withColumn("seq", lit(1))
+    val changes = updates.unionByName(deletes).unionByName(inserts)
+    Relational.applyChanges(o, changes, Seq("o_orderkey"), "op", "seq")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        Exact.dsum(col("o_totalprice")).as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .select(col("o_orderstatus").as("status"), col("n"),
+        col("total_price"), col("max_key"))
+      .orderBy(col("status"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q48DedupAppend, q49UpsertPartition,
-    q65Lifecycle, q69KvScrapePivot, q71SnapshotDiff)
+    q65Lifecycle, q69KvScrapePivot, q71SnapshotDiff, q80CdcApply)
 }

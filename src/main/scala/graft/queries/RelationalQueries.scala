@@ -637,6 +637,66 @@ object RelationalQueries {
       .orderBy(col("mktsegment"))
   }
 
+  /** q79: Bloom-pruned semi join (`BloomJoin.bloomSemiJoin` — the
+    * manual runtime-filter: a megabyte Bloom summary of the build
+    * side's keys drops probe rows at the SCAN, before the shuffle, and
+    * the exact semi join settles the survivors). False positives never
+    * reach the result, so the oracle is the plain IN-subquery — full
+    * rows+schema+hash applies. PlanAuditSpec pins the codegen'd
+    * `bloom_might_contain` predicate into the probe-side scan filter. */
+  val q79BloomSemiJoin: QuerySpec = QuerySpec(
+    "q79_bloom_semi_join",
+    s"""SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+       |  ${Exact.sqlSum("o_totalprice")} AS total_price
+       |FROM orders
+       |WHERE o_custkey IN (
+       |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import graft.operators.BloomJoin
+    val probe = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+    val build = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    BloomJoin.bloomSemiJoin(probe, build, "o_custkey", "c_custkey",
+        expectedItems = 100000, fpp = 0.01)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.dsum(col("o_totalprice")).as("total_price"))
+      .select(col("o_orderpriority").as("priority"), col("n_orders"),
+        col("total_price"))
+      .orderBy(col("priority"))
+  }
+
+  /** q81: Z-ordered layout end to end (`Layout.writeZOrdered` — Morton
+    * interleave of (o_custkey, o_totalprice) so footer min/max bound a
+    * BOX per file and a predicate on either or both dimensions prunes;
+    * LayoutSpec measures the pruning against the linear layout). The
+    * layout changes which files a filter touches, never the answer —
+    * the oracle runs the same box filter over the raw table. */
+  val q81ZOrderedScan: QuerySpec = QuerySpec(
+    "q81_zordered_scan",
+    s"""SELECT COUNT(*) AS n,
+       |  ${Exact.sqlSum("o_totalprice")} AS total_price,
+       |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+       |FROM orders
+       |WHERE o_custkey BETWEEN 1000 AND 2000
+       |  AND o_totalprice BETWEEN 50000 AND 150000""".stripMargin) { (s, dir) =>
+    import graft.operators.Layout
+    val path = System.getProperty("java.io.tmpdir") + "/graft_zorder_orders"
+    Layout.writeZOrdered(
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      path, Seq("o_custkey", "o_totalprice"), numFiles = 16)
+    s.read.parquet(path)
+      .filter(col("o_custkey").between(1000, 2000) &&
+        col("o_totalprice").between(50000, 150000))
+      .agg(count(lit(1)).as("n"),
+        Exact.dsum(col("o_totalprice")).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
@@ -644,5 +704,5 @@ object RelationalQueries {
     q12DistinctParts, q13SegmentBuckets, q14StringFuncs, q15ShipDelay,
     q16MonthlySpine, q17MacroSeriesJoin, q18SetOps, q19ApproxDistinct,
     q55RangeJoin, q63CorrRegression, q64SkewJoin, q70Percentiles, q76Profile,
-    q78BucketedJoin)
+    q78BucketedJoin, q79BloomSemiJoin, q81ZOrderedScan)
 }

@@ -351,8 +351,32 @@ object TextQueries {
         .orderBy(col("source"), col("rank"))
     }
 
+  /** q82: deterministic train/val/test split (`Sampling.hashSplit`,
+    * training-data pipeline ★): every document tagged 80/10/10 by a
+    * pure hash of its key — stable across re-runs, engines, and corpus
+    * growth. The oracle recomputes the same md5-derived bucket in SQL;
+    * per-split doc counts, char volume, and an id-checksum pin the
+    * exact membership, not just the rates. */
+  val q82HashSplit: QuerySpec = QuerySpec(
+    "q82_hash_split",
+    s"""SELECT ${graft.operators.Sampling.sqlSplit("doc_id", 800, 100)}
+       |    AS split,
+       |  COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       |  SUM(doc_id) AS id_checksum
+       |FROM documents
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.operators.Sampling.hashSplit(
+        Tables.documents(s, dir), "doc_id", "split",
+        trainPermille = 800, valPermille = 100)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("split"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
-    q61Vocabulary, q62TfIdf, q72Chunking, q73HeavyHitters)
+    q61Vocabulary, q62TfIdf, q72Chunking, q73HeavyHitters, q82HashSplit)
 }

@@ -68,6 +68,12 @@ class PlanAuditSpec extends SparkSpecBase {
       s"bucketed co-located join should not shuffle, got:\n$plan")
   }
 
+  test("q79 bloom predicate sits codegen'd on the probe side") {
+    val plan = planOf("q79_bloom_semi_join")
+    assert(plan.contains("bloom_might_contain"),
+      s"bloom pre-filter missing from the probe scan:\n$plan")
+  }
+
   test("q37 exact near-dup is grid equi-joined") {
     val plan = planOf("q37_cosine_neardup")
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")

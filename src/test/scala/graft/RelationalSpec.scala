@@ -32,6 +32,21 @@ class RelationalSpec extends SparkSpecBase {
     assert(byName("it's") == ((3L, 2L, 2L)))
   }
 
+  test("applyChanges folds a change feed with latest-change-per-key wins") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val changes = Seq(
+      (2L, "b", 25.0, "U", 1),  // update applies
+      (3L, "c", 35.0, "U", 1),  // ...but the later delete wins on key 3
+      (3L, "c", 30.0, "D", 2),
+      (4L, "d", 40.0, "I", 1),  // brand-new key
+      (4L, "d", 41.0, "U", 2))  // updated in the same feed: 41 wins
+      .toDF("k", "s", "v", "op", "seq")
+    val got = Relational.applyChanges(base, changes, Seq("k"), "op", "seq")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 25.0, 4L -> 41.0))
+  }
+
   test("renameAll is the positional bulk rename (P2)") {
     val df = Seq((1, "x")).toDF("a", "b")
     assert(Relational.renameAll(df, Seq("c1", "c2")).columns.toSeq

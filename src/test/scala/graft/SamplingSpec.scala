@@ -16,6 +16,25 @@ class SamplingSpec extends SparkSpecBase {
     assert(rate > 0.2 && rate < 0.4, s"rate $rate far from 0.3")
   }
 
+  test("hashSplit partitions the corpus deterministically, ~80/10/10") {
+    val d = Tables.documents(spark, sf)
+    val tagged = Sampling.hashSplit(d, "doc_id", "split", 800, 100)
+    // a partition: every row tagged exactly once, none lost
+    assert(tagged.count() == d.count())
+    val byTag = tagged.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTag.keySet == Set("train", "val", "test"))
+    val n = d.count().toDouble
+    assert(byTag("train") / n > 0.7 && byTag("train") / n < 0.9)
+    // membership is a pure function of the key — partitioning-invariant
+    val t1 = tagged.filter(col("split") === "val")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val t2 = Sampling.hashSplit(d.repartition(7), "doc_id", "split", 800, 100)
+      .filter(col("split") === "val")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(t1 == t2, "val membership must be invariant to partitioning")
+  }
+
   test("stratified sample honors per-stratum rates") {
     val d = Tables.documents(spark, sf)
     val sampled = Sampling.stratifiedSample(d, "doc_id", "lang",
