@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Partial-aggregate maintenance (SURVEY §2.10's incremental-load
+  * protocol applied to AGGREGATES): at 100 TB you never re-aggregate
+  * history — you keep associative partial state (sum, count) at a fine
+  * grain and re-aggregate THAT. A month's rollup over a year of data
+  * reads 365 partial rows per key instead of billions of facts, and a
+  * late-arriving day only rewrites its own partial (pairs with
+  * `Sinks.upsertPartitions` for the landing step).
+  *
+  * Only algebraic state lives here — sum/count/min/max compose
+  * losslessly across grains (avg derives as sum/count at read time;
+  * storing avg itself would not merge). Distinct counts need a sketch
+  * (HLL / `SpaceSavingAgg`) instead; that's deliberate — the partial
+  * table's contract is that coarse answers from partials are EXACTLY
+  * the answers from raw data, which q84's oracle checks.
+  */
+object Rollups {
+
+  /** Fine-grain partial state: one row per (bucket, keys) carrying the
+    * associative pieces. `grain` is any `date_trunc` unit. Sums are
+    * decimal-exact so re-aggregation order can't perturb them. */
+  def partials(df: DataFrame, timeCol: String, grain: String,
+               keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(date_trunc(grain, col(timeCol)).as("bucket") +:
+        keys.map(col): _*)
+      .agg(
+        sum(col(valueCol).cast(DecimalType(18, 4))).as("psum"),
+        count(col(valueCol)).as("pcount"),
+        min(col(valueCol)).as("pmin"),
+        max(col(valueCol)).as("pmax"))
+
+  /** Re-aggregate partial state to a coarser grain — the only pass a
+    * scheduled rollup runs. Touches partials only, never raw facts. */
+  def reaggregate(partialsDf: DataFrame, coarserGrain: String,
+                  keys: Seq[String]): DataFrame =
+    partialsDf
+      .groupBy(date_trunc(coarserGrain, col("bucket")).as("bucket") +:
+        keys.map(col): _*)
+      .agg(
+        sum(col("psum")).as("psum"),
+        sum(col("pcount")).as("pcount"),
+        min(col("pmin")).as("pmin"),
+        max(col("pmax")).as("pmax"))
+}

@@ -338,6 +338,36 @@ object ProtocolQueries {
       .orderBy(col("status"))
   }
 
+  /** q84: partial-aggregate maintenance (`Rollups.partials` →
+    * `Rollups.reaggregate` — the never-re-aggregate-history protocol):
+    * daily (sum, count, min, max) state per priority rolls up to
+    * monthly by re-aggregating the PARTIALS only. The oracle computes
+    * the monthly answer directly from raw facts — the whole point is
+    * that the two are exactly equal (decimal-exact partial sums make
+    * re-aggregation order immaterial). */
+  val q84RollupMaintenance: QuerySpec = QuerySpec(
+    "q84_rollup_maintenance",
+    s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+       |  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month,
+       |  o_orderpriority AS priority, COUNT(o_totalprice) AS n,
+       |  ${Exact.sqlSum("o_totalprice")} AS total,
+       |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+       |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) {
+    (s, dir) =>
+      import graft.operators.Rollups
+      val daily = Rollups.partials(Tables.orders(s, dir), "o_orderdate",
+        "day", Seq("o_orderpriority"), "o_totalprice")
+      Rollups.reaggregate(daily, "month", Seq("o_orderpriority"))
+        .select(year(col("bucket")).as("year"),
+          month(col("bucket")).as("month"),
+          col("o_orderpriority").as("priority"),
+          col("pcount").as("n"),
+          col("psum").cast("double").as("total"),
+          col("pmin").as("min_price"), col("pmax").as("max_price"))
+        .orderBy(col("year"), col("month"), col("priority"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q48DedupAppend, q49UpsertPartition,
-    q65Lifecycle, q69KvScrapePivot, q71SnapshotDiff, q80CdcApply)
+    q65Lifecycle, q69KvScrapePivot, q71SnapshotDiff, q80CdcApply,
+    q84RollupMaintenance)
 }

@@ -138,6 +138,41 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** q83: scalar int8 quantization (`Quantize.int8` — the storage tier
+    * of similarity search: 4 bytes/dim → 1): per-vector min/max codes,
+    * pure Column transform, no shuffle. The oracle recomputes the same
+    * arithmetic in DuckDB and the md5 of the joined code list pins the
+    * EXACT code vector (integer codes, so no float-rendering hazard);
+    * QuantizeSpec carries the reconstruction-error bound. */
+  val q83Quantize: QuerySpec = QuerySpec(
+    "q83_quantize_int8",
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    CAST(list_min(embedding) AS DOUBLE) AS vmin,
+      |    (CAST(list_max(embedding) AS DOUBLE)
+      |      - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale,
+      |    embedding
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT vec_id,
+      |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+      |         ELSE list_transform(embedding, x ->
+      |           CAST(round((CAST(x AS DOUBLE) - vmin) / scale) AS INTEGER))
+      |    END AS codes
+      |  FROM q)
+      |SELECT vec_id, md5(array_to_string(codes, ',')) AS codes_md5,
+      |  CAST(list_reduce(codes, (a, b) -> a + b) AS BIGINT) AS code_sum
+      |FROM c ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    import graft.operators.Quantize
+    Quantize.int8(Tables.embeddings(s, dir), "embedding")
+      .select(col("vec_id"),
+        md5(array_join(col("codes"), ",")).as("codes_md5"),
+        aggregate(col("codes"), lit(0L),
+          (acc, c) => acc + c.cast("long")).as("code_sum"))
+      .orderBy(col("vec_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
-    q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK)
+    q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
+    q83Quantize)
 }

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Rollups
+import org.apache.spark.sql.functions._
+
+/** The partial-aggregate contract: answers from partials are EXACTLY
+  * the answers from raw facts, at any coarser grain, and partials
+  * merge — a late day folds in by re-aggregating state, never facts. */
+class RollupsSpec extends SparkSpecBase {
+
+  private def orders = Tables.orders(spark, sf)
+
+  test("yearly rollup from daily partials equals the direct aggregate") {
+    val daily = Rollups.partials(orders, "o_orderdate", "day",
+      Seq("o_orderpriority"), "o_totalprice")
+    val fromPartials = Rollups.reaggregate(daily, "year",
+        Seq("o_orderpriority"))
+      .select(col("bucket"), col("o_orderpriority"), col("pcount"),
+        col("psum").cast("double").as("total"), col("pmin"), col("pmax"))
+    val direct = orders
+      .groupBy(date_trunc("year", col("o_orderdate")).as("bucket"),
+        col("o_orderpriority"))
+      .agg(count(col("o_totalprice")).as("pcount"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+          .as("total"),
+        min(col("o_totalprice")).as("pmin"),
+        max(col("o_totalprice")).as("pmax"))
+      .select(col("bucket"), col("o_orderpriority"), col("pcount"),
+        col("total"), col("pmin"), col("pmax"))
+    assertBagEqual(fromPartials, direct)
+  }
+
+  test("partials merge: a late day's state folds in by re-aggregation") {
+    val lateDay = orders.agg(max(col("o_orderdate"))).head().get(0)
+    val early = orders.filter(col("o_orderdate") < lit(lateDay))
+    val late = orders.filter(col("o_orderdate") >= lit(lateDay))
+    assert(late.count() > 0, "fixture needs a non-empty late slice")
+    val merged = Rollups.reaggregate(
+      Rollups.partials(early, "o_orderdate", "day", Nil, "o_totalprice")
+        .unionByName(
+          Rollups.partials(late, "o_orderdate", "day", Nil, "o_totalprice")),
+      "day", Nil)
+    val full = Rollups.partials(orders, "o_orderdate", "day", Nil,
+      "o_totalprice")
+    assertBagEqual(merged, full)
+  }
+}

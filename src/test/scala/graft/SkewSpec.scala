@@ -17,4 +17,50 @@ class SkewSpec extends SparkSpecBase {
     val salted = Skew.saltedJoin(li, sup, Seq("s_suppkey"), saltBuckets = 8)
     assertBagEqual(salted.select(plain.columns.map(col): _*), plain)
   }
+
+  test("AQE splits a skewed sort-merge partition at runtime (skew=true)") {
+    // The zero-code path for skew at scale: AQE re-plans the join from
+    // runtime shuffle stats. Thresholds here are shrunk so the ~90%-hot
+    // key trips the same detection a hot key trips at 100 TB defaults;
+    // salting (above) remains the fallback where AQE can't see skew
+    // (e.g. skewed aggregations).
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val hot = spark.range(60000).select(lit(1L).as("k"),
+        concat(lit("x"), col("id").cast("string")).as("payload"))
+      val cold = spark.range(2000)
+        .select((col("id") % 64 + 2).as("k"), col("id").as("payload2"))
+      val left = hot.unionByName(
+        cold.select(col("k"), col("payload2").cast("string").as("payload")))
+      val right = spark.range(65).select(col("id").as("k"),
+        col("id").cast("string").as("name"))
+      val joined = left.join(right, Seq("k"))
+      // run THIS QueryExecution (count() would plan its own) so the
+      // adaptive plan finalizes before we inspect it
+      joined.queryExecution.toRdd.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
