@@ -160,6 +160,34 @@ object Relational {
           .otherwise("unchanged").as("change"): _*)
   }
 
+  /** Forward fill (last observation carried forward — the gap-repair
+    * pass a sparse time series needs before joins or training): each
+    * null in `valueCols` takes the latest preceding non-null within
+    * its key group. One hash shuffle on the keys; the running frame
+    * evaluates inside each partition with no further exchange — the
+    * same scale shape as every window here. The ordering must be made
+    * total (pass a tie-breaker) or fills on tied timestamps are
+    * nondeterministic. */
+  def fillForward(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                  valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Wide → tall melt (the inverse of the R1 pivot): one output row
+    * per (id row, value column). Spark's native `unpivot` — an Expand
+    * under the hood, shuffle-free and codegen'd; the value columns
+    * must share a type (cast before calling). */
+  def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+           varName: String, valueName: String): DataFrame =
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+      varName, valueName)
+
   /** CDC APPLY (the inverse of [[snapshotDiff]] — the merge a change
     * feed needs to land in a warehouse table): fold a stream of keyed
     * insert/update/delete change rows into a base snapshot, latest

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QuerySpec, Tables}
 import graft.functions.Exact
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, Relational}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -255,7 +255,36 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** q85: forward fill (`Relational.fillForward` — last observation
+    * carried forward per user): click rows get their value blanked,
+    * then repaired from the latest preceding non-null event of the
+    * same user. Ordering is made total with the event_id tie-breaker,
+    * so the filled series — and the hash — is deterministic; the
+    * oracle is DuckDB's `last_value(... IGNORE NULLS)` over the same
+    * running frame. */
+  val q85FillForward: QuerySpec = QuerySpec(
+    "q85_fill_forward",
+    """WITH src AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+      |  FROM events WHERE user_id < 100)
+      |SELECT event_id, user_id,
+      |  last_value(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM src ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val src = Tables.events(s, dir)
+      .filter(col("user_id") < 100)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "click", lit(null))
+          .otherwise(col("value")).as("v"))
+    Relational.fillForward(src, Seq("user_id"), Seq("ts", "event_id"),
+        Seq("v"))
+      .select(col("event_id"), col("user_id"), col("v").as("filled"))
+      .orderBy(col("event_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q40JsonProps, q41Tumbling, q42Sliding, q43Sessions, q44DedupReplay,
-    q45AsOf, q56AsOfKeyed, q68RangeAsOf, q74IntervalJoin)
+    q45AsOf, q56AsOfKeyed, q68RangeAsOf, q74IntervalJoin, q85FillForward)
 }

@@ -697,6 +697,30 @@ object RelationalQueries {
         max(col("o_orderkey")).as("max_key"))
   }
 
+  /** q86: wide → tall melt (`Relational.melt`, the inverse of the R1
+    * pivot — Spark's native unpivot, an Expand: shuffle-free and
+    * codegen'd). Value columns are cast to a shared double type on
+    * both sides; the oracle is DuckDB's UNPIVOT, which emits the same
+    * (column-name, value) pairs. */
+  val q86Melt: QuerySpec = QuerySpec(
+    "q86_melt",
+    """SELECT c_custkey, metric, val
+      |FROM (
+      |  SELECT c_custkey, c_acctbal AS acctbal,
+      |    CAST(c_nationkey AS DOUBLE) AS nationkey
+      |  FROM customer WHERE c_custkey < 100)
+      |UNPIVOT (val FOR metric IN (acctbal, nationkey))
+      |ORDER BY c_custkey, metric""".stripMargin) { (s, dir) =>
+    Relational.melt(
+        Tables.customer(s, dir)
+          .filter(col("c_custkey") < 100)
+          .select(col("c_custkey"), col("c_acctbal").as("acctbal"),
+            col("c_nationkey").cast("double").as("nationkey")),
+        idCols = Seq("c_custkey"), valueCols = Seq("acctbal", "nationkey"),
+        varName = "metric", valueName = "val")
+      .orderBy(col("c_custkey"), col("metric"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
@@ -704,5 +728,5 @@ object RelationalQueries {
     q12DistinctParts, q13SegmentBuckets, q14StringFuncs, q15ShipDelay,
     q16MonthlySpine, q17MacroSeriesJoin, q18SetOps, q19ApproxDistinct,
     q55RangeJoin, q63CorrRegression, q64SkewJoin, q70Percentiles, q76Profile,
-    q78BucketedJoin, q79BloomSemiJoin, q81ZOrderedScan)
+    q78BucketedJoin, q79BloomSemiJoin, q81ZOrderedScan, q86Melt)
 }

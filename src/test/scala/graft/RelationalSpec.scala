@@ -47,6 +47,28 @@ class RelationalSpec extends SparkSpecBase {
     assert(got == Map(1L -> 10.0, 2L -> 25.0, 4L -> 41.0))
   }
 
+  test("fillForward repairs gaps; leading nulls stay null; keys isolate") {
+    val df = Seq(
+      ("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, None),
+      ("a", 4, Some(40.0)), ("b", 1, None), ("b", 2, Some(5.0)))
+      .toDF("k", "t", "v")
+    val got = Relational.fillForward(df, Seq("k"), Seq("t"), Seq("v"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(got(("a", 2)).contains(10.0) && got(("a", 3)).contains(10.0))
+    assert(got(("a", 4)).contains(40.0))
+    assert(got(("b", 1)).isEmpty, "no preceding value — must stay null")
+    assert(got(("b", 2)).contains(5.0), "fill must not cross key groups")
+  }
+
+  test("melt is the inverse of pivot on its id/value columns") {
+    val wide = Seq((1L, 2.0, 3.0), (2L, 4.0, 5.0)).toDF("id", "a", "b")
+    val tall = Relational.melt(wide, Seq("id"), Seq("a", "b"), "m", "v")
+    assert(tall.columns.toSeq == Seq("id", "m", "v"))
+    val back = tall.groupBy("id").pivot("m", Seq("a", "b")).agg(first("v"))
+    assertBagEqual(back, wide)
+  }
+
   test("renameAll is the positional bulk rename (P2)") {
     val df = Seq((1, "x")).toDF("a", "b")
     assert(Relational.renameAll(df, Seq("c1", "c2")).columns.toSeq
