@@ -6,10 +6,12 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (north-star ★): media as opaque BINARY
   * columns with typed metadata, decoded/feature-extracted per
-  * partition. The decode kernel itself is STUBBED (this container has
-  * no image/audio codecs — see `fakeDecode`); everything around it —
-  * schema, batching, partitioning, output contract — is real and
-  * tested (MultimodalSpec).
+  * partition. The metadata tier is REAL — `imageHeaderFeatures` parses
+  * actual PNG/GIF/BMP/JPEG container bytes via the codegen'd
+  * `plans.ImageMeta` expression (q87 oracle + ImageHeaderSpec). Only
+  * the PIXEL-level kernel is stubbed (this container has no codecs —
+  * see `fakeDecode`); everything around it — schema, batching,
+  * partitioning, output contract — is real and tested (MultimodalSpec).
   *
   * Scale design: decode runs inside `mapPartitions`, so each executor
   * core streams its partition through the (native) codec without
@@ -59,6 +61,41 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("media"),
       struct(lit("text/plain").as("mime"), col("lang").as("lang"),
         col("n_chars").as("n_chars")).as("meta"))
+
+  /** Synthesizes REAL image-container bytes (PNG / GIF / JPEG headers
+    * with document-derived dimensions) in pure Column arithmetic —
+    * `format_string` renders field hex, `unhex` packs it. The payload
+    * bodies are header-only; that is exactly the point: the metadata
+    * tier below never reads past the header anyway. */
+  def synthImageTable(documents: DataFrame): DataFrame = {
+    val w = (col("n_chars") % 640 + 1).cast("int")
+    val h = (col("doc_id") % 480 + 1).cast("int")
+    val be32 = (v: org.apache.spark.sql.Column) => format_string("%08x", v)
+    val be16 = (v: org.apache.spark.sql.Column) => format_string("%04x", v)
+    val le16 = (v: org.apache.spark.sql.Column) =>
+      format_string("%02x%02x", v % 256, (v / 256).cast("int"))
+    val png = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      be32(w), be32(h), lit("0806000000"))
+    val gif = concat(lit("474946383961"), le16(w), le16(h), lit("00"))
+    val jpeg = concat(
+      lit("FFD8" + "FFE000104A46494600010100000100010000" + "FFC00011" + "08"),
+      be16(h), be16(w), lit("03011100021101031101"))
+    documents.select(col("doc_id"),
+      unhex(when(col("doc_id") % 3 === 0, png)
+        .when(col("doc_id") % 3 === 1, gif)
+        .otherwise(jpeg)).as("media"))
+  }
+
+  /** Header-tier decode (the REAL one — see `plans.ImageHeaders`):
+    * `(format, width, height)` from leading container bytes, as a
+    * codegen'd scalar expression. Unrecognized payloads come back
+    * null-metadata, kept for the caller to quarantine. */
+  def imageHeaderFeatures(media: DataFrame, idCol: String,
+                          mediaCol: String): DataFrame =
+    media
+      .select(col(idCol), graft.plans.ImageMeta(col(mediaCol)).as("img"))
+      .select(col(idCol), col("img.format").as("format"),
+        col("img.width").as("width"), col("img.height").as("height"))
 
   /** Frame sampling over an opaque binary payload (the video-style
     * operator of the north star): a `frameSize`-byte window every

@@ -73,5 +73,28 @@ object MultimodalQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(q50MediaStats, q57FrameSample)
+  /** q87: image header decode (`plans.ImageHeaders` via
+    * `Multimodal.imageHeaderFeatures` — the REAL metadata tier): the
+    * corpus synthesizes genuine PNG/GIF/JPEG container bytes with
+    * document-derived dimensions, and the engine must parse them BACK
+    * out of the raw bytes (fixed-offset reads for PNG/GIF, a marker
+    * walk for JPEG). The oracle states the dimension formulas directly
+    * — so any endianness, offset, or marker-walk mistake in the parser
+    * breaks the hash match. */
+  val q87ImageHeaders: QuerySpec = QuerySpec(
+    "q87_image_headers",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |       WHEN doc_id % 3 = 1 THEN 'gif' ELSE 'jpeg' END AS format,
+      |  CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+      |  CAST(doc_id % 480 + 1 AS INTEGER) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Multimodal.imageHeaderFeatures(
+        Multimodal.synthImageTable(Tables.documents(s, dir)),
+        "doc_id", "media")
+      .orderBy(col("doc_id"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(q50MediaStats, q57FrameSample,
+    q87ImageHeaders)
 }
