@@ -160,6 +160,31 @@ object Relational {
           .otherwise("unchanged").as("change"): _*)
   }
 
+  /** IQR outlier gate (numeric data-quality for training pipelines —
+    * the quantitative sibling of the text quality score): flag rows
+    * outside `[q1 − k·iqr, q3 + k·iqr]` within their key group. Two
+    * passes, both scale-shaped: a per-group percentile aggregate
+    * (group-cardinality rows — broadcasts) joined back onto the
+    * stream. `roundBounds` rounds the fences to N decimals so the
+    * flag is engine-portable (exact percentile interpolation differs
+    * sub-ulp across engines; see q70's determinism rule). */
+  def iqrOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
+                  k: Double = 1.5,
+                  roundBounds: Option[Int] = None): DataFrame = {
+    val iqr = col("__q3") - col("__q1")
+    def r(c: Column) = roundBounds.map(d => round(c, d)).getOrElse(c)
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(percentile(col(valueCol), lit(0.25)).as("__q1"),
+        percentile(col(valueCol), lit(0.75)).as("__q3"))
+      .select(keys.map(col) :+
+        r(col("__q1") - lit(k) * iqr).as("__lo") :+
+        r(col("__q3") + lit(k) * iqr).as("__hi"): _*)
+    df.join(bounds, keys)
+      .withColumn("is_outlier",
+        col(valueCol) < col("__lo") || col(valueCol) > col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
   /** Forward fill (last observation carried forward — the gap-repair
     * pass a sparse time series needs before joins or training): each
     * null in `valueCols` takes the latest preceding non-null within

@@ -36,6 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "dot_product takes exactly 2 arguments")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("image_meta"),
+      new ExpressionInfo(classOf[ImageMeta].getName, "image_meta"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "image_meta takes exactly 1 argument")
+        ImageMeta(children.head)
+      }))
     // scalar functions built as PURE Catalyst trees (a Column-builder
     // extraction would leave unresolved ColumnNode wrappers behind the
     // analyzer's back — Spark 4 resolves Column ASTs only at Dataset

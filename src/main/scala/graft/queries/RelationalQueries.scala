@@ -721,6 +721,41 @@ object RelationalQueries {
       .orderBy(col("c_custkey"), col("metric"))
   }
 
+  /** q88: IQR outlier gate (`Relational.iqrOutliers` — the numeric
+    * data-quality pass a training pipeline runs before ingest): Tukey
+    * fences per priority, flagged rows counted and summed. Fences are
+    * rounded to 6 decimals on both sides (q70's determinism rule for
+    * exact percentiles) so the flag — and the hash — is portable. */
+  val q88IqrOutliers: QuerySpec = QuerySpec(
+    "q88_iqr_outliers",
+    s"""WITH b AS (
+       |  SELECT o_orderpriority,
+       |    round(quantile_cont(o_totalprice, 0.25)
+       |      - 1.5 * (quantile_cont(o_totalprice, 0.75)
+       |               - quantile_cont(o_totalprice, 0.25)), 6) AS lo,
+       |    round(quantile_cont(o_totalprice, 0.75)
+       |      + 1.5 * (quantile_cont(o_totalprice, 0.75)
+       |               - quantile_cont(o_totalprice, 0.25)), 6) AS hi
+       |  FROM orders GROUP BY 1)
+       |SELECT o.o_orderpriority AS priority, COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  ${Exact.sqlSum("CASE WHEN o_totalprice < lo OR o_totalprice > hi " +
+          "THEN o_totalprice ELSE 0 END")} AS outlier_price
+       |FROM orders o JOIN b USING (o_orderpriority)
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Relational.iqrOutliers(Tables.orders(s, dir), Seq("o_orderpriority"),
+        "o_totalprice", k = 1.5, roundBounds = Some(6))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        Exact.dsum(when(col("is_outlier"), col("o_totalprice"))
+          .otherwise(lit(0.0))).as("outlier_price"))
+      .select(col("o_orderpriority").as("priority"), col("n"),
+        col("n_outliers"), col("outlier_price"))
+      .orderBy(col("priority"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
@@ -728,5 +763,6 @@ object RelationalQueries {
     q12DistinctParts, q13SegmentBuckets, q14StringFuncs, q15ShipDelay,
     q16MonthlySpine, q17MacroSeriesJoin, q18SetOps, q19ApproxDistinct,
     q55RangeJoin, q63CorrRegression, q64SkewJoin, q70Percentiles, q76Profile,
-    q78BucketedJoin, q79BloomSemiJoin, q81ZOrderedScan, q86Melt)
+    q78BucketedJoin, q79BloomSemiJoin, q81ZOrderedScan, q86Melt,
+    q88IqrOutliers)
 }

@@ -47,6 +47,17 @@ class RelationalSpec extends SparkSpecBase {
     assert(got == Map(1L -> 10.0, 2L -> 25.0, 4L -> 41.0))
   }
 
+  test("iqrOutliers flags exactly the rows outside the Tukey fences") {
+    // group g: values 1..9 plus a far outlier; q1=3, q3=8 over 1..9+100
+    val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ ("g", 100.0))
+      .toDF("k", "v")
+    val flagged = Relational.iqrOutliers(df, Seq("k"), "v")
+      .collect().map(r => r.getDouble(1) -> r.getBoolean(2)).toMap
+    assert(flagged(100.0), "the planted outlier must be flagged")
+    assert((1 to 9).forall(v => !flagged(v.toDouble)),
+      "no in-range value may be flagged")
+  }
+
   test("fillForward repairs gaps; leading nulls stay null; keys isolate") {
     val df = Seq(
       ("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, None),

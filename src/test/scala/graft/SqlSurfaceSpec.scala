@@ -58,6 +58,17 @@ class SqlSurfaceSpec extends SparkSpecBase {
         |('a'), ('a'), ('b') AS v(t)""".stripMargin)
       .selectExpr("top[0].term", "top[0].count_est").head
     assert(top.getString(0) == "a" && top.getLong(1) == 2L)
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "image_meta",
+      exprs => graft.plans.ImageMeta(exprs.head),
+      "scala_udf")
+    val img = s2.sql(
+      """SELECT image_meta(unhex(concat(
+        |  '89504E470D0A1A0A0000000D49484452',
+        |  '00000280', '000001E0', '0806000000'))) AS m""".stripMargin)
+      .selectExpr("m.format", "m.width", "m.height").head
+    assert(img.getString(0) == "png" && img.getInt(1) == 640 &&
+      img.getInt(2) == 480)
   }
 
   test("events view exposes micro-truncated timestamps") {
