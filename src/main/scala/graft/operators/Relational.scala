@@ -160,6 +160,27 @@ object Relational {
           .otherwise("unchanged").as("change"): _*)
   }
 
+  /** Cross-engine table checksum (the distributed, engine-portable
+    * form of the A2 digest gate): an order-independent content hash —
+    * per-row portable hash of the sentinel-joined rendered columns,
+    * summed exactly (DECIMAL(38,0), so no overflow and no ordering
+    * sensitivity). Two tables agree iff (n_rows, checksum) agree, on
+    * ANY engine that can spell md5 — which is what lets a migration
+    * validate this engine against the warehouse it replaces without
+    * moving data. One scan, one scalar out; the shuffle is a single
+    * partial-aggregated sum. Callers render non-portable columns
+    * (doubles!) to a fixed-point spelling first (see q76's rule). */
+  def tableChecksum(df: DataFrame, cols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // \u0001 separates fields, \u0002 stands in for NULL: without the
+    // sentinels ("a","b") and ("ab",null) would render identically
+    val rowHash = graft.functions.Scalars.portableHash64(
+      concat_ws("\u0001",
+        cols.map(c => coalesce(c.cast("string"), lit("\u0002"))): _*))
+    df.agg(count(lit(1)).as("n_rows"),
+      sum(rowHash.cast(DecimalType(38, 0))).as("checksum"))
+  }
+
   /** IQR outlier gate (numeric data-quality for training pipelines —
     * the quantitative sibling of the text quality score): flag rows
     * outside `[q1 − k·iqr, q3 + k·iqr]` within their key group. Two

@@ -756,6 +756,32 @@ object RelationalQueries {
       .orderBy(col("priority"))
   }
 
+  /** q89: cross-engine table checksum (`Relational.tableChecksum` —
+    * the migration-validation gate): order-independent md5-derived row
+    * hashes, summed exactly. The oracle computes THE SAME checksum
+    * independently in DuckDB — this passing means a user could verify
+    * this engine against their existing warehouse row for row without
+    * moving data. Doubles render through the DECIMAL(38,6) fixed-point
+    * spelling (q76's rule). */
+  val q89TableChecksum: QuerySpec = QuerySpec(
+    "q89_table_checksum",
+    """SELECT COUNT(*) AS n_rows,
+      |  SUM(CAST(CAST('0x' || substr(md5(concat_ws(chr(1),
+      |    coalesce(CAST(o_orderkey AS VARCHAR), chr(2)),
+      |    coalesce(CAST(o_custkey AS VARCHAR), chr(2)),
+      |    coalesce(CAST(o_orderstatus AS VARCHAR), chr(2)),
+      |    coalesce(CAST(o_orderdate AS VARCHAR), chr(2)),
+      |    coalesce(CAST(o_orderpriority AS VARCHAR), chr(2)),
+      |    coalesce(CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR),
+      |      chr(2)))), 1, 15) AS BIGINT) AS DECIMAL(38,0)))
+      |    AS checksum
+      |FROM orders""".stripMargin) { (s, dir) =>
+    Relational.tableChecksum(Tables.orders(s, dir), Seq(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_orderdate"), col("o_orderpriority"),
+      col("o_totalprice").cast("decimal(38,6)")))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
@@ -764,5 +790,5 @@ object RelationalQueries {
     q16MonthlySpine, q17MacroSeriesJoin, q18SetOps, q19ApproxDistinct,
     q55RangeJoin, q63CorrRegression, q64SkewJoin, q70Percentiles, q76Profile,
     q78BucketedJoin, q79BloomSemiJoin, q81ZOrderedScan, q86Melt,
-    q88IqrOutliers)
+    q88IqrOutliers, q89TableChecksum)
 }

@@ -47,6 +47,20 @@ class RelationalSpec extends SparkSpecBase {
     assert(got == Map(1L -> 10.0, 2L -> 25.0, 4L -> 41.0))
   }
 
+  test("tableChecksum: order-independent, change- and null-shift-sensitive") {
+    def sum(rows: Seq[(java.lang.Long, String)]) =
+      Relational.tableChecksum(rows.toDF("k", "s"), Seq(col("k"), col("s")))
+        .head().getDecimal(1)
+    val base = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (3L, null))
+    assert(sum(base) == sum(base.reverse), "row order must not matter")
+    assert(sum(base) != sum(base.updated(1, (2L: java.lang.Long, "B"))),
+      "a single changed cell must change the checksum")
+    // null in one column vs the value shifted into the next column
+    assert(sum(Seq((1L, "a"))) !=
+      sum(Seq((null.asInstanceOf[java.lang.Long], "1a"))),
+      "null/value boundaries must not be confusable")
+  }
+
   test("iqrOutliers flags exactly the rows outside the Tukey fences") {
     // group g: values 1..9 plus a far outlier; q1=3, q3=8 over 1..9+100
     val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ ("g", 100.0))
