@@ -160,6 +160,34 @@ object Relational {
           .otherwise("unchanged").as("change"): _*)
   }
 
+  /** Per-group z-score normalization (feature engineering for the
+    * training pipeline — the numeric sibling of TF-IDF's rescaling):
+    * `(x − mean) / stddev` within each key group. Deliberately NOT
+    * `stddev_samp()`: distributed float accumulation is not
+    * cross-engine stable, so the moments (n, Σx, Σx²) are summed
+    * decimal-exactly over 4-decimal-quantized values and the z-score
+    * finishes in one identical double expression — the q63 recipe.
+    * Two scale-shaped passes: group-cardinality moment aggregate,
+    * broadcast join-back. Groups of one row (stddev undefined) get
+    * null. */
+  def zscoreNormalize(df: DataFrame, keys: Seq[String],
+                      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val xd = col(valueCol).cast(DecimalType(18, 4))
+    val moments = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(xd).cast("double").as("__sx"),
+        sum(xd * xd).cast("double").as("__sxx"))
+    df.join(moments, keys)
+      .withColumn("zscore",
+        when(col("__n") > 1,
+          (xd.cast("double") - col("__sx") / col("__n")) /
+            sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) /
+              (col("__n") * (col("__n") - 1))))
+          .otherwise(lit(null)))
+      .drop("__n", "__sx", "__sxx")
+  }
+
   /** Cross-engine table checksum (the distributed, engine-portable
     * form of the A2 digest gate): an order-independent content hash —
     * per-row portable hash of the sentinel-joined rendered columns,

@@ -782,6 +782,74 @@ object RelationalQueries {
       col("o_totalprice").cast("decimal(38,6)")))
   }
 
+  /** q90: regular-grid resampling with gap fill (`Resample.resample` —
+    * q16's spine pattern as a full operator): daily buckets per
+    * priority, every (day, priority) cell present, empty cells carry
+    * `n = 0` and the latest preceding sum. The spine derives from the
+    * data's own min/max via `sequence` — distributed, no driver
+    * calendar; the oracle rebuilds the same grid with
+    * `generate_series` and `last_value IGNORE NULLS`. */
+  val q90Resample: QuerySpec = QuerySpec(
+    "q90_resample",
+    """WITH b AS (
+      |  SELECT date_trunc('day', o_orderdate) AS bucket, o_orderpriority,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS vsum,
+      |    COUNT(*) AS vcount
+      |  FROM orders GROUP BY 1, 2),
+      |sp AS (
+      |  SELECT unnest(generate_series(
+      |    (SELECT date_trunc('day', MIN(o_orderdate)) FROM orders),
+      |    (SELECT date_trunc('day', MAX(o_orderdate)) FROM orders),
+      |    INTERVAL '1 day')) AS bucket),
+      |ks AS (SELECT DISTINCT o_orderpriority FROM orders),
+      |grid AS (SELECT sp.bucket, ks.o_orderpriority FROM sp CROSS JOIN ks),
+      |j AS (
+      |  SELECT g.bucket, g.o_orderpriority,
+      |    COALESCE(b.vcount, 0) AS n, b.vsum
+      |  FROM grid g LEFT JOIN b
+      |    ON b.bucket = g.bucket AND b.o_orderpriority = g.o_orderpriority)
+      |SELECT bucket, o_orderpriority AS priority, n,
+      |  CAST(last_value(vsum IGNORE NULLS) OVER (
+      |    PARTITION BY o_orderpriority ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS filled_sum
+      |FROM j ORDER BY bucket, priority""".stripMargin) { (s, dir) =>
+    import graft.operators.Resample
+    Resample.resample(Tables.orders(s, dir), "o_orderdate", "day",
+        Seq("o_orderpriority"), "o_totalprice", fill = true)
+      .select(col("bucket"), col("o_orderpriority").as("priority"),
+        col("vcount").as("n"), col("vsum").cast("double").as("filled_sum"))
+      .orderBy(col("bucket"), col("priority"))
+  }
+
+  /** q91: per-group z-score normalization (`Relational.zscoreNormalize`
+    * — feature scaling from decimal-exact moments, the q63 recipe, so
+    * the score is cross-engine deterministic where `stddev_samp` is
+    * not; rounded to 7 like q63's r). */
+  val q91Zscore: QuerySpec = QuerySpec(
+    "q91_zscore",
+    """WITH m AS (
+      |  SELECT o_orderpriority, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(
+      |      CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DECIMAL(19,4))
+      |      * CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DECIMAL(19,4)))
+      |      AS DOUBLE) AS sxx
+      |  FROM orders WHERE o_orderkey < 5000 GROUP BY 1)
+      |SELECT o.o_orderkey, o.o_orderpriority AS priority,
+      |  round((CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) - sx / n)
+      |    / sqrt((n * sxx - sx * sx) / (n * (n - 1))), 7) AS z
+      |FROM orders o JOIN m ON o.o_orderpriority = m.o_orderpriority
+      |WHERE o.o_orderkey < 5000
+      |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+    Relational.zscoreNormalize(
+        Tables.orders(s, dir).filter(col("o_orderkey") < 5000),
+        Seq("o_orderpriority"), "o_totalprice")
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+        round(col("zscore"), 7).as("z"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
@@ -790,5 +858,5 @@ object RelationalQueries {
     q16MonthlySpine, q17MacroSeriesJoin, q18SetOps, q19ApproxDistinct,
     q55RangeJoin, q63CorrRegression, q64SkewJoin, q70Percentiles, q76Profile,
     q78BucketedJoin, q79BloomSemiJoin, q81ZOrderedScan, q86Melt,
-    q88IqrOutliers, q89TableChecksum)
+    q88IqrOutliers, q89TableChecksum, q90Resample, q91Zscore)
 }

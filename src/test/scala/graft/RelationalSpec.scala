@@ -47,6 +47,20 @@ class RelationalSpec extends SparkSpecBase {
     assert(got == Map(1L -> 10.0, 2L -> 25.0, 4L -> 41.0))
   }
 
+  test("zscoreNormalize: mean 0, groups isolate, singleton group is null") {
+    val df = (Seq.tabulate(5)(i => ("g", (i + 1) * 10.0)) :+ ("solo", 7.0))
+      .toDF("k", "v")
+    val got = Relational.zscoreNormalize(df, Seq("k"), "v")
+    val g = got.filter(col("k") === "g")
+      .select(col("v"), col("zscore")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(g.values.sum) < 1e-9, "z-scores must sum to ~0")
+    assert(g(30.0) == 0.0, "the mean maps to exactly 0")
+    assert(g(50.0) > 0 && g(10.0) < 0 && g(50.0) == -g(10.0))
+    assert(got.filter(col("k") === "solo").head().isNullAt(2),
+      "stddev of one row is undefined — null, not NaN/Infinity")
+  }
+
   test("tableChecksum: order-independent, change- and null-shift-sensitive") {
     def sum(rows: Seq[(java.lang.Long, String)]) =
       Relational.tableChecksum(rows.toDF("k", "s"), Seq(col("k"), col("s")))

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Resample
+import org.apache.spark.sql.functions._
+
+/** The grid contract: every (bucket, key) cell exists, gaps carry
+  * n=0, fill repairs values, and nothing real is invented. */
+class ResampleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val df = Seq(
+    ("2024-01-01 10:00:00", "a", 10.0),
+    ("2024-01-01 11:00:00", "a", 20.0),
+    ("2024-01-04 09:00:00", "a", 40.0), // 2-day gap for key a
+    ("2024-01-02 09:00:00", "b", 5.0))  // b absent on 01, 03, 04
+    .toDF("ts", "k", "v")
+    .select(to_timestamp(col("ts")).as("ts"), col("k"), col("v"))
+
+  test("grid is complete: |days| × |keys| rows, gaps at n=0") {
+    val got = Resample.resample(df, "ts", "day", Seq("k"), "v")
+    assert(got.count() == 4 * 2, "4 days × 2 keys")
+    assert(got.filter(col("vcount") === 0).count() == 5,
+      "a misses 2 days, b misses 3")
+  }
+
+  test("fill carries the last sum forward but leaves leading gaps null") {
+    val got = Resample.resample(df, "ts", "day", Seq("k"), "v", fill = true)
+      .select(col("bucket").cast("string"), col("k"),
+        col("vsum").cast("double"))
+      .collect().map(r => (r.getString(0).take(10), r.getString(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(got(("2024-01-02", "a")).contains(30.0), "gap filled from day 1")
+    assert(got(("2024-01-03", "a")).contains(30.0))
+    assert(got(("2024-01-04", "a")).contains(40.0), "real data wins")
+    assert(got(("2024-01-01", "b")).isEmpty, "leading gap has no history")
+    assert(got(("2024-01-04", "b")).contains(5.0))
+  }
+
+  test("unfilled totals preserve the input mass exactly") {
+    val got = Resample.resample(df, "ts", "day", Seq("k"), "v")
+    assert(got.agg(sum(col("vsum").cast("double"))).head().getDouble(0)
+      == 75.0)
+    assert(got.agg(sum(col("vcount"))).head().getLong(0) == 4L)
+  }
+}
