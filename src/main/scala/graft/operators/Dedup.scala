@@ -188,6 +188,15 @@ object Dedup {
       .distinct()
       .withColumn("label", col("v"))
       .localCheckpoint(true)
+    // labels only ever DECREASE (each round takes a min over a superset
+    // that includes the current label), so the rounds have converged
+    // exactly when Σlabel stops moving — one cheap aggregate per round
+    // on the already-materialized frame, instead of a join against the
+    // previous round plus a count job
+    import org.apache.spark.sql.types.DecimalType
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -195,13 +204,22 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("v", "dst2"), col("dst") === col("dst2"))
         .select(col("src").as("v"), col("label"))
-      val next = labels.unionByName(viaNeighbors)
+      val prop = labels.unionByName(viaNeighbors)
         .groupBy(col("v")).agg(min(col("label")).as("label"))
+      // path-halving: v additionally adopts its label's label (labels
+      // are vertices, so the inner self-join always hits). Remaining
+      // diameter halves per round — O(log d) rounds instead of O(d),
+      // which is what bounds wall-clock: each round is a fixed number
+      // of jobs, so fewer rounds beat a cheaper round.
+      val hop = prop.select(col("v").as("lv"), col("label").as("hopLabel"))
+      val next = prop.join(hop, col("label") === col("lv"))
+        .select(col("v"),
+          least(col("label"), col("hopLabel")).as("label"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("v"))
-        .filter(col("label") =!= col("old")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()
