@@ -99,10 +99,22 @@ object Relational {
 
   /** Column profile (warehouse data-quality pass): one row per
     * requested column with row/non-null/distinct counts and min/max
-    * (rendered to string for a uniform schema). ONE scan total — all
-    * measures ride a single aggregate, then `stack` unpivots the wide
-    * row; at 100 TB this is the difference between one pass and
-    * 4×|cols| passes. Float/double min/max render through a
+    * (rendered to string for a uniform schema). Two hash-shaped tiers
+    * instead of Spark's multi-`countDistinct` plan (an Expand whose
+    * string min/max buffers force a SortAggregate over |cols|+1 × rows
+    * with a wide sort key — the slow shape at any scale):
+    *
+    *  - distinct tier: a union of COLUMN-PRUNED single-column scans
+    *    (each branch reads exactly one column, IsNotNull pushed),
+    *    deduped by pure hash aggregation — no agg buffers, so no sort
+    *    fallback; shuffle volume is the distinct sets themselves,
+    *    identical to what countDistinct shuffles.
+    *  - stats tier: one grouping-free aggregate for counts/min/max —
+    *    empty grouping keys need no sort even with string buffers.
+    *
+    * Total bytes: each profiled column is read twice, column-pruned —
+    * at 100 TB that beats pushing (|cols|+1)× the row count through a
+    * wide-key sort. Float/double min/max render through a
     * DECIMAL(38,6) cast: a plain double→string cast goes scientific at
     * |x| ≥ 1e7 in Spark but stays positional in other engines, so the
     * fixed-point form is the cross-engine-stable spelling (mirror it
@@ -126,10 +138,28 @@ object Relational {
       }
     val aggs = cols.flatMap(c => Seq(
       count(col(qid(c))).as(s"${c}__nn"),
-      countDistinct(col(qid(c))).as(s"${c}__nd"),
       render(min(col(qid(c))), c).as(s"${c}__min"),
       render(max(col(qid(c))), c).as(s"${c}__max"))) :+ count(lit(1)).as("__n")
-    df.agg(aggs.head, aggs.tail: _*)
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val branches = cols.zipWithIndex.map { case (c, i) =>
+      val vcols = cols.zipWithIndex.map { case (c2, j) =>
+        (if (j == i) col(qid(c2))
+         else lit(null).cast(schema(c2).dataType)).as(s"__v$j")
+      }
+      df.filter(col(qid(c)).isNotNull)
+        .select(lit(i).as("__gid") +: vcols: _*)
+    }
+    val perGid = branches.reduce(_.unionByName(_)).distinct()
+      .groupBy(col("__gid")).agg(count(lit(1)).as("__ndc"))
+    // fold per-column distinct counts into one row (all-null columns
+    // have no branch rows → 0, matching countDistinct), then attach to
+    // the stats row: a 1-row × 1-row cross by construction (the plan
+    // audit whitelists this bounded broadcast)
+    val ndAggs = cols.indices.map(i => coalesce(
+      max(when(col("__gid") === i, col("__ndc"))), lit(0L))
+      .as(s"${cols(i)}__nd"))
+    val ndRow = perGid.agg(ndAggs.head, ndAggs.tail: _*)
+    stats.crossJoin(ndRow)
       .select(expr(s"stack(${cols.size}, " + cols.map(c =>
           s"${slit(c)}, __n, ${qid(c + "__nn")}, ${qid(c + "__nd")}, " +
             s"${qid(c + "__min")}, ${qid(c + "__max")}")

@@ -15,12 +15,14 @@ class PlanAuditSpec extends SparkSpecBase {
     // a BNL join is only a scale-killer when the broadcast side grows
     // with the data (q37's old theta self-join). These queries broadcast
     // a CONTRACT-BOUNDED side — the ≤16-vector query set (q34), the
-    // ≤numCells centroid set (q52), a 1-row count (q62), or the
+    // ≤numCells centroid set (q52), a 1-row count (q62), the
     // bucket-spine × group-keys grid cross (q90: both metadata-sized
-    // by construction) — over a streamed corpus: exactly the plan
-    // wanted at scale. Whitelisted.
+    // by construction), or profile's 1-row stats × 1-row distinct-count
+    // attach (q76: both single-row aggregates; Catalyst folds the
+    // literal equi-key away) — over a streamed corpus: exactly the
+    // plan wanted at scale. Whitelisted.
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
-      "q90_resample")
+      "q90_resample", "q76_profile")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
