@@ -46,4 +46,36 @@ object Rollups {
         sum(col("pcount")).as("pcount"),
         min(col("pmin")).as("pmin"),
         max(col("pmax")).as("pmax"))
+
+  /** The sketch tier: DISTINCT counts in partial state. An exact
+    * distinct does not compose across buckets (day-level distincts
+    * can't merge into a month's), which is exactly what HLL sketches
+    * buy — `pdistinct` is a fixed-size binary that unions losslessly
+    * (for the sketch's own error bound) at any coarser grain. The
+    * estimate stays within the standard HLL error of the true distinct
+    * (RollupsSpec pins it); answers needing exactness go to raw data. */
+  def partialsWithDistinct(df: DataFrame, timeCol: String, grain: String,
+                           keys: Seq[String],
+                           distinctCol: String): DataFrame =
+    df.groupBy(date_trunc(grain, col(timeCol)).as("bucket") +:
+        keys.map(col): _*)
+      .agg(
+        count(col(distinctCol)).as("pcount"),
+        hll_sketch_agg(col(distinctCol)).as("pdistinct"))
+
+  /** Merge sketch partials to a coarser grain: counts add, sketches
+    * union — still never touching raw facts. */
+  def reaggregateWithDistinct(partialsDf: DataFrame, coarserGrain: String,
+                              keys: Seq[String]): DataFrame =
+    partialsDf
+      .groupBy(date_trunc(coarserGrain, col("bucket")).as("bucket") +:
+        keys.map(col): _*)
+      .agg(
+        sum(col("pcount")).as("pcount"),
+        hll_union_agg(col("pdistinct")).as("pdistinct"))
+
+  /** Read a sketch column out as an estimate. */
+  def distinctEstimate(c: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column =
+    hll_sketch_estimate(c)
 }

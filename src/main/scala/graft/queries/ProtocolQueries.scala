@@ -367,7 +367,46 @@ object ProtocolQueries {
         .orderBy(col("year"), col("month"), col("priority"))
   }
 
+  /** q92: distinct counts FROM PARTIAL STATE (`Rollups
+    * .partialsWithDistinct` / `reaggregateWithDistinct` — the sketch
+    * tier of q84): daily HLL sketches of the customer set union into
+    * monthly estimates without touching raw facts. Sketches don't
+    * exist in the oracle engine, so the check is a tolerance flag:
+    * both sides emit the EXACT monthly distinct (the oracle from raw
+    * data, the engine re-derived the same way) and the engine ANDs in
+    * whether its sketch estimate lands within the HLL error envelope —
+    * the oracle pins that flag to TRUE, so estimator drift breaks the
+    * hash, while the estimate's last-ulp value (engine-specific) stays
+    * out of the compare. */
+  val q92HllRollup: QuerySpec = QuerySpec(
+    "q92_hll_rollup",
+    """SELECT date_trunc('month', o_orderdate) AS bucket,
+      |  o_orderpriority AS priority,
+      |  COUNT(DISTINCT o_custkey) AS exact_distinct,
+      |  TRUE AS est_ok
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import graft.operators.Rollups
+    val o = Tables.orders(s, dir)
+    val daily = Rollups.partialsWithDistinct(o, "o_orderdate", "day",
+      Seq("o_orderpriority"), "o_custkey")
+    val monthly = Rollups.reaggregateWithDistinct(daily, "month",
+        Seq("o_orderpriority"))
+      .select(col("bucket"), col("o_orderpriority"),
+        Rollups.distinctEstimate(col("pdistinct")).as("est"))
+    val exact = o
+      .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"),
+        col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    monthly.join(exact, Seq("bucket", "o_orderpriority"))
+      .select(col("bucket"), col("o_orderpriority").as("priority"),
+        col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct")) <=
+          greatest(lit(3.0), lit(0.1) * col("exact_distinct")))
+          .as("est_ok"))
+      .orderBy(col("bucket"), col("priority"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q48DedupAppend, q49UpsertPartition,
     q65Lifecycle, q69KvScrapePivot, q71SnapshotDiff, q80CdcApply,
-    q84RollupMaintenance)
+    q84RollupMaintenance, q92HllRollup)
 }

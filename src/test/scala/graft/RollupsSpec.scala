@@ -30,6 +30,28 @@ class RollupsSpec extends SparkSpecBase {
     assertBagEqual(fromPartials, direct)
   }
 
+  test("HLL partials: distinct-over-month from day sketches, within error") {
+    val daily = Rollups.partialsWithDistinct(orders, "o_orderdate", "day",
+      Seq("o_orderpriority"), "o_custkey")
+    val monthly = Rollups.reaggregateWithDistinct(daily, "month",
+        Seq("o_orderpriority"))
+      .select(col("bucket"), col("o_orderpriority"),
+        Rollups.distinctEstimate(col("pdistinct")).as("est"))
+    val exact = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"),
+        col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact"))
+    val joined = monthly.join(exact, Seq("bucket", "o_orderpriority"))
+      .select(col("est"), col("exact")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (est, ex) = (r.getLong(0), r.getLong(1))
+      // default lgK=12 HLL: ~1.6% standard error; allow 5 sigma + slack
+      assert(math.abs(est - ex) <= math.max(3, 0.1 * ex),
+        s"sketch estimate $est too far from exact $ex")
+    }
+  }
+
   test("partials merge: a late day's state folds in by re-aggregation") {
     val lateDay = orders.agg(max(col("o_orderdate"))).head().get(0)
     val early = orders.filter(col("o_orderdate") < lit(lateDay))
