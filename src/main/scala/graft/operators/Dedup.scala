@@ -54,10 +54,17 @@ object Dedup {
 
   /** Exact pairwise n-gram Jaccard (tier 2): all pairs with
     * J(A,B) >= threshold, via a shingle equi-join. `left`/`right` key
-    * ordering (a < b) dedups the symmetric pairs. */
+    * ordering (a < b) dedups the symmetric pairs. The join and both
+    * aggregates run on the shingle's 64-bit hash, not the string —
+    * same counts (a 64-bit collision needs ~2^32 distinct shingles to
+    * start mattering, and one collision perturbs a single n_common by
+    * 1 against a ≥ threshold·|union| bar), a fraction of the shuffle
+    * bytes — the same trade the MinHash tier already makes. */
   def ngramJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, keyCol, textCol, k).cache()
+    val sh = shingles(df, keyCol, textCol, k)
+      .select(col(keyCol), xxhash64(col("shingle")).as("shingle"))
+      .cache()
     val counts = sh.groupBy(col(keyCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(keyCol).as("a"), col("shingle"))
     val b = sh.select(col(keyCol).as("b"), col("shingle"))
@@ -212,10 +219,13 @@ object Dedup {
       // which is what bounds wall-clock: each round is a fixed number
       // of jobs, so fewer rounds beat a cheaper round.
       val hop = prop.select(col("v").as("lv"), col("label").as("hopLabel"))
+      // LAZY checkpoint: the labelSum action right below materializes
+      // the checkpoint and computes the convergence signature in ONE
+      // job — an eager checkpoint would spend a separate job per round
       val next = prop.join(hop, col("label") === col("lv"))
         .select(col("v"),
           least(col("label"), col("hopLabel")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0

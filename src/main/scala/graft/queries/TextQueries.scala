@@ -375,8 +375,105 @@ object TextQueries {
       .orderBy(col("split"))
   }
 
+  /** q93: the FULL LLM training-data pipeline as ONE verified query —
+    * the engine's north-star lifecycle, every stage an operator that
+    * is also individually oracle-checked: quality gate (q27's score) →
+    * exact dedup (min-key per content fingerprint) → near-dup dedup
+    * (n-gram Jaccard pairs → `Dedup.dedupApply`, q77's machinery;
+    * at 100 TB MinHash-LSH generates the candidates first — the
+    * verify tier and apply step are unchanged) → token-window chunking
+    * (q72) → per-DOCUMENT train/val/test tagging (q82 — chunks of one
+    * doc never straddle splits). The oracle replays every stage in
+    * SQL; chunk md5s pin the surviving content end to end. */
+  val q93LlmPipeline: QuerySpec = QuerySpec(
+    "q93_llm_pipeline",
+    s"""WITH RECURSIVE gated AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE 0.5 * least(CAST($sqlNTok AS DOUBLE) / 64.0, 1.0)
+       |    + 0.3 * least(CAST(${sqlVocabHits(TextFunctions.stopwords)}
+       |        AS DOUBLE) / CAST($sqlNTok AS DOUBLE) * 10.0, 1.0)
+       |    + 0.2 * least((CAST(length(text) AS DOUBLE)
+       |        - (CAST($sqlNTok AS DOUBLE) - 1))
+       |        / CAST($sqlNTok AS DOUBLE) / 8.0, 1.0) >= 0.5),
+       |exact AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, ROW_NUMBER() OVER (
+       |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM gated) WHERE rn = 1),
+       |tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM exact
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |    range(1, len(toks) - 1),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+       |  FROM tok),
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  JOIN counts ca ON ca.doc_id = x.doc_id
+       |  JOIN counts cb ON cb.doc_id = y.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING CAST(COUNT(*) AS DOUBLE) /
+       |    CAST(ANY_VALUE(ca.n_sh) + ANY_VALUE(cb.n_sh) - COUNT(*) AS DOUBLE)
+       |    >= 0.5),
+       |und(src, dst) AS (
+       |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+       |  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+       |comp AS (SELECT src AS v, MIN(dst) AS component FROM reach GROUP BY src),
+       |drops AS (SELECT v FROM comp WHERE v <> component),
+       |surv AS (
+       |  SELECT doc_id, text FROM exact
+       |  WHERE doc_id NOT IN (SELECT v FROM drops)),
+       |stok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM surv),
+       |chunks AS (
+       |  SELECT doc_id,
+       |    CAST((start - 1) / 24 AS BIGINT) AS chunk_id,
+       |    CAST(least(32, n - start + 1) AS BIGINT) AS n_tok,
+       |    md5(array_to_string(toks[start : start + 31], ' ')) AS chunk_md5
+       |  FROM stok, LATERAL (SELECT unnest(range(1, n + 1, 24)) AS start))
+       |SELECT doc_id, chunk_id,
+       |  ${graft.operators.Sampling.sqlSplit("doc_id", 800, 100)} AS split,
+       |  n_tok, chunk_md5
+       |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    import graft.operators.{Chunking, Dedup, Sampling}
+    import org.apache.spark.sql.expressions.Window
+    val gated = Tables.documents(s, dir)
+      .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+      .select(col("doc_id"), col("text"))
+    // both the pair-generation subtree and the apply-step anti-join
+    // consume `exact` — persist it (spill-safe) so the gate + window
+    // dedup run once, the q65 lesson; a real pipeline materializes
+    // this stage to storage anyway
+    val exact = gated
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.ngramJaccardPairs(
+      exact.filter(size(split(col("text"), " ")) >= 3),
+      "doc_id", "text", k = 3, threshold = 0.5)
+    val surv = Dedup.dedupApply(exact, "doc_id", pairs, "a", "b")
+    val chunks = Chunking.chunkTokenWindows(surv, "doc_id", "text",
+      chunkSize = 32, stride = 24)
+    Sampling.hashSplit(chunks, "doc_id", "split",
+        trainPermille = 800, valPermille = 100)
+      .select(col("doc_id"), col("chunk_id"), col("split"), col("n_tok"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
-    q61Vocabulary, q62TfIdf, q72Chunking, q73HeavyHitters, q82HashSplit)
+    q61Vocabulary, q62TfIdf, q72Chunking, q73HeavyHitters, q82HashSplit,
+    q93LlmPipeline)
 }
