@@ -69,8 +69,12 @@ object BloomJoin {
     val maybe = probe.filter(BloomMightContain.column(col(probeKey), bloom))
       .join(build.select(col(buildKey).as(probeKey)).distinct(),
         Seq(probeKey), "left_anti")
-    val definiteMiss =
-      probe.filter(!BloomMightContain.column(col(probeKey), bloom))
+    // NULL keys: the Bloom test is NULL (not false) for them, so they
+    // fail the `maybe` filter above — but a plain left_anti KEEPS
+    // null-key rows (null never equals any build key). Coalesce routes
+    // them to the definite-miss branch, preserving join parity.
+    val definiteMiss = probe.filter(
+      !coalesce(BloomMightContain.column(col(probeKey), bloom), lit(false)))
     definiteMiss.unionByName(maybe)
   }
 }

@@ -25,6 +25,10 @@ object Quantize {
     * `(vmin, scale)` pair that inverts them. A constant vector (scale
     * 0) maps to all-zero codes. */
   def int8(df: DataFrame, vecCol: String): DataFrame = {
+    val taken = Seq("vmin", "scale", "codes").filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"int8 writes columns vmin/scale/codes; input already has " +
+        s"${taken.mkString(", ")} — rename or drop them first")
     val v = col(vecCol)
     val vmin = array_min(v).cast("double")
     val scale = (array_max(v).cast("double") - vmin) / lit(255.0)

@@ -199,7 +199,17 @@ object Relational {
     * finishes in one identical double expression — the q63 recipe.
     * Two scale-shaped passes: group-cardinality moment aggregate,
     * broadcast join-back. Groups of one row (stddev undefined) get
-    * null. */
+    * null.
+    *
+    * Value-magnitude bound: the moment sum Σx² lives in DECIMAL(38,8),
+    * so it overflows (an ANSI-mode throw, not silent corruption) when
+    * Σx² ≥ 10^30 — at |x| ≤ 10^6 that is ~10^18 rows per group (never
+    * reachable), but values near the DECIMAL(18,4) cap support only
+    * ~100 rows per group. Z-scores are invariant under linear scaling,
+    * so callers with larger magnitudes pre-divide the column by a
+    * power of 10 and get the same scores with full headroom; the
+    * operator keeps the one-pass exact form because the q91 oracle
+    * computes the identical decimal sum on the other engine. */
   def zscoreNormalize(df: DataFrame, keys: Seq[String],
                       valueCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

@@ -762,24 +762,28 @@ object RelationalQueries {
     * independently in DuckDB — this passing means a user could verify
     * this engine against their existing warehouse row for row without
     * moving data. Doubles render through the DECIMAL(38,6) fixed-point
-    * spelling (q76's rule). */
+    * spelling (q76's rule). The checksum itself travels as VARCHAR:
+    * the values are identical in both engines, but a 22-digit
+    * HUGEINT/DECIMAL renders differently through the driver's hash
+    * (round-3 ADVICE), so both sides emit the decimal string. */
   val q89TableChecksum: QuerySpec = QuerySpec(
     "q89_table_checksum",
     """SELECT COUNT(*) AS n_rows,
-      |  SUM(CAST(CAST('0x' || substr(md5(concat_ws(chr(1),
+      |  CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws(chr(1),
       |    coalesce(CAST(o_orderkey AS VARCHAR), chr(2)),
       |    coalesce(CAST(o_custkey AS VARCHAR), chr(2)),
       |    coalesce(CAST(o_orderstatus AS VARCHAR), chr(2)),
       |    coalesce(CAST(o_orderdate AS VARCHAR), chr(2)),
       |    coalesce(CAST(o_orderpriority AS VARCHAR), chr(2)),
       |    coalesce(CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR),
-      |      chr(2)))), 1, 15) AS BIGINT) AS DECIMAL(38,0)))
+      |      chr(2)))), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)
       |    AS checksum
       |FROM orders""".stripMargin) { (s, dir) =>
     Relational.tableChecksum(Tables.orders(s, dir), Seq(
-      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-      col("o_orderdate"), col("o_orderpriority"),
-      col("o_totalprice").cast("decimal(38,6)")))
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(38,6)")))
+      .select(col("n_rows"), col("checksum").cast("string").as("checksum"))
   }
 
   /** q90: regular-grid resampling with gap fill (`Resample.resample` —

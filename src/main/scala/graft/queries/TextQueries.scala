@@ -361,8 +361,8 @@ object TextQueries {
     "q82_hash_split",
     s"""SELECT ${graft.operators.Sampling.sqlSplit("doc_id", 800, 100)}
        |    AS split,
-       |  COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-       |  SUM(doc_id) AS id_checksum
+       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
        |FROM documents
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     graft.operators.Sampling.hashSplit(

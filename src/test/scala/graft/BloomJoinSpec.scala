@@ -63,6 +63,17 @@ class BloomJoinSpec extends SparkSpecBase {
     assert(!bloomed.select("v").as[Int].collect().contains(3))
   }
 
+  test("bloomAntiJoin keeps null-key rows, like the plain left-anti join") {
+    val p = Seq(("a", 1), ("b", 2), (null.asInstanceOf[String], 3), ("d", 4))
+      .toDF("k", "v")
+    val b = Seq("a", "d", "e").toDF("bk")
+    val plain = p.join(b.select(col("bk").as("k")), Seq("k"), "left_anti")
+    val bloomed = BloomJoin.bloomAntiJoin(p, b, "k", "bk", expectedItems = 100)
+    assertBagEqual(bloomed.select("k", "v"), plain.select("k", "v"))
+    // the null-key row is a definite non-match: anti-join KEEPS it
+    assert(bloomed.select("v").as[Int].collect().contains(3))
+  }
+
   test("the predicate participates in whole-stage codegen at the scan") {
     val bloom = BloomJoin.buildFilter(build, "c_custkey",
       expectedItems = 1000, fpp = 0.01)
