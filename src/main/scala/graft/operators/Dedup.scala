@@ -268,6 +268,94 @@ object Dedup {
     corpus.join(dropList, Seq(keyCol), "left_anti")
   }
 
+  /** Exact set-similarity join via prefix filtering (tier 2½ — the
+    * AllPairs/PPJoin family): every pair of documents whose TOKEN-SET
+    * Jaccard ≥ `threshold`, with NO approximation — unlike the MinHash
+    * tier this is lossless, and unlike the naive shingle self-join it
+    * never joins on common tokens. The filter is the classic prefix
+    * principle: under any global token order, two sets with overlap
+    * ≥ α must share a token among each one's first |x| − α + 1 tokens;
+    * with α = ⌈t·|x|⌉ (valid since J ≥ t ⟹ |x∩y| ≥ t·|x|), indexing
+    * only each document's prefix is complete. Ordering tokens
+    * rarest-first (ascending document frequency) makes those prefix
+    * tokens the LEAST shared ones, so the candidate join is
+    * sub-quadratic on real vocabularies where the naive join explodes
+    * on stopwords.
+    *
+    * Scale shape: one token-frequency aggregate, one join to attach
+    * frequencies, one equi-join on prefix tokens (rare keys ⟹ no
+    * skew), exact verification via array_intersect on candidate pairs
+    * only. No driver-side state, no approximation to tune.
+    *
+    * `shingleK` picks the set elements: 1 = word tokens, k ≥ 2 =
+    * word k-shingles (the [[ngramJaccardPairs]] universe). Shingles
+    * are the production choice for documents — a small vocabulary
+    * makes every WORD frequent and the prefix filter toothless, while
+    * the shingle space is combinatorially sparse, so prefixes stay
+    * rare and candidates stay near the true-pair count. */
+  def prefixJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
+                         threshold: Double, shingleK: Int = 1): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold outside (0, 1]")
+    require(shingleK >= 1 && shingleK <= 8, s"shingleK=$shingleK outside [1, 8]")
+    val words = split(col(textCol), " ")
+    val elems =
+      if (shingleK == 1) array_distinct(words)
+      else array_distinct(transform(shinglePositions(words, shingleK),
+        i => array_join(slice(words, i, lit(shingleK)), " ")))
+    // elements travel as 64-bit hashes — set identity is all the
+    // pipeline needs, and both the join keys and the verify arrays
+    // shrink to 8 bytes (the shingleHashes trade)
+    val toks = df.select(col(keyCol),
+        transform(elems, e => xxhash64(e)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .cache() // consumed by the token explode and twice by the verify
+    val tok = toks.select(col(keyCol), explode(col("toks")).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    // per-document tokens sorted under the global (freq, token) total
+    // order — the struct sort IS the order, no dense global rank (a
+    // row_number over the vocabulary would serialize on one partition)
+    val sorted = tok.join(freq, Seq("token"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("freq"), col("token"))))
+        .as("sorted"))
+    val n = size(col("sorted"))
+    val prefixLen = n - ceil(lit(threshold) * n).cast("int") + 1
+    val prefix = sorted.select(col(keyCol), n.as("n"),
+        posexplode(transform(slice(col("sorted"), lit(1), prefixLen),
+          s => s.getField("token"))).as(Seq("pos", "token")))
+      .cache() // both sides of the candidate self-join
+    // candidate pruning, all lossless: the size filter (J ≥ t forces
+    // t·|x| ≤ |y|), then PPJoin's positional bound — every common
+    // element sits at-or-after the FIRST common token in both sorted
+    // orders, so min suffix length from that token caps the overlap,
+    // which must reach α = ⌈t/(1+t)·(|x|+|y|)⌉. The first common
+    // token's row survives both filters, so the pair survives.
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("n_a") + col("n_b")))
+    val cand = prefix
+      .select(col(keyCol).as("a"), col("n").as("n_a"), col("pos").as("pa"),
+        col("token"))
+      .join(prefix.select(col(keyCol).as("b"), col("n").as("n_b"),
+        col("pos").as("pb"), col("token")), Seq("token"))
+      .filter(col("a") < col("b"))
+      .filter(col("n_b") >= ceil(lit(threshold) * col("n_a")) &&
+        col("n_a") >= ceil(lit(threshold) * col("n_b")))
+      .filter(least(col("n_a") - col("pa"), col("n_b") - col("pb")) >= alpha)
+      .select(col("a"), col("b")).distinct()
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    cand
+      .join(toks.select(col(keyCol).as("a"), col("toks").as("toks_a")),
+        Seq("a"))
+      .join(toks.select(col(keyCol).as("b"), col("toks").as("toks_b")),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        (inter.cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - inter).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash signature (tier 4): 64-bit bit-vote over token hashes.
     * One groupBy with 64 conditional sums, then bit assembly. */
   def simhashSignature(df: DataFrame, keyCol: String,

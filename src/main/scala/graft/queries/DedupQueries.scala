@@ -256,7 +256,89 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q94: exact set-similarity join via prefix filtering
+    * (`Dedup.prefixJaccardPairs` — the AllPairs/PPJoin tier): every
+    * pair with 3-shingle Jaccard ≥ 0.6 over the FULL corpus, lossless
+    * and with no LSH tuning. The oracle is the BRUTE-FORCE all-pairs
+    * shingle join (q31's SQL shape) — it passing proves the prefix
+    * filter dropped nothing, the whole point of the operator. Shingle
+    * elements (not words) because the corpus vocabulary is ~31 words:
+    * every word is frequent, while rare shingles keep prefixes
+    * selective — which is also why this runs uncapped where q31 needs
+    * a 60-doc cap. Near-dups synthesized as first-token-dropped
+    * copies. */
+  val q94PrefixJaccard: QuerySpec = QuerySpec(
+    "q94_prefix_jaccard",
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    substr(text, strpos(text, ' ') + 1) AS text
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS token
+      |  FROM tok),
+      |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
+      |  FROM sh x JOIN sh y ON x.token = y.token AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b,
+      |  CAST(n_common AS DOUBLE)
+      |    / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+      |FROM common
+      |JOIN counts ca ON ca.doc_id = a
+      |JOIN counts cb ON cb.doc_id = b
+      |WHERE CAST(n_common AS DOUBLE)
+      |    / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.6
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val nearDup = d.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    Dedup.prefixJaccardPairs(d.unionByName(nearDup), "doc_id", "text",
+        threshold = 0.6, shingleK = 3)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** q95: exact edit-distance join (`EditDistanceJoin` — PassJoin
+    * segment pigeonhole + banded short tier): part-name pairs within
+    * Levenshtein distance 2, typos synthesized by dropping each third
+    * name's third character. The oracle is the brute-force quadratic
+    * `levenshtein` cross join — it passing proves the segment
+    * candidates are complete. */
+  val q95EditDistance: QuerySpec = QuerySpec(
+    "q95_edit_distance",
+    """WITH names AS (
+      |  SELECT p_partkey AS key, p_name AS name FROM part
+      |  WHERE p_partkey < 1000
+      |  UNION ALL
+      |  SELECT p_partkey + 1000000 AS key,
+      |    substr(p_name, 1, 2) || substr(p_name, 4) AS name
+      |  FROM part WHERE p_partkey < 1000 AND p_partkey % 3 = 0)
+      |SELECT x.key AS a, y.key AS b,
+      |  CAST(levenshtein(x.name, y.name) AS INT) AS dist
+      |FROM names x JOIN names y ON x.key < y.key
+      |WHERE levenshtein(x.name, y.name) <= 2
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    val p = Tables.part(s, dir).filter(col("p_partkey") < 1000)
+      .select(col("p_partkey").as("key"), col("p_name").as("name"))
+    val typo = p.filter(col("key") % 3 === 0)
+      .select((col("key") + 1000000).as("key"),
+        concat(expr("substring(name, 1, 2)"),
+          expr("substring(name, 4)")).as("name"))
+    graft.operators.EditDistanceJoin.editDistancePairs(
+        p.unionByName(typo), "key", "name", maxDist = 2)
+      .orderBy(col("a"), col("b"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash,
-    q66MllibMinhash, q75DedupClusters, q77DedupApply)
+    q66MllibMinhash, q75DedupClusters, q77DedupApply,
+    q94PrefixJaccard, q95EditDistance)
 }
