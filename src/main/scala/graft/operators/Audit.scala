@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality constraint audit (the validation gate a warehouse
+  * load runs before publishing — SURVEY §2.10's write-gate protocol
+  * generalized from one cardinality check to a constraint suite).
+  * Produces one row per named constraint: `(check, n_violations)`.
+  *
+  * Scale shape: every ROW-LOCAL constraint (not-null, range, accepted
+  * values, format) is a conditional-sum in ONE aggregate over ONE scan
+  * — adding a constraint costs an expression, not a pass. Uniqueness
+  * is one groupBy on the key (the only shuffle it needs); referential
+  * integrity is one broadcast-able anti-join per dimension. The
+  * result is metadata-sized: a gate can `collect()` it and refuse the
+  * publish on any nonzero count (`Sinks`' gate pattern).
+  */
+object Audit {
+
+  /** One-pass row-local constraint counts. Each (name, predicate) pair
+    * counts rows where the predicate is NOT satisfied; a NULL
+    * predicate result counts as a violation (ANSI three-valued logic
+    * would otherwise let `col > 0` pass NULLs silently). */
+  def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "rowChecks needs at least one constraint")
+    require(checks.map(_._1).distinct.length == checks.length,
+      "constraint names must be unique")
+    val aggs = checks.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(name)
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(map(checks.flatMap { case (name, _) =>
+        Seq(lit(name), coalesce(col(name), lit(0L))) }: _*))
+        .as(Seq("check", "n_violations")))
+  }
+
+  /** Duplicate-key count for a uniqueness constraint: the number of
+    * EXTRA rows (rows beyond the first per key) — 0 iff unique. */
+  def uniqueCheck(df: DataFrame, name: String,
+                  keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n") - 1L), lit(0L)).as("n_violations"))
+      .select(lit(name).as("check"), col("n_violations"))
+
+  /** Referential-integrity violation count: fact rows whose `factKey`
+    * has no match in `dim.dimKey` (NULL keys violate too — a fact row
+    * that can't join its dimension is orphaned either way). */
+  def refCheck(fact: DataFrame, name: String, factKey: String,
+               dim: DataFrame, dimKey: String): DataFrame =
+    fact.select(col(factKey))
+      .join(broadcast(dim.select(col(dimKey).as(factKey)).distinct()),
+        Seq(factKey), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit(name).as("check"), col("n_violations"))
+
+  /** The full gate: row-local + uniqueness + referential constraints,
+    * one summary frame out. */
+  def audit(df: DataFrame, rowConstraints: Seq[(String, Column)],
+            uniqueKeys: Seq[(String, Seq[String])] = Nil,
+            refs: Seq[(String, String, DataFrame, String)] = Nil)
+      : DataFrame = {
+    val parts =
+      (if (rowConstraints.nonEmpty) Seq(rowChecks(df, rowConstraints))
+       else Nil) ++
+        uniqueKeys.map { case (name, keys) => uniqueCheck(df, name, keys) } ++
+        refs.map { case (name, factKey, dim, dimKey) =>
+          refCheck(df, name, factKey, dim, dimKey) }
+    require(parts.nonEmpty, "audit needs at least one constraint")
+    parts.reduce(_.unionByName(_))
+  }
+}

@@ -78,4 +78,24 @@ object Rollups {
   def distinctEstimate(c: org.apache.spark.sql.Column):
       org.apache.spark.sql.Column =
     hll_sketch_estimate(c)
+
+  /** Incremental equi-JOIN maintenance (the join sibling of
+    * [[partials]]): with a materialized join J = A ⋈ B and
+    * append-only deltas ΔA, ΔB, the rows J is missing are exactly
+    *
+    *   ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    *
+    * (base⋈base is already in J; each mixed term pairs one old side
+    * with one new side; delta⋈delta pairs the new arrivals). At scale
+    * the deltas are a sliver of the bases, so all three joins
+    * broadcast the delta side and STREAM the base — a refresh costs
+    * O(|Δ| + matching base partitions), never a base×base recompute.
+    * Appending the result to J (e.g. via `Sinks.upsertPartitions`)
+    * completes the refresh; q96's oracle checks the union equals the
+    * full recomputed join. */
+  def joinDelta(base: DataFrame, delta: DataFrame, otherBase: DataFrame,
+                otherDelta: DataFrame, keys: Seq[String]): DataFrame =
+    broadcast(delta).join(otherBase, keys)
+      .unionByName(base.join(broadcast(otherDelta), keys))
+      .unionByName(delta.join(otherDelta, keys))
 }

@@ -52,6 +52,51 @@ object Sampling {
       s"WHEN ${sqlBucket(keyExpr)} < ${trainPermille + valPermille} " +
       s"THEN 'val' ELSE 'test' END"
 
+  /** Deterministic fixed-SIZE uniform sample (the reservoir-sampling
+    * contract, hash-ranked): exactly `k` rows — the k smallest under
+    * the (portable hash, key) total order. Where [[deterministicSample]]
+    * fixes the RATE, this fixes the COUNT, which is what a "take 10k
+    * docs for eval" pipeline step actually wants; membership is still
+    * a pure function of the keys present, so re-runs and engines
+    * agree. Plans as TakeOrderedAndProject — per-partition top-k then
+    * a k-row merge, never a global sort, no driver-side state beyond
+    * the k-row result. */
+  def reservoirSample(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0 && k <= 10 * 1000 * 1000, s"k=$k outside (0, 1e7]")
+    df.orderBy(graft.functions.Scalars.portableHash64(col(keyCol)),
+      col(keyCol)).limit(k)
+  }
+
+  /** Oracle spelling of [[reservoirSample]]'s order (wrap in
+    * `ORDER BY ... LIMIT k`). */
+  def sqlReservoirOrder(keyExpr: String): String =
+    s"${graft.functions.Scalars.sqlPortableHash64(keyExpr)}, $keyExpr"
+
+  /** Deterministic weighted sample without replacement (the A-ES /
+    * exponential-clocks scheme): each row draws its unit-interval
+    * variate u from the portable hash of its key and gets priority
+    * `−ln(u) / w` — exponential with rate w, so the k smallest
+    * priorities are a weight-proportional sample — and, being
+    * hash-derived, the draw is reproducible across engines and runs.
+    * The priority is ROUNDED to 6 decimals before ranking (the cosine
+    * rule: ln is correctly-rounded on neither engine; 6 decimals
+    * absorb the ulp while the key tie-break keeps the order total).
+    * Same TakeOrderedAndProject shape as [[reservoirSample]]. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0 && k <= 10 * 1000 * 1000, s"k=$k outside (0, 1e7]")
+    val u = (graft.functions.Scalars.portableHash64(col(keyCol))
+      .cast("double") + 1.0) / lit(Math.pow(2, 60))
+    val priority = round(-log(u) / col(weightCol).cast("double"), 6)
+    df.orderBy(priority, col(keyCol)).limit(k)
+  }
+
+  /** Oracle spelling of [[weightedSample]]'s priority. */
+  def sqlWeightedPriority(keyExpr: String, weightExpr: String): String =
+    s"round(-ln((CAST(${graft.functions.Scalars.sqlPortableHash64(keyExpr)} " +
+      s"AS DOUBLE) + 1.0) / 1152921504606846976.0) " +
+      s"/ CAST($weightExpr AS DOUBLE), 6)"
+
   /** Stratified variant: a per-stratum permille map (strata absent
     * from the map keep `defaultPermille`). */
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,

@@ -406,7 +406,68 @@ object ProtocolQueries {
       .orderBy(col("bucket"), col("priority"))
   }
 
+  /** q99: data-quality constraint audit (`Audit.audit` — the publish
+    * gate): one summary row per constraint over a corpus with
+    * synthesized violations (every 500th order re-appended with a
+    * bogus priority, negated price, and an orphaned custkey — so the
+    * duplicate-key, accepted-values, range, and referential checks
+    * all fire with exactly known counts). Row-local checks share ONE
+    * scan/aggregate; uniqueness is one groupBy; referential integrity
+    * one broadcast anti-join. */
+  val q99QualityAudit: QuerySpec = QuerySpec(
+    "q99_quality_audit",
+    """WITH all_rows AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority,
+      |    o_totalprice
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey + 10000000, o_orderdate,
+      |    '9-BOGUS', -o_totalprice
+      |  FROM orders WHERE o_orderkey % 500 = 0)
+      |SELECT check_name, n_violations FROM (
+      |  SELECT 'orderdate_not_null' AS check_name,
+      |    CAST(SUM(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS n_violations
+      |  FROM all_rows
+      |  UNION ALL
+      |  SELECT 'priority_known',
+      |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH',
+      |      '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') THEN 0 ELSE 1 END)
+      |      AS BIGINT)
+      |  FROM all_rows
+      |  UNION ALL
+      |  SELECT 'totalprice_positive',
+      |    CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM all_rows
+      |  UNION ALL
+      |  SELECT 'orderkey_unique',
+      |    CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+      |  FROM (SELECT COUNT(*) AS n FROM all_rows GROUP BY o_orderkey)
+      |  UNION ALL
+      |  SELECT 'custkey_in_customer', CAST(COUNT(*) AS BIGINT)
+      |  FROM all_rows
+      |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |ORDER BY check_name""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"), col("o_orderpriority"), col("o_totalprice"))
+    val bad = o.filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey"), (col("o_custkey") + 10000000).as("o_custkey"),
+        col("o_orderdate"), lit("9-BOGUS").as("o_orderpriority"),
+        (-col("o_totalprice")).as("o_totalprice"))
+    graft.operators.Audit.audit(o.unionByName(bad),
+        rowConstraints = Seq(
+          "orderdate_not_null" -> col("o_orderdate").isNotNull,
+          "priority_known" -> col("o_orderpriority").isin("1-URGENT",
+            "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+          "totalprice_positive" -> (col("o_totalprice") > 0)),
+        uniqueKeys = Seq("orderkey_unique" -> Seq("o_orderkey")),
+        refs = Seq(("custkey_in_customer", "o_custkey",
+          Tables.customer(s, dir), "c_custkey")))
+      .select(col("check").as("check_name"), col("n_violations"))
+      .orderBy(col("check_name"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q48DedupAppend, q49UpsertPartition,
     q65Lifecycle, q69KvScrapePivot, q71SnapshotDiff, q80CdcApply,
-    q84RollupMaintenance, q92HllRollup)
+    q84RollupMaintenance, q92HllRollup, q99QualityAudit)
 }

@@ -854,6 +854,81 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q96: deterministic fixed-size sample (`Sampling.reservoirSample`
+    * — the reservoir contract as a hash-ranked top-k): exactly 200
+    * orders, membership a pure function of the keys, identical on any
+    * engine (the oracle re-derives the same 200 in SQL). Plans as
+    * TakeOrderedAndProject — per-partition top-k, k-row merge, never
+    * a global sort. */
+  val q96ReservoirSample: QuerySpec = QuerySpec(
+    "q96_reservoir_sample",
+    s"""WITH s AS (
+       |  SELECT o_orderkey, o_totalprice FROM orders
+       |  ORDER BY ${graft.operators.Sampling.sqlReservoirOrder("o_orderkey")}
+       |  LIMIT 200)
+       |SELECT o_orderkey, o_totalprice FROM s
+       |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    graft.operators.Sampling.reservoirSample(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+        "o_orderkey", k = 200)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q97: deterministic weighted sample without replacement
+    * (`Sampling.weightedSample` — A-ES exponential clocks from the
+    * portable hash): 200 orders drawn ∝ o_totalprice, reproducible
+    * across engines; the oracle replays the same priorities. High
+    * prices dominate the sample — the spec pins that. */
+  val q97WeightedSample: QuerySpec = QuerySpec(
+    "q97_weighted_sample",
+    s"""WITH s AS (
+       |  SELECT o_orderkey, o_totalprice FROM orders
+       |  ORDER BY ${graft.operators.Sampling.sqlWeightedPriority(
+            "o_orderkey", "o_totalprice")}, o_orderkey
+       |  LIMIT 200)
+       |SELECT o_orderkey, o_totalprice FROM s
+       |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    graft.operators.Sampling.weightedSample(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+        "o_orderkey", "o_totalprice", k = 200)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q98: incremental join maintenance (`Rollups.joinDelta`): the
+    * materialized orders⋈customer join is refreshed from base + delta
+    * slices — ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB appended to the base join. The
+    * oracle computes the FULL join from scratch; it matching the
+    * base ∪ delta aggregate proves the delta formula is exhaustive
+    * and disjoint (no missing pairs, no double counts). At scale the
+    * delta side broadcasts and the base streams — a refresh costs
+    * O(|Δ|), never the base×base recompute the oracle does. */
+  val q98JoinDelta: QuerySpec = QuerySpec(
+    "q98_join_delta",
+    s"""SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
+       |  ${Exact.sqlSum("o.o_totalprice")} AS revenue
+       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val cut = lit("1997-01-01").cast("date")
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val (oBase, oDelta) =
+      (o.filter(col("o_orderdate") < cut), o.filter(col("o_orderdate") >= cut))
+    val (cBase, cDelta) =
+      (c.filter(col("o_custkey") % 10 =!= 0), c.filter(col("o_custkey") % 10 === 0))
+    val baseJoin = oBase.join(cBase, Seq("o_custkey"))
+    val delta = graft.operators.Rollups.joinDelta(
+      oBase, oDelta, cBase, cDelta, Seq("o_custkey"))
+    baseJoin.unionByName(delta)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.dsum(col("o_totalprice")).as("revenue"))
+      .select(col("c_mktsegment").as("segment"), col("n_orders"),
+        col("revenue"))
+      .orderBy(col("segment"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
@@ -862,5 +937,6 @@ object RelationalQueries {
     q16MonthlySpine, q17MacroSeriesJoin, q18SetOps, q19ApproxDistinct,
     q55RangeJoin, q63CorrRegression, q64SkewJoin, q70Percentiles, q76Profile,
     q78BucketedJoin, q79BloomSemiJoin, q81ZOrderedScan, q86Melt,
-    q88IqrOutliers, q89TableChecksum, q90Resample, q91Zscore)
+    q88IqrOutliers, q89TableChecksum, q90Resample, q91Zscore,
+    q96ReservoirSample, q97WeightedSample, q98JoinDelta)
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Audit
+import org.apache.spark.sql.functions._
+
+/** The constraint gate must count violations exactly — including the
+  * ANSI trap where a NULL predicate result would silently pass. */
+class AuditSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val rows = Seq(
+    (1L, Some(10.0), "ok"),
+    (2L, Some(-5.0), "ok"),      // range violation
+    (3L, None, "ok"),            // NULL price: range check must flag it
+    (3L, Some(7.0), "bad"),      // duplicate key + bad status
+    (4L, Some(0.0), "ok")        // boundary: > 0 fails
+  ).toDF("id", "price", "status")
+
+  test("rowChecks counts NULLs as violations, one row per check") {
+    val got = Audit.rowChecks(rows, Seq(
+        "price_positive" -> (col("price") > 0),
+        "status_known" -> col("status").isin("ok"),
+        "id_not_null" -> col("id").isNotNull))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "price_positive" -> 3L, // -5, NULL, 0
+      "status_known" -> 1L,
+      "id_not_null" -> 0L))
+  }
+
+  test("uniqueCheck counts extra rows per duplicated key") {
+    val got = Audit.uniqueCheck(rows, "id_unique", Seq("id")).collect()(0)
+    assert(got.getString(0) == "id_unique" && got.getLong(1) == 1L)
+    // empty input: zero violations, not an empty/NULL result
+    val empty = Audit.uniqueCheck(rows.filter(col("id") < 0), "u", Seq("id"))
+      .collect()(0)
+    assert(empty.getLong(1) == 0L)
+  }
+
+  test("refCheck counts orphaned fact rows") {
+    val dim = Seq(1L, 2L, 3L).toDF("dim_id")
+    val got = Audit.refCheck(rows, "id_in_dim", "id", dim, "dim_id")
+      .collect()(0)
+    assert(got.getString(0) == "id_in_dim" && got.getLong(1) == 1L) // id 4
+  }
+
+  test("audit composes all tiers into one summary") {
+    val dim = Seq(1L, 2L, 3L, 4L).toDF("dim_id")
+    val got = Audit.audit(rows,
+        rowConstraints = Seq("price_positive" -> (col("price") > 0)),
+        uniqueKeys = Seq("id_unique" -> Seq("id")),
+        refs = Seq(("id_in_dim", "id", dim, "dim_id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("price_positive" -> 3L, "id_unique" -> 1L,
+      "id_in_dim" -> 0L))
+  }
+}

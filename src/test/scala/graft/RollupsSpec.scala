@@ -66,4 +66,23 @@ class RollupsSpec extends SparkSpecBase {
       "o_totalprice")
     assertBagEqual(merged, full)
   }
+
+  test("joinDelta is exhaustive and disjoint vs the full recompute") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val c = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val (oBase, oDelta) =
+      (o.filter(col("o_orderkey") % 3 =!= 0), o.filter(col("o_orderkey") % 3 === 0))
+    val (cBase, cDelta) =
+      (c.filter(col("o_custkey") % 7 =!= 0), c.filter(col("o_custkey") % 7 === 0))
+    val incremental = oBase.join(cBase, Seq("o_custkey"))
+      .unionByName(Rollups.joinDelta(oBase, oDelta, cBase, cDelta,
+        Seq("o_custkey")))
+    val full = o.join(c, Seq("o_custkey"))
+    // bag equality = every pair produced exactly once: exhaustive
+    // (nothing missing) AND disjoint (nothing double-counted)
+    assertBagEqual(incremental, full)
+  }
 }

@@ -48,4 +48,38 @@ class SamplingSpec extends SparkSpecBase {
     val frRate = byLang.getOrElse("fr", 0L).toDouble / total("fr")
     assert(frRate > 0.3 && frRate < 0.7, s"default rate $frRate far from 0.5")
   }
+
+  test("reservoirSample: exact k, partition-invariant, nested") {
+    val o = Tables.orders(spark, sf)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val s100 = keys(Sampling.reservoirSample(o, "o_orderkey", 100))
+    assert(s100.size == 100, s"got ${s100.size} rows, wanted exactly 100")
+    assert(s100 == keys(
+      Sampling.reservoirSample(o.repartition(13), "o_orderkey", 100)),
+      "sample must be invariant to partitioning")
+    // hash-ranked top-k nests: the 100-sample is inside the 200-sample
+    assert(s100.subsetOf(keys(Sampling.reservoirSample(o, "o_orderkey", 200))))
+    val plan = Sampling.reservoirSample(o, "o_orderkey", 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k, got:\n$plan")
+  }
+
+  test("weightedSample favors heavy weights and stays deterministic") {
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"),
+      col("o_totalprice")).cache()
+    val k = 200
+    val s1 = Sampling.weightedSample(o, "o_orderkey", "o_totalprice", k)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.size == k)
+    assert(s1 == Sampling.weightedSample(o.repartition(11), "o_orderkey",
+      "o_totalprice", k).collect().map(_.getLong(0)).toSet)
+    // weight-proportional draw: the top price quartile must be heavily
+    // overrepresented vs its 25% population share
+    val q3 = o.stat.approxQuantile("o_totalprice", Array(0.75), 0.001)(0)
+    val topShare = o.filter(col("o_orderkey").isin(s1.toSeq: _*))
+      .filter(col("o_totalprice") >= q3).count().toDouble / k
+    assert(topShare > 0.4, s"top-quartile share $topShare not > 0.4")
+  }
 }
