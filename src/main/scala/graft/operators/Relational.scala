@@ -346,4 +346,82 @@ object Relational {
       .filter(col("rn") <= k)
       .drop("rn")
   }
+
+  /** Equi-width histogram of a numeric column (profiling's
+    * distribution tier — q76 gives moments, this gives shape):
+    * `(bucket, lo, hi, n)`, empty buckets absent. Two passes, both
+    * scale-flat: a 2-scalar bounds aggregate broadcast onto the scan,
+    * then one groupBy on the bucket id. The max value closes into the
+    * last bucket; a constant column lands entirely in bucket 0.
+    * Bounds are ROUNDED in the output only — bucket assignment uses
+    * the raw double formula, identical on any engine. */
+  def histogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && nBuckets <= 100000,
+      s"nBuckets=$nBuckets outside [1, 100000]")
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val bounds = vals.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val width = (col("vmax") - col("vmin")) / nBuckets
+    vals.crossJoin(broadcast(bounds))
+      .select(
+        when(col("vmin") === col("vmax"), 0)
+          .when(col("v") === col("vmax"), nBuckets - 1)
+          .otherwise(least(floor((col("v") - col("vmin")) / width),
+            lit(nBuckets - 1).cast("long"))).cast("int").as("bucket"),
+        col("vmin"), col("vmax"))
+      .groupBy(col("bucket"), col("vmin"), col("vmax"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        round(col("vmin") + col("bucket") * width, 6).as("lo"),
+        round(col("vmin") + (col("bucket") + 1) * width, 6).as("hi"),
+        col("n"))
+  }
+
+  /** Gap-based sessionization (the row-level sibling of the
+    * `session_window` aggregate — q43 counts sessions, this TAGS every
+    * row with one, which is what downstream per-session joins need):
+    * a new session starts at each row whose gap from the previous row
+    * of the same key exceeds `gapSeconds`. One shuffle on the key; the
+    * running sum and lag share the same window sort. Rows with equal
+    * timestamps always share a session (gap 0), so the assignment is
+    * deterministic under any tie order. */
+  def sessionize(df: DataFrame, keyCol: String, timeCol: String,
+                 gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapSeconds > 0, s"gapSeconds=$gapSeconds must be positive")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+    val us = expr(s"unix_micros($timeCol)")
+    val newSession = when(
+      lag(us, 1).over(w).isNull ||
+        us - lag(us, 1).over(w) > gapSeconds * 1000000L, 1L).otherwise(0L)
+    df.withColumn("session_seq",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+  }
+
+  /** Dictionary for a low-cardinality column: `(code, value)` with
+    * dense 0-based codes in value order. The single-partition
+    * row_number runs on the DISTINCT values only — dictionary-sized by
+    * definition (the IVF-centroid bound pattern), never on the data.
+    */
+  def dictionary(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(valueCol).cast("string").as("value"))
+      .filter(col("value").isNotNull).distinct()
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("value"))) - 1).cast("int"))
+      .select(col("code"), col("value"))
+  }
+
+  /** Encode a string column through its [[dictionary]]: the column is
+    * replaced by `<col>_code` (int). At scale the dictionary
+    * broadcasts and the corpus streams — the standard layout move that
+    * turns a wide string shuffle key into a 4-byte one. NULLs encode
+    * as NULL (left join). */
+  def dictionaryEncode(df: DataFrame, valueCol: String,
+                       dict: DataFrame): DataFrame =
+    df.join(broadcast(dict.select(col("value").as(valueCol),
+        col("code").as(s"${valueCol}_code"))),
+      Seq(valueCol), "left")
+      .drop(valueCol)
 }

@@ -284,7 +284,40 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** q101: gap-based sessionization (`Relational.sessionize` — the
+    * row-tagging sibling of q43's `session_window` aggregate): every
+    * event gets its (user, session_seq), then sessions summarize. One
+    * shuffle on the user key; lag and the running sum share one window
+    * sort. 30-minute gap, q43's parameter. */
+  val q101Sessionize: QuerySpec = QuerySpec(
+    "q101_sessionize",
+    """WITH l AS (
+      |  SELECT user_id, ts, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+      |      AS prev
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM l)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM s GROUP BY 1, 2
+      |ORDER BY user_id, session_seq""".stripMargin) { (s, dir) =>
+    Relational.sessionize(Tables.events(s, dir), "user_id", "ts",
+        gapSeconds = 1800)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q40JsonProps, q41Tumbling, q42Sliding, q43Sessions, q44DedupReplay,
-    q45AsOf, q56AsOfKeyed, q68RangeAsOf, q74IntervalJoin, q85FillForward)
+    q45AsOf, q56AsOfKeyed, q68RangeAsOf, q74IntervalJoin, q85FillForward,
+    q101Sessionize)
 }

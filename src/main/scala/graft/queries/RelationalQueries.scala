@@ -929,6 +929,60 @@ object RelationalQueries {
       .orderBy(col("segment"))
   }
 
+  /** q100: equi-width histogram (`Relational.histogram` — the
+    * distribution tier of profiling): 20 buckets over order totals.
+    * Two scale-flat passes — a 2-scalar bounds aggregate broadcast
+    * onto the scan, one groupBy on the bucket id; the oracle rebuilds
+    * the identical grid in SQL. */
+  val q100Histogram: QuerySpec = QuerySpec(
+    "q100_histogram",
+    """WITH v AS (
+      |  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      |  WHERE o_totalprice IS NOT NULL),
+      |b AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM v),
+      |t AS (
+      |  SELECT CASE WHEN vmin = vmax THEN 0
+      |    WHEN v = vmax THEN 19
+      |    ELSE CAST(LEAST(FLOOR((v - vmin) / ((vmax - vmin) / 20)), 19)
+      |      AS INT) END AS bucket, vmin, vmax
+      |  FROM v CROSS JOIN b)
+      |SELECT bucket,
+      |  round(vmin + bucket * (vmax - vmin) / 20, 6) AS lo,
+      |  round(vmin + (bucket + 1) * (vmax - vmin) / 20, 6) AS hi,
+      |  COUNT(*) AS n
+      |FROM t GROUP BY bucket, vmin, vmax
+      |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    Relational.histogram(Tables.orders(s, dir), "o_totalprice", 20)
+      .orderBy(col("bucket"))
+  }
+
+  /** q102: dictionary encoding (`Relational.dictionary` /
+    * `dictionaryEncode` — the layout move that turns a wide string
+    * shuffle key into 4 bytes): dense value-ordered codes built on the
+    * DISTINCT values only, broadcast back over the corpus; the oracle
+    * re-derives codes with the same ordered row_number. */
+  val q102DictEncode: QuerySpec = QuerySpec(
+    "q102_dict_encode",
+    """WITH dict AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY value) - 1 AS INT)
+      |    AS code, value
+      |  FROM (SELECT DISTINCT o_orderpriority AS value FROM orders))
+      |SELECT d.code AS priority_code, d.value AS priority_value,
+      |  COUNT(*) AS n
+      |FROM orders o JOIN dict d ON o.o_orderpriority = d.value
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val dict = Relational.dictionary(o, "o_orderpriority")
+    Relational.dictionaryEncode(o.select(col("o_orderpriority")),
+        "o_orderpriority", dict)
+      .groupBy(col("o_orderpriority_code")).agg(count(lit(1)).as("n"))
+      .join(broadcast(dict),
+        col("o_orderpriority_code") === col("code"))
+      .select(col("code").as("priority_code"),
+        col("value").as("priority_value"), col("n"))
+      .orderBy(col("priority_code"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
@@ -938,5 +992,6 @@ object RelationalQueries {
     q55RangeJoin, q63CorrRegression, q64SkewJoin, q70Percentiles, q76Profile,
     q78BucketedJoin, q79BloomSemiJoin, q81ZOrderedScan, q86Melt,
     q88IqrOutliers, q89TableChecksum, q90Resample, q91Zscore,
-    q96ReservoirSample, q97WeightedSample, q98JoinDelta)
+    q96ReservoirSample, q97WeightedSample, q98JoinDelta,
+    q100Histogram, q102DictEncode)
 }

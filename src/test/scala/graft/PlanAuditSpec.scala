@@ -21,8 +21,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // attach (q76: both single-row aggregates; Catalyst folds the
     // literal equi-key away) — over a streamed corpus: exactly the
     // plan wanted at scale. Whitelisted.
+    // q100 broadcasts a 1-row min/max bounds aggregate onto the scan —
+    // the same metadata-sized cross as q76's stats attach
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
-      "q90_resample", "q76_profile")
+      "q90_resample", "q76_profile", "q100_histogram")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

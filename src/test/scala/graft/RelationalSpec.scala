@@ -145,4 +145,55 @@ class RelationalSpec extends SparkSpecBase {
       .count().collect().toMap
     assert(perStatus.values.sum == Tables.orders(spark, sf).count())
   }
+
+  test("histogram: buckets partition the rows; constants and max-edge") {
+    val o = Tables.orders(spark, sf)
+    val h = Relational.histogram(o, "o_totalprice", 10).collect()
+    assert(h.map(_.getLong(3)).sum == o.filter(col("o_totalprice").isNotNull).count())
+    assert(h.map(_.getInt(0)).forall(b => b >= 0 && b < 10))
+    // max value closes into the top bucket, not a phantom bucket 10
+    assert(h.map(_.getInt(0)).max == 9)
+    val const = Seq(5.0, 5.0, 5.0).toDF("x")
+    val hc = Relational.histogram(const, "x", 4).collect()
+    assert(hc.length == 1 && hc(0).getInt(0) == 0 && hc(0).getLong(3) == 3)
+    // NULLs are excluded, not a bucket
+    val withNull = Seq(Some(1.0), None, Some(2.0)).toDF("x")
+    assert(Relational.histogram(withNull, "x", 2)
+      .agg(sum("n")).collect()(0).getLong(0) == 2)
+  }
+
+  test("sessionize: gap splits, partition-invariant, rows tagged") {
+    val e = Tables.events(spark, sf)
+    val tagged = Relational.sessionize(e, "user_id", "ts", 1800)
+    assert(tagged.count() == e.count(), "sessionize must not drop rows")
+    val a = tagged.select("event_id", "session_seq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Relational.sessionize(e.repartition(7), "user_id", "ts", 1800)
+      .select("event_id", "session_seq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "session assignment must be partition-invariant")
+    // a tiny hand-checked timeline: gaps of 10s with a 5s threshold
+    val t = Seq((1L, 0L), (2L, 3L), (3L, 20L), (4L, 22L), (5L, 60L))
+      .toDF("event_id", "secs")
+      .select(col("event_id"), timestamp_seconds(col("secs")).as("ts"),
+        lit(1).as("u"))
+    val got = Relational.sessionize(t, "u", "ts", 5)
+      .select("event_id", "session_seq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L))
+  }
+
+  test("dictionary encode/decode round-trips and codes are dense") {
+    val o = Tables.orders(spark, sf).select(col("o_orderpriority"))
+    val dict = Relational.dictionary(o, "o_orderpriority")
+    val codes = dict.collect().map(r => r.getInt(0)).sorted.toSeq
+    assert(codes == codes.indices.toSeq, "codes not dense from 0")
+    val encoded = Relational.dictionaryEncode(o, "o_orderpriority", dict)
+    assert(encoded.columns.sameElements(Array("o_orderpriority_code")))
+    // decode back: the bag of values survives the round trip
+    val decoded = encoded.join(broadcast(dict),
+        encoded("o_orderpriority_code") === dict("code"))
+      .select(col("value").as("o_orderpriority"))
+    assertBagEqual(decoded, o)
+  }
 }
