@@ -182,8 +182,13 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
     require(maxIter >= 1 && maxIter <= 100, s"maxIter=$maxIter out of range")
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // both directions from ONE evaluation of the (possibly expensive)
+    // pairs subtree — a two-branch union would run it twice before the
+    // cache materializes
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
       .distinct()
       .cache()
     // localCheckpoint (not cache) each round: an iterative plan that

@@ -379,9 +379,12 @@ object TextQueries {
     * the engine's north-star lifecycle, every stage an operator that
     * is also individually oracle-checked: quality gate (q27's score) →
     * exact dedup (min-key per content fingerprint) → near-dup dedup
-    * (n-gram Jaccard pairs → `Dedup.dedupApply`, q77's machinery;
-    * at 100 TB MinHash-LSH generates the candidates first — the
-    * verify tier and apply step are unchanged) → token-window chunking
+    * (exact 3-shingle Jaccard pairs via the PREFIX-FILTERED join —
+    * `prefixJaccardPairs` ≡ `ngramJaccardPairs` by construction
+    * (ExactSimilarityJoinSpec), but sub-quadratic, so the pipeline
+    * runs the lossless tier at full-corpus scale where the naive
+    * shingle self-join cannot — then `Dedup.dedupApply`, q77's
+    * machinery) → token-window chunking
     * (q72) → per-DOCUMENT train/val/test tagging (q82 — chunks of one
     * doc never straddle splits). The oracle replays every stage in
     * SQL; chunk md5s pin the surviving content end to end. */
@@ -458,9 +461,9 @@ object TextQueries {
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = Dedup.ngramJaccardPairs(
+    val pairs = Dedup.prefixJaccardPairs(
       exact.filter(size(split(col("text"), " ")) >= 3),
-      "doc_id", "text", k = 3, threshold = 0.5)
+      "doc_id", "text", threshold = 0.5, shingleK = 3)
     val surv = Dedup.dedupApply(exact, "doc_id", pairs, "a", "b")
     val chunks = Chunking.chunkTokenWindows(surv, "doc_id", "text",
       chunkSize = 32, stride = 24)
