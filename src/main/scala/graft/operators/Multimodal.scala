@@ -86,6 +86,54 @@ object Multimodal {
         .otherwise(jpeg)).as("media"))
   }
 
+  /** Synthetic AUDIO container table: REAL WAV (even doc_id) and FLAC
+    * (odd) headers assembled byte-for-byte from document columns, so
+    * the audio header parser runs against genuine container layouts
+    * and the oracle can recompute the fields from the same formulas.
+    * Header-only payloads — the parse never needs sample data. */
+  def synthAudioTable(documents: DataFrame): DataFrame = {
+    val ch = (col("doc_id") % 2 + 1).cast("int")
+    val rate = (lit(8000) + (col("n_chars") % 5) * 8000).cast("int")
+    val bits = lit(16)
+    val nSamples = (col("n_chars") * 100 + 7).cast("long")
+    val align = ch * (bits / 8)
+    val dataSize = nSamples * align
+    val le16 = (v: org.apache.spark.sql.Column) =>
+      format_string("%02x%02x", (v % 256).cast("int"), (v / 256 % 256).cast("int"))
+    val le32 = (v: org.apache.spark.sql.Column) =>
+      format_string("%02x%02x%02x%02x", (v % 256).cast("int"),
+        (v / 256 % 256).cast("int"), (v / 65536 % 256).cast("int"),
+        (v / 16777216 % 256).cast("int"))
+    val wav = concat(lit("52494646"), le32(dataSize + 36), lit("57415645"),
+      lit("666D7420"), le32(lit(16)), le16(lit(1)), le16(ch), le32(rate),
+      le32(rate * align), le16(align), le16(bits),
+      lit("64617461"), le32(dataSize))
+    // fLaC + STREAMINFO block header (last=0, type=0, len=34), block
+    // sizes 4096/4096, frame sizes 0, then the packed 64-bit field
+    val packed = rate.cast("long") * lit(17592186044416L) + // << 44
+      (ch - 1).cast("long") * lit(2199023255552L) +         // << 41
+      (bits - 1).cast("long") * lit(68719476736L) +         // << 36
+      nSamples
+    val flac = concat(lit("664C6143" + "00000022" + "10001000" +
+      "000000" + "000000"), format_string("%016x", packed),
+      lit("0" * 32)) // 16-byte MD5 of the (absent) samples
+    documents.select(col("doc_id"),
+      unhex(when(col("doc_id") % 2 === 0, wav).otherwise(flac)).as("media"))
+  }
+
+  /** Audio header-tier decode (REAL — see `plans.AudioHeaders`):
+    * `(format, channels, sample_rate, bits_per_sample, n_samples)`
+    * from leading container bytes as a codegen'd scalar expression. */
+  def audioHeaderFeatures(media: DataFrame, idCol: String,
+                          mediaCol: String): DataFrame =
+    media
+      .select(col(idCol), graft.plans.AudioMeta(col(mediaCol)).as("a"))
+      .select(col(idCol), col("a.format").as("format"),
+        col("a.channels").as("channels"),
+        col("a.sample_rate").as("sample_rate"),
+        col("a.bits_per_sample").as("bits_per_sample"),
+        col("a.n_samples").as("n_samples"))
+
   /** Header-tier decode (the REAL one — see `plans.ImageHeaders`):
     * `(format, width, height)` from leading container bytes, as a
     * codegen'd scalar expression. Unrecognized payloads come back

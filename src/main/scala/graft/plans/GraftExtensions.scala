@@ -43,6 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "image_meta takes exactly 1 argument")
         ImageMeta(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("audio_meta"),
+      new ExpressionInfo(classOf[AudioMeta].getName, "audio_meta"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "audio_meta takes exactly 1 argument")
+        AudioMeta(children.head)
+      }))
     // scalar functions built as PURE Catalyst trees (a Column-builder
     // extraction would leave unresolved ColumnNode wrappers behind the
     // analyzer's back — Spark 4 resolves Column ASTs only at Dataset

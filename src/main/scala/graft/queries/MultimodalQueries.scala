@@ -95,6 +95,33 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q103: audio header decode (`plans.AudioHeaders` via
+    * `Multimodal.audioHeaderFeatures`) — REAL WAV RIFF-chunk-walk and
+    * FLAC STREAMINFO bit-unpack over container bytes assembled
+    * byte-for-byte from document columns; the oracle recomputes every
+    * field from the same synthesis formulas, so a parser bug (wrong
+    * offset, endianness, bit boundary) breaks the hash. Duration
+    * derives as n_samples/rate — the metadata a 100 TB audio corpus
+    * scan actually needs, no codec, no payload inflation. */
+  val q103AudioHeaders: QuerySpec = QuerySpec(
+    "q103_audio_headers",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
+      |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+      |  CAST(8000 + (n_chars % 5) * 8000 AS INTEGER) AS sample_rate,
+      |  16 AS bits_per_sample,
+      |  CAST(n_chars * 100 + 7 AS BIGINT) AS n_samples,
+      |  CAST((n_chars * 100 + 7) * 1000 AS BIGINT)
+      |    // (8000 + (n_chars % 5) * 8000) AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Multimodal.audioHeaderFeatures(
+        Multimodal.synthAudioTable(Tables.documents(s, dir)),
+        "doc_id", "media")
+      .withColumn("duration_ms",
+        expr("(n_samples * 1000) div sample_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q50MediaStats, q57FrameSample,
-    q87ImageHeaders)
+    q87ImageHeaders, q103AudioHeaders)
 }
