@@ -91,6 +91,80 @@ object Streams {
         col("c_ts"), col("p_value"))
   }
 
+  case class SessionRow(user_id: Long, ts: java.sql.Timestamp)
+  case class OpenSession(start_us: Long, end_us: Long, n: Long)
+
+  /** Streaming gap-based sessionization (the streaming twin of
+    * `Relational.sessionize`, via explicit state + EVENT-TIME
+    * timeouts — the pattern `session_window` can't express when the
+    * session payload needs custom logic): per user, events merge into
+    * open sessions held in state; a session is EMITTED exactly once,
+    * when the watermark passes its end + gap (so no later event can
+    * extend it), either observed during a data batch or fired by the
+    * state timeout. State per key is the open-session list — bounded
+    * by the watermark, like every other streaming state here.
+    *
+    * Within-batch events may arrive unordered: the handler sorts and
+    * interval-merges, so the result matches the batch operator exactly
+    * on every closed session (StreamingSpec asserts it). */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+                       gapSeconds: Long = 1800,
+                       watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapSeconds * 1000000L
+    def close(open: List[OpenSession], wmUs: Long) =
+      open.partition(s => s.end_us + gapUs <= wmUs)
+    def park(state: GroupState[List[OpenSession]], open: List[OpenSession],
+             wmMs: Long): Unit =
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(open)
+        // fire when the earliest open session can close; strictly
+        // beyond the current watermark or the engine rejects it
+        val dueMs = (open.map(_.end_us).min + gapUs + 999) / 1000
+        state.setTimeoutTimestamp(math.max(dueMs, wmMs + 1))
+      }
+    // the watermark-tagged ts column must survive into the stateful
+    // operator — projecting it to a derived long would detach the
+    // watermark and fail the unsupported-operation check
+    val typed = events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[SessionRow]
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[OpenSession], (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[SessionRow],
+         state: GroupState[List[OpenSession]]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val existing = state.getOption.getOrElse(Nil)
+          val merged =
+            if (state.hasTimedOut) existing
+            else (existing ++ rows.map { r =>
+              val us = micros(r.ts); OpenSession(us, us, 1L) })
+              .sortBy(_.start_us)
+              .foldLeft(List.empty[OpenSession]) { (acc, s) =>
+                acc match {
+                  case h :: t if s.start_us <= h.end_us + gapUs =>
+                    OpenSession(h.start_us, math.max(h.end_us, s.end_us),
+                      h.n + s.n) :: t
+                  case _ => s :: acc
+                }
+              }.reverse
+          val (done, open) = close(merged, wmUs)
+          park(state, open, wmMs)
+          done.iterator.map(s => (uid, s.start_us, s.end_us, s.n))
+      }
+      .toDF("user_id", "start_us", "end_us", "n_events")
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"))
+  }
+
   case class UserEvent(user_id: Long, value: Double)
 
   /** Keyed running aggregate via explicit state (SURVEY §2.10 stateful

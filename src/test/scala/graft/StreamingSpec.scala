@@ -66,6 +66,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(finalRows.exceptAll(batch).isEmpty)
   }
 
+  test("streaming sessionization emits exactly the batch operator's closed sessions") {
+    import graft.operators.Relational
+    val streamed = runToMemory(
+      Streams.sessionizeStream(spark, Streams.eventsStream(spark, eventsDir)),
+      "t_sessions")
+    val batch = Relational.sessionize(Tables.events(spark, sf),
+        "user_id", "ts", 1800)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+    assert(streamed.count() > 0, "no sessions closed — timeouts never fired")
+    // soundness: every emitted session is exactly a batch session
+    assert(streamed.exceptAll(batch).isEmpty,
+      "stream emitted a session the batch operator doesn't have")
+    // completeness: every session the final watermark passed was emitted
+    val maxTs = Tables.events(spark, sf)
+      .agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+    val closedCutoffUs = maxTs - 3600L * 1000000 - 1800L * 1000000
+    val mustClose = batch.filter(
+      expr("unix_micros(session_end)") + lit(1800L * 1000000) <
+        lit(closedCutoffUs + 1800L * 1000000))
+    assert(mustClose.exceptAll(streamed).isEmpty,
+      "a watermark-passed session was never emitted")
+    // emitted at most once (Append-mode exactly-once per session)
+    assert(streamed.count() == streamed.distinct().count())
+  }
+
   test("watermark advances across micro-batches; on-time windows emit exactly once") {
     import spark.implicits._
     // two micro-batches via maxFilesPerTrigger=1: batch 1 advances the
