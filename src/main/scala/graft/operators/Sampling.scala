@@ -97,6 +97,22 @@ object Sampling {
       s"AS DOUBLE) + 1.0) / 1152921504606846976.0) " +
       s"/ CAST($weightExpr AS DOUBLE), 6)"
 
+  /** Per-group fixed-size sample: exactly `min(k, |group|)` rows per
+    * group under the same (portable hash, key) order — the balanced
+    * per-class draw a training pipeline uses where [[reservoirSample]]
+    * is global. One hash-partitioned window, no global sort; the
+    * 100 TB shape is rank-within-partition, never a driver loop. */
+  def reservoirPerGroup(df: DataFrame, groupCols: Seq[String],
+                        keyCol: String, k: Int): DataFrame = {
+    require(k > 0 && k <= 1000000, s"k=$k outside (0, 1e6]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(graft.functions.Scalars.portableHash64(col(keyCol)),
+        col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Stratified variant: a per-stratum permille map (strata absent
     * from the map keep `defaultPermille`). */
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,

@@ -929,6 +929,28 @@ object RelationalQueries {
       .orderBy(col("segment"))
   }
 
+  /** q104: per-group fixed-size sample (`Sampling.reservoirPerGroup`
+    * — the balanced per-class draw): exactly 20 orders per priority,
+    * membership a pure hash function of the keys; the oracle replays
+    * the same within-group ranking. */
+  val q104ReservoirPerGroup: QuerySpec = QuerySpec(
+    "q104_reservoir_per_group",
+    s"""WITH ranked AS (
+       |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY ${graft.operators.Sampling.sqlReservoirOrder(
+            "o_orderkey")}) AS rn
+       |  FROM orders)
+       |SELECT o_orderkey, o_orderpriority, o_totalprice
+       |FROM ranked WHERE rn <= 20
+       |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    graft.operators.Sampling.reservoirPerGroup(
+        Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice")),
+        Seq("o_orderpriority"), "o_orderkey", k = 20)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** q100: equi-width histogram (`Relational.histogram` — the
     * distribution tier of profiling): 20 buckets over order totals.
     * Two scale-flat passes — a 2-scalar bounds aggregate broadcast
@@ -993,5 +1015,5 @@ object RelationalQueries {
     q78BucketedJoin, q79BloomSemiJoin, q81ZOrderedScan, q86Melt,
     q88IqrOutliers, q89TableChecksum, q90Resample, q91Zscore,
     q96ReservoirSample, q97WeightedSample, q98JoinDelta,
-    q100Histogram, q102DictEncode)
+    q100Histogram, q102DictEncode, q104ReservoirPerGroup)
 }

@@ -86,4 +86,26 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
       || plan.contains("BroadcastHashJoin"), s"no equi-join in:\n$plan")
   }
+
+  test("q96 reservoir sample is TakeOrderedAndProject, not a global sort") {
+    assert(planOf("q96_reservoir_sample").contains("TakeOrderedAndProject"))
+  }
+
+  test("q99 audit row-checks share one aggregate, not one scan each") {
+    val plan = planOf("q99_quality_audit")
+    // the q99 corpus is a 2-scan union (orders + corrupted copy) read
+    // once per audit tier (row checks, uniqueness, referential) plus
+    // the dimension side — ~8 scans. The guarded regression is the
+    // three ROW-LOCAL constraints splitting into a scan per
+    // constraint, which would push this past 12.
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 8, s"row-local constraints no longer share a scan " +
+      s"($scans scans):\n$plan")
+  }
+
+  test("q98 join-delta broadcasts the delta sides") {
+    val plan = planOf("q98_join_delta")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"delta joins should broadcast:\n$plan")
+  }
 }
