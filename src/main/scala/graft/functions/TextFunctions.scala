@@ -77,6 +77,17 @@ object TextFunctions {
     * key (md5 is engine-portable, unlike xxhash64). */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Canonical text form for dedup/fingerprinting across encodings
+    * (★): Unicode NFC (+ optional accent strip), lowercase, whitespace
+    * collapse, trim — so "Élan  Café" and "Élan Café "
+    * normalize to one string. The Unicode step is the codegen'd
+    * `plans.UnicodeNormalize`; the rest is built-in Column functions.
+    * Apply BEFORE [[fingerprint]]/shingling: canonical equality is
+    * what makes exact dedup correct on multilingual corpora. */
+  def normalizeText(text: Column, stripAccents: Boolean = false): Column =
+    trim(regexp_replace(
+      lower(graft.plans.UnicodeNormalize(text, stripAccents)), "\\s+", " "))
+
   /** Sentiment lexicons — the engine's eponymous capability (the
     * reference repo is Sentiment-Analysis-Data-Engineering; its README
     * frames the warehouse as stock analysis `README.md:4`). A

@@ -474,9 +474,47 @@ object TextQueries {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** q105: Unicode text normalization (`TextFunctions.normalizeText`
+    * over the codegen'd `plans.UnicodeNormalize` — JDK normalizer vs
+    * DuckDB utf8proc, the SAME Unicode algorithm, which is exactly
+    * what this oracle pins): every document gets a deterministic messy
+    * suffix (composed É, decomposed e+combining-acute, doubled
+    * whitespace, trailing pad) and both the NFC canonical form and the
+    * accent-stripped form must hash identically cross-engine. This is
+    * the step that makes exact dedup correct on multilingual corpora —
+    * composed and decomposed spellings of the same text MUST collide.
+    */
+  val q105TextNormalize: QuerySpec = QuerySpec(
+    "q105_text_normalize",
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(nfc_normalize(
+      |    text || CASE WHEN doc_id % 3 = 0
+      |      THEN '  Élan CAFÉ  '
+      |      WHEN doc_id % 3 = 1 THEN ' Élan  café'
+      |      ELSE ' elan cafe' END)), '\s+', ' ', 'g')))
+      |    AS norm_md5,
+      |  md5(trim(regexp_replace(lower(strip_accents(nfc_normalize(
+      |    text || CASE WHEN doc_id % 3 = 0
+      |      THEN '  Élan CAFÉ  '
+      |      WHEN doc_id % 3 = 1 THEN ' Élan  café'
+      |      ELSE ' elan cafe' END))), '\s+', ' ', 'g')))
+      |    AS strip_md5
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val suffix = when(col("doc_id") % 3 === 0, lit("  Élan CAFÉ  "))
+      .when(col("doc_id") % 3 === 1, lit(" Élan  café"))
+      .otherwise(lit(" elan cafe"))
+    val messy = concat(col("text"), suffix)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(TextFunctions.normalizeText(messy)).as("norm_md5"),
+        md5(TextFunctions.normalizeText(messy, stripAccents = true))
+          .as("strip_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
     q61Vocabulary, q62TfIdf, q72Chunking, q73HeavyHitters, q82HashSplit,
-    q93LlmPipeline)
+    q93LlmPipeline, q105TextNormalize)
 }

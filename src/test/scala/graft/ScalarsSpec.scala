@@ -88,4 +88,40 @@ class ScalarsSpec extends SparkSpecBase {
       .collect()
     got.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
+
+  test("normalizeText collapses composed/decomposed spellings to one form") {
+    // "É" composed (U+00C9) vs "E" + combining acute (U+0301): byte-
+    // different, MUST normalize equal — the multilingual-dedup property
+    val df = Seq(
+      ("Élan  Café ", 1L),
+      ("Élan Café", 2L),
+      ("  éLAN CAFÉ", 3L)).toDF("text", "id")
+    val norms = df.select(TextFunctions.normalizeText(col("text")))
+      .collect().map(_.getString(0)).distinct
+    assert(norms.length == 1 && norms(0) == "élan café")
+    val stripped = df.select(
+        TextFunctions.normalizeText(col("text"), stripAccents = true))
+      .collect().map(_.getString(0)).distinct
+    assert(stripped.length == 1 && stripped(0) == "elan cafe")
+    // null in, null out; pure ASCII passes through untouched
+    val edge = Seq((null.asInstanceOf[String], 1L), ("plain text", 2L))
+      .toDF("text", "id")
+      .select(TextFunctions.normalizeText(col("text"))).collect()
+    assert(edge.exists(_.isNullAt(0)))
+    assert(edge.exists(r => !r.isNullAt(0) && r.getString(0) == "plain text"))
+  }
+
+  test("UnicodeNormalize evaluates identically interpreted and codegen'd") {
+    val df = Seq("Élan", "café", "naïve très")
+      .toDF("text")
+    def run(mode: String): Array[(String, String)] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(
+          graft.plans.UnicodeNormalize(col("text"), stripAccents = false),
+          graft.plans.UnicodeNormalize(col("text"), stripAccents = true))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(run("CODEGEN_ONLY").sameElements(run("NO_CODEGEN")))
+  }
 }
