@@ -399,6 +399,32 @@ object Relational {
         Window.currentRow)))
   }
 
+  /** Gaps-and-islands interval merge (the INTERVAL sibling of
+    * [[sessionize]]'s point events): per key, overlapping-or-touching
+    * [start, end] intervals coalesce into islands, emitted with their
+    * span and member count. The classic shape: one window sort gives
+    * the running max end; an island starts where the current start
+    * exceeds it. One shuffle on the key; rows with equal starts merge
+    * regardless of tie order (gap 0), so the islands are deterministic.
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+    val prevMaxEnd = max(col(endCol)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val newIsland = when(
+      prevMaxEnd.isNull || col(startCol) > prevMaxEnd, 1L).otherwise(0L)
+    df.withColumn("island",
+        sum(newIsland).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col(keyCol), col("island"))
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+  }
+
   /** Dictionary for a low-cardinality column: `(code, value)` with
     * dense 0-based codes in value order. The single-partition
     * row_number runs on the DISTINCT values only — dictionary-sized by

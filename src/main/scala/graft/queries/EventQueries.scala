@@ -316,8 +316,46 @@ object EventQueries {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** q106: gaps-and-islands interval merge (`Relational.mergeIntervals`
+    * — the interval sibling of q101's point sessionization): each
+    * event becomes a [ts, ts + value minutes] activity span; per user,
+    * overlapping spans coalesce into islands. Epoch-microsecond longs
+    * with explicit FLOOR keep the arithmetic engine-portable (double→
+    * long CAST truncates in Spark but rounds in DuckDB). */
+  val q106IntervalIslands: QuerySpec = QuerySpec(
+    "q106_interval_islands",
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + CAST(FLOOR(value * 60000000) AS BIGINT) AS e
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, s, e,
+      |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |  FROM iv),
+      |f AS (
+      |  SELECT user_id, s, e,
+      |    SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY s, e
+      |        ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM m)
+      |SELECT user_id, CAST(island AS BIGINT) AS island,
+      |  MIN(s) AS island_start, MAX(e) AS island_end,
+      |  COUNT(*) AS n_intervals
+      |FROM f GROUP BY 1, 2
+      |ORDER BY user_id, island""".stripMargin) { (s, dir) =>
+    val iv = Tables.events(s, dir).select(col("user_id"),
+      expr("unix_micros(ts)").as("s"),
+      (expr("unix_micros(ts)") +
+        floor(col("value") * 60000000L).cast("long")).as("e"))
+    Relational.mergeIntervals(iv, "user_id", "s", "e")
+      .select(col("user_id"), col("island"),
+        col("island_start"), col("island_end"), col("n_intervals"))
+      .orderBy(col("user_id"), col("island"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q40JsonProps, q41Tumbling, q42Sliding, q43Sessions, q44DedupReplay,
     q45AsOf, q56AsOfKeyed, q68RangeAsOf, q74IntervalJoin, q85FillForward,
-    q101Sessionize)
+    q101Sessionize, q106IntervalIslands)
 }

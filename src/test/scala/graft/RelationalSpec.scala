@@ -183,6 +183,27 @@ class RelationalSpec extends SparkSpecBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L))
   }
 
+  test("mergeIntervals: overlap, touch, containment, and gaps") {
+    // key 1: [0,10] overlaps [5,20], [20,25] TOUCHES (20 ≤ 20 merges),
+    //        [30,40] gapped; [31,32] nested inside it
+    // key 2: isolated single interval
+    val iv = Seq(
+      (1, 0L, 10L), (1, 5L, 20L), (1, 20L, 25L), (1, 30L, 40L),
+      (1, 31L, 32L), (2, 7L, 8L)).toDF("k", "s", "e")
+    val got = Relational.mergeIntervals(iv, "k", "s", "e")
+      .orderBy("k", "island")
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq((1, 0L, 25L, 3L), (1, 30L, 40L, 2L), (2, 7L, 8L, 1L)))
+    // a long interval spanning late-starting short ones keeps them in
+    // its island even when an intermediate end is smaller (running MAX
+    // end, not lag(end))
+    val span = Seq((1, 0L, 100L), (1, 10L, 20L), (1, 50L, 60L),
+      (1, 101L, 110L)).toDF("k", "s", "e")
+    val g2 = Relational.mergeIntervals(span, "k", "s", "e").collect()
+    assert(g2.length == 2)
+  }
+
   test("dictionary encode/decode round-trips and codes are dense") {
     val o = Tables.orders(spark, sf).select(col("o_orderpriority"))
     val dict = Relational.dictionary(o, "o_orderpriority")
