@@ -172,7 +172,78 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** q107: the storage-tier ANN pipeline as ONE verified query (the
+    * embedding sibling of q93's text lifecycle): exact vector dedup
+    * (bit-identical embeddings collapse, min id survives) → per-vector
+    * int8 quantization (`Quantize.int8`, the 4×-compression layout the
+    * 100 TB index actually stores) → exact cosine top-k over the
+    * DEQUANTIZED vectors. The oracle replays every stage including
+    * the quantization round-trip, so the sub-float precision the codes
+    * lose is IN the verified answer — the engine's stored-tier ranking
+    * is pinned end to end, not just the float-tier one (q34). */
+  val q107AnnPipeline: QuerySpec = QuerySpec(
+    "q107_ann_pipeline",
+    """WITH all_vecs AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding FROM embeddings
+      |  WHERE vec_id % 5 = 0),
+      |dedup AS (
+      |  SELECT MIN(vec_id) AS vec_id, embedding
+      |  FROM all_vecs GROUP BY embedding),
+      |quant AS (
+      |  SELECT vec_id,
+      |    list_min(CAST(embedding AS DOUBLE[])) AS vmin,
+      |    (list_max(CAST(embedding AS DOUBLE[]))
+      |      - list_min(CAST(embedding AS DOUBLE[]))) / 255.0 AS scale,
+      |    CAST(embedding AS DOUBLE[]) AS v
+      |  FROM dedup),
+      |deq AS (
+      |  SELECT vec_id,
+      |    CASE WHEN scale = 0 THEN list_transform(v, x -> vmin)
+      |      ELSE list_transform(v,
+      |        x -> vmin + round((x - vmin) / scale) * scale) END AS dvec
+      |  FROM quant),
+      |sims AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    round(list_cosine_similarity(q.dvec, c.dvec), 6) AS sim
+      |  FROM deq q JOIN deq c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 8),
+      |ranked AS (
+      |  SELECT q_id, c_id, sim,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY sim DESC, c_id) AS rn
+      |  FROM sims)
+      |SELECT q_id, c_id, sim, rn FROM ranked WHERE rn <= 5
+      |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val dups = e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val dedup = e.unionByName(dups)
+      .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+    val deq = graft.operators.Quantize.int8(dedup, "embedding")
+      .select(col("vec_id"),
+        graft.operators.Quantize.dequantize(col("codes"), col("vmin"),
+          col("scale")).as("dvec"))
+    val queries = deq.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("dvec").as("q_vec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc,
+      col("c_id"))
+    deq.select(col("vec_id").as("c_id"), col("dvec"))
+      .join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .withColumn("sim",
+        round(Similarity.cosine(col("q_vec"), col("dvec")), 6))
+      .select(col("q_id"), col("c_id"), col("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .withColumnRenamed("rn", "rn0")
+      .select(col("q_id"), col("c_id"), col("sim"),
+        col("rn0").cast("long").as("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
-    q83Quantize)
+    q83Quantize, q107AnnPipeline)
 }

@@ -23,8 +23,9 @@ class PlanAuditSpec extends SparkSpecBase {
     // plan wanted at scale. Whitelisted.
     // q100 broadcasts a 1-row min/max bounds aggregate onto the scan —
     // the same metadata-sized cross as q76's stats attach
+    // q107 broadcasts the same ≤8-vector query set as q34
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
-      "q90_resample", "q76_profile", "q100_histogram")
+      "q90_resample", "q76_profile", "q100_histogram", "q107_ann_pipeline")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
