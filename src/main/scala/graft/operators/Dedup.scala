@@ -196,9 +196,13 @@ object Dedup {
     // grows past what the planner can even stringify — checkpointing
     // truncates it to the materialized result, the standard shape for
     // iterative algorithms on Spark
-    var labels = edges.select(col("src").as("v"))
-      .distinct()
-      .withColumn("label", col("v"))
+    // seed labels with the 1-hop neighborhood minimum (one aggregate —
+    // no join): for diameter-1 components (the dominant near-dup pair/
+    // star shape) this IS the fixed point, so the loop below only pays
+    // its convergence-detection round instead of a propagation round
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .withColumnRenamed("src", "v")
       .localCheckpoint(true)
     // labels only ever DECREASE (each round takes a min over a superset
     // that includes the current label), so the rounds have converged

@@ -91,6 +91,19 @@ object Streams {
         col("c_ts"), col("p_value"))
   }
 
+  /** Stream-static enrichment join (§2.10 ★ — the streaming form of
+    * the J1 dimension join): each micro-batch of events hash-joins the
+    * STATIC dimension frame; no state accumulates (the static side is
+    * re-planned per batch, so a dimension refresh is picked up on the
+    * next trigger), and with a small dimension the join broadcasts —
+    * the same plan a batch query gets. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    eventKey: String, dimKey: String): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(
+        dim.withColumnRenamed(dimKey, eventKey)),
+      Seq(eventKey), "left")
+
   case class SessionRow(user_id: Long, ts: java.sql.Timestamp)
   case class OpenSession(start_us: Long, end_us: Long, n: Long)
 

@@ -66,6 +66,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(finalRows.exceptAll(batch).isEmpty)
   }
 
+  test("stream-static dimension join enriches every batch like the batch join") {
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val streamed = runToMemory(
+      Streams.enrichWithDim(Streams.eventsStream(spark, eventsDir), dim,
+        "user_id", "c_custkey"),
+      "t_enrich")
+    val batch = Streams.enrichWithDim(Tables.events(spark, sf), dim,
+      "user_id", "c_custkey")
+    assert(streamed.count() == Tables.events(spark, sf).count(),
+      "left enrichment must not drop or duplicate events")
+    assertBagEqual(
+      streamed.select("event_id", "user_id", "c_mktsegment"),
+      batch.select("event_id", "user_id", "c_mktsegment"))
+  }
+
   test("streaming sessionization emits exactly the batch operator's closed sessions") {
     import graft.operators.Relational
     val streamed = runToMemory(
