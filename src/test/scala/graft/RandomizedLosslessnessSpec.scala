@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.{Dedup, EditDistanceJoin, Relational}
+import org.apache.spark.sql.functions._
+
+/** Randomized (seeded, deterministic) losslessness properties: the
+  * sub-quadratic exact operators must equal their brute-force
+  * references on adversarial random inputs — tiny vocabularies that
+  * defeat frequency ordering, skewed string lengths, heavy duplicate
+  * rates, interval sets with deep nesting. Example-based specs pin
+  * known edges; these sweep the space around them. */
+class RandomizedLosslessnessSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260812L)
+
+  test("prefixJaccardPairs ≡ brute force on random tiny-vocab corpora") {
+    for (round <- 1 to 5) {
+      val vocab = Vector.tabulate(3 + rng.nextInt(6))(i => s"w$i")
+      val docs = (0 until 25 + rng.nextInt(25)).map { id =>
+        val n = 1 + rng.nextInt(12)
+        (id.toLong, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val t = Seq(0.3, 0.5, 0.8)(rng.nextInt(3))
+      val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", t)
+      val toks = docs.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("tk"))
+      val inter = size(array_intersect(col("ta"), col("tb")))
+      val want = toks.select(col("doc_id").as("a"), col("tk").as("ta"))
+        .crossJoin(toks.select(col("doc_id").as("b"), col("tk").as("tb")))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), (inter.cast("double") /
+          (size(col("ta")) + size(col("tb")) - inter).cast("double"))
+          .as("jaccard"))
+        .filter(col("jaccard") >= t)
+      assertBagEqual(got, want)
+    }
+  }
+
+  test("editDistancePairs ≡ brute force on random skewed-length strings") {
+    for (round <- 1 to 5) {
+      val alphabet = "abc" // tiny alphabet → dense near-collisions
+      val rows = (0 until 30 + rng.nextInt(20)).map { id =>
+        val len = rng.nextInt(12) // includes empty strings
+        (id.toLong, Seq.fill(len)(alphabet(rng.nextInt(3))).mkString)
+      }.toDF("key", "name")
+      val d = 1 + rng.nextInt(3)
+      val got = EditDistanceJoin.editDistancePairs(rows, "key", "name", d)
+      val want = rows.select(col("key").as("a"), col("name").as("na"))
+        .crossJoin(rows.select(col("key").as("b"), col("name").as("nb")))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), levenshtein(col("na"), col("nb"))
+          .as("dist"))
+        .filter(col("dist") <= d)
+      assertBagEqual(got, want)
+    }
+  }
+
+  test("mergeIntervals ≡ sequential interval union on random nestings") {
+    def reference(iv: Seq[(Long, Long)]): Seq[(Long, Long, Long)] = {
+      val sorted = iv.sortBy(identity)
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+      for ((s, e) <- sorted) {
+        if (out.nonEmpty && s <= out.last._2)
+          out.update(out.length - 1,
+            (out.last._1, math.max(out.last._2, e), out.last._3 + 1))
+        else out += ((s, e, 1L))
+      }
+      out.toSeq
+    }
+    for (round <- 1 to 5) {
+      val iv = (0 until 30 + rng.nextInt(30)).map { _ =>
+        val s = rng.nextInt(100).toLong
+        (1, s, s + rng.nextInt(20).toLong)
+      }
+      val got = Relational.mergeIntervals(iv.toDF("k", "s", "e"), "k", "s", "e")
+        .orderBy("island")
+        .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(got == reference(iv.map(t => (t._2, t._3))),
+        s"round $round diverged from the sequential reference")
+    }
+  }
+
+  test("connectedComponents ≡ union-find on random sparse graphs") {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical label = min member, which union-by-min maintains
+      parent.keys.map(v => v -> find(v)).toMap
+    }
+    for (round <- 1 to 3) {
+      val n = 20 + rng.nextInt(20)
+      val edges = (0 until n).map(_ =>
+        (rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+      val got = Dedup.connectedComponents(
+          edges.toDF("a", "b"), "a", "b", maxIter = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(edges), s"round $round diverged from union-find")
+    }
+  }
+}
