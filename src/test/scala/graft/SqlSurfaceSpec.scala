@@ -78,4 +78,34 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .head.getLong(0)
     assert(n == Tables.events(spark, sf).count())
   }
+
+  test("conf-gated COUNT(DISTINCT) → HLL++ optimizer rewrite") {
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations = Seq(graft.plans.ApproxDistinctRewrite)
+    val o = s2.read.parquet(s"$sf/orders.parquet")
+    def q = o.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("d"))
+    val exact = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // default OFF: plan and answer stay exact
+    assert(!q.queryExecution.optimizedPlan.toString
+      .contains("approx_count_distinct"))
+    s2.conf.set("spark.graft.approxDistinct.enabled", "true")
+    try {
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("approx_count_distinct"),
+        s"rewrite did not fire:\n$plan")
+      val approx = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(approx.keySet == exact.keySet)
+      for ((k, e) <- exact) {
+        val a = approx(k).toDouble
+        assert(math.abs(a - e) <= math.max(3.0, 0.1 * e),
+          s"$k: approx $a too far from exact $e")
+      }
+      // multi-column distinct is deliberately untouched
+      val multi = o.agg(countDistinct(col("o_custkey"),
+        col("o_orderpriority")))
+      assert(!multi.queryExecution.optimizedPlan.toString
+        .contains("approx_count_distinct"))
+    } finally s2.conf.unset("spark.graft.approxDistinct.enabled")
+  }
 }
