@@ -4,9 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. q93 is the engine's north star — the full LLM
+    * training-data pipeline (quality gate → exact dedup → prefix-
+    * filtered near-dup dedup → chunking → per-document split) in one
+    * oracle-verified plan. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q02_monthly_rollup")(spark, "/root/testdata/sf0.001")
+    queries("q93_llm_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
