@@ -399,6 +399,25 @@ object Relational {
         Window.currentRow)))
   }
 
+  /** SCD2 dimension build: turn a change log (key, change time,
+    * attributes) into versioned rows with validity intervals —
+    * `valid_from` = the change time, `valid_to` = the next change's
+    * time (null while current), `is_current` on the open row. The
+    * warehouse-standard "type 2 slowly changing dimension" shape; a
+    * fact joins it with `fact.ts >= valid_from AND (fact.ts < valid_to
+    * OR valid_to IS NULL)` (the [[RangeJoin]] containment tier at
+    * scale). One shuffle on the key; one window sort feeds the lead. */
+  def buildScd2(changes: DataFrame, keys: Seq[String], timeCol: String,
+                tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((timeCol +: tieBreak).map(col): _*)
+    changes
+      .withColumn("valid_from", col(timeCol))
+      .withColumn("valid_to", lead(col(timeCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Gaps-and-islands interval merge (the INTERVAL sibling of
     * [[sessionize]]'s point events): per key, overlapping-or-touching
     * [start, end] intervals coalesce into islands, emitted with their

@@ -354,8 +354,42 @@ object EventQueries {
       .orderBy(col("user_id"), col("island"))
   }
 
+  /** q108: SCD2 dimension build (`Relational.buildScd2` — change log →
+    * versioned rows with validity intervals, the warehouse-standard
+    * type-2 slowly-changing-dimension shape): each user's event stream
+    * becomes versions with `[valid_from, valid_to)` and an `is_current`
+    * flag on the open row; summarized per user so the output stays
+    * compact. event_id tie-breaks equal timestamps on both engines. */
+  val q108Scd2Build: QuerySpec = QuerySpec(
+    "q108_scd2_build",
+    """WITH v AS (
+      |  SELECT user_id, event_id, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS valid_to
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_versions,
+      |  CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_current,
+      |  MIN(valid_from) AS first_from,
+      |  MAX(valid_from) AS last_from,
+      |  CAST(SUM(epoch_us(valid_to) - epoch_us(valid_from)) AS BIGINT)
+      |    AS total_span_us
+      |FROM v GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Relational.buildScd2(Tables.events(s, dir), Seq("user_id"), "ts",
+        tieBreak = Seq("event_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_current"),
+        min(col("valid_from")).as("first_from"),
+        max(col("valid_from")).as("last_from"),
+        sum(expr("unix_micros(valid_to)") - expr("unix_micros(valid_from)"))
+          .as("total_span_us"))
+      .orderBy(col("user_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q40JsonProps, q41Tumbling, q42Sliding, q43Sessions, q44DedupReplay,
     q45AsOf, q56AsOfKeyed, q68RangeAsOf, q74IntervalJoin, q85FillForward,
-    q101Sessionize, q106IntervalIslands)
+    q101Sessionize, q106IntervalIslands, q108Scd2Build)
 }

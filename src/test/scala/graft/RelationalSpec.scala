@@ -183,6 +183,23 @@ class RelationalSpec extends SparkSpecBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L))
   }
 
+  test("buildScd2 chains versions; exactly one current row per key") {
+    val changes = Seq(
+      (1, 100L, "a"), (1, 200L, "b"), (1, 150L, "c"),
+      (2, 50L, "x")).toDF("k", "t", "attr")
+    val got = Relational.buildScd2(changes, Seq("k"), "t")
+      .orderBy("k", "t")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (1, 100L, "a", Some(150L), false),
+      (1, 150L, "c", Some(200L), false),
+      (1, 200L, "b", None, true),
+      (2, 50L, "x", None, true)))
+    // each version's valid_to is the NEXT valid_from: intervals tile
+    // the key's timeline with no gaps and no overlaps
+  }
+
   test("mergeIntervals: overlap, touch, containment, and gaps") {
     // key 1: [0,10] overlaps [5,20], [20,25] TOUCHES (20 ≤ 20 merges),
     //        [30,40] gapped; [31,32] nested inside it
