@@ -76,4 +76,32 @@ object Ingest {
                   tagCol: String): DataFrame =
     frames.map { case (tag, df) => df.withColumn(tagCol, lit(tag)) }
       .reduce(_.unionByName(_))
+
+  /** Quarantining JSON ingest: parse payloads against an EXPLICIT
+    * schema in PERMISSIVE mode and split the result into
+    * `(good, quarantine)` — rows whose payload failed to parse keep
+    * their raw text in the quarantine frame's `raw` column. The
+    * 100 TB ingestion contract in one adapter: a malformed payload is
+    * a ROW to inspect, never a failed task (FAILFAST) or a silent
+    * all-null row mixed into the good data (plain PERMISSIVE). Both
+    * frames come from ONE parse of the input. */
+  def jsonWithQuarantine(spark: SparkSession, payloads: Dataset[String],
+                         schema: StructType): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema must not declare _corrupt_record — the adapter adds it")
+    val withCorrupt = StructType(
+      schema.fields :+ StructField("_corrupt_record", StringType))
+    val parsed = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(payloads)
+      // Spark requires caching (or a materialization boundary) before
+      // filtering on the corrupt-record column alone
+      .cache()
+    val good = parsed.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val quarantine = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+    (good, quarantine)
+  }
 }

@@ -61,4 +61,26 @@ class IngestSpec extends SparkSpecBase {
     assert(all.count() == 2)
     assert(all.select("ticker").distinct().count() == 2)
   }
+
+  test("quarantining ingest: malformed payloads become rows, not failures") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType)))
+    val payloads = Seq(
+      """{"id": 1, "v": 1.5}""",
+      """{"id": 2, "v": """,            // truncated JSON
+      """not json at all""",
+      """{"id": 3, "v": 2.5}""").toDS()
+    val (good, quarantine) = Ingest.jsonWithQuarantine(spark, payloads, schema)
+    assert(good.count() == 2)
+    assert(good.columns.toSeq == Seq("id", "v"))
+    assert(good.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    val raw = quarantine.as[String].collect()
+    assert(raw.length == 2 && raw.exists(_.contains("not json")))
+    // declared _corrupt_record in the user schema is rejected loudly
+    intercept[IllegalArgumentException] {
+      Ingest.jsonWithQuarantine(spark, payloads, StructType(Seq(
+        StructField("_corrupt_record", StringType))))
+    }
+  }
 }
