@@ -365,6 +365,32 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Pair-set evaluation (the measurement half of the dedup toolkit —
+    * how a pipeline tunes its LSH/SimHash parameters against the exact
+    * tier): precision / recall / F1 of a candidate pair set against a
+    * truth set, as one 1-row frame. Pairs are canonicalized (a < b)
+    * before comparison so orientation can't skew the counts. Two
+    * aggregate-sized joins; no driver-side set materialization. */
+  def evaluatePairs(got: DataFrame, truth: DataFrame,
+                    aCol: String = "a", bCol: String = "b"): DataFrame = {
+    def canon(df: DataFrame) = df.select(
+      least(col(aCol), col(bCol)).as("a"),
+      greatest(col(aCol), col(bCol)).as("b")).distinct()
+    val g = canon(got).cache()
+    val t = canon(truth).cache()
+    val tp = g.join(t, Seq("a", "b"), "left_semi").count().toDouble
+    val nGot = g.count().toDouble
+    val nTruth = t.count().toDouble
+    val precision = if (nGot == 0) 1.0 else tp / nGot
+    val recall = if (nTruth == 0) 1.0 else tp / nTruth
+    val f1 = if (precision + recall == 0) 0.0
+      else 2 * precision * recall / (precision + recall)
+    val spark = got.sparkSession
+    import spark.implicits._
+    Seq((nGot.toLong, nTruth.toLong, tp.toLong, precision, recall, f1))
+      .toDF("n_got", "n_truth", "n_true_positive", "precision", "recall", "f1")
+  }
+
   /** SimHash signature (tier 4): 64-bit bit-vote over token hashes.
     * One groupBy with 64 conditional sums, then bit assembly. */
   def simhashSignature(df: DataFrame, keyCol: String,

@@ -30,6 +30,26 @@ class DedupSpec extends SparkSpecBase {
         .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("evaluatePairs scores candidate sets against the exact tier") {
+    import spark.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    // got: one hit (reversed orientation), one miss, one false positive
+    val got = Seq((2L, 1L), (3L, 4L), (7L, 8L)).toDF("a", "b")
+    val r = Dedup.evaluatePairs(got, truth).head()
+    assert(r.getLong(2) == 2L)                       // true positives
+    assert(math.abs(r.getDouble(3) - 2.0 / 3) < 1e-9) // precision
+    assert(math.abs(r.getDouble(4) - 2.0 / 3) < 1e-9) // recall
+    // empty candidate set: precision 1 by convention, recall 0
+    val empty = Dedup.evaluatePairs(got.filter(col("a") < 0), truth).head()
+    assert(empty.getDouble(3) == 1.0 && empty.getDouble(4) == 0.0)
+    // the LSH tier on the real corpus scores high recall vs exact
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.8)
+    val lsh = Dedup.minhashNearDupPairs(corpus, "doc_id", "text", 3, 64, 16, 0.8)
+    val score = Dedup.evaluatePairs(lsh, exact).head()
+    assert(score.getDouble(4) >= 0.9, s"LSH recall ${score.getDouble(4)}")
+    assert(score.getDouble(3) == 1.0, "verified candidates: precision 1")
+  }
+
   test("simhash flags the token-dropped near-dups") {
     val pairs = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
