@@ -154,10 +154,17 @@ object Streams {
           val wmMs = state.getCurrentWatermarkMs()
           val wmUs = wmMs * 1000L
           val existing = state.getOption.getOrElse(Nil)
+          // the engine does NOT pre-drop late rows for stateful ops
+          // (only for aggregations/joins) — enforce the watermark
+          // contract here: a kept row has ts ≥ wm, and an emitted
+          // session S satisfied S.end + gap ≤ wm, so a kept row can
+          // never have belonged to S (it would need ts ≤ S.end + gap
+          // ≤ wm). Emitted sessions are therefore final.
           val merged =
             if (state.hasTimedOut) existing
-            else (existing ++ rows.map { r =>
-              val us = micros(r.ts); OpenSession(us, us, 1L) })
+            else (existing ++ rows.map(r => micros(r.ts))
+              .filter(_ >= wmUs)
+              .map(us => OpenSession(us, us, 1L)))
               .sortBy(_.start_us)
               .foldLeft(List.empty[OpenSession]) { (acc, s) =>
                 acc match {

@@ -112,6 +112,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.count() == streamed.distinct().count())
   }
 
+  test("sessionization drops watermark-late rows; emitted sessions stay final") {
+    import java.nio.file.attribute.FileTime
+    // batch 1: the full events file advances the watermark to
+    // max(ts) − 1h; batch 2: one event a year in the past — it must
+    // NOT resurrect or contradict an already-emitted session
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_late")
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .coalesce(1).write.parquet(dir.resolve("b1").toString)
+    import spark.implicits._
+    Seq((888888L, java.sql.Timestamp.valueOf("2023-01-01 00:00:00"), 1L,
+        "late", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(dir.resolve("b2").toString)
+    def touch(sub: String, t: Long): Unit =
+      java.nio.file.Files.walk(dir.resolve(sub)).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, FileTime.fromMillis(t)))
+    val now = System.currentTimeMillis()
+    touch("b1", now - 60000); touch("b2", now)
+    val stream = spark.readStream.schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = graft.streaming.Streams
+      .sessionizeStream(spark, stream)
+      .writeStream.format("memory").queryName("t_sess_late")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_sess_late")
+    // no emitted session contains the 2023 late row
+    assert(streamed.filter(year(col("session_start")) < lit(2024)).isEmpty,
+      "a watermark-late row leaked into an emitted session")
+    // and the on-time sessions still match the batch operator
+    val batch = graft.operators.Relational
+      .sessionize(Tables.events(spark, sf), "user_id", "ts", 1800)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+    assert(streamed.exceptAll(batch).isEmpty,
+      "stream emitted a session the batch operator doesn't have")
+  }
+
   test("watermark advances across micro-batches; on-time windows emit exactly once") {
     import spark.implicits._
     // two micro-batches via maxFilesPerTrigger=1: batch 1 advances the
