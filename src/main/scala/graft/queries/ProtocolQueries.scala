@@ -467,7 +467,54 @@ object ProtocolQueries {
       .orderBy(col("check_name"))
   }
 
+  /** q109: anti-entropy repair roundtrip — the CDC pair COMPOSED:
+    * `snapshotDiff` (q71) classifies how a drifted replica differs
+    * from the target (dropped rows, perturbed prices, phantom extras),
+    * the classification becomes a change feed, `applyChanges` (q80)
+    * lands it, and the repaired table's portable checksum (q89) must
+    * equal the checksum DuckDB computes over the TARGET directly —
+    * bit-for-bit convergence of replica repair without ever shipping
+    * the full table, which is the migration/DR story at 100 TB: ship
+    * a diff, prove equality with two scalars. */
+  val q109RepairRoundtrip: QuerySpec = QuerySpec(
+    "q109_repair_roundtrip",
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws(chr(1),
+      |    coalesce(CAST(o_orderkey AS VARCHAR), chr(2)),
+      |    coalesce(CAST(o_custkey AS VARCHAR), chr(2)),
+      |    coalesce(CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR),
+      |      chr(2)))), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)
+      |    AS checksum
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val target = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // drifted replica: every 97th row lost, every 89th price perturbed,
+    // plus phantom rows that exist only in the replica
+    val drifted = target.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(target.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 3000000).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")))
+    val diff = Relational.snapshotDiff(drifted, target, Seq("o_orderkey"))
+    def feed(change: String, src: org.apache.spark.sql.DataFrame,
+             op: String) =
+      src.join(diff.filter(col("change") === change)
+          .select(col("o_orderkey")), Seq("o_orderkey"), "left_semi")
+        .withColumn("op", lit(op)).withColumn("seq", lit(1L))
+    val changes = feed("added", target, "I")
+      .unionByName(feed("changed", target, "U"))
+      .unionByName(feed("removed", drifted, "D"))
+    val repaired = Relational.applyChanges(drifted, changes,
+      Seq("o_orderkey"), "op", "seq")
+    Relational.tableChecksum(repaired, Seq(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice").cast("decimal(38,6)")))
+      .select(col("n_rows"), col("checksum").cast("string").as("checksum"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q48DedupAppend, q49UpsertPartition,
     q65Lifecycle, q69KvScrapePivot, q71SnapshotDiff, q80CdcApply,
-    q84RollupMaintenance, q92HllRollup, q99QualityAudit)
+    q84RollupMaintenance, q92HllRollup, q99QualityAudit,
+    q109RepairRoundtrip)
 }
