@@ -399,6 +399,26 @@ object Relational {
         Window.currentRow)))
   }
 
+  /** Per-group mean imputation (feature engineering — the repair step
+    * before normalization/training): NULLs in `valueCol` fill with
+    * their group's mean, computed decimal-exactly (the q63/q91 moment
+    * rule) so the imputed values are cross-engine identical where a
+    * float `avg` is not. Groups that are entirely NULL stay NULL.
+    * Same two-pass shape as [[zscoreNormalize]]: one tiny aggregate,
+    * one broadcast join-back over the streamed corpus. */
+  def imputeMean(df: DataFrame, keys: Seq[String],
+                 valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val xd = col(valueCol).cast(DecimalType(18, 4))
+    val means = df.groupBy(keys.map(col): _*)
+      .agg((sum(xd).cast("double") / count(col(valueCol)).cast("double"))
+        .as("__gmean"))
+    df.join(broadcast(means), keys)
+      .withColumn(valueCol,
+        coalesce(col(valueCol).cast("double"), col("__gmean")))
+      .drop("__gmean")
+  }
+
   /** SCD2 dimension build: turn a change log (key, change time,
     * attributes) into versioned rows with validity intervals —
     * `valid_from` = the change time, `valid_to` = the next change's

@@ -951,6 +951,47 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q110: per-group mean imputation (`Relational.imputeMean`):
+    * every 13th price NULLed, then repaired with its priority group's
+    * decimal-exact mean; the per-group sums of the imputed column pin
+    * exactly which value every NULL received. */
+  val q110ImputeMean: QuerySpec = QuerySpec(
+    "q110_impute_mean",
+    s"""WITH holes AS (
+       |  SELECT o_orderkey, o_orderpriority,
+       |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+       |      ELSE o_totalprice END AS v
+       |  FROM orders),
+       |m AS (
+       |  SELECT o_orderpriority,
+       |    CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE)
+       |      / CAST(COUNT(v) AS DOUBLE) AS gmean
+       |  FROM holes GROUP BY 1)
+       |SELECT h.o_orderpriority AS priority,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN h.v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_imputed,
+       |  ${Exact.sqlSum("round(coalesce(CAST(h.v AS DOUBLE), m.gmean), 6)")}
+       |    AS total_imputed
+       |FROM holes h JOIN m USING (o_orderpriority)
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val holes = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_orderpriority"),
+      when(col("o_orderkey") % 13 === 0, lit(null))
+        .otherwise(col("o_totalprice")).as("v"))
+    val imputed = Relational.imputeMean(holes, Seq("o_orderpriority"), "v")
+    imputed
+      .join(holes.select(col("o_orderkey"),
+        col("v").isNull.as("was_null")), Seq("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("was_null"), 1L).otherwise(0L)).as("n_imputed"),
+        Exact.dsum(round(col("v"), 6)).as("total_imputed"))
+      .select(col("o_orderpriority").as("priority"), col("n"),
+        col("n_imputed"), col("total_imputed"))
+      .orderBy(col("priority"))
+  }
+
   /** q100: equi-width histogram (`Relational.histogram` — the
     * distribution tier of profiling): 20 buckets over order totals.
     * Two scale-flat passes — a 2-scalar bounds aggregate broadcast
@@ -1015,5 +1056,5 @@ object RelationalQueries {
     q78BucketedJoin, q79BloomSemiJoin, q81ZOrderedScan, q86Melt,
     q88IqrOutliers, q89TableChecksum, q90Resample, q91Zscore,
     q96ReservoirSample, q97WeightedSample, q98JoinDelta,
-    q100Histogram, q102DictEncode, q104ReservoirPerGroup)
+    q100Histogram, q102DictEncode, q104ReservoirPerGroup, q110ImputeMean)
 }

@@ -183,6 +183,22 @@ class RelationalSpec extends SparkSpecBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L))
   }
 
+  test("imputeMean fills NULLs with the group mean; all-null groups stay null") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
+      ("b", None), ("b", None)).toDF("k", "v")
+    val got = Relational.imputeMean(df, Seq("k"), "v")
+      .collect().map(r => (r.getString(0), Option(r.get(1)))).toSeq
+      .sortBy(_.toString)
+    assert(got.count { case ("a", v) => v.contains(2.0); case _ => false } == 1,
+      s"the NULL in group a should become the mean 2.0: $got")
+    assert(got.filter(_._1 == "b").forall(_._2.isEmpty),
+      "an all-null group has no mean — must stay null")
+    // non-null values pass through untouched
+    assert(got.count { case ("a", v) => v.contains(1.0) || v.contains(3.0)
+      case _ => false } == 2)
+  }
+
   test("buildScd2 chains versions; exactly one current row per key") {
     val changes = Seq(
       (1, 100L, "a"), (1, 200L, "b"), (1, 150L, "c"),
