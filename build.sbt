@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes through sbt's logger by default, prefixing every
+// program line with "[info] " — which breaks downstream parsers expecting
+// Bench/Verify's final stdout line to be raw JSON. Pass it through as-is,
+// and drop the trailing "[success] Total time ..." line for the same
+// reason (the JSON summary must be the LAST stdout line).
+outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -75,6 +75,9 @@ object Bench {
     val p = java.nio.file.Paths.get(out)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(p, fileLine.getBytes("UTF-8"))
+    // ERROR (not WARN) from here on: a stray shutdown-hook WARN after the
+    // summary would displace the JSON as the final stdout line.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     // stdout, after spark shutdown so nothing prints below: the full line,
     // then a ~100-byte summary as the VERY LAST line — it fits inside any
