@@ -148,4 +148,59 @@ object TextFunctions {
        |    list_transform(string_split($textExpr, ' '),
        |      t -> ${graft.functions.Scalars.sqlPortableHash64("t")})),
        |  (a, b) -> (a * $rollingBase + b) % $rollingMod)""".stripMargin
+
+  /** Repetition features (Gopher-style quality filters, Rae et al.
+    * 2021 §A1.1 — public): boilerplate and degenerate text show up as
+    * a low distinct-token ratio, a dominant single token, or repeated
+    * n-grams. All three below are pure per-row Column expressions —
+    * no shuffle, no UDF — so the filter runs at scan speed on 100 TB.
+    *
+    * Ratios divide two exact integers in double precision, which both
+    * engines round identically, so the features are hash-verifiable
+    * without decimal quantization. */
+  def distinctTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") /
+      size(tokens(text)).cast("double")
+
+  /** Highest single-token multiplicity, via the max equal-run in the
+    * SORTED token array — O(n log n) per row where the per-distinct-
+    * token `filter` scan the oracle uses is O(n·distinct); same value
+    * (max run of a sorted multiset = max multiplicity). */
+  def maxTokenMultiplicity(text: Column): Column = {
+    val sorted = sort_array(tokens(text))
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("best"))
+    aggregate(sorted, zero,
+      (acc, x) => {
+        val run = when(acc.getField("prev") <=> x, acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
+
+  def topTokenRatio(text: Column): Column =
+    maxTokenMultiplicity(text).cast("double") /
+      size(tokens(text)).cast("double")
+
+  /** Adjacent word bigrams; empty for one-token docs (mirrors the
+    * shingle contract in Dedup.shinglePositions). */
+  def wordBigrams(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => array_join(slice(toks, i, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of adjacent bigrams that are repeats of an earlier
+    * bigram in the same document; NULL when the doc has no bigrams. */
+  def dupBigramRatio(text: Column): Column = {
+    val bi = wordBigrams(text)
+    when(size(bi) >= 1,
+      (size(bi) - size(array_distinct(bi))).cast("double") /
+        size(bi).cast("double"))
+      .otherwise(lit(null).cast("double"))
+  }
 }

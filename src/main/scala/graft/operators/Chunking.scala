@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Token-window document chunking (LLM training-data pipeline ★): the
@@ -34,5 +35,37 @@ object Chunking {
         least(lit(chunkSize), col("_n") - col("pos") * stride).cast("long")
           .as("n_tok"),
         col("col").as("chunk"))
+  }
+
+  /** Sequence packing (concat-and-chunk — the GPT-style pretraining
+    * layout): within each `groupCol` stream, documents ordered by
+    * `keyCol` form one concatenated token stream that is cut into
+    * fixed `seqLen`-token training sequences; a document that straddles
+    * a boundary contributes its tokens to BOTH sequences. Output is
+    * the (document × sequence) contribution map — one row per training
+    * sequence a document feeds, with the token count it contributes —
+    * which is what a loader needs to materialize sequences and what an
+    * attribution audit needs to trace a sequence back to its sources.
+    *
+    * Scale shape: token offsets are a running sum over ONE window sort
+    * per group (groups — language, source shard — keep the sort
+    * partition-parallel; there is deliberately no global-order
+    * variant), then a narrow `sequence()` explode. All arithmetic in
+    * exact longs, so the map is hash-verifiable cross-engine. */
+  def packSequences(df: DataFrame, groupCol: String, keyCol: String,
+                    textCol: String, seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen=$seqLen must be positive")
+    val n = size(split(col(textCol), " ")).cast("long")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(keyCol))
+    val endTok = sum(n).over(w) // cumulative, inclusive of this doc
+    df.select(col(groupCol), col(keyCol), n.as("_n"), endTok.as("_end"))
+      .withColumn("_start", col("_end") - col("_n")) // 0-based offset
+      .select(col(groupCol), col(keyCol), col("_start"), col("_end"),
+        explode(sequence(
+          expr("_start div " + seqLen.toLong),
+          expr("(_end - 1) div " + seqLen.toLong))).as("seq_id"))
+      .select(col(groupCol), col(keyCol), col("seq_id"),
+        (least(col("_end"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("_start"), col("seq_id") * seqLen)).as("n_tok"))
   }
 }

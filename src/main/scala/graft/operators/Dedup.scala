@@ -277,6 +277,38 @@ object Dedup {
     corpus.join(dropList, Seq(keyCol), "left_anti")
   }
 
+  /** Benchmark decontamination (training-data pipeline ★): flag every
+    * corpus document that shares at least one `k`-token shingle with
+    * an evaluation/benchmark set — the standard n-gram-overlap test
+    * (GPT-3 appendix C / PaLM style use 8–13-gram overlap) that keeps
+    * eval questions out of the training corpus.
+    *
+    * Scale shape: eval sets are benchmark-sized (≪ corpus), so their
+    * distinct shingle hashes BROADCAST and the corpus streams once
+    * with no shuffle; the per-document hit counts that come back are
+    * overlap-sized (rare at 100 TB), so AQE broadcasts the join-back
+    * too. Shingles travel as 64-bit hashes ([[shingleHashes]] — same
+    * collision argument as the Jaccard tiers).
+    *
+    * Output: every corpus row's key plus `n_hit_shingles` (distinct
+    * corpus shingles also present in the eval set) and a
+    * `contaminated` flag. Callers drop or down-weight flagged docs.
+    */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame, keyCol: String,
+                    textCol: String, k: Int = 5): DataFrame = {
+    val corpusSh = shingleHashes(corpus, keyCol, textCol, k)
+    val evalSh = shingleHashes(evalDocs, keyCol, textCol, k)
+      .select(col("shingle")).distinct()
+    val hits = corpusSh.join(broadcast(evalSh), Seq("shingle"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_hit_shingles"))
+    corpus.select(col(keyCol))
+      .join(hits, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"),
+        (coalesce(col("n_hit_shingles"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Exact set-similarity join via prefix filtering (tier 2½ — the
     * AllPairs/PPJoin family): every pair of documents whose TOKEN-SET
     * Jaccard ≥ `threshold`, with NO approximation — unlike the MinHash

@@ -124,4 +124,44 @@ object Sampling {
     }
     df.filter(bucket(keyCol) < rate)
   }
+
+  /** Source-mixture sampling (training-data pipeline ★): given target
+    * mixture WEIGHTS per source and a global TOKEN budget, sample each
+    * source at the deterministic rate that lands its share of the
+    * budget — the "data mixing" step that turns a raw crawl into a
+    * weighted pretraining corpus (mixture weights per source are the
+    * published knob in GPT-3/LLaMA-style recipes). A source too small
+    * for its target share is taken whole (rate caps at 1000‰) — the
+    * standard under-supply behavior; re-normalizing the shortfall onto
+    * other sources is a caller-side loop over this same operator.
+    *
+    * Scale shape: one tiny per-source token aggregate (sources are
+    * dozens, not billions) broadcast back onto the corpus, then the
+    * same pushdown-friendly hash-bucket filter as
+    * [[deterministicSample]]. Rows keep their columns plus the
+    * applied `permille`, so the mixture is auditable downstream. */
+  def mixtureSample(df: DataFrame, sourceCol: String, keyCol: String,
+                    tokensCol: String, weights: Map[String, Double],
+                    tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget=$tokenBudget must be positive")
+    val wExpr = weights.foldLeft(lit(0.0)) { case (acc, (s, wgt)) =>
+      when(col(sourceCol) === s, lit(wgt)).otherwise(acc)
+    }
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol).cast("long")).as("__tot"))
+      .withColumn("__permille",
+        least(lit(1000L),
+          floor(lit(1000.0) * (lit(tokenBudget.toDouble) * wExpr) /
+            col("__tot").cast("double"))))
+      .select(col(sourceCol), col("__permille").as("permille"))
+    df.join(broadcast(totals), Seq(sourceCol))
+      .filter(bucket(keyCol) < col("permille"))
+  }
+
+  /** Oracle spelling of [[mixtureSample]]'s per-source permille (the
+    * weight CASE must be built by the caller from the same map). */
+  def sqlMixturePermille(weightCaseExpr: String, totExpr: String,
+                         tokenBudget: Long): String =
+    s"LEAST(1000, CAST(FLOOR(1000.0 * (CAST($tokenBudget AS DOUBLE) * " +
+      s"$weightCaseExpr) / CAST($totExpr AS DOUBLE)) AS BIGINT))"
 }

@@ -337,8 +337,41 @@ object DedupQueries {
       .orderBy(col("a"), col("b"))
   }
 
+  /** q111: benchmark decontamination — every corpus document sharing
+    * a 5-token shingle with the (held-out) eval slice is flagged, with
+    * its distinct-hit count. The operator joins on 64-bit shingle
+    * hashes where the oracle joins on strings; doc-level counts agree
+    * absent 64-bit collisions (the q31 argument). Eval slice =
+    * `doc_id % 10 = 0`, disjoint from the corpus by construction. */
+  val q111Decontaminate: QuerySpec = QuerySpec(
+    "q111_decontaminate",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, len(toks) - 3),
+      |    i -> array_to_string(toks[i:i+4], ' '))) AS shingle
+      |  FROM tok WHERE len(toks) >= 5),
+      |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+      |hits AS (
+      |  SELECT s.doc_id, COUNT(*) AS n_hit_shingles
+      |  FROM sh s JOIN ev USING (shingle)
+      |  WHERE s.doc_id % 10 <> 0 GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(h.n_hit_shingles, 0) AS n_hit_shingles,
+      |  COALESCE(h.n_hit_shingles, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |WHERE d.doc_id % 10 <> 0
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Dedup.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 5)
+      .orderBy(col("doc_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash,
     q66MllibMinhash, q75DedupClusters, q77DedupApply,
-    q94PrefixJaccard, q95EditDistance)
+    q94PrefixJaccard, q95EditDistance, q111Decontaminate)
 }

@@ -512,9 +512,111 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q112: Gopher-style repetition features, all pure per-row Column
+    * expressions (scan-speed at 100 TB — no shuffle, no UDF). The
+    * Spark side finds the max token multiplicity as the longest equal
+    * run in the SORTED token array; the oracle counts per-distinct-
+    * token occurrences — same value, independently computed. Ratios
+    * are int/int double divisions, identical in both engines. */
+  val q112Repetition: QuerySpec = QuerySpec(
+    "q112_repetition",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+      |    AS distinct_token_ratio,
+      |  CAST(list_max(list_transform(list_distinct(toks),
+      |      t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+      |    / CAST(len(toks) AS DOUBLE) AS top_token_ratio,
+      |  CAST(len(toks) - 1 - len(list_distinct(list_transform(
+      |      range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))))
+      |    AS DOUBLE) / CAST(len(toks) - 1 AS DOUBLE) AS dup_bigram_ratio
+      |FROM tok ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.distinctTokenRatio(col("text"))
+          .as("distinct_token_ratio"),
+        TextFunctions.topTokenRatio(col("text")).as("top_token_ratio"),
+        TextFunctions.dupBigramRatio(col("text")).as("dup_bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q113: sequence packing (concat-and-chunk) — per-language token
+    * streams cut into 16-token training sequences; the result is the
+    * (document × sequence) contribution map in exact longs. The spec
+    * additionally asserts token conservation (Σ n_tok = Σ doc
+    * tokens); the oracle pins every boundary. */
+  val q113PackSequences: QuerySpec = QuerySpec(
+    "q113_pack_sequences",
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+      |      PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS end_tok
+      |  FROM documents),
+      |x AS (
+      |  SELECT lang, doc_id, n, end_tok, end_tok - n AS start_tok,
+      |    unnest(generate_series((end_tok - n) // 16, (end_tok - 1) // 16))
+      |      AS seq_id
+      |  FROM t)
+      |SELECT lang, doc_id, seq_id,
+      |  LEAST(end_tok, (seq_id + 1) * 16) - GREATEST(start_tok, seq_id * 16)
+      |    AS n_tok
+      |FROM x ORDER BY lang, doc_id, seq_id""".stripMargin) { (s, dir) =>
+    graft.operators.Chunking.packSequences(
+        Tables.documents(s, dir), "lang", "doc_id", "text", seqLen = 16)
+      .orderBy(col("lang"), col("doc_id"), col("seq_id"))
+  }
+
+  /** q114: source-mixture sampling — a 30k-token budget split over
+    * target language weights (en 0.4, rest 0.15 each); under-supplied
+    * languages cap at 1000‰ (taken whole). Emits the per-language
+    * audit summary: applied permille, sampled docs, sampled tokens.
+    * Membership is the deterministic portable-hash bucket, so the
+    * oracle replays the exact sample, not just its size. */
+  val q114MixtureSample: QuerySpec = {
+    val weights = Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+      "fr" -> 0.15, "zh" -> 0.15)
+    val wCase = "CASE lang " + weights.toSeq.sorted.map { case (l, wgt) =>
+      s"WHEN '$l' THEN CAST($wgt AS DOUBLE) "
+    }.mkString + "ELSE CAST(0.0 AS DOUBLE) END"
+    QuerySpec(
+      "q114_mixture_sample",
+      s"""WITH d AS (
+         |  SELECT lang, doc_id, CAST($sqlNTok AS BIGINT) AS n_tok,
+         |    $wCase AS w
+         |  FROM documents),
+         |tot AS (
+         |  SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS tot,
+         |    ANY_VALUE(w) AS w
+         |  FROM d GROUP BY 1),
+         |rates AS (
+         |  SELECT lang,
+         |    ${graft.operators.Sampling.sqlMixturePermille("w", "tot", 30000L)}
+         |      AS permille
+         |  FROM tot)
+         |SELECT d.lang, r.permille, COUNT(*) AS n_docs,
+         |  CAST(SUM(d.n_tok) AS BIGINT) AS n_tokens
+         |FROM d JOIN rates r USING (lang)
+         |WHERE ${graft.operators.Sampling.sqlBucket("doc_id")} < r.permille
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.mixtureSample(
+          Tables.documents(s, dir)
+            .withColumn("n_tok", TextFunctions.tokenCount(col("text"))),
+          "lang", "doc_id", "n_tok", weights, tokenBudget = 30000L)
+        .groupBy(col("lang"), col("permille"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("lang"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
     q61Vocabulary, q62TfIdf, q72Chunking, q73HeavyHitters, q82HashSplit,
-    q93LlmPipeline, q105TextNormalize)
+    q93LlmPipeline, q105TextNormalize, q112Repetition, q113PackSequences,
+    q114MixtureSample)
 }

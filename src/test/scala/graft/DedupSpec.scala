@@ -118,4 +118,30 @@ class DedupSpec extends SparkSpecBase {
     assert(kept.count() == corpus.select("text").distinct().count())
     assert(kept.groupBy("text").count().filter(col("count") > 1).isEmpty)
   }
+
+  test("decontaminate flags exactly the shingle-sharing documents") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains eval 5-gram
+      (2L, "completely different words nowhere near evaluation data"),
+      (3L, "short doc"), // < k tokens: no shingles, never contaminated
+      (4L, "quick brown fox jumps over something else entirely today")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "prefix padding quick brown fox jumps over suffix")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, eval, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    // doc 1 shares "quick brown fox jumps over"; doc 4 shares the same
+    // single 5-gram; docs 2 and 3 share nothing
+    assert(got(1L) == (1L, true) && got(4L) == (1L, true))
+    assert(got(2L) == (0L, false) && got(3L) == (0L, false))
+    assert(got.size == 4, "every corpus row must come back, flagged or not")
+    // decontaminating the eval set against itself flags everything long
+    // enough to shingle
+    val self = Dedup.decontaminate(eval, eval, "doc_id", "text", k = 5)
+      .collect()
+    assert(self.forall(_.getBoolean(2)))
+  }
 }

@@ -82,4 +82,35 @@ class SamplingSpec extends SparkSpecBase {
       .filter(col("o_totalprice") >= q3).count().toDouble / k
     assert(topShare > 0.4, s"top-quartile share $topShare not > 0.4")
   }
+
+  test("mixtureSample hits per-source budget shares; scarce sources cap") {
+    val d = Tables.documents(spark, sf)
+      .withColumn("n_tok",
+        graft.functions.TextFunctions.tokenCount(col("text")))
+      .cache()
+    val totals = d.groupBy("lang").agg(sum(col("n_tok")).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = Map("en" -> 0.6, "zh" -> 0.4)
+    val budget = 2L * totals.values.sum // force en+zh into the 1000‰ cap
+    val capped = Sampling.mixtureSample(d, "lang", "doc_id", "n_tok",
+      weights, budget)
+    // capped sources are taken whole; unweighted languages are absent
+    val byLang = capped.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet == Set("en", "zh"))
+    val full = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == full("en") && byLang("zh") == full("zh"))
+    // a tight budget samples at ~the target rate, deterministically
+    val tight = Sampling.mixtureSample(d, "lang", "doc_id", "n_tok",
+      Map("en" -> 1.0), totals("en") / 2)
+    val got = tight.agg(sum(col("n_tok"))).head.getLong(0).toDouble
+    assert(got > 0.35 * totals("en") && got < 0.65 * totals("en"),
+      s"sampled $got of target ${totals("en") / 2}")
+    assert(tight.collect().map(_.getAs[Long]("doc_id")).toSet ==
+      Sampling.mixtureSample(d.repartition(7), "lang", "doc_id", "n_tok",
+        Map("en" -> 1.0), totals("en") / 2)
+        .collect().map(_.getAs[Long]("doc_id")).toSet,
+      "sample must be partitioning-invariant")
+  }
 }

@@ -73,6 +73,49 @@ class ScalarsSpec extends SparkSpecBase {
     assert(p == 7)
   }
 
+  test("repetition features on hand-checked documents") {
+    val df = Seq(
+      (1L, "a a a b"),       // 4 toks, 2 distinct, max mult 3, bigrams: aa aa ab
+      (2L, "w x y z"),       // all distinct
+      (3L, "spam")           // single token: no bigrams → null ratio
+    ).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+        TextFunctions.distinctTokenRatio(col("text")),
+        TextFunctions.topTokenRatio(col("text")),
+        TextFunctions.dupBigramRatio(col("text")))
+      .collect().map(x => x.getLong(0) ->
+        (x.getDouble(1), x.getDouble(2), if (x.isNullAt(3)) None
+         else Some(x.getDouble(3)))).toMap
+    assert(r(1L) == ((0.5, 0.75, Some(1.0 / 3.0))))
+    assert(r(2L) == ((1.0, 0.25, Some(0.0))))
+    assert(r(3L) == ((1.0, 1.0, None)))
+  }
+
+  test("packSequences conserves tokens and splits at exact boundaries") {
+    // lang g: docs of 3 + 5 + 4 = 12 tokens, seqLen 4 → seqs 0,1,2
+    val df = Seq(
+      ("g", 1L, "a b c"),        // toks 0-2   → seq 0
+      ("g", 2L, "d e f g h"),    // toks 3-7   → seq 0 (1 tok), seq 1 (4)
+      ("g", 3L, "i j k l"),      // toks 8-11  → seq 2
+      ("h", 9L, "x y")           // separate group starts at offset 0
+    ).toDF("lang", "doc_id", "text")
+    val got = graft.operators.Chunking
+      .packSequences(df, "lang", "doc_id", "text", seqLen = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2, t._3)).toList
+    assert(got == List(
+      ("g", 1L, 0L, 3L), ("g", 2L, 0L, 1L), ("g", 2L, 1L, 4L),
+      ("g", 3L, 2L, 4L), ("h", 9L, 0L, 2L)))
+    // conservation: every token lands in exactly one (doc, seq) cell
+    val total = graft.operators.Chunking
+      .packSequences(Tables.documents(spark, sf), "lang", "doc_id",
+        "text", seqLen = 16)
+      .agg(sum(col("n_tok"))).head.getLong(0)
+    val expected = Tables.documents(spark, sf)
+      .agg(sum(TextFunctions.tokenCount(col("text")))).head.getLong(0)
+    assert(total == expected)
+  }
+
   test("bpe token count splits runs and marks") {
     val n = Seq("abc12 de-f").toDF("text")
       .select(TextFunctions.bpeTokenCount(col("text"))).head.getLong(0)
