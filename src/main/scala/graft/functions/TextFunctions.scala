@@ -184,6 +184,62 @@ object TextFunctions {
     maxTokenMultiplicity(text).cast("double") /
       size(tokens(text)).cast("double")
 
+  /** Shannon entropy (nats) of the document's unigram distribution —
+    * the perplexity-proxy quality feature: degenerate/repetitive text
+    * scores low, natural text near ln(distinct). Computed in the SAME
+    * sorted-run fold as [[maxTokenMultiplicity]] (each run's count is
+    * final when the value changes), so it stays O(n log n) per row
+    * where the oracle's per-distinct-token scan is O(n·d). Rounded to
+    * 6 decimals (the cosine rule): ln is within 1 ulp on both engines
+    * and the ~d-term sum accumulates ≪ 1e-6 of drift, so the rounded
+    * value is engine-identical. */
+  def tokenEntropy(text: Column): Column = {
+    val n = size(tokens(text)).cast("double")
+    def term(run: Column): Column =
+      when(run > 0L, (run.cast("double") / n) * log(run.cast("double") / n))
+        .otherwise(lit(0.0))
+    val sorted = sort_array(tokens(text))
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0.0).as("acc"))
+    val summed = aggregate(sorted, zero,
+      (acc, x) => {
+        val sameRun = acc.getField("prev") <=> x
+        struct(x.as("prev"),
+          when(sameRun, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(sameRun, acc.getField("acc"))
+            .otherwise(acc.getField("acc") + term(acc.getField("run")))
+            .as("acc"))
+      },
+      acc => acc.getField("acc") + term(acc.getField("run")))
+    // 0.0 - x (not -x): a zero sum must come out +0.0, never -0.0 —
+    // the two hash differently even though they compare equal
+    round(lit(0.0) - summed, 6)
+  }
+
+  /** PII scrubbing (training-data pipeline ★ — the redaction pass a
+    * corpus runs before anything else sees it): email-shaped tokens
+    * and long digit runs are replaced with typed placeholder marks.
+    * Patterns stay in the RE2 ∩ Java-regex common subset (the
+    * [[bpeTokenPattern]] rule) so the DuckDB oracle applies the exact
+    * same automaton. Pure per-row Column — scan-speed, no shuffle. */
+  val piiEmailPattern: String = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+  val piiNumberPattern: String = "[0-9]{8,}"
+
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(piiEmailPattern), lit("<EMAIL>")),
+      lit(piiNumberPattern), lit("<NUM>"))
+
+  /** Redaction count, composed the same way as [[piiRedact]]: digit
+    * runs are counted AFTER email replacement, so a digit run inside
+    * an email is one redaction, not two. */
+  def piiCount(text: Column): Column = {
+    val deEmailed = regexp_replace(text, lit(piiEmailPattern), lit("<EMAIL>"))
+    (size(regexp_extract_all(text, lit(piiEmailPattern), lit(0))) +
+      size(regexp_extract_all(deEmailed, lit(piiNumberPattern), lit(0))))
+      .cast("long")
+  }
+
   /** Adjacent word bigrams; empty for one-token docs (mirrors the
     * shingle contract in Dedup.shinglePositions). */
   def wordBigrams(text: Column): Column = {

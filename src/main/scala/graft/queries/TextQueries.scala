@@ -613,10 +613,113 @@ object TextQueries {
     }
   }
 
+  /** q115: unigram entropy (perplexity-proxy quality feature). The
+    * Spark side folds the SORTED token array once (O(n log n)); the
+    * oracle scans per distinct token (O(n·d)) — independent
+    * computations, same distribution. Both round to 6 decimals, which
+    * absorbs ln's last-ulp divergence and the summation-order drift
+    * (≪ 1e-6 for ≤100-term sums). */
+  val q115TokenEntropy: QuerySpec = QuerySpec(
+    "q115_token_entropy",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  round(0.0 - list_sum(list_transform(list_distinct(toks),
+      |    t -> (CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE)
+      |          / CAST(len(toks) AS DOUBLE))
+      |      * ln(CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE)
+      |           / CAST(len(toks) AS DOUBLE)))), 6) AS entropy
+      |FROM tok ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenEntropy(col("text")).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q116: PII scrubbing over a deterministically seeded corpus (the
+    * synthetic documents carry no PII, so the query plants email and
+    * card-number shapes on a doc_id schedule — the q105 seeding
+    * recipe). The md5 of the scrubbed text pins every replacement;
+    * the count composes like the redaction (digit runs counted after
+    * email replacement). Patterns live in the RE2 ∩ Java common
+    * subset so both engines run the same automaton. */
+  val q116PiiScrub: QuerySpec = QuerySpec(
+    "q116_pii_scrub",
+    s"""WITH seeded AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 7 = 0
+       |      THEN ' reach me at jane.doe42@mail.example.org now'
+       |    WHEN doc_id % 11 = 0 THEN ' card 4111111122223333 on file'
+       |    ELSE '' END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '${TextFunctions.piiEmailPattern}'))
+       |    + len(regexp_extract_all(regexp_replace(t,
+       |        '${TextFunctions.piiEmailPattern}', '<EMAIL>', 'g'),
+       |      '${TextFunctions.piiNumberPattern}')) AS BIGINT)
+       |    AS n_redactions,
+       |  md5(regexp_replace(regexp_replace(t,
+       |      '${TextFunctions.piiEmailPattern}', '<EMAIL>', 'g'),
+       |    '${TextFunctions.piiNumberPattern}', '<NUM>', 'g')) AS clean_md5
+       |FROM seeded ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val seeded = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        lit(" reach me at jane.doe42@mail.example.org now"))
+        .when(col("doc_id") % 11 === 0,
+          lit(" card 4111111122223333 on file"))
+        .otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.piiCount(seeded).as("n_redactions"),
+        md5(TextFunctions.piiRedact(seeded)).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q117: BM25 relevance scoring for a literal query-term set — one
+    * corpus-stats scan broadcast back onto a second scan, per-row term
+    * frequencies (no corpus explode), fixed-order 6-decimal-rounded
+    * sum. The oracle mirrors the arithmetic operation-for-operation
+    * (literals CAST to DOUBLE so both engines fold the same IEEE
+    * constants). */
+  val q117Bm25: QuerySpec = {
+    val terms = Seq("spark", "join", "window")
+    val av = "(tot_len / n_docs)"
+    def sqlTerm(t: String, i: Int): String = {
+      val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+      s"ln(CAST(1.0 AS DOUBLE) + (n_docs - df_$i + 0.5) / (df_$i + 0.5))" +
+        s" * ($tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))" +
+        s" / ($tf + CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - " +
+        s"CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * " +
+        s"CAST(len(toks) AS DOUBLE) / $av))"
+    }
+    val score = terms.zipWithIndex.map { case (t, i) => sqlTerm(t, i) }
+      .mkString(" + ")
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN len(list_filter(toks, x -> x = '$t')) > 0 " +
+        s"THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+    }.mkString(", ")
+    QuerySpec(
+      "q117_bm25",
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |stats AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    CAST(SUM(len(toks)) AS DOUBLE) AS tot_len, $dfs
+         |  FROM tok)
+         |SELECT doc_id, score FROM (
+         |  SELECT doc_id, round($score, 6) AS score
+         |  FROM tok CROSS JOIN stats)
+         |WHERE score > 0.0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Search.bm25(
+          Tables.documents(s, dir), "doc_id", "text", terms)
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
     q61Vocabulary, q62TfIdf, q72Chunking, q73HeavyHitters, q82HashSplit,
     q93LlmPipeline, q105TextNormalize, q112Repetition, q113PackSequences,
-    q114MixtureSample)
+    q114MixtureSample, q115TokenEntropy, q116PiiScrub, q117Bm25)
 }

@@ -24,8 +24,11 @@ class PlanAuditSpec extends SparkSpecBase {
     // q100 broadcasts a 1-row min/max bounds aggregate onto the scan —
     // the same metadata-sized cross as q76's stats attach
     // q107 broadcasts the same ≤8-vector query set as q34
+    // q117 broadcasts a 1-row corpus-stats aggregate (N, Σdl, per-term
+    // df) onto the scan — the q76/q100 metadata-sized cross again
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
-      "q90_resample", "q76_profile", "q100_histogram", "q107_ann_pipeline")
+      "q90_resample", "q76_profile", "q100_histogram", "q107_ann_pipeline",
+      "q117_bm25")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -116,6 +116,46 @@ class ScalarsSpec extends SparkSpecBase {
     assert(total == expected)
   }
 
+  test("token entropy: uniform > skewed > constant; +0.0 on constants") {
+    val df = Seq(
+      (1L, "a b c d"),   // uniform: ln(4) ≈ 1.386294
+      (2L, "a a a b"),   // skewed: -(0.75 ln 0.75 + 0.25 ln 0.25)
+      (3L, "z z z z")    // constant: exactly 0.0, not -0.0
+    ).toDF("doc_id", "text")
+    val e = df.select(col("doc_id"),
+        TextFunctions.tokenEntropy(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(e(1L) - math.log(4.0)) < 1e-6)
+    val skew = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(e(2L) - skew) < 1e-6)
+    assert(e(3L) == 0.0 &&
+      java.lang.Double.doubleToRawLongBits(e(3L)) == 0L,
+      "constant doc must yield +0.0 exactly")
+    assert(e(1L) > e(2L) && e(2L) > e(3L))
+  }
+
+  test("pii scrub: emails and digit runs redact; nested digits count once") {
+    val df = Seq(
+      (1L, "mail bob.smith2@corp.example.com and card 4111222233334444 ok"),
+      (2L, "digits 1234567 stay"), // 7 digits: below the 8+ threshold
+      (3L, "clean text only")
+    ).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+        TextFunctions.piiRedact(col("text")),
+        TextFunctions.piiCount(col("text")))
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getLong(2)))
+      .toMap
+    assert(r(1L) == (("mail <EMAIL> and card <NUM> ok", 2L)))
+    assert(r(2L) == (("digits 1234567 stay", 0L)))
+    assert(r(3L) == (("clean text only", 0L)))
+    // an 8+ digit run INSIDE an email is one redaction, not two
+    val nested = Seq("id 12345678@host.example.org end").toDF("text")
+      .select(TextFunctions.piiRedact(col("text")),
+        TextFunctions.piiCount(col("text"))).head
+    assert(nested.getString(0) == "id <EMAIL> end" &&
+      nested.getLong(1) == 1L)
+  }
+
   test("bpe token count splits runs and marks") {
     val n = Seq("abc12 de-f").toDF("text")
       .select(TextFunctions.bpeTokenCount(col("text"))).head.getLong(0)
