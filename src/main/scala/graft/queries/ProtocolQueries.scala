@@ -497,15 +497,24 @@ object ProtocolQueries {
       .unionByName(target.filter(col("o_orderkey") % 101 === 0)
         .select((col("o_orderkey") + 3000000).as("o_orderkey"),
           col("o_custkey"), col("o_totalprice")))
-    val diff = Relational.snapshotDiff(drifted, target, Seq("o_orderkey"))
-    def feed(change: String, src: org.apache.spark.sql.DataFrame,
-             op: String) =
-      src.join(diff.filter(col("change") === change)
-          .select(col("o_orderkey")), Seq("o_orderkey"), "left_semi")
-        .withColumn("op", lit(op)).withColumn("seq", lit(1L))
-    val changes = feed("added", target, "I")
-      .unionByName(feed("changed", target, "U"))
-      .unionByName(feed("removed", drifted, "D"))
+    // the delta is DRIFT-sized (≪ table); cache it so the full-outer
+    // diff join runs once, not once per change type, and the key joins
+    // below broadcast it (the q65 lesson: never re-derive a shared
+    // subtree per consumer)
+    val delta = Relational.snapshotDiff(drifted, target, Seq("o_orderkey"))
+      .filter(col("change") =!= "unchanged").cache()
+    def feed(src: org.apache.spark.sql.DataFrame,
+             opByChange: Seq[(String, String)]) = {
+      val opExpr = opByChange.foldLeft(lit(null).cast("string")) {
+        case (acc, (c, o)) => when(col("change") === c, o).otherwise(acc)
+      }
+      src.join(delta.filter(col("change").isin(opByChange.map(_._1): _*)),
+          Seq("o_orderkey"))
+        .withColumn("op", opExpr).drop("change")
+        .withColumn("seq", lit(1L))
+    }
+    val changes = feed(target, Seq("added" -> "I", "changed" -> "U"))
+      .unionByName(feed(drifted, Seq("removed" -> "D")))
     val repaired = Relational.applyChanges(drifted, changes,
       Seq("o_orderkey"), "op", "seq")
     Relational.tableChecksum(repaired, Seq(col("o_orderkey"),

@@ -1046,6 +1046,43 @@ object RelationalQueries {
       .orderBy(col("priority_code"))
   }
 
+  /** q118: CSV round-trip through the quarantining delimited source —
+    * orders goes out as headerless CSV and comes back through
+    * `Ingest.csvWithQuarantine` with an explicit schema; the aggregate
+    * must equal the same aggregate over the parquet original, which
+    * proves type fidelity (long, double, TIMESTAMP) through the text
+    * format: a row whose timestamp or decimal failed to re-parse would
+    * quarantine and the counts would drop. The oracle never sees the
+    * CSV — it computes straight from the parquet table. */
+  val q118CsvRoundtrip: QuerySpec = QuerySpec(
+    "q118_csv_roundtrip",
+    s"""SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+       |  ${Exact.sqlSum("o_totalprice")} AS total_price,
+       |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       |  CAST(MAX(year(o_orderdate)) AS INTEGER) AS max_year
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types._
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val path = "/tmp/graft_csv_q118"
+    Tables.orders(s, dir).select(cols.map(col): _*)
+      .write.mode("overwrite").csv(path)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))
+    val (good, _) = graft.sources.Ingest.csvWithQuarantine(s, path, schema)
+    good.groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.dsum(col("o_totalprice")).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(year(col("o_orderdate"))).as("max_year"))
+      .orderBy(col("priority"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
@@ -1056,5 +1093,6 @@ object RelationalQueries {
     q78BucketedJoin, q79BloomSemiJoin, q81ZOrderedScan, q86Melt,
     q88IqrOutliers, q89TableChecksum, q90Resample, q91Zscore,
     q96ReservoirSample, q97WeightedSample, q98JoinDelta,
-    q100Histogram, q102DictEncode, q104ReservoirPerGroup, q110ImputeMean)
+    q100Histogram, q102DictEncode, q104ReservoirPerGroup, q110ImputeMean,
+    q118CsvRoundtrip)
 }

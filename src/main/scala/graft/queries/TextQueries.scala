@@ -716,10 +716,59 @@ object TextQueries {
     }
   }
 
+  /** q119: bigram language-model table — each token's most likely
+    * successor with its conditional probability (count-based LM, the
+    * statistic behind repetition filters and domain classifiers).
+    * Scale shape: bigram counts are VOCABULARY²-bounded (not corpus-
+    * bounded) with map-side combine, the per-w1 totals reuse the
+    * count aggregate, and the window ranks within vocabulary-sized
+    * groups. p_next is an exact-int double division — cross-engine
+    * identical without rounding. */
+  val q119BigramLm: QuerySpec = QuerySpec(
+    "q119_bigram_lm",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bi0 AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+      |  FROM tok WHERE len(toks) >= 2),
+      |bi AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM bi0),
+      |cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+      |tot AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+      |ranked AS (
+      |  SELECT w1, w2, c,
+      |    ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn
+      |  FROM cnt)
+      |SELECT r.w1, r.w2 AS next_tok, CAST(r.c AS BIGINT) AS n_pair,
+      |  CAST(r.c AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p_next
+      |FROM ranked r JOIN tot t USING (w1) WHERE rn = 1
+      |ORDER BY w1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.documents(s, dir)
+      .select(explode(TextFunctions.wordBigrams(col("text"))).as("b"))
+      .select(substring_index(col("b"), " ", 1).as("w1"),
+        substring_index(col("b"), " ", -1).as("w2"))
+    // vocabulary²-sized — cache it so the corpus explode+aggregate
+    // feeds both the ranking and the totals once
+    val cnt = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c")).cache()
+    val tot = cnt.groupBy(col("w1")).agg(sum(col("c")).as("tot"))
+    val w = Window.partitionBy(col("w1"))
+      .orderBy(col("c").desc, col("w2"))
+    cnt.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(tot, Seq("w1"))
+      .select(col("w1"), col("w2").as("next_tok"),
+        col("c").as("n_pair"),
+        (col("c").cast("double") / col("tot").cast("double")).as("p_next"))
+      .orderBy(col("w1"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
     q61Vocabulary, q62TfIdf, q72Chunking, q73HeavyHitters, q82HashSplit,
     q93LlmPipeline, q105TextNormalize, q112Repetition, q113PackSequences,
-    q114MixtureSample, q115TokenEntropy, q116PiiScrub, q117Bm25)
+    q114MixtureSample, q115TokenEntropy, q116PiiScrub, q117Bm25,
+    q119BigramLm)
 }

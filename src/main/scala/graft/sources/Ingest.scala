@@ -104,4 +104,30 @@ object Ingest {
       .select(col("_corrupt_record").as("raw"))
     (good, quarantine)
   }
+
+  /** Quarantining CSV ingest — the delimited-text face of the same
+    * contract as [[jsonWithQuarantine]]: explicit schema, PERMISSIVE
+    * parse, one pass feeding both the typed frame and the raw-line
+    * quarantine. CSV is the other format a 100 TB crawl actually
+    * arrives in; schema inference on it is a full extra pass AND a
+    * correctness hazard (a numeric column with one stray header line
+    * infers string), so the schema parameter is not optional. */
+  def csvWithQuarantine(spark: SparkSession, path: String,
+                        schema: StructType): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema must not declare _corrupt_record — the adapter adds it")
+    val withCorrupt = StructType(
+      schema.fields :+ StructField("_corrupt_record", StringType))
+    val parsed = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("header", "false")
+      .csv(path)
+      .cache()
+    val good = parsed.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val quarantine = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+    (good, quarantine)
+  }
 }

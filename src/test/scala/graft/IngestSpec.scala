@@ -83,4 +83,29 @@ class IngestSpec extends SparkSpecBase {
         StructField("_corrupt_record", StringType))))
     }
   }
+
+  test("csvWithQuarantine: typed rows pass, malformed lines quarantine") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = "/tmp/graft-test-csv-quarantine"
+    Seq("1,alpha,2.5,2024-01-05T00:00:00.000Z",
+      "2,beta,not_a_number,2024-01-06T00:00:00.000Z", // bad double
+      "3,gamma,7.25,2024-01-07T00:00:00.000Z",
+      "4,delta,1.0,not-a-date" // bad timestamp
+    ).toDF("line").coalesce(1)
+      .write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", DoubleType), StructField("ts", TimestampType)))
+    val (good, quarantine) = Ingest.csvWithQuarantine(spark, dir, schema)
+    assert(good.count() == 2)
+    assert(good.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    val raw = quarantine.as[String].collect()
+    assert(raw.length == 2 && raw.exists(_.contains("not_a_number"))
+      && raw.exists(_.contains("not-a-date")))
+    intercept[IllegalArgumentException] {
+      Ingest.csvWithQuarantine(spark, dir, StructType(Seq(
+        StructField("_corrupt_record", StringType))))
+    }
+  }
 }
