@@ -441,6 +441,62 @@ object Dedup {
       bits.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
   }
 
+  /** Exact repeated-span detection (substring-level dedup, the Lee et
+    * al. 2022 "Deduplicating Training Data" granularity): any k-token
+    * window occurring MORE THAN ONCE anywhere in the corpus — another
+    * document or the same one — marks its span [pos, pos+k) as
+    * duplicated; overlapping/adjacent duplicated windows merge into
+    * maximal spans per document ([[Relational.mergeIntervals]], the
+    * gaps-and-islands pass). Document-level dedup misses exactly this:
+    * boilerplate headers, license blocks, templated paragraphs pasted
+    * into otherwise-unique documents.
+    *
+    * Output per input row: `n_dup_spans` (maximal repeated spans),
+    * `dup_tokens` (tokens covered by them), `n_tokens`, and
+    * `dup_ratio` — the per-document removal budget a span-level
+    * dedup pass would cut.
+    *
+    * Scale shape: windows travel as 64-bit hashes (16-byte rows, the
+    * [[shingleHashes]] argument); one corpus-wide count per window
+    * hash with map-side combine; the `c > 1` filter shrinks the
+    * join-back to the duplicated minority; the island merge is one
+    * hash-partitioned window per document. Nothing driver-side,
+    * nothing quadratic — a suffix array gives maximal repeats at
+    * byte granularity but needs a global sort of every suffix; the
+    * fixed-k window grid is the shuffle-friendly approximation
+    * (spans shorter than k go undetected, spans ≥ k are found
+    * exactly, boundaries quantized to ≤ k-1 tokens). */
+  def repeatedSpans(df: DataFrame, keyCol: String, textCol: String,
+                    k: Int = 8): DataFrame = {
+    require(k >= 2, s"k=$k — a 1-token window flags every common word")
+    val toks = split(col(textCol), " ")
+    val base = df.select(col(keyCol),
+      size(toks).cast("long").as("n_tokens"), toks.as("toks"))
+    val windows = base.select(col(keyCol),
+        explode(transform(shinglePositions(col("toks"), k),
+          i => struct(i.as("pos"),
+            xxhash64(array_join(slice(col("toks"), i, lit(k)), " "))
+              .as("h")))).as("w"))
+      .select(col(keyCol), col("w.pos").as("pos"), col("w.h").as("h"))
+    val repeated = windows.groupBy(col("h"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("h"))
+    val spans = windows.join(repeated, Seq("h"))
+      .select(col(keyCol), col("pos"), (col("pos") + lit(k)).as("pend"))
+    val perDoc = Relational.mergeIntervals(spans, keyCol, "pos", "pend")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("island_end") - col("island_start")).cast("long")
+          .as("dup_tokens"))
+    base.select(col(keyCol), col("n_tokens"))
+      .join(perDoc, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("n_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 6)
+          .as("dup_ratio"))
+  }
+
   /** SimHash near-dup pairs: 16-bit-chunk banding for candidates, then
     * exact hamming distance filter via bit_count(xor). */
   def simhashNearDupPairs(df: DataFrame, keyCol: String, textCol: String,

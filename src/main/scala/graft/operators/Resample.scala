@@ -55,4 +55,44 @@ object Resample {
     if (fill) Relational.fillForward(full, keys, Seq("bucket"), Seq("vsum"))
     else full
   }
+
+  /** Exponentially weighted moving average, final value per key:
+    * e₁ = v₁, eᵢ = α·vᵢ + (1−α)·eᵢ₋₁ over the key's history in
+    * (ts, v) order — the streaming-metric smoother (recursive, so no
+    * window frame expresses it; the fold does). Cross-engine
+    * reproducible by the q121 discipline: the history folds as a
+    * SORTED array seeded with its first element (fold1 — exactly
+    * DuckDB's `list_reduce`), and the caller mirrors 1−α op-for-op,
+    * so every intermediate is bit-identical. Output: `(keyCol,
+    * n_obs, ewma)` rounded to 6 decimals.
+    *
+    * Scale shape: one shuffle (the groupBy); state per key = its
+    * history array. Histories are clock-bounded (one point per tick);
+    * unbounded streams chunk by calendar partition first. */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+           alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha outside (0,1)")
+    val beta = 1.0 - alpha
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        array_sort(collect_list(
+          struct(col(tsCol).as("ts"), col(valCol).cast("double").as("v"))))
+          .as("hist"))
+      .select(col(keyCol), col("n_obs"),
+        round(aggregate(
+          // NB: a literal Int.MaxValue length overflows inside Slice
+          // (start+length wraps) and yields an EMPTY tail — bound by
+          // the actual size instead
+          slice(transform(col("hist"), x => x("v")), lit(2),
+            size(col("hist"))),
+          element_at(transform(col("hist"), x => x("v")), 1),
+          (acc, x) => lit(alpha) * x + lit(beta) * acc), 6).as("ewma"))
+  }
+
+  /** Oracle spelling of [[ewma]]'s fold (the history list must be
+    * built by the caller in the same (ts, v) sort order). */
+  def sqlEwmaFold(histExpr: String, alpha: Double): String =
+    s"list_reduce($histExpr, (acc, x) -> $alpha * x + " +
+      s"(CAST(1 AS DOUBLE) - $alpha) * acc)"
 }

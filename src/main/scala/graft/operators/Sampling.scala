@@ -164,4 +164,39 @@ object Sampling {
                          tokenBudget: Long): String =
     s"LEAST(1000, CAST(FLOOR(1000.0 * (CAST($tokenBudget AS DOUBLE) * " +
       s"$weightCaseExpr) / CAST($totExpr AS DOUBLE)) AS BIGINT))"
+
+  /** Deterministic epoch shuffle — the training order for one epoch as
+    * `(shard, ord)`: rows hash into `shards` shards and rank within
+    * their shard by (portable_hash64(key:epoch), key). The order is a
+    * pure function of (key, epoch), so any cluster, any partitioning,
+    * any retry replays it exactly — the property loaders need for
+    * resumable, auditable training runs. Shard-major traversal
+    * (shard 0 in ord order, then shard 1, …) IS a total order, and a
+    * W-worker loader instead streams shards round-robin, each in ord
+    * order — which is why the output is sharded in the first place:
+    * ONE hash shuffle + per-shard window sorts, no single-partition
+    * global sort anywhere (an unpartitioned rank would serialize the
+    * corpus through one task — the anti-pattern this operator
+    * replaces). Epoch reshuffles move rows ACROSS shards (the hash
+    * changes), so inter-shard mixing is free. */
+  def epochOrder(df: DataFrame, keyCol: String, epoch: Int,
+                 shards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards >= 1, s"shards=$shards")
+    val h = graft.functions.Scalars.portableHash64(
+      concat(col(keyCol).cast("string"), lit(":" + epoch)))
+    df.withColumn("__eh", h)
+      .withColumn("shard", pmod(col("__eh"), lit(shards)).cast("int"))
+      .withColumn("ord",
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("__eh"), col(keyCol))).cast("long"))
+      .drop("__eh")
+  }
+
+  /** Oracle spellings of [[epochOrder]]'s hash and shard. */
+  def sqlEpochHash(keyExpr: String, epoch: Int): String =
+    graft.functions.Scalars.sqlPortableHash64(
+      s"CAST($keyExpr AS VARCHAR) || ':$epoch'")
+  def sqlEpochShard(keyExpr: String, epoch: Int, shards: Int): String =
+    s"CAST(${sqlEpochHash(keyExpr, epoch)} % $shards AS INTEGER)"
 }

@@ -21,6 +21,64 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** Per-document bigram cross-entropy under the corpus's own MLE
+    * bigram model (the KenLM-style perplexity quality filter: docs
+    * whose token transitions are improbable under the corpus LM are
+    * noise — mojibake, tables, boilerplate soup — and get filtered or
+    * down-weighted before training). Self-scoring means every doc
+    * bigram exists in the model (count ≥ 1), so MLE needs no
+    * smoothing and the score is exact:
+    *
+    *   xent(d) = − Σ_{b ∈ bigrams(d)} log2 P(w2|w1) / |bigrams(d)|
+    *
+    * Output: `(keyCol, n_bigrams, xent)`; docs with < 2 tokens are
+    * dropped (no bigrams — xent undefined).
+    *
+    * Scale shape: the LM is the q119 bigram-count table — bounded by
+    * observed bigrams (≤ min(corpus tokens, vocab²)), built with
+    * map-side combine; scoring is one equi-join of (doc, bigram) rows
+    * against it. The per-doc sum folds a SORTED array (collect →
+    * array_sort → aggregate), so float addition order is fixed and
+    * the result is reproducible across partitionings AND engines —
+    * a parallel double sum would be neither. Rounded to 6 decimals
+    * (the cosine rule) to absorb log's last-ulp divergence. */
+  def bigramCrossEntropy(docs: DataFrame, keyCol: String,
+                         textCol: String): DataFrame = {
+    val bi = docs
+      .select(col(keyCol),
+        explode(graft.functions.TextFunctions.wordBigrams(col(textCol)))
+          .as("b"))
+      .select(col(keyCol),
+        substring_index(col("b"), " ", 1).as("w1"),
+        substring_index(col("b"), " ", -1).as("w2"))
+    // per-doc distinct (w1, w2, multiplicity): the corpus explode runs
+    // ONCE — the LM counts are derived from these multiplicities, not
+    // from a second pass over the corpus. Cached because it feeds both
+    // the LM build and the scoring join (at the 100 TB tier, swap the
+    // cache for a localCheckpoint or persist-to-disk of this
+    // docs × distinct-bigrams frame).
+    val docBi = bi.groupBy(col(keyCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m")).cache()
+    val cnt = docBi.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("m")).as("c"))
+    val tot = cnt.groupBy(col("w1")).agg(sum(col("c")).as("tot"))
+    val lm = cnt.join(tot, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        (col("c").cast("double") / col("tot").cast("double")).as("p"))
+    docBi.join(lm, Seq("w1", "w2"))
+      .select(col(keyCol), col("m"),
+        struct(col("w1"), col("w2"),
+          (col("m").cast("double") * -log(2.0, col("p"))).as("nl"))
+          .as("e"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("m")).cast("long").as("n_bigrams"),
+        array_sort(collect_list(col("e"))).as("es"))
+      .select(col(keyCol), col("n_bigrams"),
+        round(
+          aggregate(col("es"), lit(0.0), (acc, x) => acc + x("nl"))
+            / col("n_bigrams"), 6).as("xent"))
+  }
+
   /** `(keyCol, score)` for every document with a positive score —
     * docs matching no term are dropped (their score is exactly 0).
     * `k1` saturates term frequency; `b` is length normalization. */

@@ -370,8 +370,83 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q120: exact repeated-span detection (substring-level dedup).
+    * The random corpus has no natural 8-token repeats, so boilerplate
+    * is synthesized: every 4th document gets the first 12 tokens of
+    * doc 0 appended — the shared block (plus its original occurrence
+    * inside doc 0) is what span-level dedup must find. The operator
+    * counts window hashes where the oracle counts window strings;
+    * identical absent 64-bit collisions (the q31 argument). The
+    * island merge is the q106 gaps-and-islands formulation, replayed
+    * per document. */
+  val q120RepeatedSpans: QuerySpec = QuerySpec(
+    "q120_repeated_spans",
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      |boiler AS (
+      |  SELECT array_to_string(string_split(text, ' ')[1:12], ' ') AS b
+      |  FROM base WHERE doc_id = 0),
+      |injected AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0
+      |      THEN text || ' ' || (SELECT b FROM boiler)
+      |      ELSE text END AS text
+      |  FROM base),
+      |tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM injected),
+      |w0 AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, len(toks) - 6),
+      |    i -> {'pos': i, 's': array_to_string(toks[i:i+7], ' ')})) AS u
+      |  FROM tok WHERE len(toks) >= 8),
+      |w AS (SELECT doc_id, u.pos AS pos, u.s AS s FROM w0),
+      |rep AS (SELECT s FROM w GROUP BY s HAVING COUNT(*) > 1),
+      |dup AS (
+      |  SELECT doc_id, pos, pos + 8 AS pend FROM w JOIN rep USING (s)),
+      |isl AS (
+      |  SELECT doc_id, pos, pend,
+      |    CASE WHEN MAX(pend) OVER prev IS NULL
+      |           OR pos > MAX(pend) OVER prev THEN 1 ELSE 0 END AS ni
+      |  FROM dup
+      |  WINDOW prev AS (PARTITION BY doc_id ORDER BY pos, pend
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |grp AS (
+      |  SELECT doc_id, pos, pend, SUM(ni) OVER (
+      |    PARTITION BY doc_id ORDER BY pos, pend
+      |    ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM isl),
+      |m AS (
+      |  SELECT doc_id, island, MIN(pos) AS s0, MAX(pend) AS e0
+      |  FROM grp GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+      |    CAST(SUM(e0 - s0) AS BIGINT) AS dup_tokens
+      |  FROM m GROUP BY 1)
+      |SELECT t.doc_id,
+      |  COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+      |  COALESCE(a.dup_tokens, 0) AS dup_tokens,
+      |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |  round(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE)
+      |    / CAST(len(t.toks) AS DOUBLE), 6) AS dup_ratio
+      |FROM tok t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val boiler = base.filter(col("doc_id") === 0)
+      .select(array_join(slice(split(col("text"), " "), 1, 12), " ")
+        .as("boiler"))
+    val injected = base.crossJoin(broadcast(boiler))
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat_ws(" ", col("text"), col("boiler")))
+          .otherwise(col("text")).as("text"))
+    Dedup.repeatedSpans(injected, "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash,
     q66MllibMinhash, q75DedupClusters, q77DedupApply,
-    q94PrefixJaccard, q95EditDistance, q111Decontaminate)
+    q94PrefixJaccard, q95EditDistance, q111Decontaminate,
+    q120RepeatedSpans)
 }

@@ -388,8 +388,65 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** q127: ordered funnel — users progressing signup → view → click →
+    * purchase in time order, one greedy fold per user (see
+    * Funnel.funnel's single-pass shape). The oracle replays the fold
+    * with list_reduce over the same (ts, stage) sort; counts are
+    * exact ints so the comparison is exact. */
+  val q127Funnel: QuerySpec = QuerySpec(
+    "q127_funnel",
+    """WITH ev AS (
+      |  SELECT user_id AS u, ts,
+      |    CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+      |      WHEN 'click' THEN 3 WHEN 'purchase' THEN 4 END AS si
+      |  FROM events
+      |  WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+      |pu AS (
+      |  SELECT u, list_reduce(list_prepend(0, list_transform(
+      |      list_sort(list({'ts': ts, 'si': si})), x -> x.si)),
+      |    (acc, x) -> CASE WHEN x = acc + 1 THEN acc + 1
+      |      ELSE acc END) AS reached
+      |  FROM ev GROUP BY u)
+      |SELECT
+      |  CAST(SUM(CASE WHEN reached >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_signup,
+      |  CAST(SUM(CASE WHEN reached >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_view,
+      |  CAST(SUM(CASE WHEN reached >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_click,
+      |  CAST(SUM(CASE WHEN reached >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_purchase
+      |FROM pu""".stripMargin) { (s, dir) =>
+    graft.operators.Funnel.funnel(Tables.events(s, dir),
+      "user_id", "event_type", "ts",
+      Seq("signup", "view", "click", "purchase"))
+  }
+
+  /** q128: EWMA smoothing — the final exponentially weighted average
+    * of each user's event values (α = 0.25), the recursive statistic
+    * no window frame expresses. Bit-reproducible via the seeded
+    * sorted-history fold (Resample.ewma); the oracle runs the
+    * identical fold through list_reduce. */
+  val q128Ewma: QuerySpec = QuerySpec(
+    "q128_ewma",
+    s"""WITH h AS (
+       |  SELECT user_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_obs,
+       |    list_transform(list_sort(list({'ts': ts, 'v': value})),
+       |      x -> x.v) AS hist
+       |  FROM events WHERE value IS NOT NULL GROUP BY user_id)
+       |SELECT user_id, n_obs,
+       |  round(${graft.operators.Resample.sqlEwmaFold("hist", 0.25)}, 6)
+       |    AS ewma
+       |FROM h ORDER BY user_id""".stripMargin) { (s, dir) =>
+    graft.operators.Resample.ewma(Tables.events(s, dir),
+        "user_id", "ts", "value", 0.25)
+      .orderBy(col("user_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q40JsonProps, q41Tumbling, q42Sliding, q43Sessions, q44DedupReplay,
     q45AsOf, q56AsOfKeyed, q68RangeAsOf, q74IntervalJoin, q85FillForward,
-    q101Sessionize, q106IntervalIslands, q108Scd2Build)
+    q101Sessionize, q106IntervalIslands, q108Scd2Build, q127Funnel,
+    q128Ewma)
 }

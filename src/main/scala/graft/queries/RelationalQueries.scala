@@ -1083,6 +1083,230 @@ object RelationalQueries {
       .orderBy(col("priority"))
   }
 
+  /** q122: ORC round-trip through a hive-partitioned layout — the
+    * lineitem slice goes out as ORC partitioned by `l_returnflag`,
+    * comes back through partition discovery, and the read-back is
+    * FILTERED on the partition key, so only the matching directory is
+    * scanned (partition pruning on a non-parquet columnar format —
+    * the same layout contract as the parquet sinks). The aggregate
+    * must equal the parquet original's: type fidelity (long, double,
+    * string) through the ORC writer/reader plus correct partition
+    * reassembly. The oracle never sees the ORC — it computes straight
+    * from parquet. */
+  val q122OrcRoundtrip: QuerySpec = QuerySpec(
+    "q122_orc_roundtrip",
+    s"""SELECT l_linestatus AS status, COUNT(*) AS n,
+       |  ${Exact.sqlSum("l_quantity")} AS sum_qty,
+       |  CAST(MIN(l_orderkey) AS BIGINT) AS min_key
+       |FROM lineitem WHERE l_returnflag = 'R'
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val path = "/tmp/graft_orc_q122"
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_returnflag"), col("l_linestatus"))
+      .write.mode("overwrite").partitionBy("l_returnflag").orc(path)
+    s.read.orc(path)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_linestatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        Exact.dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_orderkey")).as("min_key"))
+      .orderBy(col("status"))
+  }
+
+  /** q123: KMV distinct-count sketch rollup — monthly k-minimum-value
+    * sketches of the customer set, MERGED to yearly sketches, with the
+    * Beyer et al. estimate next to the exact count. The whole pipeline
+    * (hash, per-month top-k, distinct-union merge, estimator) is
+    * replayed verbatim by the oracle because the sketch rides on
+    * portable_hash64 — an approximate-cardinality operator whose every
+    * bit is hash-verified cross-engine, where the HLL tier (q19/q92)
+    * can only be rows-only. h_k (the year sketch's largest retained
+    * hash) is emitted as a direct pin on the sketch content. */
+  val q123KmvRollup: QuerySpec = {
+    val k = 64
+    val h = graft.functions.Scalars.sqlPortableHash64("o_custkey")
+    QuerySpec(
+      "q123_kmv_rollup",
+      s"""WITH h AS (
+         |  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+         |    $h AS h
+         |  FROM orders GROUP BY 1, 2, 3),
+         |r AS (
+         |  SELECT y, m, h,
+         |    ROW_NUMBER() OVER (PARTITION BY y, m ORDER BY h) AS rn
+         |  FROM h),
+         |u AS (SELECT DISTINCT y, h FROM r WHERE rn <= $k),
+         |r2 AS (
+         |  SELECT y, h,
+         |    ROW_NUMBER() OVER (PARTITION BY y ORDER BY h) AS rn
+         |  FROM u),
+         |yk AS (
+         |  SELECT y, CAST(COUNT(*) AS BIGINT) AS n_min,
+         |    MAX(CASE WHEN rn = $k THEN h END) AS hk
+         |  FROM r2 WHERE rn <= $k GROUP BY y),
+         |ex AS (
+         |  SELECT year(o_orderdate) AS y,
+         |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers
+         |  FROM orders GROUP BY 1)
+         |SELECT CAST(yk.y AS INTEGER) AS year, yk.hk,
+         |  CASE WHEN yk.n_min < $k THEN CAST(yk.n_min AS DOUBLE)
+         |    ELSE round(${k - 1} * CAST(1152921504606846976 AS DOUBLE)
+         |      / CAST(yk.hk AS DOUBLE), 6) END AS est,
+         |  ex.exact_customers
+         |FROM yk JOIN ex USING (y)
+         |ORDER BY year""".stripMargin) { (s, dir) =>
+      import graft.operators.Kmv
+      val orders = Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"), col("o_custkey"))
+      val monthly = Kmv.sketch(orders, Seq("y", "m"), "o_custkey", k)
+      val yearly = Kmv.estimate(Kmv.merge(monthly, Seq("y"), k), k)
+      val exact = orders.groupBy(col("y"))
+        .agg(countDistinct(col("o_custkey")).as("exact_customers"))
+      yearly.join(exact, Seq("y"))
+        .select(col("y").as("year"),
+          when(size(col("kmins")) === k, element_at(col("kmins"), k))
+            .as("hk"),
+          col("est"), col("exact_customers"))
+        .orderBy(col("year"))
+    }
+  }
+
+  /** q124: 3-iteration PageRank over the customer–supplier trade graph
+    * (who supplies whom, symmetrized so the walk is undirected and no
+    * node dangles). The oracle replays ALL THREE iterations exactly —
+    * possible only because every inbound sum folds a sorted
+    * (src, contribution) array (see Graph.pageRank's reproducibility
+    * contract), so ranks are bit-identical cross-engine and round-6
+    * output hashes match. Division mirrors op-for-op: 1/N and
+    * (1−d)/N are computed, not precomputed literals, on both sides. */
+  val q124PageRank: QuerySpec = {
+    val iters = 3
+    def iterCte(i: Int): String =
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |    {'s': e.src, 'c': r${i - 1}.rank / e.outdeg} AS e
+         |  FROM eo e JOIN r${i - 1} ON e.src = r${i - 1}.node),
+         |a$i AS (
+         |  SELECT node, list_sort(list(e)) AS es FROM c$i GROUP BY node),
+         |r$i AS (
+         |  SELECT nd.node, COALESCE(
+         |    (CAST(1 AS DOUBLE) - 0.85) / (SELECT nn FROM nv)
+         |      + 0.85 * list_reduce(list_prepend(0.0,
+         |          list_transform(a$i.es, x -> x.c)), (acc, x) -> acc + x),
+         |    (CAST(1 AS DOUBLE) - 0.85) / (SELECT nn FROM nv)) AS rank
+         |  FROM nodes nd LEFT JOIN a$i USING (node))""".stripMargin
+    QuerySpec(
+      "q124_pagerank",
+      s"""WITH raw AS (
+         |  SELECT DISTINCT l.l_suppkey + 10000000 AS s, o.o_custkey AS c
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE o.o_custkey < 500),
+         |ed AS (SELECT s AS src, c AS dst FROM raw
+         |       UNION SELECT c, s FROM raw),
+         |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM ed),
+         |nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes),
+         |eo AS (SELECT e.src, e.dst, o.outdeg FROM ed e
+         |       JOIN outdeg o USING (src)),
+         |r0 AS (
+         |  SELECT node, CAST(1 AS DOUBLE) / (SELECT nn FROM nv) AS rank
+         |  FROM nodes),
+         |${(1 to iters).map(iterCte).mkString(",\n")}
+         |SELECT node, round(rank, 6) AS pr FROM r$iters
+         |ORDER BY pr DESC, node""".stripMargin) { (s, dir) =>
+      val raw = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_custkey") < 500),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + 10000000L).as("s"),
+          col("o_custkey").as("c"))
+        .distinct()
+      val edges = raw.select(col("s").as("src"), col("c").as("dst"))
+        .unionByName(raw.select(col("c").as("src"), col("s").as("dst")))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters)
+        .select(col("node"), round(col("rank"), 6).as("pr"))
+        .orderBy(col("pr").desc, col("node"))
+    }
+  }
+
+  /** q125: deterministic epoch shuffle — two different epochs of the
+    * sharded training order over the corpus, side by side. The order
+    * is a pure function of (key, epoch) through portable_hash64, so
+    * the oracle reproduces both epochs' (shard, ord) assignments
+    * exactly; a different epoch re-hashes, so rows move across shards
+    * AND reorder within them (the decorrelation reshuffling exists
+    * for). Per-shard ranking — not one global window — is the scale
+    * point: one hash shuffle, 16 parallel shard sorts. */
+  val q125EpochShuffle: QuerySpec = {
+    import graft.operators.Sampling
+    val sh = 16
+    QuerySpec(
+      "q125_epoch_shuffle",
+      s"""WITH e1 AS (
+         |  SELECT doc_id,
+         |    ${Sampling.sqlEpochShard("doc_id", 1, sh)} AS shard_e1,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY ${Sampling.sqlEpochShard("doc_id", 1, sh)}
+         |      ORDER BY ${Sampling.sqlEpochHash("doc_id", 1)}, doc_id)
+         |      AS ord_e1
+         |  FROM documents),
+         |e2 AS (
+         |  SELECT doc_id,
+         |    ${Sampling.sqlEpochShard("doc_id", 2, sh)} AS shard_e2,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY ${Sampling.sqlEpochShard("doc_id", 2, sh)}
+         |      ORDER BY ${Sampling.sqlEpochHash("doc_id", 2)}, doc_id)
+         |      AS ord_e2
+         |  FROM documents)
+         |SELECT doc_id, shard_e1, ord_e1, shard_e2, ord_e2
+         |FROM e1 JOIN e2 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val e1 = Sampling.epochOrder(d, "doc_id", 1, sh)
+        .withColumnRenamed("ord", "ord_e1")
+        .withColumnRenamed("shard", "shard_e1")
+      val e2 = Sampling.epochOrder(d, "doc_id", 2, sh)
+        .withColumnRenamed("ord", "ord_e2")
+        .withColumnRenamed("shard", "shard_e2")
+      e1.join(e2, Seq("doc_id"))
+        .select(col("doc_id"), col("shard_e1"), col("ord_e1"),
+          col("shard_e2"), col("ord_e2"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** q126: schema evolution through the parquet layout — an old batch
+    * written WITHOUT the `lang` column and a new batch WITH it land in
+    * one dataset; the mergeSchema read unions the schemas (old rows
+    * surface NULL lang) and partition discovery contributes the batch
+    * column. The aggregate must match a relational replay of the same
+    * evolution. The oracle never sees the written files. */
+  val q126SchemaEvolution: QuerySpec = QuerySpec(
+    "q126_schema_evolution",
+    """WITH merged AS (
+      |  SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS lang
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 <> 0)
+      |SELECT COALESCE(lang, 'unknown') AS lang,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val path = "/tmp/graft_schema_q126"
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$path/batch=1")
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .write.mode("overwrite").parquet(s"$path/batch=2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(coalesce(col("lang"), lit("unknown")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
@@ -1094,5 +1318,6 @@ object RelationalQueries {
     q88IqrOutliers, q89TableChecksum, q90Resample, q91Zscore,
     q96ReservoirSample, q97WeightedSample, q98JoinDelta,
     q100Histogram, q102DictEncode, q104ReservoirPerGroup, q110ImputeMean,
-    q118CsvRoundtrip)
+    q118CsvRoundtrip, q122OrcRoundtrip, q123KmvRollup, q124PageRank,
+    q125EpochShuffle, q126SchemaEvolution)
 }

@@ -764,11 +764,57 @@ object TextQueries {
       .orderBy(col("w1"))
   }
 
+  /** q121: bigram-LM cross-entropy scoring — each document's average
+    * −log2 transition probability under the corpus's own q119 bigram
+    * model (the KenLM-style perplexity quality filter). Self-scoring
+    * makes MLE exact (no unseen bigrams), so the oracle replays it
+    * fully: same LM join, same per-doc fold over the SORTED
+    * (w1, w2, nl) array — `aggregate` in Spark, `list_reduce` in
+    * DuckDB — so float addition order is pinned on both engines.
+    * log2 is mirrored as ln/ln2 op-for-op; round-6 (+0.0, the q115
+    * normalizations) absorbs the last-ulp ln divergence. */
+  val q121LmScore: QuerySpec = QuerySpec(
+    "q121_lm_score",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bi0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+      |  FROM tok WHERE len(toks) >= 2),
+      |bi AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bi0),
+      |cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+      |tot AS (SELECT w1, SUM(c) AS tot FROM cnt GROUP BY 1),
+      |lm AS (
+      |  SELECT w1, w2, CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+      |  FROM cnt JOIN tot USING (w1)),
+      |db AS (
+      |  SELECT doc_id, w1, w2, COUNT(*) AS m FROM bi GROUP BY 1, 2, 3),
+      |e AS (
+      |  SELECT doc_id, m,
+      |    {'w1': w1, 'w2': w2,
+      |     'nl': CAST(m AS DOUBLE) * -(ln(p) / ln(2))} AS e
+      |  FROM db JOIN lm USING (w1, w2)),
+      |g AS (
+      |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+      |    list_sort(list(e)) AS es
+      |  FROM e GROUP BY 1)
+      |SELECT doc_id, n_bigrams,
+      |  round(list_reduce(list_prepend(0.0,
+      |      list_transform(es, x -> x.nl)), (acc, x) -> acc + x)
+      |    / n_bigrams, 6) + 0.0 AS xent
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.Search.bigramCrossEntropy(
+        Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("xent") + lit(0.0)).as("xent"))
+      .orderBy(col("doc_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
     q61Vocabulary, q62TfIdf, q72Chunking, q73HeavyHitters, q82HashSplit,
     q93LlmPipeline, q105TextNormalize, q112Repetition, q113PackSequences,
     q114MixtureSample, q115TokenEntropy, q116PiiScrub, q117Bm25,
-    q119BigramLm)
+    q119BigramLm, q121LmScore)
 }

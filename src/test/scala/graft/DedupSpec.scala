@@ -144,4 +144,42 @@ class DedupSpec extends SparkSpecBase {
       .collect()
     assert(self.forall(_.getBoolean(2)))
   }
+
+  test("repeatedSpans: cross-doc block found, overlaps merge, unique docs clean") {
+    import spark.implicits._
+    // docs 1 and 2 share a 5-token block; with k=3 that is three
+    // overlapping duplicated windows [3,6),[4,7),[5,8) in doc 1 →
+    // ONE merged span of 5 tokens. doc 3 is fully unique.
+    val docs = Seq(
+      (1L, "u1 u2 c1 c2 c3 c4 c5 u3 u4"),
+      (2L, "v1 c1 c2 c3 c4 c5 v2 v3 v4"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == (1L, 5L, 9L), s"doc 1: ${got(1L)}")
+    assert(got(2L) == (1L, 5L, 9L))
+    assert(got(3L) == (0L, 0L, 9L))
+  }
+
+  test("repeatedSpans: within-doc repetition counts, short docs pass through") {
+    import spark.implicits._
+    // doc 1 repeats its own 3-token phrase — both occurrences are
+    // duplicated spans (corpus-wide multiplicity 2, same doc)
+    val docs = Seq(
+      (1L, "a b c x y z a b c"),
+      (2L, "p q") // shorter than k: no windows, zero spans
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == (2L, 6L, 9L), s"doc 1: ${got(1L)}")
+    assert(got(2L) == (0L, 0L, 2L))
+    intercept[IllegalArgumentException] {
+      Dedup.repeatedSpans(docs, "doc_id", "text", k = 1)
+    }
+  }
 }

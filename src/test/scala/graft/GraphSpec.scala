@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** PageRank semantics: mass conservation, hub dominance, dangling
+  * rejection, and the reproducibility contract (partitioning
+  * invariance of the bit-exact ranks). */
+class GraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // star: hub 1 ↔ leaves 2..6 (symmetrized, so no dangling nodes)
+  private lazy val star = {
+    val spokes = (2L to 6L).flatMap(l => Seq((1L, l), (l, 1L)))
+    spokes.toDF("src", "dst")
+  }
+
+  test("mass conservation: ranks sum to 1 when no node dangles") {
+    val total = Graph.pageRank(star, "src", "dst", 3)
+      .agg(sum(col("rank"))).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, s"sum=$total")
+  }
+
+  test("hub outranks leaves; leaves tie exactly") {
+    val ranks = Graph.pageRank(star, "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(1L) > ranks(2L) * 2, s"hub=${ranks(1L)} leaf=${ranks(2L)}")
+    assert((2L to 6L).map(ranks).distinct.size == 1,
+      "symmetric leaves must have bit-identical ranks")
+  }
+
+  test("dangling nodes are rejected, not silently leaked") {
+    val dangling = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst") // 3 dangles
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(dangling, "src", "dst", 2)
+    }
+  }
+
+  test("ranks are bit-identical under repartitioning") {
+    val edges = (0L until 60L).flatMap { i =>
+      val j = (i * i + 1) % 60
+      if (i == j) Seq.empty else Seq((i, j), (j, i))
+    }.toDF("src", "dst")
+    val a = Graph.pageRank(edges, "src", "dst", 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graph.pageRank(edges.repartition(7), "src", "dst", 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b, "fold-pinned ranks must not depend on partitioning")
+  }
+}

@@ -26,9 +26,11 @@ class PlanAuditSpec extends SparkSpecBase {
     // q107 broadcasts the same ≤8-vector query set as q34
     // q117 broadcasts a 1-row corpus-stats aggregate (N, Σdl, per-term
     // df) onto the scan — the q76/q100 metadata-sized cross again
+    // q120 broadcasts a 1-row boilerplate literal (test-fixture
+    // synthesis, not the operator) onto the corpus — metadata-sized
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
       "q90_resample", "q76_profile", "q100_histogram", "q107_ann_pipeline",
-      "q117_bm25")
+      "q117_bm25", "q120_repeated_spans")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

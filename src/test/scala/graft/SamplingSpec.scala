@@ -113,4 +113,26 @@ class SamplingSpec extends SparkSpecBase {
         .collect().map(_.getAs[Long]("doc_id")).toSet,
       "sample must be partitioning-invariant")
   }
+
+  test("epochOrder: shard-major total order, epochs decorrelated, stable") {
+    import spark.implicits._
+    val d = (0L until 300L).toDF("k")
+    def order(epoch: Int, df: org.apache.spark.sql.DataFrame) =
+      Sampling.epochOrder(df, "k", epoch, shards = 8).collect()
+        .map(r => r.getAs[Long]("k") ->
+          (r.getAs[Int]("shard"), r.getAs[Long]("ord"))).toMap
+    val e1 = order(1, d)
+    // every row assigned, (shard, ord) unique, ords dense per shard
+    assert(e1.size == 300 && e1.values.toSet.size == 300)
+    e1.values.groupBy(_._1).foreach { case (sh, g) =>
+      assert(g.map(_._2).toSeq.sorted == (1L to g.size),
+        s"shard $sh ords not dense")
+    }
+    // replay (different partitioning) reproduces the epoch exactly
+    assert(order(1, d.repartition(7)) == e1)
+    // a different epoch decorrelates: almost every row moves
+    val e2 = order(2, d)
+    assert(e1.count { case (k, v) => e2(k) == v } < 15,
+      "epochs 1 and 2 should share almost no fixed points")
+  }
 }

@@ -48,4 +48,35 @@ class SearchSpec extends SparkSpecBase {
       Search.bm25(corpus, "doc_id", "text", Seq("a", "a"))
     }
   }
+
+  test("bigram cross-entropy: hand-computed MLE values, 1-token docs dropped") {
+    import spark.implicits._
+    // corpus bigrams: (a,b)x2, (a,c)x1, (b,a)x1, (c,a)x1
+    //   P(b|a)=2/3, P(c|a)=1/3, P(a|b)=1, P(a|c)=1
+    val docs = Seq(
+      (1L, "a b"),       // -log2(2/3) = log2(3)-1
+      (2L, "a c a b"),   // (-log2(1/3) - log2(1) - log2(2/3)) / 3
+      (3L, "solo")       // no bigrams → dropped
+    ).toDF("doc_id", "text")
+    val got = Search.bigramCrossEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(!got.contains(3L))
+    val l23 = math.log(3.0) / math.log(2.0) - 1.0 // -log2(2/3)
+    val l13 = math.log(3.0) / math.log(2.0)       // -log2(1/3)
+    assert(got(1L)._1 == 1L)
+    assert(math.abs(got(1L)._2 - l23) < 1e-6)
+    assert(got(2L)._1 == 3L)
+    assert(math.abs(got(2L)._2 - (l13 + 0.0 + l23) / 3.0) < 1e-6)
+  }
+
+  test("bigram cross-entropy is invariant under repartitioning") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, (0 to 30).map(j => s"w${(i * 7 + j * j) % 11}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = Search.bigramCrossEntropy(docs, "doc_id", "text")
+    val b = Search.bigramCrossEntropy(docs.repartition(7), "doc_id", "text")
+    assertBagEqual(a, b)
+  }
 }

@@ -69,4 +69,31 @@ class SketchSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == Map("g1" -> "x", "g2" -> "y"))
   }
+
+  test("KMV: exact below k, bounded error above, duplicates invisible") {
+    import graft.operators.Kmv
+    // group "small" has 10 distinct values (< k=16) → exact count;
+    // group "big" has 5000 distinct → estimate within 60% (k=16 has
+    // ~1/sqrt(14) ≈ 27% stddev)
+    val rows = (1 to 10).map(i => ("small", i.toLong)) ++
+      (1 to 10).map(i => ("small", i.toLong)) ++ // dups change nothing
+      (1 to 5000).map(i => ("big", i.toLong))
+    val df = rows.toDF("g", "v")
+    val est = Kmv.estimate(Kmv.sketch(df, Seq("g"), "v", 16), 16)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
+    assert(est("small") == 10.0)
+    assert(est("big") > 2000 && est("big") < 8000, s"est=${est("big")}")
+  }
+
+  test("KMV: merged sketch equals the sketch of the concatenated data") {
+    import graft.operators.Kmv
+    val df = (1 to 3000).map(i => (i % 12 + 1, i.toLong)).toDF("m", "v")
+      .withColumn("y", lit(2024))
+    val monthly = Kmv.sketch(df, Seq("y", "m"), "v", 32)
+    val merged = Kmv.merge(monthly, Seq("y"), 32)
+      .select(col("y"), col("kmins"))
+    val direct = Kmv.sketch(df, Seq("y"), "v", 32)
+      .select(col("y"), col("kmins"))
+    assertBagEqual(merged, direct)
+  }
 }
