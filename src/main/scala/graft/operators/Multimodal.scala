@@ -134,6 +134,63 @@ object Multimodal {
         col("a.bits_per_sample").as("bits_per_sample"),
         col("a.n_samples").as("n_samples"))
 
+  /** Synthetic MP4 containers assembled BYTE-FOR-BYTE from document
+    * columns (the q103 pattern for video): a real ftyp box (brand
+    * varies), a moov whose mvhd alternates version 0 and version 1
+    * layouts (32- vs 64-bit duration), and 1–3 trak boxes each
+    * carrying a tkhd with 16.16 fixed-point dimensions. The parser
+    * must walk sizes exactly — any offset bug breaks the oracle. */
+  def synthVideoTable(documents: DataFrame): DataFrame = {
+    val be32 = (v: org.apache.spark.sql.Column) =>
+      format_string("%08x", v.cast("int"))
+    val timescale = (lit(600) * (lit(1) + col("n_chars") % 5)).cast("int")
+    val duration = (col("n_chars") * 1234 + 5).cast("long")
+    val nTracks = (lit(1) + col("doc_id") % 3).cast("int")
+    val width = (lit(320) * (lit(1) + col("doc_id") % 4)).cast("int")
+    val height = (lit(240) * (lit(1) + col("doc_id") % 4)).cast("int")
+    val brandHex = when(col("doc_id") % 2 === 0, lit("69736f6d")) // isom
+      .otherwise(lit("6d703432")) // mp42
+    val ftyp = concat(lit("00000014" + "66747970"), brandHex,
+      lit("00000200" + "69736f6d"))
+    val matrix = "00010000" + "00000000" * 3 + "00010000" +
+      "00000000" * 3 + "40000000"
+    // rate, volume, 10 reserved bytes, matrix, 24 predefined, next id
+    val mvhdTail = "00010000" + "0100" + "00" * 10 + matrix +
+      "00" * 24 + "00000003"
+    val mvhdV0 = concat(lit("0000006c" + "6d766864" + "00000000" +
+      "00000000" + "00000000"), be32(timescale), be32(duration),
+      lit(mvhdTail))
+    val mvhdV1 = concat(lit("00000078" + "6d766864" + "01000000" +
+      "00" * 16 + ""), be32(timescale), format_string("%016x", duration),
+      lit(mvhdTail))
+    val mvhd = when(col("doc_id") % 2 === 0, mvhdV0).otherwise(mvhdV1)
+    val mvhdSize = when(col("doc_id") % 2 === 0, lit(108)).otherwise(lit(120))
+    val tkhd = concat(lit("0000005c" + "746b6864" + "00000007" +
+      "00000000" + "00000000" + "00000001" + "00000000" + "00000000" +
+      "00" * 8 + "0000" + "0000" + "0000" + "0000" + matrix),
+      format_string("%04x0000", width), format_string("%04x0000", height))
+    val trak = concat(lit("00000064" + "7472616b"), tkhd)
+    val traks = when(nTracks === 1, trak)
+      .when(nTracks === 2, concat(trak, trak))
+      .otherwise(concat(trak, trak, trak))
+    val moov = concat(be32(lit(8) + mvhdSize + nTracks * 100),
+      lit("6d6f6f76"), mvhd, traks)
+    documents.select(col("doc_id"), unhex(concat(ftyp, moov)).as("media"))
+  }
+
+  /** Video header-tier decode (REAL — see `plans.VideoHeaders`):
+    * `(format, brand, timescale, duration, n_tracks, width, height)`
+    * from leading MP4 container bytes as a codegen'd scalar
+    * expression. */
+  def videoHeaderFeatures(media: DataFrame, idCol: String,
+                          mediaCol: String): DataFrame =
+    media
+      .select(col(idCol), graft.plans.VideoMeta(col(mediaCol)).as("v"))
+      .select(col(idCol), col("v.format").as("format"),
+        col("v.brand").as("brand"), col("v.timescale").as("timescale"),
+        col("v.duration").as("duration"), col("v.n_tracks").as("n_tracks"),
+        col("v.width").as("width"), col("v.height").as("height"))
+
   /** Header-tier decode (the REAL one — see `plans.ImageHeaders`):
     * `(format, width, height)` from leading container bytes, as a
     * codegen'd scalar expression. Unrecognized payloads come back

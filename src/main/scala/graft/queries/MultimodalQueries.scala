@@ -122,6 +122,34 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q129: video header decode (`plans.VideoHeaders` via
+    * `Multimodal.videoHeaderFeatures`) — REAL ISO-BMFF box walk over
+    * MP4 containers assembled byte-for-byte from document columns:
+    * ftyp brand, mvhd version 0 AND version 1 layouts (32/64-bit
+    * duration), trak counting, first tkhd's 16.16 dimensions. The
+    * oracle recomputes every field from the synthesis formulas, so
+    * any offset/endianness/version bug breaks the hash. Completes
+    * the image/audio/video header triad. */
+  val q129VideoHeaders: QuerySpec = QuerySpec(
+    "q129_video_headers",
+    """SELECT doc_id, 'mp4' AS format,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+      |  CAST(600 * (1 + n_chars % 5) AS INTEGER) AS timescale,
+      |  CAST(n_chars * 1234 + 5 AS BIGINT) AS duration,
+      |  CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
+      |  CAST(320 * (1 + doc_id % 4) AS INTEGER) AS width,
+      |  CAST(240 * (1 + doc_id % 4) AS INTEGER) AS height,
+      |  CAST((n_chars * 1234 + 5) * 1000 AS BIGINT)
+      |    // CAST(600 * (1 + n_chars % 5) AS BIGINT) AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Multimodal.videoHeaderFeatures(
+        Multimodal.synthVideoTable(Tables.documents(s, dir)),
+        "doc_id", "media")
+      .withColumn("duration_ms",
+        expr("(duration * 1000) div timescale"))
+      .orderBy(col("doc_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q50MediaStats, q57FrameSample,
-    q87ImageHeaders, q103AudioHeaders)
+    q87ImageHeaders, q103AudioHeaders, q129VideoHeaders)
 }
