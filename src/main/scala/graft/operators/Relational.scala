@@ -489,4 +489,32 @@ object Relational {
         col("code").as(s"${valueCol}_code"))),
       Seq(valueCol), "left")
       .drop(valueCol)
+
+  /** Top-p (nucleus) truncation per group: keep rows in
+    * (score desc, tieBreak asc) order while the mass BEFORE a row is
+    * < p·total — the smallest prefix covering at least share p, the
+    * truncation data-mixing and sampling pipelines apply per source/
+    * domain. Scores must be non-negative (negative mass makes the
+    * prefix ill-defined). Use an exact (decimal/integer) score column
+    * for cross-engine stability: the running and total sums are then
+    * exact, and only the final share comparison happens in double.
+    * Scale shape: ONE hash-partitioned window sort per group; the
+    * total rides the same partition as an unordered frame — no second
+    * shuffle, no driver-side totals. */
+  def topP(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+           tieBreakCol: String, p: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(p > 0 && p <= 1, s"p=$p outside (0, 1]")
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val w = part.orderBy(col(scoreCol).desc, col(tieBreakCol))
+    val cum = sum(col(scoreCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val tot = sum(col(scoreCol)).over(part)
+    df.withColumn("share",
+        col(scoreCol).cast("double") / tot.cast("double"))
+      .withColumn("__before",
+        (cum - col(scoreCol)).cast("double") / tot.cast("double"))
+      .filter(col("__before") < p)
+      .drop("__before")
+  }
 }

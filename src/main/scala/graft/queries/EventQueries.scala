@@ -444,9 +444,123 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** q130: top-p (nucleus) truncation — per event type, the smallest
+    * set of users covering 80% of the value mass (the per-source
+    * budget-allocation truncation of a mixing pipeline). Masses are
+    * exact decimals, so the running/total window sums are exact on
+    * both engines and only the final share comparison is float. */
+  val q130TopP: QuerySpec = QuerySpec(
+    "q130_top_p",
+    """WITH s AS (
+      |  SELECT event_type, user_id,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS mass
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, user_id, mass,
+      |    SUM(mass) OVER (PARTITION BY event_type
+      |      ORDER BY mass DESC, user_id ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(mass) OVER (PARTITION BY event_type) AS tot
+      |  FROM s)
+      |SELECT event_type, user_id, CAST(mass AS DOUBLE) AS mass,
+      |  round(CAST(mass AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+      |FROM w
+      |WHERE CAST(cum - mass AS DOUBLE) / CAST(tot AS DOUBLE) < 0.8
+      |ORDER BY event_type, mass DESC, user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val mass = Tables.events(s, dir).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("mass"))
+    graft.operators.Relational
+      .topP(mass, Seq("event_type"), "mass", "user_id", 0.8)
+      .select(col("event_type"), col("user_id"),
+        col("mass").cast("double").as("mass"),
+        round(col("share"), 6).as("share"))
+      .orderBy(col("event_type"), col("mass").desc, col("user_id"))
+  }
+
+  /** q132: rolling 30-day correlation between the daily view-value and
+    * click-value series — moment sums (n, Σa, Σb, Σab, Σa², Σb²) over
+    * an integer-day RANGE frame in exact decimal, closed into Pearson
+    * r in double only at the end (the q63 discipline, windowed). The
+    * day-grained series is calendar-bounded after aggregation, so the
+    * single-partition window sort is metadata-sized — the q90 spine
+    * argument. */
+  val q132RollingCorr: QuerySpec = QuerySpec(
+    "q132_rolling_corr",
+    """WITH d AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    SUM(CASE WHEN event_type = 'view'
+      |      THEN CAST(value AS DECIMAL(18,4))
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS a,
+      |    SUM(CASE WHEN event_type = 'click'
+      |      THEN CAST(value AS DECIMAL(18,4))
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS b
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IN ('view', 'click')
+      |  GROUP BY 1),
+      |dn AS (SELECT day, datediff('day', DATE '1970-01-01', day)
+      |         AS day_num, a, b FROM d),
+      |w AS (
+      |  SELECT day, a, b,
+      |    COUNT(*) OVER win AS n,
+      |    SUM(a) OVER win AS sa, SUM(b) OVER win AS sb,
+      |    SUM(a * b) OVER win AS sab,
+      |    SUM(a * a) OVER win AS saa,
+      |    SUM(b * b) OVER win AS sbb
+      |  FROM dn WINDOW win AS (ORDER BY day_num
+      |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW))
+      |SELECT day, CAST(n AS BIGINT) AS n_days,
+      |  round(
+      |    (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+      |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+      |    / sqrt(
+      |      (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+      |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+      |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS corr30
+      |FROM w
+      |WHERE n >= 10
+      |  AND CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+      |    - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+      |  AND CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+      |    - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 4))
+    val d = Tables.events(s, dir)
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("view", "click"))
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(
+        sum(when(col("event_type") === "view", dec(col("value")))
+          .otherwise(dec(lit(0)))).as("a"),
+        sum(when(col("event_type") === "click", dec(col("value")))
+          .otherwise(dec(lit(0)))).as("b"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+    val win = Window.orderBy(col("day_num")).rangeBetween(-29, 0)
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val stats = d
+      .withColumn("n", count(lit(1)).over(win))
+      .withColumn("sa", sum(col("a")).over(win))
+      .withColumn("sb", sum(col("b")).over(win))
+      .withColumn("sab", sum(col("a") * col("b")).over(win))
+      .withColumn("saa", sum(col("a") * col("a")).over(win))
+      .withColumn("sbb", sum(col("b") * col("b")).over(win))
+    val va = dbl(col("n")) * dbl(col("saa")) - dbl(col("sa")) * dbl(col("sa"))
+    val vb = dbl(col("n")) * dbl(col("sbb")) - dbl(col("sb")) * dbl(col("sb"))
+    stats
+      .filter(col("n") >= 10 && va > 0 && vb > 0)
+      .select(col("day"), col("n").as("n_days"),
+        round((dbl(col("n")) * dbl(col("sab"))
+          - dbl(col("sa")) * dbl(col("sb"))) / sqrt(va * vb), 6)
+          .as("corr30"))
+      .orderBy(col("day"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q40JsonProps, q41Tumbling, q42Sliding, q43Sessions, q44DedupReplay,
     q45AsOf, q56AsOfKeyed, q68RangeAsOf, q74IntervalJoin, q85FillForward,
     q101Sessionize, q106IntervalIslands, q108Scd2Build, q127Funnel,
-    q128Ewma)
+    q128Ewma, q130TopP, q132RollingCorr)
 }

@@ -810,11 +810,58 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q131: PMI collocations — the top bigrams by pointwise mutual
+    * information ln(c₁₂·N / (c₁·c₂)), the classic collocation statistic
+    * (and the feature behind phrase-mining vocabulary growth). Counts
+    * are exact ints; the single ln closes in double and rounds to 6,
+    * with (w1, w2) tie-breaks making the top-40 cut deterministic.
+    * Scale shape: three bigram-bounded aggregates (pair, first-
+    * position, second-position counts) joined on rare keys, plus a
+    * 1-row total broadcast (the q76 metadata cross). */
+  val q131PmiCollocations: QuerySpec = QuerySpec(
+    "q131_pmi_collocations",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bi0 AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+      |  FROM tok WHERE len(toks) >= 2),
+      |bi AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM bi0),
+      |cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+      |nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nb FROM bi),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+      |c2 AS (SELECT w2, COUNT(*) AS c2 FROM bi GROUP BY 1)
+      |SELECT w1, w2, CAST(c AS BIGINT) AS n_pair,
+      |  round(ln(CAST(c AS DOUBLE) * (SELECT nb FROM nb)
+      |    / (CAST(c1.c1 AS DOUBLE) * CAST(c2.c2 AS DOUBLE))), 6) AS pmi
+      |FROM cnt JOIN c1 USING (w1) JOIN c2 USING (w2)
+      |WHERE c >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 40""".stripMargin) { (s, dir) =>
+    val bi = Tables.documents(s, dir)
+      .select(explode(TextFunctions.wordBigrams(col("text"))).as("b"))
+      .select(substring_index(col("b"), " ", 1).as("w1"),
+        substring_index(col("b"), " ", -1).as("w2"))
+      .cache() // four consumers below; bigram-explode runs once
+    val cnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val nb = bi.agg(count(lit(1)).cast("double").as("nb"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = bi.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    cnt.join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .filter(col("c") >= 5)
+      .select(col("w1"), col("w2"), col("c").as("n_pair"),
+        round(log(col("c").cast("double") * col("nb")
+          / (col("c1").cast("double") * col("c2").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(40)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
     q61Vocabulary, q62TfIdf, q72Chunking, q73HeavyHitters, q82HashSplit,
     q93LlmPipeline, q105TextNormalize, q112Repetition, q113PackSequences,
     q114MixtureSample, q115TokenEntropy, q116PiiScrub, q117Bm25,
-    q119BigramLm, q121LmScore)
+    q119BigramLm, q121LmScore, q131PmiCollocations)
 }

@@ -28,9 +28,11 @@ class PlanAuditSpec extends SparkSpecBase {
     // df) onto the scan — the q76/q100 metadata-sized cross again
     // q120 broadcasts a 1-row boilerplate literal (test-fixture
     // synthesis, not the operator) onto the corpus — metadata-sized
+    // q131 broadcasts a 1-row total-bigram count — the same
+    // metadata-sized cross as q76/q117
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
       "q90_resample", "q76_profile", "q100_histogram", "q107_ann_pipeline",
-      "q117_bm25", "q120_repeated_spans")
+      "q117_bm25", "q120_repeated_spans", "q131_pmi_collocations")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

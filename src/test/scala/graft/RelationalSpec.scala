@@ -250,4 +250,25 @@ class RelationalSpec extends SparkSpecBase {
       .select(col("value").as("o_orderpriority"))
     assertBagEqual(decoded, o)
   }
+
+  test("topP: smallest prefix covering p, crossing row included") {
+    import spark.implicits._
+    // group g: masses 50, 30, 15, 5 (total 100)
+    //   p=0.6 → 50 (before=0) + 30 (before=0.5) — 15 has before 0.8, out
+    //   p=0.8 → 50, 30 in; 15 has before 0.80 NOT < 0.8, out (boundary)
+    //   p=0.81 → 15 in
+    val df = Seq(("g", "a", 50L), ("g", "b", 30L), ("g", "c", 15L),
+      ("g", "d", 5L)).toDF("grp", "item", "mass")
+    def kept(p: Double) = Relational.topP(df, Seq("grp"), "mass", "item", p)
+      .collect().map(_.getAs[String]("item")).toSet
+    assert(kept(0.6) == Set("a", "b"))
+    assert(kept(0.8) == Set("a", "b"))
+    assert(kept(0.81) == Set("a", "b", "c"))
+    assert(kept(1.0) == Set("a", "b", "c", "d"))
+    // ties break on the tie-break column: equal masses, p small →
+    // exactly the lexicographically first row survives
+    val ties = Seq(("g", "x", 10L), ("g", "y", 10L)).toDF("grp", "item", "mass")
+    assert(Relational.topP(ties, Seq("grp"), "mass", "item", 0.5)
+      .collect().map(_.getAs[String]("item")).toSeq == Seq("x"))
+  }
 }
