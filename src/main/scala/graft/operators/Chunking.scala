@@ -68,4 +68,38 @@ object Chunking {
         (least(col("_end"), (col("seq_id") + 1) * seqLen) -
           greatest(col("_start"), col("seq_id") * seqLen)).as("n_tok"))
   }
+
+  /** Content-defined chunking (the FastCDC/rolling-hash idea at token
+    * granularity): cut AFTER every "anchor" token — one whose
+    * portable hash ≡ 0 (mod `gate`) — so boundaries are a pure
+    * function of CONTENT, not position. Insert or delete a paragraph
+    * and every chunk outside the edited region keeps its identity
+    * (same tokens ⇒ same anchors ⇒ same md5), which is what makes
+    * chunk-level dedup/caching survive document edits; fixed windows
+    * ([[chunkTokenWindows]]) shift everything downstream of an edit.
+    * Expected chunk length = `gate` tokens.
+    *
+    * Output per chunk: `(keyCol, chunk_id, n_tokens, chunk_md5)`.
+    * Scale shape: one narrow posexplode, ONE per-document window
+    * (hash-partitioned prefix count of anchors), one groupBy — the
+    * same budget as the fixed-window pass plus the boundary window. */
+  def contentDefinedChunks(df: DataFrame, keyCol: String, textCol: String,
+                           gate: Int = 16): DataFrame = {
+    require(gate >= 2, s"gate=$gate — every token an anchor is no chunking")
+    val t = df
+      .select(col(keyCol), posexplode(split(col(textCol), " "))
+        .as(Seq("pos", "tok")))
+      .withColumn("anchor",
+        (pmod(graft.functions.Scalars.portableHash64(col("tok")),
+          lit(gate)) === 0).cast("long"))
+    val before = Window.partitionBy(col(keyCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("chunk_id",
+        coalesce(sum(col("anchor")).over(before), lit(0L)))
+      .groupBy(col(keyCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok")), " ")).as("chunk_md5"))
+  }
 }

@@ -45,15 +45,24 @@ object Graph {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
-    val n = nodes.count() // metadata-sized: |V|, needed as the 1/N literal
+    // ONE metadata-sized stats job: |V| (needed as the 1/N literal)
+    // plus the dangling-node count (out-degree 0 would silently leak
+    // rank mass)
+    val stats = nodes
+      .join(outdeg.select(col("src").as("node"), col("outdeg")),
+        Seq("node"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("outdeg").isNull, 1L).otherwise(0L)).as("dangling"))
+      .head()
+    val n = stats.getLong(0)
     require(n > 0, "empty graph")
-    val dangling = nodes
-      .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
-      .count()
+    val dangling = stats.getLong(1)
     require(dangling == 0,
       s"$dangling dangling node(s) — symmetrize or add self-loops first")
     val base = (1.0 - damping) / n.toDouble
-    val eo = e.join(outdeg, Seq("src"))
+    // consumed once per iteration — cache the joined edge list, not
+    // just the raw edges
+    val eo = e.join(outdeg, Seq("src")).cache()
     var rank = nodes.withColumn("rank", lit(1.0 / n.toDouble))
     for (_ <- 1 to iterations) {
       val contribs = eo.join(rank, eo("src") === rank("node"))

@@ -66,4 +66,27 @@ object Kmv {
       .groupBy(mergeTo.map(col): _*)
       .agg(slice(array_sort(collect_list(col("h"))), 1, k).as("kmins"))
       .withColumn("n_distinct_capped", size(col("kmins")).cast("long"))
+
+  /** Sketch-algebra set overlap: given two k-min columns `aCol`/`bCol`
+    * on the same row, estimate Jaccard, |A∩B|, and |A∪B| WITHOUT
+    * touching base data (Beyer et al. §5): the union's k smallest
+    * hashes are a uniform sample of A∪B, so the fraction also present
+    * in BOTH sketches estimates J, and |A∩B| ≈ J·|A∪B|. Pure array
+    * arithmetic on two ≤k-element columns — the month-over-month
+    * retention / audience-overlap query answered from stored
+    * sketches. Adds `j_est`, `union_est`, `inter_est`. */
+  def overlapEstimate(pairs: DataFrame, aCol: String, bCol: String,
+                      k: Int): DataFrame = {
+    val u = slice(array_sort(array_union(col(aCol), col(bCol))), 1, k)
+    val common = size(array_intersect(array_intersect(u, col(aCol)),
+      col(bCol))).cast("double")
+    val unionEst = when(size(u) < k, size(u).cast("double"))
+      .otherwise(round(lit((k - 1).toDouble) * lit(HashSpace)
+        / element_at(u, k).cast("double"), 6))
+    pairs
+      .withColumn("j_est", round(common / size(u).cast("double"), 6))
+      .withColumn("union_est", unionEst)
+      .withColumn("inter_est",
+        round((common / size(u).cast("double")) * unionEst, 6))
+  }
 }

@@ -1307,6 +1307,91 @@ object RelationalQueries {
       .orderBy(col("lang"))
   }
 
+  /** q133: sketch-algebra retention — month-over-month customer
+    * overlap estimated purely from stored KMV sketches (union k-min
+    * membership, Beyer et al. §5), next to the exact intersection
+    * for calibration. The overlap query never touches base data —
+    * the point of keeping sketches — and every estimate is
+    * hash-verified because the sketch rides portable_hash64. */
+  val q133SketchRetention: QuerySpec = {
+    val k = 64
+    val h = graft.functions.Scalars.sqlPortableHash64("c")
+    QuerySpec(
+      "q133_sketch_retention",
+      s"""WITH d AS (
+         |  SELECT DISTINCT year(o_orderdate) * 12 + month(o_orderdate)
+         |    AS mi, o_custkey AS c
+         |  FROM orders),
+         |hh AS (SELECT mi, $h AS h FROM d),
+         |r AS (
+         |  SELECT mi, h,
+         |    ROW_NUMBER() OVER (PARTITION BY mi ORDER BY h) AS rn
+         |  FROM hh),
+         |sk AS (
+         |  SELECT mi, list(h ORDER BY h) AS kmins
+         |  FROM r WHERE rn <= $k GROUP BY mi),
+         |sq AS (
+         |  SELECT mi, kmins, LEAD(mi) OVER (ORDER BY mi) AS mi2,
+         |    LEAD(kmins) OVER (ORDER BY mi) AS kmins2
+         |  FROM sk),
+         |p AS (SELECT * FROM sq WHERE mi2 IS NOT NULL),
+         |e0 AS (
+         |  SELECT mi, mi2, kmins, kmins2,
+         |    list_sort(list_distinct(list_concat(kmins, kmins2)))[1:$k] AS u
+         |  FROM p),
+         |e1 AS (
+         |  SELECT mi, mi2,
+         |    CAST(len(list_intersect(list_intersect(u, kmins), kmins2))
+         |      AS DOUBLE) AS com,
+         |    CAST(len(u) AS DOUBLE) AS lu,
+         |    CASE WHEN len(u) < $k THEN CAST(len(u) AS DOUBLE)
+         |      ELSE round(${k - 1} * CAST(1152921504606846976 AS DOUBLE)
+         |        / CAST(u[$k] AS DOUBLE), 6) END AS union_est
+         |  FROM e0),
+         |ex AS (
+         |  SELECT a.mi AS mi, b.mi AS mi2,
+         |    CAST(COUNT(*) AS BIGINT) AS exact_inter
+         |  FROM d a JOIN d b ON a.c = b.c
+         |  JOIN (SELECT mi, mi2 FROM p) pp
+         |    ON pp.mi = a.mi AND pp.mi2 = b.mi
+         |  GROUP BY 1, 2)
+         |SELECT CAST(e1.mi AS BIGINT) AS m1, CAST(e1.mi2 AS BIGINT) AS m2,
+         |  round(com / lu, 6) AS j_est, e1.union_est,
+         |  round((com / lu) * e1.union_est, 6) AS inter_est,
+         |  COALESCE(ex.exact_inter, 0) AS exact_inter
+         |FROM e1 LEFT JOIN ex ON ex.mi = e1.mi AND ex.mi2 = e1.mi2
+         |ORDER BY m1""".stripMargin) { (s, dir) =>
+      import graft.operators.Kmv
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.orders(s, dir)
+        .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mi"), col("o_custkey").as("c"))
+        .distinct()
+      val sk = Kmv.sketch(d, Seq("mi"), "c", k)
+      // the sketch table is month-count-sized; the global LEAD window
+      // over it is metadata-sized by construction (q90 spine argument)
+      val w = Window.orderBy(col("mi"))
+      val pairs = sk.select(col("mi"), col("kmins"))
+        .withColumn("mi2", lead(col("mi"), 1).over(w))
+        .withColumn("kmins2", lead(col("kmins"), 1).over(w))
+        .filter(col("mi2").isNotNull)
+      val est = Kmv.overlapEstimate(pairs, "kmins", "kmins2", k)
+      val exact = d.select(col("mi").as("ami"), col("c"))
+        .join(d.select(col("mi").as("bmi"), col("c")), Seq("c"))
+        .join(pairs.select(col("mi").as("ami"), col("mi2").as("bmi")),
+          Seq("ami", "bmi"))
+        .groupBy(col("ami"), col("bmi"))
+        .agg(count(lit(1)).as("exact_inter"))
+      est.join(exact,
+          est("mi") === exact("ami") && est("mi2") === exact("bmi"),
+          "left")
+        .select(est("mi").as("m1"), est("mi2").as("m2"),
+          col("j_est"), col("union_est"), col("inter_est"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+        .orderBy(col("m1"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
@@ -1319,5 +1404,5 @@ object RelationalQueries {
     q96ReservoirSample, q97WeightedSample, q98JoinDelta,
     q100Histogram, q102DictEncode, q104ReservoirPerGroup, q110ImputeMean,
     q118CsvRoundtrip, q122OrcRoundtrip, q123KmvRollup, q124PageRank,
-    q125EpochShuffle, q126SchemaEvolution)
+    q125EpochShuffle, q126SchemaEvolution, q133SketchRetention)
 }

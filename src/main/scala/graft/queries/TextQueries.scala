@@ -857,11 +857,50 @@ object TextQueries {
       .limit(40)
   }
 
+  /** q134: content-defined chunking — cut points are anchor tokens
+    * (portable hash ≡ 0 mod 12), so chunk identity survives document
+    * edits (the FastCDC property fixed windows lack; see
+    * Chunking.contentDefinedChunks). Chunk content is pinned by md5
+    * on both engines. */
+  val q134CdcChunks: QuerySpec = {
+    val gate = 12
+    val h = graft.functions.Scalars.sqlPortableHash64("u.t")
+    QuerySpec(
+      "q134_cdc_chunks",
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents WHERE doc_id < 300),
+         |t0 AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, len(toks) + 1), i -> {'i': i, 't': toks[i]})) AS u
+         |  FROM tok),
+         |t AS (
+         |  SELECT doc_id, u.i AS pos, u.t AS tok,
+         |    CASE WHEN ($h) % $gate = 0 THEN 1 ELSE 0 END AS anchor
+         |  FROM t0),
+         |c AS (
+         |  SELECT doc_id, pos, tok, COALESCE(SUM(anchor) OVER (
+         |    PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS chunk_id
+         |  FROM t)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+         |FROM c GROUP BY doc_id, chunk_id
+         |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      graft.operators.Chunking.contentDefinedChunks(
+          Tables.documents(s, dir).filter(col("doc_id") < 300),
+          "doc_id", "text", gate)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
     q61Vocabulary, q62TfIdf, q72Chunking, q73HeavyHitters, q82HashSplit,
     q93LlmPipeline, q105TextNormalize, q112Repetition, q113PackSequences,
     q114MixtureSample, q115TokenEntropy, q116PiiScrub, q117Bm25,
-    q119BigramLm, q121LmScore, q131PmiCollocations)
+    q119BigramLm, q121LmScore, q131PmiCollocations, q134CdcChunks)
 }

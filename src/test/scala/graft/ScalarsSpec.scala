@@ -73,6 +73,37 @@ class ScalarsSpec extends SparkSpecBase {
     assert(p == 7)
   }
 
+  test("content-defined chunks survive an upstream edit; fixed windows don't") {
+    import graft.functions.Scalars
+    // find an anchor word under gate=4 so the test is self-locating,
+    // not dependent on which vocabulary words happen to anchor
+    val words = (0 until 50).map(i => s"w$i")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val anchors = words.filter { w =>
+      java.lang.Long.parseLong(md5hex(w).substring(0, 15), 16) % 4 == 0
+    }
+    assert(anchors.nonEmpty)
+    val a = anchors.head
+    val plain = words.filterNot(anchors.toSet).take(12)
+    // doc: 4 plain, anchor, 4 plain, anchor, 4 plain
+    val base = (plain.take(4) :+ a) ++ (plain.slice(4, 8) :+ a) ++
+      plain.slice(8, 12)
+    val edited = "inserted" +: base // one token prepended at the front
+    val df = Seq((1L, base.mkString(" ")), (2L, edited.mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = graft.operators.Chunking
+      .contentDefinedChunks(df, "doc_id", "text", gate = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+    val md1 = chunks.collect { case ((1L, c), m) => c -> m }
+    val md2 = chunks.collect { case ((2L, c), m) => c -> m }
+    // the edit lands in chunk 0; chunks 1 and 2 keep their md5s
+    assert(md1(0L) != md2(0L))
+    assert(md1(1L) == md2(1L) && md1(2L) == md2(2L))
+  }
+
   test("repetition features on hand-checked documents") {
     val df = Seq(
       (1L, "a a a b"),       // 4 toks, 2 distinct, max mult 3, bigrams: aa aa ab
