@@ -150,6 +150,66 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q135: multimodal curation lifecycle — the q93 composite for
+    * media: every document's image + audio + video payloads decode
+    * through the three REAL header parsers, per-modality quality
+    * gates apply (resolution, sample-rate + duration, height +
+    * runtime), and the per-source funnel of survivors aggregates.
+    * The oracle recomputes every gate from the synthesis formulas, so
+    * a parse bug in ANY of the three parsers (or a broken join)
+    * breaks the hash. One plan: three narrow decodes joined on the
+    * key, no shuffles until the final metadata-sized aggregate. */
+  val q135MediaCuration: QuerySpec = QuerySpec(
+    "q135_media_curation",
+    """WITH g AS (
+      |  SELECT source,
+      |    (n_chars % 640 + 1) * (doc_id % 480 + 1) >= 50000 AS img_ok,
+      |    8000 + (n_chars % 5) * 8000 >= 16000 AND
+      |      (n_chars * 100 + 7) // (8000 + (n_chars % 5) * 8000) >= 5
+      |      AS aud_ok,
+      |    240 * (1 + doc_id % 4) >= 480 AND
+      |      ((n_chars * 1234 + 5) * 1000) // (600 * (1 + n_chars % 5))
+      |        >= 60000 AS vid_ok
+      |  FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN img_ok THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_img_ok,
+      |  CAST(SUM(CASE WHEN aud_ok THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_aud_ok,
+      |  CAST(SUM(CASE WHEN vid_ok THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_vid_ok,
+      |  CAST(SUM(CASE WHEN img_ok AND aud_ok AND vid_ok THEN 1 ELSE 0
+      |    END) AS BIGINT) AS n_curated
+      |FROM g GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val img = Multimodal.imageHeaderFeatures(
+        Multimodal.synthImageTable(docs), "doc_id", "media")
+      .select(col("doc_id"),
+        (col("width") * col("height") >= 50000).as("img_ok"))
+    val aud = Multimodal.audioHeaderFeatures(
+        Multimodal.synthAudioTable(docs), "doc_id", "media")
+      .select(col("doc_id"),
+        (col("sample_rate") >= 16000 &&
+          expr("n_samples div sample_rate") >= 5).as("aud_ok"))
+    val vid = Multimodal.videoHeaderFeatures(
+        Multimodal.synthVideoTable(docs), "doc_id", "media")
+      .select(col("doc_id"),
+        (col("height") >= 480 &&
+          expr("(duration * 1000) div timescale") >= 60000).as("vid_ok"))
+    docs.select(col("doc_id"), col("source"))
+      .join(img, Seq("doc_id")).join(aud, Seq("doc_id"))
+      .join(vid, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("img_ok"), 1L).otherwise(0L)).as("n_img_ok"),
+        sum(when(col("aud_ok"), 1L).otherwise(0L)).as("n_aud_ok"),
+        sum(when(col("vid_ok"), 1L).otherwise(0L)).as("n_vid_ok"),
+        sum(when(col("img_ok") && col("aud_ok") && col("vid_ok"), 1L)
+          .otherwise(0L)).as("n_curated"))
+      .orderBy(col("source"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q50MediaStats, q57FrameSample,
-    q87ImageHeaders, q103AudioHeaders, q129VideoHeaders)
+    q87ImageHeaders, q103AudioHeaders, q129VideoHeaders,
+    q135MediaCuration)
 }

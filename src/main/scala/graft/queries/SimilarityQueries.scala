@@ -243,7 +243,48 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** q136: per-label embedding centroids — the class prototypes of
+    * nearest-centroid classification and the seeding step of IVF
+    * training. Each (label, dim) mean folds the SORTED (vec_id, v)
+    * array (the q121 pinned-order discipline), so centroids are
+    * bit-identical cross-engine and round-6 hashes match; float32
+    * inputs widen to double exactly. Scale shape: one narrow
+    * posexplode, ONE shuffle on (label, dim) — 640 groups here,
+    * label×dim-bounded generally. */
+  val q136LabelCentroids: QuerySpec = QuerySpec(
+    "q136_label_centroids",
+    """WITH e AS (
+      |  SELECT label, vec_id, unnest(list_transform(
+      |    range(1, len(embedding) + 1),
+      |    i -> {'d': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+      |  FROM embeddings),
+      |f AS (SELECT label, u.d AS dim, vec_id, u.v AS v FROM e),
+      |g AS (
+      |  SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      |    list_sort(list({'id': vec_id, 'v': v})) AS xs
+      |  FROM f GROUP BY 1, 2)
+      |SELECT CAST(label AS INTEGER) AS label, CAST(dim AS INTEGER) AS dim,
+      |  n_vectors,
+      |  round(list_reduce(list_prepend(0.0,
+      |      list_transform(xs, x -> x.v)), (acc, x) -> acc + x)
+      |    / n_vectors, 6) + 0.0 AS centroid
+      |FROM g ORDER BY label, dim""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vectors"),
+        array_sort(collect_list(
+          struct(col("vec_id").as("id"), col("v").cast("double").as("v"))))
+          .as("xs"))
+      .select(col("label"), col("dim"), col("n_vectors"),
+        (round(aggregate(transform(col("xs"), x => x("v")), lit(0.0),
+          (acc, x) => acc + x) / col("n_vectors"), 6) + lit(0.0))
+          .as("centroid"))
+      .orderBy(col("label"), col("dim"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
-    q83Quantize, q107AnnPipeline)
+    q83Quantize, q107AnnPipeline, q136LabelCentroids)
 }
