@@ -21,18 +21,26 @@ import org.apache.spark.sql.functions._
   * not reproducibility. */
 object Funnel {
 
-  /** One row: `n_<stage>` user counts for every stage, monotonically
-    * non-increasing left to right. */
-  def funnel(events: DataFrame, userCol: String, typeCol: String,
-             tsCol: String, stages: Seq[String]): DataFrame = {
+  /** Stage index column: 1-based position of `typeCol` in `stages`,
+    * 0 for non-stage events. */
+  def stageIndex(typeCol: String, stages: Seq[String]): Column = {
     require(stages.nonEmpty && stages.size <= 8,
       s"stages.size=${stages.size} outside [1, 8]")
     require(stages.distinct.size == stages.size, "duplicate stages")
-    val si: Column = stages.zipWithIndex.foldLeft(lit(0)) {
+    stages.zipWithIndex.foldLeft(lit(0)) {
       case (acc, (s, i)) => when(col(typeCol) === s, lit(i + 1)).otherwise(acc)
     }
-    val perUser = events
-      .select(col(userCol).as("u"), si.as("si"), col(tsCol).as("ts"))
+  }
+
+  /** `(u, reached)` — the furthest stage each user progresses to, via
+    * the greedy fold over their time-sorted stage events. Users with
+    * no stage events are absent; users with stage events but no
+    * stage-1 start have `reached = 0`. */
+  def reachedPerUser(events: DataFrame, userCol: String, typeCol: String,
+                     tsCol: String, stages: Seq[String]): DataFrame =
+    events
+      .select(col(userCol).as("u"),
+        stageIndex(typeCol, stages).as("si"), col(tsCol).as("ts"))
       .filter(col("si") >= 1)
       .groupBy(col("u"))
       .agg(aggregate(
@@ -41,6 +49,12 @@ object Funnel {
         lit(0),
         (acc, x) => when(x === acc + 1, acc + 1).otherwise(acc))
         .as("reached"))
+
+  /** One row: `n_<stage>` user counts for every stage, monotonically
+    * non-increasing left to right. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, stages: Seq[String]): DataFrame = {
+    val perUser = reachedPerUser(events, userCol, typeCol, tsCol, stages)
     val aggs = stages.zipWithIndex.map { case (s, i) =>
       sum(when(col("reached") >= i + 1, 1L).otherwise(0L)).as(s"n_$s")
     }

@@ -204,4 +204,60 @@ object Streams {
           Iterator((uid, n, v))
       }.toDF("user_id", "n_events", "total_value")
   }
+
+  case class FunnelRow(user_id: Long, ts: java.sql.Timestamp, si: Int)
+
+  /** Streaming funnel (the streaming twin of `Funnel.funnel` /
+    * `reachedPerUser`): per user, stage events up to a fixed analysis
+    * `horizonUs` buffer in state; when the watermark passes the
+    * horizon no further on-time event can exist, so the greedy fold
+    * runs once over the time-sorted buffer and `(user_id, reached)`
+    * is EMITTED exactly once. State per key = that user's stage
+    * events within the horizon (non-stage events are filtered before
+    * the stateful operator).
+    *
+    * Watermark contract (the sessionizeStream discipline): rows below
+    * the current watermark are dropped by the handler, and after the
+    * horizon emission any surviving row would need ts ≤ horizon < wm
+    * — impossible — so emissions are final and never duplicated. */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+                   stages: Seq[String], horizonUs: Long,
+                   watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val si = graft.operators.Funnel.stageIndex("event_type", stages)
+    val typed = events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), si.as("si"))
+      .filter(col("si") >= 1 &&
+        expr("unix_micros(ts)") <= lit(horizonUs))
+      .as[FunnelRow]
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Int)], (Long, Int)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[FunnelRow],
+         state: GroupState[List[(Long, Int)]]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) {
+            val evs = state.getOption.getOrElse(Nil)
+            state.remove()
+            val reached = evs.sorted.foldLeft(0) {
+              case (acc, (_, s)) => if (s == acc + 1) acc + 1 else acc
+            }
+            Iterator.single((uid, reached))
+          } else {
+            val wmUs = wmMs * 1000L
+            val buffered = state.getOption.getOrElse(Nil) ++
+              rows.map(r => (micros(r.ts), r.si)).filter(_._1 >= wmUs)
+            if (buffered.isEmpty) { state.remove(); Iterator.empty }
+            else {
+              state.update(buffered)
+              state.setTimeoutTimestamp(
+                math.max(horizonUs / 1000 + 1, wmMs + 1))
+              Iterator.empty
+            }
+          }
+      }.toDF("user_id", "reached")
+  }
 }

@@ -241,4 +241,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.count() > 0)
     assert(joined.count() == streamed.count())
   }
+
+  test("streaming funnel emits exactly the batch per-user stages at the horizon") {
+    import graft.operators.Funnel
+    val stages = Seq("signup", "view", "click", "purchase")
+    // horizon: far enough below max(ts) − 1h that the final watermark
+    // passes it and every user's timeout fires
+    val maxUs = Tables.events(spark, sf)
+      .agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+    val horizonUs = maxUs - 2L * 3600 * 1000000
+    val streamed = runToMemory(
+      Streams.funnelStream(spark, Streams.eventsStream(spark, eventsDir),
+        stages, horizonUs),
+      "t_funnel")
+    val batch = Funnel.reachedPerUser(
+        Tables.events(spark, sf)
+          .filter(expr("unix_micros(ts)") <= lit(horizonUs)),
+        "user_id", "event_type", "ts", stages)
+      .select(col("u").as("user_id"), col("reached"))
+    assert(streamed.count() > 0, "no funnel emissions — timeout never fired")
+    // exactly once per user, and exactly the batch fold's result
+    assert(streamed.count() == streamed.select("user_id").distinct().count())
+    assertBagEqual(streamed, batch)
+  }
 }
