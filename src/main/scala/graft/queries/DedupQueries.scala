@@ -444,9 +444,84 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q138: leakage-safe train/val split — the q82 hash split keyed on
+    * the near-dup CLUSTER canonical instead of the document id, so a
+    * cluster can never straddle the split boundary (near-duplicates
+    * of training docs leaking into validation is the classic eval
+    * contamination; splitting by document invites it, splitting by
+    * canonical forbids it by construction). Same synthesized near-dup
+    * corpus and recursive-closure oracle as q75/q77; singletons are
+    * their own canonical. */
+  val q138LeakageSafeSplit: QuerySpec = QuerySpec(
+    "q138_leakage_safe_split",
+    s"""WITH RECURSIVE all_docs AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 60
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    substr(text, strpos(text, ' ') + 1) AS text
+       |  FROM documents WHERE doc_id < 60 AND doc_id % 2 = 0),
+       |tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |    range(1, len(toks) - 1),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+       |  FROM tok),
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  JOIN counts ca ON ca.doc_id = x.doc_id
+       |  JOIN counts cb ON cb.doc_id = y.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING CAST(COUNT(*) AS DOUBLE) /
+       |    CAST(ANY_VALUE(ca.n_sh) + ANY_VALUE(cb.n_sh) - COUNT(*) AS DOUBLE)
+       |    >= 0.5),
+       |und(src, dst) AS (
+       |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+       |  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+       |comp AS (SELECT src AS v, MIN(dst) AS component FROM reach GROUP BY src),
+       |canon AS (
+       |  SELECT a.doc_id, COALESCE(c.component, a.doc_id) AS canonical
+       |  FROM all_docs a LEFT JOIN comp c ON c.v = a.doc_id)
+       |SELECT CASE WHEN ${graft.operators.Sampling.sqlBucket("canonical")}
+       |    < 800 THEN 'train' ELSE 'val' END AS split,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_clusters
+       |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("text"))
+    val nearDup = d.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val corpus = d.unionByName(nearDup)
+    val pairs = Dedup.ngramJaccardPairs(
+      corpus.filter(size(split(col("text"), " ")) >= 3),
+      "doc_id", "text", k = 3, threshold = 0.5)
+    val comp = Dedup.connectedComponents(pairs, "a", "b")
+    val canon = corpus
+      .join(comp.select(col("v").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical"))
+    canon
+      .withColumn("split",
+        when(pmod(graft.functions.Scalars.portableHash64(col("canonical")),
+          lit(1000)) < 800, "train").otherwise("val"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical")).as("n_clusters"))
+      .orderBy(col("split"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash,
     q66MllibMinhash, q75DedupClusters, q77DedupApply,
     q94PrefixJaccard, q95EditDistance, q111Decontaminate,
-    q120RepeatedSpans)
+    q120RepeatedSpans, q138LeakageSafeSplit)
 }

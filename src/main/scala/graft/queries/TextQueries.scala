@@ -896,11 +896,46 @@ object TextQueries {
     }
   }
 
+  /** q137: corpus card — the per-(lang, source) + rollup statistics a
+    * dataset card publishes, in ONE scan: doc/token/char totals and
+    * the short/long tails. Exact-int measures only, so the rollup is
+    * hash-stable; 'ALL' labels the rollup rows on both engines. */
+  val q137CorpusCard: QuerySpec = QuerySpec(
+    "q137_corpus_card",
+    """SELECT COALESCE(lang, 'ALL') AS lang,
+      |  COALESCE(source, 'ALL') AS source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(CASE WHEN len(string_split(text, ' ')) < 80
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+      |  CAST(SUM(CASE WHEN len(string_split(text, ' ')) >= 120
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+      |FROM documents
+      |GROUP BY ROLLUP (lang, source)
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val tk = size(split(col("text"), " "))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"), tk.as("tk"), col("n_chars"))
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tk")).cast("long").as("total_tokens"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(when(col("tk") < 80, 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("tk") >= 120, 1L).otherwise(0L)).as("n_long"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("total_tokens"), col("total_chars"),
+        col("n_short"), col("n_long"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
     q61Vocabulary, q62TfIdf, q72Chunking, q73HeavyHitters, q82HashSplit,
     q93LlmPipeline, q105TextNormalize, q112Repetition, q113PackSequences,
     q114MixtureSample, q115TokenEntropy, q116PiiScrub, q117Bm25,
-    q119BigramLm, q121LmScore, q131PmiCollocations, q134CdcChunks)
+    q119BigramLm, q121LmScore, q131PmiCollocations, q134CdcChunks,
+    q137CorpusCard)
 }

@@ -106,4 +106,30 @@ class RandomizedLosslessnessSpec extends SparkSpecBase {
       assert(got == unionFind(edges), s"round $round diverged from union-find")
     }
   }
+
+  test("topP ≡ sequential prefix scan on random masses") {
+    for (round <- 1 to 5) {
+      val rows = (0 until 30 + rng.nextInt(40)).map { i =>
+        (s"g${i % 3}", i.toLong, (1 + rng.nextInt(100)).toLong)
+      }
+      val p = Seq(0.25, 0.5, 0.8, 0.95)(rng.nextInt(4))
+      val got = Relational
+        .topP(rows.toDF("grp", "item", "mass"), Seq("grp"), "mass",
+          "item", p)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // reference: per group, walk (mass desc, item asc) keeping rows
+      // while the mass before them is < p·total
+      // NB: .toSeq before flatMap — flatMapping a Map with pair
+      // results would rebuild a Map and silently collapse per-group
+      // keys
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        val tot = rs.map(_._3).sum.toDouble
+        val sorted = rs.sortBy(r => (-r._3, r._2))
+        sorted.zip(sorted.scanLeft(0L)(_ + _._3))
+          .collect { case ((_, item, _), before)
+            if before.toDouble / tot < p => (g, item) }
+      }.toSet
+      assert(got == want, s"round $round p=$p diverged")
+    }
+  }
 }
