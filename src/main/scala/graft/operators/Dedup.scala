@@ -472,12 +472,18 @@ object Dedup {
     val toks = split(col(textCol), " ")
     val base = df.select(col(keyCol),
       size(toks).cast("long").as("n_tokens"), toks.as("toks"))
+    // cached: consumed by BOTH the corpus-wide count and the span
+    // join-back — without it the tokenize+hash explode recomputes
+    // per consumer (the plan showed the corpus scanned once per
+    // branch). 16-byte (key, pos, h) rows; at the 100 TB tier persist
+    // to disk or localCheckpoint instead.
     val windows = base.select(col(keyCol),
         explode(transform(shinglePositions(col("toks"), k),
           i => struct(i.as("pos"),
             xxhash64(array_join(slice(col("toks"), i, lit(k)), " "))
               .as("h")))).as("w"))
       .select(col(keyCol), col("w.pos").as("pos"), col("w.h").as("h"))
+      .cache()
     val repeated = windows.groupBy(col("h"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("h"))
     val spans = windows.join(repeated, Seq("h"))

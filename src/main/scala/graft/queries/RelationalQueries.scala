@@ -1367,6 +1367,7 @@ object RelationalQueries {
         .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
           .cast("long").as("mi"), col("o_custkey").as("c"))
         .distinct()
+        .cache() // feeds the sketch AND both exact-overlap sides
       val sk = Kmv.sketch(d, Seq("mi"), "c", k)
       // the sketch table is month-count-sized; the global LEAD window
       // over it is metadata-sized by construction (q90 spine argument)
