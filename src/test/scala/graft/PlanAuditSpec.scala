@@ -116,4 +116,36 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"delta joins should broadcast:\n$plan")
   }
+
+  test("q125 epoch shuffle plans NO single-partition window") {
+    // the scale contract of Sampling.epochOrder: per-shard windows
+    // (hash exchange), never an unpartitioned global rank that
+    // serializes the corpus through one task
+    val plan = planOf("q125_epoch_shuffle")
+    assert(!plan.contains("SinglePartition"),
+      s"epoch order fell back to a single-partition plan:\n$plan")
+  }
+
+  test("q120/q133 reuse their cached frames instead of re-scanning") {
+    // repeatedSpans' hashed-window explode and q133's distinct
+    // (month, customer) frame are declared cache points; the plan
+    // must show InMemoryTableScan consumers, not a parquet scan per
+    // branch
+    for (q <- Seq("q120_repeated_spans", "q133_sketch_retention")) {
+      val plan = planOf(q)
+      assert(plan.contains("InMemoryTableScan") ||
+        plan.contains("InMemoryRelation"),
+        s"$q no longer reads its cached frame:\n$plan")
+    }
+  }
+
+  test("q134 content-defined chunking stays at two data exchanges") {
+    // one hash exchange for the per-doc boundary window, one for the
+    // chunk aggregate, plus the final presentation sort — a regression
+    // to per-branch recompute or an extra shuffle would exceed 3
+    val plan = planOf("q134_cdc_chunks")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 3,
+      s"q134 grew to $exchanges exchanges:\n$plan")
+  }
 }
