@@ -52,6 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "audio_meta takes exactly 1 argument")
         AudioMeta(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("video_meta"),
+      new ExpressionInfo(classOf[VideoMeta].getName, "video_meta"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "video_meta takes exactly 1 argument")
+        VideoMeta(children.head)
+      }))
     // scalar functions built as PURE Catalyst trees (a Column-builder
     // extraction would leave unresolved ColumnNode wrappers behind the
     // analyzer's back — Spark 4 resolves Column ASTs only at Dataset

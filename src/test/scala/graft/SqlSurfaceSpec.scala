@@ -69,6 +69,27 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .selectExpr("m.format", "m.width", "m.height").head
     assert(img.getString(0) == "png" && img.getInt(1) == 640 &&
       img.getInt(2) == 480)
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "video_meta",
+      exprs => graft.plans.VideoMeta(exprs.head),
+      "scala_udf")
+    // minimal mp4: ftyp + moov(mvhd v0 ts=600 dur=3000) — same bytes
+    // as VideoHeaderSpec's canonical container, sans tracks
+    val vid = s2.sql(
+      """SELECT video_meta(unhex(concat(
+        |  '0000001466747970', '69736f6d', '0000020069736f6d',
+        |  '000000746d6f6f76',
+        |  '0000006c6d766864', '00000000', '0000000000000000',
+        |  '00000258', '00000bb8',
+        |  '000100000100', repeat('00', 10),
+        |  '00010000', repeat('00000000', 3), '00010000',
+        |  repeat('00000000', 3), '40000000',
+        |  repeat('00', 24), '00000003'))) AS m""".stripMargin)
+      .selectExpr("m.format", "m.brand", "m.timescale", "m.duration",
+        "m.n_tracks").head
+    assert(vid.getString(0) == "mp4" && vid.getString(1) == "isom" &&
+      vid.getInt(2) == 600 && vid.getLong(3) == 3000L &&
+      vid.getInt(4) == 0)
   }
 
   test("events view exposes micro-truncated timestamps") {
