@@ -37,6 +37,12 @@ object Bench {
     // so noise is distinguishable from a real regression.
     val errors = scala.collection.mutable.Map[String, String]()
     def pass(): Map[String, Double] = benchQueries.map { case (name, fn) =>
+      // operators cache frames they consume twice WITHIN a query;
+      // dropping them after the query keeps one query's storage from
+      // eating the next one's execution memory (q93/q94 regressed
+      // ~4x when the registry grew caching queries that run earlier
+      // in alphabetical order)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>

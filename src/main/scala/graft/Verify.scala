@@ -24,6 +24,7 @@ object Verify {
     def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach {
       case (name, fn) =>
+        spark.catalog.clearCache() // per-query caches don't accumulate
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
