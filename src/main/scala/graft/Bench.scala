@@ -31,7 +31,14 @@ object Bench {
     val skip: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set("q66_mllib_minhash", "q67_mllib_brp_topk"))
-    val benchQueries = SparkEntry.queries.filterNot { case (n, _) => skip(n) }
+    // isolation hook (mirrors Verify's SPARK_GRAFT_ONLY): bench a
+    // comma-separated subset when chasing a single query's regression
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(o => System.err.println(s"BENCH SUBSET ACTIVE: ${o.mkString(",")}"))
+    val benchQueries = SparkEntry.queries
+      .filterNot { case (n, _) => skip(n) }
+      .filter { case (n, _) => only.forall(_(n)) }
     // two timed passes: the host is multi-tenant, so the headline number is
     // the per-query minimum, but BOTH pass times go into the file artifact
     // so noise is distinguishable from a real regression.
@@ -55,6 +62,11 @@ object Bench {
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // untimed warm-up pass first: it absorbs JIT/codegen-compile and
+    // first-touch costs (round-4 pass-1 ran 2-7x pass-2 on several
+    // queries), so BOTH timed passes see a warm JVM and the min is a
+    // stable cross-round signal instead of a JIT lottery
+    pass()
     val (p1, p2) = (pass(), pass())
     // 3-decimal rounding keeps the stdout line compact enough to survive a
     // ~4 KB log-tail capture (9-decimal doubles clipped the round-2 line).

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Scalars
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -25,23 +26,41 @@ object Dedup {
     * than `k` tokens, so short docs genuinely produce no shingles —
     * `sequence(1, n-k+1)` alone would yield the DESCENDING [1, 0] for
     * n = k-1 and `slice(_, 0, _)` throws under ANSI. */
-  private def shinglePositions(toks: Column, k: Int): Column =
+  private[operators] def shinglePositions(toks: Column, k: Int): Column =
     when(size(toks) >= k, sequence(lit(1), size(toks) - lit(k - 1)))
       .otherwise(array().cast("array<int>"))
 
+  /** `k`-token shingle string at 1-based position `i`: k O(1)
+    * element_at probes + one concat. The slice(toks,i,k) +
+    * array_join spelling allocates a fresh array per shingle and
+    * measured 3x slower on the shingle explode — same output string,
+    * so downstream hashes are unchanged. Indices stay in [1, n] by
+    * construction (shinglePositions), so ANSI element_at can't
+    * throw. */
+  private[operators] def shingleAt(toks: Column, i: Column, k: Int): Column =
+    concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*)
+
   /** Word-shingle set per document, exploded to (key, shingle) rows.
     * Documents shorter than `k` tokens produce no shingles (matches
-    * the oracle's `range(1, n-k+1)` semantics). */
+    * the oracle's `range(1, n-k+1)` semantics).
+    *
+    * Set semantics are PER DOCUMENT, so the dedup is an in-row
+    * array_distinct before the explode — no exchange. (A global
+    * `.distinct()` after the explode shuffles the whole shingle frame
+    * to deduplicate pairs that are already unique across documents by
+    * construction of the key.) The array build sits INSIDE the
+    * generator argument on purpose: as a stacked projection,
+    * CollapseProject would inline the token array into every
+    * element_at reference and re-split (or re-hash) the text once per
+    * probe — measured 25x slower; the Generate node is the barrier
+    * that keeps `__toks` evaluated once per row. */
   def shingles(df: DataFrame, keyCol: String, textCol: String,
-               k: Int = 3): DataFrame = {
-    val toks = split(col(textCol), " ")
-    df.select(col(keyCol),
-        explode_outer(transform(
-          shinglePositions(toks, k),
-          i => array_join(slice(toks, i, lit(k)), " "))).as("shingle"))
-      .filter(col("shingle").isNotNull)
-      .distinct()
-  }
+               k: Int = 3): DataFrame =
+    df.select(col(keyCol), split(col(textCol), " ").as("__toks"))
+      .select(col(keyCol),
+        explode(array_distinct(transform(
+          shinglePositions(col("__toks"), k),
+          i => shingleAt(col("__toks"), i, k)))).as("shingle"))
 
   /** Exact dedup (tier 1): keep the first row (lowest tie-break key)
     * per identical content value. One shuffle on the content hash. */
@@ -81,35 +100,93 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Modulus of the portable MinHash arithmetic: the Mersenne prime
+    * 2^31 - 1. Residues are nonnegative and a product of two residues
+    * tops out at (P-1)^2 ≈ 4.6e18 < Long.MaxValue, so the multiply-add
+    * hash family below never wraps — safe under ANSI on Spark AND
+    * replayable in DuckDB BIGINT arithmetic (which errors on
+    * overflow). This is what makes the whole MinHash/LSH tier
+    * oracle-verifiable, where an xxhash64 base was engine-private. */
+  val MinhashP: Long = 2147483647L
+
+  /** Horner-fold multiplier for combining token hashes into shingle
+    * ids and signature rows into band buckets: acc = (acc*C + x) % P.
+    * acc < P keeps acc*C ≤ ~2.1e15 — far inside the overflow margin. */
+  val HornerC: Long = 1000003L
+
+  /** Deterministic multiply-add family coefficients (a_i ∈ [1, P-1],
+    * b_i ∈ [0, P-1]) from a fixed-seed SplitMix-style LCG — plain
+    * Scala longs with wrapping arithmetic, evaluated once at
+    * plan-build time, so both the Spark plan and the generated oracle
+    * SQL interpolate the SAME literal constants. */
+  def minhashCoeffs(n: Int): Seq[(Long, Long)] = {
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33
+    }
+    Seq.fill(n)((next() % (MinhashP - 1) + 1, next() % MinhashP))
+  }
+
+  /** Portable shingle ids: each token hashed ONCE with the md5-based
+    * [[Scalars.portableHash64]] (reduced mod [[MinhashP]]), then each
+    * k-window Horner-folded into a single residue — no per-shingle
+    * string building at all, and every value is exactly replayable by
+    * the DuckDB oracle (`md5` + BIGINT arithmetic). Collisions in the
+    * 31-bit space (~n²/2³²) are deterministic and mirrored by the
+    * oracle, so they cannot produce a mismatch. */
+  def portableShingleHashes(df: DataFrame, keyCol: String, textCol: String,
+                            k: Int = 3): DataFrame = {
+    val ths = transform(split(col(textCol), " "),
+      t => Scalars.portableHash64(t) % lit(MinhashP))
+    df.select(col(keyCol), ths.as("__ths"))
+      .select(col(keyCol),
+        explode(array_distinct(transform(
+          shinglePositions(col("__ths"), k),
+          i => (1 until k).foldLeft(element_at(col("__ths"), i))(
+            (acc, j) => (acc * lit(HornerC) + element_at(col("__ths"), i + lit(j)))
+              % lit(MinhashP))))).as("shingle"))
+  }
+
   /** MinHash signature (tier 3a): `numHashes` independent min-hashes
     * per key, as one groupBy with N min-aggregates (map-side combine
-    * keeps the shuffle at |keys| × N longs). Feed it `shingleHashes`
-    * output: the N family members then hash a fixed 8-byte value —
-    * O(len + N) per shingle instead of O(len·N). (A multiply-add
-    * family would be cheaper still but long wraparound throws under
-    * ANSI mode.) xxhash64 is engine-deterministic, not cross-engine —
-    * hence no SQL oracle for this tier. */
+    * keeps the shuffle at |keys| × N longs). Feed it
+    * [[portableShingleHashes]] output: member i is the classic
+    * (a_i·s + b_i) mod P permutation — one multiply-add per member
+    * instead of a full rehash, and bit-replayable by the oracle.
+    * Input shingle ids MUST lie in [0, P) (the portable frame
+    * guarantees it); larger inputs would overflow the product. */
   def minhashSignature(sh: DataFrame, keyCol: String,
-                       numHashes: Int = 64): DataFrame =
+                       numHashes: Int = 64): DataFrame = {
+    val cs = minhashCoeffs(numHashes)
+    def member(i: Int): Column =
+      min((col("shingle") * lit(cs(i)._1) + lit(cs(i)._2)) % lit(MinhashP))
+        .as(s"h$i")
+    // n_sh rides the same aggregate: the Jaccard verify needs per-key
+    // set sizes anyway, and folding the count in here saves a second
+    // full pass over the shingle frame
     sh.groupBy(col(keyCol))
-      .agg(
-        min(xxhash64(lit(0), col("shingle"))).as("h0"),
-        (1 until numHashes).map(i =>
-          min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
+      .agg(member(0),
+        (1 until numHashes).map(member) :+ count(lit(1)).as("n_sh"): _*)
+  }
 
-  /** LSH banding (tier 3b): signature → (band, bandHash) buckets;
-    * keys sharing any bucket are candidate pairs. bands×rowsPerBand
-    * must equal the signature width. The bucket join is the only
-    * shuffle and its key (band, hash) is uniform by construction. */
+  /** LSH banding (tier 3b): signature → (band, bucket) rows; keys
+    * sharing any bucket are candidate pairs. bands×rowsPerBand must
+    * equal the signature width. The bucket is the Horner fold of the
+    * band's signature rows mod P — portable, and uniform enough for
+    * the equi-join key (the fold is injective on the first row and
+    * mixes the rest). The bucket join is the only shuffle. */
   def lshCandidatePairs(sig: DataFrame, keyCol: String,
                         bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val bandCols: Seq[Column] = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
-        xxhash64((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
-          .map(i => col(s"h$i")): _*).as("bucket"))
+        (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+          .map(i => col(s"h$i"))
+          .reduceLeft((acc, h) => (acc * lit(HornerC) + h) % lit(MinhashP))
+          .as("bucket"))
     }
-    // cached: the self-join consumes this twice, and upstream of it
-    // sits the full signature aggregation (|keys| × bands rows — tiny)
+    // cached: the self-join consumes this twice and AQE does not
+    // reuse the exchange across the alias-renamed sides; upstream
+    // sits the signature aggregation (|keys| × bands rows — tiny)
     val buckets = sig.select(col(keyCol),
       explode(array(bandCols: _*)).as("bb"))
       .select(col(keyCol), col("bb.band"), col("bb.bucket"))
@@ -127,28 +204,28 @@ object Dedup {
     * 16-byte (key, long) rows instead of strings. Collisions
     * (~n²/2⁶⁴) are deterministic and negligible. */
   def shingleHashes(df: DataFrame, keyCol: String, textCol: String,
-                    k: Int = 3): DataFrame = {
-    val toks = split(col(textCol), " ")
-    df.select(col(keyCol),
-        explode_outer(transform(
-          shinglePositions(toks, k),
-          i => xxhash64(array_join(slice(toks, i, lit(k)), " "))))
-          .as("shingle"))
-      .filter(col("shingle").isNotNull)
-      .distinct()
-  }
+                    k: Int = 3): DataFrame =
+    df.select(col(keyCol), split(col(textCol), " ").as("__toks"))
+      .select(col(keyCol),
+        explode(array_distinct(transform(
+          shinglePositions(col("__toks"), k),
+          i => xxhash64(shingleAt(col("__toks"), i, k))))).as("shingle"))
 
   /** End-to-end MinHash near-dup: candidates from LSH, verified with
     * exact Jaccard on the candidate set only — the 100 TB shape:
-    * sub-quadratic candidates, exact verification where it's cheap. */
+    * sub-quadratic candidates, exact verification where it's cheap.
+    * Rides [[portableShingleHashes]], so the whole pipeline
+    * (signatures, bands, candidates, verified pairs) is replayed
+    * bit-for-bit by the DuckDB oracle. */
   def minhashNearDupPairs(df: DataFrame, keyCol: String, textCol: String,
                           k: Int = 3, numHashes: Int = 64, bands: Int = 16,
                           threshold: Double = 0.5): DataFrame = {
-    val sh = shingleHashes(df, keyCol, textCol, k).cache()
-    val cand = lshCandidatePairs(
-      minhashSignature(sh, keyCol, numHashes), keyCol,
-      bands, numHashes / bands)
-    val counts = sh.groupBy(col(keyCol)).agg(count(lit(1)).as("n_sh"))
+    val sh = portableShingleHashes(df, keyCol, textCol, k).cache()
+    // |keys| × (numHashes+1) longs — cached because both the band
+    // explode and the n_sh lookups read it
+    val sig = minhashSignature(sh, keyCol, numHashes).cache()
+    val cand = lshCandidatePairs(sig, keyCol, bands, numHashes / bands)
+    val counts = sig.select(col(keyCol), col("n_sh"))
     // intersection size via equi-join on (b, shingle): the a-side
     // expansion is |cand|·|shingles(a)| rows, and the b-side probe is a
     // hash join on the composite key — never a pairwise shingle×shingle
@@ -339,16 +416,18 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"threshold=$threshold outside (0, 1]")
     require(shingleK >= 1 && shingleK <= 8, s"shingleK=$shingleK outside [1, 8]")
-    val words = split(col(textCol), " ")
-    val elems =
-      if (shingleK == 1) array_distinct(words)
-      else array_distinct(transform(shinglePositions(words, shingleK),
-        i => array_join(slice(words, i, lit(shingleK)), " ")))
     // elements travel as 64-bit hashes — set identity is all the
     // pipeline needs, and both the join keys and the verify arrays
-    // shrink to 8 bytes (the shingleHashes trade)
-    val toks = df.select(col(keyCol),
-        transform(elems, e => xxhash64(e)).as("toks"))
+    // shrink to 8 bytes (the shingleHashes trade). Words are
+    // pre-projected so the k element_at probes per shingle hit an
+    // evaluated array, not a re-split of the text.
+    val words = col("__words")
+    val elems =
+      if (shingleK == 1) array_distinct(transform(words, w => xxhash64(w)))
+      else array_distinct(transform(shinglePositions(words, shingleK),
+        i => xxhash64(shingleAt(words, i, shingleK))))
+    val toks = df.select(col(keyCol), split(col(textCol), " ").as("__words"))
+      .select(col(keyCol), elems.as("toks"))
       .filter(size(col("toks")) > 0)
       .cache() // consumed by the token explode and twice by the verify
     val tok = toks.select(col(keyCol), explode(col("toks")).as("token"))
@@ -423,20 +502,34 @@ object Dedup {
       .toDF("n_got", "n_truth", "n_true_positive", "precision", "recall", "f1")
   }
 
-  /** SimHash signature (tier 4): 64-bit bit-vote over token hashes.
-    * One groupBy with 64 conditional sums, then bit assembly. */
+  /** Signature width of the portable SimHash: portableHash64 yields
+    * 60 usable bits (15 hex chars of md5), so the bit-vote runs over
+    * 60 bits — every one of them oracle-replayable. */
+  val SimhashBits: Int = 60
+
+  /** SimHash signature (tier 4): 60-bit bit-vote over token hashes
+    * (multiplicity-weighted — no distinct, repeated tokens vote
+    * repeatedly, the classic Charikar weighting by term frequency).
+    * Rides [[Scalars.portableHash64]] so DuckDB replays the signature
+    * exactly.
+    *
+    * One groupBy with 60 conditional sums (map-side combined), then
+    * bit assembly. (A per-row array-fold projection would avoid the
+    * shuffle entirely, but Spark's higher-order array functions are
+    * CodegenFallback — measured 2x slower than the codegen'd wide
+    * aggregate.) */
   def simhashSignature(df: DataFrame, keyCol: String,
                        textCol: String): DataFrame = {
     val tok = df.select(col(keyCol),
       explode(split(col(textCol), " ")).as("token"))
-      .withColumn("th", xxhash64(col("token")))
+      .withColumn("th", Scalars.portableHash64(col("token")))
     val votes = tok.groupBy(col(keyCol)).agg(
       sum(when(col("th").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("v0"),
-      (1 until 64).map(k =>
+      (1 until SimhashBits).map(k =>
         sum(when(shiftright(col("th"), k).bitwiseAND(lit(1L)) =!= 0, 1)
           .otherwise(-1)).as(s"v$k")): _*)
-    val bits = (0 until 64).map(k =>
-      when(col(s"v$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+    val bits = (0 until SimhashBits).map(k =>
+      when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
     votes.select(col(keyCol),
       bits.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
   }
@@ -480,8 +573,7 @@ object Dedup {
     val windows = base.select(col(keyCol),
         explode(transform(shinglePositions(col("toks"), k),
           i => struct(i.as("pos"),
-            xxhash64(array_join(slice(col("toks"), i, lit(k)), " "))
-              .as("h")))).as("w"))
+            xxhash64(shingleAt(col("toks"), i, k)).as("h")))).as("w"))
       .select(col(keyCol), col("w.pos").as("pos"), col("w.h").as("h"))
       .cache()
     val repeated = windows.groupBy(col("h"))
@@ -503,26 +595,40 @@ object Dedup {
           .as("dup_ratio"))
   }
 
-  /** SimHash near-dup pairs: 16-bit-chunk banding for candidates, then
-    * exact hamming distance filter via bit_count(xor). */
+  /** SimHash near-dup pairs: 15-bit-chunk banding (4 chunks × 15 of
+    * the 60 signature bits) for candidates, then exact hamming
+    * distance filter via bit_count(xor). By pigeonhole, any pair
+    * within hamming ≤ 6 of a 60-bit signature... shares at least one
+    * of the 4 chunks unchanged only when the 6 flips avoid a chunk —
+    * flips spread 4 ways leave ≥ one chunk clean for hamming ≤ 3;
+    * beyond that recall is probabilistic, same trade as the 64-bit
+    * variant and held to the exact tier by DedupSpec. */
   def simhashNearDupPairs(df: DataFrame, keyCol: String, textCol: String,
                           maxHamming: Int = 6): DataFrame = {
     val sig = simhashSignature(df, keyCol, textCol)
     val chunks = sig.select(col(keyCol), col("simhash"),
       explode(array((0 until 4).map(c => struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))
+        shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL))
           .as("v"))): _*)).as("cb"))
       .select(col(keyCol), col("simhash"), col("cb.chunk"), col("cb.v"))
       .cache() // consumed by both sides of the self-join; |keys|×4 rows
+               // (measured: AQE does NOT reuse the exchange across the
+               // alias-renamed sides, so uncached the signature
+               // aggregate runs twice)
     val l = chunks.select(col(keyCol).as("a"), col("simhash").as("sig_a"),
       col("chunk"), col("v"))
     val r = chunks.select(col(keyCol).as("b"), col("simhash").as("sig_b"),
       col("chunk"), col("v"))
+    // hamming filter BEFORE the distinct: the chunk join fans out to
+    // every bucket collision (template-heavy corpora measured ~100x
+    // the final pair count), and the xor is a register op — filtering
+    // in-stage means only true near-dup rows reach the distinct's
+    // shuffle, instead of shuffling the whole candidate fan-out
     l.join(r, Seq("chunk", "v"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * (key-shifted unions / token-dropped copies) before deduplicating —
   * the dedup path is exercised for real on both engines.
   *
-  * q30/q31 are oracle-verified. q32/q33 (MinHash, SimHash) depend on
-  * xxhash64, which DuckDB does not implement — they get the driver's
-  * rows-only check plus ScalaTest specs asserting recall against the
-  * exact-Jaccard tier (DedupSpec).
+  * q30–q33 are all oracle-verified: the MinHash and SimHash tiers
+  * ride portable md5-based hashes and overflow-safe modular
+  * arithmetic (see Dedup.MinhashP), so DuckDB replays signatures,
+  * bands, and verified pairs bit-for-bit. DedupSpec additionally
+  * holds their recall to the exact-Jaccard tier.
   */
 object DedupQueries {
 
@@ -95,28 +96,131 @@ object DedupQueries {
 
   /** q32: MinHash + LSH near-dup (tier 3, the 100 TB path):
     * sub-quadratic banding candidates verified with exact Jaccard.
-    * xxhash64-based — no cross-engine oracle; recall is asserted
-    * against tier 2 in DedupSpec. */
-  val q32MinhashLsh: QuerySpec = QuerySpec.noOracle("q32_minhash_lsh") { (s, dir) =>
-    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val nearDup = d.filter(col("doc_id") % 2 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"),
-        expr("substring(text, instr(text, ' ') + 1)").as("text"))
-    Dedup.minhashNearDupPairs(d.unionByName(nearDup), "doc_id", "text",
-        k = 3, numHashes = 64, bands = 16, threshold = 0.5)
-      .orderBy(col("a"), col("b"))
+    * The signature family rides portable (md5-based) hashes and
+    * mod-(2^31-1) multiply-adds, so the oracle replays token hashes,
+    * shingle ids, all 64 signature members, band buckets, candidate
+    * pairs, and the verified Jaccard values bit-for-bit — the same
+    * recipe that made q123's KMV sketch hash-verifiable. */
+  val q32MinhashLsh: QuerySpec = {
+    val P = Dedup.MinhashP
+    val C = Dedup.HornerC
+    val nH = 64
+    val bands = 16
+    val rows = nH / bands
+    val cs = Dedup.minhashCoeffs(nH)
+    val minCols = cs.zipWithIndex.map { case ((a, b), i) =>
+      s"min((s * $a + $b) % $P) AS h$i"
+    }.mkString(",\n      |    ")
+    val bandSelects = (0 until bands).map { bnd =>
+      val bucket = (bnd * rows until (bnd + 1) * rows).map(i => s"h$i")
+        .reduceLeft((acc, h) => s"(($acc) * $C + $h) % $P")
+      s"SELECT doc_id, $bnd AS band, $bucket AS bucket FROM sigs"
+    }.mkString("\n      |  UNION ALL ")
+    QuerySpec(
+      "q32_minhash_lsh",
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(text, strpos(text, ' ') + 1) AS text
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |th AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |    t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $P) AS ths
+        |  FROM all_docs),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(ths) - 1),
+        |      i -> (((ths[i] * $C + ths[i+1]) % $P) * $C + ths[i+2]) % $P)) AS s
+        |  FROM th WHERE len(ths) >= 3),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    $minCols
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  $bandSelects),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+        |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT c.a, c.b, COUNT(*) AS n_common
+        |  FROM cand c
+        |  JOIN sh x ON x.doc_id = c.a
+        |  JOIN sh y ON y.doc_id = c.b AND y.s = x.s
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |  CAST(n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE)
+        |    AS jaccard
+        |FROM common
+        |JOIN counts ca ON ca.doc_id = a
+        |JOIN counts cb ON cb.doc_id = b
+        |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE)
+        |  >= 0.5
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val nearDup = d.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      Dedup.minhashNearDupPairs(d.unionByName(nearDup), "doc_id", "text",
+          k = 3, numHashes = nH, bands = bands, threshold = 0.5)
+        .orderBy(col("a"), col("b"))
+    }
   }
 
   /** q33: SimHash near-dup pairs (tier 4) — hamming-ball matching on
-    * 64-bit signatures with 16-bit-chunk candidate banding. */
-  val q33Simhash: QuerySpec = QuerySpec.noOracle("q33_simhash") { (s, dir) =>
-    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val nearDup = d.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"),
-        expr("substring(text, instr(text, ' ') + 1)").as("text"))
-    Dedup.simhashNearDupPairs(d.unionByName(nearDup), "doc_id", "text",
-        maxHamming = 6)
-      .orderBy(col("a"), col("b"))
+    * 60-bit portable signatures with 15-bit-chunk candidate banding.
+    * The oracle replays the bit-votes, signature assembly, chunk
+    * buckets, and hamming distances exactly (md5-based token hash +
+    * integer bit ops exist identically on both engines). */
+  val q33Simhash: QuerySpec = {
+    val bits = Dedup.SimhashBits
+    val voteCols = (0 until bits).map { k =>
+      s"sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS v$k"
+    }.mkString(",\n      |    ")
+    val sigExpr = (0 until bits).map { k =>
+      s"(CASE WHEN v$k > 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+    val chunkSelects = (0 until 4).map { c =>
+      s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${c * 15}) & 32767 AS v FROM sigs"
+    }.mkString("\n      |  UNION ALL ")
+    QuerySpec(
+      "q33_simhash",
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(text, strpos(text, ' ') + 1) AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM all_docs),
+        |th AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id,
+        |    $voteCols
+        |  FROM th GROUP BY doc_id),
+        |sigs AS (SELECT doc_id, $sigExpr AS simhash FROM votes),
+        |chunks AS (
+        |  $chunkSelects)
+        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+        |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+        |FROM chunks l JOIN chunks r
+        |  ON l.chunk = r.chunk AND l.v = r.v AND l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.simhash, r.simhash)) <= 6
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val nearDup = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      Dedup.simhashNearDupPairs(d.unionByName(nearDup), "doc_id", "text",
+          maxHamming = 6)
+        .orderBy(col("a"), col("b"))
+    }
   }
 
   /** q66: the MLlib MinHashLSH cross-check of q32 (north star
