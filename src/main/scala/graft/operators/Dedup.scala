@@ -420,15 +420,20 @@ object Dedup {
     // pipeline needs, and both the join keys and the verify arrays
     // shrink to 8 bytes (the shingleHashes trade). Words are
     // pre-projected so the k element_at probes per shingle hit an
-    // evaluated array, not a re-split of the text.
+    // evaluated array, not a re-split of the text; the empty-set
+    // filter runs on the CHEAP source-token count BEFORE the array
+    // build — a size(toks) > 0 filter on the built array gets pushed
+    // below the projection with the whole (CodegenFallback) build
+    // substituted in, which measured ~30x the projection itself.
     val words = col("__words")
     val elems =
       if (shingleK == 1) array_distinct(transform(words, w => xxhash64(w)))
       else array_distinct(transform(shinglePositions(words, shingleK),
         i => xxhash64(shingleAt(words, i, shingleK))))
-    val toks = df.select(col(keyCol), split(col(textCol), " ").as("__words"))
+    val toks = df
+      .filter(size(split(col(textCol), " ")) >= shingleK)
+      .select(col(keyCol), split(col(textCol), " ").as("__words"))
       .select(col(keyCol), elems.as("toks"))
-      .filter(size(col("toks")) > 0)
       .cache() // consumed by the token explode and twice by the verify
     val tok = toks.select(col(keyCol), explode(col("toks")).as("token"))
     val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))

@@ -69,18 +69,59 @@ object Profile {
         Dedup.minhashNearDupPairs(all, "doc_id", "text", 3, 64, 16, 0.5).count())
       sh.unpersist()
       spark.catalog.clearCache(); all5.count()
-      val tokX = all5.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("token"))
-      time("tok explode only")(tokX.agg(count(lit(1))).head().getLong(0))
-      time("tok + xxhash64 sum")(
-        tokX.agg(sum(xxhash64(col("token")))).count())
-      time("tok + portableHash sum")(
-        tokX.agg(sum(graft.functions.Scalars.portableHash64(col("token"))))
-          .count())
       val sig2 = Dedup.simhashSignature(all5, "doc_id", "text")
       time("simhashSignature")(sig2.count())
       time("simhash full")(
         Dedup.simhashNearDupPairs(all5, "doc_id", "text", 6).count())
+      // q94 corpus: prefix-filtered Jaccard stages
+      spark.catalog.clearCache()
+      val all4 = d.unionByName(d.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+      val words = col("__words")
+      val elems = array_distinct(transform(
+        when(size(words) >= 3, sequence(lit(1), size(words) - lit(2)))
+          .otherwise(array().cast("array<int>")),
+        i => xxhash64(concat_ws(" ", element_at(words, i),
+          element_at(words, i + lit(1)), element_at(words, i + lit(2))))))
+      val base4 = all4.select(col("doc_id"), split(col("text"), " ").as("__words"))
+      val noFilter = base4.select(col("doc_id"), elems.as("toks"))
+      time("pj toks NO filter")(noFilter.count())
+      val toks4 = noFilter.filter(size(col("toks")) > 0).cache()
+      if (p == 1) {
+        val planStr = toks4.queryExecution.optimizedPlan.toString
+        println("toks4 optimized plan:\n" + planStr.take(3000))
+      }
+      time("pj toks+cache")(toks4.count())
+      val tok4 = toks4.select(col("doc_id"), explode(col("toks")).as("token"))
+      time("pj tok explode")(tok4.agg(count(lit(1))).head().getLong(0))
+      val freq4 = tok4.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      time("pj freq agg")(freq4.agg(count(lit(1))).head().getLong(0))
+      val sorted4 = tok4.join(freq4, Seq("token"))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("freq"), col("token"))))
+          .as("sorted"))
+      time("pj sorted agg")(sorted4.count())
+      val n4 = size(col("sorted"))
+      val prefixLen4 = n4 - ceil(lit(0.6) * n4).cast("int") + 1
+      val prefix4 = sorted4.select(col("doc_id"), n4.as("n"),
+        posexplode(transform(slice(col("sorted"), lit(1), prefixLen4),
+          s => s.getField("token"))).as(Seq("pos", "token"))).cache()
+      time("pj prefix+cache")(prefix4.count())
+      val alpha4 = ceil(lit(0.6 / 1.6) * (col("n_a") + col("n_b")))
+      val cand4 = prefix4
+        .select(col("doc_id").as("a"), col("n").as("n_a"), col("pos").as("pa"),
+          col("token"))
+        .join(prefix4.select(col("doc_id").as("b"), col("n").as("n_b"),
+          col("pos").as("pb"), col("token")), Seq("token"))
+        .filter(col("a") < col("b"))
+        .filter(col("n_b") >= ceil(lit(0.6) * col("n_a")) &&
+          col("n_a") >= ceil(lit(0.6) * col("n_b")))
+        .filter(least(col("n_a") - col("pa"), col("n_b") - col("pb")) >= alpha4)
+        .select(col("a"), col("b")).distinct()
+      time("pj candidates")(cand4.count())
+      time("pj full")(Dedup.prefixJaccardPairs(all4, "doc_id", "text",
+        threshold = 0.6, shingleK = 3).count())
     }
     spark.stop()
   }
