@@ -2,32 +2,48 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Iterative graph analytics beyond connected components
   * ([[Dedup.connectedComponents]]): PageRank with a FIXED iteration
-  * count and bit-reproducible float arithmetic, so the whole
-  * computation — not just a tolerance band — is oracle-verifiable.
+  * count and reproducible arithmetic in two modes.
   *
-  * Reproducibility contract (the q121 discipline): every per-node
-  * inbound sum folds a SORTED (src, contribution) array instead of
-  * using a parallel double SUM, pinning float addition order across
+  * Oracle mode (default, the q121 discipline): every per-node inbound
+  * sum folds a SORTED (src, contribution) array instead of using a
+  * parallel double SUM, pinning float addition order across
   * partitionings and engines; all other arithmetic (rank/outdeg,
   * damping multiply, base add) is scalar double ops with one
   * deterministic result. By induction every iteration's ranks are
-  * bit-identical wherever they're computed.
+  * bit-identical wherever they're computed — and replayable by the
+  * DuckDB oracle. Per-node state is the in-degree-sized sorted array,
+  * fine for near-uniform graphs, wrong for a power-law hub.
+  *
+  * Production mode (`exactDecimalSum = true`): contributions are
+  * quantized to 1e-15 units (exact in double space — 1e15 < 2^53) and
+  * summed as Decimal(38,0) — exact integer addition is associative
+  * and commutative, so the result is bit-reproducible under ANY
+  * partitioning with O(1) per-node state: a celebrity node with
+  * in-degree 10^9 sums to ≤ 1e24, far inside the decimal range.
+  * The 1e-15 per-term quantization makes this mode's ranks differ
+  * from the float fold in the last ~2 ulps, so it is NOT the oracle
+  * replay — it's the 100 TB path.
   *
   * Scale shape: per iteration, ONE equi-join of the edge list against
   * the rank vector (shuffle on src) and ONE grouped aggregation
-  * (shuffle on dst) — the standard distributed PageRank step. The
-  * sorted-array fold bounds per-node state by in-degree; for
-  * power-law graphs whose celebrity nodes make that array large, the
-  * production variant swaps the fold for an order-insensitive exact
-  * sum (decimal-space contributions) at the cost of the cross-engine
-  * replay. Iteration count is fixed and small (the plan unrolls);
-  * convergence-driven variants would localCheckpoint per round like
-  * [[Dedup.connectedComponents]].
+  * (shuffle on dst) — the standard distributed PageRank step. Each
+  * iteration ends in an EAGER localCheckpoint: the lineage would
+  * otherwise nest one join per round (the plan outgrows the planner
+  * well before iterations=10), and eager materialization lets the
+  * previous round's blocks and the edge caches be dropped as soon as
+  * they stop being reachable — the [[Dedup.connectedComponents]]
+  * discipline.
   */
 object Graph {
+
+  /** Decimal quantum of the production sum: contributions (≤ 1) scale
+    * to ≤ 1e15, below 2^53, so the double→long quantization itself is
+    * exact arithmetic. */
+  private val QuantumInv = 1e15
 
   /** `(node, rank)` after `iterations` rounds of damped PageRank over
     * the DISTINCT directed edge set. Every node must have out-degree
@@ -36,9 +52,11 @@ object Graph {
     * check is one metadata-sized count, the [[Similarity]] IVF /
     * as-of guard pattern. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int, damping: Double = 0.85): DataFrame = {
+               iterations: Int, damping: Double = 0.85,
+               exactDecimalSum: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 10,
-      s"iterations=$iterations outside [1, 10] — the plan unrolls")
+      s"iterations=$iterations outside [1, 10] — raise only with the " +
+        "checkpoint cadence in mind")
     require(damping > 0 && damping < 1, s"damping=$damping outside (0,1)")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().cache()
@@ -65,19 +83,43 @@ object Graph {
     val eo = e.join(outdeg, Seq("src")).cache()
     var rank = nodes.withColumn("rank", lit(1.0 / n.toDouble))
     for (_ <- 1 to iterations) {
-      val contribs = eo.join(rank, eo("src") === rank("node"))
-        .select(col("dst").as("node"),
-          struct(col("src"), (col("rank") / col("outdeg")).as("c")).as("e"))
-      val summed = contribs.groupBy(col("node"))
-        .agg(array_sort(collect_list(col("e"))).as("es"))
-        .select(col("node"),
-          (lit(base) + lit(damping) *
-            aggregate(col("es"), lit(0.0), (a, x) => a + x("c")))
-            .as("rank"))
-      rank = nodes.join(summed, Seq("node"), "left")
+      val joined = eo.join(rank, eo("src") === rank("node"))
+      val summed =
+        if (exactDecimalSum)
+          joined
+            .select(col("dst").as("node"),
+              round(col("rank") / col("outdeg") * lit(QuantumInv))
+                .cast(DecimalType(38, 0)).as("ci"))
+            .groupBy(col("node"))
+            .agg(sum(col("ci")).as("si"))
+            .select(col("node"),
+              (lit(base) + lit(damping) *
+                (col("si").cast("double") / lit(QuantumInv))).as("rank"))
+        else
+          joined
+            .select(col("dst").as("node"),
+              struct(col("src"), (col("rank") / col("outdeg")).as("c")).as("e"))
+            .groupBy(col("node"))
+            .agg(array_sort(collect_list(col("e"))).as("es"))
+            .select(col("node"),
+              (lit(base) + lit(damping) *
+                aggregate(col("es"), lit(0.0), (a, x) => a + x("c")))
+                .as("rank"))
+      // eager checkpoint: truncates the per-round join lineage AND
+      // makes the previous round's blocks unreachable so they can be
+      // dropped immediately (never unpersist the frame being returned
+      // — a truncated lineage cannot recompute)
+      val next = nodes.join(summed, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("rank"), lit(base)).as("rank"))
+        .localCheckpoint(true)
+      // `next` is materialized and self-contained — the previous
+      // round's checkpoint blocks are unreachable now; drop them (the
+      // initial rank frame isn't persisted, where this is a no-op)
+      rank.unpersist()
+      rank = next
     }
+    e.unpersist(); eo.unpersist(); nodes.unpersist()
     rank
   }
 }

@@ -36,6 +36,33 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("production decimal sum: hub with in-degree >> others, " +
+      "bit-identical under repartitioning, agrees with the fold") {
+    // power-law-ish: 200 spokes all point at hub 0; hub points back at
+    // spoke 1 (no dangling). Hub in-degree 200 vs 1 everywhere else —
+    // the shape whose per-node sorted array the fold mode accumulates
+    // and the decimal mode reduces with O(1) state.
+    val edges = ((1L to 200L).map(s => (s, 0L)) :+ (0L, 1L))
+      .toDF("src", "dst")
+    val dec = Graph.pageRank(edges, "src", "dst", 4,
+        exactDecimalSum = true).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dec7 = Graph.pageRank(edges.repartition(7), "src", "dst", 4,
+        exactDecimalSum = true).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dec == dec7,
+      "decimal-sum ranks must not depend on partitioning")
+    val fold = Graph.pageRank(edges, "src", "dst", 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    fold.foreach { case (node, r) =>
+      assert(math.abs(dec(node) - r) < 1e-9,
+        s"node $node: decimal=${dec(node)} fold=$r")
+    }
+    val total = dec.values.sum
+    assert(math.abs(total - 1.0) < 1e-9, s"sum=$total")
+    assert(dec(0L) > dec(2L) * 50, "hub must dominate spokes")
+  }
+
   test("ranks are bit-identical under repartitioning") {
     val edges = (0L until 60L).flatMap { i =>
       val j = (i * i + 1) % 60
