@@ -234,13 +234,19 @@ object Similarity {
         Seq(col(queryId)), Seq(col("sim").desc, col(corpusId).asc), k)
   }
 
-  /** Deterministic pseudo-random hyperplanes (fixed seed — no
-    * wall-clock, no engine hash), as literal columns. */
-  private def planes(numPlanes: Int, dim: Int): Seq[Column] = {
+  /** Deterministic pseudo-random hyperplane COMPONENTS (fixed seed —
+    * no wall-clock, no engine hash). Public so the q36 oracle can
+    * interpolate the same doubles into SQL: Double.toString is the
+    * shortest round-trip form, so DuckDB's correctly-rounded literal
+    * parse recovers bit-identical planes. */
+  def planeValues(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(20240801L)
-    Seq.fill(numPlanes)(array(
-      Seq.fill(dim)(lit(rng.nextDouble() * 2 - 1)): _*))
+    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextDouble() * 2 - 1))
   }
+
+  /** The hyperplanes as literal array columns. */
+  private def planes(numPlanes: Int, dim: Int): Seq[Column] =
+    planeValues(numPlanes, dim).map(p => array(p.map(lit): _*))
 
   /** Random-hyperplane LSH bucket id per vector: one bit per plane
     * (sign of the dot product), packed into a long. Vectors in the

@@ -77,17 +77,65 @@ object SimilarityQueries {
   }
 
   /** q36: LSH-bucketed approximate top-k (the scale path: bucket join
-    * instead of cross product; hamming-1 probe set for recall).
-    * Plane constants are seeded literals, but dot-product fold order
-    * inside DuckDB's list kernels is not contractual — so this tier is
-    * ScalaTest-verified (recall vs q34), rows-only for the driver. */
-  val q36CosineLshTopK: QuerySpec = QuerySpec.noOracle("q36_cosine_lsh_topk") { (s, dir) =>
-    val e = Tables.embeddings(s, dir)
-    val queries = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    Similarity.lshTopK(queries, corpus, k = 5)
-      .orderBy(col("q_id"), col("sim").desc, col("c_id"))
+    * instead of cross product; hamming-1 probe set for recall). Fully
+    * oracle-replayed: the hyperplanes are seeded literals interpolated
+    * into the SQL in shortest-round-trip form, the sign dot products
+    * are pinned left folds (list_reduce over a 0.0-prepended list —
+    * the same accumulation order as Spark's aggregate()), and the
+    * candidate cosine rides the q34-proven list_cosine_similarity +
+    * round(6). SimilaritySpec still holds recall vs the exact tier. */
+  val q36CosineLshTopK: QuerySpec = {
+    val numPlanes = 12
+    val planeRows = Similarity.planeValues(numPlanes, 64).zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n      |    ")
+    val probes = ("bucket0" +: (0 until numPlanes)
+      .map(i => s"xor(bucket0, ${1L << i})")).mkString(", ")
+    QuerySpec(
+      "q36_cosine_lsh_topk",
+      s"""WITH planes(pi, pv) AS (VALUES
+        |    $planeRows),
+        |vecs AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv, embedding
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT v.id, pl.pi,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(range(1, 65), j -> v.dv[j] * pl.pv[j])),
+        |      (a, b) -> a + b) AS d
+        |  FROM vecs v CROSS JOIN planes pl),
+        |buckets AS (
+        |  SELECT id,
+        |    CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << pi) ELSE 0 END)
+        |      AS BIGINT) AS bucket
+        |  FROM dots GROUP BY id),
+        |cb AS (
+        |  SELECT v.id AS c_id, v.embedding AS c_vec, b.bucket
+        |  FROM vecs v JOIN buckets b ON b.id = v.id),
+        |qb AS (
+        |  SELECT v.id AS q_id, v.embedding AS q_vec,
+        |    unnest([$probes]) AS bucket
+        |  FROM vecs v JOIN (SELECT id, bucket AS bucket0 FROM buckets) b
+        |    ON b.id = v.id
+        |  WHERE v.id < 16),
+        |cand AS (
+        |  SELECT DISTINCT q.q_id, c.c_id,
+        |    round(list_cosine_similarity(
+        |      CAST(q.q_vec AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[])), 6) AS sim
+        |  FROM qb q JOIN cb c ON q.bucket = c.bucket AND q.q_id <> c.c_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+        |  FROM cand)
+        |SELECT q_id, c_id, sim FROM ranked WHERE rn <= 5
+        |ORDER BY q_id, sim DESC, c_id""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.lshTopK(queries, corpus, k = 5, numPlanes = numPlanes)
+        .orderBy(col("q_id"), col("sim").desc, col("c_id"))
+    }
   }
 
   /** q37: embedding-cosine near-dup pairs (the dedup family's
@@ -109,15 +157,78 @@ object SimilarityQueries {
   }
 
   /** q52: IVF approximate top-k (clustering-flavored ANN scale path
-    * next to q36's hyperplane LSH). Deterministic seed centroids →
-    * rows-only driver check + SimilaritySpec planted-dup recall. */
-  val q52IvfTopK: QuerySpec = QuerySpec.noOracle("q52_ivf_topk") { (s, dir) =>
-    val e = Tables.embeddings(s, dir)
-    val queries = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    Similarity.ivfTopK(queries, corpus, k = 5)
-      .orderBy(col("q_id"), col("sim").desc, col("c_id"))
+    * next to q36's hyperplane LSH). Fully oracle-replayed: the seed
+    * centroids are the 16 lowest ids, both Lloyd's passes recompute
+    * means through exact DECIMAL(30,18) sums (order-insensitive, so
+    * the refined centroid doubles are bit-equal cross-engine), and
+    * every nearest-cell assignment is the rounded-cosine /
+    * cell-ascending rank both engines order identically. */
+  val q52IvfTopK: QuerySpec = {
+    // one Lloyd pass in SQL: assignment CTE against centroids `cin`,
+    // decimal-mean CTE, refined centroids with empty-cell fallback
+    def assignSql(name: String, cin: String): String =
+      s"""$name AS (
+        |  SELECT id, cell FROM (
+        |    SELECT v.id, c.cell,
+        |      row_number() OVER (PARTITION BY v.id
+        |        ORDER BY round(list_cosine_similarity(v.dv, c.cv), 6) DESC,
+        |          c.cell) AS rn
+        |    FROM vecs v CROSS JOIN $cin c) WHERE rn = 1)"""
+    def lloydSql(i: Int, cin: String): String =
+      s"""${assignSql(s"a$i", cin)},
+        |m$i AS (
+        |  SELECT a.cell, t.j AS pos,
+        |    CAST(SUM(CAST(v.dv[t.j] AS DECIMAL(30,18))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mv
+        |  FROM a$i a JOIN vecs v ON v.id = a.id,
+        |    LATERAL (SELECT unnest(range(1, 65)) AS j) t
+        |  GROUP BY 1, 2),
+        |c$i AS (
+        |  SELECT s.cell, coalesce(r.cv, s.cv) AS cv
+        |  FROM $cin s LEFT JOIN (
+        |    SELECT cell, list(mv ORDER BY pos) AS cv FROM m$i GROUP BY cell) r
+        |    ON r.cell = s.cell)"""
+    QuerySpec(
+      "q52_ivf_topk",
+      s"""WITH vecs AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings),
+        |seed AS (SELECT id AS cell, dv AS cv FROM vecs ORDER BY id LIMIT 16),
+        |${lloydSql(1, "seed")},
+        |${lloydSql(2, "c1")},
+        |cc AS (
+        |  SELECT id, cell FROM (
+        |    SELECT v.id, c.cell,
+        |      row_number() OVER (PARTITION BY v.id
+        |        ORDER BY round(list_cosine_similarity(v.dv, c.cv), 6) DESC,
+        |          c.cell) AS rn
+        |    FROM vecs v CROSS JOIN c2 c) WHERE rn = 1),
+        |qc AS (
+        |  SELECT id, cell FROM (
+        |    SELECT v.id, c.cell,
+        |      row_number() OVER (PARTITION BY v.id
+        |        ORDER BY round(list_cosine_similarity(v.dv, c.cv), 6) DESC,
+        |          c.cell) AS rn
+        |    FROM vecs v CROSS JOIN c2 c WHERE v.id < 16) WHERE rn <= 3),
+        |cand AS (
+        |  SELECT DISTINCT q.id AS q_id, c.id AS c_id,
+        |    round(list_cosine_similarity(qv.dv, cv2.dv), 6) AS sim
+        |  FROM qc q JOIN cc c ON q.cell = c.cell AND q.id <> c.id
+        |  JOIN vecs qv ON qv.id = q.id
+        |  JOIN vecs cv2 ON cv2.id = c.id),
+        |ranked AS (
+        |  SELECT q_id, c_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+        |  FROM cand)
+        |SELECT q_id, c_id, sim FROM ranked WHERE rn <= 5
+        |ORDER BY q_id, sim DESC, c_id""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Similarity.ivfTopK(queries, corpus, k = 5)
+        .orderBy(col("q_id"), col("sim").desc, col("c_id"))
+    }
   }
 
   /** q67: the MLlib BucketedRandomProjectionLSH cross-check of q36
