@@ -21,6 +21,13 @@ object Verify {
     // the full registry.
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // a stale SPARK_GRAFT_ONLY in a full driver run would silently
+    // skip most coverage — shout on stderr AND stamp a marker file so
+    // a subset dump can't be mistaken for a full one
+    only.foreach { o =>
+      System.err.println(s"VERIFY SUBSET ACTIVE (${o.size}): ${o.mkString(",")}")
+      Files.writeString(Paths.get(s"$outDir/SUBSET_RUN"), o.mkString("\n"))
+    }
     def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach {
       case (name, fn) =>

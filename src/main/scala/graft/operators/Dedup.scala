@@ -565,22 +565,25 @@ object Dedup {
     * (spans shorter than k go undetected, spans ≥ k are found
     * exactly, boundaries quantized to ≤ k-1 tokens). */
   def repeatedSpans(df: DataFrame, keyCol: String, textCol: String,
-                    k: Int = 8): DataFrame = {
+                    k: Int = 8,
+                    storage: org.apache.spark.storage.StorageLevel =
+                      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                   : DataFrame = {
     require(k >= 2, s"k=$k — a 1-token window flags every common word")
     val toks = split(col(textCol), " ")
     val base = df.select(col(keyCol),
       size(toks).cast("long").as("n_tokens"), toks.as("toks"))
-    // cached: consumed by BOTH the corpus-wide count and the span
+    // persisted: consumed by BOTH the corpus-wide count and the span
     // join-back — without it the tokenize+hash explode recomputes
     // per consumer (the plan showed the corpus scanned once per
-    // branch). 16-byte (key, pos, h) rows; at the 100 TB tier persist
-    // to disk or localCheckpoint instead.
+    // branch). 16-byte (key, pos, h) rows; spill-safe MEMORY_AND_DISK
+    // by default, callers at the 100 TB tier pass DISK_ONLY.
     val windows = base.select(col(keyCol),
         explode(transform(shinglePositions(col("toks"), k),
           i => struct(i.as("pos"),
             xxhash64(shingleAt(col("toks"), i, k)).as("h")))).as("w"))
       .select(col(keyCol), col("w.pos").as("pos"), col("w.h").as("h"))
-      .cache()
+      .persist(storage)
     val repeated = windows.groupBy(col("h"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("h"))
     val spans = windows.join(repeated, Seq("h"))

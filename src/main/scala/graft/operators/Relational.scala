@@ -507,9 +507,18 @@ object Relational {
     require(p > 0 && p <= 1, s"p=$p outside (0, 1]")
     val part = Window.partitionBy(groupCols.map(col): _*)
     val w = part.orderBy(col(scoreCol).desc, col(tieBreakCol))
-    val cum = sum(col(scoreCol))
+    // enforce the documented non-negativity precondition (the
+    // require() discipline, but per-row): the guard sits INSIDE the
+    // window sums, so EVERY row's score passes through it — one
+    // negative mass anywhere corrupts the whole group's prefix, and
+    // raise_error names the culprit instead of silently returning an
+    // ill-defined row set
+    val guarded = when(col(scoreCol) < 0,
+      raise_error(concat(lit(s"topP: negative score in '$scoreCol': "),
+        col(scoreCol).cast("string")))).otherwise(col(scoreCol))
+    val cum = sum(guarded)
       .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    val tot = sum(col(scoreCol)).over(part)
+    val tot = sum(guarded).over(part)
     df.withColumn("share",
         col(scoreCol).cast("double") / tot.cast("double"))
       .withColumn("__before",

@@ -43,7 +43,10 @@ object Search {
     * a parallel double sum would be neither. Rounded to 6 decimals
     * (the cosine rule) to absorb log's last-ulp divergence. */
   def bigramCrossEntropy(docs: DataFrame, keyCol: String,
-                         textCol: String): DataFrame = {
+                         textCol: String,
+                         storage: org.apache.spark.storage.StorageLevel =
+                           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                         : DataFrame = {
     val bi = docs
       .select(col(keyCol),
         explode(graft.functions.TextFunctions.wordBigrams(col(textCol)))
@@ -53,12 +56,12 @@ object Search {
         substring_index(col("b"), " ", -1).as("w2"))
     // per-doc distinct (w1, w2, multiplicity): the corpus explode runs
     // ONCE — the LM counts are derived from these multiplicities, not
-    // from a second pass over the corpus. Cached because it feeds both
-    // the LM build and the scoring join (at the 100 TB tier, swap the
-    // cache for a localCheckpoint or persist-to-disk of this
-    // docs × distinct-bigrams frame).
+    // from a second pass over the corpus. Persisted (spill-safe
+    // MEMORY_AND_DISK by default; callers at the 100 TB tier can pass
+    // DISK_ONLY or localCheckpoint upstream) because it feeds both
+    // the LM build and the scoring join.
     val docBi = bi.groupBy(col(keyCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("m")).cache()
+      .agg(count(lit(1)).as("m")).persist(storage)
     val cnt = docBi.groupBy(col("w1"), col("w2"))
       .agg(sum(col("m")).as("c"))
     val tot = cnt.groupBy(col("w1")).agg(sum(col("c")).as("tot"))

@@ -35,6 +35,23 @@ object VideoHeaders extends Serializable {
     b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
       b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
 
+  /** Box size + header length at `i` within `[i, end)`, honoring the
+    * `size==1` 64-bit largesize and `size==0` to-end-of-enclosure
+    * forms at EVERY nesting level (to-end resolves against the
+    * enclosing box's end, which is what the spec means by "to the end
+    * of the file" for top-level boxes). Packs `(size << 8) | hdr`;
+    * -1 when malformed. The `i + size > end` bound runs before
+    * packing, so size < 2^31 and the shift cannot overflow. */
+  private def boxSize(b: Array[Byte], i: Int, end: Int): Long = {
+    var size = be32(b, i); var hdr = 8L
+    if (size == 1) {
+      if (i + 16 > end) return -1L
+      size = be64(b, i + 8); hdr = 16L
+    } else if (size == 0) size = (end - i).toLong
+    if (size < hdr || size > end - i) return -1L
+    (size << 8) | hdr
+  }
+
   /** Null on anything unrecognized/truncated. */
   def parse(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 16) return null
@@ -45,49 +62,52 @@ object VideoHeaders extends Serializable {
     var nTracks = 0; var width = -1; var height = -1
     var i = 0
     while (i + 8 <= b.length) {
-      var size = be32(b, i); var hdr = 8
-      if (size == 1) {
-        if (i + 16 > b.length) return null
-        size = be64(b, i + 8); hdr = 16
-      } else if (size == 0) size = b.length - i
-      if (size < hdr || i + size > b.length) return null
+      val packed = boxSize(b, i, b.length)
+      if (packed < 0) return null
+      val size = (packed >>> 8).toInt; val hdr = (packed & 0xff).toInt
       if (isType(b, i + 4, "moov")) {
         var j = i + hdr
-        val end = i + size.toInt
+        val end = i + size
         while (j + 8 <= end) {
-          val csize = be32(b, j)
-          if (csize < 8 || j + csize > end) return null
-          if (isType(b, j + 4, "mvhd") && j + 8 + 4 <= end) {
-            val v = b(j + 8) & 0xff
-            if (v == 0 && j + 28 <= end) {
-              timescale = be32(b, j + 20); duration = be32(b, j + 24)
-            } else if (v == 1 && j + 40 <= end) {
-              timescale = be32(b, j + 28); duration = be64(b, j + 32)
+          val cpacked = boxSize(b, j, end)
+          if (cpacked < 0) return null
+          val csize = (cpacked >>> 8).toInt; val chdr = (cpacked & 0xff).toInt
+          val p = j + chdr // payload base — correct for largesize too
+          if (isType(b, j + 4, "mvhd") && p + 4 <= end) {
+            val v = b(p) & 0xff
+            if (v == 0 && p + 20 <= end) {
+              timescale = be32(b, p + 12); duration = be32(b, p + 16)
+            } else if (v == 1 && p + 32 <= end) {
+              timescale = be32(b, p + 20); duration = be64(b, p + 24)
             } else return null
           } else if (isType(b, j + 4, "trak")) {
             nTracks += 1
             if (width < 0) {
               // child walk to tkhd for the first track's dimensions
-              var k = j + 8
-              val tend = j + csize.toInt
+              var k = p
+              val tend = j + csize
               while (k + 8 <= tend) {
-                val tsize = be32(b, k)
-                if (tsize < 8 || k + tsize > tend) return null
+                val tpacked = boxSize(b, k, tend)
+                if (tpacked < 0) return null
+                val tsize = (tpacked >>> 8).toInt
+                val thdr = (tpacked & 0xff).toInt
                 if (isType(b, k + 4, "tkhd")) {
-                  val tv = b(k + 8) & 0xff
-                  val wOff = if (tv == 1) k + 96 else k + 84
+                  val tp = k + thdr
+                  if (tp >= tend) return null
+                  val tv = b(tp) & 0xff
+                  val wOff = if (tv == 1) tp + 88 else tp + 76
                   if (tv > 1 || wOff + 8 > tend) return null
                   width = (be32(b, wOff) >>> 16).toInt
                   height = (be32(b, wOff + 4) >>> 16).toInt
                 }
-                k += tsize.toInt
+                k += tsize
               }
             }
           }
-          j += csize.toInt
+          j += csize
         }
       }
-      i += size.toInt
+      i += size
     }
     if (timescale <= 0) return null
     new GenericInternalRow(Array[Any](UTF8String.fromString("mp4"),

@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  /** Scratch sink path for the roundtrip queries, keyed by the scale
+    * directory: two concurrent runs over different SFs (bench at sf0.1
+    * while verify dumps sf0.01) would interleave writes and reads on a
+    * fixed path and corrupt both. */
+  private def scratchPath(tag: String, sfDir: String): String =
+    s"/tmp/graft_${tag}_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
   /** q01: grouped rollup over the fact table — the canonical OHLCV-style
     * aggregation SURVEY §2.4 adds over the reference's ingest-grain
     * tables (reference stores, never aggregates: `weekly_dag.py` passim).
@@ -1064,7 +1071,7 @@ object RelationalQueries {
     import org.apache.spark.sql.types._
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority")
-    val path = "/tmp/graft_csv_q118"
+    val path = scratchPath("csv_q118", dir)
     Tables.orders(s, dir).select(cols.map(col): _*)
       .write.mode("overwrite").csv(path)
     val schema = StructType(Seq(
@@ -1100,7 +1107,7 @@ object RelationalQueries {
        |  CAST(MIN(l_orderkey) AS BIGINT) AS min_key
        |FROM lineitem WHERE l_returnflag = 'R'
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val path = "/tmp/graft_orc_q122"
+    val path = scratchPath("orc_q122", dir)
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_quantity"),
         col("l_returnflag"), col("l_linestatus"))
@@ -1293,7 +1300,7 @@ object RelationalQueries {
       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val path = "/tmp/graft_schema_q126"
+    val path = scratchPath("schema_q126", dir)
     docs.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$path/batch=1")

@@ -899,11 +899,18 @@ object TextQueries {
   /** q137: corpus card — the per-(lang, source) + rollup statistics a
     * dataset card publishes, in ONE scan: doc/token/char totals and
     * the short/long tails. Exact-int measures only, so the rollup is
-    * hash-stable; 'ALL' labels the rollup rows on both engines. */
+    * hash-stable. Rollup rows are labeled 'ALL' via GROUPING() — not
+    * by coalescing the key itself, which would conflate a rollup row
+    * with a genuine NULL data value and make duplicate ('ALL', x)
+    * keys possible; data NULLs print as 'NULL', keeping output keys
+    * unique by construction on both engines. */
   val q137CorpusCard: QuerySpec = QuerySpec(
     "q137_corpus_card",
-    """SELECT COALESCE(lang, 'ALL') AS lang,
-      |  COALESCE(source, 'ALL') AS source,
+    """SELECT
+      |  CASE WHEN GROUPING(lang) = 1 THEN 'ALL'
+      |       ELSE COALESCE(lang, 'NULL') END AS lang,
+      |  CASE WHEN GROUPING(source) = 1 THEN 'ALL'
+      |       ELSE COALESCE(source, 'NULL') END AS source,
       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -918,13 +925,18 @@ object TextQueries {
     Tables.documents(s, dir)
       .select(col("lang"), col("source"), tk.as("tk"), col("n_chars"))
       .rollup(col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(grouping(col("lang")).as("gl"),
+        grouping(col("source")).as("gs"),
+        count(lit(1)).as("n_docs"),
         sum(col("tk")).cast("long").as("total_tokens"),
         sum(col("n_chars")).cast("long").as("total_chars"),
         sum(when(col("tk") < 80, 1L).otherwise(0L)).as("n_short"),
         sum(when(col("tk") >= 120, 1L).otherwise(0L)).as("n_long"))
-      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
-        coalesce(col("source"), lit("ALL")).as("source"),
+      .select(
+        when(col("gl") === 1, lit("ALL"))
+          .otherwise(coalesce(col("lang"), lit("NULL"))).as("lang"),
+        when(col("gs") === 1, lit("ALL"))
+          .otherwise(coalesce(col("source"), lit("NULL"))).as("source"),
         col("n_docs"), col("total_tokens"), col("total_chars"),
         col("n_short"), col("n_long"))
       .orderBy(col("lang"), col("source"))
