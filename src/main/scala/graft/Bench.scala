@@ -50,6 +50,12 @@ object Bench {
       // ~4x when the registry grew caching queries that run earlier
       // in alphabetical order)
       spark.catalog.clearCache()
+      // localCheckpoint RDDs (the iterative operators' lineage
+      // truncation) are NOT catalog-cached — without this they pile
+      // up across the registry × passes and their blocks squeeze
+      // every later cache-heavy query
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>

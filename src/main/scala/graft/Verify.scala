@@ -32,6 +32,9 @@ object Verify {
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach {
       case (name, fn) =>
         spark.catalog.clearCache() // per-query caches don't accumulate
+        // localCheckpoint blocks aren't catalog-cached — drop them too
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

@@ -47,13 +47,19 @@ object Search {
                          storage: org.apache.spark.storage.StorageLevel =
                            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
                          : DataFrame = {
+    // bigrams explode as (w1, w2) STRUCTS straight from the token
+    // array — building "w1 w2" strings only to substring_index them
+    // back apart paid a concat + two scans per bigram for nothing
     val bi = docs
+      .select(col(keyCol), split(col(textCol), " ").as("__toks"))
       .select(col(keyCol),
-        explode(graft.functions.TextFunctions.wordBigrams(col(textCol)))
-          .as("b"))
-      .select(col(keyCol),
-        substring_index(col("b"), " ", 1).as("w1"),
-        substring_index(col("b"), " ", -1).as("w2"))
+        explode(when(size(col("__toks")) >= 2,
+          transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => struct(element_at(col("__toks"), i).as("w1"),
+              element_at(col("__toks"), i + lit(1)).as("w2"))))
+          .otherwise(array().cast(
+            "array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col(keyCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
     // per-doc distinct (w1, w2, multiplicity): the corpus explode runs
     // ONCE — the LM counts are derived from these multiplicities, not
     // from a second pass over the corpus. Persisted (spill-safe

@@ -867,18 +867,40 @@ object RelationalQueries {
     * engine (the oracle re-derives the same 200 in SQL). Plans as
     * TakeOrderedAndProject — per-partition top-k, k-row merge, never
     * a global sort. */
+  /** q96: BOTH reservoir tiers in one registered query (registry
+    * consolidation, round-5 brief item 3): the global 200-row draw
+    * (`Sampling.reservoirSample`) union the balanced 20-per-priority
+    * draw (`Sampling.reservoirPerGroup`), tagged by scope. Membership
+    * in each tier is a pure hash function of the keys, so the oracle
+    * replays both rankings exactly. */
   val q96ReservoirSample: QuerySpec = QuerySpec(
     "q96_reservoir_sample",
-    s"""WITH s AS (
+    s"""WITH g AS (
        |  SELECT o_orderkey, o_totalprice FROM orders
        |  ORDER BY ${graft.operators.Sampling.sqlReservoirOrder("o_orderkey")}
-       |  LIMIT 200)
-       |SELECT o_orderkey, o_totalprice FROM s
-       |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-    graft.operators.Sampling.reservoirSample(
-        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+       |  LIMIT 200),
+       |ranked AS (
+       |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY ${graft.operators.Sampling.sqlReservoirOrder(
+            "o_orderkey")}) AS rn
+       |  FROM orders)
+       |SELECT 'ALL' AS scope, o_orderkey, o_totalprice FROM g
+       |UNION ALL
+       |SELECT o_orderpriority AS scope, o_orderkey, o_totalprice
+       |FROM ranked WHERE rn <= 20
+       |ORDER BY scope, o_orderkey""".stripMargin) { (s, dir) =>
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val g = graft.operators.Sampling.reservoirSample(
+        base.select(col("o_orderkey"), col("o_totalprice")),
         "o_orderkey", k = 200)
-      .orderBy(col("o_orderkey"))
+      .select(lit("ALL").as("scope"), col("o_orderkey"), col("o_totalprice"))
+    val pg = graft.operators.Sampling.reservoirPerGroup(
+        base, Seq("o_orderpriority"), "o_orderkey", k = 20)
+      .select(col("o_orderpriority").as("scope"), col("o_orderkey"),
+        col("o_totalprice"))
+    g.unionByName(pg).orderBy(col("scope"), col("o_orderkey"))
   }
 
   /** q97: deterministic weighted sample without replacement
@@ -934,28 +956,6 @@ object RelationalQueries {
       .select(col("c_mktsegment").as("segment"), col("n_orders"),
         col("revenue"))
       .orderBy(col("segment"))
-  }
-
-  /** q104: per-group fixed-size sample (`Sampling.reservoirPerGroup`
-    * — the balanced per-class draw): exactly 20 orders per priority,
-    * membership a pure hash function of the keys; the oracle replays
-    * the same within-group ranking. */
-  val q104ReservoirPerGroup: QuerySpec = QuerySpec(
-    "q104_reservoir_per_group",
-    s"""WITH ranked AS (
-       |  SELECT o_orderkey, o_orderpriority, o_totalprice,
-       |    row_number() OVER (PARTITION BY o_orderpriority
-       |      ORDER BY ${graft.operators.Sampling.sqlReservoirOrder(
-            "o_orderkey")}) AS rn
-       |  FROM orders)
-       |SELECT o_orderkey, o_orderpriority, o_totalprice
-       |FROM ranked WHERE rn <= 20
-       |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-    graft.operators.Sampling.reservoirPerGroup(
-        Tables.orders(s, dir).select(col("o_orderkey"),
-          col("o_orderpriority"), col("o_totalprice")),
-        Seq("o_orderpriority"), "o_orderkey", k = 20)
-      .orderBy(col("o_orderkey"))
   }
 
   /** q110: per-group mean imputation (`Relational.imputeMean`):
@@ -1410,7 +1410,7 @@ object RelationalQueries {
     q78BucketedJoin, q79BloomSemiJoin, q81ZOrderedScan, q86Melt,
     q88IqrOutliers, q89TableChecksum, q90Resample, q91Zscore,
     q96ReservoirSample, q97WeightedSample, q98JoinDelta,
-    q100Histogram, q102DictEncode, q104ReservoirPerGroup, q110ImputeMean,
+    q100Histogram, q102DictEncode, q110ImputeMean,
     q118CsvRoundtrip, q122OrcRoundtrip, q123KmvRollup, q124PageRank,
     q125EpochShuffle, q126SchemaEvolution, q133SketchRetention)
 }

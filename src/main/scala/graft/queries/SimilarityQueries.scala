@@ -158,11 +158,14 @@ object SimilarityQueries {
 
   /** q52: IVF approximate top-k (clustering-flavored ANN scale path
     * next to q36's hyperplane LSH). Fully oracle-replayed: the seed
-    * centroids are the 16 lowest ids, both Lloyd's passes recompute
+    * centroids are the 16 lowest ids, the Lloyd's pass recomputes
     * means through exact DECIMAL(30,18) sums (order-insensitive, so
     * the refined centroid doubles are bit-equal cross-engine), and
     * every nearest-cell assignment is the rounded-cosine /
-    * cell-ascending rank both engines order identically. */
+    * cell-ascending rank both engines order identically. One
+    * refinement pass in the registered query (each extra pass is a
+    * full corpus × centroids rescan — SimilaritySpec covers deeper
+    * iteration counts). */
   val q52IvfTopK: QuerySpec = {
     // one Lloyd pass in SQL: assignment CTE against centroids `cin`,
     // decimal-mean CTE, refined centroids with empty-cell fallback
@@ -195,21 +198,20 @@ object SimilarityQueries {
         |  FROM embeddings),
         |seed AS (SELECT id AS cell, dv AS cv FROM vecs ORDER BY id LIMIT 16),
         |${lloydSql(1, "seed")},
-        |${lloydSql(2, "c1")},
         |cc AS (
         |  SELECT id, cell FROM (
         |    SELECT v.id, c.cell,
         |      row_number() OVER (PARTITION BY v.id
         |        ORDER BY round(list_cosine_similarity(v.dv, c.cv), 6) DESC,
         |          c.cell) AS rn
-        |    FROM vecs v CROSS JOIN c2 c) WHERE rn = 1),
+        |    FROM vecs v CROSS JOIN c1 c) WHERE rn = 1),
         |qc AS (
         |  SELECT id, cell FROM (
         |    SELECT v.id, c.cell,
         |      row_number() OVER (PARTITION BY v.id
         |        ORDER BY round(list_cosine_similarity(v.dv, c.cv), 6) DESC,
         |          c.cell) AS rn
-        |    FROM vecs v CROSS JOIN c2 c WHERE v.id < 16) WHERE rn <= 3),
+        |    FROM vecs v CROSS JOIN c1 c WHERE v.id < 16) WHERE rn <= 3),
         |cand AS (
         |  SELECT DISTINCT q.id AS q_id, c.id AS c_id,
         |    round(list_cosine_similarity(qv.dv, cv2.dv), 6) AS sim
@@ -226,7 +228,7 @@ object SimilarityQueries {
       val queries = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-      Similarity.ivfTopK(queries, corpus, k = 5)
+      Similarity.ivfTopK(queries, corpus, k = 5, kmeansIters = 1)
         .orderBy(col("q_id"), col("sim").desc, col("c_id"))
     }
   }

@@ -11,6 +11,22 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** Corpus-wide (w1, w2) bigram pairs, exploded as structs straight
+    * from the token array — no "w1 w2" string concat + substring_index
+    * round-trip per bigram (shared by q119/q131; Search.bigramCross-
+    * Entropy carries the same shape with the doc key). */
+  private def bigramPairs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(split(col("text"), " ").as("__toks"))
+      .select(explode(when(size(col("__toks")) >= 2,
+        transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => struct(element_at(col("__toks"), i).as("w1"),
+            element_at(col("__toks"), i + lit(1)).as("w2"))))
+        .otherwise(array().cast(
+          "array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+
   private def sqlQuote(s: String) = s"'${s.replace("'", "''")}'"
 
   /** DuckDB: token count as BIGINT. */
@@ -744,10 +760,7 @@ object TextQueries {
       |FROM ranked r JOIN tot t USING (w1) WHERE rn = 1
       |ORDER BY w1""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val pairs = Tables.documents(s, dir)
-      .select(explode(TextFunctions.wordBigrams(col("text"))).as("b"))
-      .select(substring_index(col("b"), " ", 1).as("w1"),
-        substring_index(col("b"), " ", -1).as("w2"))
+    val pairs = bigramPairs(Tables.documents(s, dir))
     // vocabulary²-sized — cache it so the corpus explode+aggregate
     // feeds both the ranking and the totals once
     val cnt = pairs.groupBy(col("w1"), col("w2"))
@@ -837,10 +850,7 @@ object TextQueries {
       |FROM cnt JOIN c1 USING (w1) JOIN c2 USING (w2)
       |WHERE c >= 5
       |ORDER BY pmi DESC, w1, w2 LIMIT 40""".stripMargin) { (s, dir) =>
-    val bi = Tables.documents(s, dir)
-      .select(explode(TextFunctions.wordBigrams(col("text"))).as("b"))
-      .select(substring_index(col("b"), " ", 1).as("w1"),
-        substring_index(col("b"), " ", -1).as("w2"))
+    val bi = bigramPairs(Tables.documents(s, dir))
       .cache() // four consumers below; bigram-explode runs once
     val cnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
     val nb = bi.agg(count(lit(1)).cast("double").as("nb"))
