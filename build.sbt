@@ -35,4 +35,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // whole-stage codegen emits fresh classes per query; a full registry
+  // run (133 queries x 3 passes) saturates the 240m JDK-17 default and
+  // silently disables the JIT for late-alphabet queries — q32/q33 ran
+  // ~40% slower in-pool than isolated until this was raised
+  "-XX:ReservedCodeCacheSize=512m",
 )
