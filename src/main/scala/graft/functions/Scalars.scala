@@ -51,9 +51,12 @@ object Scalars {
     * — unlike xxhash64, which exists only in Spark. 15 hex chars = 60
     * bits keeps the value positive and overflow-free under ANSI.
     * Non-string inputs are cast to string first so both engines hash
-    * the same rendered text. */
+    * the same rendered text. Computed by the fused codegen expression
+    * [[graft.plans.PortableHash64]] — bit-identical to the composed
+    * conv(substring(md5(…),1,15),16,10) chain (ScalarsSpec pins it)
+    * without the per-call hex-string round trip. */
   def portableHash64(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.plans.PortableHash64(c.cast("string"))
 
   /** DuckDB spelling of portableHash64 (hex-literal string cast). */
   def sqlPortableHash64(e: String): String =

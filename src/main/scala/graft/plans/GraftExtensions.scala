@@ -102,10 +102,10 @@ object GraftExtensions {
 
   /** Catalyst tree of `Scalars.portableHash64` (same semantics; the
     * Column form stays the library API, this one feeds the SQL
-    * registry). */
+    * registry). Rides the fused codegen expression — bit-identical
+    * to the conv(substring(md5…)) chain it replaced. */
   def portableHash64Expr(child: Expression): Expression =
-    Cast(Conv(Substring(Md5(Cast(child, StringType)),
-      Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+    PortableHash64(Cast(child, StringType))
 
   /** Catalyst tree of `Scalars.parseHumanNumber`. */
   def parseHumanNumberExpr(child: Expression): Expression = {

@@ -238,4 +238,31 @@ class ScalarsSpec extends SparkSpecBase {
     }
     assert(run("CODEGEN_ONLY").sameElements(run("NO_CODEGEN")))
   }
+
+  test("fused portable_hash64 is bit-identical to the composed md5 chain") {
+    // every oracle replays CAST('0x'||substr(md5(x),1,15) AS BIGINT) —
+    // the fused expression must match the conv(substring(md5)) spelling
+    // on arbitrary inputs, including empty, unicode, and long strings
+    val rng = new scala.util.Random(7L)
+    val samples = Seq("", " ", "a", "é café naïve", "0", "-17",
+      "1997-06-30", "x" * 5000) ++
+      Seq.fill(200)(rng.alphanumeric.take(rng.nextInt(40) + 1).mkString) ++
+      Seq.fill(50)(rng.nextLong().toString)
+    val df = samples.toDF("s")
+    val both = df.select(
+        Scalars.portableHash64(col("s")).as("fused"),
+        conv(substring(md5(col("s").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("composed"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"mismatch: fused=${r.getLong(0)} composed=${r.getLong(1)}"))
+    // and identical interpreted vs codegen'd
+    def run(mode: String): Array[Long] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(Scalars.portableHash64(col("s"))).collect()
+        .map(_.getLong(0))
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(run("CODEGEN_ONLY").sameElements(run("NO_CODEGEN")))
+  }
 }
