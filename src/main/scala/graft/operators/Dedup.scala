@@ -515,29 +515,22 @@ object Dedup {
   /** SimHash signature (tier 4): 60-bit bit-vote over token hashes
     * (multiplicity-weighted — no distinct, repeated tokens vote
     * repeatedly, the classic Charikar weighting by term frequency).
-    * Rides [[Scalars.portableHash64]] so DuckDB replays the signature
-    * exactly.
+    * Rides the portable md5-derived hash so DuckDB replays the
+    * signature exactly.
     *
-    * One groupBy with 60 conditional sums (map-side combined), then
-    * bit assembly. (A per-row array-fold projection would avoid the
-    * shuffle entirely, but Spark's higher-order array functions are
-    * CodegenFallback — measured 2x slower than the codegen'd wide
-    * aggregate.) */
+    * Computed by the fused codegen expression
+    * [[graft.plans.SimHash60]] — one pass per document, NO token
+    * explode and NO shuffle (the explode + 60-sum-aggregate spelling
+    * shuffled every token row to compute per-document arithmetic; a
+    * higher-order array-fold projection was no better because HOFs
+    * are CodegenFallback). DedupSpec pins the expression against the
+    * aggregate formulation bit for bit. Null-text rows produce no
+    * signature (the explode spelling's semantics). */
   def simhashSignature(df: DataFrame, keyCol: String,
-                       textCol: String): DataFrame = {
-    val tok = df.select(col(keyCol),
-      explode(split(col(textCol), " ")).as("token"))
-      .withColumn("th", Scalars.portableHash64(col("token")))
-    val votes = tok.groupBy(col(keyCol)).agg(
-      sum(when(col("th").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("v0"),
-      (1 until SimhashBits).map(k =>
-        sum(when(shiftright(col("th"), k).bitwiseAND(lit(1L)) =!= 0, 1)
-          .otherwise(-1)).as(s"v$k")): _*)
-    val bits = (0 until SimhashBits).map(k =>
-      when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
-    votes.select(col(keyCol),
-      bits.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
-  }
+                       textCol: String): DataFrame =
+    df.select(col(keyCol),
+        graft.plans.SimHash60(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Exact repeated-span detection (substring-level dedup, the Lee et
     * al. 2022 "Deduplicating Training Data" granularity): any k-token

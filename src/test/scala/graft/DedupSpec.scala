@@ -16,6 +16,38 @@ class DedupSpec extends SparkSpecBase {
     d.unionByName(nearDup).cache()
   }
 
+  test("fused SimHash60 matches the explode+aggregate bit-vote exactly") {
+    import spark.implicits._
+    import graft.functions.Scalars
+    // edge cases the byte-walk tokenizer must reproduce from
+    // split(text, " "): empty text (one empty token), consecutive /
+    // leading / trailing spaces (empty tokens preserved), unicode,
+    // repeated tokens (multiplicity-weighted votes)
+    val docs = (Seq("", "a", "a a a b", "x  y", " lead", "trail ",
+      "é café naïve", "the quick brown fox the quick") ++
+      corpus.select("text").as[String].collect().take(40))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fused = docs.select(col("doc_id"),
+        graft.plans.SimHash60(col("text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+      .withColumn("th", Scalars.portableHash64(col("token")))
+    val votes = tok.groupBy(col("doc_id")).agg(
+      sum(when(col("th").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("v0"),
+      (1 until Dedup.SimhashBits).map(k =>
+        sum(when(shiftright(col("th"), k).bitwiseAND(lit(1L)) =!= 0, 1)
+          .otherwise(-1)).as(s"v$k")): _*)
+    val bits = (0 until Dedup.SimhashBits).map(k =>
+      when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+    val agg = votes.select(col("doc_id"),
+        bits.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == agg,
+      "fused expression diverged from the aggregate formulation")
+  }
+
   test("minhash LSH recalls high-Jaccard pairs") {
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
