@@ -220,12 +220,32 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, keyCol: String, textCol: String,
                           k: Int = 3, numHashes: Int = 64, bands: Int = 16,
                           threshold: Double = 0.5): DataFrame = {
+    // signature + distinct-shingle count per document from the FUSED
+    // codegen expression (graft.plans.MinHashSigExpr): one pass per
+    // doc, no shingle explode and no 64-wide aggregate on this path —
+    // bit-identical to the exploded formulation (DedupSpec pins it),
+    // so the oracle replay is unchanged. |keys| × (numHashes+1)
+    // values, cached for the band explode and the n_sh lookups.
+    // NO isNotNull filter on the computed column: the predicate would
+    // be pushed below the projection with the whole expression
+    // substituted in (the prefixJaccardPairs lesson — 2x evaluation).
+    // Shingle-less documents surface as all-NULL signature rows, which
+    // are inert: a NULL band bucket never equi-joins and they are
+    // never candidates, so they cost a few cached bytes and nothing
+    // else.
+    val sigRow = df
+      .select(col(keyCol),
+        graft.plans.MinHashSigExpr(col(textCol), k, numHashes).as("ms"))
+      .select(col(keyCol) +:
+        (0 until numHashes).map(i =>
+          element_at(col("ms.sig"), i + 1).as(s"h$i")) :+
+        col("ms.n_sh").as("n_sh"): _*)
+      .cache()
+    val cand = lshCandidatePairs(sigRow, keyCol, bands, numHashes / bands)
+    val counts = sigRow.select(col(keyCol), col("n_sh"))
+    // the exploded shingle frame remains for the verify join only —
+    // set intersection genuinely needs the rows
     val sh = portableShingleHashes(df, keyCol, textCol, k).cache()
-    // |keys| × (numHashes+1) longs — cached because both the band
-    // explode and the n_sh lookups read it
-    val sig = minhashSignature(sh, keyCol, numHashes).cache()
-    val cand = lshCandidatePairs(sig, keyCol, bands, numHashes / bands)
-    val counts = sig.select(col(keyCol), col("n_sh"))
     // intersection size via equi-join on (b, shingle): the a-side
     // expansion is |cand|·|shingles(a)| rows, and the b-side probe is a
     // hash join on the composite key — never a pairwise shingle×shingle

@@ -52,6 +52,39 @@ object Profile {
         plan32.linesIterator.count(_.trim.contains("Exchange hashpartitioning")))
       spark.stop(); return
     }
+    if (sys.env.contains("GRAFT_PROFILE_Q93")) {
+      import graft.operators.{Chunking, Dedup, Sampling}
+      import graft.functions.TextFunctions
+      import org.apache.spark.sql.expressions.Window
+      (1 to 2).foreach { p =>
+        println(s"--- q93 pass $p ---")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val gated = docs
+          .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+          .select(col("doc_id"), col("text"))
+        time("gate")(gated.count())
+        val exact = gated
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1).drop("rn")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        time("exact dedup + persist")(exact.count())
+        val pairs = Dedup.prefixJaccardPairs(
+          exact.filter(size(split(col("text"), " ")) >= 3),
+          "doc_id", "text", threshold = 0.5, shingleK = 3)
+        time("prefix pairs")(pairs.count())
+        val surv = Dedup.dedupApply(exact, "doc_id", pairs, "a", "b")
+        time("dedupApply (CC + anti)")(surv.count())
+        val chunks = Chunking.chunkTokenWindows(surv, "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        time("chunking")(chunks.count())
+        time("full + split")(Sampling.hashSplit(chunks, "doc_id", "split",
+          trainPermille = 800, valPermille = 100).count())
+      }
+      spark.stop(); return
+    }
     val all5 = d.unionByName(d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))).cache()

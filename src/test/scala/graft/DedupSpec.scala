@@ -48,6 +48,30 @@ class DedupSpec extends SparkSpecBase {
       "fused expression diverged from the aggregate formulation")
   }
 
+  test("fused MinHashSig matches the exploded signature + counts exactly") {
+    import spark.implicits._
+    val docs = (Seq("", "a", "a b", "a b c", "a b c d", "x  y z w",
+      " lead tok here", "é café naïve tokens",
+      "the quick brown fox the quick brown fox") ++
+      corpus.select("text").as[String].collect().take(40))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fused = docs.select(col("doc_id"),
+        graft.plans.MinHashSigExpr(col("text"), 3, 64).as("ms"))
+      .select(col("doc_id"), col("ms.sig"), col("ms.n_sh"))
+      .collect()
+      .flatMap(r => if (r.isNullAt(1)) None
+        else Some(r.getLong(0) -> (r.getSeq[Long](1), r.getInt(2))))
+      .toMap
+    val sh = Dedup.portableShingleHashes(docs, "doc_id", "text", 3)
+    val agg = Dedup.minhashSignature(sh, "doc_id", 64).collect()
+      .map(r => r.getLong(0) ->
+        (((1 to 64).map(i => r.getLong(i))): Seq[Long], r.getLong(65).toInt))
+      .toMap
+    assert(fused == agg,
+      "fused MinHash signature diverged from the exploded formulation")
+  }
+
   test("minhash LSH recalls high-Jaccard pairs") {
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
