@@ -148,4 +148,29 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(exchanges <= 3,
       s"q134 grew to $exchanges exchanges:\n$plan")
   }
+
+  test("fused signature paths are shuffle-free projections") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    // SimHash signature: one pass per row — any Exchange means the
+    // explode+aggregate spelling crept back
+    val simPlan = graft.operators.Dedup
+      .simhashSignature(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!simPlan.contains("Exchange"),
+      s"simhashSignature plans a shuffle:\n$simPlan")
+    // MinHash signature projection: the fused expression must appear
+    // exactly once — a pushed filter or collapsed projection that
+    // re-evaluates it would show two (the prefixJaccard lesson)
+    val sigPlan = docs
+      .select(col("doc_id"),
+        graft.plans.MinHashSigExpr(col("text"), 3, 64).as("ms"))
+      .select(col("doc_id"), col("ms.sig"), col("ms.n_sh"))
+      .queryExecution.executedPlan.toString
+    assert(!sigPlan.contains("Exchange"),
+      s"MinHash signature projection plans a shuffle:\n$sigPlan")
+    assert("minhash_sig\\(".r.findAllIn(sigPlan).length <= 1,
+      s"MinHashSigExpr evaluated more than once per row:\n$sigPlan")
+  }
 }
