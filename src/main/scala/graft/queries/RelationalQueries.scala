@@ -1182,26 +1182,30 @@ object RelationalQueries {
 
   /** q124: 3-iteration PageRank over the customer–supplier trade graph
     * (who supplies whom, symmetrized so the walk is undirected and no
-    * node dangles). The oracle replays ALL THREE iterations exactly —
-    * possible only because every inbound sum folds a sorted
-    * (src, contribution) array (see Graph.pageRank's reproducibility
-    * contract), so ranks are bit-identical cross-engine and round-6
-    * output hashes match. Division mirrors op-for-op: 1/N and
-    * (1−d)/N are computed, not precomputed literals, on both sides. */
+    * node dangles). The registered query runs the PRODUCTION decimal
+    * mode (Graph.pageRank exactDecimalSum=true): contributions
+    * quantize to 1e-15 units and sum as exact DECIMAL(38,0) — an
+    * order-insensitive sum BOTH engines reproduce bit-for-bit (round
+    * half-up ≡ round-away-from-zero on positives, integral doubles
+    * < 2^53 cast exactly), so the oracle replays all three iterations
+    * with plain SUMs and round-6 output hashes match. The sorted-fold
+    * mode remains cross-checked against this one in GraphSpec.
+    * Division mirrors op-for-op: 1/N and (1−d)/N are computed, not
+    * precomputed literals, on both sides. */
   val q124PageRank: QuerySpec = {
     val iters = 3
     def iterCte(i: Int): String =
       s"""c$i AS (
          |  SELECT e.dst AS node,
-         |    {'s': e.src, 'c': r${i - 1}.rank / e.outdeg} AS e
+         |    CAST(round(r${i - 1}.rank / e.outdeg * 1e15) AS DECIMAL(38,0))
+         |      AS ci
          |  FROM eo e JOIN r${i - 1} ON e.src = r${i - 1}.node),
          |a$i AS (
-         |  SELECT node, list_sort(list(e)) AS es FROM c$i GROUP BY node),
+         |  SELECT node, SUM(ci) AS si FROM c$i GROUP BY node),
          |r$i AS (
          |  SELECT nd.node, COALESCE(
          |    (CAST(1 AS DOUBLE) - 0.85) / (SELECT nn FROM nv)
-         |      + 0.85 * list_reduce(list_prepend(0.0,
-         |          list_transform(a$i.es, x -> x.c)), (acc, x) -> acc + x),
+         |      + 0.85 * (CAST(a$i.si AS DOUBLE) / 1e15),
          |    (CAST(1 AS DOUBLE) - 0.85) / (SELECT nn FROM nv)) AS rank
          |  FROM nodes nd LEFT JOIN a$i USING (node))""".stripMargin
     QuerySpec(
@@ -1231,7 +1235,8 @@ object RelationalQueries {
         .distinct()
       val edges = raw.select(col("s").as("src"), col("c").as("dst"))
         .unionByName(raw.select(col("c").as("src"), col("s").as("dst")))
-      graft.operators.Graph.pageRank(edges, "src", "dst", iters)
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters,
+          exactDecimalSum = true)
         .select(col("node"), round(col("rank"), 6).as("pr"))
         .orderBy(col("pr").desc, col("node"))
     }
