@@ -623,9 +623,105 @@ object DedupQueries {
       .orderBy(col("split"))
   }
 
+  /** q139: incremental near-dup dedup against a STORED signature index
+    * (★ the nightly-ingest posture): a new batch (every 7th document,
+    * first token dropped, re-keyed) probes the corpus's persisted
+    * band-bucket index and shingle store — the store side is never
+    * re-signed; only the batch computes signatures (the fused
+    * MinHashSigExpr, one pass over the batch). Output: per flagged
+    * batch doc its best store match, the verified Jaccard, and the
+    * match count; unmatched batch docs are admitted (absent). The
+    * oracle replays both sides' portable arithmetic exactly, like
+    * q32. */
+  val q139IncrementalDedup: QuerySpec = {
+    val P = Dedup.MinhashP
+    val C = Dedup.HornerC
+    val nH = 64
+    val bands = 16
+    val rows = nH / bands
+    val cs = Dedup.minhashCoeffs(nH)
+    def minCols(shCte: String) = cs.zipWithIndex.map { case ((a, b), i) =>
+      s"min((sh * $a + $b) % $P) AS h$i"
+    }.mkString(",\n      |    ")
+    def bandSelects(sigCte: String) = (0 until bands).map { bnd =>
+      val bucket = (bnd * rows until (bnd + 1) * rows).map(i => s"h$i")
+        .reduceLeft((acc, h) => s"(($acc) * $C + $h) % $P")
+      s"SELECT doc_id, $bnd AS band, $bucket AS bucket FROM $sigCte"
+    }.mkString("\n      |  UNION ALL ")
+    def shingleCtes(tag: String, src: String) =
+      s"""${tag}th AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |    t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $P) AS ths
+        |  FROM $src),
+        |${tag}sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(ths) - 1),
+        |      i -> (((ths[i] * $C + ths[i+1]) % $P) * $C + ths[i+2]) % $P))
+        |      AS sh
+        |  FROM ${tag}th WHERE len(ths) >= 3),
+        |${tag}sig AS (
+        |  SELECT doc_id,
+        |    ${minCols(tag + "sh")}
+        |  FROM ${tag}sh GROUP BY doc_id),
+        |${tag}bands AS (
+        |  ${bandSelects(tag + "sig")})"""
+    QuerySpec(
+      "q139_incremental_dedup",
+      s"""WITH store AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    substr(text, strpos(text, ' ') + 1) AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |${shingleCtes("s", "store")},
+        |${shingleCtes("b", "batch")},
+        |cand AS (
+        |  SELECT DISTINCT bb.doc_id AS b, sb.doc_id AS s
+        |  FROM bbands bb JOIN sbands sb
+        |    ON bb.band = sb.band AND bb.bucket = sb.bucket),
+        |bcnt AS (SELECT doc_id, COUNT(*) AS n_b FROM bsh GROUP BY doc_id),
+        |scnt AS (SELECT doc_id, COUNT(*) AS n_s FROM ssh GROUP BY doc_id),
+        |common AS (
+        |  SELECT c.b, c.s, COUNT(*) AS n_common
+        |  FROM cand c
+        |  JOIN bsh x ON x.doc_id = c.b
+        |  JOIN ssh y ON y.doc_id = c.s AND y.sh = x.sh
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT b, s,
+        |    CAST(n_common AS DOUBLE)
+        |      / CAST(cb.n_b + cs2.n_s - n_common AS DOUBLE) AS jaccard
+        |  FROM common
+        |  JOIN bcnt cb ON cb.doc_id = b
+        |  JOIN scnt cs2 ON cs2.doc_id = s
+        |  WHERE CAST(n_common AS DOUBLE)
+        |    / CAST(cb.n_b + cs2.n_s - n_common AS DOUBLE) >= 0.5),
+        |ranked AS (
+        |  SELECT b, s, jaccard,
+        |    CAST(COUNT(*) OVER (PARTITION BY b) AS BIGINT) AS n_matches,
+        |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY jaccard DESC, s) AS rn
+        |  FROM pairs)
+        |SELECT b, s AS best_match, jaccard, n_matches
+        |FROM ranked WHERE rn = 1 ORDER BY b""".stripMargin) { (s, dir) =>
+      val store = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = store.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      // persisted-artifact stand-ins, built inline for the one-shot
+      // driver statement (a real pipeline reads these from storage)
+      val storeBuckets = Dedup.minhashBandBuckets(store, "doc_id", "text",
+        k = 3, numHashes = nH, bands = bands)
+      val storeShingles = Dedup.portableShingleHashes(store, "doc_id",
+        "text", k = 3)
+      Dedup.minhashNearDupAgainstStore(batch, "doc_id", "text",
+          storeBuckets, storeShingles,
+          k = 3, numHashes = nH, bands = bands, threshold = 0.5)
+        .orderBy(col("b"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash,
     q66MllibMinhash, q75DedupClusters, q77DedupApply,
     q94PrefixJaccard, q95EditDistance, q111Decontaminate,
-    q120RepeatedSpans, q138LeakageSafeSplit)
+    q120RepeatedSpans, q138LeakageSafeSplit, q139IncrementalDedup)
 }

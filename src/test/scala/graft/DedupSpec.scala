@@ -72,6 +72,36 @@ class DedupSpec extends SparkSpecBase {
       "fused MinHash signature diverged from the exploded formulation")
   }
 
+  test("incremental dedup flags near-dups of the store, admits novel docs") {
+    import spark.implicits._
+    val store = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 100)
+    val storeBuckets = Dedup.minhashBandBuckets(store, "doc_id", "text")
+    val storeShingles = Dedup.portableShingleHashes(store, "doc_id", "text")
+    // batch: near-dups of store docs 0/4/8 (first token dropped) plus
+    // two genuinely novel documents
+    val nearDup = store.filter(col("doc_id") % 4 === 0)
+      .filter(col("doc_id") < 12)
+      .select((col("doc_id") + 5000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val novel = Seq(
+      (9001L, "zebra quark lantern voyage ember crystal meadow pylon"),
+      (9002L, "orbit saffron glacier mosaic thunder velvet prism dune"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashNearDupAgainstStore(
+        nearDup.unionByName(novel), "doc_id", "text",
+        storeBuckets, storeShingles, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(5000L, 5004L, 5008L).subsetOf(out.keySet),
+      s"planted near-dups not all flagged: $out")
+    assert(!out.contains(9001L) && !out.contains(9002L),
+      s"novel docs wrongly flagged: $out")
+    // each planted doc's best match is its source
+    Seq(5000L -> 0L, 5004L -> 4L, 5008L -> 8L).foreach { case (b, s) =>
+      assert(out(b) == s, s"batch $b best match ${out(b)} != $s")
+    }
+  }
+
   test("minhash LSH recalls high-Jaccard pairs") {
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
