@@ -80,6 +80,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftExtensions.portableHash64Expr(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "simhash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash60 takes 1 argument")
+        SimHash60(org.apache.spark.sql.catalyst.expressions.Cast(
+          children.head, org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("approx_top_terms"),
       new ExpressionInfo(classOf[SpaceSavingAgg].getName, "approx_top_terms"),
       (children: Seq[Expression]) => {

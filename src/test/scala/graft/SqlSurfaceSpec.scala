@@ -90,6 +90,16 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(vid.getString(0) == "mp4" && vid.getString(1) == "isom" &&
       vid.getInt(2) == 600 && vid.getLong(3) == 3000L &&
       vid.getInt(4) == 0)
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash60",
+      exprs => graft.plans.SimHash60(exprs.head),
+      "scala_udf")
+    // the SQL surface must agree with the operator's Column path
+    val sqlSig = s2.sql("SELECT simhash60('the quick brown fox') AS v")
+      .head.getLong(0)
+    val colSig = Seq((1L, "the quick brown fox")).toDF("k", "text")
+      .select(graft.plans.SimHash60(col("text"))).head.getLong(0)
+    assert(sqlSig == colSig && sqlSig != 0L)
   }
 
   test("events view exposes micro-truncated timestamps") {
