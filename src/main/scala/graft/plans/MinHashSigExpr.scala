@@ -32,10 +32,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokens yield NULL (they have no shingles). */
 object MinHashSig extends Serializable {
 
-  private val md = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
+  // @transient: a ThreadLocal is not serializable, and this module
+  // rides the codegen references array into task closures — the lazy
+  // val re-initializes per JVM after deserialization on a real cluster
+  @transient private lazy val md =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
 
   private val coeffCache =
     new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()

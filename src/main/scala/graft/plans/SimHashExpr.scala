@@ -28,10 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SimHash extends Serializable {
 
-  private val md = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
+  // @transient: a ThreadLocal is not serializable, and this module
+  // rides the codegen references array into task closures — the lazy
+  // val re-initializes per JVM after deserialization on a real cluster
+  @transient private lazy val md =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
 
   def simhash60(s: UTF8String): Long = {
     val bytes = s.getBytes
