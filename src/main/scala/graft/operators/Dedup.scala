@@ -44,6 +44,14 @@ object Dedup {
     * Documents shorter than `k` tokens produce no shingles (matches
     * the oracle's `range(1, n-k+1)` semantics).
     *
+    * PRECONDITION: `keyCol` is unique per document. The per-row
+    * array_distinct dedups shingles WITHIN a row only — duplicate
+    * keys emit duplicated (key, shingle) rows, which inflate n_sh
+    * counts and Jaccard denominators downstream (ngramJaccardPairs,
+    * decontaminate). The old global post-explode `.distinct()`
+    * silently tolerated duplicate keys at the cost of a full-frame
+    * shuffle; this spelling trades that tolerance for zero exchanges.
+    *
     * Set semantics are PER DOCUMENT, so the dedup is an in-row
     * array_distinct before the explode — no exchange. (A global
     * `.distinct()` after the explode shuffles the whole shingle frame
@@ -133,7 +141,8 @@ object Dedup {
     * string building at all, and every value is exactly replayable by
     * the DuckDB oracle (`md5` + BIGINT arithmetic). Collisions in the
     * 31-bit space (~n²/2³²) are deterministic and mirrored by the
-    * oracle, so they cannot produce a mismatch. */
+    * oracle, so they cannot produce a mismatch. Same unique-`keyCol`
+    * precondition as [[shingles]] (set semantics are per row). */
   def portableShingleHashes(df: DataFrame, keyCol: String, textCol: String,
                             k: Int = 3): DataFrame = {
     val ths = transform(split(col(textCol), " "),
@@ -202,7 +211,8 @@ object Dedup {
     * everything downstream of shingling (signatures, banding, Jaccard
     * verification) only needs set identity, so the pipeline shuffles
     * 16-byte (key, long) rows instead of strings. Collisions
-    * (~n²/2⁶⁴) are deterministic and negligible. */
+    * (~n²/2⁶⁴) are deterministic and negligible. Same unique-`keyCol`
+    * precondition as [[shingles]] (set semantics are per row). */
   def shingleHashes(df: DataFrame, keyCol: String, textCol: String,
                     k: Int = 3): DataFrame =
     df.select(col(keyCol), split(col(textCol), " ").as("__toks"))
@@ -305,27 +315,150 @@ object Dedup {
     * — broadcastable), exact Jaccard verify on candidates only via
     * the stored shingle rows. Output: one row per matched batch doc
     * (batch key, best store match, its jaccard, candidate count) —
-    * batch docs matching nothing are absent, i.e. admitted. */
+    * batch docs matching nothing are absent, i.e. admitted.
+    *
+    * EAGER: the returned frame is materialized (localCheckpoint) so
+    * the internal batch-shingle cache can be dropped before returning
+    * — it's batch-bounded, and a gate decision is consumed
+    * immediately anyway. Prefer the [[MinhashStore]] overload, which
+    * reads the signing parameters from the index's own manifest. */
   def minhashNearDupAgainstStore(batch: DataFrame, keyCol: String,
                                  textCol: String, storeBuckets: DataFrame,
                                  storeShingles: DataFrame,
                                  k: Int = 3, numHashes: Int = 64,
                                  bands: Int = 16,
                                  threshold: Double = 0.5): DataFrame = {
+    val (flagged, bsh) = nearDupAgainstStorePlan(batch, keyCol, textCol,
+      storeBuckets, storeShingles, k, numHashes, bands, threshold)
+    // Materialize the (batch-bounded: ≤ one row per flagged batch doc)
+    // result eagerly, then drop the batch shingle cache — the
+    // Graph.pageRank discipline: no intermediate cache outlives the
+    // operator; only the returned frame's checkpoint blocks remain.
+    // Returning lazily instead would either leak the cache for the
+    // session's lifetime or recompute the batch shingles per consumer.
+    val out = flagged.localCheckpoint(true)
+    bsh.unpersist(blocking = true)
+    out
+  }
+
+  /** A persisted MinHash signature index as read back from disk: the
+    * band-bucket frame, the shingle frame, and the signing parameters
+    * recorded when the index was written. The parameters travel WITH
+    * the artifact because a probe signed differently (e.g. index at
+    * bands=16, probe at bands=8) yields zero candidates — every
+    * duplicate silently admitted, the worst failure mode a dedup gate
+    * has — so the store-typed `minhashNearDupAgainstStore` overload
+    * signs the batch with the index's own parameters and a mismatch
+    * cannot be expressed. */
+  final case class MinhashStore(buckets: DataFrame, shingles: DataFrame,
+                                keyCol: String, k: Int, numHashes: Int,
+                                bands: Int)
+
+  /** Write the persisted near-dup index for a corpus: three parquet
+    * datasets under `path` — `buckets` ([[minhashBandBuckets]]),
+    * `shingles` ([[portableShingleHashes]]), and a one-row `params`
+    * manifest (keyCol, k, numHashes, bands, plus the [[HornerC]] /
+    * [[MinhashP]] constants so a library whose arithmetic drifted
+    * refuses the index instead of mis-probing it). The corpus is
+    * signed ONCE, here; nightly batches probe and append without ever
+    * re-reading it. */
+  def writeMinhashStore(df: DataFrame, keyCol: String, textCol: String,
+                        path: String, k: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16): Unit = {
+    require(numHashes % bands == 0,
+      s"numHashes=$numHashes not divisible by bands=$bands")
+    minhashBandBuckets(df, keyCol, textCol, k, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    portableShingleHashes(df, keyCol, textCol, k)
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    df.sparkSession
+      .createDataFrame(Seq((keyCol, k, numHashes, bands, HornerC, MinhashP)))
+      .toDF("key_col", "k", "num_hashes", "bands", "horner_c", "minhash_p")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Read a [[writeMinhashStore]] index back, validating the manifest
+    * against this library's hash constants (see [[MinhashStore]] for
+    * why a silent mismatch is unacceptable). */
+  def readMinhashStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String): MinhashStore = {
+    val p = spark.read.parquet(s"$path/params").head()
+    val hc = p.getAs[Long]("horner_c")
+    val mp = p.getAs[Long]("minhash_p")
+    require(hc == HornerC && mp == MinhashP,
+      s"index at $path was signed with (horner_c=$hc, minhash_p=$mp) but " +
+        s"this library hashes with ($HornerC, $MinhashP) — a probe would " +
+        "find zero candidates and admit every duplicate; re-sign the corpus")
+    MinhashStore(
+      spark.read.parquet(s"$path/buckets"),
+      spark.read.parquet(s"$path/shingles"),
+      p.getAs[String]("key_col"), p.getAs[Int]("k"),
+      p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"))
+  }
+
+  /** Admit a batch into a persisted index: append its band buckets
+    * and shingles, signed with the INDEX's manifest parameters (read,
+    * not caller-supplied — the caller cannot introduce a mismatch).
+    * Call with the ADMITTED subset of a probed batch, i.e. the rows
+    * whose key is absent from the probe's flagged output. */
+  def appendToMinhashStore(batch: DataFrame, textCol: String,
+                           path: String): Unit = {
+    val st = readMinhashStore(batch.sparkSession, path)
+    minhashBandBuckets(batch, st.keyCol, textCol, st.k, st.numHashes,
+        st.bands)
+      .write.mode("append").parquet(s"$path/buckets")
+    portableShingleHashes(batch, st.keyCol, textCol, st.k)
+      .write.mode("append").parquet(s"$path/shingles")
+  }
+
+  /** Probe a [[readMinhashStore]] index: the store's own manifest
+    * supplies every signing parameter, so batch and index arithmetic
+    * agree by construction. Same output contract as the raw-frame
+    * overload. */
+  def minhashNearDupAgainstStore(batch: DataFrame, textCol: String,
+                                 store: MinhashStore,
+                                 threshold: Double): DataFrame =
+    minhashNearDupAgainstStore(batch, store.keyCol, textCol,
+      store.buckets, store.shingles, store.k, store.numHashes, store.bands,
+      threshold)
+
+  /** The LAZY probe plan behind [[minhashNearDupAgainstStore]], split
+    * out so PlanAuditSpec can pin its join shapes (the public operator
+    * checkpoints eagerly, which erases the plan). Returns the flagged
+    * frame plus the cached batch-shingle frame the caller must
+    * unpersist after materializing. */
+  private[graft] def nearDupAgainstStorePlan(
+      batch: DataFrame, keyCol: String, textCol: String,
+      storeBuckets: DataFrame, storeShingles: DataFrame,
+      k: Int, numHashes: Int, bands: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
+    // Every batch-derived side below carries an explicit broadcast
+    // hint: the batch is the nightly increment — orders of magnitude
+    // smaller than the store — and hinting it keeps the store side
+    // free of ANY shuffle (the bucket join probes store partitions in
+    // place; relying on AQE instead leaves the store's fate to a size
+    // estimate). A batch too large to broadcast should be split into
+    // sub-batches upstream, the natural unit of an ingest pipeline.
     val bb = minhashBandBuckets(batch, keyCol, textCol, k, numHashes, bands)
       .select(col(keyCol).as("b"), col("band"), col("bucket"))
     val sb = storeBuckets.select(col(keyCol).as("s"), col("band"),
       col("bucket"))
-    val cand = bb.join(sb, Seq("band", "bucket"))
+    val cand = broadcast(bb).join(sb, Seq("band", "bucket"))
       .select(col("b"), col("s")).distinct()
     val bsh = portableShingleHashes(batch, keyCol, textCol, k).cache()
     val bCounts = bsh.groupBy(col(keyCol)).agg(count(lit(1)).as("n_b"))
       .select(col(keyCol).as("b"), col("n_b"))
-    val sCounts = storeShingles.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n_s"))
+    // store-side set sizes are only consumed for CANDIDATE store docs:
+    // the broadcast semi-join keeps the groupBy (the store's only
+    // exchange otherwise) at candidate scale instead of corpus scale
+    val candKeys = cand.select(col("s")).distinct()
+    val sCounts = storeShingles
+      .join(broadcast(candKeys), storeShingles(keyCol) === candKeys("s"),
+        "left_semi")
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_s"))
       .select(col(keyCol).as("s"), col("n_s"))
-    val common = cand
-      .join(bsh.select(col(keyCol).as("b"), col("shingle")), Seq("b"))
+    val common = broadcast(cand
+        .join(bsh.select(col(keyCol).as("b"), col("shingle")), Seq("b")))
       .join(storeShingles.select(col(keyCol).as("s"), col("shingle")),
         Seq("s", "shingle"))
       .groupBy(col("b"), col("s")).agg(count(lit(1)).as("n_common"))
@@ -340,12 +473,13 @@ object Dedup {
     // deterministic one-row summary per flagged doc
     val w = Window.partitionBy(col("b"))
       .orderBy(col("jaccard").desc, col("s"))
-    pairs
+    val flagged = pairs
       .withColumn("n_matches", count(lit(1)).over(Window.partitionBy(col("b"))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("b"), col("s").as("best_match"), col("jaccard"),
         col("n_matches"))
+    (flagged, bsh)
   }
 
   /** Connected components over an undirected pair list — the step

@@ -82,6 +82,10 @@ object Graph {
     // just the raw edges
     val eo = e.join(outdeg, Seq("src")).cache()
     var rank = nodes.withColumn("rank", lit(1.0 / n.toDouble))
+    // the last checkpointed frame — tracked separately from `rank`
+    // (which at odd iterations is an intermediate plan built ON TOP of
+    // it) so the superseded checkpoint's blocks can be freed
+    var prevCkpt: Option[DataFrame] = None
     for (it <- 1 to iterations) {
       val joined = eo.join(rank, eo("src") === rank("node"))
       val summed =
@@ -117,14 +121,30 @@ object Graph {
           coalesce(col("rank"), lit(base)).as("rank"))
       if (it % 2 == 0 || it == iterations) {
         val next = step.localCheckpoint(true)
-        // `next` is materialized and self-contained — the previous
-        // checkpoint's blocks are unreachable now; drop them (a no-op
-        // when `rank` is an unpersisted intermediate plan)
-        rank.unpersist()
+        // `next` is materialized and self-contained — the PREVIOUS
+        // checkpoint's blocks (two rounds back) are unreachable now.
+        // Dropping them needs the RDD-level unpersist: localCheckpoint
+        // persistence lives on the internal RDD, which the
+        // CacheManager (Dataset.unpersist's path) does not track, and
+        // at odd iterations `rank` isn't even the checkpointed frame
+        // any more — so hold the checkpointed Dataset itself and free
+        // its LogicalRDD's blocks directly.
+        prevCkpt.foreach(d => checkpointRdd(d).foreach(_.unpersist(false)))
+        prevCkpt = Some(next)
         rank = next
       } else rank = step
     }
     e.unpersist(); eo.unpersist(); nodes.unpersist()
     rank
   }
+
+  /** The RDD a `localCheckpoint(true)`ed Dataset persisted: eager
+    * local checkpointing rewrites the plan to a [[LogicalRDD]] leaf
+    * wrapping the materialized internal RDD — that RDD (not any
+    * Dataset-level cache entry) is what holds the storage blocks. */
+  private def checkpointRdd(df: DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
 }

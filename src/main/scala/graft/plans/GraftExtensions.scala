@@ -84,8 +84,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(GraftExtensions.getClass.getName, "simhash60"),
       (children: Seq[Expression]) => {
         require(children.length == 1, "simhash60 takes 1 argument")
-        SimHash60(org.apache.spark.sql.catalyst.expressions.Cast(
-          children.head, org.apache.spark.sql.types.StringType))
+        GraftExtensions.simHash60Expr(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("approx_top_terms"),
@@ -114,6 +113,13 @@ object GraftExtensions {
     * to the conv(substring(md5…)) chain it replaced. */
   def portableHash64Expr(child: Expression): Expression =
     PortableHash64(Cast(child, StringType))
+
+  /** Catalyst tree of the SQL-surface `simhash60` — the SAME builder
+    * the extension injects, exposed so specs exercise the injected
+    * path (including the cast that lets non-string arguments hash by
+    * their string form) rather than a hand-rolled registration. */
+  def simHash60Expr(child: Expression): Expression =
+    SimHash60(Cast(child, StringType))
 
   /** Catalyst tree of `Scalars.parseHumanNumber`. */
   def parseHumanNumberExpr(child: Expression): Expression = {

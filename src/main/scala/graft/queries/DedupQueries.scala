@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
+  /** Scratch path for q139's persisted signature index, keyed by the
+    * scale directory — the RelationalQueries roundtrip-sink pattern:
+    * concurrent runs over different SFs must not share a store. */
+  private def scratchPath(tag: String, sfDir: String): String =
+    s"/tmp/graft_${tag}_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
   /** q30: exact dedup via content-hash groupBy (tier 1). Duplicates =
     * every third document re-keyed. Output: kept doc per text plus the
     * dup-group size, aggregated per source. */
@@ -706,15 +712,15 @@ object DedupQueries {
       val batch = store.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 2000000).as("doc_id"),
           expr("substring(text, instr(text, ' ') + 1)").as("text"))
-      // persisted-artifact stand-ins, built inline for the one-shot
-      // driver statement (a real pipeline reads these from storage)
-      val storeBuckets = Dedup.minhashBandBuckets(store, "doc_id", "text",
+      // the persisted posture FOR REAL: sign the corpus into a parquet
+      // index (buckets + shingles + params manifest), read it back,
+      // and probe THAT — the probe's store side scans parquet, so the
+      // round trip (schema stability included) is what's verified
+      val path = scratchPath("minhash_store", dir)
+      Dedup.writeMinhashStore(store, "doc_id", "text", path,
         k = 3, numHashes = nH, bands = bands)
-      val storeShingles = Dedup.portableShingleHashes(store, "doc_id",
-        "text", k = 3)
-      Dedup.minhashNearDupAgainstStore(batch, "doc_id", "text",
-          storeBuckets, storeShingles,
-          k = 3, numHashes = nH, bands = bands, threshold = 0.5)
+      val idx = Dedup.readMinhashStore(s, path)
+      Dedup.minhashNearDupAgainstStore(batch, "text", idx, threshold = 0.5)
         .orderBy(col("b"))
     }
   }

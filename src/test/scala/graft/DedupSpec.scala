@@ -102,6 +102,64 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("persisted index lifecycle: write, probe, append admitted, re-probe") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
+    val store = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 60)
+    Dedup.writeMinhashStore(store, "doc_id", "text", dir)
+    val idx = Dedup.readMinhashStore(spark, dir)
+    assert(idx.keyCol == "doc_id" && idx.k == 3 && idx.numHashes == 64 &&
+      idx.bands == 16, "manifest must round-trip the signing parameters")
+    // batch 1: a near-dup of store doc 0 plus a genuinely novel doc
+    val novelText =
+      "zebra quark lantern voyage ember crystal meadow pylon"
+    val batch1 = store.filter(col("doc_id") === 0)
+      .select(lit(7000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      .unionByName(Seq((7001L, novelText)).toDF("doc_id", "text"))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val flagged1 = Dedup.minhashNearDupAgainstStore(batch1, "text", idx, 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged1 == Set(7000L), s"batch-1 gate wrong: $flagged1")
+    // the probe's internal shingle cache must not outlive the operator —
+    // only the returned frame's own checkpoint blocks may remain
+    val left = spark.sparkContext.getPersistentRDDs
+    assert(left.size <= 1,
+      s"probe leaked ${left.size} persistent RDDs: " +
+        left.values.map(_.name).mkString(", "))
+    // admit the unflagged rows; the index grows WITHOUT re-signing the
+    // corpus (append signs only the admitted batch)
+    Dedup.appendToMinhashStore(
+      batch1.filter(!col("doc_id").isin(flagged1.toSeq: _*)), "text", dir)
+    // batch 2 near-dups the batch-1 ADMITTED doc — only the grown
+    // index can flag it
+    val batch2 = Seq((8000L, novelText.split(" ").drop(1).mkString(" ")))
+      .toDF("doc_id", "text")
+    val f2 = Dedup.minhashNearDupAgainstStore(batch2, "text",
+        Dedup.readMinhashStore(spark, dir), 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f2.get(8000L).contains(7001L),
+      s"near-dup of the admitted doc not flagged by the grown index: $f2")
+  }
+
+  test("index manifest with drifted hash constants is refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
+    val store = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 10)
+    Dedup.writeMinhashStore(store, "doc_id", "text", dir)
+    // simulate a library whose arithmetic drifted: same layout,
+    // different modulus in the manifest
+    spark.createDataFrame(Seq(("doc_id", 3, 64, 16, 999L, 999983L)))
+      .toDF("key_col", "k", "num_hashes", "bands", "horner_c", "minhash_p")
+      .write.mode("overwrite").parquet(s"$dir/params")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.readMinhashStore(spark, dir)
+    }
+    assert(e.getMessage.contains("re-sign"),
+      s"refusal must explain the failure mode: ${e.getMessage}")
+  }
+
   test("minhash LSH recalls high-Jaccard pairs") {
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

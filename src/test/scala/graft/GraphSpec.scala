@@ -63,6 +63,22 @@ class GraphSpec extends SparkSpecBase {
     assert(dec(0L) > dec(2L) * 50, "hub must dominate spokes")
   }
 
+  test("superseded checkpoints are freed; only the result's blocks remain") {
+    // drain any leftovers from other tests so the count below is ours
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    // 7 iterations → checkpoints at 2, 4, 6, 7; everything but the
+    // final (returned) one must have its blocks dropped, and the
+    // edge/node caches must be gone too
+    val ranks = Graph.pageRank(star, "src", "dst", 7)
+    assert(math.abs(
+      ranks.agg(sum(col("rank"))).head.getDouble(0) - 1.0) < 1e-9)
+    val left = spark.sparkContext.getPersistentRDDs
+    assert(left.size == 1,
+      s"expected only the returned frame's checkpoint blocks, found " +
+        s"${left.size}: ${left.values.map(_.name).mkString(", ")}")
+    ranks.collect() // the survivor must still be readable
+  }
+
   test("ranks are bit-identical under repartitioning") {
     val edges = (0L until 60L).flatMap { i =>
       val j = (i * i + 1) % 60

@@ -173,4 +173,42 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("minhash_sig\\(".r.findAllIn(sigPlan).length <= 1,
       s"MinHashSigExpr evaluated more than once per row:\n$sigPlan")
   }
+
+  test("incremental probe: batch side builds every store join — the " +
+      "store streams in place") {
+    import org.apache.spark.sql.functions._
+    // the store must come from PARQUET (the persisted posture): a
+    // size-estimated in-plan store could flip the broadcast decision
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_audit_store_").toString
+    val store = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+    graft.operators.Dedup.writeMinhashStore(store, "doc_id", "text", dir)
+    val idx = graft.operators.Dedup.readMinhashStore(spark, dir)
+    val batch = store.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+    val (flagged, bsh) = graft.operators.Dedup.nearDupAgainstStorePlan(
+      batch, "doc_id", "text", idx.buckets, idx.shingles,
+      idx.k, idx.numHashes, idx.bands, 0.5)
+    val plan = flagged.queryExecution.executedPlan.toString
+    bsh.unpersist(blocking = true)
+    // at a 100 TB store, ONE sort-merge join here means the index is
+    // shuffled instead of probed — the hints must hold regardless of
+    // what size AQE estimates for either side
+    assert(!plan.contains("SortMergeJoin"),
+      s"incremental probe sort-merges (store would be shuffled):\n$plan")
+    // the (band, bucket) candidate join must build (broadcast) its
+    // LEFT — the batch-derived bucket frame
+    assert("(?s)BroadcastHashJoin \\[band[^\\]]*\\][^\\n]*BuildLeft".r
+        .findFirstIn(plan).isDefined,
+      s"bucket join does not broadcast the batch side:\n$plan")
+    // the shingle-verify join likewise builds its batch-derived left
+    assert("(?s)BroadcastHashJoin \\[s#[^\\]]*shingle[^\\]]*\\][^\\n]*BuildLeft".r
+        .findFirstIn(plan).isDefined,
+      s"shingle verify join does not broadcast the batch side:\n$plan")
+    // and the store-side scans feed no Exchange before their joins:
+    // every shuffle in the plan sits above a candidate-scale frame
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }

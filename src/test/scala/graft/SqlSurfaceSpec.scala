@@ -92,7 +92,7 @@ class SqlSurfaceSpec extends SparkSpecBase {
       vid.getInt(4) == 0)
     s2.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60",
-      exprs => graft.plans.SimHash60(exprs.head),
+      exprs => graft.plans.GraftExtensions.simHash60Expr(exprs.head),
       "scala_udf")
     // the SQL surface must agree with the operator's Column path
     val sqlSig = s2.sql("SELECT simhash60('the quick brown fox') AS v")
@@ -100,6 +100,12 @@ class SqlSurfaceSpec extends SparkSpecBase {
     val colSig = Seq((1L, "the quick brown fox")).toDF("k", "text")
       .select(graft.plans.SimHash60(col("text"))).head.getLong(0)
     assert(sqlSig == colSig && sqlSig != 0L)
+    // the injected builder casts, so a non-string argument hashes by
+    // its string form instead of failing analysis
+    val intSig = s2.sql("SELECT simhash60(12345) AS v").head.getLong(0)
+    val intCol = Seq("12345").toDF("t")
+      .select(graft.plans.SimHash60(col("t"))).head.getLong(0)
+    assert(intSig == intCol && intSig != 0L)
   }
 
   test("events view exposes micro-truncated timestamps") {
