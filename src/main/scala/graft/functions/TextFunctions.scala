@@ -240,6 +240,56 @@ object TextFunctions {
       .cast("long")
   }
 
+  /** Markup stripping (training-data pipeline ★ — the pass every web
+    * corpus runs before any text stage sees it): script and style
+    * blocks and comments drop WITH their content, remaining tags
+    * (incl. `<!DOCTYPE>`) become a space so adjacent text doesn't
+    * fuse, the five ubiquitous entities decode (`&amp;` LAST, the
+    * standard order — decoding it first would re-expose entity
+    * prefixes in text like `&amp;lt;` and double-decode), and
+    * whitespace collapses to single spaces. Patterns stay in the
+    * RE2 ∩ Java-regex common subset (the [[piiRedact]] rule:
+    * no backreferences, case-folding spelled `(?i)` inline) so the
+    * DuckDB oracle applies the exact same automaton. Pure per-row
+    * Column — scan speed, no shuffle. */
+  val scriptBlockPattern: String = "(?is)<script[^>]*>.*?</script>"
+  val styleBlockPattern: String = "(?is)<style[^>]*>.*?</style>"
+  val htmlCommentPattern: String = "(?s)<!--.*?-->"
+  val htmlTagPattern: String = "<[!/]?[a-zA-Z][^>]*>"
+  private val entityDecodeOrder: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  def stripMarkup(text: Column): Column = {
+    // blocks and tags both become a SPACE, never the empty string —
+    // "end<script>…</script>Start" must not fuse into "endStart"
+    val noBlocks = Seq(scriptBlockPattern, styleBlockPattern,
+        htmlCommentPattern)
+      .foldLeft(text)((c, p) => regexp_replace(c, lit(p), lit(" ")))
+    val noTags = regexp_replace(noBlocks, lit(htmlTagPattern), lit(" "))
+    val decoded = entityDecodeOrder.foldLeft(noTags) {
+      case (c, (e, r)) => replace(c, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, lit("\\s+"), lit(" ")))
+  }
+
+  /** DuckDB spelling of [[stripMarkup]], generated from the SAME
+    * pattern constants and entity order so the two sides cannot
+    * drift. DuckDB's regexp_replace needs the explicit 'g' option
+    * (Java's replaces all matches by default); dotall/case flags ride
+    * inline in the shared patterns. */
+  def sqlStripMarkup(textExpr: String): String = {
+    def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    val noBlocks = Seq(scriptBlockPattern, styleBlockPattern,
+        htmlCommentPattern)
+      .foldLeft(textExpr)((e, p) => s"regexp_replace($e, ${q(p)}, ' ', 'g')")
+    val noTags = s"regexp_replace($noBlocks, ${q(htmlTagPattern)}, ' ', 'g')"
+    val decoded = entityDecodeOrder.foldLeft(noTags) {
+      case (e, (ent, r)) => s"replace($e, ${q(ent)}, ${q(r)})"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
   /** Adjacent word bigrams; empty for one-token docs (mirrors the
     * shingle contract in Dedup.shinglePositions). element_at +
     * concat_ws, not slice + array_join — the slice allocates an array

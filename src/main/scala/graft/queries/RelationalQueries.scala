@@ -439,17 +439,32 @@ object RelationalQueries {
   }
 
   /** q19: approximate distinct counting (SURVEY §2.4 ★,
-    * `approx_count_distinct` = HLL++) — sketch values are
-    * implementation-specific, so the driver check is rows-only and
-    * QueriesSpec bounds the error against the exact count. */
-  val q19ApproxDistinct: QuerySpec =
-    QuerySpec.noOracle("q19_approx_distinct") { (s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
-        .orderBy(col("l_returnflag"))
-    }
+    * `approx_count_distinct` = HLL++). The sketch ESTIMATE is
+    * implementation-specific, so the estimate itself never crosses
+    * engines; what the oracle CAN verify exactly is the tolerance
+    * contract — (exact count, estimate-within-bound flag), both
+    * deterministic: the exact count from a twin aggregation, and the
+    * flag holding the estimate to 3× the default 5% relative standard
+    * deviation (a deterministic predicate of this engine's sketch,
+    * which the oracle asserts as its literal TRUE — a drift past the
+    * bound flips the flag and hash-mismatches). QueriesSpec keeps the
+    * tighter per-group error assertions. */
+  val q19ApproxDistinct: QuerySpec = QuerySpec(
+    "q19_approx_distinct",
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * lit(0.15)).as("within_bound"))
+      .orderBy(col("l_returnflag"))
+  }
 
   /** q55: interval/range-containment join (SURVEY §2.3's missing join
     * family): how many orders from the broad customer base fall inside

@@ -465,7 +465,18 @@ object TextQueries {
        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
     import graft.operators.{Chunking, Dedup, Sampling}
     import org.apache.spark.sql.expressions.Window
-    val gated = Tables.documents(s, dir)
+    // markup stripping (q140's operator) slots in AHEAD of the gate
+    // when the corpus is raw web pages; off by default because this
+    // corpus is plain text and the oracle replays the unstripped
+    // pipeline. On clean single-spaced text the strip is an identity,
+    // so flipping the flag is oracle-safe here too (QueriesSpec pins
+    // that).
+    val raw = Tables.documents(s, dir)
+    val src =
+      if (s.conf.get("spark.graft.q93.stripMarkup", "false").toBoolean)
+        raw.withColumn("text", TextFunctions.stripMarkup(col("text")))
+      else raw
+    val gated = src
       .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
       .select(col("doc_id"), col("text"))
     // both the pair-generation subtree and the apply-step anti-join
@@ -488,6 +499,45 @@ object TextQueries {
       .select(col("doc_id"), col("chunk_id"), col("split"), col("n_tok"),
         md5(col("chunk")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** q140: HTML/markup stripping (★ — the pass a real web corpus runs
+    * BEFORE every text-analysis stage this engine ships): a third of
+    * the documents get wrapped in a deterministic page shell — script
+    * and style blocks with hostile content (`1 < 2`, a `<b>` inside
+    * the script), a comment, attributed tags, the five ubiquitous
+    * entities — and `TextFunctions.stripMarkup` must recover the
+    * payload text exactly, cross-engine (md5 + length pin it). The
+    * unwrapped two-thirds prove clean text passes through unchanged
+    * modulo whitespace canonicalization. */
+  val q140StripMarkup: QuerySpec = {
+    val pre = """<html><head><style type="text/css">p {color: red}""" +
+      """</style><!-- gen --></head><body onload="init()">""" +
+      """<h1>Title &amp; &quot;Intro&quot;</h1>""" +
+      """<script type="text/javascript">var x = 1 < 2; // <b></script>""" +
+      """<p class="main">"""
+    val suf = """</p>&nbsp;<div id="t">tail &lt;raw&gt; &#39;q&#39;""" +
+      """</div></body></html>"""
+    QuerySpec(
+      "q140_strip_markup",
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN '$pre' || text || '$suf'
+         |      ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  md5(${TextFunctions.sqlStripMarkup("t")}) AS clean_md5,
+         |  CAST(length(${TextFunctions.sqlStripMarkup("t")}) AS BIGINT)
+         |    AS clean_len
+         |FROM seeded ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val wrapped = when(col("doc_id") % 3 === 0,
+        concat(lit(pre), col("text"), lit(suf))).otherwise(col("text"))
+      val clean = TextFunctions.stripMarkup(wrapped)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), md5(clean).as("clean_md5"),
+          length(clean).cast("long").as("clean_len"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** q105: Unicode text normalization (`TextFunctions.normalizeText`
@@ -959,5 +1009,5 @@ object TextQueries {
     q93LlmPipeline, q105TextNormalize, q112Repetition, q113PackSequences,
     q114MixtureSample, q115TokenEntropy, q116PiiScrub, q117Bm25,
     q119BigramLm, q121LmScore, q131PmiCollocations, q134CdcChunks,
-    q137CorpusCard)
+    q137CorpusCard, q140StripMarkup)
 }

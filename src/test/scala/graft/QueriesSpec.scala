@@ -35,6 +35,15 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q93's markup-strip flag is an identity on this clean corpus") {
+    val off = Queries.byName("q93_llm_pipeline").run(spark, sf)
+    spark.conf.set("spark.graft.q93.stripMarkup", "true")
+    try {
+      val on = Queries.byName("q93_llm_pipeline").run(spark, sf)
+      assertBagEqual(off, on)
+    } finally spark.conf.unset("spark.graft.q93.stripMarkup")
+  }
+
   test("q01 aggregates reconcile with raw scan") {
     val r = Queries.byName("q01_pricing_summary").run(spark, sf)
     val total = r.agg(sum(col("count_order"))).head.getLong(0)

@@ -187,6 +187,28 @@ class ScalarsSpec extends SparkSpecBase {
       nested.getLong(1) == 1L)
   }
 
+  test("stripMarkup: blocks drop to a separator, tags keep text, " +
+      "entities decode in the standard order") {
+    def strip(s: String): String =
+      Seq(s).toDF("t").select(TextFunctions.stripMarkup(col("t")))
+        .head.getString(0)
+    // script/style/comment content vanishes; tag text survives
+    assert(strip("<p>a</p><script>var x = 1 < 2; // <b></script><p>b</p>")
+      == "a b")
+    assert(strip("x<style type=\"text/css\">p {c: d}</style>y<!-- no -->z")
+      == "x y z")
+    // tags become separators — adjacent cell text must not fuse
+    assert(strip("<td>alpha</td><td>beta</td>") == "alpha beta")
+    assert(strip("<!DOCTYPE html><HTML><Body>up</BODY></html>") == "up")
+    // entity order: &amp; decodes LAST, so '&amp;lt;' comes out as the
+    // literal '&lt;' (one decode level), never '<'
+    assert(strip("a &amp;lt; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f")
+      == "a &lt; b <c> \"d\" 'e' f")
+    // clean single-spaced text is a fixpoint (the q93 flag contract)
+    assert(strip("already clean text") == "already clean text")
+    assert(strip("  messy   spacing\there ") == "messy spacing here")
+  }
+
   test("bpe token count splits runs and marks") {
     val n = Seq("abc12 de-f").toDF("text")
       .select(TextFunctions.bpeTokenCount(col("text"))).head.getLong(0)
