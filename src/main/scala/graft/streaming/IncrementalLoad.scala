@@ -53,4 +53,41 @@ object IncrementalLoad {
           keys, Seq("year", "month"))
       }
       .start()
+
+  /** Streaming NEAR-dup gate (★ — the nightly-ingest posture run as a
+    * stream): every micro-batch probes the persisted MinHash signature
+    * index ([[graft.operators.Dedup.writeMinhashStore]]'s layout),
+    * appends the ADMITTED rows to `admittedPath`, and admits their
+    * signatures into the index — so a near-dup arriving in a LATER
+    * micro-batch of the same stream is rejected against the grown
+    * index, exactly like a later nightly batch would be.
+    *
+    * Scale shape per micro-batch = the q139 probe: only the batch is
+    * signed (fused expression), candidates from the batch⋈store
+    * bucket equi-join with the batch side broadcast, exact Jaccard on
+    * candidates only. The store parquet is re-read per batch — at
+    * 100 TB that's the point (the corpus is never re-signed), and the
+    * probe plan reads only the store's (band, bucket) / (key, shingle)
+    * columns. Micro-batches serialize through the sink (standard
+    * foreachBatch semantics), so index append and next-batch probe
+    * cannot race. */
+  def streamingNearDupGate(spark: SparkSession, stream: DataFrame,
+                           textCol: String, storePath: String,
+                           admittedPath: String, checkpoint: String,
+                           threshold: Double = 0.5): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.col
+        val idx = graft.operators.Dedup.readMinhashStore(spark, storePath)
+        val flagged = graft.operators.Dedup
+          .minhashNearDupAgainstStore(batch, textCol, idx, threshold)
+          .select(col("b").as(idx.keyCol))
+        val admitted = batch.join(flagged, Seq(idx.keyCol), "left_anti")
+        admitted.write.mode("append").parquet(admittedPath)
+        graft.operators.Dedup.appendToMinhashStore(admitted, textCol,
+          storePath)
+      }
+      .start()
 }

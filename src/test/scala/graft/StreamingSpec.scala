@@ -264,4 +264,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.count() == streamed.select("user_id").distinct().count())
     assertBagEqual(streamed, batch)
   }
+
+  test("streaming near-dup gate: a later micro-batch rejects a near-dup " +
+      "of an earlier ADMITTED doc (the index grows mid-stream)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_sgate")
+    val storePath = root.resolve("store").toString
+    val admittedPath = root.resolve("admitted").toString
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    Dedup.writeMinhashStore(corpus, "doc_id", "text", storePath)
+    val novel = "zebra quark lantern voyage ember crystal meadow pylon"
+    // micro-batch 1: a near-dup of store doc 0 + a novel doc;
+    // micro-batch 2: a near-dup of the BATCH-1 novel doc — only a gate
+    // that admitted 7001's signatures into the index can reject it
+    val b1 = corpus.filter(col("doc_id") === 0)
+      .select(lit(7000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      .unionByName(Seq((7001L, novel)).toDF("doc_id", "text"))
+    val b2 = Seq((8000L, novel.split(" ").drop(1).mkString(" ")))
+      .toDF("doc_id", "text")
+    b1.coalesce(1).write.parquet(root.resolve("in/b1").toString)
+    b2.coalesce(1).write.parquet(root.resolve("in/b2").toString)
+    // file source orders by modification time — force b1 before b2 so
+    // the micro-batches arrive in the intended order
+    import java.nio.file.attribute.FileTime
+    def touch(sub: String, t: Long): Unit =
+      java.nio.file.Files.walk(root.resolve(sub)).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, FileTime.fromMillis(t)))
+    val now = System.currentTimeMillis()
+    touch("in/b1", now - 60000); touch("in/b2", now)
+    val stream = spark.readStream.schema(b2.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in/*/")
+    val q = graft.streaming.IncrementalLoad.streamingNearDupGate(
+      spark, stream, "text", storePath, admittedPath,
+      root.resolve("ckpt").toString)
+    assert(q.awaitTermination(120000), "gate did not drain in time")
+    val admitted = spark.read.parquet(admittedPath)
+      .select("doc_id").as[Long].collect().toSet
+    // 7000 rejected against the base index, 8000 against the GROWN one
+    assert(admitted == Set(7001L), s"admitted: $admitted")
+    // and the grown index really carries 7001's signatures
+    val grown = Dedup.readMinhashStore(spark, storePath)
+    assert(grown.buckets.filter(col("doc_id") === 7001L).count() > 0)
+  }
 }
