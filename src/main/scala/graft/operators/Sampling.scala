@@ -99,17 +99,41 @@ object Sampling {
 
   /** Per-group fixed-size sample: exactly `min(k, |group|)` rows per
     * group under the same (portable hash, key) order — the balanced
-    * per-class draw a training pipeline uses where [[reservoirSample]]
-    * is global. One hash-partitioned window, no global sort; the
-    * 100 TB shape is rank-within-partition, never a driver loop. */
+    * per-class draw (and equally the per-DOMAIN quota cap a curation
+    * pipeline uses to stop one source dominating the mixture) where
+    * [[reservoirSample]] is global. Two-level ranking: a salted
+    * pre-prune bounds any one window partition at the salt-bucket
+    * slice of a group (hot-group skew shield — see stage-1 comment),
+    * then the group-level rank runs over ≤ salts·k rows per group.
+    * Never a global sort, never a driver loop. */
   def reservoirPerGroup(df: DataFrame, groupCols: Seq[String],
-                        keyCol: String, k: Int): DataFrame = {
+                        keyCol: String, k: Int,
+                        salts: Int = 16): DataFrame = {
     require(k > 0 && k <= 1000000, s"k=$k outside (0, 1e6]")
+    require(salts >= 1 && salts <= 4096, s"salts=$salts outside [1, 4096]")
     import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.Scalars.portableHash64(col(keyCol))
+    // Stage 1 (skew shield): rank within (group, salt) and keep ≤ k
+    // per salt bucket. A hot group — one language at 60% of a 100 TB
+    // corpus — would otherwise land in ONE window partition and one
+    // task would sort it; salting spreads it over `salts` partitions
+    // and caps stage 2's input at salts·k rows per group. LOSSLESS by
+    // construction: a row in the group's true top-k under the
+    // (hash, key) total order is a fortiori top-k within its salt
+    // bucket, so stage 1 never drops a final survivor — the oracle
+    // replays the single-window semantics unchanged.
+    val pruned =
+      if (salts == 1) df
+      else {
+        val w1 = Window
+          .partitionBy(groupCols.map(col) :+ pmod(h, lit(salts)): _*)
+          .orderBy(h, col(keyCol))
+        df.withColumn("__rn1", row_number().over(w1))
+          .filter(col("__rn1") <= k).drop("__rn1")
+      }
     val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(graft.functions.Scalars.portableHash64(col(keyCol)),
-        col(keyCol))
-    df.withColumn("__rn", row_number().over(w))
+      .orderBy(h, col(keyCol))
+    pruned.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }
 

@@ -66,6 +66,26 @@ class SamplingSpec extends SparkSpecBase {
       s"expected per-partition top-k, got:\n$plan")
   }
 
+  test("reservoirPerGroup: salted prune is lossless — any salts value " +
+      "yields the single-window result") {
+    val d = Tables.documents(spark, sf)
+    def sample(salts: Int) = Sampling.reservoirPerGroup(
+        d, Seq("lang"), "doc_id", k = 7, salts = salts)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val unsalted = sample(1)
+    // exact per-group cap
+    val perGroup = unsalted.groupBy(_._1).view.mapValues(_.size)
+    val sizes = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perGroup.foreach { case (g, n) =>
+      assert(n == math.min(7L, sizes(g)), s"$g: $n of ${sizes(g)}")
+    }
+    // the skew shield must never change the draw
+    assert(sample(16) == unsalted)
+    assert(sample(3) == unsalted)
+  }
+
   test("weightedSample favors heavy weights and stays deterministic") {
     val o = Tables.orders(spark, sf).select(col("o_orderkey"),
       col("o_totalprice")).cache()
