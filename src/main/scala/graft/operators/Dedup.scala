@@ -371,11 +371,32 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/buckets")
     portableShingleHashes(df, keyCol, textCol, k)
       .write.mode("overwrite").parquet(s"$path/shingles")
+    // n_docs records the signed corpus size — a cheap staleness probe
+    // for reuse decisions (parquet-metadata count vs manifest), since
+    // the store is deterministic in the corpus. Written LAST: its
+    // presence implies the bucket/shingle writes completed.
     df.sparkSession
-      .createDataFrame(Seq((keyCol, k, numHashes, bands, HornerC, MinhashP)))
-      .toDF("key_col", "k", "num_hashes", "bands", "horner_c", "minhash_p")
+      .createDataFrame(Seq(
+        (keyCol, k, numHashes, bands, HornerC, MinhashP, df.count())))
+      .toDF("key_col", "k", "num_hashes", "bands", "horner_c",
+        "minhash_p", "n_docs")
       .write.mode("overwrite").parquet(s"$path/params")
   }
+
+  /** True when `path` holds a completed index signed over exactly
+    * `corpus` (same doc count — the store is a deterministic function
+    * of the corpus, so count equality over an immutable warehouse
+    * table is the right cheap staleness probe; both sides are
+    * parquet-metadata counts). False on absent/partial/pre-count
+    * stores, so callers fall back to [[writeMinhashStore]]. */
+  def minhashStoreIsCurrent(corpus: DataFrame, path: String): Boolean =
+    try {
+      val p = corpus.sparkSession.read.parquet(s"$path/params").head()
+      p.schema.fieldNames.contains("n_docs") &&
+        p.getAs[Long]("horner_c") == HornerC &&
+        p.getAs[Long]("minhash_p") == MinhashP &&
+        p.getAs[Long]("n_docs") == corpus.count()
+    } catch { case _: Exception => false }
 
   /** Read a [[writeMinhashStore]] index back, validating the manifest
     * against this library's hash constants (see [[MinhashStore]] for
