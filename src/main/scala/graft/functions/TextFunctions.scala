@@ -290,6 +290,61 @@ object TextFunctions {
     s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
   }
 
+  /** URL canonicalization (training-data pipeline ★ — the pass ahead
+    * of URL-keyed dedup and per-domain quota caps: crawl frontiers
+    * hand you the same page as http/https, with/without `www.`, with
+    * tracking parameters, fragments, default ports, and trailing
+    * slashes — six spellings, one document). The ladder, in order:
+    * lowercase scheme+host (path case is significant, so only up to
+    * the first `/`), strip the fragment, strip default ports
+    * (`:80`/`:443` — any scheme: stripping :443 from an http URL
+    * changes a URL that was already broken), drop `www.`, drop
+    * tracking parameters (`utm_*`, `fbclid`, `gclid`, `ref` — the
+    * documented subset; extend the list, not the regex style), tidy
+    * the query separators that deletion leaves behind, and strip one
+    * trailing slash from a non-root path. RE2 ∩ Java common subset
+    * throughout (the [[piiRedact]] rule) with the DuckDB twin
+    * generated from the SAME constants. */
+  val urlTrackingParams: Seq[String] = Seq("utm_[a-z]+", "fbclid",
+    "gclid", "ref")
+  private val urlTrackingAlt: String = urlTrackingParams.mkString("|")
+  private val urlLadder: Seq[(String, String)] = Seq(
+    "#.*$" -> "",                                     // fragment
+    "^([a-z]+://[^/]*):(80|443)(/|\\?|$)" -> "$1$3",  // default ports
+    "^([a-z]+://)www\\." -> "$1",                     // www.
+    // tracking params, three positions: non-leading ("&utm_x=…"),
+    // leading with a surviving successor ("?utm_x=…&a=1" → "?a=1" —
+    // a bare deletion would weld "&a=1" onto the path), sole
+    (s"&($urlTrackingAlt)=[^&#]*" -> ""),
+    (s"\\?($urlTrackingAlt)=[^&#]*&" -> "?"),
+    (s"\\?($urlTrackingAlt)=[^&#]*$$" -> ""),
+    "^([a-z]+://[^/?]+(?:/[^/?]+)+)/$" -> "$1")       // trailing slash
+
+  def canonicalizeUrl(url: Column): Column = {
+    // lowercase ONLY scheme+host: split at the first slash after the
+    // authority, lowercase the left, keep the path's case
+    val schemeHost = lower(regexp_extract(url, "^([A-Za-z]+://[^/?#]*)", 1))
+    val rest = regexp_replace(url, "^[A-Za-z]+://[^/?#]*", "")
+    val lowered = concat(schemeHost, rest)
+    urlLadder.foldLeft(lowered) {
+      case (c, (p, r)) => regexp_replace(c, lit(p), lit(r))
+    }
+  }
+
+  /** DuckDB spelling of [[canonicalizeUrl]], generated from the same
+    * ladder. DuckDB's regexp_replace uses RE2 `\\1` backreference
+    * syntax in replacements where Java uses `$1` — the one divergence,
+    * handled here so the pattern constants stay shared. */
+  def sqlCanonicalizeUrl(urlExpr: String): String = {
+    def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    val lowered =
+      s"lower(regexp_extract($urlExpr, '^([A-Za-z]+://[^/?#]*)', 1)) || " +
+        s"regexp_replace($urlExpr, '^[A-Za-z]+://[^/?#]*', '')"
+    urlLadder.foldLeft(s"($lowered)") { case (e, (p, r)) =>
+      s"regexp_replace($e, ${q(p)}, ${q(r.replace("$", "\\"))}, 'g')"
+    }
+  }
+
   /** Adjacent word bigrams; empty for one-token docs (mirrors the
     * shingle contract in Dedup.shinglePositions). element_at +
     * concat_ws, not slice + array_join — the slice allocates an array

@@ -540,6 +540,54 @@ object TextQueries {
     }
   }
 
+  /** q141: URL canonicalization (★ — the pass ahead of URL-keyed
+    * dedup and per-domain quotas): every six consecutive documents
+    * spell the SAME page six ways — mixed-case scheme/host + `www.`,
+    * explicit `:443`, a tracking parameter, a trailing slash, two
+    * tracking parameters (exercising the leading-param weld guard),
+    * and a fragment — and the canonicalizer must collapse each page
+    * back to exactly one URL with all its variants counted. The
+    * oracle replays the generated ladder (same pattern constants;
+    * `\\1` vs `$1` replacement syntax is the one handled
+    * divergence). */
+  val q141UrlCanonicalize: QuerySpec = {
+    val sqlPage = "CAST(doc_id - (doc_id % 6) AS VARCHAR)"
+    QuerySpec(
+      "q141_url_canonicalize",
+      s"""WITH urls AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 6 AS INTEGER)
+         |      WHEN 0 THEN 'https://example.com/p/' || $sqlPage
+         |      WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.COM/p/' || $sqlPage
+         |      WHEN 2 THEN 'https://example.com:443/p/' || $sqlPage
+         |        || '?utm_source=feed'
+         |      WHEN 3 THEN 'https://www.example.com/p/' || $sqlPage || '/'
+         |      WHEN 4 THEN 'https://example.com/p/' || $sqlPage
+         |        || '?utm_a=1&utm_b=2'
+         |      ELSE 'https://example.com/p/' || $sqlPage || '#section-2'
+         |    END AS url
+         |  FROM documents)
+         |SELECT ${TextFunctions.sqlCanonicalizeUrl("url")} AS canon,
+         |  COUNT(*) AS n_variants
+         |FROM urls GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val page = (col("doc_id") - (col("doc_id") % 6)).cast("string")
+      def p(pre: String, suf: String = "") =
+        concat(lit(pre), page, lit(suf))
+      val url = when(col("doc_id") % 6 === 0, p("https://example.com/p/"))
+        .when(col("doc_id") % 6 === 1, p("HTTPS://WWW.EXAMPLE.COM/p/"))
+        .when(col("doc_id") % 6 === 2,
+          p("https://example.com:443/p/", "?utm_source=feed"))
+        .when(col("doc_id") % 6 === 3, p("https://www.example.com/p/", "/"))
+        .when(col("doc_id") % 6 === 4,
+          p("https://example.com/p/", "?utm_a=1&utm_b=2"))
+        .otherwise(p("https://example.com/p/", "#section-2"))
+      Tables.documents(s, dir)
+        .select(TextFunctions.canonicalizeUrl(url).as("canon"))
+        .groupBy(col("canon")).agg(count(lit(1)).as("n_variants"))
+        .orderBy(col("canon"))
+    }
+  }
+
   /** q105: Unicode text normalization (`TextFunctions.normalizeText`
     * over the codegen'd `plans.UnicodeNormalize` — JDK normalizer vs
     * DuckDB utf8proc, the SAME Unicode algorithm, which is exactly
@@ -1009,5 +1057,5 @@ object TextQueries {
     q93LlmPipeline, q105TextNormalize, q112Repetition, q113PackSequences,
     q114MixtureSample, q115TokenEntropy, q116PiiScrub, q117Bm25,
     q119BigramLm, q121LmScore, q131PmiCollocations, q134CdcChunks,
-    q137CorpusCard, q140StripMarkup)
+    q137CorpusCard, q140StripMarkup, q141UrlCanonicalize)
 }

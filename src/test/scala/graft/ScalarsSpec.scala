@@ -209,6 +209,29 @@ class ScalarsSpec extends SparkSpecBase {
     assert(strip("  messy   spacing\there ") == "messy spacing here")
   }
 
+  test("canonicalizeUrl: case, ports, www, tracking params, fragment, " +
+      "trailing slash — and what must survive, survives") {
+    def canon(s: String): String =
+      Seq(s).toDF("u").select(TextFunctions.canonicalizeUrl(col("u")))
+        .head.getString(0)
+    val base = "https://example.com/p/1"
+    assert(canon("HTTPS://WWW.EXAMPLE.COM/p/1") == base)
+    assert(canon("https://example.com:443/p/1") == base)
+    assert(canon("http://example.com:80/p/1") == "http://example.com/p/1")
+    assert(canon("https://example.com/p/1#frag") == base)
+    assert(canon("https://example.com/p/1/") == base)
+    assert(canon("https://example.com/p/1?utm_source=x") == base)
+    // leading tracking param with a REAL successor must not weld the
+    // survivor onto the path
+    assert(canon("https://example.com/p/1?utm_a=1&b=2") == base + "?b=2")
+    assert(canon("https://example.com/p/1?b=2&utm_a=1") == base + "?b=2")
+    // what must survive: path case, real ports, real params, root slash
+    assert(canon("https://example.com/P/1") == "https://example.com/P/1")
+    assert(canon("https://example.com:8080/p/1")
+      == "https://example.com:8080/p/1")
+    assert(canon("https://example.com/") == "https://example.com/")
+  }
+
   test("bpe token count splits runs and marks") {
     val n = Seq("abc12 de-f").toDF("text")
       .select(TextFunctions.bpeTokenCount(col("text"))).head.getLong(0)
