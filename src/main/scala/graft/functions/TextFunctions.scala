@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   * TextQueries; keep them in sync.
   */
 object TextFunctions {
+  private[graft] type CatalystExpr =
+    org.apache.spark.sql.catalyst.expressions.Expression
+  private def shimColumn(e: CatalystExpr): Column =
+    org.apache.spark.sql.GraftSqlShim.column(e)
+  private def shimExpression(c: Column): CatalystExpr =
+    org.apache.spark.sql.GraftSqlShim.expression(c)
 
   /** Whitespace tokenization. The documents corpus is single-space
     * joined (FIXTURES.md), so a literal-space split matches the oracle
@@ -260,18 +266,28 @@ object TextFunctions {
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
-  def stripMarkup(text: Column): Column = {
+  /** The ladder as ONE Catalyst tree, shared verbatim by the Column
+    * API below and the SQL-surface registration (GraftExtensions
+    * `strip_markup`) — the two entry points cannot diverge. */
+  private[graft] def stripMarkupExpr(child: CatalystExpr): CatalystExpr = {
+    import org.apache.spark.sql.catalyst.expressions._
     // blocks and tags both become a SPACE, never the empty string —
     // "end<script>…</script>Start" must not fuse into "endStart"
+    val s = Cast(child, org.apache.spark.sql.types.StringType)
     val noBlocks = Seq(scriptBlockPattern, styleBlockPattern,
         htmlCommentPattern)
-      .foldLeft(text)((c, p) => regexp_replace(c, lit(p), lit(" ")))
-    val noTags = regexp_replace(noBlocks, lit(htmlTagPattern), lit(" "))
-    val decoded = entityDecodeOrder.foldLeft(noTags) {
-      case (c, (e, r)) => replace(c, lit(e), lit(r))
+      .foldLeft(s: CatalystExpr)((e, p) =>
+        RegExpReplace(e, Literal(p), Literal(" ")))
+    val noTags = RegExpReplace(noBlocks, Literal(htmlTagPattern),
+      Literal(" "))
+    val decoded = entityDecodeOrder.foldLeft(noTags: CatalystExpr) {
+      case (e, (ent, r)) => StringReplace(e, Literal(ent), Literal(r))
     }
-    trim(regexp_replace(decoded, lit("\\s+"), lit(" ")))
+    StringTrim(RegExpReplace(decoded, Literal("\\s+"), Literal(" ")))
   }
+
+  def stripMarkup(text: Column): Column =
+    shimColumn(stripMarkupExpr(shimExpression(text)))
 
   /** DuckDB spelling of [[stripMarkup]], generated from the SAME
     * pattern constants and entity order so the two sides cannot
@@ -320,16 +336,26 @@ object TextFunctions {
     (s"\\?($urlTrackingAlt)=[^&#]*$$" -> ""),
     "^([a-z]+://[^/?]+(?:/[^/?]+)+)/$" -> "$1")       // trailing slash
 
-  def canonicalizeUrl(url: Column): Column = {
+  /** One shared Catalyst tree for the Column API and the SQL surface
+    * (`canonicalize_url`), like [[stripMarkupExpr]]. */
+  private[graft] def canonicalizeUrlExpr(child: CatalystExpr)
+      : CatalystExpr = {
+    import org.apache.spark.sql.catalyst.expressions._
     // lowercase ONLY scheme+host: split at the first slash after the
     // authority, lowercase the left, keep the path's case
-    val schemeHost = lower(regexp_extract(url, "^([A-Za-z]+://[^/?#]*)", 1))
-    val rest = regexp_replace(url, "^[A-Za-z]+://[^/?#]*", "")
-    val lowered = concat(schemeHost, rest)
-    urlLadder.foldLeft(lowered) {
-      case (c, (p, r)) => regexp_replace(c, lit(p), lit(r))
+    val s = Cast(child, org.apache.spark.sql.types.StringType)
+    val schemeHost = Lower(RegExpExtract(s,
+      Literal("^([A-Za-z]+://[^/?#]*)"), Literal(1)))
+    val rest = RegExpReplace(s, Literal("^[A-Za-z]+://[^/?#]*"),
+      Literal(""))
+    val lowered = Concat(Seq(schemeHost, rest))
+    urlLadder.foldLeft(lowered: CatalystExpr) {
+      case (e, (p, r)) => RegExpReplace(e, Literal(p), Literal(r))
     }
   }
+
+  def canonicalizeUrl(url: Column): Column =
+    shimColumn(canonicalizeUrlExpr(shimExpression(url)))
 
   /** DuckDB spelling of [[canonicalizeUrl]], generated from the same
     * ladder. DuckDB's regexp_replace uses RE2 `\\1` backreference

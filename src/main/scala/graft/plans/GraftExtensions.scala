@@ -80,6 +80,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftExtensions.portableHash64Expr(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("strip_markup"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "strip_markup"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "strip_markup takes 1 argument")
+        graft.functions.TextFunctions.stripMarkupExpr(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("canonicalize_url"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "canonicalize_url"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "canonicalize_url takes 1 argument")
+        graft.functions.TextFunctions.canonicalizeUrlExpr(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("simhash60"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "simhash60"),
       (children: Seq[Expression]) => {

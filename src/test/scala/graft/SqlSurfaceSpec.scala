@@ -106,6 +106,32 @@ class SqlSurfaceSpec extends SparkSpecBase {
     val intCol = Seq("12345").toDF("t")
       .select(graft.plans.SimHash60(col("t"))).head.getLong(0)
     assert(intSig == intCol && intSig != 0L)
+    // the markup/URL ladders register through the SAME expression
+    // builders the Column API wraps — assert the trees agree end to end
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "strip_markup",
+      exprs => graft.functions.TextFunctions.stripMarkupExpr(exprs.head),
+      "scala_udf")
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "canonicalize_url",
+      exprs => graft.functions.TextFunctions.canonicalizeUrlExpr(exprs.head),
+      "scala_udf")
+    val html = "<p>a</p><script>var x = 1 < 2;</script>&amp; b"
+    val viaSqlStrip = s2.sql(
+      s"SELECT strip_markup('${html.replace("'", "''")}') AS v")
+      .head.getString(0)
+    val viaColStrip = Seq(html).toDF("t")
+      .select(graft.functions.TextFunctions.stripMarkup(col("t")))
+      .head.getString(0)
+    assert(viaSqlStrip == viaColStrip && viaSqlStrip == "a & b")
+    val u = "HTTPS://WWW.EXAMPLE.COM:443/p/1?utm_a=1&b=2#f"
+    val viaSqlUrl = s2.sql(s"SELECT canonicalize_url('$u') AS v")
+      .head.getString(0)
+    val viaColUrl = Seq(u).toDF("t")
+      .select(graft.functions.TextFunctions.canonicalizeUrl(col("t")))
+      .head.getString(0)
+    assert(viaSqlUrl == viaColUrl &&
+      viaSqlUrl == "https://example.com/p/1?b=2")
   }
 
   test("events view exposes micro-truncated timestamps") {
