@@ -639,22 +639,28 @@ object DedupQueries {
     * match count; unmatched batch docs are admitted (absent). The
     * oracle replays both sides' portable arithmetic exactly, like
     * q32. */
-  val q139IncrementalDedup: QuerySpec = {
-    val P = Dedup.MinhashP
-    val C = Dedup.HornerC
+  /** Oracle-side generators for the portable MinHash store/probe SQL,
+    * shared by q139 (disk-backed probe) and q142 (grow-then-probe
+    * lifecycle) so the replayed arithmetic is literally identical. */
+  private object MinhashSql {
+    val P: Long = Dedup.MinhashP
+    val C: Long = Dedup.HornerC
     val nH = 64
     val bands = 16
-    val rows = nH / bands
-    val cs = Dedup.minhashCoeffs(nH)
-    def minCols(shCte: String) = cs.zipWithIndex.map { case ((a, b), i) =>
-      s"min((sh * $a + $b) % $P) AS h$i"
-    }.mkString(",\n      |    ")
-    def bandSelects(sigCte: String) = (0 until bands).map { bnd =>
+    private val rows = nH / bands
+    private val cs = Dedup.minhashCoeffs(nH)
+    private def minCols(shCte: String) = cs.zipWithIndex.map {
+      case ((a, b), i) => s"min((sh * $a + $b) % $P) AS h$i"
+    }.mkString(",\n    ")
+    private def bandSelects(sigCte: String) = (0 until bands).map { bnd =>
       val bucket = (bnd * rows until (bnd + 1) * rows).map(i => s"h$i")
         .reduceLeft((acc, h) => s"(($acc) * $C + $h) % $P")
       s"SELECT doc_id, $bnd AS band, $bucket AS bucket FROM $sigCte"
-    }.mkString("\n      |  UNION ALL ")
-    def shingleCtes(tag: String, src: String) =
+    }.mkString("\n  UNION ALL ")
+
+    /** `(tag)sh` (distinct shingle residues) and `(tag)bands`
+      * (band-bucket rows) over the `src` CTE's (doc_id, text). */
+    def shingleCtes(tag: String, src: String): String =
       s"""${tag}th AS (
         |  SELECT doc_id, list_transform(string_split(text, ' '),
         |    t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $P) AS ths
@@ -670,7 +676,50 @@ object DedupQueries {
         |    ${minCols(tag + "sh")}
         |  FROM ${tag}sh GROUP BY doc_id),
         |${tag}bands AS (
-        |  ${bandSelects(tag + "sig")})"""
+        |  ${bandSelects(tag + "sig")})""".stripMargin
+
+    /** The probe: candidates from the band-bucket equi-join of
+      * `(bTag)bands` against `(sTag)bands`, exact Jaccard on
+      * candidates, best match per flagged batch doc — ends in CTE
+      * `(out)flag(b, best_match, jaccard, n_matches)`. */
+    def probeCtes(bTag: String, sTag: String, out: String): String =
+      s"""${out}cand AS (
+        |  SELECT DISTINCT bb.doc_id AS b, sb2.doc_id AS s
+        |  FROM ${bTag}bands bb JOIN ${sTag}bands sb2
+        |    ON bb.band = sb2.band AND bb.bucket = sb2.bucket),
+        |${out}bcnt AS (
+        |  SELECT doc_id, COUNT(*) AS n_b FROM ${bTag}sh GROUP BY doc_id),
+        |${out}scnt AS (
+        |  SELECT doc_id, COUNT(*) AS n_s FROM ${sTag}sh GROUP BY doc_id),
+        |${out}common AS (
+        |  SELECT c.b, c.s, COUNT(*) AS n_common
+        |  FROM ${out}cand c
+        |  JOIN ${bTag}sh x ON x.doc_id = c.b
+        |  JOIN ${sTag}sh y ON y.doc_id = c.s AND y.sh = x.sh
+        |  GROUP BY 1, 2),
+        |${out}pairs AS (
+        |  SELECT b, s,
+        |    CAST(n_common AS DOUBLE)
+        |      / CAST(cb.n_b + cs2.n_s - n_common AS DOUBLE) AS jaccard
+        |  FROM ${out}common
+        |  JOIN ${out}bcnt cb ON cb.doc_id = b
+        |  JOIN ${out}scnt cs2 ON cs2.doc_id = s
+        |  WHERE CAST(n_common AS DOUBLE)
+        |    / CAST(cb.n_b + cs2.n_s - n_common AS DOUBLE) >= 0.5),
+        |${out}flag AS (
+        |  SELECT b, s AS best_match, jaccard, n_matches FROM (
+        |    SELECT b, s, jaccard,
+        |      CAST(COUNT(*) OVER (PARTITION BY b) AS BIGINT) AS n_matches,
+        |      ROW_NUMBER() OVER (PARTITION BY b ORDER BY jaccard DESC, s)
+        |        AS rn
+        |    FROM ${out}pairs) WHERE rn = 1)""".stripMargin
+  }
+
+  val q139IncrementalDedup: QuerySpec = {
+    val nH = MinhashSql.nH
+    val bands = MinhashSql.bands
+    def shingleCtes(tag: String, src: String) =
+      MinhashSql.shingleCtes(tag, src)
     QuerySpec(
       "q139_incremental_dedup",
       s"""WITH store AS (SELECT doc_id, text FROM documents),
@@ -680,34 +729,9 @@ object DedupQueries {
         |  FROM documents WHERE doc_id % 7 = 0),
         |${shingleCtes("s", "store")},
         |${shingleCtes("b", "batch")},
-        |cand AS (
-        |  SELECT DISTINCT bb.doc_id AS b, sb.doc_id AS s
-        |  FROM bbands bb JOIN sbands sb
-        |    ON bb.band = sb.band AND bb.bucket = sb.bucket),
-        |bcnt AS (SELECT doc_id, COUNT(*) AS n_b FROM bsh GROUP BY doc_id),
-        |scnt AS (SELECT doc_id, COUNT(*) AS n_s FROM ssh GROUP BY doc_id),
-        |common AS (
-        |  SELECT c.b, c.s, COUNT(*) AS n_common
-        |  FROM cand c
-        |  JOIN bsh x ON x.doc_id = c.b
-        |  JOIN ssh y ON y.doc_id = c.s AND y.sh = x.sh
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT b, s,
-        |    CAST(n_common AS DOUBLE)
-        |      / CAST(cb.n_b + cs2.n_s - n_common AS DOUBLE) AS jaccard
-        |  FROM common
-        |  JOIN bcnt cb ON cb.doc_id = b
-        |  JOIN scnt cs2 ON cs2.doc_id = s
-        |  WHERE CAST(n_common AS DOUBLE)
-        |    / CAST(cb.n_b + cs2.n_s - n_common AS DOUBLE) >= 0.5),
-        |ranked AS (
-        |  SELECT b, s, jaccard,
-        |    CAST(COUNT(*) OVER (PARTITION BY b) AS BIGINT) AS n_matches,
-        |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY jaccard DESC, s) AS rn
-        |  FROM pairs)
-        |SELECT b, s AS best_match, jaccard, n_matches
-        |FROM ranked WHERE rn = 1 ORDER BY b""".stripMargin) { (s, dir) =>
+        |${MinhashSql.probeCtes("b", "s", "")}
+        |SELECT b, best_match, jaccard, n_matches
+        |FROM flag ORDER BY b""".stripMargin) { (s, dir) =>
       val store = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val batch = store.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 2000000).as("doc_id"),
@@ -731,9 +755,103 @@ object DedupQueries {
     }
   }
 
+  /** q142: the GROW-THEN-PROBE lifecycle, fully oracle-verified (q139
+    * proves the disk round trip; the streaming gate spec proves the
+    * mechanics; this makes the two-generation semantics themselves
+    * hash-checked): batch 1 = near-dups of the store (flagged) plus
+    * token-REVERSED docs (shingle-disjoint from their sources →
+    * admitted); the admitted signatures join the index; batch 2
+    * near-dups the REVERSED admitted docs — flaggable only by the
+    * grown index, and its best_match ids prove the matches are the
+    * batch-1 admissions, not store docs. Output: both probes' flags,
+    * staged. */
+  val q142DedupLifecycle: QuerySpec = {
+    val nH = MinhashSql.nH
+    val bands = MinhashSql.bands
+    val sqlRev =
+      "array_to_string(list_reverse(string_split(text, ' ')), ' ')"
+    QuerySpec(
+      "q142_dedup_lifecycle",
+      s"""WITH store AS (SELECT doc_id, text FROM documents),
+        |batch1 AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    substr(text, strpos(text, ' ') + 1) AS text
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, $sqlRev AS text
+        |  FROM documents WHERE doc_id % 5 = 1),
+        |batch2 AS (
+        |  SELECT doc_id + 4000000 AS doc_id,
+        |    substr(r, strpos(r, ' ') + 1) AS text
+        |  FROM (SELECT doc_id, $sqlRev AS r
+        |        FROM documents WHERE doc_id % 5 = 1)),
+        |${MinhashSql.shingleCtes("s", "store")},
+        |${MinhashSql.shingleCtes("b1", "batch1")},
+        |${MinhashSql.shingleCtes("b2", "batch2")},
+        |${MinhashSql.probeCtes("b1", "s", "p1")},
+        |adm1 AS (
+        |  SELECT doc_id FROM batch1
+        |  WHERE doc_id NOT IN (SELECT b FROM p1flag)),
+        |s2sh AS (
+        |  SELECT doc_id, sh FROM ssh
+        |  UNION ALL
+        |  SELECT doc_id, sh FROM b1sh
+        |  WHERE doc_id IN (SELECT doc_id FROM adm1)),
+        |s2bands AS (
+        |  SELECT doc_id, band, bucket FROM sbands
+        |  UNION ALL
+        |  SELECT doc_id, band, bucket FROM b1bands
+        |  WHERE doc_id IN (SELECT doc_id FROM adm1)),
+        |${MinhashSql.probeCtes("b2", "s2", "p2")}
+        |SELECT CAST(1 AS INTEGER) AS stage, b, best_match, jaccard,
+        |  n_matches FROM p1flag
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), b, best_match, jaccard, n_matches
+        |FROM p2flag
+        |ORDER BY stage, b""".stripMargin) { (s, dir) =>
+      val store = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val rev = concat_ws(" ", reverse(split(col("text"), " ")))
+      val b1 = store.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+        .unionByName(store.filter(col("doc_id") % 5 === 1)
+          .select((col("doc_id") + 3000000).as("doc_id"), rev.as("text")))
+      val b2 = store.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 4000000).as("doc_id"), rev.as("r"))
+        .select(col("doc_id"),
+          expr("substring(r, instr(r, ' ') + 1)").as("text"))
+      // the store frames feed BOTH probe generations (and the probes
+      // are eager), so cache across them — a real pipeline's store is
+      // on disk (q139); here the cache stands in for that storage and
+      // drops before returning. adm1 likewise feeds both grown-index
+      // unions.
+      val sb = Dedup.minhashBandBuckets(store, "doc_id", "text",
+        k = 3, numHashes = nH, bands = bands).cache()
+      val ss = Dedup.portableShingleHashes(store, "doc_id", "text", k = 3)
+        .cache()
+      val p1 = Dedup.minhashNearDupAgainstStore(b1, "doc_id", "text",
+        sb, ss, k = 3, numHashes = nH, bands = bands, threshold = 0.5)
+      val adm1 = b1.join(p1.select(col("b").as("doc_id")),
+        Seq("doc_id"), "left_anti").cache()
+      val sb2 = sb.unionByName(Dedup.minhashBandBuckets(adm1, "doc_id",
+        "text", k = 3, numHashes = nH, bands = bands))
+      val ss2 = ss.unionByName(
+        Dedup.portableShingleHashes(adm1, "doc_id", "text", k = 3))
+      val p2 = Dedup.minhashNearDupAgainstStore(b2, "doc_id", "text",
+        sb2, ss2, k = 3, numHashes = nH, bands = bands, threshold = 0.5)
+      sb.unpersist(); ss.unpersist(); adm1.unpersist()
+      p1.withColumn("stage", lit(1))
+        .unionByName(p2.withColumn("stage", lit(2)))
+        .select(col("stage"), col("b"), col("best_match"), col("jaccard"),
+          col("n_matches"))
+        .orderBy(col("stage"), col("b"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash,
     q66MllibMinhash, q75DedupClusters, q77DedupApply,
     q94PrefixJaccard, q95EditDistance, q111Decontaminate,
-    q120RepeatedSpans, q138LeakageSafeSplit, q139IncrementalDedup)
+    q120RepeatedSpans, q138LeakageSafeSplit, q139IncrementalDedup,
+    q142DedupLifecycle)
 }

@@ -174,6 +174,21 @@ class PlanAuditSpec extends SparkSpecBase {
       s"MinHashSigExpr evaluated more than once per row:\n$sigPlan")
   }
 
+  test("markup/URL ladders stay single-pass scan-shaped projections") {
+    // q140: scan → regex-ladder projection → sort. One exchange (the
+    // final range partition) — a second would mean the ladder left
+    // the scan stage (e.g. a pushed-filter re-evaluation trap)
+    val p140 = planOf("q140_strip_markup")
+    assert("Exchange".r.findAllIn(p140).length <= 1,
+      s"q140 grew extra exchanges:\n$p140")
+    // q141: scan → ladder → hash-agg → sort: partial/final agg pair
+    // around one exchange plus the sort's
+    val p141 = planOf("q141_url_canonicalize")
+    assert("Exchange".r.findAllIn(p141).length <= 2,
+      s"q141 grew extra exchanges:\n$p141")
+    assert(!p141.contains("SortMergeJoin") && !p140.contains("Join"))
+  }
+
   test("incremental probe: batch side builds every store join — the " +
       "store streams in place") {
     import org.apache.spark.sql.functions._
