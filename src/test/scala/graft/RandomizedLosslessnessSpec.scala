@@ -37,6 +37,27 @@ class RandomizedLosslessnessSpec extends SparkSpecBase {
     }
   }
 
+  test("reservoirPerGroup salted prune ≡ single-window draw on random " +
+      "skewed groups") {
+    import graft.operators.Sampling
+    for (round <- 1 to 5) {
+      // deliberately skewed: one hot group holding most rows — the
+      // exact shape the salting exists for
+      val nGroups = 2 + rng.nextInt(4)
+      val rows = (0 until 200 + rng.nextInt(200)).map { i =>
+        val g = if (rng.nextInt(10) < 7) 0 else rng.nextInt(nGroups)
+        (s"g$g", i.toLong + rng.nextInt(1000) * 1000L)
+      }.distinct.toDF("grp", "k")
+      val kCap = 1 + rng.nextInt(9)
+      val salts = 2 + rng.nextInt(31)
+      val salted = Sampling.reservoirPerGroup(rows, Seq("grp"), "k",
+        kCap, salts = salts)
+      val unsalted = Sampling.reservoirPerGroup(rows, Seq("grp"), "k",
+        kCap, salts = 1)
+      assertBagEqual(salted, unsalted)
+    }
+  }
+
   test("editDistancePairs ≡ brute force on random skewed-length strings") {
     for (round <- 1 to 5) {
       val alphabet = "abc" // tiny alphabet → dense near-collisions
