@@ -391,11 +391,20 @@ object Dedup {
     * stores, so callers fall back to [[writeMinhashStore]]. */
   def minhashStoreIsCurrent(corpus: DataFrame, path: String): Boolean =
     try {
-      val p = corpus.sparkSession.read.parquet(s"$path/params").head()
-      p.schema.fieldNames.contains("n_docs") &&
-        p.getAs[Long]("horner_c") == HornerC &&
-        p.getAs[Long]("minhash_p") == MinhashP &&
-        p.getAs[Long]("n_docs") == corpus.count()
+      // Probe the manifest's existence through the Hadoop FS first:
+      // read.parquet on an absent path raises AND error-logs a full
+      // stack trace, which reads as a failure when a cold store is
+      // the normal first-run state.
+      val spark = corpus.sparkSession
+      val hp = new org.apache.hadoop.fs.Path(s"$path/params")
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(hp) && {
+        val p = spark.read.parquet(s"$path/params").head()
+        p.schema.fieldNames.contains("n_docs") &&
+          p.getAs[Long]("horner_c") == HornerC &&
+          p.getAs[Long]("minhash_p") == MinhashP &&
+          p.getAs[Long]("n_docs") == corpus.count()
+      }
     } catch { case _: Exception => false }
 
   /** Read a [[writeMinhashStore]] index back, validating the manifest
