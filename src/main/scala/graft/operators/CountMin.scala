@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.Scalars
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+  * point-frequency summary that, like [[Kmv]] and unlike SpaceSaving,
+  * is exactly reproducible cross-engine: cells are addressed by
+  * [[Scalars.portableHash64]] of a row-salted rendering of the value,
+  * so DuckDB replays build, merge AND estimate bit-for-bit. (q73's
+  * SpaceSaving estimates depend on encounter order and can only be
+  * rows-only checked; this sketch closes that gap for the frequency
+  * question the reference's trending-entity rollups keep asking.)
+  *
+  * The sketch is a depth×width counter grid kept as a SPARSE
+  * `(row, pos, cnt)` frame — an absent cell is zero. Estimates take
+  * the MIN over the `depth` addressed cells, so they never undercount
+  * and overcount only when every row collides (probability ~
+  * (load/width)^depth).
+  *
+  * Scale shape: build is ONE map-side-combined groupBy over the
+  * depth-way exploded increments; the result is ≤ groups × depth ×
+  * width rows regardless of input volume. Merge is counter addition —
+  * associative and commutative, so per-partition / per-day sketches
+  * fold upward without re-reading base data (the q123 rollup
+  * posture). Point estimates broadcast the kilobyte-sized cell frame
+  * to the probe side; nothing shuffles on corpus size.
+  */
+object CountMin {
+
+  /** Row-`i` cell position of `v`: the portable hash of the
+    * row-salted rendering (`"i|" + v`), mod `width`. The hash is
+    * 60-bit positive, so `%` needs no pmod guard. */
+  def position(v: Column, i: Int, width: Int): Column =
+    Scalars.portableHash64(concat(lit(s"$i|"), v.cast("string"))) % width
+
+  /** DuckDB spelling of [[position]] — same rendered salt string,
+    * same md5 arithmetic. */
+  def sqlPosition(e: String, i: Int, width: Int): String =
+    s"(${Scalars.sqlPortableHash64(s"'$i|' || CAST($e AS VARCHAR)")} % $width)"
+
+  /** Per-group sparse cells `(groupCols*, row, pos, cnt)`: each input
+    * row increments one cell per sketch row. */
+  def sketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+             depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth=$depth outside [1, 16]")
+    require(width >= 2, s"width=$width — need at least 2 buckets")
+    val incs = (0 until depth).map(i =>
+      struct(lit(i).as("row"),
+        position(col(valueCol), i, width).as("pos")))
+    df.select(groupCols.map(col) :+ explode(array(incs: _*)).as("c"): _*)
+      .select(groupCols.map(col) :+ col("c.row").as("row") :+
+        col("c.pos").as("pos"): _*)
+      .groupBy((groupCols :+ "row" :+ "pos").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketches upward (e.g. month → global): counter addition.
+    * Exactly the sketch of the concatenated base data, because cell
+    * addressing is a pure function of the value. */
+  def merge(cells: DataFrame, mergeTo: Seq[String]): DataFrame =
+    cells.groupBy((mergeTo :+ "row" :+ "pos").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimate per probe row: MIN over the `depth`
+    * addressed cells, absent cells counting zero. `cells` must be a
+    * single merged sketch (no group columns); it is broadcast — the
+    * grid is kilobytes no matter what it summarized. Estimates are
+    * ≥ the true count always (min of cells that each contain the true
+    * count plus collision noise). */
+  def pointEstimate(cells: DataFrame, probe: DataFrame, valueCol: String,
+                    depth: Int, width: Int): DataFrame = {
+    val keep: Seq[Column] = probe.columns.map(col).toSeq
+    val incs = (0 until depth).map(i =>
+      struct(lit(i).as("row"),
+        position(col(valueCol), i, width).as("pos")))
+    probe.select(keep :+ explode(array(incs: _*)).as("c"): _*)
+      .select(keep :+ col("c.row").as("row") :+ col("c.pos").as("pos"): _*)
+      .join(broadcast(cells), Seq("row", "pos"), "left")
+      .groupBy(keep: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

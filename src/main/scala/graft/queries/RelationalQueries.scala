@@ -1420,6 +1420,78 @@ object RelationalQueries {
     }
   }
 
+  /** q143: Count-Min frequency rollup (SURVEY §2.15 sketch tier) —
+    * per-month sketches of order counts per customer, MERGED to the
+    * global grid by counter addition, then point-probed for one
+    * nation's customers with the exact count alongside. Width is
+    * deliberately small (256 buckets for ~1000 active keys) so
+    * collisions are REAL and the min-over-rows estimator is exercised,
+    * not vacuous: est ≥ exact everywhere (CMS guarantee, CountMinSpec
+    * property), with visible overcounts on collided keys. The whole
+    * pipeline — salted md5 cell addressing, monthly build, merge,
+    * min-estimate — replays verbatim in the oracle because cells ride
+    * on portable_hash64 (the q123 discipline; SpaceSaving's q73 shows
+    * why order-dependent sketches can't get this check). Probing
+    * nation-3 customers includes never-inserted keys (customers with
+    * no orders): absent cells count zero unless every row collides. */
+  val q143CountMinFreq: QuerySpec = {
+    val d = 4
+    val w = 256
+    def incSelects(src: String, key: String): String =
+      (0 until d).map(i =>
+        s"""  SELECT y, m, $i AS row,
+           |    ${graft.operators.CountMin.sqlPosition(key, i, w)} AS pos
+           |  FROM $src""".stripMargin).mkString("\n  UNION ALL\n")
+    def probeSelects(src: String, key: String): String =
+      (0 until d).map(i =>
+        s"""  SELECT k, $i AS row,
+           |    ${graft.operators.CountMin.sqlPosition(key, i, w)} AS pos
+           |  FROM $src""".stripMargin).mkString("\n  UNION ALL\n")
+    QuerySpec(
+      "q143_countmin_freq",
+      s"""WITH o AS (
+         |  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+         |    o_custkey AS k
+         |  FROM orders),
+         |inc AS (
+         |${incSelects("o", "k")}),
+         |monthly AS (
+         |  SELECT y, m, row, pos, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM inc GROUP BY 1, 2, 3, 4),
+         |merged AS (
+         |  SELECT row, pos, CAST(SUM(cnt) AS BIGINT) AS cnt
+         |  FROM monthly GROUP BY 1, 2),
+         |probe AS (
+         |  SELECT c_custkey AS k FROM customer WHERE c_nationkey = 3),
+         |pinc AS (
+         |${probeSelects("probe", "k")}),
+         |est AS (
+         |  SELECT k, MIN(COALESCE(mg.cnt, 0)) AS est
+         |  FROM pinc LEFT JOIN merged mg USING (row, pos)
+         |  GROUP BY k),
+         |ex AS (
+         |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1)
+         |SELECT est.k AS custkey, est.est, COALESCE(ex.n, 0) AS exact_cnt
+         |FROM est LEFT JOIN ex USING (k)
+         |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      import graft.operators.CountMin
+      val o = Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"), col("o_custkey").as("k"))
+      val monthly = CountMin.sketch(o, Seq("y", "m"), "k", d, w)
+      val merged = CountMin.merge(monthly, Seq.empty)
+      val probe = Tables.customer(s, dir)
+        .filter(col("c_nationkey") === 3)
+        .select(col("c_custkey").as("k"))
+      val est = CountMin.pointEstimate(merged, probe, "k", d, w)
+      val exact = o.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      est.join(exact, Seq("k"), "left")
+        .select(col("k").as("custkey"), col("est"),
+          coalesce(col("n"), lit(0L)).as("exact_cnt"))
+        .orderBy(col("custkey"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
@@ -1432,5 +1504,6 @@ object RelationalQueries {
     q96ReservoirSample, q97WeightedSample, q98JoinDelta,
     q100Histogram, q102DictEncode, q110ImputeMean,
     q118CsvRoundtrip, q122OrcRoundtrip, q123KmvRollup, q124PageRank,
-    q125EpochShuffle, q126SchemaEvolution, q133SketchRetention)
+    q125EpochShuffle, q126SchemaEvolution, q133SketchRetention,
+    q143CountMinFreq)
 }

@@ -352,7 +352,9 @@ object TextQueries {
     * TypedImperativeAggregate next to q61's exact vocabulary: a
     * k-entry summary per partition instead of shuffling every distinct
     * term. Estimates vary with encounter order (rows-only driver
-    * check); the sketch guarantees are pinned in SketchSpec. */
+    * check); the sketch guarantees are pinned in SketchSpec. The
+    * frequency question itself IS hash-verifiable when the sketch is
+    * order-independent — q143's Count-Min grid covers that tier. */
   val q73HeavyHitters: QuerySpec =
     QuerySpec.noOracle("q73_heavy_hitters") { (s, dir) =>
       Tables.documents(s, dir)

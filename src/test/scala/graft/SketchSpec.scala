@@ -96,4 +96,45 @@ class SketchSpec extends SparkSpecBase {
       .select(col("y"), col("kmins"))
     assertBagEqual(merged, direct)
   }
+
+  test("CMS: never undercounts; exact on a collision-free grid") {
+    import graft.operators.CountMin
+    // 40 distinct keys on a 4×4096 grid: collisions are ~impossible,
+    // so every estimate must equal the true count; on a 4×8 grid they
+    // are certain, and the guarantee degrades to est >= exact only.
+    val rows = (1 to 1000).map(i => i.toLong % 40)
+    val df = rows.toDF("v")
+    val truth = rows.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val probe = (0L until 40L).toDF("v")
+    for ((w, exactExpected) <- Seq((4096, true), (8, false))) {
+      val cells = CountMin.sketch(df, Seq.empty, "v", 4, w)
+      val est = CountMin.pointEstimate(cells, probe, "v", 4, w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      truth.foreach { case (k, n) =>
+        assert(est(k) >= n, s"w=$w key $k undercounted: ${est(k)} < $n")
+        if (exactExpected)
+          assert(est(k) == n, s"w=$w key $k: ${est(k)} != $n on a wide grid")
+      }
+    }
+  }
+
+  test("CMS: merged monthly cells equal the directly-built global grid") {
+    import graft.operators.CountMin
+    val df = (1 to 3000).map(i => (i % 12 + 1, i.toLong % 100))
+      .toDF("m", "v").repartition(7, col("v"))
+    val monthly = CountMin.sketch(df, Seq("m"), "v", 4, 64)
+    val merged = CountMin.merge(monthly, Seq.empty)
+    val direct = CountMin.sketch(df, Seq.empty, "v", 4, 64)
+    assertBagEqual(merged, direct)
+  }
+
+  test("CMS: absent keys estimate zero unless every row collides") {
+    import graft.operators.CountMin
+    val cells = CountMin.sketch((1L to 50L).toDF("v"), Seq.empty, "v", 4, 4096)
+    val est = CountMin.pointEstimate(
+        cells, Seq(9999L, 12345L).toDF("v"), "v", 4, 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.values.forall(_ == 0L),
+      s"never-inserted keys should read 0 on a wide grid: $est")
+  }
 }
