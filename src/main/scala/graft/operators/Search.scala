@@ -121,4 +121,59 @@ object Search {
       .select(col(keyCol), round(score, 6).as("score"))
       .filter(col("score") > 0.0)
   }
+
+  /** Positional postings `(term, keyCol, pos)` — the inverted-index
+    * row form (pos is 1-based). One explode, no shuffle; at warehouse
+    * scale this frame is what gets persisted bucketed-by-term so a
+    * query touches only its own terms' posting lists. */
+  def positionalPostings(docs: DataFrame, keyCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(keyCol), posexplode(split(col(textCol), " ")))
+      .select(col("col").as("term"), col(keyCol),
+        (col("pos") + 1).cast("long").as("pos"))
+
+  /** Phrase search over positional postings: for each phrase, every
+    * document containing its tokens CONSECUTIVELY, with the
+    * overlap-aware occurrence count and first match position.
+    *
+    * The classic positional-index intersection, shaped as ONE plan
+    * regardless of phrase count or length: phrase tokens become a
+    * literal `(phrase, idx, term)` frame; a posting matching token
+    * `idx` of a phrase votes for candidate start `pos − idx`, and a
+    * start is a match iff it collects all `n_terms` votes — each
+    * (doc, pos) holds one term, so votes per (phrase, doc, start, idx)
+    * are unique and a plain count works. Repeated phrase tokens
+    * ("a a") and overlapping matches ("a a" twice inside "a a a")
+    * fall out correctly: votes for different starts never collide.
+    *
+    * Scale shape: the phrase-term frame is broadcast; the `isin`
+    * prefilter pushes into a persisted postings scan (PushedFilters)
+    * so the corpus-sized frame is never shuffled — only matched-term
+    * postings reach the two bounded aggregations. Output:
+    * `(phrase, keyCol, n_occ, first_pos)`. */
+  def phraseSearch(postings: DataFrame, keyCol: String,
+                   phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty && phrases.size <= 256,
+      s"phrases.size=${phrases.size} outside [1, 256]")
+    require(phrases.forall(_.trim.nonEmpty), "empty phrase")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val phraseTerms = phrases.flatMap { p =>
+      val ts = p.split(" ").toSeq
+      ts.zipWithIndex.map { case (t, i) =>
+        (p, i.toLong, t, ts.size.toLong)
+      }
+    }.toDF("phrase", "idx", "term", "n_terms")
+    val wanted = phrases.flatMap(_.split(" ")).distinct
+    postings
+      .where(col("term").isin(wanted: _*))
+      .join(broadcast(phraseTerms), Seq("term"))
+      .select(col("phrase"), col(keyCol),
+        (col("pos") - col("idx")).as("start"), col("n_terms"))
+      .groupBy(col("phrase"), col(keyCol), col("start"), col("n_terms"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") === col("n_terms"))
+      .groupBy(col("phrase"), col(keyCol))
+      .agg(count(lit(1)).as("n_occ"), min(col("start")).as("first_pos"))
+  }
 }

@@ -1052,6 +1052,53 @@ object TextQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** q144: positional inverted index + phrase search (SURVEY §2.15) —
+    * the retrieval structure next to q117's BM25 term scoring: exact
+    * multi-token phrase queries answered from postings, not substring
+    * scans. The oracle is deliberately a DIFFERENT algorithm — a
+    * brute-force token-slice comparison straight off the definition
+    * ("tokens p..p+n−1 equal the phrase") — so the hash match verifies
+    * the index intersection's SEMANTICS, not a replay of its
+    * arithmetic. The phrase set exercises the two classic traps:
+    * repeated tokens ("a a") and overlapping occurrences ("a a" twice
+    * inside an "a a a" run — replace()-style counting misses these),
+    * plus a 3-token phrase. */
+  val q144PhraseSearch: QuerySpec = {
+    val phrases = Seq("a a", "table table", "key scan", "query key scan")
+    def occSelect(p: String): String = {
+      val ts = p.split(" ")
+      val conds = ts.zipWithIndex.map { case (t, i) =>
+        s"toks[pos + $i] = '$t'"
+      }.mkString(" AND ")
+      s"""  SELECT '$p' AS phrase, doc_id, pos AS start
+         |  FROM p WHERE pos + ${ts.length - 1} <= n_toks AND $conds"""
+        .stripMargin
+    }
+    QuerySpec(
+      "q144_phrase_search",
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, toks, len(toks) AS n_toks,
+         |    unnest(range(1, len(toks) + 1)) AS pos
+         |  FROM d),
+         |occ AS (
+         |${phrases.map(occSelect).mkString("\n  UNION ALL\n")})
+         |SELECT phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |  MIN(start) AS first_pos
+         |FROM occ GROUP BY 1, 2
+         |ORDER BY phrase, doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.Search
+      val postings = Search.positionalPostings(
+        Tables.documents(s, dir), "doc_id", "text")
+      Search.phraseSearch(postings, "doc_id", phrases)
+        .select(col("phrase"), col("doc_id"), col("n_occ"),
+          col("first_pos"))
+        .orderBy(col("phrase"), col("doc_id"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -1059,5 +1106,6 @@ object TextQueries {
     q93LlmPipeline, q105TextNormalize, q112Repetition, q113PackSequences,
     q114MixtureSample, q115TokenEntropy, q116PiiScrub, q117Bm25,
     q119BigramLm, q121LmScore, q131PmiCollocations, q134CdcChunks,
-    q137CorpusCard, q140StripMarkup, q141UrlCanonicalize)
+    q137CorpusCard, q140StripMarkup, q141UrlCanonicalize,
+    q144PhraseSearch)
 }

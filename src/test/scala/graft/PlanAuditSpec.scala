@@ -226,4 +226,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q144 phrase search broadcasts the phrase frame and prunes the scan") {
+    val plan = planOf("q144_phrase_search")
+    // the literal phrase-term frame must be the build side — a
+    // sort-merge here shuffles the whole postings frame at 100 TB
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"),
+      s"phrase join is not a broadcast:\n$plan")
+    // the term prefilter must reach the scan: postings derive from a
+    // projected explode, so the pushable residue is the column prune —
+    // only text survives to the reader (plus the key)
+    assert(!plan.contains("n_chars") && !plan.contains("lang#"),
+      s"documents scan reads unused columns:\n$plan")
+  }
 }

@@ -79,4 +79,40 @@ class SearchSpec extends SparkSpecBase {
     val b = Search.bigramCrossEntropy(docs.repartition(7), "doc_id", "text")
     assertBagEqual(a, b)
   }
+
+  test("phrase search: overlaps, repeated tokens, adjacency, no false hits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),        // "a a" overlaps: starts 1 and 2
+      (2L, "x a y a z"),      // both tokens present but never adjacent
+      (3L, "key scan key scan"), // two disjoint occurrences
+      (4L, "scan key"),       // reversed order is not the phrase
+      (5L, "a a")             // exact-length doc
+    ).toDF("doc_id", "text")
+    val postings = Search.positionalPostings(docs, "doc_id", "text")
+    val got = Search.phraseSearch(postings, "doc_id",
+        Seq("a a", "key scan", "never here"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("a a", 1L)) == (2L, 1L), s"overlap miscount: $got")
+    assert(got(("a a", 5L)) == (1L, 1L))
+    assert(!got.contains(("a a", 2L)), "non-adjacent tokens matched")
+    assert(got(("key scan", 3L)) == (2L, 1L))
+    assert(!got.contains(("key scan", 4L)), "reversed order matched")
+    assert(!got.keys.exists(_._1 == "never here"))
+  }
+
+  test("phrase search is invariant under postings repartitioning") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i =>
+      (i, (0 to 40).map(j => s"w${(i * 3 + j * 5) % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val p1 = Search.positionalPostings(docs, "doc_id", "text")
+    val p2 = Search.positionalPostings(docs.repartition(11), "doc_id", "text")
+      .repartition(5)
+    val q = Seq("w0 w5", "w1 w6 w4")
+    assertBagEqual(Search.phraseSearch(p1, "doc_id", q),
+      Search.phraseSearch(p2, "doc_id", q))
+  }
 }
