@@ -63,6 +63,61 @@ object CountMin {
     cells.groupBy((mergeTo :+ "row" :+ "pos").map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** A persisted grid: the cells plus the manifest parameters they
+    * were addressed with. As with the MinHash store, a silent
+    * parameter mismatch is the worst failure mode — cells addressed
+    * at width 256 probed at width 512 return garbage that still
+    * LOOKS like counts — so the manifest travels with the cells and
+    * folds sign with ITS parameters, not the caller's. */
+  final case class CountMinStore(cells: DataFrame, depth: Int, width: Int)
+
+  /** Persist a merged grid (no group columns) with its manifest. */
+  def writeStore(cells: DataFrame, path: String, depth: Int,
+                 width: Int): Unit = {
+    cells.write.mode("overwrite").parquet(s"$path/cells")
+    cells.sparkSession.createDataFrame(Seq((depth, width)))
+      .toDF("depth", "width")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Read a [[writeStore]] grid back, manifest included. */
+  def readStore(spark: org.apache.spark.sql.SparkSession,
+                path: String): CountMinStore = {
+    val p = spark.read.parquet(s"$path/params").head()
+    CountMinStore(spark.read.parquet(s"$path/cells"),
+      p.getAs[Int]("depth"), p.getAs[Int]("width"))
+  }
+
+  /** Fold a batch into a persisted grid by counter addition: create
+    * the store with (`depth`, `width`) when absent, otherwise sketch
+    * the batch with the MANIFEST's parameters (the caller's are for
+    * creation only — a drifted caller cannot corrupt an existing
+    * grid) and overwrite with the merged cells. The merged frame is
+    * eagerly materialized (localCheckpoint) before the overwrite so
+    * the read and the write of the same path cannot interleave; the
+    * grid is ≤ depth×width rows, so this is kilobytes. */
+  def foldIntoStore(batch: DataFrame, valueCol: String, path: String,
+                    depth: Int, width: Int): Unit = {
+    val spark = batch.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(s"$path/params")
+    val exists =
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    if (!exists) {
+      writeStore(sketch(batch, Seq.empty, valueCol, depth, width),
+        path, depth, width)
+    } else {
+      val store = readStore(spark, path)
+      val grown = merge(
+        store.cells.unionByName(
+          sketch(batch, Seq.empty, valueCol, store.depth, store.width)),
+        Seq.empty).localCheckpoint(true)
+      writeStore(grown, path, store.depth, store.width)
+      // checkpoint blocks live on the LogicalRDD, not a CacheManager
+      // entry — the pageRank discipline (Graph.checkpointRdd)
+      Graph.checkpointRdd(grown).foreach(_.unpersist(false))
+    }
+  }
+
   /** Point-frequency estimate per probe row: MIN over the `depth`
     * addressed cells, absent cells counting zero. `cells` must be a
     * single merged sketch (no group columns); it is broadcast — the

@@ -136,7 +136,8 @@ object Search {
     * document containing its tokens CONSECUTIVELY, with the
     * overlap-aware occurrence count and first match position.
     *
-    * The classic positional-index intersection, shaped as ONE plan
+    * The classic positional-index intersection (Zobel & Moffat 2006,
+    * "Inverted files for text search engines"), shaped as ONE plan
     * regardless of phrase count or length: phrase tokens become a
     * literal `(phrase, idx, term)` frame; a posting matching token
     * `idx` of a phrase votes for candidate start `pos − idx`, and a

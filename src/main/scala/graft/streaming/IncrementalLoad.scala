@@ -90,4 +90,28 @@ object IncrementalLoad {
           storePath)
       }
       .start()
+
+  /** Streaming Count-Min fold — the sketch-store posture of the gate
+    * above: every micro-batch's increments fold into the persisted
+    * grid by counter addition ([[graft.operators.CountMin
+    * .foldIntoStore]]), so the store always summarizes the stream so
+    * far and point estimates come from reading the kilobyte grid, not
+    * from any reprocessing. Because the fold is exactly the batch
+    * merge algebra, the drained store equals the grid a single batch
+    * build over the concatenated stream would produce (StreamingSpec
+    * pins this) — the streaming and batch answers cannot drift.
+    * Micro-batches serialize through foreachBatch, so read-merge-write
+    * on the store cannot race. */
+  def streamingCountMinFold(spark: SparkSession, stream: DataFrame,
+                            valueCol: String, storePath: String,
+                            checkpoint: String, depth: Int,
+                            width: Int): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.CountMin.foldIntoStore(batch, valueCol,
+          storePath, depth, width)
+      }
+      .start()
 }

@@ -310,4 +310,37 @@ class StreamingSpec extends SparkSpecBase {
     val grown = Dedup.readMinhashStore(spark, storePath)
     assert(grown.buckets.filter(col("doc_id") === 7001L).count() > 0)
   }
+
+  test("streaming Count-Min fold: the drained store equals the batch grid " +
+      "over the concatenated stream") {
+    import spark.implicits._
+    import graft.operators.CountMin
+    val root = java.nio.file.Files.createTempDirectory("graft_scms")
+    val b1 = (1L to 400L).map(_ % 37).toDF("v")
+    val b2 = (1L to 300L).map(i => (i * 7) % 41).toDF("v")
+    b1.coalesce(1).write.parquet(root.resolve("in/b1").toString)
+    b2.coalesce(1).write.parquet(root.resolve("in/b2").toString)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in/*/")
+    val storePath = root.resolve("store").toString
+    val q = graft.streaming.IncrementalLoad.streamingCountMinFold(
+      spark, stream, "v", storePath, root.resolve("ckpt").toString,
+      depth = 4, width = 64)
+    assert(q.awaitTermination(120000), "fold did not drain in time")
+    val store = CountMin.readStore(spark, storePath)
+    assert((store.depth, store.width) == (4, 64), "manifest drifted")
+    val direct = CountMin.sketch(b1.unionByName(b2), Seq.empty, "v", 4, 64)
+    assertBagEqual(store.cells.select(col("row"), col("pos"),
+      col("cnt").cast("long")), direct)
+    // and a caller with drifted parameters cannot corrupt the grid:
+    // folds sign with the manifest's depth/width, not the caller's
+    CountMin.foldIntoStore(Seq(1L).toDF("v"), "v", storePath, 2, 8)
+    val after = CountMin.readStore(spark, storePath)
+    assert((after.depth, after.width) == (4, 64))
+    assert(after.cells.agg(sum(col("cnt"))).head.getLong(0) ==
+      (700L + 1L) * 4, "fold lost or double-counted increments")
+    // nothing cached leaks out of the fold path
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
