@@ -832,16 +832,16 @@ object DedupQueries {
         .select(col("doc_id"),
           expr("substring(r, instr(r, ' ') + 1)").as("text"))
       // The store frames feed BOTH probe generations (and the probes
-      // are eager), so compute once and cache across them, dropping
-      // before returning; adm1 likewise feeds both grown-index
-      // unions. The DISK posture is q139's job ([[sharedDocStore]]) —
-      // this query verifies the grow-then-probe semantics. Measured:
-      // in-plan cached signing beats re-reading the parquet index
-      // here (4.4 s vs 5.2 s at sf0.1 — the store is only 5k docs).
-      val sb = Dedup.minhashBandBuckets(store, "doc_id", "text",
-        k = 3, numHashes = nH, bands = bands).cache()
-      val ss = Dedup.portableShingleHashes(store, "doc_id", "text", k = 3)
-        .cache()
+      // are eager) — serve them from the SAME persisted index q139
+      // probes ([[sharedDocStore]]): the corpus is signed once EVER,
+      // and both generations' store sides are parquet scans — CACHED,
+      // because each probe consumes the shingle frame twice (sCounts +
+      // common) and uncached re-scans across four consumers cost more
+      // than the cache. adm1 (cached across the two grown-index
+      // unions) is the only re-signed frame, and it is batch-bounded.
+      val idx = sharedDocStore(s, dir, store)
+      val sb = idx.buckets.cache()
+      val ss = idx.shingles.cache()
       val p1 = Dedup.minhashNearDupAgainstStore(b1, "doc_id", "text",
         sb, ss, k = 3, numHashes = nH, bands = bands, threshold = 0.5)
       val adm1 = b1.join(p1.select(col("b").as("doc_id")),
