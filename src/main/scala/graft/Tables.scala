@@ -30,15 +30,29 @@ object Tables {
     spark.read.parquet(path(sfDir, "orders"))
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(path(sfDir, "lineitem"))
-  /** The events table carries nanosecond parquet timestamps, which
-    * Spark's vectorized reader rejects; read them as raw nanos and
-    * truncate to micros (exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP
-    * coercion does, so oracle comparisons agree). */
+  /** The events table's `ts` column has shipped as both nanosecond
+    * parquet timestamps (which Spark's vectorized reader rejects — read
+    * as raw nanos and truncate to micros, exactly DuckDB's
+    * TIMESTAMP_NS→TIMESTAMP coercion) and plain micros (read natively,
+    * as TIMESTAMP_NTZ under Spark's NTZ inference). Normalize either to
+    * session-zoned TimestampType; with the UTC session both paths land
+    * on identical micros-since-epoch, so oracle comparisons agree. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(sfDir, "events"))
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(spark.read.parquet(path(sfDir, "events")))
+  }
+
+  /** Normalize an events frame's `ts` to TimestampType regardless of the
+    * on-disk flavor (nanos-as-long, TIMESTAMP_NTZ, or already zoned). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(path(sfDir, "documents"))

@@ -864,6 +864,99 @@ object Dedup {
           .as("dup_ratio"))
   }
 
+  /** Exact-substring DEDUP (the removal stage on top of
+    * [[repeatedSpans]]'s detection, the actual Lee et al. 2022 ExactSubstr
+    * pass): every k-token window occurring more than once anywhere in
+    * the corpus keeps its GLOBAL first occurrence — lexicographic min
+    * (key, pos), deterministic and engine-independent — and every other
+    * occurrence marks its span for removal; overlapping marked windows
+    * merge into maximal spans per document; the surviving tokens
+    * reassemble into the cleaned text. Document-level dedup keeps one
+    * of two 99%-boilerplate documents in full — this pass instead cuts
+    * the pasted block everywhere but where it first appeared.
+    *
+    * Output per input row: `n_tokens`, `removed_tokens`,
+    * `n_removed_spans`, `clean_n_tokens`, and `clean_md5` (the digest
+    * stands in for the rebuilt text so result rows stay narrow; callers
+    * wanting the text itself take `cleanedText` below).
+    *
+    * Scale shape: windows travel as 64-bit hashes exactly as in
+    * [[repeatedSpans]] — one corpus-wide groupBy(h) with map-side
+    * combine carrying `min(struct(key, pos))` (a window-function
+    * spelling would shuffle every window row un-combined); the `c > 1`
+    * filter shrinks the join-back to the duplicated minority; removal
+    * islands are tiny (docs-with-boilerplate × spans), so the
+    * token-level removal anti-join BROADCASTS them — the token frame
+    * never shuffles for it. The one token-level shuffle is the final
+    * per-document reassembly groupBy; nothing driver-side, nothing
+    * quadratic. First-occurrence quantization: spans < k tokens go
+    * undetected, span boundaries are exact at window granularity
+    * (the repeatedSpans contract). */
+  def exactSubstrDedup(df: DataFrame, keyCol: String, textCol: String,
+                       k: Int = 8,
+                       storage: org.apache.spark.storage.StorageLevel =
+                         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                      : DataFrame = {
+    require(k >= 2, s"k=$k — a 1-token window flags every common word")
+    val toks = split(col(textCol), " ")
+    val base = df.select(col(keyCol),
+      size(toks).cast("long").as("n_tokens"), toks.as("toks"))
+    val windows = base.select(col(keyCol),
+        explode(transform(shinglePositions(col("toks"), k),
+          i => struct(i.as("pos"),
+            xxhash64(shingleAt(col("toks"), i, k)).as("h")))).as("w"))
+      .select(col(keyCol), col("w.pos").as("pos"), col("w.h").as("h"))
+      .persist(storage)
+    // per repeated window: its lexicographic-first occurrence — an
+    // aggregate (combines map-side), NOT a row_number window (which
+    // would shuffle every window row before discarding the unique
+    // majority)
+    val firstOcc = windows.groupBy(col("h"))
+      .agg(min(struct(col(keyCol).as("k"), col("pos").as("p"))).as("f"),
+        count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("h"), col("f.k").as("first_key"), col("f.p").as("first_pos"))
+    val removal = windows.join(firstOcc, Seq("h"))
+      .filter(!(col(keyCol) === col("first_key") &&
+        col("pos") === col("first_pos")))
+      .select(col(keyCol), col("pos"), (col("pos") + lit(k)).as("pend"))
+    // islands are tiny (docs-with-boilerplate × spans) — materialize
+    // them EAGERLY so the windows cache can drop before returning:
+    // both firstOcc and the join-back consume `windows`, and after
+    // this point nothing does (the q139 eager discipline)
+    val islands = Relational.mergeIntervals(removal, keyCol, "pos", "pend")
+      .select(col(keyCol), col("island_start").as("s0"),
+        col("island_end").as("e0"))
+      .localCheckpoint(true)
+    windows.unpersist()
+    // token-level removal: keep (key, pos, tok) rows covered by no
+    // island — equi-key + range anti-join against the broadcast-sized
+    // island set, so the token frame stays un-shuffled here
+    val tokens = base.select(col(keyCol), col("n_tokens"),
+        posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col(keyCol), col("n_tokens"),
+        (col("p0") + lit(1)).as("pos"), col("tok"))
+    val kept = tokens.join(broadcast(islands),
+      tokens(keyCol) === islands(keyCol) &&
+        col("pos") >= col("s0") && col("pos") < col("e0"), "left_anti")
+    val rebuilt = kept.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("clean_n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    val stats = islands.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_removed_spans"),
+        sum(col("e0") - col("s0")).cast("long").as("removed_tokens"))
+    base.select(col(keyCol), col("n_tokens"))
+      .join(rebuilt, Seq(keyCol), "left")
+      .join(broadcast(stats), Seq(keyCol), "left")
+      .select(col(keyCol), col("n_tokens"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        coalesce(col("n_removed_spans"), lit(0L)).as("n_removed_spans"),
+        coalesce(col("clean_n_tokens"), lit(0L)).as("clean_n_tokens"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+  }
+
   /** SimHash near-dup pairs: 15-bit-chunk banding (4 chunks × 15 of
     * the 60 signature bits) for candidates, then exact hamming
     * distance filter via bit_count(xor). By pigeonhole, any pair

@@ -205,24 +205,8 @@ object Similarity {
       s"nprobe=$nprobe must be in [1, numCells=$numCells]")
     require(kmeansIters >= 0 && kmeansIters <= 16,
       s"kmeansIters=$kmeansIters out of range (each pass rescans the corpus)")
-    val seed = corpus.orderBy(col(corpusId)).limit(numCells)
-      .select(col(corpusId).as("cell"),
-        col(corpusVec).cast("array<double>").as("cent_vec"))
-    // the refined-centroid plan embeds `kmeansIters` corpus scans and
-    // is consumed by BOTH assignment broadcasts below — materialize it
-    // ONCE into a local relation (bounded: ≤numCells rows by the guard
-    // above) instead of caching, which would pin an entry in the cache
-    // manager for the session's lifetime on every call
-    val centroids = {
-      val refined = (0 until kmeansIters).foldLeft(seed)((c, _) =>
-        lloydStep(corpus, corpusId, corpusVec, c))
-      if (kmeansIters == 0) refined
-      else {
-        val spark = corpus.sparkSession
-        import scala.jdk.CollectionConverters._
-        spark.createDataFrame(refined.collect().toSeq.asJava, refined.schema)
-      }
-    }
+    val centroids = refinedCentroids(corpus, corpusId, corpusVec,
+      numCells, kmeansIters)
     val corpusCells = assignCells(corpus, centroids, corpusId, corpusVec, 1)
     val queryCells = assignCells(queries, centroids, queryId, queryVec, nprobe)
     val joined = corpusCells.join(broadcast(queryCells), Seq("cell"))
@@ -232,6 +216,88 @@ object Similarity {
     Relational.topKPerGroup(
         joined.select(col(queryId), col(corpusId), col("sim")).distinct(),
         Seq(col(queryId)), Seq(col("sim").desc, col(corpusId).asc), k)
+  }
+
+  /** Seed-then-refine centroid set shared by [[ivfTopK]] and
+    * [[semanticDedup]]: `numCells` lowest-id corpus vectors seed the
+    * cells, `kmeansIters` deterministic Lloyd's passes refine them.
+    * The refined-centroid plan embeds `kmeansIters` corpus scans and
+    * is consumed by every assignment broadcast downstream —
+    * materialize it ONCE into a local relation (bounded: ≤numCells
+    * rows by the caller's guard) instead of caching, which would pin
+    * an entry in the cache manager for the session's lifetime on
+    * every call. */
+  private def refinedCentroids(corpus: DataFrame, corpusId: String,
+                               corpusVec: String, numCells: Int,
+                               kmeansIters: Int): DataFrame = {
+    val seed = corpus.orderBy(col(corpusId)).limit(numCells)
+      .select(col(corpusId).as("cell"),
+        col(corpusVec).cast("array<double>").as("cent_vec"))
+    val refined = (0 until kmeansIters).foldLeft(seed)((c, _) =>
+      lloydStep(corpus, corpusId, corpusVec, c))
+    if (kmeansIters == 0) refined
+    else {
+      val spark = corpus.sparkSession
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(refined.collect().toSeq.asJava, refined.schema)
+    }
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): embedding
+    * near-duplicates are detected only WITHIN k-means cells, and each
+    * similarity neighborhood keeps its lowest id — a row is dropped
+    * iff a smaller-id vector in its cell sits at rounded cosine ≥
+    * `threshold`. The greedy keep-min-id rule (rather than a full
+    * transitive closure) is the published algorithm's and is
+    * deterministic, so every flag replays in SQL.
+    *
+    * Output per vector: `cell`, `kept`, `n_smaller_dups` (smaller-id
+    * near-dups in cell), `dup_of` (smallest such id, −1 if kept).
+    *
+    * Scale shape: this is the answer to q37's corpus-wide O(N²) —
+    * pairs form only inside cells (Σ|cell|² work, tunable via
+    * `numCells`), the centroid set is broadcast-bounded (≤4096), norms
+    * compute once per row not per pair, and the pair join is a hash
+    * join on cell id. Skew guard at 100 TB: numCells scales with
+    * corpus size (the SemDeDup paper runs 50k cells for 5B
+    * embeddings), keeping each cell's quadratic term bounded. */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, numCells: Int = 16,
+                    kmeansIters: Int = 1): DataFrame = {
+    require(numCells >= 1 && numCells <= 4096,
+      s"numCells=$numCells out of range: centroids are broadcast to every " +
+        "task — the assignment cross join is only safe against a bounded side")
+    require(kmeansIters >= 0 && kmeansIters <= 16,
+      s"kmeansIters=$kmeansIters out of range (each pass rescans the corpus)")
+    val centroids = refinedCentroids(vectors, idCol, vecCol,
+      numCells, kmeansIters)
+    def norm(v: Column): Column = sqrt(graft.plans.DotProduct(v, v))
+    val cells = assignCells(vectors, centroids, idCol, vecCol, 1)
+      .select(col(idCol), col("cell"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_n", norm(col("_v")))
+      .cache() // consumed by both pair sides and the final join; the
+               // assignment otherwise re-runs its broadcast per branch
+               // (the simhashNearDupPairs chunk-cache precedent)
+    val a = cells.select(col("cell"), col(idCol).as("a"),
+      col("_v").as("_va"), col("_n").as("_na"))
+    val b = cells.select(col("cell"), col(idCol).as("b"),
+      col("_v").as("_vb"), col("_n").as("_nb"))
+    // dot/(na*nb) is bit-identical to the fused cosine (same
+    // accumulation order) at a third of the per-pair work
+    val drops = a.join(b, Seq("cell")).filter(col("a") < col("b"))
+      .withColumn("sim", round(
+        graft.plans.DotProduct(col("_va"), col("_vb")) /
+          (col("_na") * col("_nb")), 6))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("b").as(idCol))
+      .agg(count(lit(1)).as("n_smaller_dups"), min(col("a")).as("dup_of"))
+    cells.select(col(idCol), col("cell"))
+      .join(drops, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        col("dup_of").isNull.as("kept"),
+        coalesce(col("n_smaller_dups"), lit(0L)).as("n_smaller_dups"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
   }
 
   /** Deterministic pseudo-random hyperplane COMPONENTS (fixed seed —

@@ -571,6 +571,99 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q145: exact-substring DEDUP — the removal stage over q120's
+    * detection (Lee et al. 2022's ExactSubstr pass): repeated k-token
+    * windows keep their global first occurrence (lexicographic
+    * (doc, pos) min) and every later occurrence's span is cut; the
+    * cleaned text reassembles from the surviving tokens and travels
+    * as an md5 so result rows stay narrow. Same synthesized
+    * boilerplate corpus as q120; the operator counts window hashes
+    * where the oracle counts window strings (identical absent 64-bit
+    * collisions, the q31 argument), and the oracle's row_number-over-
+    * occurrences spelling equals the operator's min-struct aggregate
+    * because (doc, pos) is unique per window. */
+  val q145ExactSubstrDedup: QuerySpec = QuerySpec(
+    "q145_exact_substr_dedup",
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      |boiler AS (
+      |  SELECT array_to_string(string_split(text, ' ')[1:12], ' ') AS b
+      |  FROM base WHERE doc_id = 0),
+      |injected AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0
+      |      THEN text || ' ' || (SELECT b FROM boiler)
+      |      ELSE text END AS text
+      |  FROM base),
+      |tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM injected),
+      |w0 AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, len(toks) - 6),
+      |    i -> {'pos': i, 's': array_to_string(toks[i:i+7], ' ')})) AS u
+      |  FROM tok WHERE len(toks) >= 8),
+      |w AS (SELECT doc_id, u.pos AS pos, u.s AS s FROM w0),
+      |wr AS (
+      |  SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn,
+      |    COUNT(*) OVER (PARTITION BY s) AS c
+      |  FROM w),
+      |dup AS (SELECT doc_id, pos, pos + 8 AS pend FROM wr
+      |        WHERE c > 1 AND rn > 1),
+      |isl AS (
+      |  SELECT doc_id, pos, pend,
+      |    CASE WHEN MAX(pend) OVER prev IS NULL
+      |           OR pos > MAX(pend) OVER prev THEN 1 ELSE 0 END AS ni
+      |  FROM dup
+      |  WINDOW prev AS (PARTITION BY doc_id ORDER BY pos, pend
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |grp AS (
+      |  SELECT doc_id, pos, pend, SUM(ni) OVER (
+      |    PARTITION BY doc_id ORDER BY pos, pend
+      |    ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM isl),
+      |m AS (
+      |  SELECT doc_id, island, MIN(pos) AS s0, MAX(pend) AS e0
+      |  FROM grp GROUP BY 1, 2),
+      |tokpos AS (
+      |  SELECT doc_id, unnest(list_transform(toks,
+      |    (t, i) -> {'pos': i, 'tok': t})) AS u
+      |  FROM tok),
+      |tp AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tokpos),
+      |kept AS (
+      |  SELECT t.doc_id, t.pos, t.tok FROM tp t
+      |  WHERE NOT EXISTS (SELECT 1 FROM m
+      |    WHERE m.doc_id = t.doc_id AND t.pos >= m.s0 AND t.pos < m.e0)),
+      |rebuilt AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS clean_n_tokens,
+      |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      |  FROM kept GROUP BY doc_id),
+      |stats AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed_spans,
+      |    CAST(SUM(e0 - s0) AS BIGINT) AS removed_tokens
+      |  FROM m GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |  COALESCE(s.removed_tokens, 0) AS removed_tokens,
+      |  COALESCE(s.n_removed_spans, 0) AS n_removed_spans,
+      |  COALESCE(r.clean_n_tokens, 0) AS clean_n_tokens,
+      |  md5(COALESCE(r.clean_text, '')) AS clean_md5
+      |FROM tok t LEFT JOIN rebuilt r USING (doc_id)
+      |  LEFT JOIN stats s USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val boiler = base.filter(col("doc_id") === 0)
+      .select(array_join(slice(split(col("text"), " "), 1, 12), " ")
+        .as("boiler"))
+    val injected = base.crossJoin(broadcast(boiler))
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat_ws(" ", col("text"), col("boiler")))
+          .otherwise(col("text")).as("text"))
+    Dedup.exactSubstrDedup(injected, "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** q138: leakage-safe train/val split — the q82 hash split keyed on
     * the near-dup CLUSTER canonical instead of the document id, so a
     * cluster can never straddle the split boundary (near-duplicates
@@ -866,5 +959,5 @@ object DedupQueries {
     q66MllibMinhash, q75DedupClusters, q77DedupApply,
     q94PrefixJaccard, q95EditDistance, q111Decontaminate,
     q120RepeatedSpans, q138LeakageSafeSplit, q139IncrementalDedup,
-    q142DedupLifecycle)
+    q142DedupLifecycle, q145ExactSubstrDedup)
 }

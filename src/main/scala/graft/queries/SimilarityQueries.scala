@@ -167,30 +167,7 @@ object SimilarityQueries {
     * full corpus × centroids rescan — SimilaritySpec covers deeper
     * iteration counts). */
   val q52IvfTopK: QuerySpec = {
-    // one Lloyd pass in SQL: assignment CTE against centroids `cin`,
-    // decimal-mean CTE, refined centroids with empty-cell fallback
-    def assignSql(name: String, cin: String): String =
-      s"""$name AS (
-        |  SELECT id, cell FROM (
-        |    SELECT v.id, c.cell,
-        |      row_number() OVER (PARTITION BY v.id
-        |        ORDER BY round(list_cosine_similarity(v.dv, c.cv), 6) DESC,
-        |          c.cell) AS rn
-        |    FROM vecs v CROSS JOIN $cin c) WHERE rn = 1)"""
-    def lloydSql(i: Int, cin: String): String =
-      s"""${assignSql(s"a$i", cin)},
-        |m$i AS (
-        |  SELECT a.cell, t.j AS pos,
-        |    CAST(SUM(CAST(v.dv[t.j] AS DECIMAL(30,18))) AS DOUBLE)
-        |      / CAST(COUNT(*) AS DOUBLE) AS mv
-        |  FROM a$i a JOIN vecs v ON v.id = a.id,
-        |    LATERAL (SELECT unnest(range(1, 65)) AS j) t
-        |  GROUP BY 1, 2),
-        |c$i AS (
-        |  SELECT s.cell, coalesce(r.cv, s.cv) AS cv
-        |  FROM $cin s LEFT JOIN (
-        |    SELECT cell, list(mv ORDER BY pos) AS cv FROM m$i GROUP BY cell) r
-        |    ON r.cell = s.cell)"""
+    import IvfSql.{assignSql, lloydSql}
     QuerySpec(
       "q52_ivf_topk",
       s"""WITH vecs AS (
@@ -397,7 +374,81 @@ object SimilarityQueries {
       .orderBy(col("label"), col("dim"))
   }
 
+  /** q146: SemDeDup-style semantic dedup scoped to IVF cells (Abbas
+    * et al. 2023) — q37's corpus-wide O(N²) near-dup pass restricted
+    * to k-means cells, each similarity neighborhood keeping its
+    * lowest id. The oracle replays the full chain with the SAME
+    * generators as q52 ([[IvfSql]] — the two queries' centroid /
+    * assignment SQL cannot drift): seed centroids, one exact-decimal
+    * Lloyd pass, nearest-cell assignment, then within-cell pairs at
+    * rounded cosine ≥ 0.25 (the q37 tail threshold) aggregated to
+    * per-vector drop flags. */
+  val q146SemanticDedup: QuerySpec = {
+    import IvfSql.{assignSql, lloydSql}
+    QuerySpec(
+      "q146_semantic_dedup",
+      s"""WITH vecs AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings),
+        |seed AS (SELECT id AS cell, dv AS cv FROM vecs ORDER BY id LIMIT 16),
+        |${lloydSql(1, "seed")},
+        |${assignSql("cc", "c1")},
+        |pairs AS (
+        |  SELECT x.id AS a, y.id AS b,
+        |    round(list_cosine_similarity(vx.dv, vy.dv), 6) AS sim
+        |  FROM cc x JOIN cc y ON x.cell = y.cell AND x.id < y.id
+        |  JOIN vecs vx ON vx.id = x.id
+        |  JOIN vecs vy ON vy.id = y.id),
+        |drops AS (
+        |  SELECT b AS id, CAST(COUNT(*) AS BIGINT) AS n_smaller_dups,
+        |    MIN(a) AS dup_of
+        |  FROM pairs WHERE sim >= 0.25 GROUP BY b)
+        |SELECT c.id AS vec_id, c.cell, d.id IS NULL AS kept,
+        |  COALESCE(d.n_smaller_dups, 0) AS n_smaller_dups,
+        |  COALESCE(d.dup_of, -1) AS dup_of
+        |FROM cc c LEFT JOIN drops d USING (id)
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.25,
+          numCells = 16, kmeansIters = 1)
+        .orderBy(col("vec_id"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
-    q83Quantize, q107AnnPipeline, q136LabelCentroids)
+    q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup)
+}
+
+/** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by
+  * q52 (IVF top-k) and q146 (semantic dedup) so the two oracles'
+  * centroid arithmetic is generated from one source (the MinhashSql
+  * discipline): assignment is the rounded-cosine / cell-ascending
+  * rank both engines order identically; the mean runs through exact
+  * DECIMAL(30,18) sums so refined centroid doubles are bit-equal
+  * cross-engine. Requires CTEs `vecs(id, dv)` and the centroid-set
+  * CTE named by `cin`. */
+private[queries] object IvfSql {
+  def assignSql(name: String, cin: String): String =
+    s"""$name AS (
+      |  SELECT id, cell FROM (
+      |    SELECT v.id, c.cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY round(list_cosine_similarity(v.dv, c.cv), 6) DESC,
+      |          c.cell) AS rn
+      |    FROM vecs v CROSS JOIN $cin c) WHERE rn = 1)"""
+  def lloydSql(i: Int, cin: String): String =
+    s"""${assignSql(s"a$i", cin)},
+      |m$i AS (
+      |  SELECT a.cell, t.j AS pos,
+      |    CAST(SUM(CAST(v.dv[t.j] AS DECIMAL(30,18))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS mv
+      |  FROM a$i a JOIN vecs v ON v.id = a.id,
+      |    LATERAL (SELECT unnest(range(1, 65)) AS j) t
+      |  GROUP BY 1, 2),
+      |c$i AS (
+      |  SELECT s.cell, coalesce(r.cv, s.cv) AS cv
+      |  FROM $cin s LEFT JOIN (
+      |    SELECT cell, list(mv ORDER BY pos) AS cv FROM m$i GROUP BY cell) r
+      |    ON r.cell = s.cell)"""
 }

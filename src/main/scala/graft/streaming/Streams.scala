@@ -18,11 +18,11 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Raw-parquet schema of the events table (ts is nanoseconds-as-long;
-    * see Tables.events). */
-  val eventsRawSchema: StructType = StructType(Seq(
+  /** Raw-parquet schema of the events table with `ts` as the given
+    * on-disk type (nanos-as-long or TIMESTAMP_NTZ; see Tables.events). */
+  def eventsRawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -30,12 +30,15 @@ object Streams {
 
   /** File-source stream over a DIRECTORY of events parquet files (the
     * file stream source requires a directory basePath; tests stage
-    * `events.parquet` into one). */
+    * `events.parquet` into one). A one-off batch footer read picks the
+    * on-disk `ts` flavor so the stream schema matches either vintage of
+    * the table; graft.Tables.normalizeEventTs then lands both on
+    * session-zoned micros. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val onDiskTs = spark.read.parquet(dir).schema("ts").dataType
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(eventsRawSchema(onDiskTs)).parquet(dir))
   }
 
   /** Watermarked tumbling counts — the streaming twin of q41. Late

@@ -326,4 +326,38 @@ class DedupSpec extends SparkSpecBase {
       Dedup.repeatedSpans(docs, "doc_id", "text", k = 1)
     }
   }
+
+  test("exactSubstrDedup: first occurrence survives, later ones are cut") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def md5(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1 holds the canonical block (lexicographic-first occurrence);
+    // doc 2 embeds the same 5-token block (cut, k=3 windows merge to
+    // one span); doc 3 repeats its own phrase (second occurrence cut);
+    // doc 4 is doc 1 verbatim (cut to empty); doc 5 is unique.
+    val docs = Seq(
+      (1L, "c1 c2 c3 c4 c5"),
+      (2L, "v1 c1 c2 c3 c4 c5 v2 v3"),
+      (3L, "a b c x y z a b c"),
+      (4L, "c1 c2 c3 c4 c5"),
+      (5L, "u1 u2 u3 u4 u5")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrDedup(docs, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5)))
+      .toMap
+    // (n_tokens, removed_tokens, n_removed_spans, clean_n_tokens, md5)
+    assert(got(1L) == (5L, 0L, 0L, 5L, md5("c1 c2 c3 c4 c5")),
+      s"doc 1: ${got(1L)}")
+    assert(got(2L) == (8L, 5L, 1L, 3L, md5("v1 v2 v3")), s"doc 2: ${got(2L)}")
+    assert(got(3L) == (9L, 3L, 1L, 6L, md5("a b c x y z")), s"doc 3: ${got(3L)}")
+    assert(got(4L) == (5L, 5L, 1L, 0L, md5("")), s"doc 4: ${got(4L)}")
+    assert(got(5L) == (5L, 0L, 0L, 5L, md5("u1 u2 u3 u4 u5")))
+    intercept[IllegalArgumentException] {
+      Dedup.exactSubstrDedup(docs, "doc_id", "text", k = 1)
+    }
+  }
 }

@@ -84,6 +84,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(hits == 16, s"only $hits/16 planted duplicates found at rank 1")
   }
 
+  test("semanticDedup drops planted copies toward their smaller id, keeps the rest") {
+    // exact copies under shifted ids: a copy lands in its original's
+    // cell (identical vector → identical assignment) at cosine 1.0,
+    // so the copy must be dropped with dup_of = the original id;
+    // originals with no smaller near-dup stay kept
+    val e = Tables.embeddings(spark, sf)
+    val planted = e.filter(col("vec_id") < 16 && col("vec_id") >= 1)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"),
+        col("label"))
+    val corpus = e.unionByName(planted)
+    val got = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.999)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getLong(4)))
+      .toMap
+    (1L until 16L).foreach { q =>
+      assert(got(q + 10000) == (false, q),
+        s"copy of $q: ${got(q + 10000)}")
+    }
+    // at threshold ~1.0 the near-orthogonal originals have no dups
+    assert((1L until 16L).forall(q => got(q)._1), "an original was dropped")
+    // greedy rule is deterministic: rerun produces identical flags
+    val again = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getLong(4)))
+      .toMap
+    assert(again == got)
+  }
+
   test("MLlib BRP-LSH cross-check finds planted duplicates like the custom tier") {
     val e = Tables.embeddings(spark, sf)
     val queries = e.filter(col("vec_id") < 16)
