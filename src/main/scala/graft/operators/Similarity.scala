@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (north-star ★, SURVEY §7.6 — the
@@ -299,6 +300,148 @@ object Similarity {
         coalesce(col("n_smaller_dups"), lit(0L)).as("n_smaller_dups"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
   }
+
+  /** Rounding scale applied to every cross-engine cosine before
+    * ranking/thresholding — the arithmetic contract a persisted
+    * vector index is signed under (manifest-recorded, the MinHash
+    * HornerC/MinhashP discipline). */
+  val CosineRoundScale: Int = 6
+
+  /** A persisted IVF vector index read back from disk: the frozen
+    * centroid set, the assigned corpus vectors, and the signing
+    * parameters. */
+  final case class IvfStore(centroids: DataFrame, vectors: DataFrame,
+                            idCol: String, numCells: Int,
+                            kmeansIters: Int)
+
+  /** Batch rows in the store's on-disk shape — (id, vec double[],
+    * cell) with cells assigned by the GIVEN centroid set. Shared by
+    * [[writeIvfStore]], [[appendToIvfStore]] and in-plan index growth,
+    * so an appended row can only ever be signed the way the store
+    * itself is. */
+  def ivfStoreRows(batch: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame): DataFrame =
+    assignCells(batch, centroids, idCol, vecCol, 1)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("vec"),
+        col("cell"))
+
+  /** Write the persisted semantic-dedup index for a vector corpus:
+    * three parquet datasets under `path` — `centroids` (the
+    * seed-then-refined cell set, FROZEN at build time: probes and
+    * appends assign against these, the standard IVF posture),
+    * `vectors` (every corpus vector with its cell), and a one-row
+    * `params` manifest (idCol, numCells, kmeansIters, the
+    * [[CosineRoundScale]] the index was signed under, and n_vecs as
+    * the staleness probe). Written LAST: its presence implies the
+    * centroid/vector writes completed. */
+  def writeIvfStore(vectors: DataFrame, idCol: String, vecCol: String,
+                    path: String, numCells: Int = 16,
+                    kmeansIters: Int = 1): Unit = {
+    require(numCells >= 1 && numCells <= 4096,
+      s"numCells=$numCells out of range: centroids broadcast to every task")
+    val centroids = refinedCentroids(vectors, idCol, vecCol,
+      numCells, kmeansIters)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    ivfStoreRows(vectors, idCol, vecCol, centroids)
+      .write.mode("overwrite").parquet(s"$path/vectors")
+    vectors.sparkSession
+      .createDataFrame(Seq(
+        (idCol, numCells, kmeansIters, CosineRoundScale, vectors.count())))
+      .toDF("id_col", "num_cells", "kmeans_iters", "round_scale", "n_vecs")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** True when `path` holds a completed index signed over exactly
+    * `corpus` under this library's rounding contract (the
+    * minhashStoreIsCurrent shape: manifest present, constants match,
+    * counts match). The count probed is the VECTORS dataset's — a
+    * parquet-metadata count, and unlike the manifest's build-time
+    * n_vecs it also goes stale when [[appendToIvfStore]] grows the
+    * index past the original corpus. */
+  def ivfStoreIsCurrent(corpus: DataFrame, path: String): Boolean =
+    try {
+      val spark = corpus.sparkSession
+      val hp = new org.apache.hadoop.fs.Path(s"$path/params")
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(hp) && {
+        val p = spark.read.parquet(s"$path/params").head()
+        p.schema.fieldNames.contains("n_vecs") &&
+          p.getAs[Int]("round_scale") == CosineRoundScale &&
+          spark.read.parquet(s"$path/vectors").count() == corpus.count()
+      }
+    } catch { case _: Exception => false }
+
+  /** Read a [[writeIvfStore]] index back, refusing one signed under a
+    * different rounding contract (a silently drifted probe ranks
+    * candidates differently than the index's builder did). */
+  def readIvfStore(spark: org.apache.spark.sql.SparkSession,
+                   path: String): IvfStore = {
+    val p = spark.read.parquet(s"$path/params").head()
+    val rs = p.getAs[Int]("round_scale")
+    require(rs == CosineRoundScale,
+      s"index at $path was signed at round_scale=$rs but this library " +
+        s"rounds at $CosineRoundScale — re-sign the corpus")
+    IvfStore(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/vectors"),
+      p.getAs[String]("id_col"), p.getAs[Int]("num_cells"),
+      p.getAs[Int]("kmeans_iters"))
+  }
+
+  /** Admit a batch into a persisted index: cells assigned by the
+    * INDEX's own frozen centroids (read, not caller-supplied — a
+    * mismatch is inexpressible). Call with the ADMITTED subset of a
+    * probed batch. */
+  def appendToIvfStore(batch: DataFrame, vecCol: String,
+                       path: String): Unit = {
+    val st = readIvfStore(batch.sparkSession, path)
+    ivfStoreRows(batch, st.idCol, vecCol, st.centroids)
+      .write.mode("append").parquet(s"$path/vectors")
+  }
+
+  /** Probe a persisted/grown IVF index with a batch: each batch
+    * vector is assigned to its nearest store centroid and compared
+    * against ONLY that cell's store vectors; matches at rounded
+    * cosine ≥ `threshold` summarize to one row per flagged batch id —
+    * (b, best_match, sim, n_matches), best = (sim desc, store id asc),
+    * the minhash probe's contract. Scale shape mirrors it too: the
+    * batch side (the nightly increment) carries the broadcast hint,
+    * so the store never shuffles — its only pass is the cell-join
+    * scan; norms compute once per row. */
+  def semanticDedupAgainstStore(batch: DataFrame, vecCol: String,
+                                centroids: DataFrame,
+                                storeVectors: DataFrame, idCol: String,
+                                threshold: Double): DataFrame = {
+    def norm(v: Column): Column = sqrt(graft.plans.DotProduct(v, v))
+    val bc = assignCells(batch, centroids, idCol, vecCol, 1)
+      .select(col(idCol).as("b"),
+        col(vecCol).cast("array<double>").as("_vb"), col("cell"))
+      .withColumn("_nb", norm(col("_vb")))
+    val sv = storeVectors.select(col(idCol).as("s"), col("vec").as("_vs"),
+        col("cell"))
+      .withColumn("_ns", norm(col("_vs")))
+    val pairs = broadcast(bc).join(sv, Seq("cell"))
+      .withColumn("sim", round(
+        graft.plans.DotProduct(col("_vb"), col("_vs")) /
+          (col("_nb") * col("_ns")), CosineRoundScale))
+      .filter(col("sim") >= threshold)
+    val w = Window.partitionBy(col("b"))
+      .orderBy(col("sim").desc, col("s"))
+    pairs
+      .withColumn("n_matches",
+        count(lit(1)).over(Window.partitionBy(col("b"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("b"), col("s").as("best_match"), col("sim"),
+        col("n_matches"))
+  }
+
+  /** Store-reading overload: probe the index as read from disk. */
+  def semanticDedupAgainstStore(batch: DataFrame, vecCol: String,
+                                store: IvfStore,
+                                threshold: Double): DataFrame =
+    semanticDedupAgainstStore(batch, vecCol, store.centroids,
+      store.vectors, store.idCol, threshold)
 
   /** Deterministic pseudo-random hyperplane COMPONENTS (fixed seed —
     * no wall-clock, no engine hash). Public so the q36 oracle can

@@ -415,9 +415,111 @@ object SimilarityQueries {
     }
   }
 
+  /** Scratch path for the persisted vector index, keyed by the scale
+    * directory (the DedupQueries sharedDocStore pattern — concurrent
+    * runs over different SFs must not share a store). */
+  private def scratchPath(tag: String, sfDir: String): String =
+    s"/tmp/graft_${tag}_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** The embeddings-corpus vector index q147 probes: signed once into
+    * the sfDir-keyed path, reused while current (manifest n_vecs
+    * check — the store is deterministic in the corpus). */
+  private def sharedIvfStore(s: org.apache.spark.sql.SparkSession,
+                             dir: String,
+                             store: org.apache.spark.sql.DataFrame)
+      : Similarity.IvfStore = {
+    val path = scratchPath("ivf_store", dir)
+    if (!Similarity.ivfStoreIsCurrent(store, path))
+      Similarity.writeIvfStore(store, "vec_id", "embedding", path,
+        numCells = 16, kmeansIters = 1)
+    Similarity.readIvfStore(s, path)
+  }
+
+  /** q147: the incremental SEMANTIC dedup lifecycle — q139/q142's
+    * persisted-index posture for the embedding tier. The corpus
+    * (vec_id < 400) is signed ONCE into a disk-backed IVF index
+    * (frozen centroids + assigned vectors + manifest); batch 1 =
+    * exact copies of store vectors (flagged, best_match = their
+    * source) plus genuinely novel vectors (admitted — max natural
+    * cosine in this corpus is ~0.6, far under the 0.999 gate); the
+    * admitted vectors join the index; batch 2 copies the batch-1
+    * admissions and is flaggable only by the GROWN index, its
+    * best_match ids proving the matches are the admissions. The
+    * oracle replays centroids/assignment with the q52/q146 [[IvfSql]]
+    * generators and both probes with [[IvfSql.probeSql]]. */
+  val q147VectorIndexLifecycle: QuerySpec = {
+    import IvfSql.{assignSql, lloydSql, probeSql}
+    QuerySpec(
+      "q147_vector_index_lifecycle",
+      s"""WITH vecs AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings WHERE vec_id < 400),
+        |b1v AS (
+        |  SELECT vec_id + 100000 AS id, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings WHERE vec_id < 20
+        |  UNION ALL
+        |  SELECT vec_id + 200000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id >= 400 AND vec_id < 450),
+        |b2v AS (
+        |  SELECT vec_id + 300000 AS id, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings WHERE vec_id >= 400 AND vec_id < 450),
+        |allv AS (
+        |  SELECT id, dv FROM vecs
+        |  UNION ALL SELECT id, dv FROM b1v
+        |  UNION ALL SELECT id, dv FROM b2v),
+        |seed AS (SELECT id AS cell, dv AS cv FROM vecs ORDER BY id LIMIT 16),
+        |${lloydSql(1, "seed")},
+        |${assignSql("cs", "c1")},
+        |${assignSql("cb1", "c1", "b1v")},
+        |${assignSql("cb2", "c1", "b2v")},
+        |${probeSql("p1", "cb1", "cs", "0.999")},
+        |adm1 AS (
+        |  SELECT id FROM b1v WHERE id NOT IN (SELECT b FROM p1flag)),
+        |cs2 AS (
+        |  SELECT id, cell FROM cs
+        |  UNION ALL
+        |  SELECT id, cell FROM cb1 WHERE id IN (SELECT id FROM adm1)),
+        |${probeSql("p2", "cb2", "cs2", "0.999")}
+        |SELECT CAST(1 AS INTEGER) AS stage, b, best_match, sim, n_matches
+        |FROM p1flag
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), b, best_match, sim, n_matches
+        |FROM p2flag
+        |ORDER BY stage, b""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val store = e.filter(col("vec_id") < 400)
+        .select(col("vec_id"), col("embedding"))
+      val b1 = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+          .select((col("vec_id") + 200000).as("vec_id"), col("embedding")))
+      val b2 = e.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+        .select((col("vec_id") + 300000).as("vec_id"), col("embedding"))
+      val idx = sharedIvfStore(s, dir, store)
+      val p1 = Similarity.semanticDedupAgainstStore(b1, "embedding", idx,
+        threshold = 0.999)
+      val adm1 = b1.join(p1.select(col("b").as("vec_id")),
+        Seq("vec_id"), "left_anti")
+      // grown in-plan (the q142 posture; q147's disk round trip is
+      // the store build itself, and SimilaritySpec drives the
+      // appendToIvfStore path)
+      val sv2 = idx.vectors.unionByName(
+        Similarity.ivfStoreRows(adm1, "vec_id", "embedding",
+          idx.centroids))
+      val p2 = Similarity.semanticDedupAgainstStore(b2, "embedding",
+        idx.centroids, sv2, "vec_id", threshold = 0.999)
+      p1.withColumn("stage", lit(1))
+        .unionByName(p2.withColumn("stage", lit(2)))
+        .select(col("stage"), col("b"), col("best_match"), col("sim"),
+          col("n_matches"))
+        .orderBy(col("stage"), col("b"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
-    q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup)
+    q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup,
+    q147VectorIndexLifecycle)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by
@@ -429,14 +531,36 @@ object SimilarityQueries {
   * cross-engine. Requires CTEs `vecs(id, dv)` and the centroid-set
   * CTE named by `cin`. */
 private[queries] object IvfSql {
-  def assignSql(name: String, cin: String): String =
+  def assignSql(name: String, cin: String, vin: String = "vecs"): String =
     s"""$name AS (
       |  SELECT id, cell FROM (
       |    SELECT v.id, c.cell,
       |      row_number() OVER (PARTITION BY v.id
       |        ORDER BY round(list_cosine_similarity(v.dv, c.cv), 6) DESC,
       |          c.cell) AS rn
-      |    FROM vecs v CROSS JOIN $cin c) WHERE rn = 1)"""
+      |    FROM $vin v CROSS JOIN $cin c) WHERE rn = 1)"""
+
+  /** Cell-scoped probe of batch cells `bCells` against store cells
+    * `sCells` (both (id, cell)), vectors looked up in CTE
+    * `allv(id, dv)`: pairs at rounded cosine ≥ `tau` summarize to one
+    * row per flagged batch id — (b, best_match, sim, n_matches), best
+    * = (sim desc, store id asc). The SQL twin of
+    * Similarity.semanticDedupAgainstStore. */
+  def probeSql(tag: String, bCells: String, sCells: String,
+               tau: String): String =
+    s"""${tag}p AS (
+      |  SELECT b.id AS b, s.id AS s,
+      |    round(list_cosine_similarity(bv.dv, sv.dv), 6) AS sim
+      |  FROM $bCells b JOIN $sCells s ON b.cell = s.cell
+      |  JOIN allv bv ON bv.id = b.id
+      |  JOIN allv sv ON sv.id = s.id),
+      |${tag}flag AS (
+      |  SELECT b, s AS best_match, sim, n_matches FROM (
+      |    SELECT b, s, sim,
+      |      CAST(COUNT(*) OVER (PARTITION BY b) AS BIGINT) AS n_matches,
+      |      row_number() OVER (PARTITION BY b
+      |        ORDER BY sim DESC, s) AS rn
+      |    FROM ${tag}p WHERE sim >= $tau) WHERE rn = 1)"""
   def lloydSql(i: Int, cin: String): String =
     s"""${assignSql(s"a$i", cin)},
       |m$i AS (

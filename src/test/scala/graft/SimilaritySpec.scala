@@ -113,6 +113,39 @@ class SimilaritySpec extends SparkSpecBase {
     assert(again == got)
   }
 
+  test("IVF store lifecycle: write, probe, append admitted, re-probe flags them") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_store_spec")
+      .toString
+    val e = Tables.embeddings(spark, sf)
+    val store = e.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.writeIvfStore(store, "vec_id", "embedding", dir,
+      numCells = 8, kmeansIters = 1)
+    assert(Similarity.ivfStoreIsCurrent(store, dir))
+    val idx = Similarity.readIvfStore(spark, dir)
+    // batch 1: a copy of store vec 3 (flagged) + novel vecs 100..104
+    val copy = e.filter(col("vec_id") === 3)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+    val novel = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select((col("vec_id") + 6000).as("vec_id"), col("embedding"))
+    val p1 = Similarity.semanticDedupAgainstStore(
+        copy.unionByName(novel), "embedding", idx, 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 == Map(5003L -> 3L), s"stage-1 flags: $p1")
+    // admit the novel vectors; a later copy of one must now be caught
+    Similarity.appendToIvfStore(novel, "embedding", dir)
+    val grown = Similarity.readIvfStore(spark, dir)
+    assert(grown.vectors.count() == 105)
+    val copy2 = e.filter(col("vec_id") === 102)
+      .select((col("vec_id") + 7000).as("vec_id"), col("embedding"))
+    val p2 = Similarity.semanticDedupAgainstStore(copy2, "embedding",
+        grown, 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p2 == Map(7102L -> 6102L), s"stage-2 flags: $p2")
+    // the grown store no longer matches the original corpus count
+    assert(!Similarity.ivfStoreIsCurrent(store, dir))
+  }
+
   test("MLlib BRP-LSH cross-check finds planted duplicates like the custom tier") {
     val e = Tables.embeddings(spark, sf)
     val queries = e.filter(col("vec_id") < 16)
