@@ -91,6 +91,40 @@ object IncrementalLoad {
       }
       .start()
 
+  /** Streaming SEMANTIC gate — the [[streamingNearDupGate]] posture
+    * for the embedding tier: every micro-batch probes the persisted
+    * IVF vector index ([[graft.operators.Similarity.writeIvfStore]]'s
+    * layout), appends ADMITTED rows to `admittedPath`, and admits
+    * their vectors into the index (cells assigned by the index's own
+    * frozen centroids), so a semantic near-dup arriving in a later
+    * micro-batch is rejected against the grown index.
+    *
+    * Scale shape per micro-batch = the q147 probe: the batch assigns
+    * against the broadcast-bounded centroid set and broadcasts into
+    * the cell join, so the store vectors stream in place (PlanAuditSpec
+    * pins this); the store parquet is re-read per batch — the corpus
+    * is never re-assigned. Micro-batches serialize through
+    * foreachBatch, so index append and next-batch probe cannot race. */
+  def streamingSemanticGate(spark: SparkSession, stream: DataFrame,
+                            vecCol: String, storePath: String,
+                            admittedPath: String, checkpoint: String,
+                            threshold: Double = 0.999): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.col
+        val idx = graft.operators.Similarity.readIvfStore(spark, storePath)
+        val flagged = graft.operators.Similarity
+          .semanticDedupAgainstStore(batch, vecCol, idx, threshold)
+          .select(col("b").as(idx.idCol))
+        val admitted = batch.join(flagged, Seq(idx.idCol), "left_anti")
+        admitted.write.mode("append").parquet(admittedPath)
+        graft.operators.Similarity.appendToIvfStore(admitted, vecCol,
+          storePath)
+      }
+      .start()
+
   /** Streaming Count-Min fold — the sketch-store posture of the gate
     * above: every micro-batch's increments fold into the persisted
     * grid by counter addition ([[graft.operators.CountMin

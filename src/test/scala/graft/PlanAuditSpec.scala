@@ -30,9 +30,14 @@ class PlanAuditSpec extends SparkSpecBase {
     // synthesis, not the operator) onto the corpus — metadata-sized
     // q131 broadcasts a 1-row total-bigram count — the same
     // metadata-sized cross as q76/q117
+    // q145 broadcasts q120's 1-row boilerplate literal (fixture
+    // synthesis); q146/q147 broadcast the ≤numCells centroid set for
+    // assignment, exactly q52's whitelisted shape
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
       "q90_resample", "q76_profile", "q100_histogram", "q107_ann_pipeline",
-      "q117_bm25", "q120_repeated_spans", "q131_pmi_collocations")
+      "q117_bm25", "q120_repeated_spans", "q131_pmi_collocations",
+      "q145_exact_substr_dedup", "q146_semantic_dedup",
+      "q147_vector_index_lifecycle")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -225,6 +230,45 @@ class PlanAuditSpec extends SparkSpecBase {
     // every shuffle in the plan sits above a candidate-scale frame
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q145 substring dedup: island removal anti-joins broadcast — the " +
+      "token frame never shuffles for it") {
+    val plan = planOf("q145_exact_substr_dedup")
+    // the removal anti-join must build (broadcast) the island side; a
+    // sort-merge LeftAnti here shuffles every token row at 100 TB
+    assert("(?s)BroadcastHashJoin[^\\n]*LeftAnti[^\\n]*BuildRight".r
+        .findFirstIn(plan).isDefined,
+      s"island anti-join does not broadcast the islands:\n$plan")
+    assert(!"(?s)SortMergeJoin[^\\n]*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"island anti-join sort-merges (token frame shuffled):\n$plan")
+  }
+
+  test("semantic probe: batch side builds the cell join — the vector " +
+      "store streams in place") {
+    import org.apache.spark.sql.functions._
+    // parquet-backed store, the incremental-probe discipline: a
+    // size-estimated in-plan store could flip the broadcast decision
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_audit_ivf_").toString
+    val store = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 100).select(col("vec_id"), col("embedding"))
+    graft.operators.Similarity.writeIvfStore(
+      store, "vec_id", "embedding", dir, numCells = 8)
+    val idx = graft.operators.Similarity.readIvfStore(spark, dir)
+    val batch = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+    val plan = graft.operators.Similarity
+      .semanticDedupAgainstStore(batch, "embedding", idx, 0.999)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"semantic probe sort-merges (store would be shuffled):\n$plan")
+    // the cell join must build (broadcast) its LEFT — the assigned
+    // batch frame; the store side is the streamed probe target
+    assert("(?s)BroadcastHashJoin \\[cell[^\\]]*\\][^\\n]*BuildLeft".r
+        .findFirstIn(plan).isDefined,
+      s"cell join does not broadcast the batch side:\n$plan")
   }
 
   test("q144 phrase search broadcasts the phrase frame and prunes the scan") {

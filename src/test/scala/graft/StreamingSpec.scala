@@ -311,6 +311,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(grown.buckets.filter(col("doc_id") === 7001L).count() > 0)
   }
 
+  test("streaming semantic gate: a later micro-batch rejects a copy of an " +
+      "earlier ADMITTED vector (the vector index grows mid-stream)") {
+    import graft.operators.Similarity
+    val root = java.nio.file.Files.createTempDirectory("graft_vgate")
+    val storePath = root.resolve("store").toString
+    val admittedPath = root.resolve("admitted").toString
+    val e = Tables.embeddings(spark, sf)
+    val corpus = e.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.writeIvfStore(corpus, "vec_id", "embedding", storePath,
+      numCells = 8, kmeansIters = 1)
+    // micro-batch 1: a copy of store vec 5 + a novel vector (corpus
+    // vec 200, absent from the 100-vector store); micro-batch 2: a
+    // copy of the batch-1 NOVEL vector — only a gate that admitted
+    // 7001's vector into the index can reject it
+    val b1 = e.filter(col("vec_id") === 5)
+      .select(lit(7000L).as("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("vec_id") === 200)
+        .select(lit(7001L).as("vec_id"), col("embedding")))
+    val b2 = e.filter(col("vec_id") === 200)
+      .select(lit(8000L).as("vec_id"), col("embedding"))
+    b1.coalesce(1).write.parquet(root.resolve("in/b1").toString)
+    b2.coalesce(1).write.parquet(root.resolve("in/b2").toString)
+    import java.nio.file.attribute.FileTime
+    def touch(sub: String, t: Long): Unit =
+      java.nio.file.Files.walk(root.resolve(sub)).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, FileTime.fromMillis(t)))
+    val now = System.currentTimeMillis()
+    touch("in/b1", now - 60000); touch("in/b2", now)
+    val stream = spark.readStream.schema(b2.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in/*/")
+    val q = graft.streaming.IncrementalLoad.streamingSemanticGate(
+      spark, stream, "embedding", storePath, admittedPath,
+      root.resolve("ckpt").toString)
+    assert(q.awaitTermination(120000), "gate did not drain in time")
+    val admitted = spark.read.parquet(admittedPath)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // 7000 rejected against the base index, 8000 against the GROWN one
+    assert(admitted == Set(7001L), s"admitted: $admitted")
+    // and the grown index really carries 7001's vector
+    val grown = Similarity.readIvfStore(spark, storePath)
+    assert(grown.vectors.filter(col("vec_id") === 7001L).count() == 1)
+  }
+
   test("streaming Count-Min fold: the drained store equals the batch grid " +
       "over the concatenated stream") {
     import spark.implicits._
