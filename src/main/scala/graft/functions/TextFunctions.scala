@@ -371,6 +371,134 @@ object TextFunctions {
     }
   }
 
+  /** URL harvesting (training-data pipeline ★ — the extraction pass
+    * feeding crawl frontiers, link-graph features, and URL-keyed
+    * dedup: raw pages carry their outlinks inline, and every
+    * downstream URL operator — [[canonicalizeUrl]], per-domain
+    * quotas, domain PageRank — starts from this list). The pattern
+    * stops at whitespace, quotes, and angle brackets so an URL lifted
+    * from an `href="…"` attribute or a `<` that closes a tag never
+    * drags markup along; `(?i)` accepts shouting crawlers
+    * (`HTTP://…`). RE2 ∩ Java common subset (the [[piiRedact]] rule)
+    * with the DuckDB twin generated from the same constant. */
+  val urlPattern: String = "(?i)https?://[^ <>\"']+"
+
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(urlPattern), lit(0))
+
+  /** DuckDB spelling of [[extractUrls]] (list of full matches). */
+  def sqlExtractUrls(textExpr: String): String =
+    s"regexp_extract_all($textExpr, '${urlPattern.replace("'", "''")}')"
+
+  /** Host component of an (already canonicalized) URL — the key for
+    * per-domain quotas and the node id of the domain link graph. */
+  val urlHostPattern: String = "^[a-z]+://([^/?#]+)"
+
+  def urlHost(url: Column): Column =
+    regexp_extract(url, urlHostPattern, 1)
+
+  def sqlUrlHost(urlExpr: String): String =
+    s"regexp_extract($urlExpr, '$urlHostPattern', 1)"
+
+  // --- Gopher-style heuristic rule bank (training-data pipeline ★) --
+  // The published per-document filter rules (Rae et al. 2021,
+  // "Scaling Language Models: … Gopher", table A1) adapted to this
+  // corpus's single-line token-stream shape: word-count bounds, mean
+  // word length band, symbol-token ratio, alphabetic-token ratio,
+  // minimum stopword evidence, and repeated-bigram mass (the
+  // line-level rules don't apply to a corpus with no line structure —
+  // the repetition rule carries their intent). Each rule is an
+  // independent boolean so an audit can count failures per rule; the
+  // keep decision is their conjunction. Thresholds are constants of
+  // the contract, shared verbatim by the Column side and the
+  // generated DuckDB SQL.
+  val ruleMinTokens: Long = 8L
+  val ruleMaxTokens: Long = 100000L
+  val ruleMeanLenLo: Double = 2.0
+  val ruleMeanLenHi: Double = 10.0
+  val ruleMaxSymbolRatio: Double = 0.1
+  val ruleMinAlphaRatio: Double = 0.8
+  val ruleMinStopHits: Long = 2L
+  val ruleMaxDupBigramRatio: Double = 0.3
+
+  /** Tokens containing any non-alphanumeric character (`##`, `…`,
+    * bare punctuation) as a fraction of all tokens. */
+  val symbolTokenPattern: String = "[^a-zA-Z0-9]"
+  /** Tokens containing at least one letter, as a fraction of all
+    * tokens (Gopher's 80%-alphabetic rule). */
+  val alphaTokenPattern: String = "[a-zA-Z]"
+
+  private def tokenRatio(text: Column, pattern: String): Column =
+    size(filter(tokens(text), t => t.rlike(pattern))).cast("double") /
+      tokenCount(text).cast("double")
+
+  private def sqlTokenRatio(textExpr: String, pattern: String): String =
+    s"CAST(len(list_filter(string_split($textExpr, ' '), " +
+      s"t -> regexp_matches(t, '$pattern'))) AS DOUBLE) / " +
+      s"CAST(len(string_split($textExpr, ' ')) AS DOUBLE)"
+
+  /** The six rules as named boolean columns, in audit order. */
+  def heuristicRules(text: Column): Seq[(String, Column)] = {
+    val nTok = tokenCount(text)
+    Seq(
+      "rule_word_count" ->
+        (nTok >= ruleMinTokens && nTok <= ruleMaxTokens),
+      "rule_mean_word_len" ->
+        (avgTokenLen(text) >= ruleMeanLenLo &&
+          avgTokenLen(text) <= ruleMeanLenHi),
+      "rule_symbol_ratio" ->
+        (tokenRatio(text, symbolTokenPattern) <= ruleMaxSymbolRatio),
+      "rule_alpha_ratio" ->
+        (tokenRatio(text, alphaTokenPattern) >= ruleMinAlphaRatio),
+      "rule_stopwords" ->
+        (vocabHits(text, stopwords) >= ruleMinStopHits),
+      // one-token docs have no bigrams (NULL ratio): vacuously clean
+      "rule_repetition" ->
+        coalesce(dupBigramRatio(text) <= ruleMaxDupBigramRatio,
+          lit(true)))
+  }
+
+  /** Conjunction of [[heuristicRules]] — the keep decision. */
+  def heuristicKeep(text: Column): Column =
+    heuristicRules(text).map(_._2).reduce(_ && _)
+
+  /** Catalyst-tree entry point for the SQL surface (`extract_urls` in
+    * GraftExtensions) — a resolved tree over the child, the
+    * [[stripMarkupExpr]] discipline (a Column round-trip through the
+    * shim would hand the registry an unresolved function node, which
+    * the analyzer never revisits on the SQL path). Shares
+    * [[urlPattern]] with the Column spelling; SqlSurfaceSpec pins the
+    * two surfaces equal. */
+  private[graft] def extractUrlsExpr(child: CatalystExpr): CatalystExpr = {
+    import org.apache.spark.sql.catalyst.expressions._
+    RegExpExtractAll(Cast(child, org.apache.spark.sql.types.StringType),
+      Literal(urlPattern), Literal(0))
+  }
+
+  /** DuckDB spellings of [[heuristicRules]], generated from the same
+    * thresholds and patterns (same names, same order). */
+  def sqlHeuristicRules(textExpr: String): Seq[(String, String)] = {
+    val nTok = s"CAST(len(string_split($textExpr, ' ')) AS BIGINT)"
+    val meanLen =
+      s"(CAST(length($textExpr) AS DOUBLE) - (CAST($nTok AS DOUBLE) - 1))" +
+        s" / CAST($nTok AS DOUBLE)"
+    val stopHits =
+      s"CAST(len(list_filter(string_split($textExpr, ' '), t -> t IN (${
+        stopwords.map(s => s"'$s'").mkString(", ")}))) AS BIGINT)"
+    Seq(
+      "rule_word_count" ->
+        s"($nTok >= $ruleMinTokens AND $nTok <= $ruleMaxTokens)",
+      "rule_mean_word_len" ->
+        s"($meanLen >= $ruleMeanLenLo AND $meanLen <= $ruleMeanLenHi)",
+      "rule_symbol_ratio" ->
+        s"(${sqlTokenRatio(textExpr, symbolTokenPattern)} <= $ruleMaxSymbolRatio)",
+      "rule_alpha_ratio" ->
+        s"(${sqlTokenRatio(textExpr, alphaTokenPattern)} >= $ruleMinAlphaRatio)",
+      "rule_stopwords" -> s"($stopHits >= $ruleMinStopHits)",
+      "rule_repetition" ->
+        s"COALESCE(${sqlDupBigramRatio(textExpr)} <= $ruleMaxDupBigramRatio, TRUE)")
+  }
+
   /** Adjacent word bigrams; empty for one-token docs (mirrors the
     * shingle contract in Dedup.shinglePositions). element_at +
     * concat_ws, not slice + array_join — the slice allocates an array
@@ -382,6 +510,19 @@ object TextFunctions {
       transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB spelling of [[dupBigramRatio]] (self-contained — inlines
+    * the token split; q112's CTE spelling is the same arithmetic).
+    * The explicit CASE mirrors the Column side's NULL for docs with
+    * no bigrams (q112 divides 0/0 instead, which this corpus never
+    * exercises but handcrafted spec inputs do). */
+  def sqlDupBigramRatio(textExpr: String): String = {
+    val toks = s"string_split($textExpr, ' ')"
+    s"(CASE WHEN len($toks) >= 2 THEN " +
+      s"CAST(len($toks) - 1 - len(list_distinct(list_transform(" +
+      s"range(1, len($toks)), i -> array_to_string(($toks)[i:i+1], ' '))))" +
+      s" AS DOUBLE) / CAST(len($toks) - 1 AS DOUBLE) ELSE NULL END)"
   }
 
   /** Fraction of adjacent bigrams that are repeats of an earlier

@@ -95,6 +95,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.TextFunctions.canonicalizeUrlExpr(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("extract_urls"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "extract_urls"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "extract_urls takes 1 argument")
+        graft.functions.TextFunctions.extractUrlsExpr(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("simhash60"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "simhash60"),
       (children: Seq[Expression]) => {

@@ -1209,20 +1209,6 @@ object RelationalQueries {
     * precomputed literals, on both sides. */
   val q124PageRank: QuerySpec = {
     val iters = 3
-    def iterCte(i: Int): String =
-      s"""c$i AS (
-         |  SELECT e.dst AS node,
-         |    CAST(round(r${i - 1}.rank / e.outdeg * 1e15) AS DECIMAL(38,0))
-         |      AS ci
-         |  FROM eo e JOIN r${i - 1} ON e.src = r${i - 1}.node),
-         |a$i AS (
-         |  SELECT node, SUM(ci) AS si FROM c$i GROUP BY node),
-         |r$i AS (
-         |  SELECT nd.node, COALESCE(
-         |    (CAST(1 AS DOUBLE) - 0.85) / (SELECT nn FROM nv)
-         |      + 0.85 * (CAST(a$i.si AS DOUBLE) / 1e15),
-         |    (CAST(1 AS DOUBLE) - 0.85) / (SELECT nn FROM nv)) AS rank
-         |  FROM nodes nd LEFT JOIN a$i USING (node))""".stripMargin
     QuerySpec(
       "q124_pagerank",
       s"""WITH raw AS (
@@ -1231,15 +1217,7 @@ object RelationalQueries {
          |  WHERE o.o_custkey < 500),
          |ed AS (SELECT s AS src, c AS dst FROM raw
          |       UNION SELECT c, s FROM raw),
-         |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY 1),
-         |nodes AS (SELECT DISTINCT src AS node FROM ed),
-         |nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes),
-         |eo AS (SELECT e.src, e.dst, o.outdeg FROM ed e
-         |       JOIN outdeg o USING (src)),
-         |r0 AS (
-         |  SELECT node, CAST(1 AS DOUBLE) / (SELECT nn FROM nv) AS rank
-         |  FROM nodes),
-         |${(1 to iters).map(iterCte).mkString(",\n")}
+         |${GraphSql.prCtes(iters)}
          |SELECT node, round(rank, 6) AS pr FROM r$iters
          |ORDER BY pr DESC, node""".stripMargin) { (s, dir) =>
       val raw = Tables.lineitem(s, dir)

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QuerySpec, Tables}
-import graft.functions.TextFunctions
+import graft.functions.{Scalars, TextFunctions}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis queries over the documents corpus (north-star ★).
@@ -1099,6 +1099,157 @@ object TextQueries {
     }
   }
 
+  /** q148: Gopher-style heuristic quality rule bank (★ — Rae et al.
+    * 2021's published per-document filter rules; the rule-level audit
+    * a corpus curation run reports before dropping documents). The
+    * corpus alone would leave most rules' fail branches untested, so
+    * the query unions four deterministic hostile mutations — truncated
+    * ("short"), symbol-spammed ("symbol"), de-lexicalized ("digits"),
+    * single-token-looped ("loop") — each expressible identically in
+    * both engines, then evaluates every rule as its own boolean column
+    * plus the conjunction. Rule expressions and thresholds come from
+    * TextFunctions.heuristicRules / sqlHeuristicRules, generated from
+    * one constant set. Per-row Column arithmetic only — scan speed, no
+    * shuffle beyond the final sort. */
+  val q148QualityRules: QuerySpec = {
+    val rulesSql = TextFunctions.sqlHeuristicRules("text")
+    QuerySpec(
+      "q148_quality_rules",
+      s"""WITH v AS (
+         |  SELECT 'base' AS variant, doc_id, text FROM documents
+         |  UNION ALL SELECT 'digits', doc_id,
+         |    regexp_replace(text, '[a-z]+', '0', 'g') FROM documents
+         |  UNION ALL SELECT 'loop', doc_id,
+         |    trim(repeat((string_split(text, ' '))[1] || ' ', 40))
+         |    FROM documents
+         |  UNION ALL SELECT 'short', doc_id,
+         |    array_to_string((string_split(text, ' '))[1:3], ' ')
+         |    FROM documents
+         |  UNION ALL SELECT 'symbol', doc_id,
+         |    regexp_replace(text, ' ', ' ## ', 'g') FROM documents)
+         |SELECT variant, doc_id,
+         |${rulesSql.map { case (n, e) => s"  $e AS $n," }.mkString("\n")}
+         |  (${rulesSql.map(_._2).mkString("\n    AND ")}) AS keep
+         |FROM v ORDER BY variant, doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val toks = split(col("text"), " ")
+      def variant(name: String, t: org.apache.spark.sql.Column) =
+        docs.select(lit(name).as("variant"), col("doc_id"), t.as("text"))
+      val v = variant("base", col("text"))
+        .unionByName(variant("digits",
+          regexp_replace(col("text"), "[a-z]+", "0")))
+        .unionByName(variant("loop",
+          trim(repeat(concat(element_at(toks, 1), lit(" ")), 40))))
+        .unionByName(variant("short", array_join(slice(toks, 1, 3), " ")))
+        .unionByName(variant("symbol",
+          regexp_replace(col("text"), " ", " ## ")))
+      val rules = TextFunctions.heuristicRules(col("text"))
+      v.select(col("variant") +: col("doc_id") +:
+          rules.map { case (n, c) => c.as(n) } :+
+          TextFunctions.heuristicKeep(col("text")).as("keep"): _*)
+        .orderBy(col("variant"), col("doc_id"))
+    }
+  }
+
+  /** q149: harvested domain link graph → PageRank (★ — the link-graph
+    * feature pass of a web-corpus pipeline: pages carry outlinks,
+    * extraction + canonicalization collapse the crawl's spelling
+    * variants, and domain-level PageRank scores feed quality
+    * weighting). The corpus has no native URLs, so each doc embeds two
+    * anchor links whose targets derive from its own tokens — spelled
+    * three hostile ways by doc_id mod 3 (clean / SHOUTED+www+:443 /
+    * sole tracking param) plus a fragment+trailing-slash second link,
+    * all of which canonicalize to ONE spelling per target, which is
+    * the point. Then: extractUrls over the page, canonicalizeUrl,
+    * host extraction, distinct symmetrized domain edges, and the
+    * production decimal PageRank (q124's operator); the oracle replays
+    * the whole chain with the SQL generated from the same pattern
+    * constants (sqlExtractUrls / sqlCanonicalizeUrl / sqlUrlHost) and
+    * the shared GraphSql CTE chain. */
+  val q149DomainPagerank: QuerySpec = {
+    val iters = 3
+    val canonSql = TextFunctions.sqlCanonicalizeUrl("url")
+    val hostSql = TextFunctions.sqlUrlHost(s"($canonSql)")
+    QuerySpec(
+      "q149_domain_pagerank",
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, lang, text, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |lnk AS (
+         |  SELECT doc_id, source, text,
+         |    CASE doc_id % 3
+         |      WHEN 0 THEN 'https://' || toks[1] || '.example.com/p/' || lang
+         |      WHEN 1 THEN 'HTTPS://WWW.' || upper(toks[1])
+         |        || '.EXAMPLE.COM:443/p/' || lang
+         |      ELSE 'https://' || toks[1] || '.example.com/p/' || lang
+         |        || '?utm_campaign=z'
+         |    END AS u1,
+         |    'https://' || COALESCE(toks[2], toks[1]) || '.example.com/p/'
+         |      || lang || '/#top' AS u2
+         |  FROM tk),
+         |page AS (
+         |  SELECT source, text || ' <a href="' || u1 || '">l</a> <a href="'
+         |    || u2 || '">l</a>' AS page
+         |  FROM lnk),
+         |u AS (
+         |  SELECT source, unnest(${TextFunctions.sqlExtractUrls("page")}) AS url
+         |  FROM page),
+         |raw AS (
+         |  SELECT DISTINCT source || '.example.com' AS src, $hostSql AS dst
+         |  FROM u WHERE source || '.example.com' <> $hostSql),
+         |ed0 AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+         |dict AS (SELECT DISTINCT src AS domain FROM ed0),
+         |ed AS (
+         |  SELECT ${Scalars.sqlPortableHash64("src")} AS src,
+         |    ${Scalars.sqlPortableHash64("dst")} AS dst
+         |  FROM ed0),
+         |${GraphSql.prCtes(iters)}
+         |SELECT d.domain, round(rank, 6) AS pr
+         |FROM r$iters r JOIN dict d
+         |  ON r.node = ${Scalars.sqlPortableHash64("d.domain")}
+         |ORDER BY pr DESC, domain""".stripMargin) { (s, dir) =>
+      import graft.operators.Graph
+      val toks = split(col("text"), " ")
+      val t1 = element_at(toks, 1)
+      val t2 = when(size(toks) >= 2, element_at(toks, 2)).otherwise(t1)
+      val u1 = when(col("doc_id") % 3 === 0,
+          concat(lit("https://"), t1, lit(".example.com/p/"), col("lang")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("HTTPS://WWW."), upper(t1),
+            lit(".EXAMPLE.COM:443/p/"), col("lang")))
+        .otherwise(concat(lit("https://"), t1, lit(".example.com/p/"),
+          col("lang"), lit("?utm_campaign=z")))
+      val u2 = concat(lit("https://"), t2, lit(".example.com/p/"),
+        col("lang"), lit("/#top"))
+      val page = concat(col("text"), lit(" <a href=\""), u1,
+        lit("\">l</a> <a href=\""), u2, lit("\">l</a>"))
+      val raw = Tables.documents(s, dir)
+        .select(col("source"), explode(TextFunctions.extractUrls(page))
+          .as("url"))
+        .select(concat(col("source"), lit(".example.com")).as("src"),
+          TextFunctions.urlHost(TextFunctions.canonicalizeUrl(col("url")))
+            .as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // dictionary-encode domains to long ids ahead of the iterative
+      // walk (string keys must not ride through every iteration's
+      // shuffle); the portable hash keeps the encoding oracle-
+      // replayable, and the label join-back is one broadcast
+      val ed0 = raw
+        .unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val dict = ed0.select(col("src").as("domain")).distinct()
+      val edges = ed0.select(
+        Scalars.portableHash64(col("src")).as("src"),
+        Scalars.portableHash64(col("dst")).as("dst"))
+      Graph.pageRank(edges, "src", "dst", iters, exactDecimalSum = true)
+        .join(broadcast(dict),
+          col("node") === Scalars.portableHash64(col("domain")))
+        .select(col("domain"), round(col("rank"), 6).as("pr"))
+        .orderBy(col("pr").desc, col("domain"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -1107,5 +1258,5 @@ object TextQueries {
     q114MixtureSample, q115TokenEntropy, q116PiiScrub, q117Bm25,
     q119BigramLm, q121LmScore, q131PmiCollocations, q134CdcChunks,
     q137CorpusCard, q140StripMarkup, q141UrlCanonicalize,
-    q144PhraseSearch)
+    q144PhraseSearch, q148QualityRules, q149DomainPagerank)
 }

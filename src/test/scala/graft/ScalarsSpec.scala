@@ -232,6 +232,52 @@ class ScalarsSpec extends SparkSpecBase {
     assert(canon("https://example.com/") == "https://example.com/")
   }
 
+  test("extractUrls: stops at whitespace/quotes/brackets, accepts " +
+      "shouted schemes, misses nothing it should hit") {
+    def urls(s: String): Seq[String] =
+      Seq(s).toDF("t").select(TextFunctions.extractUrls(col("t")).as("u"))
+        .head.getSeq[String](0)
+    assert(urls("""see <a href="https://a.com/x?y=1">l</a> now""")
+      == Seq("https://a.com/x?y=1"))
+    // an URL that closes a tag must not drag the markup along
+    assert(urls("<p>http://b.org/p</p>") == Seq("http://b.org/p"))
+    assert(urls("go HTTP://C.NET/Q and https://d.io.")
+      == Seq("HTTP://C.NET/Q", "https://d.io."))
+    assert(urls("ftp://nope.com and plain text") == Seq.empty)
+    assert(urls("x='https://e.com/1' y=\"https://f.com/2\"")
+      == Seq("https://e.com/1", "https://f.com/2"))
+  }
+
+  test("heuristic rule bank: each rule fails on its designed " +
+      "counterexample and passes on clean text") {
+    val clean = "the quick brown fox jumps over a lazy dog in the sun"
+    def rules(s: String): Map[String, Boolean] = {
+      val cols = TextFunctions.heuristicRules(col("t"))
+      val row = Seq(s).toDF("t")
+        .select(cols.map { case (n, c) => c.as(n) }: _*).head
+      cols.map(_._1).zipWithIndex
+        .map { case (n, i) => n -> row.getBoolean(i) }.toMap
+    }
+    assert(rules(clean).values.forall(identity))
+    assert(!rules("too short")("rule_word_count"))
+    assert(!rules("a b c d e f g h i j k l m n o p")("rule_mean_word_len"))
+    assert(!rules(("pneumonoultramicroscopic " * 10).trim)(
+      "rule_mean_word_len"))
+    assert(!rules("the ## a ## of ## to ## in ## is ## on ## at ##")(
+      "rule_symbol_ratio"))
+    assert(!rules("the 12 a 34 of 56 to 78 in 90 is 11 on 22 at 33 by 44")(
+      "rule_alpha_ratio"))
+    assert(!rules("quick brown fox jumps over lazy dog runs far away now")(
+      "rule_stopwords"))
+    assert(!rules(("the fox " * 20).trim)("rule_repetition"))
+    // a one-token doc has no bigrams: vacuously clean on repetition
+    assert(rules("single")("rule_repetition"))
+    // keep is exactly the conjunction
+    val keep = Seq(clean).toDF("t")
+      .select(TextFunctions.heuristicKeep(col("t"))).head.getBoolean(0)
+    assert(keep)
+  }
+
   test("bpe token count splits runs and marks") {
     val n = Seq("abc12 de-f").toDF("text")
       .select(TextFunctions.bpeTokenCount(col("text"))).head.getLong(0)

@@ -132,6 +132,21 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .head.getString(0)
     assert(viaSqlUrl == viaColUrl &&
       viaSqlUrl == "https://example.com/p/1?b=2")
+    // extract_urls registers through the same builder the Column API
+    // shares its pattern constant with
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "extract_urls",
+      exprs => graft.functions.TextFunctions.extractUrlsExpr(exprs.head),
+      "scala_udf")
+    val pageTxt = """a <a href="https://g.com/1">l</a> b HTTP://H.ORG/2 c"""
+    val viaSqlUrls = s2.sql(
+      s"SELECT extract_urls('${pageTxt.replace("'", "''")}') AS v")
+      .head.getSeq[String](0)
+    val viaColUrls = Seq(pageTxt).toDF("t")
+      .select(graft.functions.TextFunctions.extractUrls(col("t")))
+      .head.getSeq[String](0)
+    assert(viaSqlUrls == viaColUrls &&
+      viaSqlUrls == Seq("https://g.com/1", "HTTP://H.ORG/2"))
   }
 
   test("events view exposes micro-truncated timestamps") {

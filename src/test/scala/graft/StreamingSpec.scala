@@ -361,6 +361,10 @@ class StreamingSpec extends SparkSpecBase {
     import spark.implicits._
     import graft.operators.CountMin
     val root = java.nio.file.Files.createTempDirectory("graft_scms")
+    // the leak check below diffs against this snapshot: the session is
+    // shared across suites, so blocks cached by earlier (or, under
+    // parallel execution, concurrent) suites are not this test's leak
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val b1 = (1L to 400L).map(_ % 37).toDF("v")
     val b2 = (1L to 300L).map(i => (i * 7) % 41).toDF("v")
     b1.coalesce(1).write.parquet(root.resolve("in/b1").toString)
@@ -385,7 +389,10 @@ class StreamingSpec extends SparkSpecBase {
     assert((after.depth, after.width) == (4, 64))
     assert(after.cells.agg(sum(col("cnt"))).head.getLong(0) ==
       (700L + 1L) * 4, "fold lost or double-counted increments")
-    // nothing cached leaks out of the fold path
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // nothing cached leaks out of the fold path (scoped to blocks
+    // created since this test started — see cachedBefore)
+    val leaked =
+      spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"fold path leaked cached RDDs: $leaked")
   }
 }
