@@ -1250,6 +1250,110 @@ object TextQueries {
     }
   }
 
+  /** q150: the composed web-curation pipeline — the crawl-to-corpus
+    * posture run end to end as ONE oracle-verified plan: raw page →
+    * URL harvest spelling-collapse ([[TextFunctions.canonicalizeUrl]])
+    * → markup strip → Gopher rule gate → URL-keyed dedup (first doc
+    * per canonical page) → per-domain quota cap
+    * (Sampling.reservoirPerGroup, the salted skew-shielded operator).
+    * Every doc keeps its stage verdicts (`gate_keep`, `url_keep`,
+    * `kept`) so the output is the per-stage audit a curation run
+    * reports, with both branches of every stage populated (the corpus
+    * fails ~22% of docs on the stopword rule; 400 canonical pages
+    * across 20 domains make both dedup and the k=3 quota bite).
+    * Plan shape: scan-speed regex ladders, ONE canon-partitioned
+    * window (url_keep ranks gate-passers first, so no self-join), the
+    * quota operator's salted two-stage window, and a final doc_id
+    * join against the quota survivors (3·domains rows — small
+    * relative to the corpus at any scale). Oracle: every stage's SQL
+    * is generated from the same constants as the Column side. */
+  val q150CurationPipeline: QuerySpec = {
+    import graft.operators.Sampling
+    val quotaK = 3
+    val rulesConj =
+      TextFunctions.sqlHeuristicRules("clean").map(_._2)
+        .mkString("(", "\n       AND ", ")")
+    QuerySpec(
+      "q150_curation_pipeline",
+      s"""WITH d AS (
+         |  SELECT doc_id, text, CAST(doc_id % 400 AS VARCHAR) AS g,
+         |    CAST((doc_id % 400) % 20 AS VARCHAR) AS dm
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, text,
+         |    CASE doc_id % 3
+         |      WHEN 0 THEN 'https://site' || dm || '.example.com/page/' || g
+         |      WHEN 1 THEN 'HTTPS://SITE' || dm || '.EXAMPLE.COM:443/page/' || g
+         |      ELSE 'https://www.site' || dm || '.example.com/page/' || g
+         |        || '?utm_source=x'
+         |    END AS url
+         |  FROM d),
+         |p AS (
+         |  SELECT doc_id, url, '<html><body><p>' || text
+         |    || '</p> <a href="' || url || '">x</a></body></html>' AS page
+         |  FROM u),
+         |c AS (
+         |  SELECT doc_id, ${TextFunctions.sqlCanonicalizeUrl("url")} AS canon,
+         |    ${TextFunctions.sqlStripMarkup("page")} AS clean
+         |  FROM p),
+         |b AS (
+         |  SELECT doc_id, canon, ${TextFunctions.sqlUrlHost("canon")} AS domain,
+         |    $rulesConj AS gate_keep
+         |  FROM c),
+         |w AS (
+         |  SELECT doc_id, canon, domain, gate_keep,
+         |    (gate_keep AND ROW_NUMBER() OVER (
+         |      PARTITION BY canon
+         |      ORDER BY CASE WHEN gate_keep THEN 0 ELSE 1 END, doc_id) = 1)
+         |      AS url_keep
+         |  FROM b),
+         |q AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (
+         |    PARTITION BY domain
+         |    ORDER BY ${Sampling.sqlReservoirOrder("doc_id")}) AS qr
+         |  FROM w WHERE url_keep)
+         |SELECT w.doc_id, w.canon, w.domain, w.gate_keep, w.url_keep,
+         |  COALESCE(q.qr <= $quotaK, FALSE) AS kept
+         |FROM w LEFT JOIN q ON w.doc_id = q.doc_id
+         |ORDER BY w.doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = (col("doc_id") % 400).cast("string")
+      val dm = ((col("doc_id") % 400) % 20).cast("string")
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("https://site"), dm, lit(".example.com/page/"), g))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("HTTPS://SITE"), dm, lit(".EXAMPLE.COM:443/page/"), g))
+        .otherwise(concat(lit("https://www.site"), dm,
+          lit(".example.com/page/"), g, lit("?utm_source=x")))
+      val page = concat(lit("<html><body><p>"), col("text"),
+        lit("</p> <a href=\""), col("url"), lit("\">x</a></body></html>"))
+      val b = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), url.as("url"))
+        .select(col("doc_id"),
+          TextFunctions.canonicalizeUrl(col("url")).as("canon"),
+          TextFunctions.stripMarkup(page).as("clean"))
+        .select(col("doc_id"), col("canon"),
+          TextFunctions.urlHost(col("canon")).as("domain"),
+          TextFunctions.heuristicKeep(col("clean")).as("gate_keep"))
+      // url dedup without a self-join: gate-passers rank FIRST inside
+      // each canonical page's window, so "first gate-passer" is rank 1
+      val w = b.withColumn("url_keep",
+        col("gate_keep") && row_number().over(
+          Window.partitionBy(col("canon"))
+            .orderBy(when(col("gate_keep"), 0).otherwise(1),
+              col("doc_id"))) === 1)
+      val quota = Sampling.reservoirPerGroup(
+        w.filter(col("url_keep")).select(col("doc_id"), col("domain")),
+        Seq("domain"), "doc_id", quotaK)
+      w.join(quota.select(col("doc_id"), lit(true).as("__q")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("canon"), col("domain"),
+          col("gate_keep"), col("url_keep"),
+          coalesce(col("__q"), lit(false)).as("kept"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -1258,5 +1362,6 @@ object TextQueries {
     q114MixtureSample, q115TokenEntropy, q116PiiScrub, q117Bm25,
     q119BigramLm, q121LmScore, q131PmiCollocations, q134CdcChunks,
     q137CorpusCard, q140StripMarkup, q141UrlCanonicalize,
-    q144PhraseSearch, q148QualityRules, q149DomainPagerank)
+    q144PhraseSearch, q148QualityRules, q149DomainPagerank,
+    q150CurationPipeline)
 }

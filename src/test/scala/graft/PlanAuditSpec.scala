@@ -131,6 +131,16 @@ class PlanAuditSpec extends SparkSpecBase {
       s"epoch order fell back to a single-partition plan:\n$plan")
   }
 
+  test("q150 curation pipeline plans NO single-partition window") {
+    // both ranking stages must stay partitioned: the url dedup window
+    // partitions by canonical page and the quota stage by (domain,
+    // salt) then domain — an unpartitioned fallback would serialize
+    // the corpus through one task at scale
+    val plan = planOf("q150_curation_pipeline")
+    assert(!plan.contains("SinglePartition"),
+      s"a curation ranking stage fell back to single-partition:\n$plan")
+  }
+
   test("q120/q133 reuse their cached frames instead of re-scanning") {
     // repeatedSpans' hashed-window explode and q133's distinct
     // (month, customer) frame are declared cache points; the plan
