@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.Scalars
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bottom-k quantile sketch — the mergeable rank/quantile summary
+  * completing the sketch family (KMV cardinality / HLL rollup /
+  * SpaceSaving top-k / Count-Min frequency / this one for quantiles).
+  *
+  * The classic streaming quantile sketches (GK, KLL, t-digest) are
+  * arrival-order dependent, so their CONTENTS cannot be replayed by an
+  * independent engine (the q73 problem). This summary instead is a
+  * bottom-k sample in the Cohen & Kaplan 2007 sense: the rows whose
+  * KEY draws the k smallest [[Scalars.portableHash64]] values — a
+  * uniform without-replacement sample that is a pure function of the
+  * key SET. Deterministic, so DuckDB replays sketch, merge, AND
+  * estimate bit-for-bit; mergeable, because the global bottom-k of a
+  * union is the bottom-k of the concatenated per-part bottom-k's (a
+  * part row outside its part's bottom-k cannot be in the global one —
+  * the Kmv / CountMin fold algebra); and the estimator is the
+  * empirical (type-1) quantile of the sampled VALUES, carrying the
+  * standard O(1/√k) rank error of a uniform k-sample.
+  *
+  * Scale shape: the per-group build is one hash-partitioned top-k
+  * window ([[Sampling.reservoirPerGroup]]'s selection, k-bounded
+  * output); the global build and the merge are TakeOrderedAndProject
+  * (never a global sort); estimates touch only sketch rows (≤ k per
+  * group) — the base data is read exactly once, at build.
+  */
+object QuantileSketch {
+
+  /** Per-group sketch: `(groupCols*, h, key, value)`, the ≤ k rows of
+    * each group with the smallest (hash, key); with no group columns,
+    * the global sketch as a TakeOrderedAndProject. */
+  def sketch(df: DataFrame, groupCols: Seq[String], keyCol: String,
+             valueCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000000, s"k=$k outside [2, 1e6]")
+    val h = Scalars.portableHash64(col(keyCol))
+    val base = df.select(groupCols.map(col) ++ Seq(h.as("h"),
+      col(keyCol).as("key"), col(valueCol).as("value")): _*)
+    if (groupCols.isEmpty)
+      base.orderBy(col("h"), col("key")).limit(k)
+    else {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col("h"), col("key"))
+      base.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn")
+    }
+  }
+
+  /** Fold per-group sketches into ONE global sketch: re-take the
+    * bottom-k over the concatenated sketch rows. Lossless relative to
+    * sketching the union directly (proved value-equal by the q151
+    * oracle and pinned by SketchSpec), and it never re-reads base
+    * data. */
+  def mergeToGlobal(sk: DataFrame, k: Int): DataFrame =
+    sk.select(col("h"), col("key"), col("value"))
+      .orderBy(col("h"), col("key")).limit(k)
+
+  /** Type-1 empirical quantile estimates off a sketch: one row per
+    * requested p with the sampled value at rank `max(1, ⌈p·n⌉)`. The
+    * sort is an in-row `sort_array` over ≤ k values — no shuffle. */
+  def estimate(sk: DataFrame, ps: Seq[Double],
+               estCol: String = "est"): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"quantiles $ps outside (0, 1]")
+    val vs = sort_array(collect_list(col("value")))
+    sk.agg(vs.as("__vs"))
+      .select(explode(array(ps.map(p =>
+        struct(lit(p).as("p"), atRank(col("__vs"), p).as(estCol))): _*))
+        .as("e"))
+      .select(col("e.p").as("p"), col(s"e.$estCol").as(estCol))
+  }
+
+  private def atRank(vs: Column, p: Double): Column =
+    element_at(vs,
+      greatest(lit(1L), ceil(lit(p) * size(vs))).cast("int"))
+
+  /** DuckDB spelling of [[atRank]] over a sorted-list expression. */
+  def sqlAtRank(vsExpr: String, p: Double): String =
+    s"($vsExpr)[GREATEST(1, CAST(ceil($p * len($vsExpr)) AS BIGINT))]"
+}

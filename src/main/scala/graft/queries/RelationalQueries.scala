@@ -1412,6 +1412,62 @@ object RelationalQueries {
     * why order-dependent sketches can't get this check). Probing
     * nation-3 customers includes never-inserted keys (customers with
     * no orders): absent cells count zero unless every row collides. */
+  /** q151: mergeable bottom-k quantile sketch (★ — the sketch family's
+    * rank/quantile member; GK/KLL/t-digest are arrival-order dependent
+    * and would be stuck rows-only like q73, so the engine's summary is
+    * the bottom-k SAMPLE, a pure function of the key set that DuckDB
+    * replays bit-for-bit). Per-nation customer-balance sketches fold
+    * into one global sketch WITHOUT re-reading the base data, and the
+    * query emits the merged estimates beside the direct global
+    * sketch's — `merged_eq_direct` is the fold-losslessness proof as
+    * output (the q143 merged ≡ direct discipline), hash-asserted TRUE
+    * by the oracle, which replays hash order, per-group top-k, merge,
+    * and the type-1 rank pick verbatim. */
+  val q151QuantileSketch: QuerySpec = {
+    import graft.operators.QuantileSketch
+    val k = 100
+    val ps = Seq(0.25, 0.5, 0.75, 0.9)
+    val ord = graft.operators.Sampling.sqlReservoirOrder("c_custkey")
+    def sel(p: Double): String =
+      s"""  SELECT CAST($p AS DOUBLE) AS p,
+         |    ${QuantileSketch.sqlAtRank("(SELECT vs FROM mv)", p)}
+         |      AS est_merged,
+         |    ${QuantileSketch.sqlAtRank("(SELECT vs FROM dv)", p)}
+         |      AS est_direct""".stripMargin
+    QuerySpec(
+      "q151_quantile_sketch",
+      s"""WITH s AS (
+         |  SELECT h, key, value FROM (
+         |    SELECT c_nationkey,
+         |      ${graft.functions.Scalars.sqlPortableHash64("c_custkey")} AS h,
+         |      c_custkey AS key, c_acctbal AS value,
+         |      ROW_NUMBER() OVER (PARTITION BY c_nationkey
+         |        ORDER BY $ord) AS rn
+         |    FROM customer) WHERE rn <= $k),
+         |m AS (SELECT value FROM s ORDER BY h, key LIMIT $k),
+         |d AS (SELECT c_acctbal AS value FROM customer
+         |      ORDER BY $ord LIMIT $k),
+         |mv AS (SELECT list_sort(list(value)) AS vs FROM m),
+         |dv AS (SELECT list_sort(list(value)) AS vs FROM d),
+         |sel AS (
+         |${ps.map(sel).mkString("\n  UNION ALL\n")})
+         |SELECT p, est_merged, est_direct,
+         |  (est_merged = est_direct) AS merged_eq_direct
+         |FROM sel ORDER BY p""".stripMargin) { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val perNation = QuantileSketch.sketch(cust, Seq("c_nationkey"),
+        "c_custkey", "c_acctbal", k)
+      val merged = QuantileSketch.mergeToGlobal(perNation, k)
+      val direct = QuantileSketch.sketch(cust, Seq.empty,
+        "c_custkey", "c_acctbal", k)
+      QuantileSketch.estimate(merged, ps, "est_merged")
+        .join(QuantileSketch.estimate(direct, ps, "est_direct"), Seq("p"))
+        .select(col("p"), col("est_merged"), col("est_direct"),
+          (col("est_merged") === col("est_direct")).as("merged_eq_direct"))
+        .orderBy(col("p"))
+    }
+  }
+
   val q143CountMinFreq: QuerySpec = {
     val d = 4
     val w = 256
@@ -1483,5 +1539,5 @@ object RelationalQueries {
     q100Histogram, q102DictEncode, q110ImputeMean,
     q118CsvRoundtrip, q122OrcRoundtrip, q123KmvRollup, q124PageRank,
     q125EpochShuffle, q126SchemaEvolution, q133SketchRetention,
-    q143CountMinFreq)
+    q143CountMinFreq, q151QuantileSketch)
 }

@@ -137,4 +137,41 @@ class SketchSpec extends SparkSpecBase {
     assert(est.values.forall(_ == 0L),
       s"never-inserted keys should read 0 on a wide grid: $est")
   }
+
+  test("quantile sketch: per-group fold equals the direct global " +
+      "sketch, whatever the grouping or partitioning") {
+    import graft.operators.QuantileSketch
+    // skewed groups: one group holds 80% of the keys
+    val rows = (1L to 1000L).map(i =>
+      (i, if (i <= 800) "hot" else s"g${i % 7}", (i * 37 % 991).toDouble))
+    val df = rows.toDF("key", "grp", "v")
+    val direct = QuantileSketch.sketch(df, Seq.empty, "key", "v", 50)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    for (parts <- Seq(1, 13)) {
+      val part = df.repartition(parts, col("key"))
+      val folded = QuantileSketch.mergeToGlobal(
+          QuantileSketch.sketch(part, Seq("grp"), "key", "v", 50), 50)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(folded == direct,
+        s"fold lost sketch rows at $parts partitions")
+    }
+  }
+
+  test("quantile sketch: estimates hit the sample's own type-1 ranks " +
+      "and land within the k-sample rank bound of exact") {
+    import graft.operators.QuantileSketch
+    val vals = (1L to 5000L).map(i => (i, i.toDouble)) // value = rank
+    val sk = QuantileSketch.sketch(vals.toDF("key", "v"), Seq.empty,
+      "key", "v", 400)
+    val sample = sk.collect().map(_.getDouble(2)).sorted
+    val est = QuantileSketch.estimate(sk, Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    for ((p, e) <- est) {
+      // definitionally the sample's ceil(p·n)-th order statistic
+      assert(e == sample(math.max(1, math.ceil(p * sample.length).toInt) - 1))
+      // and a uniform-400-sample's rank error: generous 4/sqrt(k) bound
+      assert(math.abs(e / 5000.0 - p) < 4.0 / math.sqrt(400.0),
+        s"p=$p estimate $e implies rank error ${math.abs(e / 5000.0 - p)}")
+    }
+  }
 }
