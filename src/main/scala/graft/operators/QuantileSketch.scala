@@ -81,4 +81,59 @@ object QuantileSketch {
   /** DuckDB spelling of [[atRank]] over a sorted-list expression. */
   def sqlAtRank(vsExpr: String, p: Double): String =
     s"($vsExpr)[GREATEST(1, CAST(ceil($p * len($vsExpr)) AS BIGINT))]"
+
+  // ----- persisted store + incremental fold (the CountMin/MinHash
+  // store discipline: the manifest travels with the rows and folds
+  // sign with ITS k, so a drifted caller cannot corrupt the sample) --
+
+  /** A persisted sketch: the sample rows plus the manifest k they
+    * were selected under. Keys persist as strings (the hash is over
+    * the string rendering anyway), so the store schema is stable
+    * whatever the source key type. */
+  final case class QuantileStore(rows: DataFrame, k: Int)
+
+  def writeStore(sk: DataFrame, path: String, k: Int): Unit = {
+    sk.select(col("h"), col("key").cast("string").as("key"),
+        col("value").cast("double").as("value"))
+      .write.mode("overwrite").parquet(s"$path/rows")
+    sk.sparkSession.createDataFrame(Seq(Tuple1(k))).toDF("k")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  def readStore(spark: org.apache.spark.sql.SparkSession,
+                path: String): QuantileStore = {
+    val p = spark.read.parquet(s"$path/params").head()
+    QuantileStore(spark.read.parquet(s"$path/rows"), p.getAs[Int]("k"))
+  }
+
+  /** Fold a batch into a persisted sketch: create the store with the
+    * caller's k when absent, otherwise sketch the batch under the
+    * MANIFEST's k, union with the stored rows, collapse re-folded
+    * keys (a re-ingested key keeps its smallest observed value — a
+    * deterministic policy; callers whose values mutate should version
+    * their keys), and re-take the bottom-k. The result is eagerly
+    * materialized before the overwrite so the read and write of the
+    * same path cannot interleave; the store is ≤ k rows. */
+  def foldIntoStore(batch: DataFrame, keyCol: String, valueCol: String,
+                    path: String, k: Int): Unit = {
+    val spark = batch.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(s"$path/params")
+    val exists =
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    val batchOf = (kk: Int) =>
+      sketch(batch.select(col(keyCol).cast("string").as(keyCol),
+        col(valueCol).cast("double").as(valueCol)), Seq.empty,
+        keyCol, valueCol, kk)
+    if (!exists) writeStore(batchOf(k), path, k)
+    else {
+      val store = readStore(spark, path)
+      val grown = mergeToGlobal(
+        store.rows.unionByName(batchOf(store.k))
+          .groupBy(col("h"), col("key"))
+          .agg(min(col("value")).as("value")),
+        store.k).localCheckpoint(true)
+      writeStore(grown, path, store.k)
+      Graph.checkpointRdd(grown).foreach(_.unpersist(false))
+    }
+  }
 }

@@ -148,4 +148,23 @@ object IncrementalLoad {
           storePath, depth, width)
       }
       .start()
+
+  /** Fold every micro-batch into a persisted bottom-k quantile sketch
+    * (the [[streamingCountMinFold]] posture for the rank summary).
+    * The fold algebra — union, collapse re-folded keys, re-take
+    * bottom-k under the manifest's k — is associative, so the drained
+    * store equals the batch-built sketch of the concatenated stream
+    * regardless of micro-batch boundaries; StreamingSpec pins it. */
+  def streamingQuantileFold(spark: SparkSession, stream: DataFrame,
+                            keyCol: String, valueCol: String,
+                            storePath: String, checkpoint: String,
+                            k: Int): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.QuantileSketch.foldIntoStore(batch, keyCol,
+          valueCol, storePath, k)
+      }
+      .start()
 }

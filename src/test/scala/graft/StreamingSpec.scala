@@ -395,4 +395,47 @@ class StreamingSpec extends SparkSpecBase {
       spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
     assert(leaked.isEmpty, s"fold path leaked cached RDDs: $leaked")
   }
+
+  test("streaming quantile fold: the drained store equals the " +
+      "batch-built sketch over the concatenated stream") {
+    import spark.implicits._
+    import graft.operators.QuantileSketch
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val root = java.nio.file.Files.createTempDirectory("graft_sqs")
+    val b1 = (1L to 300L).map(i => (i, (i * 31 % 997).toDouble))
+      .toDF("key", "v")
+    val b2 = (301L to 700L).map(i => (i, (i * 31 % 997).toDouble))
+      .toDF("key", "v")
+    b1.coalesce(1).write.parquet(root.resolve("in/b1").toString)
+    b2.coalesce(1).write.parquet(root.resolve("in/b2").toString)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in/*/")
+    val storePath = root.resolve("store").toString
+    val q = graft.streaming.IncrementalLoad.streamingQuantileFold(
+      spark, stream, "key", "v", storePath,
+      root.resolve("ckpt").toString, k = 80)
+    assert(q.awaitTermination(120000), "fold did not drain in time")
+    val store = QuantileSketch.readStore(spark, storePath)
+    assert(store.k == 80, "manifest drifted")
+    val direct = QuantileSketch.sketch(
+      b1.unionByName(b2).select(col("key").cast("string").as("key"),
+        col("v")), Seq.empty, "key", "v", 80)
+    assertBagEqual(store.rows, direct)
+    // a caller with a drifted k cannot corrupt the store: folds sign
+    // with the manifest's k
+    QuantileSketch.foldIntoStore(Seq((9999L, 1.0)).toDF("key", "v"),
+      "key", "v", storePath, 7)
+    val after = QuantileSketch.readStore(spark, storePath)
+    assert(after.k == 80 && after.rows.count() == 80)
+    // and re-folding an already-stored key neither duplicates it nor
+    // perturbs the sample beyond the deterministic min-value policy
+    QuantileSketch.foldIntoStore(b1.limit(50), "key", "v", storePath, 80)
+    val refolded = QuantileSketch.readStore(spark, storePath)
+    assert(refolded.rows.groupBy(col("key")).count()
+      .filter(col("count") > 1).count() == 0, "re-fold duplicated keys")
+    val leaked =
+      spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"fold path leaked cached RDDs: $leaked")
+  }
 }
