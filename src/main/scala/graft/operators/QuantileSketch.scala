@@ -82,6 +82,31 @@ object QuantileSketch {
   def sqlAtRank(vsExpr: String, p: Double): String =
     s"($vsExpr)[GREATEST(1, CAST(ceil($p * len($vsExpr)) AS BIGINT))]"
 
+  /** Approximate CDF transform — each row's percentile rank estimated
+    * against the broadcast k-sample (count of sampled values ≤ v,
+    * over the sample size). This is the scan-speed alternative to an
+    * exact `percent_rank`, which is a GLOBAL sort: one task sorts the
+    * corpus (the q125 anti-pattern). Here the sample aggregates to a
+    * single sorted array row, broadcasts, and every row scores with
+    * an in-row O(k) filter — no shuffle of the data at all. Rank
+    * error is the sample's O(1/√k) (SketchSpec pins a 4/√k bound
+    * against the exact empirical CDF). */
+  def approxPercentile(df: DataFrame, sk: DataFrame, valueCol: String,
+                       outCol: String = "est_pct"): DataFrame = {
+    val sample = sk.agg(sort_array(collect_list(col("value"))).as("__vs"))
+    df.crossJoin(broadcast(sample))
+      .withColumn(outCol,
+        size(filter(col("__vs"), x => x <= col(valueCol))).cast("double") /
+          size(col("__vs")).cast("double"))
+      .drop("__vs")
+  }
+
+  /** DuckDB spelling of [[approxPercentile]]'s per-row estimate, over
+    * a sorted-list expression. */
+  def sqlApproxPercentile(vsExpr: String, valueExpr: String): String =
+    s"CAST(len(list_filter($vsExpr, x -> x <= $valueExpr)) AS DOUBLE)" +
+      s" / CAST(len($vsExpr) AS DOUBLE)"
+
   // ----- persisted store + incremental fold (the CountMin/MinHash
   // store discipline: the manifest travels with the rows and folds
   // sign with ITS k, so a drifted caller cannot corrupt the sample) --

@@ -1354,6 +1354,52 @@ object TextQueries {
     }
   }
 
+  /** q152: corpus-wide percentile-rank normalization of the quality
+    * score via the bottom-k sample (★ — mixture recipes weight
+    * documents by quality RANK, not raw score, and the exact
+    * `percent_rank` is a GLOBAL sort: one task sorts the corpus at
+    * 100 TB). The k-sample aggregates to one sorted-array row,
+    * broadcasts, and every doc scores with an in-row O(k) filter —
+    * the corpus never shuffles. est_pct is deterministic (the sample
+    * is a pure function of the key set), so the oracle replays it
+    * exactly; the O(1/√k) rank-error bound vs the exact CDF is pinned
+    * in SketchSpec, where the exact side belongs (computing it in the
+    * query would ship the very global sort the operator exists to
+    * avoid). */
+  val q152PercentileNormalize: QuerySpec = {
+    import graft.operators.QuantileSketch
+    val k = 100
+    val qualitySql =
+      s"""0.5 * least(CAST($sqlNTok AS DOUBLE) / 64.0, 1.0)
+         |    + 0.3 * least(CAST(${sqlVocabHits(TextFunctions.stopwords)}
+         |        AS DOUBLE) / CAST($sqlNTok AS DOUBLE) * 10.0, 1.0)
+         |    + 0.2 * least((CAST(length(text) AS DOUBLE)
+         |        - (CAST($sqlNTok AS DOUBLE) - 1))
+         |      / CAST($sqlNTok AS DOUBLE) / 8.0, 1.0)""".stripMargin
+    QuerySpec(
+      "q152_percentile_normalize",
+      s"""WITH q AS (
+         |  SELECT doc_id, $qualitySql AS quality
+         |  FROM documents),
+         |sk AS (
+         |  SELECT quality AS value FROM q
+         |  ORDER BY ${graft.operators.Sampling.sqlReservoirOrder("doc_id")}
+         |  LIMIT $k),
+         |vs AS (SELECT list_sort(list(value)) AS vs FROM sk)
+         |SELECT doc_id, quality,
+         |  ${QuantileSketch.sqlApproxPercentile("(SELECT vs FROM vs)",
+              "quality")} AS est_pct
+         |FROM q ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val q = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+      val sk = QuantileSketch.sketch(q, Seq.empty, "doc_id", "quality", k)
+      QuantileSketch.approxPercentile(q, sk, "quality")
+        .select(col("doc_id"), col("quality"), col("est_pct"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -1363,5 +1409,5 @@ object TextQueries {
     q119BigramLm, q121LmScore, q131PmiCollocations, q134CdcChunks,
     q137CorpusCard, q140StripMarkup, q141UrlCanonicalize,
     q144PhraseSearch, q148QualityRules, q149DomainPagerank,
-    q150CurationPipeline)
+    q150CurationPipeline, q152PercentileNormalize)
 }

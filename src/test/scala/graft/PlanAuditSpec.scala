@@ -33,11 +33,14 @@ class PlanAuditSpec extends SparkSpecBase {
     // q145 broadcasts q120's 1-row boilerplate literal (fixture
     // synthesis); q146/q147 broadcast the ≤numCells centroid set for
     // assignment, exactly q52's whitelisted shape
+    // q152 broadcasts the 1-row sorted k-sample array (≤ k values by
+    // the sketch contract) onto the scan — the q76/q100/q117
+    // metadata-sized cross again
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
       "q90_resample", "q76_profile", "q100_histogram", "q107_ann_pipeline",
       "q117_bm25", "q120_repeated_spans", "q131_pmi_collocations",
       "q145_exact_substr_dedup", "q146_semantic_dedup",
-      "q147_vector_index_lifecycle")
+      "q147_vector_index_lifecycle", "q152_percentile_normalize")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -174,4 +174,27 @@ class SketchSpec extends SparkSpecBase {
         s"p=$p estimate $e implies rank error ${math.abs(e / 5000.0 - p)}")
     }
   }
+
+  test("approx percentile transform: within 4/sqrt(k) of the exact " +
+      "CDF for every row, with no shuffle of the scored frame") {
+    import graft.operators.QuantileSketch
+    val k = 200
+    val df = (1L to 4000L).map(i => (i, (i * 131 % 4001).toDouble))
+      .toDF("key", "v")
+    val sk = QuantileSketch.sketch(df, Seq.empty, "key", "v", k)
+    val scored = QuantileSketch.approxPercentile(df, sk, "v")
+    val n = 4000.0
+    val bad = scored
+      .withColumn("exact_pct",
+        (col("v") / lit(n))) // v is a permutation of 1..4000: CDF = v/n
+      .filter(abs(col("est_pct") - col("exact_pct")) >=
+        lit(4.0 / math.sqrt(k)))
+      .count()
+    assert(bad == 0, s"$bad rows breach the 4/sqrt(k) rank-error bound")
+    // plan: the scored frame takes NO exchange beyond the sample's own
+    // single-row aggregate — no sort, no hash partitioning of df
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortExec") && !plan.contains("Sort ["),
+      s"approx percentile sorted the scored frame:\n$plan")
+  }
 }
