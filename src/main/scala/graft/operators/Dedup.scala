@@ -957,6 +957,87 @@ object Dedup {
         md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
   }
 
+  /** Site-level boilerplate removal (the CCNet-style CROSS-document
+    * pass, distinct from [[exactSubstrDedup]]'s first-occurrence
+    * rule): a k-token window is boilerplate within a GROUP (site /
+    * domain / source) when it appears in ≥ `minDf` distinct documents
+    * of that group — navigation headers, footers, cookie banners —
+    * and every occurrence is cut, the donor's included (boilerplate
+    * has no privileged first copy; that asymmetry is exactly what
+    * separates this from ExactSubstr dedup). Output shape matches
+    * [[exactSubstrDedup]] (`n_tokens`, `removed_tokens`,
+    * `n_removed_spans`, `clean_n_tokens`, `clean_md5`).
+    *
+    * Scale shape: windows travel as 64-bit hashes with ONE
+    * (group, h, key)-distinct + grouped count for the doc-frequency
+    * condition; the join-back keeps only boilerplate windows. The
+    * CRITICAL divergence from [[exactSubstrDedup]]: removal islands
+    * here are NOT broadcast — a site header appears in nearly every
+    * document of its site, so the island set scales WITH the corpus,
+    * and the token-level removal runs as an equi-key anti-join (range
+    * condition evaluated post-match) that shuffles once on the key;
+    * likewise the stats join-back. Broadcasting would be correct at
+    * bench scale and an OOM at 100 TB. */
+  def boilerplateRemoval(df: DataFrame, keyCol: String, groupCol: String,
+                         textCol: String, k: Int = 8, minDf: Long = 3L,
+                         storage: org.apache.spark.storage.StorageLevel =
+                           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                        : DataFrame = {
+    require(k >= 2, s"k=$k — a 1-token window flags every common word")
+    require(minDf >= 2, s"minDf=$minDf — df 1 would cut every window")
+    val toks = split(col(textCol), " ")
+    val base = df.select(col(keyCol), col(groupCol),
+      size(toks).cast("long").as("n_tokens"), toks.as("toks"))
+    val windows = base.select(col(keyCol), col(groupCol),
+        explode(transform(shinglePositions(col("toks"), k),
+          i => struct(i.as("pos"),
+            xxhash64(shingleAt(col("toks"), i, k)).as("h")))).as("w"))
+      .select(col(keyCol), col(groupCol), col("w.pos").as("pos"),
+        col("w.h").as("h"))
+      .persist(storage)
+    // boilerplate windows: present in >= minDf distinct docs of the
+    // group (distinct first — a doc repeating its own window is not
+    // site boilerplate evidence)
+    val boiler = windows.select(col(groupCol), col("h"), col(keyCol))
+      .distinct()
+      .groupBy(col(groupCol), col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col(groupCol), col("h"))
+    val removal = windows.join(boiler, Seq(groupCol, "h"))
+      .select(col(keyCol), col("pos"), (col("pos") + lit(k)).as("pend"))
+    val islands = Relational.mergeIntervals(removal, keyCol, "pos", "pend")
+      .select(col(keyCol), col("island_start").as("s0"),
+        col("island_end").as("e0"))
+      .localCheckpoint(true)
+    windows.unpersist()
+    val tokens = base.select(col(keyCol), col("n_tokens"),
+        posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col(keyCol), col("n_tokens"),
+        (col("p0") + lit(1)).as("pos"), col("tok"))
+    // NO broadcast hint (see scaladoc): key-equi anti-join, range
+    // predicate post-match
+    val kept = tokens.join(islands,
+      tokens(keyCol) === islands(keyCol) &&
+        col("pos") >= col("s0") && col("pos") < col("e0"), "left_anti")
+    val rebuilt = kept.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("clean_n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    val stats = islands.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_removed_spans"),
+        sum(col("e0") - col("s0")).cast("long").as("removed_tokens"))
+    base.select(col(keyCol), col("n_tokens"))
+      .join(rebuilt, Seq(keyCol), "left")
+      .join(stats, Seq(keyCol), "left")
+      .select(col(keyCol), col("n_tokens"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        coalesce(col("n_removed_spans"), lit(0L)).as("n_removed_spans"),
+        coalesce(col("clean_n_tokens"), lit(0L)).as("clean_n_tokens"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+  }
+
   /** SimHash near-dup pairs: 15-bit-chunk banding (4 chunks × 15 of
     * the 60 signature bits) for candidates, then exact hamming
     * distance filter via bit_count(xor). By pigeonhole, any pair

@@ -664,6 +664,106 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q153: site-level boilerplate removal (★ — the CCNet-style
+    * CROSS-document pass: a k-token window occurring in ≥ minDf
+    * distinct docs of one SOURCE is that site's header/footer and is
+    * cut EVERYWHERE, the donor's copy included — the asymmetry that
+    * separates this from q145's first-occurrence rule). The fixture
+    * plants each source's own header (the first 10 tokens of its
+    * lowest-id doc) at the front of every even-id doc, so removal
+    * crosses documents within a source but never across sources, the
+    * donor loses its own leading tokens, odd-id docs stay intact, and
+    * the injection seams (df = 1 windows) prove precision. The oracle
+    * is the q145 discipline: a DIFFERENT algorithm over window
+    * STRINGS (the operator ships 64-bit hashes), so the hash match
+    * verifies semantics, not arithmetic. Scale note at the operator:
+    * islands are corpus-sized here, so nothing broadcasts. */
+  val q153BoilerplateRemoval: QuerySpec = QuerySpec(
+    "q153_boilerplate_removal",
+    """WITH base AS (SELECT doc_id, source, text FROM documents),
+      |d0 AS (SELECT source, MIN(doc_id) AS d0 FROM base GROUP BY 1),
+      |hdr AS (
+      |  SELECT b.source,
+      |    array_to_string(string_split(b.text, ' ')[1:10], ' ') AS hdr
+      |  FROM base b JOIN d0 ON b.doc_id = d0.d0),
+      |inj AS (
+      |  SELECT b.doc_id, b.source,
+      |    CASE WHEN b.doc_id % 2 = 0 THEN h.hdr || ' ' || b.text
+      |         ELSE b.text END AS text
+      |  FROM base b JOIN hdr h ON b.source = h.source),
+      |tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+      |        FROM inj),
+      |w0 AS (
+      |  SELECT doc_id, source, unnest(list_transform(
+      |    range(1, len(toks) - 6),
+      |    i -> {'pos': i, 's': array_to_string(toks[i:i+7], ' ')})) AS u
+      |  FROM tok WHERE len(toks) >= 8),
+      |w AS (SELECT doc_id, source, u.pos AS pos, u.s AS s FROM w0),
+      |bw AS (
+      |  SELECT source, s FROM (
+      |    SELECT source, s, COUNT(DISTINCT doc_id) AS df
+      |    FROM w GROUP BY 1, 2)
+      |  WHERE df >= 3),
+      |dup AS (
+      |  SELECT w.doc_id, w.pos, w.pos + 8 AS pend
+      |  FROM w JOIN bw ON w.source = bw.source AND w.s = bw.s),
+      |isl AS (
+      |  SELECT doc_id, pos, pend,
+      |    CASE WHEN MAX(pend) OVER prev IS NULL
+      |           OR pos > MAX(pend) OVER prev THEN 1 ELSE 0 END AS ni
+      |  FROM dup
+      |  WINDOW prev AS (PARTITION BY doc_id ORDER BY pos, pend
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |grp AS (
+      |  SELECT doc_id, pos, pend, SUM(ni) OVER (
+      |    PARTITION BY doc_id ORDER BY pos, pend
+      |    ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM isl),
+      |m AS (
+      |  SELECT doc_id, island, MIN(pos) AS s0, MAX(pend) AS e0
+      |  FROM grp GROUP BY 1, 2),
+      |tokpos AS (
+      |  SELECT doc_id, unnest(list_transform(toks,
+      |    (t, i) -> {'pos': i, 'tok': t})) AS u
+      |  FROM tok),
+      |tp AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tokpos),
+      |kept AS (
+      |  SELECT t.doc_id, t.pos, t.tok FROM tp t
+      |  WHERE NOT EXISTS (SELECT 1 FROM m
+      |    WHERE m.doc_id = t.doc_id AND t.pos >= m.s0 AND t.pos < m.e0)),
+      |rebuilt AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS clean_n_tokens,
+      |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      |  FROM kept GROUP BY doc_id),
+      |stats AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed_spans,
+      |    CAST(SUM(e0 - s0) AS BIGINT) AS removed_tokens
+      |  FROM m GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |  COALESCE(s.removed_tokens, 0) AS removed_tokens,
+      |  COALESCE(s.n_removed_spans, 0) AS n_removed_spans,
+      |  COALESCE(r.clean_n_tokens, 0) AS clean_n_tokens,
+      |  md5(COALESCE(r.clean_text, '')) AS clean_md5
+      |FROM tok t LEFT JOIN rebuilt r USING (doc_id)
+      |  LEFT JOIN stats s USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val donor = base.groupBy(col("source")).agg(min(col("doc_id")).as("d0"))
+    val hdr = base.alias("b").join(donor.alias("d"),
+        col("b.doc_id") === col("d.d0"))
+      .select(col("b.source").as("source"),
+        array_join(slice(split(col("b.text"), " "), 1, 10), " ").as("hdr"))
+    val injected = base.join(broadcast(hdr), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 2 === 0,
+          concat_ws(" ", col("hdr"), col("text")))
+          .otherwise(col("text")).as("text"))
+    Dedup.boilerplateRemoval(injected, "doc_id", "source", "text",
+        k = 8, minDf = 3L)
+      .orderBy(col("doc_id"))
+  }
+
   /** q138: leakage-safe train/val split — the q82 hash split keyed on
     * the near-dup CLUSTER canonical instead of the document id, so a
     * cluster can never straddle the split boundary (near-duplicates
@@ -959,5 +1059,5 @@ object DedupQueries {
     q66MllibMinhash, q75DedupClusters, q77DedupApply,
     q94PrefixJaccard, q95EditDistance, q111Decontaminate,
     q120RepeatedSpans, q138LeakageSafeSplit, q139IncrementalDedup,
-    q142DedupLifecycle, q145ExactSubstrDedup)
+    q142DedupLifecycle, q145ExactSubstrDedup, q153BoilerplateRemoval)
 }

@@ -360,4 +360,35 @@ class DedupSpec extends SparkSpecBase {
       Dedup.exactSubstrDedup(docs, "doc_id", "text", k = 1)
     }
   }
+
+  test("boilerplateRemoval: site headers cut everywhere including the " +
+      "donor, never across sites, sub-threshold windows survive") {
+    import spark.implicits._
+    val hdr = "nav home about contact privacy terms copyright footer"
+    val rows = Seq(
+      (1L, "a", s"$hdr alpha beta gamma delta"),
+      (2L, "a", s"$hdr epsilon zeta eta theta"),
+      (3L, "a", s"$hdr iota kappa lambda mu"),
+      // site-a doc without the header: must stay intact
+      (4L, "a", "nu xi omicron pi rho sigma tau upsilon"),
+      // the SAME 8-gram on site b, but df=1 there: intact (the
+      // group-scoped condition — cross-site text is not boilerplate)
+      (5L, "b", s"$hdr phi chi psi omega one two"),
+      (6L, "b", "three four five six seven eight nine ten"))
+      .toDF("id", "site", "text")
+    val out = Dedup.boilerplateRemoval(rows, "id", "site", "text",
+        k = 8, minDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for (i <- 1L to 3L) {
+      val (n, removed, spans, clean) = out(i)
+      assert(removed == 8L && spans == 1L && clean == n - 8,
+        s"doc $i: expected exactly the 8-token header cut, got $out")
+    }
+    assert(out(4L)._2 == 0L && out(5L)._2 == 0L && out(6L)._2 == 0L,
+      s"removal leaked outside the site-header docs: $out")
+    intercept[IllegalArgumentException] {
+      Dedup.boilerplateRemoval(rows, "id", "site", "text", minDf = 1)
+    }
+  }
 }
