@@ -189,6 +189,111 @@ object Sampling {
     s"LEAST(1000, CAST(FLOOR(1000.0 * (CAST($tokenBudget AS DOUBLE) * " +
       s"$weightCaseExpr) / CAST($totExpr AS DOUBLE)) AS BIGINT))"
 
+  /** Mixture sampling with shortfall RE-NORMALIZATION — the
+    * waterfilling loop [[mixtureSample]]'s scaladoc left to the
+    * caller, as an operator: a source too small for its target share
+    * is taken whole and its unused budget redistributes onto the
+    * still-unsaturated sources in proportion to their weights,
+    * `rounds` times (each round saturates ≥ 1 source or reaches the
+    * fixpoint, so rounds = 4 settles any practical mixture; a deeper
+    * cascade keeps the round-4 rule, documented bias toward under-
+    * spending the budget, never over). Weights are INTEGER permille
+    * and token counts integral, so every aggregate in the loop sums
+    * exactly (order-free) — the whole cascade replays in DuckDB
+    * bit-for-bit, which Map[String, Double] weights would forfeit to
+    * float-sum ordering. The loop runs over the per-source totals
+    * frame (metadata-sized: sources are dozens); the corpus is
+    * touched twice — the totals aggregate and the final
+    * pushdown-friendly hash-bucket filter. */
+  def mixtureWaterfill(df: DataFrame, sourceCol: String, keyCol: String,
+                       tokensCol: String, weightsPermille: Map[String, Int],
+                       tokenBudget: Long, rounds: Int = 4): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget=$tokenBudget must be positive")
+    require(rounds >= 1 && rounds <= 8, s"rounds=$rounds outside [1, 8]")
+    require(weightsPermille.values.forall(_ >= 0), "negative weight")
+    val wExpr = weightsPermille.foldLeft(lit(0L)) { case (acc, (s, wgt)) =>
+      when(col(sourceCol) === s, lit(wgt.toLong)).otherwise(acc)
+    }
+    var st = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol).cast("long")).cast("double").as("tot"))
+      .withColumn("w", wExpr)
+      .withColumn("sat", lit(false))
+      .withColumn("alloc", lit(0.0))
+    for (_ <- 1 to rounds) {
+      val a = st.agg(
+        sum(when(!col("sat"), col("w")).otherwise(0L)).as("w_act"),
+        sum(when(col("sat"), col("alloc")).otherwise(0.0)).as("done"))
+      st = st.crossJoin(broadcast(a))
+        .withColumn("share",
+          when(col("w_act") > 0,
+            (lit(tokenBudget.toDouble) - col("done")) *
+              col("w").cast("double") / col("w_act").cast("double"))
+            .otherwise(lit(0.0)))
+        .select(col(sourceCol), col("tot"), col("w"),
+          (col("sat") || col("share") >= col("tot")).as("sat"),
+          when(col("sat"), col("alloc"))
+            .when(col("share") >= col("tot"), col("tot"))
+            .otherwise(lit(0.0)).as("alloc"))
+    }
+    val aF = st.agg(
+      sum(when(!col("sat"), col("w")).otherwise(0L)).as("w_act"),
+      sum(when(col("sat"), col("alloc")).otherwise(0.0)).as("done"))
+    val permille = st.crossJoin(broadcast(aF))
+      .withColumn("allocF",
+        when(col("sat"), col("alloc")).otherwise(least(col("tot"),
+          when(col("w_act") > 0,
+            (lit(tokenBudget.toDouble) - col("done")) *
+              col("w").cast("double") / col("w_act").cast("double"))
+            .otherwise(lit(0.0)))))
+      .select(col(sourceCol),
+        least(lit(1000L),
+          floor(lit(1000.0) * col("allocF") / col("tot")).cast("long"))
+          .as("permille"))
+    df.join(broadcast(permille), Seq(sourceCol))
+      .filter(bucket(keyCol) < col("permille"))
+  }
+
+  /** DuckDB CTE chain replaying [[mixtureWaterfill]]'s cascade.
+    * Expects a CTE `t0(source, tot, w)` in scope (tot DOUBLE-cast
+    * integral token totals, w the caller's integer permille CASE);
+    * yields `perm(source, permille)`. Generated here so the two
+    * engines' iteration arithmetic cannot drift (the GraphSql
+    * discipline). */
+  def sqlWaterfillCtes(tokenBudget: Long, rounds: Int): String = {
+    def aCte(i: Int): String =
+      s"""a$i AS (
+         |  SELECT SUM(CASE WHEN NOT sat THEN w ELSE 0 END) AS w_act,
+         |    SUM(CASE WHEN sat THEN alloc ELSE 0.0 END) AS done
+         |  FROM s${i - 1})""".stripMargin
+    def sCte(i: Int): String =
+      s"""s$i AS (
+         |  SELECT source, tot, w, (sat OR share >= tot) AS sat,
+         |    CASE WHEN sat THEN alloc WHEN share >= tot THEN tot
+         |         ELSE 0.0 END AS alloc
+         |  FROM (
+         |    SELECT s.*, CASE WHEN a.w_act > 0
+         |      THEN (CAST($tokenBudget AS DOUBLE) - a.done)
+         |        * CAST(s.w AS DOUBLE) / CAST(a.w_act AS DOUBLE)
+         |      ELSE 0.0 END AS share
+         |    FROM s${i - 1} s, a$i a))""".stripMargin
+    val iters = (1 to rounds).map(i => s"${aCte(i)},\n${sCte(i)}")
+      .mkString(",\n")
+    s"""s0 AS (SELECT source, tot, w, FALSE AS sat, 0.0 AS alloc FROM t0),
+       |$iters,
+       |af AS (
+       |  SELECT SUM(CASE WHEN NOT sat THEN w ELSE 0 END) AS w_act,
+       |    SUM(CASE WHEN sat THEN alloc ELSE 0.0 END) AS done
+       |  FROM s$rounds),
+       |perm AS (
+       |  SELECT source, LEAST(1000, CAST(FLOOR(1000.0 *
+       |    (CASE WHEN sat THEN alloc ELSE LEAST(tot,
+       |      CASE WHEN af.w_act > 0
+       |        THEN (CAST($tokenBudget AS DOUBLE) - af.done)
+       |          * CAST(w AS DOUBLE) / CAST(af.w_act AS DOUBLE)
+       |        ELSE 0.0 END) END) / tot) AS BIGINT)) AS permille
+       |  FROM s$rounds, af)""".stripMargin
+  }
+
   /** Deterministic epoch shuffle — the training order for one epoch as
     * `(shard, ord)`: rows hash into `shards` shards and rank within
     * their shard by (portable_hash64(key:epoch), key). The order is a

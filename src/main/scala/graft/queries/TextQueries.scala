@@ -729,6 +729,58 @@ object TextQueries {
     }
   }
 
+  /** q154: mixture waterfilling (★ — closes the gap q114's operator
+    * documents: a source too small for its target share is taken
+    * WHOLE and its unused budget re-normalizes onto the unsaturated
+    * sources, cascade-style). The weights deliberately oversubscribe
+    * the small sources against this corpus so the cascade runs three
+    * levels deep — de saturates in round 1, es/fr in round 2, zh in
+    * round 3, and en absorbs the remainder — exercising every branch
+    * of the loop, not just the no-saturation fixpoint. Integer
+    * permille weights + integral token totals make every aggregate in
+    * the cascade order-free-exact, so the oracle replays all four
+    * rounds bit-for-bit via the generated `sqlWaterfillCtes` chain
+    * (the GraphSql discipline). */
+  val q154MixtureWaterfill: QuerySpec = {
+    import graft.operators.Sampling
+    val weights = Map("de" -> 500, "en" -> 125, "es" -> 125,
+      "fr" -> 125, "zh" -> 125)
+    val budget = 20000L
+    val wCase = "CASE lang " + weights.toSeq.sorted.map { case (l, wgt) =>
+      s"WHEN '$l' THEN CAST($wgt AS BIGINT) "
+    }.mkString + "ELSE CAST(0 AS BIGINT) END"
+    QuerySpec(
+      "q154_mixture_waterfill",
+      s"""WITH d AS (
+         |  SELECT lang AS source, doc_id, CAST($sqlNTok AS BIGINT) AS n_tok,
+         |    $wCase AS w
+         |  FROM documents),
+         |t0 AS (
+         |  SELECT source, CAST(SUM(n_tok) AS DOUBLE) AS tot,
+         |    ANY_VALUE(w) AS w
+         |  FROM d GROUP BY 1),
+         |${Sampling.sqlWaterfillCtes(budget, 4)}
+         |SELECT d.source AS lang, CAST(t0.tot AS BIGINT) AS tot_tokens,
+         |  p.permille, COUNT(*) AS n_docs,
+         |  CAST(SUM(d.n_tok) AS BIGINT) AS n_tokens
+         |FROM d JOIN perm p USING (source) JOIN t0 USING (source)
+         |WHERE ${Sampling.sqlBucket("doc_id")} < p.permille
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tok", TextFunctions.tokenCount(col("text")))
+      val tots = docs.groupBy(col("lang"))
+        .agg(sum(col("n_tok")).as("tot_tokens"))
+      Sampling.mixtureWaterfill(docs, "lang", "doc_id", "n_tok",
+          weights, budget)
+        .groupBy(col("lang"), col("permille"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .join(broadcast(tots), Seq("lang"))
+        .select(col("lang"), col("tot_tokens"), col("permille"),
+          col("n_docs"), col("n_tokens"))
+        .orderBy(col("lang"))
+    }
+  }
+
   /** q115: unigram entropy (perplexity-proxy quality feature). The
     * Spark side folds the SORTED token array once (O(n log n)); the
     * oracle scans per distinct token (O(n·d)) — independent
@@ -1409,5 +1461,5 @@ object TextQueries {
     q119BigramLm, q121LmScore, q131PmiCollocations, q134CdcChunks,
     q137CorpusCard, q140StripMarkup, q141UrlCanonicalize,
     q144PhraseSearch, q148QualityRules, q149DomainPagerank,
-    q150CurationPipeline, q152PercentileNormalize)
+    q150CurationPipeline, q152PercentileNormalize, q154MixtureWaterfill)
 }

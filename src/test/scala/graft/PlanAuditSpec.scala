@@ -36,11 +36,15 @@ class PlanAuditSpec extends SparkSpecBase {
     // q152 broadcasts the 1-row sorted k-sample array (≤ k values by
     // the sketch contract) onto the scan — the q76/q100/q117
     // metadata-sized cross again
+    // q154's waterfill cascade crosses the per-source totals frame
+    // (dozens of rows) with its own 1-row round aggregates — every
+    // side metadata-sized
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
       "q90_resample", "q76_profile", "q100_histogram", "q107_ann_pipeline",
       "q117_bm25", "q120_repeated_spans", "q131_pmi_collocations",
       "q145_exact_substr_dedup", "q146_semantic_dedup",
-      "q147_vector_index_lifecycle", "q152_percentile_normalize")
+      "q147_vector_index_lifecycle", "q152_percentile_normalize",
+      "q154_mixture_waterfill")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

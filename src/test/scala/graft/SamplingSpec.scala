@@ -155,4 +155,28 @@ class SamplingSpec extends SparkSpecBase {
     assert(e1.count { case (k, v) => e2(k) == v } < 15,
       "epochs 1 and 2 should share almost no fixed points")
   }
+
+  test("mixtureWaterfill: saturated source taken whole, shortfall " +
+      "renormalizes; no-saturation case matches mixtureSample") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // source a supplies 100 tokens, b supplies 1000
+    val df = ((1L to 10L).map(i => ("a", i, 10L)) ++
+      (11L to 20L).map(i => ("b", i, 100L))).toDF("src", "id", "n_tok")
+    // budget 600 at 500/500: a's share (300) exceeds its supply -> a
+    // is taken whole and its 200-token shortfall flows to b
+    val perm = Sampling.mixtureWaterfill(df, "src", "id", "n_tok",
+        Map("a" -> 500, "b" -> 500), 600L)
+      .select(col("src"), col("permille")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perm("a") == 1000L, s"saturated source not taken whole: $perm")
+    assert(perm("b") == 500L, // (600 - 100) / 1000
+      s"shortfall did not renormalize onto b: $perm")
+    // without saturation the cascade is the plain mixture rate
+    val wf = Sampling.mixtureWaterfill(df, "src", "id", "n_tok",
+      Map("a" -> 500, "b" -> 500), 100L)
+    val plain = Sampling.mixtureSample(df, "src", "id", "n_tok",
+      Map("a" -> 0.5, "b" -> 0.5), 100L)
+    assertBagEqual(wf, plain)
+  }
 }
