@@ -199,28 +199,33 @@ object TextFunctions {
     * 6 decimals (the cosine rule): ln is within 1 ulp on both engines
     * and the ~d-term sum accumulates ≪ 1e-6 of drift, so the rounded
     * value is engine-identical. */
-  def tokenEntropy(text: Column): Column = {
-    val n = size(tokens(text)).cast("double")
-    def term(run: Column): Column =
-      when(run > 0L, (run.cast("double") / n) * log(run.cast("double") / n))
-        .otherwise(lit(0.0))
-    val sorted = sort_array(tokens(text))
-    val zero = struct(lit(null).cast("string").as("prev"),
-      lit(0L).as("run"), lit(0.0).as("acc"))
-    val summed = aggregate(sorted, zero,
-      (acc, x) => {
-        val sameRun = acc.getField("prev") <=> x
-        struct(x.as("prev"),
-          when(sameRun, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
-          when(sameRun, acc.getField("acc"))
-            .otherwise(acc.getField("acc") + term(acc.getField("run")))
-            .as("acc"))
-      },
-      acc => acc.getField("acc") + term(acc.getField("run")))
-    // 0.0 - x (not -x): a zero sum must come out +0.0, never -0.0 —
-    // the two hash differently even though they compare equal
-    round(lit(0.0) - summed, 6)
-  }
+  def tokenEntropy(text: Column): Column =
+    // the token array is bound ONCE: `n` sits inside the fold lambda
+    // (term() divides by it at every run boundary), and an unbound
+    // spelling re-splits the document per element — the q150 lesson
+    bound(tokens(text)) { toks =>
+      val n = size(toks).cast("double")
+      def term(run: Column): Column =
+        when(run > 0L,
+          (run.cast("double") / n) * log(run.cast("double") / n))
+          .otherwise(lit(0.0))
+      val sorted = sort_array(toks)
+      val zero = struct(lit(null).cast("string").as("prev"),
+        lit(0L).as("run"), lit(0.0).as("acc"))
+      val summed = aggregate(sorted, zero,
+        (acc, x) => {
+          val sameRun = acc.getField("prev") <=> x
+          struct(x.as("prev"),
+            when(sameRun, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+            when(sameRun, acc.getField("acc"))
+              .otherwise(acc.getField("acc") + term(acc.getField("run")))
+              .as("acc"))
+        },
+        acc => acc.getField("acc") + term(acc.getField("run")))
+      // 0.0 - x (not -x): a zero sum must come out +0.0, never -0.0 —
+      // the two hash differently even though they compare equal
+      round(lit(0.0) - summed, 6)
+    }
 
   /** PII scrubbing (training-data pipeline ★ — the redaction pass a
     * corpus runs before anything else sees it): email-shaped tokens
@@ -428,39 +433,70 @@ object TextFunctions {
     * tokens (Gopher's 80%-alphabetic rule). */
   val alphaTokenPattern: String = "[a-zA-Z]"
 
-  private def tokenRatio(text: Column, pattern: String): Column =
-    size(filter(tokens(text), t => t.rlike(pattern))).cast("double") /
-      tokenCount(text).cast("double")
-
   private def sqlTokenRatio(textExpr: String, pattern: String): String =
     s"CAST(len(list_filter(string_split($textExpr, ' '), " +
       s"t -> regexp_matches(t, '$pattern'))) AS DOUBLE) / " +
       s"CAST(len(string_split($textExpr, ' ')) AS DOUBLE)"
 
-  /** The six rules as named boolean columns, in audit order. */
+  /** All six rules fused into one struct over a single [[bound]]
+    * token array: one split, one bigram build, three filter passes
+    * per row. The per-rule accessors below extract fields of THIS
+    * struct, so a projection selecting several rules shares one
+    * evaluation (projection-level CSE) instead of re-deriving the
+    * token array per rule. */
+  private def rulesStruct(text: Column): Column =
+    bound(tokens(text)) { ts =>
+      val nTok = size(ts).cast("long")
+      val meanLen = (length(text) - (nTok - lit(1L))).cast("double") /
+        nTok.cast("double")
+      def ratio(pattern: String): Column =
+        size(filter(ts, t => t.rlike(pattern))).cast("double") /
+          nTok.cast("double")
+      val stops =
+        size(filter(ts, t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
+      val rep = bound(
+        when(size(ts) >= 2,
+          transform(sequence(lit(1), size(ts) - 1),
+            i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
+          .otherwise(array().cast("array<string>"))) { bi =>
+        // one-token docs have no bigrams (NULL ratio): vacuously clean
+        coalesce(
+          when(size(bi) >= 1,
+            (size(bi) - size(array_distinct(bi))).cast("double") /
+              size(bi).cast("double"))
+            .otherwise(lit(null).cast("double")) <= ruleMaxDupBigramRatio,
+          lit(true))
+      }
+      struct(
+        (nTok >= ruleMinTokens && nTok <= ruleMaxTokens)
+          .as("rule_word_count"),
+        (meanLen >= ruleMeanLenLo && meanLen <= ruleMeanLenHi)
+          .as("rule_mean_word_len"),
+        (ratio(symbolTokenPattern) <= ruleMaxSymbolRatio)
+          .as("rule_symbol_ratio"),
+        (ratio(alphaTokenPattern) >= ruleMinAlphaRatio)
+          .as("rule_alpha_ratio"),
+        (stops >= ruleMinStopHits).as("rule_stopwords"),
+        rep.as("rule_repetition"))
+    }
+
+  private val ruleNames: Seq[String] = Seq("rule_word_count",
+    "rule_mean_word_len", "rule_symbol_ratio", "rule_alpha_ratio",
+    "rule_stopwords", "rule_repetition")
+
+  /** The six rules as named boolean columns, in audit order — field
+    * extractions of the fused [[rulesStruct]]. */
   def heuristicRules(text: Column): Seq[(String, Column)] = {
-    val nTok = tokenCount(text)
-    Seq(
-      "rule_word_count" ->
-        (nTok >= ruleMinTokens && nTok <= ruleMaxTokens),
-      "rule_mean_word_len" ->
-        (avgTokenLen(text) >= ruleMeanLenLo &&
-          avgTokenLen(text) <= ruleMeanLenHi),
-      "rule_symbol_ratio" ->
-        (tokenRatio(text, symbolTokenPattern) <= ruleMaxSymbolRatio),
-      "rule_alpha_ratio" ->
-        (tokenRatio(text, alphaTokenPattern) >= ruleMinAlphaRatio),
-      "rule_stopwords" ->
-        (vocabHits(text, stopwords) >= ruleMinStopHits),
-      // one-token docs have no bigrams (NULL ratio): vacuously clean
-      "rule_repetition" ->
-        coalesce(dupBigramRatio(text) <= ruleMaxDupBigramRatio,
-          lit(true)))
+    val rs = rulesStruct(text)
+    ruleNames.map(n => n -> rs.getField(n))
   }
 
-  /** Conjunction of [[heuristicRules]] — the keep decision. */
-  def heuristicKeep(text: Column): Column =
-    heuristicRules(text).map(_._2).reduce(_ && _)
+  /** Conjunction of [[heuristicRules]] — the keep decision (one
+    * struct evaluation, six field tests). */
+  def heuristicKeep(text: Column): Column = {
+    val rs = rulesStruct(text)
+    ruleNames.map(rs.getField).reduce(_ && _)
+  }
 
   /** Catalyst-tree entry point for the SQL surface (`extract_urls` in
     * GraftExtensions) — a resolved tree over the child, the
@@ -499,18 +535,32 @@ object TextFunctions {
         s"COALESCE(${sqlDupBigramRatio(textExpr)} <= $ruleMaxDupBigramRatio, TRUE)")
   }
 
+  /** Evaluate `f` over `arr` bound ONCE as a lambda variable. Inside
+    * higher-order-function lambda BODIES Catalyst performs no common-
+    * subexpression elimination, so an `element_at(split(text), i)`
+    * bigram build re-splits the document for every element — O(n²)
+    * splits per row (q150's gate measured ~2 ms/row, 9.4 of its
+    * 10.8 s at sf0.1, from exactly this). A HOF's ARGUMENT, by
+    * contrast, is evaluated once — so wrapping the array as a
+    * 1-element-array transform turns it into a bound lambda argument
+    * that inner lambdas capture. */
+  private def bound(arr: Column)(f: Column => Column): Column =
+    element_at(transform(array(arr), a => f(a)), 1)
+
   /** Adjacent word bigrams; empty for one-token docs (mirrors the
     * shingle contract in Dedup.shinglePositions). element_at +
     * concat_ws, not slice + array_join — the slice allocates an array
     * per bigram and measured 3x slower on the explode (the
-    * Dedup.shingleAt lesson). */
-  def wordBigrams(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * Dedup.shingleAt lesson). The token array is [[bound]] so the
+    * per-bigram element_at lambdas index ONE split, not one per
+    * element. */
+  def wordBigrams(text: Column): Column =
+    bound(tokens(text)) { toks =>
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** DuckDB spelling of [[dupBigramRatio]] (self-contained — inlines
     * the token split; q112's CTE spelling is the same arithmetic).
@@ -526,12 +576,14 @@ object TextFunctions {
   }
 
   /** Fraction of adjacent bigrams that are repeats of an earlier
-    * bigram in the same document; NULL when the doc has no bigrams. */
-  def dupBigramRatio(text: Column): Column = {
-    val bi = wordBigrams(text)
-    when(size(bi) >= 1,
-      (size(bi) - size(array_distinct(bi))).cast("double") /
-        size(bi).cast("double"))
-      .otherwise(lit(null).cast("double"))
-  }
+    * bigram in the same document; NULL when the doc has no bigrams.
+    * The bigram array is [[bound]] so its three size/distinct
+    * consumers share ONE build. */
+  def dupBigramRatio(text: Column): Column =
+    bound(wordBigrams(text)) { bi =>
+      when(size(bi) >= 1,
+        (size(bi) - size(array_distinct(bi))).cast("double") /
+          size(bi).cast("double"))
+        .otherwise(lit(null).cast("double"))
+    }
 }

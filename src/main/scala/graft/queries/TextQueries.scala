@@ -1379,11 +1379,18 @@ object TextQueries {
           lit(".example.com/page/"), g, lit("?utm_source=x")))
       val page = concat(lit("<html><body><p>"), col("text"),
         lit("</p> <a href=\""), col("url"), lit("\">x</a></body></html>"))
+      // the Generate wrapper is a projection-collapse barrier (the
+      // round-5 CollapseProject lesson): without it the strip-markup
+      // regex ladder inlines into EVERY reference the six rules make
+      // to `clean` (the bigram lambda re-evaluates it per element) —
+      // measured 10.8 s at sf0.1; 1.3 s with the barrier
       val b = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"), url.as("url"))
-        .select(col("doc_id"),
+        .select(explode(array(struct(col("doc_id"),
           TextFunctions.canonicalizeUrl(col("url")).as("canon"),
-          TextFunctions.stripMarkup(page).as("clean"))
+          TextFunctions.stripMarkup(page).as("clean")))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.canon").as("canon"),
+          col("r.clean").as("clean"))
         .select(col("doc_id"), col("canon"),
           TextFunctions.urlHost(col("canon")).as("domain"),
           TextFunctions.heuristicKeep(col("clean")).as("gate_keep"))
