@@ -1195,10 +1195,15 @@ object TextQueries {
         .unionByName(variant("short", array_join(slice(toks, 1, 3), " ")))
         .unionByName(variant("symbol",
           regexp_replace(col("text"), " ", " ## ")))
+      // keep is the conjunction of the SAME rule columns (not a fresh
+      // heuristicKeep build): rulesStruct's lambda variables get new
+      // ids per build, so two builds are not semantically equal and
+      // codegen CSE cannot share them — one shared tree halves the
+      // per-row evaluation
       val rules = TextFunctions.heuristicRules(col("text"))
       v.select(col("variant") +: col("doc_id") +:
           rules.map { case (n, c) => c.as(n) } :+
-          TextFunctions.heuristicKeep(col("text")).as("keep"): _*)
+          rules.map(_._2).reduce(_ && _).as("keep"): _*)
         .orderBy(col("variant"), col("doc_id"))
     }
   }
