@@ -381,12 +381,15 @@ object TextFunctions {
     * dedup: raw pages carry their outlinks inline, and every
     * downstream URL operator — [[canonicalizeUrl]], per-domain
     * quotas, domain PageRank — starts from this list). The pattern
-    * stops at whitespace, quotes, and angle brackets so an URL lifted
-    * from an `href="…"` attribute or a `<` that closes a tag never
-    * drags markup along; `(?i)` accepts shouting crawlers
-    * (`HTTP://…`). RE2 ∩ Java common subset (the [[piiRedact]] rule)
-    * with the DuckDB twin generated from the same constant. */
-  val urlPattern: String = "(?i)https?://[^ <>\"']+"
+    * stops at whitespace (`\s`, not just the literal space —
+    * extraction runs on RAW pages, before any whitespace collapse,
+    * so tabs/newlines terminate an URL too), quotes, and angle
+    * brackets so an URL lifted from an `href="…"` attribute or a `<`
+    * that closes a tag never drags markup along; `(?i)` accepts
+    * shouting crawlers (`HTTP://…`). RE2 ∩ Java common subset (the
+    * [[piiRedact]] rule) with the DuckDB twin generated from the
+    * same constant. */
+  val urlPattern: String = "(?i)https?://[^\\s<>\"']+"
 
   def extractUrls(text: Column): Column =
     regexp_extract_all(text, lit(urlPattern), lit(0))
@@ -395,9 +398,13 @@ object TextFunctions {
   def sqlExtractUrls(textExpr: String): String =
     s"regexp_extract_all($textExpr, '${urlPattern.replace("'", "''")}')"
 
-  /** Host component of an (already canonicalized) URL — the key for
-    * per-domain quotas and the node id of the domain link graph. */
-  val urlHostPattern: String = "^[a-z]+://([^/?#]+)"
+  /** HOST component of an (already canonicalized) URL — the key for
+    * per-domain quotas and the node id of the domain link graph. The
+    * host, not the authority: userinfo (`user:pass@`) and an explicit
+    * port are stripped — a site must not evade a per-domain quota or
+    * split its PageRank node by varying `user@` / `:8080` spellings
+    * of the same domain. */
+  val urlHostPattern: String = "^[a-z]+://(?:[^/?#@]*@)?([^/?#:]+)"
 
   def urlHost(url: Column): Column =
     regexp_extract(url, urlHostPattern, 1)

@@ -929,14 +929,29 @@ object Dedup {
         col("island_end").as("e0"))
       .localCheckpoint(true)
     windows.unpersist()
-    // token-level removal: keep (key, pos, tok) rows covered by no
-    // island — equi-key + range anti-join against the broadcast-sized
-    // island set, so the token frame stays un-shuffled here
+    removeIslandsAndRebuild(base, islands, keyCol, broadcastIslands = true)
+  }
+
+  /** Shared removal tail of the substring-cut operators
+    * ([[exactSubstrDedup]], [[boilerplateRemoval]]): token-level
+    * island anti-join (equi-key, [pos, pend) range evaluated
+    * post-match), per-doc reassembly, island stats, and the 5-column
+    * output contract. `broadcastIslands` is the SCALE split between
+    * the two callers: ExactSubstr islands are docs-with-boilerplate ×
+    * spans (tiny → broadcast keeps the token frame un-shuffled);
+    * site-boilerplate islands scale WITH the corpus (a header sits in
+    * nearly every doc of its site → broadcasting would OOM, so the
+    * anti-join and stats join shuffle on the key). */
+  private def removeIslandsAndRebuild(base: DataFrame, islands: DataFrame,
+                                      keyCol: String,
+                                      broadcastIslands: Boolean)
+                                     : DataFrame = {
     val tokens = base.select(col(keyCol), col("n_tokens"),
         posexplode(col("toks")).as(Seq("p0", "tok")))
       .select(col(keyCol), col("n_tokens"),
         (col("p0") + lit(1)).as("pos"), col("tok"))
-    val kept = tokens.join(broadcast(islands),
+    val islandSide = if (broadcastIslands) broadcast(islands) else islands
+    val kept = tokens.join(islandSide,
       tokens(keyCol) === islands(keyCol) &&
         col("pos") >= col("s0") && col("pos") < col("e0"), "left_anti")
     val rebuilt = kept.groupBy(col(keyCol))
@@ -944,12 +959,13 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           s => s.getField("tok")), " ").as("clean_text"))
-    val stats = islands.groupBy(col(keyCol))
+    val stats0 = islands.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_removed_spans"),
         sum(col("e0") - col("s0")).cast("long").as("removed_tokens"))
+    val stats = if (broadcastIslands) broadcast(stats0) else stats0
     base.select(col(keyCol), col("n_tokens"))
       .join(rebuilt, Seq(keyCol), "left")
-      .join(broadcast(stats), Seq(keyCol), "left")
+      .join(stats, Seq(keyCol), "left")
       .select(col(keyCol), col("n_tokens"),
         coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
         coalesce(col("n_removed_spans"), lit(0L)).as("n_removed_spans"),
@@ -1011,31 +1027,7 @@ object Dedup {
         col("island_end").as("e0"))
       .localCheckpoint(true)
     windows.unpersist()
-    val tokens = base.select(col(keyCol), col("n_tokens"),
-        posexplode(col("toks")).as(Seq("p0", "tok")))
-      .select(col(keyCol), col("n_tokens"),
-        (col("p0") + lit(1)).as("pos"), col("tok"))
-    // NO broadcast hint (see scaladoc): key-equi anti-join, range
-    // predicate post-match
-    val kept = tokens.join(islands,
-      tokens(keyCol) === islands(keyCol) &&
-        col("pos") >= col("s0") && col("pos") < col("e0"), "left_anti")
-    val rebuilt = kept.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("clean_n_tokens"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok")), " ").as("clean_text"))
-    val stats = islands.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n_removed_spans"),
-        sum(col("e0") - col("s0")).cast("long").as("removed_tokens"))
-    base.select(col(keyCol), col("n_tokens"))
-      .join(rebuilt, Seq(keyCol), "left")
-      .join(stats, Seq(keyCol), "left")
-      .select(col(keyCol), col("n_tokens"),
-        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
-        coalesce(col("n_removed_spans"), lit(0L)).as("n_removed_spans"),
-        coalesce(col("clean_n_tokens"), lit(0L)).as("clean_n_tokens"),
-        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+    removeIslandsAndRebuild(base, islands, keyCol, broadcastIslands = false)
   }
 
   /** SimHash near-dup pairs: 15-bit-chunk banding (4 chunks × 15 of

@@ -33,7 +33,16 @@ object QuantileSketch {
 
   /** Per-group sketch: `(groupCols*, h, key, value)`, the ≤ k rows of
     * each group with the smallest (hash, key); with no group columns,
-    * the global sketch as a TakeOrderedAndProject. */
+    * the global sketch as a TakeOrderedAndProject.
+    *
+    * CONTRACT: `keyCol` must be unique within the build (a primary
+    * key — doc_id, custkey). Duplicate keys make "pure function of
+    * the key set" ill-defined AND the (hash, key) order non-total, so
+    * the k-boundary could cut a tie group arbitrarily. The operator
+    * does not dedup internally — that would charge the common
+    * unique-key case a full shuffle the TakeOrdered path avoids;
+    * callers with re-ingested keys collapse them first (what
+    * [[foldIntoStore]] does for its batch). */
   def sketch(df: DataFrame, groupCols: Seq[String], keyCol: String,
              valueCol: String, k: Int): DataFrame = {
     require(k >= 2 && k <= 1000000, s"k=$k outside [2, 1e6]")
@@ -145,10 +154,16 @@ object QuantileSketch {
     val hp = new org.apache.hadoop.fs.Path(s"$path/params")
     val exists =
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    // collapse batch-INTERNAL duplicate keys before sketching (the
+    // same min-value policy as the store merge below), so a batch
+    // that re-ingests a key still satisfies sketch()'s unique-key
+    // contract; the batch is the small side, the groupBy is cheap
     val batchOf = (kk: Int) =>
-      sketch(batch.select(col(keyCol).cast("string").as(keyCol),
-        col(valueCol).cast("double").as(valueCol)), Seq.empty,
-        keyCol, valueCol, kk)
+      sketch(batch
+        .select(col(keyCol).cast("string").as(keyCol),
+          col(valueCol).cast("double").as(valueCol))
+        .groupBy(col(keyCol)).agg(min(col(valueCol)).as(valueCol)),
+        Seq.empty, keyCol, valueCol, kk)
     if (!exists) writeStore(batchOf(k), path, k)
     else {
       val store = readStore(spark, path)

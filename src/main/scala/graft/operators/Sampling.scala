@@ -246,9 +246,13 @@ object Sampling {
               col("w").cast("double") / col("w_act").cast("double"))
             .otherwise(lit(0.0)))))
       .select(col(sourceCol),
-        least(lit(1000L),
-          floor(lit(1000.0) * col("allocF") / col("tot")).cast("long"))
-          .as("permille"))
+        // tot = 0 (a source whose token counts sum to zero) would put
+        // 0.0/0.0 = NaN into floor — Spark casts NaN to 0 silently,
+        // DuckDB errors on the BIGINT cast; guard BOTH spellings
+        when(col("tot") > 0,
+          least(lit(1000L),
+            floor(lit(1000.0) * col("allocF") / col("tot")).cast("long")))
+          .otherwise(lit(0L)).as("permille"))
     df.join(broadcast(permille), Seq(sourceCol))
       .filter(bucket(keyCol) < col("permille"))
   }
@@ -285,12 +289,14 @@ object Sampling {
        |    SUM(CASE WHEN sat THEN alloc ELSE 0.0 END) AS done
        |  FROM s$rounds),
        |perm AS (
-       |  SELECT source, LEAST(1000, CAST(FLOOR(1000.0 *
-       |    (CASE WHEN sat THEN alloc ELSE LEAST(tot,
-       |      CASE WHEN af.w_act > 0
-       |        THEN (CAST($tokenBudget AS DOUBLE) - af.done)
-       |          * CAST(w AS DOUBLE) / CAST(af.w_act AS DOUBLE)
-       |        ELSE 0.0 END) END) / tot) AS BIGINT)) AS permille
+       |  SELECT source, CASE WHEN tot > 0
+       |    THEN LEAST(1000, CAST(FLOOR(1000.0 *
+       |      (CASE WHEN sat THEN alloc ELSE LEAST(tot,
+       |        CASE WHEN af.w_act > 0
+       |          THEN (CAST($tokenBudget AS DOUBLE) - af.done)
+       |            * CAST(w AS DOUBLE) / CAST(af.w_act AS DOUBLE)
+       |          ELSE 0.0 END) END) / tot) AS BIGINT))
+       |    ELSE 0 END AS permille
        |  FROM s$rounds, af)""".stripMargin
   }
 

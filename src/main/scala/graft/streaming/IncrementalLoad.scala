@@ -152,9 +152,13 @@ object IncrementalLoad {
   /** Fold every micro-batch into a persisted bottom-k quantile sketch
     * (the [[streamingCountMinFold]] posture for the rank summary).
     * The fold algebra — union, collapse re-folded keys, re-take
-    * bottom-k under the manifest's k — is associative, so the drained
-    * store equals the batch-built sketch of the concatenated stream
-    * regardless of micro-batch boundaries; StreamingSpec pins it. */
+    * bottom-k under the manifest's k — is associative, so for a
+    * stream whose keys are unique the drained store equals the
+    * batch-built sketch of the concatenated stream regardless of
+    * micro-batch boundaries (StreamingSpec pins it); a key arriving
+    * twice — within one batch or across batches — collapses under
+    * the store's deterministic min-value policy rather than being
+    * double-sampled. */
   def streamingQuantileFold(spark: SparkSession, stream: DataFrame,
                             keyCol: String, valueCol: String,
                             storePath: String, checkpoint: String,
