@@ -153,4 +153,110 @@ class RandomizedLosslessnessSpec extends SparkSpecBase {
       assert(got == want, s"round $round p=$p diverged")
     }
   }
+
+  test("mixtureWaterfill ≡ a sequential waterfilling reference on " +
+      "random supplies, weights, and budgets") {
+    import graft.operators.Sampling
+    for (round <- 1 to 6) {
+      val nSrc = 2 + rng.nextInt(5)
+      val sources = (0 until nSrc).map(i => s"s$i")
+      // docs: (source, key, n_tok); skewed supplies so saturation
+      // cascades of varying depth actually occur
+      val rows = sources.zipWithIndex.flatMap { case (s, si) =>
+        val nDocs = 1 + rng.nextInt(20) * (if (si == 0) 5 else 1)
+        (0 until nDocs).map(d =>
+          (s, (si * 1000 + d).toLong, (1 + rng.nextInt(50)).toLong))
+      }
+      val weights = sources.map(_ -> (1 + rng.nextInt(500))).toMap
+      val supply = rows.groupBy(_._1).map { case (s, rs) =>
+        s -> rs.map(_._3).sum }
+      val budget = 1L + rng.nextInt(supply.values.sum.toInt)
+      val got = Sampling.mixtureWaterfill(rows.toDF("src", "k", "n_tok"),
+          "src", "k", "n_tok", weights, budget)
+        .select(col("src"), col("permille")).distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // sequential reference: 4 rounds of saturate-and-renormalize,
+      // then the final proportional share, floored to permille
+      var sat = Map.empty[String, Double]
+      for (_ <- 1 to 4) {
+        val done = sat.values.sum
+        val wAct = sources.filterNot(sat.contains).map(weights).sum
+        if (wAct > 0) {
+          val newly = sources.filterNot(sat.contains).filter { s =>
+            (budget - done) * weights(s).toDouble / wAct >=
+              supply(s).toDouble
+          }
+          sat = sat ++ newly.map(s => s -> supply(s).toDouble)
+        }
+      }
+      val doneF = sat.values.sum
+      val wActF = sources.filterNot(sat.contains).map(weights).sum
+      val want = sources.map { s =>
+        val alloc =
+          if (sat.contains(s)) sat(s)
+          else if (wActF > 0)
+            math.min(supply(s).toDouble,
+              (budget - doneF) * weights(s).toDouble / wActF)
+          else 0.0
+        s -> math.min(1000L,
+          math.floor(1000.0 * alloc / supply(s).toDouble).toLong)
+      }.toMap
+      // the operator's output drops sources whose permille sampled 0
+      // rows; compare on the sources it reports and check the rest
+      // really were entitled to (almost) nothing
+      for ((s, p) <- got) assert(p == want(s),
+        s"round $round src=$s got=$p want=${want(s)} " +
+          s"(weights=$weights budget=$budget supply=$supply)")
+      // conservation: the floored allocations never exceed the budget
+      val spent = want.map { case (s, p) => p * supply(s) / 1000.0 }.sum
+      assert(spent <= budget.toDouble + 1e-6,
+        s"round $round overspent: $spent > $budget")
+    }
+  }
+
+  test("boilerplateRemoval ≡ a brute-force reference on random " +
+      "small multi-site corpora") {
+    for (round <- 1 to 5) {
+      val vocab = Vector.tabulate(4 + rng.nextInt(4))(i => s"w$i")
+      val k = 3
+      val minDf = 2L
+      val docs = (0 until 12 + rng.nextInt(12)).map { id =>
+        val n = 2 + rng.nextInt(10)
+        (id.toLong, s"site${id % 2}",
+          Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = Dedup.boilerplateRemoval(docs.toDF("id", "site", "text"),
+          "id", "site", "text", k = k, minDf = minDf)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(4)))).toMap
+      // reference: per site, count distinct-doc frequency of each
+      // k-window string; windows with df >= minDf mark [pos, pos+k)
+      // for removal in EVERY doc containing them; merge, cut, count
+      val bySite = docs.groupBy(_._2)
+      val boiler: Map[String, Set[Seq[String]]] = bySite.map {
+        case (site, ds) =>
+          val dfs = ds.flatMap { case (id, _, t) =>
+            val toks = t.split(" ").toSeq
+            toks.sliding(k).filter(_.size == k).map(w => (w, id)).toSet
+          }.groupBy(_._1).map { case (w, occ) =>
+            w -> occ.map(_._2).distinct.size }
+          site -> dfs.collect {
+            case (w, df) if df >= minDf => w }.toSet
+      }
+      for ((id, site, t) <- docs) {
+        val toks = t.split(" ").toSeq
+        val marked = toks.indices.filter { i =>
+          i + k <= toks.size && boiler(site)(toks.slice(i, i + k))
+        }.flatMap(i => i until i + k).toSet
+        val (n, removed, clean) = got(id)
+        assert(n == toks.size.toLong, s"round $round doc $id n_tokens")
+        assert(removed == marked.size.toLong,
+          s"round $round doc $id removed: got $removed " +
+            s"want ${marked.size} (text='$t')")
+        assert(clean == (toks.size - marked.size).toLong,
+          s"round $round doc $id clean count")
+      }
+    }
+  }
 }
