@@ -177,4 +177,99 @@ object Search {
       .groupBy(col("phrase"), col(keyCol))
       .agg(count(lit(1)).as("n_occ"), min(col("start")).as("first_pos"))
   }
+
+  /** Interpolated Kneser–Ney bigram cross-entropy with a SEPARATE
+    * training corpus — the real CCNet/KenLM quality-gate setup (train
+    * the LM on a reference corpus, score the crawl; Wenzek et al.
+    * 2020, "CCNet"): scored documents contain bigrams and even
+    * contexts the model never saw, so smoothing and backoff are load-
+    * bearing, unlike [[bigramCrossEntropy]]'s self-scoring MLE.
+    *
+    * Model (all statistics from `train` only; D = `discount`):
+    *   - c(w1,w2), c(w1)=Σ_w2 c(w1,w2); N1+(w1,·) distinct successors
+    *     of w1; N1+(·,w2) distinct predecessors of w2; B total
+    *     distinct bigrams; V distinct continuation types.
+    *   - Pcont(w2) = (N1+(·,w2) + 1) / (B + V + 1) — the continuation
+    *     distribution add-1 smoothed over V seen types plus one
+    *     unseen bucket, so out-of-vocabulary continuations keep
+    *     positive mass and every score is finite.
+    *   - seen context:  P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+    *                              + (D·N1+(w1,·)/c(w1)) · Pcont(w2)
+    *   - unseen context: P(w2|w1) = Pcont(w2).
+    *
+    * Output `(keyCol, n_bigrams, n_unseen, oov_rate, xent)`: per-doc
+    * −Σ m·log2 P / Σ m over the doc's distinct bigrams with
+    * multiplicity m, plus the fraction of bigram tokens absent from
+    * the training counts (the OOV feature curation stacks filter on).
+    * Docs with < 2 tokens are dropped (no bigrams — xent undefined).
+    *
+    * Determinism: every model statistic is an exact integer; P is a
+    * fixed left-to-right IEEE op sequence over exact-int doubles,
+    * mirrored op-for-op by the SQL oracle; the per-doc sum folds a
+    * SORTED struct array and rounds to 6 decimals (the q121 rule), so
+    * the result is reproducible across partitionings and engines.
+    *
+    * Scale shape: the four model frames are vocabulary-/bigram-
+    * bounded aggregates built with map-side combine from ONE train
+    * explode; B and V collapse to a 1-row broadcast; scoring is the
+    * doc-bigram frame left-joined against them (model side
+    * broadcastable at any realistic vocabulary) and one per-doc
+    * aggregation — no corpus-sized shuffle beyond the doc-bigram
+    * grouping itself. */
+  def knCrossEntropy(train: DataFrame, score: DataFrame, keyCol: String,
+                     textCol: String, discount: Double = 0.75)
+                     : DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount=$discount outside (0, 1)")
+    def bigrams(df: DataFrame, keep: Seq[Column]): DataFrame = df
+      .select(keep :+ split(col(textCol), " ").as("__toks"): _*)
+      .select(keep :+ explode(when(size(col("__toks")) >= 2,
+        transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => struct(element_at(col("__toks"), i).as("w1"),
+            element_at(col("__toks"), i + lit(1)).as("w2"))))
+        .otherwise(array().cast(
+          "array<struct<w1:string,w2:string>>"))).as("p"): _*)
+      .select(keep :+ col("p.w1").as("w1") :+ col("p.w2").as("w2"): _*)
+    // bigram-bounded: one train explode feeds all four model frames
+    val cnt = bigrams(train, Nil)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = cnt.groupBy(col("w1"))
+      .agg(sum(col("c")).as("tot"), count(lit(1)).as("n1f"))
+    val cont = cnt.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val glob = cnt.agg(count(lit(1)).as("bb"),
+      count_distinct(col("w2")).as("vv"))
+    val db = bigrams(score, Seq(col(keyCol)))
+      .groupBy(col(keyCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val d = lit(discount)
+    val pcont = (coalesce(col("n1b"), lit(0L)) + lit(1L)).cast("double") /
+      (col("bb") + col("vv") + lit(1L)).cast("double")
+    val totD = col("tot").cast("double")
+    val p = when(col("tot").isNotNull,
+      greatest(coalesce(col("c"), lit(0L)).cast("double") - d, lit(0.0)) /
+        totD +
+        (d * col("n1f").cast("double") / totD) * pcont)
+      .otherwise(pcont)
+    val out = db
+      .join(cnt, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(glob))
+      .select(col(keyCol), col("m"),
+        when(col("c").isNull, col("m")).otherwise(lit(0L)).as("un"),
+        struct(col("w1"), col("w2"),
+          (col("m").cast("double") * -log(2.0, p)).as("nl")).as("e"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("m")).cast("long").as("n_bigrams"),
+        sum(col("un")).cast("long").as("n_unseen"),
+        array_sort(collect_list(col("e"))).as("es"))
+      .select(col(keyCol), col("n_bigrams"), col("n_unseen"),
+        (col("n_unseen").cast("double") / col("n_bigrams").cast("double"))
+          .as("oov_rate"),
+        round(
+          aggregate(col("es"), lit(0.0), (acc, x) => acc + x("nl"))
+            / col("n_bigrams"), 6).as("xent"))
+    out
+  }
 }

@@ -1464,6 +1464,73 @@ object TextQueries {
     }
   }
 
+  /** q155: Kneser–Ney perplexity gate (★ — the CCNet quality-filter
+    * setup q121's self-scoring MLE cannot express: the LM is trained
+    * on a reference partition (doc_id % 3 ≠ 0) and scores the WHOLE
+    * corpus, so held-out docs hit unseen bigrams and unseen contexts
+    * and the interpolated-KN smoothing + continuation backoff carry
+    * real probability mass). Model statistics are exact ints; P is
+    * an op-for-op mirrored IEEE sequence; the per-doc fold sorts
+    * before summing and rounds to 6 (the q121 discipline), so the
+    * oracle replays training AND scoring bit-for-bit. oov_rate is an
+    * exact-int single division. */
+  val q155KnPerplexity: QuerySpec = QuerySpec(
+    "q155_kn_perplexity",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tbi0 AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+      |  FROM tok WHERE len(toks) >= 2 AND doc_id % 3 <> 0),
+      |tbi AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM tbi0),
+      |cnt AS (SELECT w1, w2, COUNT(*) AS c FROM tbi GROUP BY 1, 2),
+      |ctx AS (
+      |  SELECT w1, CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS n1f
+      |  FROM cnt GROUP BY 1),
+      |cont AS (SELECT w2, COUNT(*) AS n1b FROM cnt GROUP BY 1),
+      |gstat AS (
+      |  SELECT COUNT(*) AS bb, COUNT(DISTINCT w2) AS vv FROM cnt),
+      |sbi0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+      |  FROM tok WHERE len(toks) >= 2),
+      |sbi AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM sbi0),
+      |db AS (
+      |  SELECT doc_id, w1, w2, COUNT(*) AS m FROM sbi GROUP BY 1, 2, 3),
+      |e AS (
+      |  SELECT doc_id, m,
+      |    CASE WHEN c IS NULL THEN m ELSE CAST(0 AS BIGINT) END AS un,
+      |    {'w1': w1, 'w2': w2,
+      |     'nl': CAST(m AS DOUBLE) * -(ln(
+      |        CASE WHEN tot IS NOT NULL
+      |          THEN greatest(CAST(COALESCE(c, 0) AS DOUBLE) - 0.75, 0.0)
+      |                 / CAST(tot AS DOUBLE)
+      |             + (0.75 * CAST(n1f AS DOUBLE) / CAST(tot AS DOUBLE))
+      |               * (CAST(COALESCE(n1b, 0) + 1 AS DOUBLE)
+      |                  / CAST(bb + vv + 1 AS DOUBLE))
+      |          ELSE CAST(COALESCE(n1b, 0) + 1 AS DOUBLE)
+      |               / CAST(bb + vv + 1 AS DOUBLE) END) / ln(2))} AS e
+      |  FROM db LEFT JOIN cnt USING (w1, w2)
+      |    LEFT JOIN ctx USING (w1) LEFT JOIN cont USING (w2)
+      |    CROSS JOIN gstat),
+      |g AS (
+      |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(un) AS BIGINT) AS n_unseen, list_sort(list(e)) AS es
+      |  FROM e GROUP BY 1)
+      |SELECT doc_id, n_bigrams, n_unseen,
+      |  CAST(n_unseen AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS oov_rate,
+      |  round(list_reduce(list_prepend(0.0,
+      |      list_transform(es, x -> x.nl)), (acc, x) -> acc + x)
+      |    / n_bigrams, 6) + 0.0 AS xent
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.Search.knCrossEntropy(
+        docs.filter(col("doc_id") % 3 =!= 0), docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        col("oov_rate"), (col("xent") + lit(0.0)).as("xent"))
+      .orderBy(col("doc_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -1473,5 +1540,6 @@ object TextQueries {
     q119BigramLm, q121LmScore, q131PmiCollocations, q134CdcChunks,
     q137CorpusCard, q140StripMarkup, q141UrlCanonicalize,
     q144PhraseSearch, q148QualityRules, q149DomainPagerank,
-    q150CurationPipeline, q152PercentileNormalize, q154MixtureWaterfill)
+    q150CurationPipeline, q152PercentileNormalize, q154MixtureWaterfill,
+    q155KnPerplexity)
 }

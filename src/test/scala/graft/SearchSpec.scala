@@ -115,4 +115,50 @@ class SearchSpec extends SparkSpecBase {
     assertBagEqual(Search.phraseSearch(p1, "doc_id", q),
       Search.phraseSearch(p2, "doc_id", q))
   }
+
+  test("KN cross-entropy: smoothing, backoff, and OOV accounting") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a b a b a c"),
+      (2L, "a b c a b")
+    ).toDF("doc_id", "text")
+    val sc = Seq(
+      (10L, "a b a b"),   // all bigrams seen
+      (11L, "a c x y"),   // (c,x) unseen pair, (x,y) unseen CONTEXT
+      (12L, "q")          // < 2 tokens: dropped
+    ).toDF("doc_id", "text")
+    val got = Search.knCrossEntropy(train, sc, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(!got.contains(12L), "single-token doc must be dropped")
+    val (n10, un10, oov10, x10) = got(10L)
+    assert(n10 == 3 && un10 == 0 && oov10 == 0.0)
+    val (n11, un11, oov11, x11) = got(11L)
+    assert(n11 == 3 && un11 == 2 && math.abs(oov11 - 2.0 / 3.0) < 1e-12)
+    // unseen transitions must cost more bits than all-seen text
+    assert(x11 > x10 && x10 > 0.0)
+    // hand-check doc 10 against the published formula (D = 0.75):
+    // train bigrams: (a,b)x4 (b,a)x2 (a,c)x1 (b,c)x1 (c,a)x1; B=5, V=3
+    // ctx a: tot 5, n1f 2; ctx b: tot 3, n1f 2
+    // pcont(b) = (1+1)/(5+3+1) = 2/9 ; pcont(a) = (2+1)/9 = 3/9
+    val pab = (4 - 0.75) / 5 + (0.75 * 2 / 5) * (2.0 / 9)
+    val pba = (2 - 0.75) / 3 + (0.75 * 2 / 3) * (3.0 / 9)
+    val want = -(2 * (math.log(pab) / math.log(2.0)) +
+      math.log(pba) / math.log(2.0)) / 3.0
+    assert(math.abs(x10 - (math.rint(want * 1e6) / 1e6)) < 1e-9,
+      s"got $x10 want $want")
+  }
+
+  test("KN scores are invariant under repartitioning") {
+    import spark.implicits._
+    val docs = (0L until 80L).map(i =>
+      (i, (0 to 30).map(j => s"t${(i * 7 + j * 11) % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tr = docs.filter(col("doc_id") % 3 =!= 0)
+    assertBagEqual(
+      Search.knCrossEntropy(tr, docs, "doc_id", "text"),
+      Search.knCrossEntropy(tr.repartition(7), docs.repartition(13),
+        "doc_id", "text"))
+  }
 }
