@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training (training-data pipeline ★):
+  * learn the top-k byte-pair merges from a corpus — the algorithm
+  * behind every modern subword vocabulary (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units").
+  *
+  * Formulated on the WORD-FREQUENCY TABLE, not the corpus: the corpus
+  * is scanned exactly once (word counts with map-side combine), and
+  * every merge iteration runs over the vocabulary-bounded table —
+  * at 100 TB the corpus never re-enters the loop, which is what makes
+  * distributed BPE training tractable (pair statistics over a 10⁵–10⁷
+  * row word table, not 10¹² tokens).
+  *
+  * Per iteration: adjacent-pair counts weighted by word frequency
+  * (one vocabulary-sized shuffle), a TakeOrdered(1) argmax with the
+  * deterministic tie-break (count DESC, pair ASC), and a leftmost-
+  * greedy merge fold applied to each word's token array (`aggregate`
+  * over the tail: a pair merges iff the accumulator's LAST token is
+  * the left part — so "a a a a" under (a,a) becomes [aa, aa], the
+  * standard non-overlapping scan, and a token just created can itself
+  * absorb the next element). The table is `localCheckpoint`ed each
+  * round (the PageRank lineage discipline) so the plan stays flat
+  * however many merges are learned.
+  *
+  * Words are restricted to `^[a-z0-9]+$` (mirrored in the oracle);
+  * merged tokens are concatenations over that charset, which is what
+  * lets the SQL replay fold token lists through a '|'-delimited
+  * string accumulator without collision.
+  *
+  * Output: `(merge_rank, lhs, rhs, merged, pair_count)`, one row per
+  * learned merge in rank order; fewer than k rows iff the vocabulary
+  * exhausts (every word collapsed to one token). All outputs are
+  * exact ints/strings — no float anywhere, so the DuckDB oracle
+  * ([[sqlLearnMerges]] unrolls the same k iterations as CTEs) matches
+  * bit-for-bit.
+  */
+object Bpe {
+
+  def learnMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k=$k outside [1, 64]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var wt = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("toks", transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))))
+      .localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val best = wt.filter(size(col("toks")) >= 2)
+        .select(col("cnt"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("l"),
+              element_at(col("toks"), i + lit(1)).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rr, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, l, rr, l + rr, c))
+        // leftmost-greedy merge: fold the tail onto [first]; merge iff
+        // the accumulator's last token is `l` and the next is `rr`
+        val fold = aggregate(
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          array(element_at(col("toks"), 1)),
+          (acc, x) => when(
+            element_at(acc, -1) === lit(l) && x === lit(rr),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rr))))
+            .otherwise(concat(acc, array(x))))
+        wt = wt.select(col("word"), col("cnt"),
+          when(size(col("toks")) < 2, col("toks")).otherwise(fold)
+            .as("toks"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** DuckDB replay of [[learnMerges]]: the k iterations unrolled as
+    * CTE blocks. The merge fold mirrors the Spark `aggregate` through
+    * a '|'-delimited string accumulator (`list_reduce` needs acc and
+    * element types equal) — safe because the word charset excludes
+    * the delimiter. */
+  def sqlLearnMerges(table: String, textCol: String, k: Int): String = {
+    require(k >= 1 && k <= 64, s"k=$k outside [1, 64]")
+    val head =
+      s"""WITH w0 AS (
+         |  SELECT word, COUNT(*) AS cnt FROM (
+         |    SELECT unnest(string_split($textCol, ' ')) AS word
+         |    FROM $table)
+         |  WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY 1),
+         |wt0 AS (
+         |  SELECT word, cnt,
+         |    list_transform(range(1, len(word) + 1), i -> word[i]) AS toks
+         |  FROM w0)""".stripMargin
+    val iters = (1 to k).map { r =>
+      s"""p$r AS (
+         |  SELECT t.l AS l, t.r AS r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(toks)),
+         |      i -> {'l': toks[i], 'r': toks[i+1]})) AS t
+         |    FROM wt${r - 1} WHERE len(toks) >= 2)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
+         |wt$r AS (
+         |  SELECT word, cnt, CASE WHEN len(toks) < 2 THEN toks ELSE
+         |    string_split(list_reduce(toks, (acc, x) -> CASE
+         |        WHEN string_split(acc, '|')[-1] = b$r.l AND x = b$r.r
+         |        THEN array_to_string(list_append(
+         |          string_split(acc, '|')[1:len(string_split(acc, '|')) - 1],
+         |          b$r.l || b$r.r), '|')
+         |        ELSE acc || '|' || x END), '|') END AS toks
+         |  FROM wt${r - 1} CROSS JOIN b$r)""".stripMargin
+    }
+    val sel = (1 to k).map { r =>
+      s"SELECT CAST($r AS INTEGER) AS merge_rank, l AS lhs, r AS rhs, " +
+        s"l || r AS merged, c AS pair_count FROM b$r"
+    }.mkString("\nUNION ALL ")
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT * FROM (\n$sel\n) ORDER BY merge_rank"
+  }
+}

@@ -1531,6 +1531,20 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q156: distributed BPE tokenizer training (★ — the top-8 learned
+    * merges on the word-frequency-table formulation: ONE corpus scan,
+    * then vocabulary-bounded iterations; see [[graft.operators.Bpe]]).
+    * Every output is an exact int/string and the argmax tie-break is
+    * total (count DESC, pair ASC), so the oracle unrolls the same 8
+    * iterations as CTEs and matches bit-for-bit. */
+  val q156BpeMerges: QuerySpec = QuerySpec(
+    "q156_bpe_merges",
+    graft.operators.Bpe.sqlLearnMerges("documents", "text", 8)) {
+    (s, dir) =>
+      graft.operators.Bpe.learnMerges(Tables.documents(s, dir), "text", 8)
+        .orderBy(col("merge_rank"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -1541,5 +1555,5 @@ object TextQueries {
     q137CorpusCard, q140StripMarkup, q141UrlCanonicalize,
     q144PhraseSearch, q148QualityRules, q149DomainPagerank,
     q150CurationPipeline, q152PercentileNormalize, q154MixtureWaterfill,
-    q155KnPerplexity)
+    q155KnPerplexity, q156BpeMerges)
 }

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE merge learning: hand-computed merges, leftmost-greedy overlap
+  * semantics, early exhaustion, and partitioning invariance. */
+class BpeSpec extends SparkSpecBase {
+
+  test("hand-computed merges with deterministic tie-break and exhaustion") {
+    import spark.implicits._
+    // words: aa x3, ab x1, b x1
+    val docs = Seq((1L, "aa aa ab"), (2L, "aa b")).toDF("doc_id", "text")
+    val got = Bpe.learnMerges(docs, "text", 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // iter1: (a,a)x3 beats (a,b)x1; iter2 only (a,b) remains; then
+    // every word is a single token — k=4 requested, 2 learnable
+    assert(got.toSeq == Seq((1, "a", "a", "aa", 3L), (2, "a", "b", "ab", 1L)))
+  }
+
+  test("leftmost-greedy merge: a new token can absorb the next element") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = Bpe.learnMerges(docs, "text", 2).collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    // (a,a) counts 3 overlapping pairs; the fold merges [aa, aa], so
+    // round 2 learns (aa,aa) with count 1 — the standard BPE scan
+    assert(got.toSeq == Seq((1, "aa", 3L), (2, "aaaa", 1L)))
+  }
+
+  test("non-charset words are excluded; merges invariant to partitioning") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, (0 to 12).map(j => s"w${(i + j * 3) % 9}x${(i * j) % 5}")
+        .mkString(" ") + " Bad-Tok!"))
+      .toDF("doc_id", "text")
+    val a = Bpe.learnMerges(docs, "text", 5)
+    val b = Bpe.learnMerges(docs.repartition(13), "text", 5)
+    assertBagEqual(a, b)
+    assert(a.count() == 5)
+    // the filtered token never contributes a pair
+    assert(!a.collect().exists(r =>
+      r.getString(3).exists(c => !c.isLetterOrDigit)))
+  }
+}
