@@ -41,9 +41,42 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   def learnMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
-    require(k >= 1 && k <= 64, s"k=$k outside [1, 64]")
     val spark = docs.sparkSession
     import spark.implicits._
+    train(docs, textCol, k)._2
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Apply the learned segmentation back to the corpus: per-document
+    * word/char/subword-token counts plus the chars-per-token
+    * compression ratio (the statistic vocabulary-size sweeps are
+    * tuned on). Scale shape: encoding is NOT a per-token fold over
+    * the corpus — the final word table already holds each word's
+    * segmentation, so the corpus explode joins the BROADCAST
+    * vocabulary-bounded table and aggregates per document; words
+    * outside the trained charset drop out in the join, exactly as
+    * they never entered training. */
+  def encodedLengths(docs: DataFrame, keyCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    val (wt, _) = train(docs, textCol, k)
+    docs.select(col(keyCol), explode(split(col(textCol), " ")).as("word"))
+      .join(broadcast(wt.select(col("word"),
+        size(col("toks")).cast("long").as("n_sub"),
+        length(col("word")).cast("long").as("n_chr"))), Seq("word"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_chr")).as("n_chars"),
+        sum(col("n_sub")).as("n_bpe_tokens"))
+      .select(col(keyCol), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("compression"))
+  }
+
+  /** The training loop: returns the final `(word, cnt, toks)` table
+    * and the learned merges. */
+  private def train(docs: DataFrame, textCol: String, k: Int)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    require(k >= 1 && k <= 64, s"k=$k outside [1, 64]")
     var wt = docs
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
@@ -87,8 +120,7 @@ object Bpe {
         r += 1
       }
     }
-    merges.toSeq
-      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+    (wt, merges.toSeq)
   }
 
   /** DuckDB replay of [[learnMerges]]: the k iterations unrolled as
@@ -97,6 +129,35 @@ object Bpe {
     * element types equal) — safe because the word charset excludes
     * the delimiter. */
   def sqlLearnMerges(table: String, textCol: String, k: Int): String = {
+    val sel = (1 to k).map { r =>
+      s"SELECT CAST($r AS INTEGER) AS merge_rank, l AS lhs, r AS rhs, " +
+        s"l || r AS merged, c AS pair_count FROM b$r"
+    }.mkString("\nUNION ALL ")
+    sqlCtes(table, textCol, k) +
+      s"\nSELECT * FROM (\n$sel\n) ORDER BY merge_rank"
+  }
+
+  /** DuckDB replay of [[encodedLengths]]: the training CTEs, then the
+    * corpus explode joined against the final word table. */
+  def sqlEncodedLengths(table: String, keyCol: String, textCol: String,
+                        k: Int): String =
+    sqlCtes(table, textCol, k) +
+      s""",
+         |dw AS (
+         |  SELECT $keyCol, unnest(string_split($textCol, ' ')) AS word
+         |  FROM $table),
+         |enc AS (
+         |  SELECT $keyCol, CAST(len(toks) AS BIGINT) AS n_sub,
+         |    CAST(len(word) AS BIGINT) AS n_chr
+         |  FROM dw JOIN wt$k USING (word))
+         |SELECT $keyCol, COUNT(*) AS n_words,
+         |  CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+         |  CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(n_chr) AS DOUBLE) / CAST(SUM(n_sub) AS DOUBLE)
+         |    AS compression
+         |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def sqlCtes(table: String, textCol: String, k: Int): String = {
     require(k >= 1 && k <= 64, s"k=$k outside [1, 64]")
     val head =
       s"""WITH w0 AS (
@@ -126,11 +187,6 @@ object Bpe {
          |        ELSE acc || '|' || x END), '|') END AS toks
          |  FROM wt${r - 1} CROSS JOIN b$r)""".stripMargin
     }
-    val sel = (1 to k).map { r =>
-      s"SELECT CAST($r AS INTEGER) AS merge_rank, l AS lhs, r AS rhs, " +
-        s"l || r AS merged, c AS pair_count FROM b$r"
-    }.mkString("\nUNION ALL ")
-    (head +: iters).mkString(",\n") +
-      s"\nSELECT * FROM (\n$sel\n) ORDER BY merge_rank"
+    (head +: iters).mkString(",\n")
   }
 }

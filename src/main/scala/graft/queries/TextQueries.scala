@@ -1545,6 +1545,20 @@ object TextQueries {
         .orderBy(col("merge_rank"))
   }
 
+  /** q157: BPE corpus encoding (★ — the learned segmentation applied
+    * back to every document through a BROADCAST join against the
+    * vocabulary-bounded word table, never a per-token corpus fold;
+    * reports the chars-per-token compression a vocab sweep tunes on).
+    * Counts are exact ints; compression is one exact-int division. */
+  val q157BpeEncode: QuerySpec = QuerySpec(
+    "q157_bpe_encode",
+    graft.operators.Bpe.sqlEncodedLengths("documents", "doc_id", "text", 8)) {
+    (s, dir) =>
+      graft.operators.Bpe.encodedLengths(
+          Tables.documents(s, dir), "doc_id", "text", 8)
+        .orderBy(col("doc_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -1555,5 +1569,5 @@ object TextQueries {
     q137CorpusCard, q140StripMarkup, q141UrlCanonicalize,
     q144PhraseSearch, q148QualityRules, q149DomainPagerank,
     q150CurationPipeline, q152PercentileNormalize, q154MixtureWaterfill,
-    q155KnPerplexity, q156BpeMerges)
+    q155KnPerplexity, q156BpeMerges, q157BpeEncode)
 }

@@ -43,4 +43,18 @@ class BpeSpec extends SparkSpecBase {
     assert(!a.collect().exists(r =>
       r.getString(3).exists(c => !c.isLetterOrDigit)))
   }
+
+  test("encoded lengths: counts follow the learned segmentation") {
+    import spark.implicits._
+    // after 1 merge (a,a): aa→[aa](1), ab→[a,b](2), b→[b](1)
+    val docs = Seq((1L, "aa aa ab"), (2L, "aa b")).toDF("doc_id", "text")
+    val got = Bpe.encodedLengths(docs, "doc_id", "text", 1).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // doc1: words aa,aa,ab → chars 6, bpe tokens 1+1+2 = 4
+    assert(got(1L) == ((3L, 6L, 4L, 1.5)))
+    // doc2: aa,b → chars 3, tokens 1+1 = 2
+    assert(got(2L) == ((2L, 3L, 2L, 1.5)))
+  }
 }
