@@ -516,10 +516,24 @@ object SimilarityQueries {
     }
   }
 
+  /** q158: product-quantization codebook (★ — the IVF-PQ compression
+    * tier: 4 subspaces × 8 L2 k-means centroids over the 64-dim
+    * embeddings, one decimal-mean Lloyd pass; codes and the round-6
+    * reconstruction error replay bit-for-bit, the q52 discipline
+    * transplanted to euclidean distance). */
+  val q158PqCodebook: QuerySpec = QuerySpec(
+    "q158_pq_codebook",
+    graft.operators.Pq.sqlCodebook("embeddings", "vec_id", "embedding",
+      dim = 64, numSub = 4, ks = 8)) { (s, dir) =>
+    graft.operators.Pq.codebook(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, numSub = 4, ks = 8)
+      .orderBy(col("vec_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
     q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup,
-    q147VectorIndexLifecycle)
+    q147VectorIndexLifecycle, q158PqCodebook)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by
