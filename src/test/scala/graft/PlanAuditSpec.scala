@@ -39,12 +39,14 @@ class PlanAuditSpec extends SparkSpecBase {
     // q154's waterfill cascade crosses the per-source totals frame
     // (dozens of rows) with its own 1-row round aggregates — every
     // side metadata-sized
+    // q155 broadcasts the 1-row (B, V) model-global aggregate onto the
+    // scoring frame — the q76/q117 metadata-sized cross again
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
       "q90_resample", "q76_profile", "q100_histogram", "q107_ann_pipeline",
       "q117_bm25", "q120_repeated_spans", "q131_pmi_collocations",
       "q145_exact_substr_dedup", "q146_semantic_dedup",
       "q147_vector_index_lifecycle", "q152_percentile_normalize",
-      "q154_mixture_waterfill")
+      "q154_mixture_waterfill", "q155_kn_perplexity")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -300,5 +302,34 @@ class PlanAuditSpec extends SparkSpecBase {
     // only text survives to the reader (plus the key)
     assert(!plan.contains("n_chars") && !plan.contains("lang#"),
       s"documents scan reads unused columns:\n$plan")
+  }
+
+  test("q155 KN scoring joins hash-broadcast the bounded model frames") {
+    val plan = planOf("q155_kn_perplexity")
+    // every model frame (bigram counts, context totals, continuation
+    // counts) is vocab-/bigram-bounded: the doc-bigram frame must
+    // stream through BroadcastHashJoins, never sort-merge against a
+    // model side
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"),
+      s"model join shuffles the scoring frame:\n$plan")
+  }
+
+  test("q157 BPE encode joins the broadcast word table — no corpus shuffle") {
+    val plan = planOf("q157_bpe_encode")
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"),
+      s"vocabulary join shuffles the corpus:\n$plan")
+  }
+
+  test("q158 PQ assignment broadcasts the codebook — the corpus never " +
+      "shuffles for coding") {
+    val plan = planOf("q158_pq_codebook")
+    // the only SortMergeJoin-shaped risk is subvectors ⋈ codebook; the
+    // codebook is a collect-materialized ≤4096-row local relation and
+    // must be the broadcast build side
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"),
+      s"codebook join shuffles the subvector frame:\n$plan")
   }
 }
