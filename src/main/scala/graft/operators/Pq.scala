@@ -38,6 +38,84 @@ object Pq {
   def codebook(vectors: DataFrame, idCol: String, vecCol: String,
                dim: Int, numSub: Int, ks: Int,
                kmeansIters: Int = 1): DataFrame = {
+    val (_, codes) =
+      trainAndEncode(vectors, idCol, vecCol, dim, numSub, ks, kmeansIters)
+    val codeCols = (0 until numSub).map(m =>
+      max(when(col("m") === m, col("cell"))).as(s"code$m"))
+    codes.groupBy(col("id"))
+      .agg(codeCols.head,
+        codeCols.tail :+
+          array_sort(collect_list(struct(col("m"), col("sqd")))).as("es"): _*)
+      .select(col("id").as(idCol) +:
+        (0 until numSub).map(m => col(s"code$m")) :+
+        round(sqrt(aggregate(col("es"), lit(0.0),
+          (acc, x) => acc + x("sqd"))), 6).as("qerr"): _*)
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes — the
+    * search half of IVF-PQ: each of the `numQueries` lowest-id
+    * vectors builds a per-subspace lookup table of squared distances
+    * to every sub-centroid (Q·M·ks entries), and every corpus vector
+    * scores as the m-ordered fold of M table lookups chosen by its
+    * CODES — the raw vectors never enter the scan, which is the
+    * entire point of PQ at 10¹⁰ vectors. Output: top-`k` `(q_id,
+    * c_id, adist)` per query by (round-6 ADC distance asc, id asc),
+    * self-matches excluded.
+    *
+    * Scale shape: the LUT is query-set-bounded and BROADCAST; the
+    * code frame (N·M rows, the compressed index) streams through one
+    * hash join on (m, cell) and one (query, id)-grouped fold — no
+    * corpus shuffle beyond that aggregation, no vector arithmetic in
+    * the scan. */
+  def adcTopK(vectors: DataFrame, idCol: String, vecCol: String,
+              dim: Int, numSub: Int, ks: Int, k: Int,
+              numQueries: Int, kmeansIters: Int = 1): DataFrame = {
+    require(numQueries >= 1 && numQueries <= 64,
+      s"numQueries=$numQueries outside [1, 64] — the LUT broadcasts")
+    require(k >= 1, s"k=$k must be positive")
+    val (cb, codes) =
+      trainAndEncode(vectors, idCol, vecCol, dim, numSub, ks, kmeansIters)
+    val sub = dim / numSub
+    val qsubs = subvectors(vectors, idCol, vecCol, numSub, sub)
+      .filter(col("id") < numQueries)
+      .select(col("id").as("q_id"), col("m"), col("sv"))
+    val lut = qsubs.join(broadcast(cb), Seq("m"))
+      .select(col("q_id"), col("m"), col("cell"),
+        sqd(col("sv"), col("cv")).as("lutd"))
+    codes.join(broadcast(lut), Seq("m", "cell"))
+      .filter(col("q_id") =!= col("id"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("lutd"))))
+        .as("es"))
+      .select(col("q_id"), col("id").as("c_id"),
+        round(sqrt(aggregate(col("es"), lit(0.0),
+          (acc, x) => acc + x("lutd"))), 6).as("adist"))
+      .transform(df => Relational.topKPerGroup(df, Seq(col("q_id")),
+        Seq(col("adist").asc, col("c_id").asc), k))
+  }
+
+  private def subvectors(vectors: DataFrame, idCol: String,
+                         vecCol: String, numSub: Int,
+                         sub: Int): DataFrame =
+    vectors
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("dv"))
+      .select(col("id"), explode(sequence(lit(0), lit(numSub - 1))).as("m"),
+        col("dv"))
+      .select(col("id"), col("m"),
+        slice(col("dv"), col("m") * sub + 1, lit(sub)).as("sv"))
+
+  private def sqd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Train the per-subspace codebook and encode the corpus: returns
+    * the collect-materialized codebook `(m, cell, cv)` and the code
+    * frame `(m, id, cell, sqd)`. */
+  private def trainAndEncode(vectors: DataFrame, idCol: String,
+                             vecCol: String, dim: Int, numSub: Int,
+                             ks: Int, kmeansIters: Int)
+                             : (DataFrame, DataFrame) = {
     require(numSub >= 1 && dim % numSub == 0,
       s"dim=$dim not divisible into numSub=$numSub subspaces")
     require(ks >= 1 && numSub * ks <= 4096,
@@ -47,16 +125,7 @@ object Pq {
       s"kmeansIters=$kmeansIters out of range (each pass rescans the corpus)")
     val sub = dim / numSub
     val spark = vectors.sparkSession
-    val subs = vectors
-      .select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("dv"))
-      .select(col("id"), explode(sequence(lit(0), lit(numSub - 1))).as("m"),
-        col("dv"))
-      .select(col("id"), col("m"),
-        slice(col("dv"), col("m") * sub + 1, lit(sub)).as("sv"))
-    def sqd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+    val subs = subvectors(vectors, idCol, vecCol, numSub, sub)
     def rdist(a: Column, b: Column): Column = round(sqrt(sqd(a, b)), 6)
     def assign(cents: DataFrame): DataFrame =
       Relational.topKPerGroup(
@@ -92,16 +161,7 @@ object Pq {
     val codes = assign(codebookLocal)
       .select(col("m"), col("id"), col("cell"),
         sqd(col("sv"), col("cv")).as("sqd"))
-    val codeCols = (0 until numSub).map(m =>
-      max(when(col("m") === m, col("cell"))).as(s"code$m"))
-    codes.groupBy(col("id"))
-      .agg(codeCols.head,
-        codeCols.tail :+
-          array_sort(collect_list(struct(col("m"), col("sqd")))).as("es"): _*)
-      .select(col("id").as(idCol) +:
-        (0 until numSub).map(m => col(s"code$m")) :+
-        round(sqrt(aggregate(col("es"), lit(0.0),
-          (acc, x) => acc + x("sqd"))), 6).as("qerr"): _*)
+    (codebookLocal, codes)
   }
 
   /** DuckDB replay of [[codebook]] over `table(idCol, vecCol)` —
@@ -110,14 +170,63 @@ object Pq {
   def sqlCodebook(table: String, idCol: String, vecCol: String,
                   dim: Int, numSub: Int, ks: Int, iters: Int = 1)
                   : String = {
-    require(iters == 1, "oracle generator currently unrolls exactly 1 pass")
-    val sub = dim / numSub
-    def sqd(a: String, b: String): String =
-      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${sub + 1}), " +
-        s"j -> ($a[j] - $b[j]) * ($a[j] - $b[j]))), (acc, x) -> acc + x)"
     val codeSel = (0 until numSub).map(m =>
       s"    MAX(CASE WHEN m = $m THEN cell END) AS code$m,").mkString("\n")
     val outCodes = (0 until numSub).map(m => s"code$m").mkString(", ")
+    sqlChain(table, idCol, vecCol, dim, numSub, ks, iters) +
+      s""",
+         |g AS (
+         |  SELECT id,
+         |$codeSel
+         |    list_sort(list({'m': m, 'sqd': sqd})) AS es
+         |  FROM code GROUP BY 1)
+         |SELECT id AS $idCol, $outCodes,
+         |  round(sqrt(list_reduce(list_prepend(0.0,
+         |    list_transform(es, x -> x.sqd)), (acc, x) -> acc + x)), 6)
+         |    AS qerr
+         |FROM g ORDER BY id""".stripMargin
+  }
+
+  /** DuckDB replay of [[adcTopK]]: the training/encoding chain, the
+    * query LUT against the refined codebook, the (m, cell) lookup
+    * join, and the per-pair m-ordered fold. */
+  def sqlAdcTopK(table: String, idCol: String, vecCol: String,
+                 dim: Int, numSub: Int, ks: Int, k: Int,
+                 numQueries: Int, iters: Int = 1): String = {
+    val sub = dim / numSub
+    sqlChain(table, idCol, vecCol, dim, numSub, ks, iters) +
+      s""",
+         |qs AS (SELECT id AS q_id, m, sv FROM subs WHERE id < $numQueries),
+         |lut AS (
+         |  SELECT q.q_id, c.m, c.cell, ${sqlSqd(sub, "q.sv", "c.cv")} AS lutd
+         |  FROM qs q JOIN c$iters c ON q.m = c.m),
+         |sc AS (
+         |  SELECT l.q_id, cd.id,
+         |    list_sort(list({'m': cd.m, 'lutd': l.lutd})) AS es
+         |  FROM code cd JOIN lut l ON l.m = cd.m AND l.cell = cd.cell
+         |  WHERE l.q_id <> cd.id GROUP BY 1, 2),
+         |ad AS (
+         |  SELECT q_id, id AS c_id,
+         |    round(sqrt(list_reduce(list_prepend(0.0,
+         |      list_transform(es, x -> x.lutd)), (acc, x) -> acc + x)), 6)
+         |      AS adist
+         |  FROM sc)
+         |SELECT q_id, c_id, adist FROM (
+         |  SELECT q_id, c_id, adist, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adist, c_id) AS rn FROM ad)
+         |WHERE rn <= $k ORDER BY q_id, adist, c_id""".stripMargin
+  }
+
+  private def sqlSqd(sub: Int, a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${sub + 1}), " +
+      s"j -> ($a[j] - $b[j]) * ($a[j] - $b[j]))), (acc, x) -> acc + x)"
+
+  private def sqlChain(table: String, idCol: String, vecCol: String,
+                       dim: Int, numSub: Int, ks: Int, iters: Int)
+                       : String = {
+    require(iters == 1, "oracle generator currently unrolls exactly 1 pass")
+    val sub = dim / numSub
+    def sqd(a: String, b: String): String = sqlSqd(sub, a, b)
     s"""WITH vecs AS (
        |  SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS dv FROM $table),
        |subs AS (
@@ -150,15 +259,6 @@ object Pq {
        |    SELECT s.m, s.id, c.cell, ${sqd("s.sv", "c.cv")} AS sqd,
        |      row_number() OVER (PARTITION BY s.m, s.id
        |        ORDER BY round(sqrt(${sqd("s.sv", "c.cv")}), 6), c.cell) AS rn
-       |    FROM subs s JOIN c1 c ON s.m = c.m) WHERE rn = 1),
-       |g AS (
-       |  SELECT id,
-       |$codeSel
-       |    list_sort(list({'m': m, 'sqd': sqd})) AS es
-       |  FROM code GROUP BY 1)
-       |SELECT id AS $idCol, $outCodes,
-       |  round(sqrt(list_reduce(list_prepend(0.0,
-       |    list_transform(es, x -> x.sqd)), (acc, x) -> acc + x)), 6) AS qerr
-       |FROM g ORDER BY id""".stripMargin
+       |    FROM subs s JOIN c1 c ON s.m = c.m) WHERE rn = 1)""".stripMargin
   }
 }

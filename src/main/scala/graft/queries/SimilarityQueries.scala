@@ -530,10 +530,24 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** q159: ADC top-k over PQ codes (★ — the search half of IVF-PQ:
+    * the 8 lowest-id vectors query the compressed index; distances
+    * are M lookup-table entries folded in subspace order, the raw
+    * vectors never enter the scan). Same determinism chain as q158
+    * plus an exact-arithmetic LUT join; replays bit-for-bit. */
+  val q159PqAdcTopK: QuerySpec = QuerySpec(
+    "q159_pq_adc_topk",
+    graft.operators.Pq.sqlAdcTopK("embeddings", "vec_id", "embedding",
+      dim = 64, numSub = 4, ks = 8, k = 5, numQueries = 8)) { (s, dir) =>
+    graft.operators.Pq.adcTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, numSub = 4, ks = 8, k = 5, numQueries = 8)
+      .orderBy(col("q_id"), col("adist"), col("c_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
     q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup,
-    q147VectorIndexLifecycle, q158PqCodebook)
+    q147VectorIndexLifecycle, q158PqCodebook, q159PqAdcTopK)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by

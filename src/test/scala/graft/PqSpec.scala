@@ -46,6 +46,40 @@ class PqSpec extends SparkSpecBase {
       Pq.codebook(vecs.repartition(13), "vec_id", "embedding", 8, 2, 4))
   }
 
+  test("ADC: k ascending results per query, no self-match; a seed " +
+      "vector's ADC distance is its exact L2 at iters=0") {
+    val vecs = mkVecs(40, 8)
+    val got = Pq.adcTopK(vecs, "vec_id", "embedding",
+      dim = 8, numSub = 2, ks = 4, k = 6, numQueries = 2, kmeansIters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.count(_._1 == 0L) == 6 && got.count(_._1 == 1L) == 6)
+    assert(got.forall { case (q, c, _) => q != c })
+    got.groupBy(_._1).values.foreach { rows =>
+      val ds = rows.map(_._3).toSeq
+      assert(ds == ds.sorted, s"distances not ascending: $ds")
+    }
+    // at iters=0 a seed (id < ks) codes as ITSELF, so its ADC distance
+    // from any query is the true L2 distance — check against a direct
+    // computation for every (query, seed) pair in the result
+    val raw = vecs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val checked = got.filter { case (_, c, _) => c < 4L }
+    assert(checked.nonEmpty, "no seed vectors reached the top-k")
+    checked.foreach { case (q, c, d) =>
+      assert(math.abs(d - l2(raw(q), raw(c))) < 1e-5,
+        s"ADC($q,$c)=$d != exact ${l2(raw(q), raw(c))}")
+    }
+  }
+
+  test("ADC results invariant under repartitioning") {
+    val vecs = mkVecs(50, 8)
+    assertBagEqual(
+      Pq.adcTopK(vecs, "vec_id", "embedding", 8, 2, 4, 3, 4),
+      Pq.adcTopK(vecs.repartition(11), "vec_id", "embedding", 8, 2, 4, 3, 4))
+  }
+
   test("guards: indivisible dim and oversized codebook rejected") {
     val vecs = mkVecs(4, 8)
     intercept[IllegalArgumentException] {
