@@ -1559,6 +1559,54 @@ object TextQueries {
         .orderBy(col("doc_id"))
   }
 
+  /** q160: robots-exclusion policy gate (★ — RFC 9309 longest-match-
+    * wins over the canonical URL frame: the compliance pass a crawl
+    * corpus clears before curation touches it). Seeded like q149 with
+    * hostile spellings (SHOUTED + www + :443 + tracking param) that
+    * must collapse under `canonicalize_url` BEFORE policy applies —
+    * a policy evaluated on raw spellings would be evadable. The rule
+    * set exercises every branch: longest-prefix override (the.…:
+    * disallow / + allow /p/en), the equal-length allow-wins tie
+    * (fast.…), a plain disallow (key.…), and the no-rules default
+    * allow. Sort keys are null-free so the rank replays identically. */
+  val q160RobotsGate: QuerySpec = {
+    import graft.operators.Robots
+    val rules = Seq(
+      ("the.example.com", "/", false),
+      ("the.example.com", "/p/en", true),
+      ("fast.example.com", "/p", false),
+      ("fast.example.com", "/p", true),
+      ("key.example.com", "/p/fr", false))
+    val canonSql = TextFunctions.sqlCanonicalizeUrl("rawurl")
+    QuerySpec(
+      "q160_robots_gate",
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |seeded AS (
+         |  SELECT CASE doc_id % 2
+         |    WHEN 0 THEN 'https://' || toks[1] || '.example.com/p/' || lang
+         |    ELSE 'HTTPS://WWW.' || upper(toks[1]) || '.EXAMPLE.COM:443/p/'
+         |      || lang || '?utm_source=x'
+         |    END AS rawurl
+         |  FROM tk),
+         |urls AS (SELECT $canonSql AS url FROM seeded),
+         |${Robots.sqlEvaluate("urls", rules)}
+         |SELECT url, host, path, allowed, rule_prefix
+         |FROM rverdict ORDER BY url""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val t1 = element_at(toks, 1)
+      val raw = when(col("doc_id") % 2 === 0,
+          concat(lit("https://"), t1, lit(".example.com/p/"), col("lang")))
+        .otherwise(concat(lit("HTTPS://WWW."), upper(t1),
+          lit(".EXAMPLE.COM:443/p/"), col("lang"), lit("?utm_source=x")))
+      val urls = Tables.documents(s, dir)
+        .select(TextFunctions.canonicalizeUrl(raw).as("url"))
+      Robots.evaluate(urls, "url", rules)
+        .orderBy(col("url"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -1569,5 +1617,5 @@ object TextQueries {
     q137CorpusCard, q140StripMarkup, q141UrlCanonicalize,
     q144PhraseSearch, q148QualityRules, q149DomainPagerank,
     q150CurationPipeline, q152PercentileNormalize, q154MixtureWaterfill,
-    q155KnPerplexity, q156BpeMerges, q157BpeEncode)
+    q155KnPerplexity, q156BpeMerges, q157BpeEncode, q160RobotsGate)
 }
