@@ -251,6 +251,54 @@ object TextFunctions {
       .cast("long")
   }
 
+  /** Payment-card candidate: a 13–19 digit run ([[piiNumberPattern]]
+    * finds ANY long digit run; the card tier validates). */
+  val cardCandidatePattern: String = "[0-9]{13,19}"
+
+  /** Luhn checksum (ISO/IEC 7812) over a digit string: from the
+    * RIGHTMOST digit, double every second digit (−9 when > 9), sum,
+    * valid iff ≡ 0 (mod 10). The precision gate that separates a
+    * payment card from an order id — redacting every long digit run
+    * (q116's `<NUM>` tier) is recall-safe but destroys identifiers a
+    * model should keep; the checksum keeps false positives out of
+    * the card tier. Integer-only, so the SQL twin matches exactly.
+    * `s` must be all digits (the candidate pattern guarantees it);
+    * inputs are ≤ 19 chars so the per-element length() re-evaluation
+    * inside the lambda is noise, not the §2.16 O(n²) trap. */
+  def luhnValid(s: Column): Column = {
+    val n = length(s)
+    val contrib = transform(sequence(lit(1), n), i => {
+      val d = s.substr(i, lit(1)).cast("int")
+      val dbl = d * 2
+      when(((n - i) % 2) === 1,
+        when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(d)
+    })
+    aggregate(contrib, lit(0), (acc, x) => acc + x) % 10 === 0
+  }
+
+  /** DuckDB spelling of [[luhnValid]]; `e` must be a simple
+    * expression (it is referenced several times). */
+  def sqlLuhnValid(e: String): String =
+    s"(list_reduce(list_prepend(0, list_transform(range(1, len($e) + 1), " +
+      s"i -> CASE WHEN (len($e) - i) % 2 = 1 THEN " +
+      s"CASE WHEN CAST($e[i] AS INTEGER) * 2 > 9 " +
+      s"THEN CAST($e[i] AS INTEGER) * 2 - 9 " +
+      s"ELSE CAST($e[i] AS INTEGER) * 2 END " +
+      s"ELSE CAST($e[i] AS INTEGER) END)), (acc, x) -> acc + x) % 10 = 0)"
+
+  /** Checksum-gated card redaction: every Luhn-VALID 13–19 digit run
+    * is replaced with `<CARD>`; invalid runs (order ids, timestamps)
+    * survive. The valid candidates fold over the text in SORTED order
+    * so the replacement sequence — and therefore the output on
+    * pathological overlapping inputs — is deterministic and engine-
+    * independent. Pure per-row Column work: no shuffle, no UDF. */
+  def cardRedact(text: Column): Column = {
+    val cands = regexp_extract_all(text, lit(cardCandidatePattern), lit(0))
+    val valid = filter(cands, x => luhnValid(x))
+    aggregate(array_sort(valid), text,
+      (acc, c) => replace(acc, c, lit("<CARD>")))
+  }
+
   /** Markup stripping (training-data pipeline ★ — the pass every web
     * corpus runs before any text stage sees it): script and style
     * blocks and comments drop WITH their content, remaining tags

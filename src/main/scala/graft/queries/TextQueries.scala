@@ -1607,6 +1607,58 @@ object TextQueries {
     }
   }
 
+  /** q161: Luhn-gated card redaction (★ — the precision upgrade over
+    * q116's redact-every-digit-run tier: only checksum-VALID 13–19
+    * digit runs are cards; invalid runs survive as the identifiers
+    * they are). Seeds plant a valid card (doc_id % 5) and a same-
+    * shaped invalid number (doc_id % 7) so both branches of the gate
+    * are oracle-exercised; the masked md5 pins every replacement.
+    * Integer checksum + sorted replacement fold → exact replay. */
+  val q161LuhnRedact: QuerySpec = {
+    val luhnX = TextFunctions.sqlLuhnValid("x")
+    QuerySpec(
+      "q161_luhn_redact",
+      s"""WITH seeded AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN ' card 4111111111111111 on file' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN ' ref 4111111111111112 batch' ELSE '' END AS t
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, t,
+         |    regexp_extract_all(t, '${TextFunctions.cardCandidatePattern}')
+         |      AS cands
+         |  FROM seeded),
+         |v AS (
+         |  SELECT doc_id, t, cands,
+         |    list_filter(cands, x -> $luhnX) AS valid
+         |  FROM c)
+         |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+         |  CAST(len(valid) AS BIGINT) AS n_valid,
+         |  md5(list_reduce(list_prepend(t, list_sort(valid)),
+         |    (acc, x) -> replace(acc, x, '<CARD>'))) AS masked_md5
+         |FROM v ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit(" card 4111111111111111 on file")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit(" ref 4111111111111112 batch")).otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), t.as("t"))
+        .withColumn("cands", regexp_extract_all(col("t"),
+          lit(TextFunctions.cardCandidatePattern), lit(0)))
+        .withColumn("valid",
+          filter(col("cands"), x => TextFunctions.luhnValid(x)))
+        .select(col("doc_id"),
+          size(col("cands")).cast("long").as("n_candidates"),
+          size(col("valid")).cast("long").as("n_valid"),
+          md5(aggregate(array_sort(col("valid")), col("t"),
+            (acc, c) => replace(acc, c, lit("<CARD>")))).as("masked_md5"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -1617,5 +1669,6 @@ object TextQueries {
     q137CorpusCard, q140StripMarkup, q141UrlCanonicalize,
     q144PhraseSearch, q148QualityRules, q149DomainPagerank,
     q150CurationPipeline, q152PercentileNormalize, q154MixtureWaterfill,
-    q155KnPerplexity, q156BpeMerges, q157BpeEncode, q160RobotsGate)
+    q155KnPerplexity, q156BpeMerges, q157BpeEncode, q160RobotsGate,
+    q161LuhnRedact)
 }

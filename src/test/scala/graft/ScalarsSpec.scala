@@ -371,4 +371,28 @@ class ScalarsSpec extends SparkSpecBase {
     }
     assert(run("CODEGEN_ONLY").sameElements(run("NO_CODEGEN")))
   }
+
+  test("luhnValid matches the reference checksum; cardRedact keeps " +
+      "invalid runs and replaces all copies of a valid one") {
+    import spark.implicits._
+    def refLuhn(s: String): Boolean =
+      s.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum % 10 == 0
+    val nums = Seq("4111111111111111", "4111111111111112",
+      "5500005555555559", "1234567890123456", "378282246310005",
+      "4111111122223333")
+    val got = nums.toDF("s")
+      .select(col("s"), graft.functions.TextFunctions.luhnValid(col("s")))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    nums.foreach(n => assert(got(n) == refLuhn(n), s"luhn($n)"))
+    val red = Seq(
+      ("card 4111111111111111 and again 4111111111111111 ref " +
+        "4111111111111112"))
+      .toDF("t")
+      .select(graft.functions.TextFunctions.cardRedact(col("t")))
+      .collect()(0).getString(0)
+    assert(red == "card <CARD> and again <CARD> ref 4111111111111112", red)
+  }
 }
