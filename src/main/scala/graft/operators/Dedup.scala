@@ -973,6 +973,96 @@ object Dedup {
         md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
   }
 
+  /** Paragraph-level exact dedup with document reconstruction
+    * (training-data pipeline ★ — the MassiveText/RefinedWeb
+    * paragraph pass, distinct from BOTH document-granular dedup
+    * (q30: whole docs) and [[exactSubstrDedup]] (q145: SLIDING
+    * k-token windows with span-merge): documents split into ALIGNED
+    * non-overlapping `segTokens`-token paragraphs; each distinct
+    * paragraph keeps exactly its lexicographic-first occurrence
+    * (min key, then min position) corpus-wide; every document is
+    * rebuilt from its surviving paragraphs in order. Whole-paragraph
+    * granularity makes this ~k× cheaper than the sliding-window pass
+    * (one window per k tokens, not per token) — the coarse first cut
+    * production pipelines run before the expensive span pass.
+    *
+    * Output: `(keyCol, n_paras, n_kept, clean_md5)`.
+    *
+    * Scale shape (100 TB lens): paragraphs travel as md5 digests
+    * (oracle-spellable, fixed 32 chars) — the full text never enters
+    * the dedup shuffle; first-occurrence is a map-side-combinable
+    * `min(struct)` aggregate, NOT a row_number window; the join-back
+    * is one digest equi-join; reconstruction is one per-doc
+    * aggregate. Two shuffles total on (digest) + (key). */
+  def paragraphDedup(df: DataFrame, keyCol: String, textCol: String,
+                     segTokens: Int = 8): DataFrame = {
+    require(segTokens >= 2,
+      s"segTokens=$segTokens — 1-token paragraphs dedup every word")
+    val s = segTokens
+    val toks = split(col(textCol), " ")
+    val segs = df.select(col(keyCol), toks.as("toks"))
+      .select(col(keyCol), explode(transform(
+        sequence(lit(0),
+          floor((size(col("toks")) + lit(s - 1)).cast("double") / lit(s))
+            .cast("int") - 1),
+        i => struct(i.as("idx"),
+          array_join(slice(col("toks"), i * lit(s) + 1, lit(s)), " ")
+            .as("seg")))).as("p"))
+      .select(col(keyCol), col("p.idx").as("idx"), col("p.seg").as("seg"),
+        md5(col("p.seg")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstOcc = segs.groupBy(col("h"))
+      .agg(min(struct(col(keyCol).as("k"), col("idx").as("i"))).as("f"))
+      .select(col("h"), col("f.k").as("fk"), col("f.i").as("fi"))
+    val marked = segs.join(firstOcc, Seq("h"))
+      .withColumn("kept",
+        col(keyCol) === col("fk") && col("idx") === col("fi"))
+    val out = marked.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(
+            when(col("kept"), struct(col("idx"), col("seg"))))),
+          x => x.getField("seg")), " ")).as("clean_md5"))
+      .localCheckpoint(true)
+    segs.unpersist()
+    out
+  }
+
+  /** DuckDB replay of [[paragraphDedup]] over `rel`; CTE chain ending
+    * in `pdout(k, n_paras, n_kept, clean_md5)`. The two-level
+    * (min key, then min idx) grouping spells Spark's min(struct). */
+  def sqlParagraphDedup(rel: String, keyExpr: String, textExpr: String,
+                        segTokens: Int): String = {
+    val s = segTokens
+    s"""pdseg0 AS (
+       |  SELECT $keyExpr AS k, string_split($textExpr, ' ') AS toks
+       |  FROM $rel),
+       |pdseg AS (
+       |  SELECT k, p.idx AS idx, p.seg AS seg, md5(p.seg) AS h FROM (
+       |    SELECT k, unnest(list_transform(
+       |      range(0, CAST(ceil(len(toks) / $s.0) AS BIGINT)),
+       |      i -> {'idx': i, 'seg': array_to_string(
+       |        toks[CAST(i * $s + 1 AS BIGINT)
+       |             : CAST(i * $s + $s AS BIGINT)], ' ')})) AS p
+       |    FROM pdseg0)),
+       |pdf1 AS (SELECT h, min(k) AS fk FROM pdseg GROUP BY 1),
+       |pdf2 AS (
+       |  SELECT h, fk, min(idx) AS fi
+       |  FROM pdseg JOIN pdf1 USING (h) WHERE k = fk GROUP BY 1, 2),
+       |pdmark AS (
+       |  SELECT k, idx, seg, (k = fk AND idx = fi) AS kept
+       |  FROM pdseg JOIN pdf2 USING (h)),
+       |pdout AS (
+       |  SELECT k, COUNT(*) AS n_paras,
+       |    CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_kept,
+       |    md5(COALESCE(array_to_string(list_transform(
+       |      list_sort(list({'idx': idx, 'seg': seg}) FILTER (WHERE kept)),
+       |      x -> x.seg), ' '), '')) AS clean_md5
+       |  FROM pdmark GROUP BY k)""".stripMargin
+  }
+
   /** Site-level boilerplate removal (the CCNet-style CROSS-document
     * pass, distinct from [[exactSubstrDedup]]'s first-occurrence
     * rule): a k-token window is boilerplate within a GROUP (site /

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Supervised text classification (training-data pipeline ★ — the
+  * model-based curation tier: C4/FineWeb-style pipelines route every
+  * document through a lightweight linear classifier for domain,
+  * language, or quality routing, trained on a small labeled subset and
+  * applied corpus-wide). The reference's nearest analogue is its
+  * lexicon sentiment tagger (`weekly_dag.py` has none; the engine's
+  * q51 covers that tier) — this adds the LEARNED counterpart: a
+  * multinomial Naive Bayes with add-one smoothing, trained and applied
+  * in one plan with closed-form count statistics, no iterative fitting.
+  *
+  * Determinism contract (the q121/q155 discipline): every model
+  * statistic is an exact integer from count aggregations; per-class
+  * log-likelihoods fold a SORTED (token asc) struct array in IEEE
+  * order, add the log-prior, and round to 6 decimals; the argmax is a
+  * sort over the (rounded ll, label) pairs taking the LAST element —
+  * ties break toward the lexicographically largest label, a total
+  * order both engines replay bit-for-bit.
+  *
+  * Scale shape (100 TB lens): the model is VOCABULARY×CLASSES bounded
+  * — `cc`/`ctot`/`classes` never exceed the (tiny) training vocab and
+  * broadcast into the scoring joins; the corpus is exploded ONCE into
+  * per-doc token counts and never shuffled on anything wider than
+  * (doc, token); the two 1-row global frames (vocab size, train count)
+  * are broadcast cross joins per the PlanAuditSpec whitelist. Training
+  * cost is one map-side-combinable count over the labeled subset.
+  */
+object TextClassifier {
+
+  /** Train a multinomial NB on `train(labelCol, textCol)` and score
+    * every row of `score`, returning
+    * `(keyCol, actual, pred, ll, correct)` where `ll` is the winning
+    * class's rounded log2-likelihood. `score` must carry `labelCol`
+    * (reported back as `actual` for accuracy audits downstream). */
+  def naiveBayes(train: DataFrame, score: DataFrame, keyCol: String,
+                 textCol: String, labelCol: String): DataFrame = {
+    def toks(df: DataFrame) = df.select(col(labelCol).as("cls"),
+      explode(split(col(textCol), " ")).as("tok"))
+    // model frames — all vocabulary×classes bounded, broadcastable
+    val ttoks = toks(train)
+    val cc = ttoks.groupBy(col("cls"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctot = cc.groupBy(col("cls")).agg(sum(col("c")).as("tot"))
+    val classes = train.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("nd"))
+    val glob = cc.agg(count_distinct(col("tok")).as("v"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("n"))))
+    // corpus side: ONE explode into per-doc token counts
+    val dt = score
+      .select(col(keyCol), col(labelCol).as("actual"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(keyCol), col("actual"), col("tok"))
+      .agg(count(lit(1)).as("m"))
+    val nl = col("m").cast("double") * log(2.0,
+      (coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+        (col("tot") + col("v")).cast("double"))
+    val perClass = dt
+      .crossJoin(broadcast(classes))
+      .join(broadcast(cc), Seq("cls", "tok"), "left")
+      .join(broadcast(ctot), Seq("cls"))
+      .crossJoin(broadcast(glob))
+      .groupBy(col(keyCol), col("actual"), col("cls"), col("nd"),
+        col("n"))
+      .agg(array_sort(collect_list(struct(col("tok"), nl.as("nl"))))
+        .as("es"))
+      .select(col(keyCol), col("actual"), col("cls"),
+        round(log(2.0, col("nd").cast("double") / col("n").cast("double"))
+          + aggregate(col("es"), lit(0.0), (acc, x) => acc + x("nl")), 6)
+          .as("ll"))
+    perClass
+      .groupBy(col(keyCol), col("actual"))
+      .agg(array_sort(collect_list(struct(col("ll"), col("cls"))))
+        .as("ss"))
+      .select(col(keyCol), col("actual"),
+        element_at(col("ss"), -1).getField("cls").as("pred"),
+        (element_at(col("ss"), -1).getField("ll") + lit(0.0)).as("ll"),
+        (element_at(col("ss"), -1).getField("cls") === col("actual"))
+          .as("correct"))
+  }
+
+  /** DuckDB replay of [[naiveBayes]] over table `rel` with the same
+    * train filter; emits the full CTE chain ending in relation
+    * `nbpred(key, actual, pred, ll, correct)`. */
+  def sqlNaiveBayes(rel: String, keyExpr: String, textExpr: String,
+                    labelExpr: String, trainWhere: String): String =
+    s"""nbtr AS (
+       |  SELECT $keyExpr AS k, $labelExpr AS cls, $textExpr AS t
+       |  FROM $rel WHERE $trainWhere),
+       |nbtok AS (
+       |  SELECT cls, unnest(string_split(t, ' ')) AS tok FROM nbtr),
+       |nbcc AS (
+       |  SELECT cls, tok, COUNT(*) AS c FROM nbtok GROUP BY 1, 2),
+       |nbctot AS (
+       |  SELECT cls, CAST(SUM(c) AS BIGINT) AS tot FROM nbcc GROUP BY 1),
+       |nbcls AS (SELECT cls, COUNT(*) AS nd FROM nbtr GROUP BY 1),
+       |nbglob AS (
+       |  SELECT (SELECT COUNT(DISTINCT tok) FROM nbcc) AS v,
+       |         (SELECT COUNT(*) FROM nbtr) AS n),
+       |nbdt AS (
+       |  SELECT k, actual, tok, COUNT(*) AS m FROM (
+       |    SELECT $keyExpr AS k, $labelExpr AS actual,
+       |      unnest(string_split($textExpr, ' ')) AS tok FROM $rel)
+       |  GROUP BY 1, 2, 3),
+       |nbpc AS (
+       |  SELECT k, actual, cls,
+       |    round(ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)) / ln(2)
+       |      + list_reduce(list_prepend(0.0, list_transform(
+       |          list_sort(list({'tok': tok,
+       |            'nl': CAST(m AS DOUBLE) * ln(
+       |              CAST(COALESCE(c, 0) + 1 AS DOUBLE)
+       |                / CAST(tot + v AS DOUBLE)) / ln(2)})),
+       |          x -> x.nl)), (acc, x) -> acc + x), 6) AS ll
+       |  FROM nbdt CROSS JOIN nbcls
+       |    LEFT JOIN nbcc USING (cls, tok)
+       |    JOIN nbctot USING (cls) CROSS JOIN nbglob
+       |  GROUP BY k, actual, cls, nd, n, tot, v),
+       |nbsort AS (
+       |  SELECT k, actual,
+       |    list_sort(list({'ll': ll, 'cls': cls})) AS ss
+       |  FROM nbpc GROUP BY 1, 2),
+       |nbpred AS (
+       |  SELECT k, actual, ss[len(ss)].cls AS pred,
+       |    ss[len(ss)].ll + 0.0 AS ll,
+       |    ss[len(ss)].cls = actual AS correct
+       |  FROM nbsort)""".stripMargin
+}

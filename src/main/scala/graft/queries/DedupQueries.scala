@@ -1054,10 +1054,40 @@ object DedupQueries {
     }
   }
 
+  /** q164: paragraph-level exact dedup with reconstruction (★ — the
+    * MassiveText/RefinedWeb aligned-paragraph pass; see
+    * [[Dedup.paragraphDedup]] for where it sits between q30's
+    * whole-doc and q145's sliding-window tiers). Seeding: every
+    * doc_id % 3 = 0 document is PREFIXED with the same 8-token
+    * banner, so its paragraph 0 collides corpus-wide and exactly one
+    * copy (the min doc) survives — the cross-doc branch is exercised
+    * on ~1/3 of the corpus while unique tails reconstruct intact. */
+  val q164ParagraphDedup: QuerySpec = {
+    val banner = "shared cookie banner accept terms privacy notice close"
+    QuerySpec(
+      "q164_paragraph_dedup",
+      s"""WITH pdocs AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+         |    THEN '$banner ' || text ELSE text END AS t
+         |  FROM documents),
+         |${Dedup.sqlParagraphDedup("pdocs", "doc_id", "t", 8)}
+         |SELECT k AS doc_id, n_paras, n_kept, clean_md5
+         |FROM pdout ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val seeded = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(banner + " "), col("text")))
+            .otherwise(col("text")).as("t"))
+      Dedup.paragraphDedup(seeded, "doc_id", "t", 8)
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash,
     q66MllibMinhash, q75DedupClusters, q77DedupApply,
     q94PrefixJaccard, q95EditDistance, q111Decontaminate,
     q120RepeatedSpans, q138LeakageSafeSplit, q139IncrementalDedup,
-    q142DedupLifecycle, q145ExactSubstrDedup, q153BoilerplateRemoval)
+    q142DedupLifecycle, q145ExactSubstrDedup, q153BoilerplateRemoval,
+    q164ParagraphDedup)
 }

@@ -1659,6 +1659,49 @@ object TextQueries {
     }
   }
 
+  /** q162: multinomial Naive Bayes classifier (★ — the learned
+    * curation-routing tier: train on the labeled partition
+    * (doc_id % 3 ≠ 0, label = lang), score the WHOLE corpus, report
+    * prediction + correctness per doc. Closed-form count model —
+    * no iterative fit; the sorted-fold + round(6) + sort-take-LAST
+    * argmax discipline (see [[graft.operators.TextClassifier]]) makes
+    * train AND apply replay bit-for-bit in the oracle. Held-out docs
+    * (doc_id % 3 = 0) hit unseen tokens, exercising the add-one
+    * smoothing branch. */
+  val q162NbClassifier: QuerySpec = QuerySpec(
+    "q162_nb_classifier",
+    s"""WITH ${graft.operators.TextClassifier.sqlNaiveBayes(
+           "documents", "doc_id", "text", "lang", "doc_id % 3 <> 0")}
+       |SELECT k AS doc_id, actual, pred, ll, correct
+       |FROM nbpred ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.TextClassifier.naiveBayes(
+        docs.filter(col("doc_id") % 3 =!= 0), docs,
+        "doc_id", "text", "lang")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q163: DSIR importance resampling (★ — distribution-matching doc
+    * selection, Xie et al. 2023: hashed-feature likelihood-ratio
+    * weights toward the English subcorpus, top-100 kept). The hashed
+    * bucket space (256) keeps both histograms corpus-size-independent
+    * and broadcastable; weights replay exactly under the sorted-fold
+    * + round(6) discipline; the (weight desc, doc_id) rank is total.
+    * Plans as TakeOrderedAndProject — no global sort. */
+  val q163DsirSelect: QuerySpec = QuerySpec(
+    "q163_dsir_select",
+    s"""WITH ${graft.operators.Dsir.sqlImportanceWeights(
+           "documents", "doc_id", "text", "lang = 'en'", 256)}
+       |SELECT k AS doc_id, n_toks, weight
+       |FROM dsirw ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin) {
+    (s, dir) =>
+      graft.operators.Dsir.importanceWeights(
+          Tables.documents(s, dir), "doc_id", "text",
+          col("lang") === "en", 256)
+        .orderBy(col("weight").desc, col("doc_id"))
+        .limit(100)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -1670,5 +1713,5 @@ object TextQueries {
     q144PhraseSearch, q148QualityRules, q149DomainPagerank,
     q150CurationPipeline, q152PercentileNormalize, q154MixtureWaterfill,
     q155KnPerplexity, q156BpeMerges, q157BpeEncode, q160RobotsGate,
-    q161LuhnRedact)
+    q161LuhnRedact, q162NbClassifier, q163DsirSelect)
 }

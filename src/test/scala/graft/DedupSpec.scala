@@ -391,4 +391,48 @@ class DedupSpec extends SparkSpecBase {
       Dedup.boilerplateRemoval(rows, "id", "site", "text", minDf = 1)
     }
   }
+
+  test("paragraphDedup: keep-first across docs, within-doc repeats, " +
+    "ragged tails") {
+    import spark.implicits._
+    val p1 = "a b c d"   // 4-token paragraphs (segTokens = 4)
+    val p2 = "e f g h"
+    val rows = Seq(
+      (1L, s"$p1 $p2"),        // first occurrence of both
+      (2L, s"$p1 i j k l"),    // para 0 duplicates doc 1's -> cut
+      (3L, s"$p1 $p2"),        // exact dup of doc 1 -> loses ALL
+      (4L, s"$p2 $p2"),        // within-doc repeat -> second cut
+      (5L, "m n o p q"))       // ragged 1-token tail survives
+      .toDF("id", "text")
+    val out = Dedup.paragraphDedup(rows, "id", "text", segTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(1L) == ((2L, 2L, md5(s"$p1 $p2"))))
+    assert(out(2L) == ((2L, 1L, md5("i j k l"))))
+    assert(out(3L) == ((2L, 0L, md5(""))))
+    assert(out(4L) == ((2L, 0L, md5(""))),
+      "doc 4's own para 0 first-occurred in doc 1; its repeat is cut too")
+    assert(out(5L) == ((2L, 2L, md5("m n o p q"))))
+    intercept[IllegalArgumentException] {
+      Dedup.paragraphDedup(rows, "id", "text", segTokens = 1)
+    }
+  }
+
+  test("paragraphDedup is invariant under repartitioning and drops " +
+    "its segment cache before returning") {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val a = Dedup.paragraphDedup(docs, "doc_id", "text", 8)
+    val b = Dedup.paragraphDedup(docs.repartition(13), "doc_id", "text", 8)
+    assertBagEqual(a, b)
+    // only the two eager localCheckpoint result blocks may remain
+    // (the q139 discipline); the wide segment caches must be gone
+    assert(spark.sparkContext.getPersistentRDDs.size <= 2,
+      "paragraphDedup leaked its segment cache")
+  }
 }

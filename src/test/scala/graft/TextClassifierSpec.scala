@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.TextClassifier
+import org.apache.spark.sql.functions._
+
+/** Hand-computed Naive Bayes model checks + the determinism laws the
+  * oracle replay relies on. */
+class TextClassifierSpec extends SparkSpecBase {
+
+  test("NB predicts the hand-computed argmax on a tiny fixture") {
+    import spark.implicits._
+    val train = Seq(("a", "x x y"), ("a", "x y"), ("b", "z z y"))
+      .toDF("lab", "text")
+    val score = Seq((1L, "a", "x x"), (2L, "b", "z z"), (3L, "a", "y y"))
+      .toDF("id", "lab", "text")
+    val out = TextClassifier.naiveBayes(train, score, "id", "text", "lab")
+      .orderBy("id").collect()
+    // class a: toks {x:3, y:2} tot 5; class b: {z:2, y:1} tot 3; V=3
+    // doc 1 "x x": a: log2(2/3)+2*log2(4/8)  = -2.585
+    //              b: log2(1/3)+2*log2(1/6)  = -6.755  -> a
+    // doc 2 "z z": a: log2(2/3)+2*log2(1/8)  = -6.585
+    //              b: log2(1/3)+2*log2(3/6)  = -3.585  -> b
+    // doc 3 "y y": a: log2(2/3)+2*log2(3/8)  = -3.415
+    //              b: log2(1/3)+2*log2(2/6)  = -4.755  -> a
+    assert(out.map(_.getAs[String]("pred")).toSeq == Seq("a", "b", "a"))
+    assert(out.map(_.getAs[Boolean]("correct")).toSeq ==
+      Seq(true, true, true))
+    val ll1 = out(0).getAs[Double]("ll")
+    assert(math.abs(ll1 - (math.log(2.0 / 3) / math.log(2) +
+      2 * math.log(4.0 / 8) / math.log(2))) < 1e-6, s"ll1=$ll1")
+  }
+
+  test("unseen tokens route through add-one smoothing, not NaN/-inf") {
+    import spark.implicits._
+    val train = Seq(("a", "x"), ("b", "z")).toDF("lab", "text")
+    val score = Seq((1L, "a", "q q q")).toDF("id", "lab", "text")
+    val out = TextClassifier.naiveBayes(train, score, "id", "text", "lab")
+      .collect()
+    assert(out.length == 1)
+    val ll = out(0).getAs[Double]("ll")
+    assert(!ll.isNaN && !ll.isInfinite)
+    // both classes identical on unseen-only text -> tie -> largest
+    // label wins (sort-take-last contract)
+    assert(out(0).getAs[String]("pred") == "b")
+  }
+
+  test("scores are invariant under repartitioning") {
+    val docs = Tables.documents(spark, sf)
+    val base = TextClassifier.naiveBayes(
+      docs.filter(col("doc_id") % 3 =!= 0), docs, "doc_id", "text", "lang")
+    val shuffled = TextClassifier.naiveBayes(
+      docs.filter(col("doc_id") % 3 =!= 0).repartition(13),
+      docs.repartition(7), "doc_id", "text", "lang")
+    assertBagEqual(base, shuffled)
+  }
+
+  test("classifier beats chance on the held-out corpus") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextClassifier.naiveBayes(
+      docs.filter(col("doc_id") % 3 =!= 0),
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", "lang")
+    val n = out.count().toDouble
+    val acc = out.filter(col("correct")).count() / n
+    // the synthetic corpus's lang signal is a weak frequency tilt over
+    // a SHARED vocabulary (measured: ~0.34 held-out at sf0.001, ~0.42
+    // at sf0.01) — so the corpus-level claim is "better than the 1/5
+    // chance line", and the exact model math is pinned by the
+    // hand-computed fixture above + the q162 oracle hash
+    assert(acc > 0.25, s"held-out accuracy $acc not better than chance")
+  }
+}
