@@ -41,12 +41,17 @@ class PlanAuditSpec extends SparkSpecBase {
     // side metadata-sized
     // q155 broadcasts the 1-row (B, V) model-global aggregate onto the
     // scoring frame — the q76/q117 metadata-sized cross again
+    // q162 crosses the ≤|classes| prior frame and the 1-row (V, N)
+    // aggregate onto the doc-token frame — both model-bounded
+    // q163 crosses the 1-row (T, R) histogram-totals aggregate — the
+    // q76/q117 metadata-sized cross again
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
       "q90_resample", "q76_profile", "q100_histogram", "q107_ann_pipeline",
       "q117_bm25", "q120_repeated_spans", "q131_pmi_collocations",
       "q145_exact_substr_dedup", "q146_semantic_dedup",
       "q147_vector_index_lifecycle", "q152_percentile_normalize",
-      "q154_mixture_waterfill", "q155_kn_perplexity")
+      "q154_mixture_waterfill", "q155_kn_perplexity",
+      "q162_nb_classifier", "q163_dsir_select")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -320,6 +325,35 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin") &&
       !plan.contains("SortMergeJoin"),
       s"vocabulary join shuffles the corpus:\n$plan")
+  }
+
+  test("q162 NB scoring joins broadcast the model frames — the corpus " +
+      "never shuffles against the model") {
+    val plan = planOf("q162_nb_classifier")
+    // cc/ctot/classes are vocabulary×classes bounded: the per-doc
+    // token frame must stream through BroadcastHashJoins
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"),
+      s"model join shuffles the scoring frame:\n$plan")
+  }
+
+  test("q163 DSIR broadcasts the bucket histogram and plans TakeOrdered") {
+    val plan = planOf("q163_dsir_select")
+    // the histogram is ≤ buckets rows by construction; top-k must be
+    // TakeOrderedAndProject, never a global sort
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"),
+      s"histogram join shuffles the doc-feature frame:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k selection is not TakeOrdered:\n$plan")
+  }
+
+  test("q164 paragraph dedup: first-occurrence is an aggregate, not a " +
+      "row_number window") {
+    val plan = planOf("q164_paragraph_dedup")
+    assert(!plan.contains("Window"),
+      s"keep-first uses a window — the min(struct) aggregate regressed " +
+        s"to a full-shuffle row_number:\n$plan")
   }
 
   test("q158 PQ assignment broadcasts the codebook — the corpus never " +
