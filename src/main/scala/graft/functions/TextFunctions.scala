@@ -641,4 +641,54 @@ object TextFunctions {
           size(bi).cast("double"))
         .otherwise(lit(null).cast("double"))
     }
+
+  /** Mojibake repair ladder (ftfy-lite, curation ★): the common
+    * UTF-8-decoded-as-Windows-1252 sequences, ordered TRIPLES (the
+    * E2-80-xx smart punctuation, whose mangled form starts with â)
+    * BEFORE the Ã-digraphs — so a mangled ’ is repaired as a unit
+    * before the digraph pass could misread its leading byte pair.
+    * Both engines replay the SAME ladder generated from this one
+    * constant (the vocabulary-constant discipline). */
+  val mojibakeMap: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€œ" -> "“", "â€“" -> "–", "â€”" -> "—",
+    "â€¦" -> "…",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó", "Ãº" -> "ú",
+    "Ã±" -> "ñ", "Ã§" -> "ç", "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü",
+    "Ã¯" -> "ï", "Ãª" -> "ê", "Ã«" -> "ë", "Ã¢" -> "â")
+
+  /** C0/DEL control characters (tab/newline excluded — they are
+    * legitimate whitespace) — identical character-class syntax in
+    * Java regex and RE2. */
+  val controlCharClass: String = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Repair `text`: apply the mojibake ladder, drop U+FFFD
+    * replacement characters, strip C0/DEL controls. Pure per-row
+    * Column expression — scan speed, no shuffle. */
+  def fixEncoding(text: Column): Column = {
+    val laddered = mojibakeMap.foldLeft(text) {
+      case (acc, (bad, good)) => replace(acc, lit(bad), lit(good))
+    }
+    regexp_replace(replace(laddered, lit("�"), lit("")),
+      controlCharClass, "")
+  }
+
+  /** Count of U+FFFD replacement characters in `text` (each is one
+    * irrecoverably-lost span — the signal curation thresholds on). */
+  def replacementCharCount(text: Column): Column =
+    (length(text) - length(replace(text, lit("�"), lit(""))))
+      .cast("long")
+
+  /** DuckDB spelling of [[fixEncoding]]. */
+  def sqlFixEncoding(textExpr: String): String = {
+    val laddered = mojibakeMap.foldLeft(textExpr) {
+      case (acc, (bad, good)) => s"replace($acc, '$bad', '$good')"
+    }
+    s"regexp_replace(replace($laddered, chr(65533), ''), " +
+      s"'$controlCharClass', '', 'g')"
+  }
+
+  /** DuckDB spelling of [[replacementCharCount]]. */
+  def sqlReplacementCharCount(textExpr: String): String =
+    s"CAST(length($textExpr) - " +
+      s"length(replace($textExpr, chr(65533), '')) AS BIGINT)"
 }

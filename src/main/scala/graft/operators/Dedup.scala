@@ -999,15 +999,18 @@ object Dedup {
     require(segTokens >= 2,
       s"segTokens=$segTokens — 1-token paragraphs dedup every word")
     val s = segTokens
-    val toks = split(col(textCol), " ")
-    val segs = df.select(col(keyCol), toks.as("toks"))
-      .select(col(keyCol), explode(transform(
+    // the token array rides as a bound lambda argument (the q150
+    // CollapseProject trap: a projected array inlines into every
+    // slice, re-splitting the text once per segment)
+    val paras = element_at(transform(array(split(col(textCol), " ")),
+      toks => transform(
         sequence(lit(0),
-          floor((size(col("toks")) + lit(s - 1)).cast("double") / lit(s))
+          floor((size(toks) + lit(s - 1)).cast("double") / lit(s))
             .cast("int") - 1),
         i => struct(i.as("idx"),
-          array_join(slice(col("toks"), i * lit(s) + 1, lit(s)), " ")
-            .as("seg")))).as("p"))
+          array_join(slice(toks, i * lit(s) + 1, lit(s)), " ")
+            .as("seg")))), 1)
+    val segs = df.select(col(keyCol), explode(paras).as("p"))
       .select(col(keyCol), col("p.idx").as("idx"), col("p.seg").as("seg"),
         md5(col("p.seg")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1083,11 +1083,42 @@ object DedupQueries {
     }
   }
 
+  /** q165: winnowing overlap detection (★ — the MOSS sparse
+    * fingerprint index; see [[graft.operators.Winnow]] for the
+    * substring-match guarantee and how it differs from the q32/q39
+    * hash tiers). Seeding: the q32 convention — every even doc gains
+    * a first-token-dropped twin at doc_id+1000000, whose k-gram
+    * stream is the original's minus its first k grams, so winnowed
+    * fingerprints overlap heavily and the pair surfaces with a high
+    * containment score. All-integer fingerprints; the score divides
+    * two exact ints. */
+  val q165WinnowOverlap: QuerySpec = QuerySpec(
+    "q165_winnow_overlap",
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    substr(text, strpos(text, ' ') + 1) AS text
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |${graft.operators.Winnow.sqlOverlapPairs(
+           "all_docs", "doc_id", "text", 4, 4, 1000L, 2L)}
+       |SELECT a, b, shared, score FROM wpairs
+       |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val twins = d.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    graft.operators.Winnow.overlapPairs(
+        d.unionByName(twins), "doc_id", "text",
+        k = 4, w = 4, maxDf = 1000L, minShared = 2L)
+      .orderBy(col("a"), col("b"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash,
     q66MllibMinhash, q75DedupClusters, q77DedupApply,
     q94PrefixJaccard, q95EditDistance, q111Decontaminate,
     q120RepeatedSpans, q138LeakageSafeSplit, q139IncrementalDedup,
     q142DedupLifecycle, q145ExactSubstrDedup, q153BoilerplateRemoval,
-    q164ParagraphDedup)
+    q164ParagraphDedup, q165WinnowOverlap)
 }

@@ -1702,6 +1702,49 @@ object TextQueries {
         .limit(100)
   }
 
+  /** q166: encoding repair (★ — the ftfy-lite pass web corpora need
+    * before any text analysis: mangled UTF-8-as-1252 sequences
+    * repaired via the shared [[TextFunctions.mojibakeMap]] ladder,
+    * U+FFFD replacement chars counted then dropped, C0/DEL controls
+    * stripped). Seeds plant smart-punct triples + accent digraphs on
+    * doc_id % 4 and a control byte + U+FFFD on doc_id % 6, so every
+    * ladder tier fires. Pure per-row scan-speed expression; counts
+    * are exact ints and the repaired text is md5-pinned. */
+  val q166FixEncoding: QuerySpec = {
+    val moji = " cafÃ© naÃ¯ve â€” smart â€œquoteâ€¦"
+    val fixSql = TextFunctions.sqlFixEncoding("t")
+    val nrSql = TextFunctions.sqlReplacementCharCount("t")
+    QuerySpec(
+      "q166_fix_encoding",
+      s"""WITH seeded AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 4 = 0 THEN '$moji' ELSE '' END ||
+         |    CASE WHEN doc_id % 6 = 0
+         |      THEN chr(7) || 'bell' || chr(65533) || 'lost'
+         |      ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(t) - length($fixSql) AS BIGINT)
+         |    AS chars_recovered,
+         |  $nrSql AS n_fffd,
+         |  md5($fixSql) AS fixed_md5
+         |FROM seeded ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(moji)).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          lit("\u0007bell\uFFFDlost")).otherwise(lit("")))
+      val fixed = TextFunctions.fixEncoding(col("t"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          (length(col("t")) - length(fixed)).cast("long")
+            .as("chars_recovered"),
+          TextFunctions.replacementCharCount(col("t")).as("n_fffd"),
+          md5(fixed).as("fixed_md5"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -1713,5 +1756,5 @@ object TextQueries {
     q144PhraseSearch, q148QualityRules, q149DomainPagerank,
     q150CurationPipeline, q152PercentileNormalize, q154MixtureWaterfill,
     q155KnPerplexity, q156BpeMerges, q157BpeEncode, q160RobotsGate,
-    q161LuhnRedact, q162NbClassifier, q163DsirSelect)
+    q161LuhnRedact, q162NbClassifier, q163DsirSelect, q166FixEncoding)
 }

@@ -395,4 +395,27 @@ class ScalarsSpec extends SparkSpecBase {
       .collect()(0).getString(0)
     assert(red == "card <CARD> and again <CARD> ref 4111111111111112", red)
   }
+
+  test("fixEncoding repairs mojibake, drops U+FFFD, strips controls, " +
+      "and leaves clean text alone") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      "cafÃ© naÃ¯ve",                    // digraph tier
+      "â€œsmartâ€¦ quoteâ€™s dashâ€”here", // triple tier
+      "lost�char",                 // replacement char
+      "ctrl\u0007here\u001Ftoo",  // C0 controls
+      "tab\tand\nnewline stay",         // legitimate whitespace kept
+      "plain ascii unchanged")
+      .toDF("t")
+      .select(TextFunctions.fixEncoding(col("t")).as("f"),
+        TextFunctions.replacementCharCount(col("t")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows(0) == (("café naïve", 0L)))
+    assert(rows(1) == (("“smart… quote’s dash—here", 0L)))
+    assert(rows(2) == (("lostchar", 1L)))
+    assert(rows(3) == (("ctrlheretoo", 0L)))
+    assert(rows(4) == (("tab\tand\nnewline stay", 0L)))
+    assert(rows(5) == (("plain ascii unchanged", 0L)))
+  }
 }
