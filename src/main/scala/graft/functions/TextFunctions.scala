@@ -599,7 +599,7 @@ object TextFunctions {
     * contrast, is evaluated once — so wrapping the array as a
     * 1-element-array transform turns it into a bound lambda argument
     * that inner lambdas capture. */
-  private def bound(arr: Column)(f: Column => Column): Column =
+  private[graft] def bound(arr: Column)(f: Column => Column): Column =
     element_at(transform(array(arr), a => f(a)), 1)
 
   /** Adjacent word bigrams; empty for one-token docs (mirrors the

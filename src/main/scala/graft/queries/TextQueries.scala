@@ -1745,6 +1745,87 @@ object TextQueries {
     }
   }
 
+  /** q167: C4-style line-level filtering (★ — Raffel et al. 2020's
+    * published cleaning heuristics; see [[graft.operators.LineFilter]]
+    * for where it sits between q148's doc-level bank and q153's
+    * cross-document boilerplate pass). The corpus has no native lines
+    * or punctuation, so the query manufactures both: docs chunk into
+    * 12-token lines with a terminal '.' on 2/3 of them (keyed on
+    * doc_id + line index), then four deterministic seed lines
+    * exercise each rule independently — a 2-word punctuated line
+    * (min-words), a punctuated "enable javascript" line (js tell), a
+    * punctuated lorem-ipsum line (doc-level placeholder drop), and a
+    * brace-bearing code line (doc-level code drop + punct fail). All
+    * counts are exact ints; cleaned text travels as md5. */
+  val q167C4Filter: QuerySpec = {
+    val seedShort = "click here."
+    val seedJs = "please enable javascript to view this site."
+    val seedLorem = "lorem ipsum dolor sit amet consectetur adipiscing elit."
+    val seedBrace = "function config() { return }"
+    QuerySpec(
+      "q167_c4_filters",
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |seeded AS (
+         |  SELECT doc_id, array_to_string(
+         |    list_transform(range(0, CAST(ceil(len(toks) / 12.0) AS BIGINT)),
+         |      i -> array_to_string(
+         |             toks[CAST(i*12+1 AS BIGINT):CAST(i*12+12 AS BIGINT)],
+         |             ' ')
+         |           || CASE WHEN (doc_id + i) % 3 != 0 THEN '.'
+         |                   ELSE '' END)
+         |    || CASE WHEN doc_id % 5 = 0 THEN ['$seedShort']
+         |            ELSE CAST([] AS VARCHAR[]) END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ['$seedJs']
+         |            ELSE CAST([] AS VARCHAR[]) END
+         |    || CASE WHEN doc_id % 31 = 0 THEN ['$seedLorem']
+         |            ELSE CAST([] AS VARCHAR[]) END
+         |    || CASE WHEN doc_id % 37 = 0 THEN ['$seedBrace']
+         |            ELSE CAST([] AS VARCHAR[]) END,
+         |    chr(10)) AS t
+         |  FROM tok),
+         |${graft.operators.LineFilter.sqlC4Filter("seeded", "doc_id", "t")}
+         |SELECT k AS doc_id, n_lines, n_kept, n_fail_punct,
+         |  n_fail_words, n_fail_js, doc_keep, clean_md5
+         |FROM c4out ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val baseLines = transform(
+        sequence(lit(0L),
+          ceil(size(toks).cast("double") / lit(12.0)).cast("long") - 1L),
+        i => concat(
+          array_join(slice(toks, (i * 12 + 1).cast("int"), lit(12)), " "),
+          when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit(""))))
+      def seedIf(m: Int, line: String) =
+        when(col("doc_id") % m === 0, array(lit(line)))
+          .otherwise(array().cast("array<string>"))
+      val seeded = Tables.documents(s, dir).select(col("doc_id"),
+        array_join(concat(baseLines, seedIf(5, seedShort),
+          seedIf(7, seedJs), seedIf(31, seedLorem), seedIf(37, seedBrace)),
+          "\n").as("t"))
+      graft.operators.LineFilter.c4Filter(seeded, "doc_id", "t")
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** q168: skip-gram pair extraction (★ — word2vec's data prep,
+    * Mikolov et al. 2013; see [[graft.operators.Skipgram]] for the
+    * deterministic frequency subsample and the compaction-widens-
+    * context property). The corpus's small vocabulary makes the
+    * subsample bite (f ≈ 1/40 ⇒ p ≈ 0.63 at t = 0.01), so both the
+    * thinning branch and the across-dropped-tokens pairing are
+    * exercised on every document. Top-100 pairs under a total order;
+    * exact integer counts → hash-verified. */
+  val q168SkipgramPairs: QuerySpec = QuerySpec(
+    "q168_skipgram_pairs",
+    s"""WITH ${graft.operators.Skipgram.sqlPairs(
+         "documents", "doc_id", "text", 2, 0.01)}
+       |SELECT center, context, n_pairs FROM sgout
+       |ORDER BY n_pairs DESC, center, context LIMIT 100""".stripMargin) {
+    (s, dir) =>
+      graft.operators.Skipgram.pairs(Tables.documents(s, dir),
+        "doc_id", "text", window = 2, t = 0.01, topK = 100)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -1756,5 +1837,6 @@ object TextQueries {
     q144PhraseSearch, q148QualityRules, q149DomainPagerank,
     q150CurationPipeline, q152PercentileNormalize, q154MixtureWaterfill,
     q155KnPerplexity, q156BpeMerges, q157BpeEncode, q160RobotsGate,
-    q161LuhnRedact, q162NbClassifier, q163DsirSelect, q166FixEncoding)
+    q161LuhnRedact, q162NbClassifier, q163DsirSelect, q166FixEncoding,
+    q167C4Filter, q168SkipgramPairs)
 }

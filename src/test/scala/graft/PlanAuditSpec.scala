@@ -218,6 +218,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p141.contains("SortMergeJoin") && !p140.contains("Join"))
   }
 
+  test("q167 line filtering is a single-pass scan-shaped projection") {
+    // scan → seeded-line construction + rule struct (one per-row
+    // projection) → presentation sort. One exchange (the sort's range
+    // partition); any join or second exchange means the line split
+    // left the scan stage
+    val p = planOf("q167_c4_filters")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"q167 grew extra exchanges:\n$p")
+    assert(!p.contains("Join"), s"q167 plans a join:\n$p")
+  }
+
   test("incremental probe: batch side builds every store join — the " +
       "store streams in place") {
     import org.apache.spark.sql.functions._
