@@ -994,6 +994,72 @@ object Dedup {
     * `min(struct)` aggregate, NOT a row_number window; the join-back
     * is one digest equi-join; reconstruction is one per-doc
     * aggregate. Two shuffles total on (digest) + (key). */
+  /** Per-document n-gram NOVELTY (training-data pipeline ★ — the
+    * memorization-risk metric dup-analysis reports: Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * frames duplicated spans as the memorization driver; this scores
+    * each doc by the fraction of its DISTINCT k-grams appearing in no
+    * other document). Where [[exactSubstrDedup]]/[[repeatedSpans]]
+    * REMOVE repeated spans, this is the measurement side: novelty 1.0
+    * = every gram unique to the doc; 0.0 = every gram shared (an
+    * exact duplicate scores 0 against its twin).
+    *
+    * Scale shape: grams travel as portable 60-bit hashes
+    * ([[portableShingleHashes]] — distinct per doc, so the df count
+    * is distinct-docs by construction); ONE gram-key count + ONE
+    * gram-key equi-join back + one doc-key aggregate — all linear,
+    * map-side combinable. Docs with fewer than k tokens surface with
+    * zero grams and NULL novelty (left join back onto the corpus
+    * keys).
+    *
+    * Determinism: counts are exact ints; novelty = round(novel/n, 6)
+    * — one IEEE divide both engines round identically. The oracle
+    * replays over gram STRINGS (the q153 discipline: a different
+    * spelling proves semantics, not arithmetic). */
+  def noveltyScores(df: DataFrame, keyCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val grams = portableShingleHashes(df, keyCol, textCol, k)
+    val gdf = grams.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(gdf, Seq("shingle"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    df.select(col(keyCol)).join(perDoc, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("n_distinct_grams"), lit(0L)).as("n_distinct_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(col("n_novel").cast("double") /
+          col("n_distinct_grams").cast("double"), 6).as("novelty"))
+  }
+
+  /** DuckDB spelling of [[noveltyScores]] over relation `rel` (gram
+    * STRINGS, not hashes — semantic twin): emits CTEs ending in
+    * `nvout(k, n_distinct_grams, n_novel, novelty)`. */
+  def sqlNoveltyScores(rel: String, keyExpr: String, textExpr: String,
+                       k: Int): String =
+    s"""nvtok AS (
+       |  SELECT $keyExpr AS k, string_split($textExpr, ' ') AS toks
+       |  FROM $rel),
+       |nvgram AS (
+       |  SELECT DISTINCT k, unnest(list_transform(
+       |    range(1, len(toks) - ${k - 2}),
+       |    i -> array_to_string(toks[i:i+${k - 1}], ' '))) AS g
+       |  FROM nvtok WHERE len(toks) >= $k),
+       |nvdf AS (SELECT g, COUNT(*) AS df FROM nvgram GROUP BY 1),
+       |nvdoc AS (
+       |  SELECT k, COUNT(*) AS n_distinct_grams,
+       |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_novel
+       |  FROM nvgram JOIN nvdf USING (g) GROUP BY k),
+       |nvout AS (
+       |  SELECT t.k,
+       |    COALESCE(d.n_distinct_grams, 0) AS n_distinct_grams,
+       |    COALESCE(d.n_novel, 0) AS n_novel,
+       |    round(CAST(d.n_novel AS DOUBLE) /
+       |      CAST(d.n_distinct_grams AS DOUBLE), 6) AS novelty
+       |  FROM nvtok t LEFT JOIN nvdoc d USING (k))""".stripMargin
+
   def paragraphDedup(df: DataFrame, keyCol: String, textCol: String,
                      segTokens: Int = 8): DataFrame = {
     require(segTokens >= 2,

@@ -1114,11 +1114,46 @@ object DedupQueries {
       .orderBy(col("a"), col("b"))
   }
 
+  /** q169: per-document n-gram novelty scoring (★ — the measurement
+    * side of dedup: the fraction of a doc's distinct 3-grams shared
+    * with NO other document, the memorization-risk signal of Lee et
+    * al. 2022; see [[Dedup.noveltyScores]]). The random corpus alone
+    * scores ≈ 1.0 everywhere, so the query seeds the two interesting
+    * regimes: exact twins (doc_id % 4 = 0, at +1000000) drive both
+    * copies' novelty to ~0, and first-token-dropped partial twins
+    * (doc_id % 6 = 1, at +2000000) leave only the boundary grams
+    * novel. Oracle replays over gram STRINGS (the q153 semantic-twin
+    * discipline). */
+  val q169NoveltyScore: QuerySpec = QuerySpec(
+    "q169_novelty_score",
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text
+       |  FROM documents WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id,
+       |    substr(text, strpos(text, ' ') + 1) AS text
+       |  FROM documents WHERE doc_id % 6 = 1),
+       |${Dedup.sqlNoveltyScores("all_docs", "doc_id", "text", 3)}
+       |SELECT k AS doc_id, n_distinct_grams, n_novel, novelty
+       |FROM nvout ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val exact = d.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val partial = d.filter(col("doc_id") % 6 === 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    Dedup.noveltyScores(d.unionByName(exact).unionByName(partial),
+        "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash,
     q66MllibMinhash, q75DedupClusters, q77DedupApply,
     q94PrefixJaccard, q95EditDistance, q111Decontaminate,
     q120RepeatedSpans, q138LeakageSafeSplit, q139IncrementalDedup,
     q142DedupLifecycle, q145ExactSubstrDedup, q153BoilerplateRemoval,
-    q164ParagraphDedup, q165WinnowOverlap)
+    q164ParagraphDedup, q165WinnowOverlap, q169NoveltyScore)
 }

@@ -435,4 +435,59 @@ class DedupSpec extends SparkSpecBase {
     assert(spark.sparkContext.getPersistentRDDs.size <= 2,
       "paragraphDedup leaked its segment cache")
   }
+
+  test("noveltyScores: exact twins score 0, unique docs score 1, " +
+    "sub-k docs surface with NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),   // exact twin of 2
+      (2L, "a b c d e f"),
+      (3L, "p q r s t u"),   // fully unique
+      (4L, "x y")            // < k tokens: no grams
+    ).toDF("id", "text")
+    val r = Dedup.noveltyScores(docs, "id", "text", k = 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Double]("novelty") === 0.0)
+    assert(r(2L).getAs[Double]("novelty") === 0.0)
+    assert(r(3L).getAs[Double]("novelty") === 1.0)
+    assert(r(4L).getAs[Long]("n_distinct_grams") === 0L)
+    assert(r(4L).isNullAt(r(4L).fieldIndex("novelty")))
+  }
+
+  test("noveltyScores: partial overlap counts only shared grams against " +
+    "novelty") {
+    import spark.implicits._
+    // doc 2 = doc 1 minus its first token: shares all grams except
+    // doc 1's first (a b c). doc 1: grams {abc,bcd,cde,def} — 1 novel
+    // of 4; doc 2: {bcd,cde,def} — 0 novel of 3
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "b c d e f")).toDF("id", "text")
+    val r = Dedup.noveltyScores(docs, "id", "text", k = 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_distinct_grams") === 4L)
+    assert(r(1L).getAs[Long]("n_novel") === 1L)
+    assert(r(1L).getAs[Double]("novelty") === 0.25)
+    assert(r(2L).getAs[Long]("n_novel") === 0L)
+    assert(r(2L).getAs[Double]("novelty") === 0.0)
+  }
+
+  test("noveltyScores: within-doc gram repeats do not inflate df " +
+    "(distinct-per-doc contract)") {
+    import spark.implicits._
+    // 'a b c' appears twice inside doc 1 and nowhere else: still
+    // novel (df counts distinct docs)
+    val docs = Seq(
+      (1L, "a b c a b c"),
+      (2L, "z z z z")).toDF("id", "text")
+    val r = Dedup.noveltyScores(docs, "id", "text", k = 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // doc 1 distinct grams: {abc, bca, cab, abc} -> {abc,bca,cab}
+    assert(r(1L).getAs[Long]("n_distinct_grams") === 3L)
+    assert(r(1L).getAs[Long]("n_novel") === 3L)
+    assert(r(1L).getAs[Double]("novelty") === 1.0)
+    // doc 2: single distinct gram zzz, unique to it
+    assert(r(2L).getAs[Long]("n_distinct_grams") === 1L)
+    assert(r(2L).getAs[Double]("novelty") === 1.0)
+  }
 }
