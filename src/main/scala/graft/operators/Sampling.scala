@@ -328,6 +328,74 @@ object Sampling {
       .drop("__eh")
   }
 
+  /** Temperature-scaled mixture sampling (training mechanics ★ — the
+    * multilingual/multi-source rebalancing of mBERT/mT5/Gopher:
+    * sampling weight ∝ tot_i^α with α < 1, so low-resource sources
+    * are UPsampled relative to their natural share; contrast
+    * [[mixtureSample]]/[[mixtureWaterfill]], where the weights are
+    * caller-GIVEN — here they are COMPUTED from the corpus itself).
+    *
+    * α is restricted to dyadic exponents 2^-sqrtTimes (0.5, 0.25, …)
+    * computed by ITERATED sqrt: sqrt is an IEEE correctly-rounded
+    * operation both engines produce bit-identically, while a general
+    * pow() is libm-dependent and would break the oracle replay. The
+    * cross-source weight normalization folds a SORTED (source, w)
+    * array (the q121 discipline) so the double sum has one pinned
+    * order. Selection reuses the per-key md5 permille bucket, so the
+    * sample is replayable row-for-row.
+    *
+    * Scale shape: totals/weights are per-SOURCE (metadata-sized,
+    * broadcast); the corpus is touched twice — the totals aggregate
+    * and the final pushdown-friendly bucket filter. */
+  def temperatureMixture(df: DataFrame, sourceCol: String, keyCol: String,
+                         tokensCol: String, tokenBudget: Long,
+                         sqrtTimes: Int = 1): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget=$tokenBudget")
+    require(sqrtTimes >= 1 && sqrtTimes <= 4,
+      s"sqrtTimes=$sqrtTimes — dyadic alpha only (see scaladoc)")
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol).cast("long")).as("tot"))
+    val w = totals.withColumn("w",
+      (1 to sqrtTimes).foldLeft(col("tot").cast("double"))(
+        (acc, _) => sqrt(acc)))
+    val wsum = w.agg(aggregate(
+      sort_array(collect_list(struct(col(sourceCol).as("s"),
+        col("w").as("w")))),
+      lit(0.0), (acc, x) => acc + x.getField("w")).as("wsum"))
+    val perm = w.crossJoin(broadcast(wsum))
+      .select(col(sourceCol), col("tot"),
+        least(lit(1000L),
+          floor(lit(1000.0) * lit(tokenBudget.toDouble) *
+            (col("w") / col("wsum")) / col("tot").cast("double")))
+          .as("permille"))
+    df.join(broadcast(perm), Seq(sourceCol))
+      .filter(bucket(keyCol) < col("permille"))
+  }
+
+  /** DuckDB spelling of [[temperatureMixture]]'s per-source permille
+    * frame: CTEs ending in `tmperm(s, tot, permille)`. The caller's
+    * per-row relation must expose `source` and the token count as
+    * `d(source, n_tok)`. */
+  def sqlTemperatureCtes(tokenBudget: Long, sqrtTimes: Int): String = {
+    val wExpr = (1 to sqrtTimes).foldLeft("CAST(tot AS DOUBLE)")(
+      (acc, _) => s"sqrt($acc)")
+    s"""tmtot AS (
+       |  SELECT source AS s, CAST(SUM(n_tok) AS BIGINT) AS tot
+       |  FROM d GROUP BY 1),
+       |tmw AS (SELECT s, tot, $wExpr AS w FROM tmtot),
+       |tmsum AS (
+       |  SELECT list_reduce(
+       |    list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list_sort(list({'s': s, 'w': w})),
+       |        x -> x.w)),
+       |    (a, b) -> a + b) AS wsum FROM tmw),
+       |tmperm AS (
+       |  SELECT s AS source, tot,
+       |    LEAST(1000, CAST(FLOOR(1000.0 * CAST($tokenBudget AS DOUBLE) *
+       |      (w / wsum) / CAST(tot AS DOUBLE)) AS BIGINT)) AS permille
+       |  FROM tmw CROSS JOIN tmsum)""".stripMargin
+  }
+
   /** Oracle spellings of [[epochOrder]]'s hash and shard. */
   def sqlEpochHash(keyExpr: String, epoch: Int): String =
     graft.functions.Scalars.sqlPortableHash64(

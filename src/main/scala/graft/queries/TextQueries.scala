@@ -781,6 +781,40 @@ object TextQueries {
     }
   }
 
+  /** q170: temperature-scaled mixture sampling (★ — the mBERT/mT5
+    * multilingual rebalance: weights ∝ tot^α COMPUTED from the corpus
+    * with α = 0.5, upsampling low-resource languages; q114/q154 take
+    * their weights as GIVEN. See [[Sampling.temperatureMixture]] for
+    * the iterated-sqrt dyadic-α determinism contract and the
+    * sorted-fold normalization). Same presentation as q154 so the two
+    * policies read side-by-side. */
+  val q170TemperatureMix: QuerySpec = {
+    import graft.operators.Sampling
+    val budget = 10000L
+    QuerySpec(
+      "q170_temperature_mix",
+      s"""WITH d AS (
+         |  SELECT lang AS source, doc_id, CAST($sqlNTok AS BIGINT) AS n_tok
+         |  FROM documents),
+         |${Sampling.sqlTemperatureCtes(budget, 1)}
+         |SELECT d.source AS lang, p.tot AS tot_tokens, p.permille,
+         |  COUNT(*) AS n_docs, CAST(SUM(d.n_tok) AS BIGINT) AS n_tokens
+         |FROM d JOIN tmperm p USING (source)
+         |WHERE ${Sampling.sqlBucket("doc_id")} < p.permille
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      Sampling.temperatureMixture(docs, "lang", "doc_id", "n_tok",
+          budget, sqrtTimes = 1)
+        .groupBy(col("lang"), col("tot"), col("permille"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .select(col("lang"), col("tot").as("tot_tokens"), col("permille"),
+          col("n_docs"), col("n_tokens"))
+        .orderBy(col("lang"))
+    }
+  }
+
   /** q115: unigram entropy (perplexity-proxy quality feature). The
     * Spark side folds the SORTED token array once (O(n log n)); the
     * oracle scans per distinct token (O(n·d)) — independent
@@ -1838,5 +1872,5 @@ object TextQueries {
     q150CurationPipeline, q152PercentileNormalize, q154MixtureWaterfill,
     q155KnPerplexity, q156BpeMerges, q157BpeEncode, q160RobotsGate,
     q161LuhnRedact, q162NbClassifier, q163DsirSelect, q166FixEncoding,
-    q167C4Filter, q168SkipgramPairs)
+    q167C4Filter, q168SkipgramPairs, q170TemperatureMix)
 }

@@ -179,4 +179,39 @@ class SamplingSpec extends SparkSpecBase {
       Map("a" -> 0.5, "b" -> 0.5), 100L)
     assertBagEqual(wf, plain)
   }
+
+  test("temperatureMixture flattens shares toward the small source") {
+    import spark.implicits._
+    // source a: 9x the tokens of b. Natural share 90/10; alpha=0.5
+    // gives sqrt(9):sqrt(1) = 3:1 = 75/25 — b's permille must exceed
+    // its natural-share permille, a's must shrink
+    val df = (1 to 900).map(i => (s"a$i", "a", 10L))
+      .++((1 to 100).map(i => (s"b$i", "b", 10L)))
+      .toDF("id", "src", "n_tok")
+    val perm = Sampling.temperatureMixture(df, "src", "id", "n_tok",
+        tokenBudget = 4000L, sqrtTimes = 1)
+      .select(col("src"), col("permille")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // natural: a = 1000*4000*0.9/9000 = 400; b = 1000*4000*0.1/1000 = 400
+    // alpha=.5: a = 1000*4000*0.75/9000 = 333; b = 1000*4000*0.25/1000 = 1000
+    assert(perm("a") === 333L, s"a: $perm")
+    assert(perm("b") === 1000L, s"b: $perm")
+  }
+
+  test("temperatureMixture is deterministic under repartitioning and " +
+      "broadcasts its per-source frame") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val a = Sampling.temperatureMixture(docs, "lang", "doc_id", "n_tok",
+      10000L, 1)
+    val b = Sampling.temperatureMixture(docs.repartition(13), "lang",
+      "doc_id", "n_tok", 10000L, 1)
+    assertBagEqual(a, b)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-source permille frame is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffles against the mixture frame:\n$plan")
+  }
 }
