@@ -622,6 +622,44 @@ object Dedup {
     corpus.join(dropList, Seq(keyCol), "left_anti")
   }
 
+  /** Quality-aware representative selection over near-dup components
+    * (training-data pipeline ★ — the RefinedWeb/FineWeb "keep the
+    * best copy" policy): where [[dedupApply]] keeps each component's
+    * MINIMUM key (keep-first), this keeps the member with the highest
+    * `scoreCol` (ties → lowest key) — the production policy is "keep
+    * the longest / highest-quality duplicate", and which copy
+    * survives materially changes the corpus when near-dups differ in
+    * completeness. Singletons (docs in no pair) keep themselves.
+    *
+    * Output: one row per corpus doc — `(keyCol, component, n_members,
+    * kept, is_kept, kept_score)`.
+    *
+    * Scale shape: components live on the PAIR graph
+    * ([[connectedComponents]] — pair-sized, not corpus-sized); the
+    * corpus joins the component map and the per-component argmax once
+    * each (left equi-joins AQE broadcasts when the dup set is small,
+    * the 100 TB common case). The argmax is one max-of-struct
+    * aggregate — map-side combinable, no window. */
+  def dedupKeepBest(corpus: DataFrame, keyCol: String, scoreCol: String,
+                    pairs: DataFrame, aCol: String, bCol: String)
+                   : DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val scored = corpus.select(col(keyCol), col(scoreCol))
+      .join(comp, col(keyCol) === col("v"), "left")
+      .select(col(keyCol), col(scoreCol),
+        coalesce(col("component"), col(keyCol)).as("component"))
+    val best = scored.groupBy(col("component"))
+      .agg(max(struct(col(scoreCol).as("s"),
+          (-col(keyCol)).as("nk"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), col("n_members"),
+        (-col("m.nk")).as("kept"), col("m.s").as("kept_score"))
+    scored.join(best, Seq("component"))
+      .select(col(keyCol), col("component"), col("n_members"),
+        col("kept"), (col(keyCol) === col("kept")).as("is_kept"),
+        col("kept_score"))
+  }
+
   /** Benchmark decontamination (training-data pipeline ★): flag every
     * corpus document that shares at least one `k`-token shingle with
     * an evaluation/benchmark set — the standard n-gram-overlap test

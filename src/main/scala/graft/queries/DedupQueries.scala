@@ -1149,11 +1149,86 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q171: quality-aware representative selection (★ — the RefinedWeb
+    * "keep the best copy" policy; see [[Dedup.dedupKeepBest]] for how
+    * it inverts q75/q77's keep-first canonical). Seeding: every even
+    * doc < 60 gains a LONGER near-dup twin (five appended tokens, so
+    * 3-gram Jaccard ≈ 0.9 against the original) — keep-best selects
+    * the TWIN (higher length score) where keep-first would have kept
+    * the lower-id original, making the policy difference visible in
+    * every seeded cluster. Oracle replays components with q75's
+    * recursive CTE and the argmax as max-score-then-min-id. */
+  val q171DedupKeepBest: QuerySpec = {
+    val tail = "appended trailing survey section tokens"
+    QuerySpec(
+      "q171_dedup_keep_best",
+      s"""WITH RECURSIVE all_docs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 60
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    text || ' $tail' AS text
+         |  FROM documents WHERE doc_id < 60 AND doc_id % 2 = 0),
+         |tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+         |  FROM tok),
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  JOIN counts ca ON ca.doc_id = x.doc_id
+         |  JOIN counts cb ON cb.doc_id = y.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING CAST(COUNT(*) AS DOUBLE) /
+         |    CAST(ANY_VALUE(ca.n_sh) + ANY_VALUE(cb.n_sh) - COUNT(*) AS DOUBLE)
+         |    >= 0.5),
+         |und(src, dst) AS (
+         |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+         |  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM und
+         |  UNION
+         |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+         |comp AS (SELECT src AS v, MIN(dst) AS component FROM reach GROUP BY src),
+         |scored AS (
+         |  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS score,
+         |    COALESCE(c.component, d.doc_id) AS component
+         |  FROM all_docs d LEFT JOIN comp c ON c.v = d.doc_id),
+         |b1 AS (SELECT component, MAX(score) AS s, COUNT(*) AS n_members
+         |  FROM scored GROUP BY 1),
+         |b2 AS (SELECT sc.component, MIN(sc.doc_id) AS kept
+         |  FROM scored sc JOIN b1 ON sc.component = b1.component
+         |    AND sc.score = b1.s
+         |  GROUP BY 1)
+         |SELECT sc.doc_id, sc.component, b1.n_members, b2.kept,
+         |  sc.doc_id = b2.kept AS is_kept, b1.s AS kept_score
+         |FROM scored sc JOIN b1 USING (component) JOIN b2 USING (component)
+         |ORDER BY sc.doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+      val twins = d.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" " + tail)).as("text"))
+      val all = d.unionByName(twins)
+      val pairs = Dedup.ngramJaccardPairs(all, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      val corpus = all.select(col("doc_id"),
+        length(col("text")).cast("long").as("score"))
+      Dedup.dedupKeepBest(corpus, "doc_id", "score", pairs, "a", "b")
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash,
     q66MllibMinhash, q75DedupClusters, q77DedupApply,
     q94PrefixJaccard, q95EditDistance, q111Decontaminate,
     q120RepeatedSpans, q138LeakageSafeSplit, q139IncrementalDedup,
     q142DedupLifecycle, q145ExactSubstrDedup, q153BoilerplateRemoval,
-    q164ParagraphDedup, q165WinnowOverlap, q169NoveltyScore)
+    q164ParagraphDedup, q165WinnowOverlap, q169NoveltyScore,
+    q171DedupKeepBest)
 }

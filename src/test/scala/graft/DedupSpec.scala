@@ -436,6 +436,30 @@ class DedupSpec extends SparkSpecBase {
       "paragraphDedup leaked its segment cache")
   }
 
+  test("dedupKeepBest keeps the highest-score member, ties to lowest " +
+    "key, singletons keep themselves") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, 10L), (2L, 30L),            // pair cluster: 2 wins on score
+      (5L, 7L), (6L, 7L), (7L, 7L),    // chain cluster, tied: 5 wins
+      (9L, 99L)                        // singleton
+    ).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val r = Dedup.dedupKeepBest(corpus, "id", "score", pairs, "a", "b")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("kept") === 2L)
+    assert(!r(1L).getAs[Boolean]("is_kept"))
+    assert(r(2L).getAs[Boolean]("is_kept"))
+    assert(r(2L).getAs[Long]("kept_score") === 30L)
+    Seq(5L, 6L, 7L).foreach { v =>
+      assert(r(v).getAs[Long]("kept") === 5L, s"member $v")
+      assert(r(v).getAs[Long]("n_members") === 3L)
+    }
+    assert(r(9L).getAs[Boolean]("is_kept"))
+    assert(r(9L).getAs[Long]("n_members") === 1L)
+    assert(r(9L).getAs[Long]("component") === 9L)
+  }
+
   test("noveltyScores: exact twins score 0, unique docs score 1, " +
     "sub-k docs surface with NULL") {
     import spark.implicits._
