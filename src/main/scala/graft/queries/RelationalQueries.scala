@@ -1526,6 +1526,63 @@ object RelationalQueries {
     }
   }
 
+  /** q172: sharded JSONL export lifecycle (★ — the interchange format
+    * LLM training pipelines actually ship: hash-sharded `.json` lines
+    * partitioned by shard directory, read BACK with an explicit
+    * schema, and audited per shard). What the round trip proves: JSON
+    * string-escaping fidelity (the seed plants quotes and backslashes
+    * on doc_id % 9 = 0, so the writer must escape and the reader
+    * un-escape to keep the content hash), partition-directory
+    * reassembly, and the deterministic md5 shard assignment (q125's
+    * hash discipline — any reader can recompute its shard). The
+    * checksum sums per-row md5 hashes mod 1000003 — order-free exact
+    * ints, safe under BIGINT. The oracle never sees the JSONL: it
+    * replays assignment + audit straight from parquet. */
+  val q172JsonlShards: QuerySpec = {
+    // quote + backslash stress for the JSON escaper (kept out of an
+    // interpolated SQL string: raw backslashes survive in both specs)
+    val seedScala = " he said \"hi\" via c:\\tmp\\dump"
+    val seedSql = """ he said "hi" via c:\tmp\dump"""
+    val h = graft.functions.Scalars.sqlPortableHash64("doc_id")
+    val hRow = graft.functions.Scalars.sqlPortableHash64(
+      "CAST(doc_id AS VARCHAR) || ':' || text")
+    QuerySpec(
+      "q172_jsonl_shards",
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % 9 = 0 THEN '$seedSql'
+         |                 ELSE '' END AS text
+         |  FROM documents)
+         |SELECT CAST($h % 8 AS INTEGER) AS shard,
+         |  COUNT(*) AS n_docs,
+         |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+         |  CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(SUM($hRow % 1000003) AS BIGINT) AS checksum
+         |FROM seeded GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.functions.Scalars
+      val path = scratchPath("jsonl_q172", dir)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 9 === 0, lit(seedScala))
+              .otherwise(lit(""))).as("text"),
+          pmod(Scalars.portableHash64(col("doc_id")), lit(8))
+            .cast("int").as("shard"))
+        .write.mode("overwrite").partitionBy("shard").json(path)
+      s.read.schema("doc_id LONG, text STRING").json(path)
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(Scalars.portableHash64(concat(
+            col("doc_id").cast("string"), lit(":"), col("text")))
+            % lit(1000003L)).as("checksum"))
+        .orderBy(col("shard"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
@@ -1539,5 +1596,5 @@ object RelationalQueries {
     q100Histogram, q102DictEncode, q110ImputeMean,
     q118CsvRoundtrip, q122OrcRoundtrip, q123KmvRollup, q124PageRank,
     q125EpochShuffle, q126SchemaEvolution, q133SketchRetention,
-    q143CountMinFreq, q151QuantileSketch)
+    q143CountMinFreq, q151QuantileSketch, q172JsonlShards)
 }
