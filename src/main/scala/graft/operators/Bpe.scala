@@ -76,7 +76,23 @@ object Bpe {
     * and the learned merges. */
   private def train(docs: DataFrame, textCol: String, k: Int)
       : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    val (wt, merges, _) = trainWithSnapshots(docs, textCol, k, Set.empty)
+    (wt, merges)
+  }
+
+  /** [[train]] plus word-table SNAPSHOTS at the requested merge ranks
+    * (0 = the pre-merge character split) — the vocab-sweep support:
+    * the corpus word-count scan runs ONCE and each requested rank's
+    * segmentation is the checkpointed table of that round, so a sweep
+    * over R ranks costs R vocab-bounded aggregates, not R corpus
+    * scans. If training exhausts early, later-ranked snapshots alias
+    * the fixed point (no merges left ⇒ the segmentation is final). */
+  private def trainWithSnapshots(docs: DataFrame, textCol: String, k: Int,
+                                 snaps: Set[Int])
+      : (DataFrame, Seq[(Int, String, String, String, Long)],
+         Map[Int, DataFrame]) = {
     require(k >= 1 && k <= 64, s"k=$k outside [1, 64]")
+    val taken = scala.collection.mutable.Map.empty[Int, DataFrame]
     var wt = docs
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
@@ -84,6 +100,7 @@ object Bpe {
       .withColumn("toks", transform(sequence(lit(1), length(col("word"))),
         i => col("word").substr(i, lit(1))))
       .localCheckpoint()
+    if (snaps.contains(0)) taken(0) = wt
     val merges =
       scala.collection.mutable.ArrayBuffer
         .empty[(Int, String, String, String, Long)]
@@ -117,10 +134,72 @@ object Bpe {
           when(size(col("toks")) < 2, col("toks")).otherwise(fold)
             .as("toks"))
           .localCheckpoint()
+        if (snaps.contains(r)) taken(r) = wt
         r += 1
       }
     }
-    (wt, merges.toSeq)
+    // early exhaustion: unreached ranks alias the fixed point
+    snaps.filter(_ > 0).foreach(s => taken.getOrElseUpdate(s, wt))
+    (wt, merges.toSeq, taken.toMap)
+  }
+
+  /** Vocabulary-size sweep (★ — the tuning curve behind "what vocab
+    * size do we train the tokenizer at": corpus compression and
+    * in-use vocabulary size at each requested merge rank, from ONE
+    * training run; see [[trainWithSnapshots]]). Output per rank:
+    * `(vocab_rank, n_vocab, total_words, total_chars, total_subwords,
+    * compression)` — all exact ints except the final IEEE divide.
+    * Every aggregate runs over the vocabulary-bounded word table;
+    * the corpus is scanned exactly once (the q156 property). */
+  def vocabSweep(docs: DataFrame, textCol: String, ranks: Seq[Int])
+      : DataFrame = {
+    require(ranks.nonEmpty && ranks == ranks.sorted.distinct,
+      s"ranks=$ranks must be sorted distinct")
+    require(ranks.head >= 0 && ranks.last >= 1 && ranks.last <= 64,
+      s"ranks=$ranks outside [0, 64]")
+    val (_, _, snaps) =
+      trainWithSnapshots(docs, textCol, ranks.last, ranks.toSet)
+    ranks.map { r =>
+      val wt = snaps(r)
+      val totals = wt.agg(
+        sum(col("cnt")).as("total_words"),
+        sum(col("cnt") * length(col("word")).cast("long"))
+          .as("total_chars"),
+        sum(col("cnt") * size(col("toks")).cast("long"))
+          .as("total_subwords"))
+      val vocab = wt.select(explode(col("toks")).as("t"))
+        .agg(countDistinct(col("t")).as("n_vocab"))
+      totals.crossJoin(vocab)
+        .select(lit(r).as("vocab_rank"), col("n_vocab"),
+          col("total_words"), col("total_chars"), col("total_subwords"),
+          (col("total_chars").cast("double") /
+            col("total_subwords").cast("double")).as("compression"))
+    }.reduce(_.unionByName(_)).orderBy(col("vocab_rank"))
+  }
+
+  /** DuckDB replay of [[vocabSweep]]: the training CTEs, then one
+    * vocab-bounded aggregate per requested rank. */
+  def sqlVocabSweep(table: String, textCol: String, ranks: Seq[Int])
+      : String = {
+    val sweeps = ranks.map { r =>
+      s"""sw$r AS (
+         |  SELECT CAST($r AS INTEGER) AS vocab_rank,
+         |    (SELECT COUNT(DISTINCT t) FROM
+         |      (SELECT unnest(toks) AS t FROM wt$r)) AS n_vocab,
+         |    CAST(SUM(cnt) AS BIGINT) AS total_words,
+         |    CAST(SUM(cnt * len(word)) AS BIGINT) AS total_chars,
+         |    CAST(SUM(cnt * len(toks)) AS BIGINT) AS total_subwords
+         |  FROM wt$r)""".stripMargin
+    }.mkString(",\n")
+    val unions = ranks.map(r => s"SELECT * FROM sw$r")
+      .mkString("\n  UNION ALL ")
+    s"""${sqlCtes(table, textCol, ranks.last)},
+       |$sweeps
+       |SELECT vocab_rank, n_vocab, total_words, total_chars,
+       |  total_subwords,
+       |  CAST(total_chars AS DOUBLE) / CAST(total_subwords AS DOUBLE)
+       |    AS compression
+       |FROM ($unions) ORDER BY vocab_rank""".stripMargin
   }
 
   /** DuckDB replay of [[learnMerges]]: the k iterations unrolled as

@@ -1860,6 +1860,21 @@ object TextQueries {
         "doc_id", "text", window = 2, t = 0.01, topK = 100)
   }
 
+  /** q173: BPE vocabulary-size sweep (★ — the tuning curve q157's
+    * scaladoc promised: corpus compression and in-use vocab size at
+    * merge ranks 0/2/4/8, from ONE training run via word-table
+    * snapshots; see [[graft.operators.Bpe.vocabSweep]]). Monotone
+    * contracts (subwords never increase, compression never decreases
+    * along the sweep) are pinned in BpeSpec; here every count is an
+    * exact int and the oracle unrolls the same iterations. */
+  val q173VocabSweep: QuerySpec = QuerySpec(
+    "q173_vocab_sweep",
+    graft.operators.Bpe.sqlVocabSweep("documents", "text",
+      Seq(0, 2, 4, 8))) { (s, dir) =>
+    graft.operators.Bpe.vocabSweep(Tables.documents(s, dir), "text",
+      Seq(0, 2, 4, 8))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -1872,5 +1887,5 @@ object TextQueries {
     q150CurationPipeline, q152PercentileNormalize, q154MixtureWaterfill,
     q155KnPerplexity, q156BpeMerges, q157BpeEncode, q160RobotsGate,
     q161LuhnRedact, q162NbClassifier, q163DsirSelect, q166FixEncoding,
-    q167C4Filter, q168SkipgramPairs, q170TemperatureMix)
+    q167C4Filter, q168SkipgramPairs, q170TemperatureMix, q173VocabSweep)
 }

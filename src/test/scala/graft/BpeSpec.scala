@@ -57,4 +57,34 @@ class BpeSpec extends SparkSpecBase {
     // doc2: aa,b → chars 3, tokens 1+1 = 2
     assert(got(2L) == ((2L, 3L, 2L, 1.5)))
   }
+
+  test("vocabSweep: rank 0 is the character split; subwords shrink and " +
+    "compression grows monotonically along the sweep") {
+    val docs = Tables.documents(spark, sf).limit(150)
+    val rows = Bpe.vocabSweep(docs, "text", Seq(0, 2, 4)).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 2, 4))
+    val r0 = rows(0)
+    // character split: every subword is 1 char
+    assert(r0.getAs[Long]("total_subwords") === r0.getAs[Long]("total_chars"))
+    val subs = rows.map(_.getAs[Long]("total_subwords"))
+    assert(subs.sliding(2).forall(p => p(1) <= p(0)),
+      s"subword totals not monotone: ${subs.toSeq}")
+    val comp = rows.map(_.getAs[Double]("compression"))
+    assert(comp.sliding(2).forall(p => p(1) >= p(0)),
+      s"compression not monotone: ${comp.toSeq}")
+    // words and chars are invariant across ranks
+    assert(rows.map(_.getAs[Long]("total_words")).distinct.length === 1)
+    assert(rows.map(_.getAs[Long]("total_chars")).distinct.length === 1)
+  }
+
+  test("vocabSweep snapshot at rank k matches a fresh k-merge encode") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa aa ab ba"), (2L, "aa b abab")).toDF("id", "text")
+    val sweep = Bpe.vocabSweep(docs, "text", Seq(0, 2)).collect()
+      .map(r => r.getInt(0) -> r.getAs[Long]("total_subwords")).toMap
+    val direct = Bpe.encodedLengths(docs, "id", "text", 2)
+      .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens"))
+      .head().getLong(0)
+    assert(sweep(2) === direct)
+  }
 }
