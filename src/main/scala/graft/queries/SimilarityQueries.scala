@@ -544,10 +544,27 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("adist"), col("c_id"))
   }
 
+  /** q174: top principal component by power iteration (★ — the
+    * anisotropy diagnostic embedding curation runs before cosine-based
+    * dedup/ANN: a dominant common direction inflates every cosine,
+    * and its explained-variance share says how much; see
+    * [[graft.operators.Pca]] for the decimal-sum second-moment pass,
+    * the dim²-bounded driver iteration, and the pinned fold orders
+    * that let the oracle replay the entire IEEE sequence through
+    * unrolled list-fold CTEs). */
+  val q174PcaPower: QuerySpec = QuerySpec(
+    "q174_pca_power",
+    graft.operators.Pca.sqlTopComponent("embeddings", "embedding",
+      64, 10)) { (s, dir) =>
+    graft.operators.Pca.topComponent(Tables.embeddings(s, dir),
+      "embedding", 64, 10)
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
     q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup,
-    q147VectorIndexLifecycle, q158PqCodebook, q159PqAdcTopK)
+    q147VectorIndexLifecycle, q158PqCodebook, q159PqAdcTopK,
+    q174PcaPower)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by
