@@ -45,13 +45,20 @@ class PlanAuditSpec extends SparkSpecBase {
     // aggregate onto the doc-token frame — both model-bounded
     // q163 crosses the 1-row (T, R) histogram-totals aggregate — the
     // q76/q117 metadata-sized cross again
+    // q168 crosses the 1-row corpus-token total onto the occurrence
+    // stream for the subsample threshold — the q76/q117 cross again
+    // q170 crosses the 1-row weight-normalization sum onto the
+    // per-source totals frame — BOTH metadata-sized (q154's shape)
+    // q173 crosses each rank's two 1-row aggregates (totals ×
+    // vocab-count) — both vocabulary-bounded
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
       "q90_resample", "q76_profile", "q100_histogram", "q107_ann_pipeline",
       "q117_bm25", "q120_repeated_spans", "q131_pmi_collocations",
       "q145_exact_substr_dedup", "q146_semantic_dedup",
       "q147_vector_index_lifecycle", "q152_percentile_normalize",
       "q154_mixture_waterfill", "q155_kn_perplexity",
-      "q162_nb_classifier", "q163_dsir_select")
+      "q162_nb_classifier", "q163_dsir_select", "q168_skipgram_pairs",
+      "q170_temperature_mix", "q173_vocab_sweep")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
