@@ -36,14 +36,29 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Pca {
 
-  def topComponent(df: DataFrame, vecCol: String, dim: Int,
-                   iters: Int = 10): DataFrame = {
+  /** `samplePermille` caps the ESTIMATION sample (deterministic md5
+    * bucket on `idCol` — the q82 hash discipline): the top direction
+    * of a 64-dim covariance stabilizes on a fraction of the corpus,
+    * and the second-moment pass is the operator's entire cost (dim²
+    * decimal terms per sampled row — the triangle halves it, the
+    * sample bounds it; the CORRECTION ([[removeDirection]]) still
+    * applies to every row). At 100 TB you estimate on ~10⁻⁶ of the
+    * corpus; the registered query keeps 200‰ so the sf0.01 oracle
+    * still sees a meaningful sample. */
+  def topComponent(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   iters: Int = 10, samplePermille: Int = 1000)
+                  : DataFrame = {
     require(dim >= 2 && dim <= 128, s"dim=$dim outside [2, 128]")
     require(iters >= 1 && iters <= 20, s"iters=$iters outside [1, 20]")
+    require(samplePermille >= 1 && samplePermille <= 1000,
+      s"samplePermille=$samplePermille outside [1, 1000]")
     val spark = df.sparkSession
-    val x = df.select(col(vecCol).cast("array<double>").as("v"))
+    val x = df
+      .filter(pmod(graft.functions.Scalars.portableHash64(col(idCol)),
+        lit(1000)) < samplePermille)
+      .select(col(vecCol).cast("array<double>").as("v"))
     val n = x.count()
-    require(n > 0, "empty input")
+    require(n > 0, "empty estimation sample")
     val comps = x.select(posexplode(col("v")).as(Seq("j", "vj")))
     val mRows = comps.groupBy(col("j"))
       .agg((sum(col("vj").cast(DecimalType(30, 18))).cast("double") /
@@ -53,10 +68,12 @@ object Pca {
       s"expected $dim dims, saw ${mRows.length}")
     val m = Array.ofDim[Double](dim)
     mRows.foreach(r => m(r.getInt(0)) = r.getDouble(1))
+    // upper triangle only (i <= j): covariance is symmetric, so half
+    // the decimal terms buy the same matrix
     val prs = x.select(explode(
         graft.functions.TextFunctions.bound(col("v")) { v =>
           flatten(transform(sequence(lit(1), lit(dim)), i =>
-            transform(sequence(lit(1), lit(dim)), j =>
+            transform(sequence(i, lit(dim)), j =>
               struct(i.as("i"), j.as("j"),
                 (element_at(v, i) * element_at(v, j)).as("p")))))
         }).as("e"))
@@ -64,12 +81,14 @@ object Pca {
     val sRows = prs.groupBy(col("i"), col("j"))
       .agg(sum(col("p").cast(DecimalType(30, 18))).cast("double").as("s"))
       .collect()
-    require(sRows.length == dim * dim,
-      s"expected ${dim * dim} product sums, saw ${sRows.length}")
+    require(sRows.length == dim * (dim + 1) / 2,
+      s"expected ${dim * (dim + 1) / 2} product sums, saw ${sRows.length}")
     val c = Array.ofDim[Double](dim, dim)
     sRows.foreach { r =>
       val (i, j) = (r.getInt(0) - 1, r.getInt(1) - 1)
-      c(i)(j) = r.getDouble(2) / n.toDouble - m(i) * m(j)
+      val v = r.getDouble(2) / n.toDouble - m(i) * m(j)
+      c(i)(j) = v
+      c(j)(i) = v
     }
     // power iteration, fold orders pinned to match the oracle's
     // list_reduce spelling exactly (j-ascending, 0.0-seeded)
@@ -112,16 +131,37 @@ object Pca {
       .orderBy(col("dim"))
   }
 
+  private def foldSum(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), " +
+      "(a, b) -> a + b)"
+
   /** DuckDB replay of [[topComponent]] as a full SELECT statement:
     * the two decimal-sum passes, covariance assembly, `iters`
     * unrolled power-iteration CTEs with the same 0.0-seeded
     * list folds, and the rounded presentation. */
-  def sqlTopComponent(rel: String, vecExpr: String, dim: Int,
-                      iters: Int = 10): String = {
+  def sqlTopComponent(rel: String, idExpr: String, vecExpr: String,
+                      dim: Int, iters: Int = 10,
+                      samplePermille: Int = 1000): String = {
     val d1 = dim + 1
-    def foldSum(listExpr: String): String =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), " +
-        "(a, b) -> a + b)"
+    s"""WITH ${sqlTopComponentCtes(rel, idExpr, vecExpr, dim, iters,
+          samplePermille)}
+       |SELECT CAST(t.j AS INTEGER) AS dim, round(mj.m, 6) AS mean,
+       |  round(fin.v[t.j], 6) AS pc1, round(fin.lam, 6) AS eigenvalue,
+       |  round(fin.lam / pctr.tr, 6) AS explained
+       |FROM it$iters fin CROSS JOIN pctr,
+       |  LATERAL (SELECT unnest(range(1, $d1)) AS j) t
+       |JOIN pcm mj ON mj.j = t.j
+       |ORDER BY dim""".stripMargin
+  }
+
+  /** The CTE chain behind [[sqlTopComponent]] (no leading WITH, no
+    * final SELECT): ends at `it$iters(v, lam)`, `pcm(j, m)`,
+    * `pctr(tr)` — reusable by downstream compositions (q175's
+    * all-but-the-top correction). */
+  def sqlTopComponentCtes(rel: String, idExpr: String, vecExpr: String,
+                          dim: Int, iters: Int,
+                          samplePermille: Int = 1000): String = {
+    val d1 = dim + 1
     val itCtes = (1 to iters).map { k =>
       s"""it$k AS (
          |  SELECT list_transform(w, x -> x / lam) AS v, lam FROM (
@@ -132,8 +172,10 @@ object Pca {
                     s"j -> cm.m[i][j] * p.v[j])")}) AS w
          |      FROM it${k - 1} p CROSS JOIN cm)))""".stripMargin
     }.mkString(",\n")
-    s"""WITH pcv AS (
-       |  SELECT CAST($vecExpr AS DOUBLE[]) AS dv FROM $rel),
+    s"""pcv AS (
+       |  SELECT CAST($vecExpr AS DOUBLE[]) AS dv FROM $rel
+       |  WHERE ${graft.functions.Scalars.sqlPortableHash64(idExpr)}
+       |    % 1000 < $samplePermille),
        |pcn AS (SELECT COUNT(*) AS n FROM pcv),
        |pcm AS (
        |  SELECT t.j AS j,
@@ -148,13 +190,19 @@ object Pca {
        |      AS DOUBLE) AS s
        |  FROM pcv v,
        |    LATERAL (SELECT unnest(range(1, $d1)) AS i) ti,
-       |    LATERAL (SELECT unnest(range(1, $d1)) AS j) tj
+       |    LATERAL (SELECT unnest(range(ti.i, $d1)) AS j) tj
        |  GROUP BY 1, 2),
+       |cgrid AS (
+       |  SELECT a.i, b.j
+       |  FROM (SELECT unnest(range(1, $d1)) AS i) a,
+       |    (SELECT unnest(range(1, $d1)) AS j) b),
        |cvals AS (
-       |  SELECT a.i, a.j,
+       |  SELECT g.i, g.j,
        |    a.s / CAST(pcn.n AS DOUBLE) - mi.m * mj.m AS c
-       |  FROM pcs a JOIN pcm mi ON mi.j = a.i
-       |  JOIN pcm mj ON mj.j = a.j CROSS JOIN pcn),
+       |  FROM cgrid g
+       |  JOIN pcs a ON a.i = least(g.i, g.j) AND a.j = greatest(g.i, g.j)
+       |  JOIN pcm mi ON mi.j = g.i
+       |  JOIN pcm mj ON mj.j = g.j CROSS JOIN pcn),
        |crow AS (SELECT i, list(c ORDER BY j) AS r FROM cvals GROUP BY i),
        |cm AS (SELECT list(r ORDER BY i) AS m FROM crow),
        |pctr AS (
@@ -163,13 +211,44 @@ object Pca {
        |  FROM cm),
        |it0 AS (SELECT list_transform(range(1, $d1), x -> 1.0) AS v,
        |  CAST(0.0 AS DOUBLE) AS lam),
-       |$itCtes
-       |SELECT CAST(t.j AS INTEGER) AS dim, round(mj.m, 6) AS mean,
-       |  round(fin.v[t.j], 6) AS pc1, round(fin.lam, 6) AS eigenvalue,
-       |  round(fin.lam / pctr.tr, 6) AS explained
-       |FROM it$iters fin CROSS JOIN pctr,
-       |  LATERAL (SELECT unnest(range(1, $d1)) AS j) t
-       |JOIN pcm mj ON mj.j = t.j
-       |ORDER BY dim""".stripMargin
+       |$itCtes""".stripMargin
+  }
+
+  /** All-but-the-top correction (training-data pipeline ★ — Mu &
+    * Viswanath 2018): subtract each vector's projection onto a fixed
+    * direction, v′ = v − (v·p)p. The direction is the ROUNDED pc1
+    * [[topComponent]] emits (model-sized literal, broadcast into the
+    * plan); the dot product folds j-ascending with a 0.0 seed and the
+    * scalar is `bound` once (the CollapseProject trap — inlined, the
+    * per-element lambda would re-fold the dot per dimension, an
+    * O(dim²) blowup per row). Output: `(idCol, corrected
+    * array<double>)` — a per-row projection at scan speed. */
+  def removeDirection(df: DataFrame, idCol: String, vecCol: String,
+                      dir: Array[Double]): DataFrame = {
+    require(dir.length >= 2, "direction must have >= 2 dims")
+    val p = array(dir.map(lit(_)): _*)
+    val dv = col(vecCol).cast("array<double>")
+    val dot = aggregate(zip_with(dv, p, (a, b) => a * b), lit(0.0),
+      (acc, x) => acc + x)
+    val corrected = graft.functions.TextFunctions.bound(array(dot)) { d =>
+      zip_with(dv, p, (a, b) => a - element_at(d, 1) * b)
+    }
+    df.select(col(idCol), corrected.as("corrected"))
+  }
+
+  /** DuckDB spelling of [[removeDirection]] given a CTE `pdir(p)`
+    * holding the direction list: emits `$tag(id, cv)` over `rel(id,
+    * dv)`. The dot is folded in a nested select so it is computed
+    * once per row (the Spark `bound` twin). */
+  def sqlRemoveDirection(tag: String, rel: String, dim: Int): String = {
+    val d1 = dim + 1
+    s"""$tag AS (
+       |  SELECT id, list_transform(range(1, $d1),
+       |    j -> dv[j] - dot * p[j]) AS cv
+       |  FROM (
+       |    SELECT r.id, r.dv, pdir.p,
+       |      ${foldSum(s"list_transform(range(1, $d1), " +
+            "j -> r.dv[j] * pdir.p[j])")} AS dot
+       |    FROM $rel r CROSS JOIN pdir))""".stripMargin
   }
 }

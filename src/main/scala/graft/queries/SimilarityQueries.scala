@@ -554,17 +554,96 @@ object SimilarityQueries {
     * unrolled list-fold CTEs). */
   val q174PcaPower: QuerySpec = QuerySpec(
     "q174_pca_power",
-    graft.operators.Pca.sqlTopComponent("embeddings", "embedding",
-      64, 10)) { (s, dir) =>
+    graft.operators.Pca.sqlTopComponent("embeddings", "vec_id",
+      "embedding", 64, 10, samplePermille = 200)) { (s, dir) =>
     graft.operators.Pca.topComponent(Tables.embeddings(s, dir),
-      "embedding", 64, 10)
+      "vec_id", "embedding", 64, 10, samplePermille = 200)
+  }
+
+  /** q175: all-but-the-top embedding correction (★ — Mu & Viswanath
+    * 2018: subtract every vector's projection onto the dominant
+    * direction before cosine ranking, the standard anisotropy fix
+    * q174 diagnoses; see [[graft.operators.Pca.removeDirection]]).
+    * Composition: pc1 = the ROUNDED q174 output (collected as a
+    * model-sized literal, the IVF-centroid discipline), correction is
+    * a per-row scan-speed projection with the dot `bound` once, and
+    * the ≤8-query set broadcasts into the similarity join (q34's
+    * whitelisted shape). The oracle recomputes pc1 through the q174
+    * CTE chain and replays the identical fold arithmetic. */
+  val q175AllButTop: QuerySpec = {
+    import graft.operators.Pca
+    QuerySpec(
+      "q175_all_but_top",
+      s"""WITH ${Pca.sqlTopComponentCtes("embeddings", "vec_id",
+            "embedding", 64, 10, samplePermille = 200)},
+         |pdir AS (
+         |  SELECT list_transform(range(1, 65), j -> round(fin.v[j], 6))
+         |    AS p
+         |  FROM it10 fin),
+         |allv AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv
+         |  FROM embeddings),
+         |${Pca.sqlRemoveDirection("corrv", "allv", 64)},
+         |qset AS (SELECT id AS q, cv AS qv FROM corrv WHERE id < 8),
+         |cset AS (SELECT id AS c, cv FROM corrv WHERE id >= 8),
+         |sims AS (
+         |  SELECT q, c, round(dot / (sqrt(qq) * sqrt(cc)), 6) AS sim
+         |  FROM (
+         |    SELECT q, c,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(1, 65), j -> qv[j] * cv[j])),
+         |        (a, b) -> a + b) AS dot,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(1, 65), j -> qv[j] * qv[j])),
+         |        (a, b) -> a + b) AS qq,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(1, 65), j -> cv[j] * cv[j])),
+         |        (a, b) -> a + b) AS cc
+         |    FROM cset CROSS JOIN qset)),
+         |ranked AS (
+         |  SELECT q, c, sim, row_number() OVER (PARTITION BY q
+         |    ORDER BY sim DESC, c) AS rnk
+         |  FROM sims)
+         |SELECT q, c AS neighbor, sim, CAST(rnk AS INTEGER) AS rank
+         |FROM ranked WHERE rnk <= 3 ORDER BY q, rank""".stripMargin) {
+      (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        val pcRows = Pca.topComponent(emb, "vec_id", "embedding", 64, 10,
+            samplePermille = 200)
+          .select(col("dim"), col("pc1")).collect()
+        val pc = Array.ofDim[Double](64)
+        pcRows.foreach(r => pc(r.getInt(0) - 1) = r.getDouble(1))
+        val corr = Pca.removeDirection(
+          emb.select(col("vec_id").as("id"), col("embedding")),
+          "id", "embedding", pc)
+        val qset = corr.filter(col("id") < 8)
+          .select(col("id").as("q"), col("corrected").as("qv"))
+        val cset = corr.filter(col("id") >= 8)
+          .select(col("id").as("c"), col("corrected").as("cv"))
+        def fold(c: org.apache.spark.sql.Column) =
+          aggregate(c, lit(0.0), (acc, x) => acc + x)
+        val dot = fold(zip_with(col("qv"), col("cv"), (a, b) => a * b))
+        val qq = fold(transform(col("qv"), x => x * x))
+        val cc = fold(transform(col("cv"), x => x * x))
+        import org.apache.spark.sql.expressions.Window
+        cset.crossJoin(broadcast(qset))
+          .select(col("q"), col("c"),
+            round(dot / (sqrt(qq) * sqrt(cc)), 6).as("sim"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("q"))
+              .orderBy(col("sim").desc, col("c"))))
+          .filter(col("rank") <= 3)
+          .select(col("q"), col("c").as("neighbor"), col("sim"),
+            col("rank"))
+          .orderBy(col("q"), col("rank"))
+    }
   }
 
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
     q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup,
     q147VectorIndexLifecycle, q158PqCodebook, q159PqAdcTopK,
-    q174PcaPower)
+    q174PcaPower, q175AllButTop)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by

@@ -16,8 +16,8 @@ class PcaSpec extends SparkSpecBase {
       val t = i.toDouble
       val eps = (i % 3 - 1) * 0.01
       Seq(t + eps, t - eps)
-    }.map(Tuple1(_)).toDF("v")
-    val r = Pca.topComponent(pts, "v", dim = 2, iters = 15).collect()
+    }.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val r = Pca.topComponent(pts, "id", "v", dim = 2, iters = 15).collect()
     val (p1, p2) = (r(0).getAs[Double]("pc1"), r(1).getAs[Double]("pc1"))
     val s = math.sqrt(0.5)
     assert(math.abs(math.abs(p1) - s) < 0.01 &&
@@ -30,7 +30,7 @@ class PcaSpec extends SparkSpecBase {
 
   test("pc1 is unit-norm and explained lies in (0, 1]") {
     val emb = Tables.embeddings(spark, sf)
-    val rows = Pca.topComponent(emb, "embedding", 64, 10).collect()
+    val rows = Pca.topComponent(emb, "vec_id", "embedding", 64, 10).collect()
     assert(rows.length === 64)
     val norm = math.sqrt(rows.map(r => {
       val x = r.getAs[Double]("pc1"); x * x
@@ -43,8 +43,9 @@ class PcaSpec extends SparkSpecBase {
 
   test("deterministic under repartitioning (decimal sums + driver fold)") {
     val emb = Tables.embeddings(spark, sf)
-    val a = Pca.topComponent(emb, "embedding", 64, 5).collect().map(_.toSeq)
-    val b = Pca.topComponent(emb.repartition(17), "embedding", 64, 5)
+    val a = Pca.topComponent(emb, "vec_id", "embedding", 64, 5)
+      .collect().map(_.toSeq)
+    val b = Pca.topComponent(emb.repartition(17), "vec_id", "embedding", 64, 5)
       .collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq)
   }
@@ -52,13 +53,39 @@ class PcaSpec extends SparkSpecBase {
   test("guards: dim and iteration bounds") {
     val emb = Tables.embeddings(spark, sf)
     intercept[IllegalArgumentException] {
-      Pca.topComponent(emb, "embedding", dim = 1)
+      Pca.topComponent(emb, "vec_id", "embedding", dim = 1)
     }
     intercept[IllegalArgumentException] {
-      Pca.topComponent(emb, "embedding", dim = 300)
+      Pca.topComponent(emb, "vec_id", "embedding", dim = 300)
     }
     intercept[IllegalArgumentException] {
-      Pca.topComponent(emb, "embedding", dim = 64, iters = 0)
+      Pca.topComponent(emb, "vec_id", "embedding", dim = 64, iters = 0)
     }
+    intercept[IllegalArgumentException] {
+      Pca.topComponent(emb, "vec_id", "embedding", dim = 64,
+        samplePermille = 0)
+    }
+  }
+
+  test("estimation sample: a permille cap still recovers a PLANTED " +
+    "dominant direction (random data has none to stabilize on)") {
+    import spark.implicits._
+    // 400 points along the (1, 1)/sqrt(2) diagonal + noise: any
+    // reasonable subsample sees the same dominant direction
+    val pts = (1 to 400).map { i =>
+      val t = (i % 41 - 20).toDouble
+      val eps = (i % 7 - 3) * 0.02
+      (i.toLong, Seq(t + eps, t - eps))
+    }.toDF("id", "v")
+    def pc(perm: Int): Array[Double] = {
+      val a = Array.ofDim[Double](2)
+      Pca.topComponent(pts, "id", "v", 2, 15, perm)
+        .collect().foreach(r => a(r.getInt(0) - 1) = r.getAs[Double]("pc1"))
+      a
+    }
+    val full = pc(1000)
+    val samp = pc(300)
+    val dot = math.abs(full.zip(samp).map { case (a, b) => a * b }.sum)
+    assert(dot > 0.999, s"|pc1_full . pc1_sample| = $dot")
   }
 }
