@@ -1223,6 +1223,136 @@ object DedupQueries {
     }
   }
 
+  /** q176: MinHash-LSH recall audit (★ — the detector-quality report
+    * a production dedup pipeline publishes: per exact-Jaccard band,
+    * what fraction of TRUE near-dup pairs did the q32 LSH tier
+    * surface? Banding = 16 bands × 4 rows gives the usual S-curve —
+    * high-J pairs are near-certain, threshold-adjacent pairs are
+    * where recall is spent). Ground truth is the LOSSLESS shingle
+    * self-join (q31's shape); detection is the full q32 chain
+    * (signatures → band buckets → verified candidates) — detected ⊆
+    * truth by construction (candidates are exact-verified), so recall
+    * is a clean ratio of exact ints. Seeding: each doc with
+    * doc_id % 10 = m ≥ 1 gains a twin missing its first 4·m tokens,
+    * spreading true J across [0.5, 1) so every band is populated. */
+  val q176LshRecallAudit: QuerySpec = {
+    val P = Dedup.MinhashP
+    val C = Dedup.HornerC
+    val nH = 64
+    val bands = 16
+    val rows = nH / bands
+    val cs = Dedup.minhashCoeffs(nH)
+    val minCols = cs.zipWithIndex.map { case ((a, b), i) =>
+      s"min((s * $a + $b) % $P) AS h$i"
+    }.mkString(",\n      |    ")
+    val bandSelects = (0 until bands).map { bnd =>
+      val bucket = (bnd * rows until (bnd + 1) * rows).map(i => s"h$i")
+        .reduceLeft((acc, h) => s"(($acc) * $C + $h) % $P")
+      s"SELECT doc_id, $bnd AS band, $bucket AS bucket FROM sigs"
+    }.mkString("\n      |  UNION ALL ")
+    QuerySpec(
+      "q176_lsh_recall_audit",
+      s"""WITH base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |all_docs AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(
+        |      toks[CAST((doc_id % 10) * 4 + 1 AS BIGINT):len(toks)], ' ')
+        |      AS text
+        |  FROM base WHERE doc_id % 10 >= 1),
+        |tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |ssh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        |  FROM tok),
+        |scounts AS (SELECT doc_id, COUNT(*) AS n_sh FROM ssh GROUP BY 1),
+        |truth AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(COUNT(*) AS DOUBLE) /
+        |      CAST(ANY_VALUE(ca.n_sh) + ANY_VALUE(cb.n_sh) - COUNT(*)
+        |        AS DOUBLE) AS j
+        |  FROM ssh x JOIN ssh y
+        |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  JOIN scounts ca ON ca.doc_id = x.doc_id
+        |  JOIN scounts cb ON cb.doc_id = y.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING CAST(COUNT(*) AS DOUBLE) /
+        |    CAST(ANY_VALUE(ca.n_sh) + ANY_VALUE(cb.n_sh) - COUNT(*)
+        |      AS DOUBLE) >= 0.5),
+        |th AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |    t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $P) AS ths
+        |  FROM all_docs),
+        |hsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(ths) - 1),
+        |      i -> (((ths[i] * $C + ths[i+1]) % $P) * $C + ths[i+2]) % $P))
+        |      AS s
+        |  FROM th WHERE len(ths) >= 3),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    $minCols
+        |  FROM hsh GROUP BY doc_id),
+        |bands AS (
+        |  $bandSelects),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.bucket = r.bucket
+        |      AND l.doc_id < r.doc_id),
+        |hcounts AS (SELECT doc_id, COUNT(*) AS n_sh FROM hsh GROUP BY 1),
+        |detected AS (
+        |  SELECT c.a, c.b
+        |  FROM cand c
+        |  JOIN hsh x ON x.doc_id = c.a
+        |  JOIN hsh y ON y.doc_id = c.b AND y.s = x.s
+        |  JOIN hcounts ca ON ca.doc_id = c.a
+        |  JOIN hcounts cb ON cb.doc_id = c.b
+        |  GROUP BY 1, 2, ca.n_sh, cb.n_sh
+        |  HAVING CAST(COUNT(*) AS DOUBLE) /
+        |    CAST(ca.n_sh + cb.n_sh - COUNT(*) AS DOUBLE) >= 0.5),
+        |marked AS (
+        |  SELECT t.j, (d.a IS NOT NULL) AS hit
+        |  FROM truth t LEFT JOIN detected d ON d.a = t.a AND d.b = t.b)
+        |SELECT CAST(least(4, floor((j - 0.5) * 10)) AS INTEGER) AS band,
+        |  COUNT(*) AS n_true,
+        |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_detected,
+        |  round(CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS recall
+        |FROM marked GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val toks = split(col("text"), " ")
+      val twins = d.filter(col("doc_id") % 10 >= 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(toks, ((col("doc_id") % 10) * 4 + 1).cast("int"),
+            size(toks)), " ").as("text"))
+      val all = d.unionByName(twins)
+      val truth = Dedup.ngramJaccardPairs(
+        all.filter(size(split(col("text"), " ")) >= 3),
+        "doc_id", "text", k = 3, threshold = 0.5)
+      val detected = Dedup.minhashNearDupPairs(all, "doc_id", "text",
+          k = 3, numHashes = nH, bands = bands, threshold = 0.5)
+        .select(col("a"), col("b"), lit(true).as("hit"))
+      truth.join(detected, Seq("a", "b"), "left")
+        .select(col("jaccard"),
+          coalesce(col("hit"), lit(false)).as("hit"))
+        .groupBy(least(lit(4),
+          floor((col("jaccard") - 0.5) * 10)).cast("int").as("band"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_detected"),
+          round(sum(when(col("hit"), 1.0).otherwise(0.0)) /
+            count(lit(1)).cast("double"), 6).as("recall"))
+        .orderBy(col("band"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash,
     q66MllibMinhash, q75DedupClusters, q77DedupApply,
@@ -1230,5 +1360,5 @@ object DedupQueries {
     q120RepeatedSpans, q138LeakageSafeSplit, q139IncrementalDedup,
     q142DedupLifecycle, q145ExactSubstrDedup, q153BoilerplateRemoval,
     q164ParagraphDedup, q165WinnowOverlap, q169NoveltyScore,
-    q171DedupKeepBest)
+    q171DedupKeepBest, q176LshRecallAudit)
 }
