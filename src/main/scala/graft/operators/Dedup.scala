@@ -622,6 +622,108 @@ object Dedup {
     corpus.join(dropList, Seq(keyCol), "left_anti")
   }
 
+  /** Corpus gram-frequency index for [[noveltyAgainstStore]]: the
+    * distinct-per-doc portable shingle hashes aggregated to
+    * `(shingle, df)` — the persistable side of incremental novelty
+    * (one parquet table, mergeable by summing df). */
+  def gramDfIndex(df: DataFrame, keyCol: String, textCol: String,
+                  k: Int = 3): DataFrame =
+    portableShingleHashes(df, keyCol, textCol, k)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+
+  /** Incremental novelty scoring against a PERSISTED gram-frequency
+    * index (training-data pipeline ★ — [[noveltyScores]]' batch/store
+    * lifecycle, the q139 posture applied to the measurement side: new
+    * documents are scored for novelty against everything already
+    * ingested WITHOUT re-reading the corpus — the store is the
+    * df index, batch grams probe it). A batch gram is novel iff it
+    * misses the store AND is unique within the batch; the counts
+    * decompose by inclusion-exclusion so the STORE is touched by
+    * exactly ONE inner equi-join that the batch side builds
+    * (broadcast-able: batch ≪ store at 100 TB — the left-anti
+    * spelling would build the store side instead and shuffle the
+    * index).
+    *
+    * Output per batch doc: `(keyCol, n_grams, n_store_hits,
+    * n_batch_dups, n_novel, novelty)`. */
+  def noveltyAgainstStore(batch: DataFrame, keyCol: String,
+                          textCol: String, store: DataFrame,
+                          k: Int = 3): DataFrame = {
+    val bg = portableShingleHashes(batch, keyCol, textCol, k)
+      .localCheckpoint(true)
+    val bdf = bg.groupBy(col("shingle")).agg(count(lit(1)).as("bdf"))
+    val local = bg.join(broadcast(bdf), Seq("shingle"))
+    val hits = broadcast(local)
+      .join(store.select(col("shingle")), Seq("shingle"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_store_hits"),
+        sum(when(col("bdf") > 1, 1L).otherwise(0L)).as("n_both"))
+    val perDoc = local.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("bdf") > 1, 1L).otherwise(0L)).as("n_batch_dups"))
+    batch.select(col(keyCol))
+      .join(perDoc, Seq(keyCol), "left")
+      .join(hits, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_store_hits"), lit(0L)).as("n_store_hits"),
+        coalesce(col("n_batch_dups"), lit(0L)).as("n_batch_dups"),
+        (coalesce(col("n_grams"), lit(0L)) -
+          coalesce(col("n_store_hits"), lit(0L)) -
+          coalesce(col("n_batch_dups"), lit(0L)) +
+          coalesce(col("n_both"), lit(0L))).as("n_novel"))
+      .select(col(keyCol), col("n_grams"), col("n_store_hits"),
+        col("n_batch_dups"), col("n_novel"),
+        round(when(col("n_grams") > 0,
+          col("n_novel").cast("double") / col("n_grams").cast("double")),
+          6).as("novelty"))
+  }
+
+  /** DuckDB spelling of [[noveltyAgainstStore]] over gram STRINGS
+    * (the q153 semantic-twin discipline): given CTEs `$storeRel(g,
+    * df)` and `$batchRel(k, text)`, emits CTEs ending in
+    * `$tag(k, n_grams, n_store_hits, n_batch_dups, n_novel,
+    * novelty)`. */
+  def sqlNoveltyAgainstStore(tag: String, batchRel: String,
+                             storeRel: String, k: Int): String =
+    s"""${tag}bg AS (
+       |  SELECT DISTINCT k, unnest(list_transform(
+       |    range(1, len(string_split(text, ' ')) - ${k - 2}),
+       |    i -> array_to_string(
+       |      (string_split(text, ' '))[i:i+${k - 1}], ' '))) AS g
+       |  FROM $batchRel WHERE len(string_split(text, ' ')) >= $k),
+       |${tag}bdf AS (SELECT g, COUNT(*) AS bdf FROM ${tag}bg GROUP BY 1),
+       |${tag}loc AS (
+       |  SELECT b.k, b.g, d.bdf FROM ${tag}bg b
+       |  JOIN ${tag}bdf d USING (g)),
+       |${tag}hit AS (
+       |  SELECT l.k, COUNT(*) AS n_store_hits,
+       |    CAST(SUM(CASE WHEN l.bdf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_both
+       |  FROM ${tag}loc l JOIN $storeRel s ON s.g = l.g
+       |  GROUP BY 1),
+       |${tag}doc AS (
+       |  SELECT k, COUNT(*) AS n_grams,
+       |    CAST(SUM(CASE WHEN bdf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_batch_dups
+       |  FROM ${tag}loc GROUP BY 1),
+       |$tag AS (
+       |  SELECT b.k,
+       |    COALESCE(d.n_grams, 0) AS n_grams,
+       |    COALESCE(h.n_store_hits, 0) AS n_store_hits,
+       |    COALESCE(d.n_batch_dups, 0) AS n_batch_dups,
+       |    COALESCE(d.n_grams, 0) - COALESCE(h.n_store_hits, 0)
+       |      - COALESCE(d.n_batch_dups, 0) + COALESCE(h.n_both, 0)
+       |      AS n_novel,
+       |    round(CAST(COALESCE(d.n_grams, 0) -
+       |        COALESCE(h.n_store_hits, 0) -
+       |        COALESCE(d.n_batch_dups, 0) + COALESCE(h.n_both, 0)
+       |        AS DOUBLE) /
+       |      CAST(d.n_grams AS DOUBLE), 6) AS novelty
+       |  FROM (SELECT DISTINCT k FROM $batchRel) b
+       |  LEFT JOIN ${tag}doc d USING (k)
+       |  LEFT JOIN ${tag}hit h USING (k))""".stripMargin
+
   /** Quality-aware representative selection over near-dup components
     * (training-data pipeline ★ — the RefinedWeb/FineWeb "keep the
     * best copy" policy): where [[dedupApply]] keeps each component's

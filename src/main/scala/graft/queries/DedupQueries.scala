@@ -1353,6 +1353,95 @@ object DedupQueries {
     }
   }
 
+  /** q177: incremental novelty against a persisted gram-frequency
+    * index (★ — q169's lifecycle form, the q139/q142 posture applied
+    * to the measurement side; see [[Dedup.noveltyAgainstStore]] for
+    * the inclusion-exclusion decomposition that keeps the store
+    * behind ONE batch-built inner join). Two generations: batch 1
+    * (even held-out docs + twins of indexed docs, which the BASE
+    * store must catch) probes the disk-backed base index; the index
+    * is then GROWN with batch 1's grams (df-merge union, re-persisted)
+    * and batch 2 (odd held-out docs + copies of batch-1 docs) probes
+    * it — the copies score ~0 novelty ONLY because the grown index
+    * carries batch 1, which is the lifecycle's load-bearing proof.
+    * Oracle replays both generations over gram strings. */
+  val q177IncrementalNovelty: QuerySpec = {
+    def gramDfSql(tag: String, rel: String): String =
+      s"""${tag}g AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |        FROM $rel) WHERE len(toks) >= 3),
+         |$tag AS (SELECT g, COUNT(*) AS df FROM ${tag}g GROUP BY 1)"""
+        .stripMargin
+    QuerySpec(
+      "q177_incremental_novelty",
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+         |${gramDfSql("store1", "base")},
+         |batch1 AS (
+         |  SELECT doc_id AS k, text FROM documents
+         |  WHERE doc_id % 5 = 0 AND doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS k, text FROM documents
+         |  WHERE doc_id % 5 != 0 AND doc_id % 7 = 1),
+         |${Dedup.sqlNoveltyAgainstStore("nv1", "batch1", "store1", 3)},
+         |${gramDfSql("b1df", "(SELECT k AS doc_id, text FROM batch1)")},
+         |store2 AS (
+         |  SELECT g, CAST(SUM(df) AS BIGINT) AS df FROM (
+         |    SELECT g, df FROM store1 UNION ALL SELECT g, df FROM b1df)
+         |  GROUP BY 1),
+         |batch2 AS (
+         |  SELECT doc_id AS k, text FROM documents
+         |  WHERE doc_id % 5 = 0 AND doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 5000000 AS k, text FROM documents
+         |  WHERE doc_id % 5 = 0 AND doc_id % 2 = 0 AND doc_id % 3 = 0),
+         |${Dedup.sqlNoveltyAgainstStore("nv2", "batch2", "store2", 3)}
+         |SELECT * FROM (
+         |  SELECT 1 AS stage, k AS doc_id, n_grams, n_store_hits,
+         |    n_batch_dups, n_novel, novelty FROM nv1
+         |  UNION ALL
+         |  SELECT 2, k, n_grams, n_store_hits, n_batch_dups, n_novel,
+         |    novelty FROM nv2)
+         |ORDER BY stage, doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val path = scratchPath("gramdf_store", dir)
+      val base = docs.filter(col("doc_id") % 5 =!= 0)
+      Dedup.gramDfIndex(base, "doc_id", "text", 3)
+        .write.mode("overwrite").parquet(path)
+      val store1 = s.read.parquet(path)
+      val batch1 = docs.filter(col("doc_id") % 5 === 0 &&
+          col("doc_id") % 2 === 0)
+        .unionByName(docs
+          .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      val out1 = Dedup.noveltyAgainstStore(batch1, "doc_id", "text",
+        store1, k = 3)
+      val grown = store1
+        .unionByName(Dedup.gramDfIndex(batch1, "doc_id", "text", 3))
+        .groupBy(col("shingle")).agg(sum(col("df")).as("df"))
+      val path2 = path + "_g2"
+      grown.write.mode("overwrite").parquet(path2)
+      val store2 = s.read.parquet(path2)
+      val batch2 = docs.filter(col("doc_id") % 5 === 0 &&
+          col("doc_id") % 2 === 1)
+        .unionByName(docs
+          .filter(col("doc_id") % 5 === 0 && col("doc_id") % 2 === 0 &&
+            col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      val out2 = Dedup.noveltyAgainstStore(batch2, "doc_id", "text",
+        store2, k = 3)
+      out1.withColumn("stage", lit(1))
+        .unionByName(out2.withColumn("stage", lit(2)))
+        .select(col("stage"), col("doc_id"), col("n_grams"),
+          col("n_store_hits"), col("n_batch_dups"), col("n_novel"),
+          col("novelty"))
+        .orderBy(col("stage"), col("doc_id"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash,
     q66MllibMinhash, q75DedupClusters, q77DedupApply,
@@ -1360,5 +1449,5 @@ object DedupQueries {
     q120RepeatedSpans, q138LeakageSafeSplit, q139IncrementalDedup,
     q142DedupLifecycle, q145ExactSubstrDedup, q153BoilerplateRemoval,
     q164ParagraphDedup, q165WinnowOverlap, q169NoveltyScore,
-    q171DedupKeepBest, q176LshRecallAudit)
+    q171DedupKeepBest, q176LshRecallAudit, q177IncrementalNovelty)
 }
