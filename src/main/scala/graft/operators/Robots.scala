@@ -55,6 +55,61 @@ object Robots {
           .as("rule_prefix"))
   }
 
+  /** Crawl-frontier scheduling (training-data pipeline ★ — the wave
+    * selection a polite crawler runs: candidate URLs with priorities
+    * pass the robots gate ([[evaluate]]), each HOST contributes at
+    * most `perHostCap` URLs (politeness — no host is hammered however
+    * high its pages score), and the global wave takes the top
+    * `budget` by (priority DESC, url). Re-discovered URLs collapse to
+    * their MAX priority first (frontiers see the same link many
+    * times).
+    *
+    * Scale shape: the max-priority collapse is one url-key aggregate;
+    * the rule set broadcasts (≤4096 literal rows); the politeness cap
+    * is a per-host window (hosts are many — no single-partition
+    * window); the budget is TakeOrderedAndProject. Output:
+    * `(url, host, priority, host_rank)`. */
+  def frontier(cands: DataFrame, urlCol: String, priorityCol: String,
+               rules: Seq[(String, String, Boolean)],
+               perHostCap: Int, budget: Int): DataFrame = {
+    require(perHostCap >= 1, s"perHostCap=$perHostCap")
+    require(budget >= 1, s"budget=$budget")
+    import org.apache.spark.sql.expressions.Window
+    val uniq = cands.groupBy(col(urlCol).as("url"))
+      .agg(max(col(priorityCol)).as("priority"))
+    val verdict = evaluate(uniq, "url", rules)
+      .filter(col("allowed")).select(col("url"), col("host"))
+    val allowed = uniq.join(verdict, Seq("url"))
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("priority").desc, col("url"))
+    allowed.withColumn("host_rank", row_number().over(w))
+      .filter(col("host_rank") <= perHostCap)
+      .orderBy(col("priority").desc, col("url"))
+      .limit(budget)
+      .select(col("url"), col("host"), col("priority"), col("host_rank"))
+  }
+
+  /** DuckDB replay of [[frontier]] over `candsRel(url, priority)`:
+    * a full tail starting after the caller's WITH — emits CTEs ending
+    * in `fwave` (the caller selects from it with the same total
+    * order + LIMIT). */
+  def sqlFrontier(candsRel: String,
+                  rules: Seq[(String, String, Boolean)],
+                  perHostCap: Int): String =
+    s"""frontu AS (
+       |  SELECT url, MAX(priority) AS priority FROM $candsRel
+       |  GROUP BY 1),
+       |${sqlEvaluate("frontu", rules)},
+       |fallow AS (
+       |  SELECT u.url, u.priority, v.host
+       |  FROM frontu u JOIN rverdict v ON v.url = u.url AND v.allowed),
+       |fwave AS (
+       |  SELECT url, host, priority,
+       |    CAST(row_number() OVER (PARTITION BY host
+       |      ORDER BY priority DESC, url) AS INTEGER) AS host_rank
+       |  FROM fallow
+       |  QUALIFY host_rank <= $perHostCap)""".stripMargin
+
   /** DuckDB replay of [[evaluate]] over a CTE/table `urlsRel(url)`
     * (pre-parsed host + path identical to the Column side). */
   def sqlEvaluate(urlsRel: String,

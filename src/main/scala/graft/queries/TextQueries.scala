@@ -1875,6 +1875,56 @@ object TextQueries {
       Seq(0, 2, 4, 8))
   }
 
+  /** q178: crawl-frontier scheduling (★ — the polite wave selection
+    * upstream of every web corpus this engine curates: robots gate +
+    * per-host politeness cap + global priority budget; see
+    * [[graft.operators.Robots.frontier]]). Candidates: two URL shapes
+    * per doc (host = first token, ~vocab-many hosts) with n_chars as
+    * the priority prior — tokens recur across docs, so the
+    * max-priority URL collapse is exercised corpus-wide; the q160
+    * rule set (plus a /q disallow) kills whole hosts and path
+    * subtrees. All-int priorities and string URLs → hash-verified. */
+  val q178CrawlFrontier: QuerySpec = {
+    import graft.operators.Robots
+    val rules = Seq(
+      ("the.example.com", "/", false),
+      ("the.example.com", "/p/en", true),
+      ("fast.example.com", "/p", false),
+      ("key.example.com", "/p/fr", false),
+      ("key.example.com", "/q", false))
+    QuerySpec(
+      "q178_crawl_frontier",
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |cands AS (
+         |  SELECT 'https://' || toks[1] || '.example.com/p/' || lang
+         |      AS url,
+         |    CAST(n_chars AS BIGINT) AS priority FROM tk
+         |  UNION ALL
+         |  SELECT 'https://' || toks[1] || '.example.com/q/' || lang,
+         |    CAST(n_chars AS BIGINT) FROM tk WHERE doc_id % 3 = 0),
+         |${Robots.sqlFrontier("cands", rules, 3)}
+         |SELECT url, host, priority, host_rank FROM fwave
+         |ORDER BY priority DESC, url LIMIT 50""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val t1 = element_at(toks, 1)
+      val d = Tables.documents(s, dir)
+      val c1 = d.select(
+        concat(lit("https://"), t1, lit(".example.com/p/"), col("lang"))
+          .as("url"),
+        col("n_chars").cast("long").as("priority"))
+      val c2 = d.filter(col("doc_id") % 3 === 0)
+        .select(
+          concat(lit("https://"), t1, lit(".example.com/q/"), col("lang"))
+            .as("url"),
+          col("n_chars").cast("long").as("priority"))
+      Robots.frontier(c1.unionByName(c2), "url", "priority",
+          rules, perHostCap = 3, budget = 50)
+        .orderBy(col("priority").desc, col("url"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -1887,5 +1937,6 @@ object TextQueries {
     q150CurationPipeline, q152PercentileNormalize, q154MixtureWaterfill,
     q155KnPerplexity, q156BpeMerges, q157BpeEncode, q160RobotsGate,
     q161LuhnRedact, q162NbClassifier, q163DsirSelect, q166FixEncoding,
-    q167C4Filter, q168SkipgramPairs, q170TemperatureMix, q173VocabSweep)
+    q167C4Filter, q168SkipgramPairs, q170TemperatureMix, q173VocabSweep,
+    q178CrawlFrontier)
 }

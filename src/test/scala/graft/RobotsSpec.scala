@@ -52,4 +52,50 @@ class RobotsSpec extends SparkSpecBase {
       Robots.evaluate(urls, "url", Seq(("a.test", "no-slash", true)))
     }
   }
+
+  test("frontier: robots gate, max-priority collapse, politeness cap, " +
+    "global budget") {
+    import spark.implicits._
+    val cands = Seq(
+      ("https://a.test/p/1", 10L),
+      ("https://a.test/p/1", 90L),   // re-discovered: max wins
+      ("https://a.test/p/2", 80L),
+      ("https://a.test/p/3", 70L),
+      ("https://a.test/p/4", 60L),   // 4th of host a: cut by cap 3
+      ("https://b.test/x", 50L),
+      ("https://c.test/bad/1", 99L)  // disallowed host: robots cut
+    ).toDF("url", "priority")
+    val rules = Seq(("c.test", "/", false))
+    val wave = Robots.frontier(cands, "url", "priority", rules,
+        perHostCap = 3, budget = 4)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getInt(3)))
+    assert(wave.toSeq === Seq(
+      ("https://a.test/p/1", 90L, 1),
+      ("https://a.test/p/2", 80L, 2),
+      ("https://a.test/p/3", 70L, 3),
+      ("https://b.test/x", 50L, 1)))
+    // budget tighter than survivors: top-N by (priority desc, url)
+    val tight = Robots.frontier(cands, "url", "priority", rules,
+        perHostCap = 3, budget = 2)
+      .collect().map(_.getString(0))
+    assert(tight.toSeq ===
+      Seq("https://a.test/p/1", "https://a.test/p/2"))
+  }
+
+  test("frontier plans TakeOrdered for the budget and no " +
+    "single-partition window") {
+    import spark.implicits._
+    val cands = (1 to 200).map(i =>
+      (s"https://h${i % 20}.test/p/$i", i.toLong)).toDF("url", "priority")
+    val plan = Robots.frontier(cands, "url", "priority",
+        Seq(("h0.test", "/", false)), 3, 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"budget is not TakeOrdered:\n$plan")
+    // the politeness window partitions by host — a global empty
+    // partition spec would serialize the frontier through one task
+    assert(!plan.contains("Window [") ||
+      plan.contains("windowspecdefinition(host"),
+      s"window lost its host partitioning:\n$plan")
+  }
 }
