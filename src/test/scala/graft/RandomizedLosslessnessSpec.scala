@@ -259,4 +259,91 @@ class RandomizedLosslessnessSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("noveltyScores ≡ brute-force df counting on random tiny-vocab " +
+      "corpora (novelty within [0,1], twins agree)") {
+    for (round <- 1 to 4) {
+      val vocab = Vector.tabulate(4 + rng.nextInt(5))(i => s"t$i")
+      val docs = (0 until 20 + rng.nextInt(20)).map { id =>
+        val n = 3 + rng.nextInt(10)
+        (id.toLong, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = Dedup.noveltyScores(docs, "doc_id", "text", k = 3)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      // brute force over gram strings
+      val gramsOf = docs.collect().map { r =>
+        val toks = r.getString(1).split(" ")
+        r.getLong(0) -> toks.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+      gramsOf.foreach { case (id, gs) =>
+        val novel = gs.count(g =>
+          !gramsOf.exists { case (o, og) => o != id && og.contains(g) })
+        assert(got(id).getAs[Long]("n_distinct_grams") === gs.size.toLong,
+          s"round $round doc $id grams")
+        assert(got(id).getAs[Long]("n_novel") === novel.toLong,
+          s"round $round doc $id novel")
+        if (gs.nonEmpty) {
+          val nv = got(id).getAs[Double]("novelty")
+          assert(nv >= 0.0 && nv <= 1.0)
+        }
+      }
+    }
+  }
+
+  test("dedupKeepBest keeps exactly one member per component and " +
+      "never a lower score than any member (random graphs)") {
+    for (round <- 1 to 4) {
+      val n = 10 + rng.nextInt(15)
+      val corpus = (0 until n).map(i =>
+        (i.toLong, rng.nextInt(5).toLong)).toDF("id", "score")
+      val pairs = (0 until n / 2).map { _ =>
+        val a = rng.nextInt(n).toLong
+        val b = rng.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct.toDF("a", "b")
+      val scores = corpus.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rows = Dedup.dedupKeepBest(corpus, "id", "score",
+        pairs, "a", "b").collect()
+      assert(rows.length === n, s"round $round row count")
+      val byComp = rows.groupBy(_.getAs[Long]("component"))
+      byComp.foreach { case (comp, members) =>
+        val kept = members.filter(_.getAs[Boolean]("is_kept"))
+        assert(kept.length === 1, s"round $round comp $comp keeps")
+        val ks = kept.head.getAs[Long]("kept_score")
+        members.foreach { m =>
+          assert(ks >= scores(m.getLong(0)),
+            s"round $round comp $comp member ${m.getLong(0)}")
+        }
+      }
+    }
+  }
+
+  test("c4Filter reassembly invariants on random line soups") {
+    import graft.operators.LineFilter
+    for (round <- 1 to 4) {
+      val words = Vector("alpha", "beta", "gamma", "delta", "eps")
+      val docs = (0 until 25).map { id =>
+        val lines = (0 until 1 + rng.nextInt(8)).map { _ =>
+          val n = 1 + rng.nextInt(8)
+          val body = Seq.fill(n)(words(rng.nextInt(words.size)))
+            .mkString(" ")
+          if (rng.nextBoolean()) body + "." else body
+        }
+        (id.toLong, lines.mkString("\n"))
+      }.toDF("id", "text")
+      val rows = LineFilter.c4Filter(docs, "id", "text").collect()
+      rows.foreach { r =>
+        val (nl, nk) = (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"))
+        assert(nk <= nl, "kept more lines than existed")
+        assert(r.getAs[Long]("n_fail_punct") <= nl)
+        assert(r.getAs[Long]("n_fail_words") <= nl)
+        // a line failing any rule is not kept: kept + (fail union) >= n_lines
+        assert(nk + r.getAs[Long]("n_fail_punct") +
+          r.getAs[Long]("n_fail_words") + r.getAs[Long]("n_fail_js") >= nl,
+          "rule counts cannot cover the dropped lines")
+      }
+    }
+  }
 }
