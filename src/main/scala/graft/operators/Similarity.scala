@@ -497,4 +497,87 @@ object Similarity {
         Seq(col(queryId)),
         Seq(col("sim").desc, col(corpusId).asc), k)
   }
+
+  /** Mean-thresholded binary sketch (training-data pipeline ★ — the
+    * 1-bit-per-dimension compression tier billion-scale search runs
+    * when even PQ codes (q158) are too wide: bit j = [vⱼ > mⱼ] with
+    * m the per-dimension corpus mean, packed into two 32-bit halves
+    * (a full 64-bit pack would need the sign bit, which DuckDB BIGINT
+    * shifts cannot produce without overflow — the q33 60-bit
+    * reasoning). Hamming distance over the codes approximates angular
+    * distance after centering; 16 bytes/vector → 8.
+    *
+    * Determinism: means are DECIMAL(30,18) sums → double (the q52
+    * rule); the pack is an integer Horner fold over the reversed bit
+    * slice (high bit first), replayed verbatim by the oracle.
+    *
+    * Scale shape: means are one dim-bounded aggregate; the pack is a
+    * per-row Column fold (no shuffle); the code table is 2 longs +
+    * id per vector. */
+  def binaryCodes(df: DataFrame, idCol: String, vecCol: String,
+                  dim: Int = 64): DataFrame = {
+    require(dim == 64, s"dim=$dim — the packed layout is 2×32 bits")
+    import org.apache.spark.sql.types.DecimalType
+    val dv = col(vecCol).cast("array<double>")
+    val n = df.count()
+    require(n > 0, "empty corpus")
+    val mRows = df.select(posexplode(dv).as(Seq("j", "vj")))
+      .groupBy(col("j"))
+      .agg((sum(col("vj").cast(DecimalType(30, 18))).cast("double") /
+        lit(n.toDouble)).as("m"))
+      .collect()
+    require(mRows.length == dim, s"saw ${mRows.length} dims")
+    val m = Array.ofDim[Double](dim)
+    mRows.foreach(r => m(r.getInt(0)) = r.getDouble(1))
+    val mLit = array(m.map(lit(_)): _*)
+    val bits = zip_with(dv, mLit, (a, b) => (a > b).cast("long"))
+    def pack(lo: Int): Column =
+      aggregate(reverse(slice(bits, lo, 32)), lit(0L),
+        (acc, b) => acc * 2 + b)
+    df.select(col(idCol), pack(1).as("code_lo"), pack(33).as("code_hi"))
+  }
+
+  /** Hamming top-k over [[binaryCodes]]: queries (≤ a contract-bounded
+    * set) broadcast against the code table; distance =
+    * bit_count(xor(lo)) + bit_count(xor(hi)); rank = (hamming ASC,
+    * candidate id). */
+  def binaryHammingTopK(queries: DataFrame, corpus: DataFrame,
+                        queryId: String, corpusId: String, k: Int)
+                       : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(queryId), col("code_lo").as("qlo"),
+      col("code_hi").as("qhi"))
+    val h = bit_count(col("code_lo").bitwiseXOR(col("qlo"))) +
+      bit_count(col("code_hi").bitwiseXOR(col("qhi")))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("hamming"), col(corpusId))
+    corpus.join(broadcast(q), col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId), h.cast("int").as("hamming"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB replay of [[binaryCodes]] over `rel(id, dv)` (double
+    * array): emits CTEs ending in `$tag(id, code_lo, code_hi)`. */
+  def sqlBinaryCodes(tag: String, rel: String): String =
+    s"""${tag}n AS (SELECT COUNT(*) AS n FROM $rel),
+       |${tag}m AS (
+       |  SELECT t.j AS j,
+       |    CAST(SUM(CAST(v.dv[t.j] AS DECIMAL(30,18))) AS DOUBLE)
+       |      / CAST(ANY_VALUE(${tag}n.n) AS DOUBLE) AS m
+       |  FROM $rel v CROSS JOIN ${tag}n,
+       |    LATERAL (SELECT unnest(range(1, 65)) AS j) t
+       |  GROUP BY 1),
+       |${tag}mv AS (SELECT list(m ORDER BY j) AS mv FROM ${tag}m),
+       |$tag AS (
+       |  SELECT id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(
+       |      list_transform(range(1, 33),
+       |        j -> CAST(v.dv[j] > mvt.mv[j] AS BIGINT)))),
+       |      (a, b) -> a * 2 + b) AS code_lo,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(
+       |      list_transform(range(33, 65),
+       |        j -> CAST(v.dv[j] > mvt.mv[j] AS BIGINT)))),
+       |      (a, b) -> a * 2 + b) AS code_hi
+       |  FROM $rel v CROSS JOIN ${tag}mv mvt)""".stripMargin
 }

@@ -639,11 +639,48 @@ object SimilarityQueries {
     }
   }
 
+  /** q179: binary-sketch Hamming ANN (★ — the 1-bit-per-dimension
+    * tier below PQ: mean-thresholded sign bits packed 2×32, Hamming
+    * top-k; see [[Similarity.binaryCodes]] for the packed layout and
+    * the q33-style 32-bit overflow reasoning). The ≤8-query code set
+    * broadcasts (q34's whitelisted shape); the oracle replays means,
+    * packing, and ranking bit-for-bit. */
+  val q179BinaryAnn: QuerySpec = QuerySpec(
+    "q179_binary_hamming_ann",
+    s"""WITH allv AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv
+       |  FROM embeddings),
+       |${Similarity.sqlBinaryCodes("bcodes", "allv")},
+       |qset AS (
+       |  SELECT id AS q_id, code_lo AS qlo, code_hi AS qhi
+       |  FROM bcodes WHERE id < 8),
+       |cset AS (SELECT id AS c_id, code_lo, code_hi FROM bcodes),
+       |hams AS (
+       |  SELECT q.q_id, c.c_id,
+       |    CAST(bit_count(xor(c.code_lo, q.qlo)) +
+       |      bit_count(xor(c.code_hi, q.qhi)) AS INTEGER) AS hamming
+       |  FROM cset c CROSS JOIN qset q WHERE q.q_id != c.c_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, hamming,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY hamming, c_id) AS INTEGER) AS rank
+       |  FROM hams)
+       |SELECT q_id, c_id, hamming, rank FROM ranked WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val codes = Similarity.binaryCodes(Tables.embeddings(s, dir),
+      "vec_id", "embedding")
+    val queries = codes.filter(col("vec_id") < 8)
+      .withColumnRenamed("vec_id", "q_id")
+    val corpus = codes.withColumnRenamed("vec_id", "c_id")
+    Similarity.binaryHammingTopK(queries, corpus, "q_id", "c_id", k = 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
     q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup,
     q147VectorIndexLifecycle, q158PqCodebook, q159PqAdcTopK,
-    q174PcaPower, q175AllButTop)
+    q174PcaPower, q175AllButTop, q179BinaryAnn)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by

@@ -216,4 +216,41 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r.groupBy(_.getLong(0)).forall(_._2.length <= 3))
     assert(r.forall(row => row.getLong(0) != row.getLong(1)))
   }
+
+  test("binaryCodes: identical vectors share a code; a planted twin " +
+    "ranks first at hamming 0") {
+    val e = Tables.embeddings(spark, sf)
+    val twin = e.filter(col("vec_id") === 10)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val codes = Similarity.binaryCodes(
+      e.select(col("vec_id"), col("embedding"), col("label"))
+        .unionByName(twin), "vec_id", "embedding")
+    val byId = codes.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byId(10L) === byId(1010L), "twin codes differ")
+    val queries = codes.filter(col("vec_id") === 10)
+      .withColumnRenamed("vec_id", "q_id")
+    val corpus = codes.withColumnRenamed("vec_id", "c_id")
+    val top = Similarity.binaryHammingTopK(queries, corpus,
+      "q_id", "c_id", 1).collect()
+    assert(top.length === 1)
+    assert(top.head.getLong(1) === 1010L, s"twin not top-1: ${top.head}")
+    assert(top.head.getInt(2) === 0)
+  }
+
+  test("binaryCodes halves stay within 32 bits and are deterministic " +
+    "under repartitioning") {
+    val e = Tables.embeddings(spark, sf)
+    val a = Similarity.binaryCodes(e, "vec_id", "embedding")
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.binaryCodes(e.repartition(13), "vec_id",
+      "embedding").collect().map(_.toSeq).toSet
+    assert(a === b)
+    a.foreach { row =>
+      val (lo, hi) = (row(1).asInstanceOf[Long], row(2).asInstanceOf[Long])
+      assert(lo >= 0L && lo < (1L << 32), s"lo out of range: $lo")
+      assert(hi >= 0L && hi < (1L << 32), s"hi out of range: $hi")
+    }
+  }
 }
