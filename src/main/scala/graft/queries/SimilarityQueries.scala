@@ -676,11 +676,34 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** q180: channel-wise calibrated int8 quantization (★ — the
+    * TensorRT/ONNX percentile-calibration recipe next to q83's
+    * per-vector scaling; see [[graft.operators.Quantize.channelInt8]]
+    * for the q151-sketch calibration set and the broadcast cut
+    * arrays). Codes digest + sum + round-6 mean reconstruction error
+    * — the sketch, cuts, clip, and error chain all replay in the
+    * oracle. */
+  val q180ChannelQuant: QuerySpec = {
+    import graft.operators.Quantize
+    QuerySpec(
+      "q180_channel_quantize",
+      s"""WITH allv AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv
+         |  FROM embeddings),
+         |${Quantize.sqlChannelInt8("cq", "allv", 64, 256, 0.01, 0.99)}
+         |SELECT id AS vec_id, codes_md5, code_sum, recon_err FROM cq
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Quantize.channelInt8(Tables.embeddings(s, dir), "vec_id",
+          "embedding", dim = 64, k = 256, pLo = 0.01, pHi = 0.99)
+        .orderBy(col("vec_id"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
     q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup,
     q147VectorIndexLifecycle, q158PqCodebook, q159PqAdcTopK,
-    q174PcaPower, q175AllButTop, q179BinaryAnn)
+    q174PcaPower, q175AllButTop, q179BinaryAnn, q180ChannelQuant)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by

@@ -61,4 +61,45 @@ class QuantizeSpec extends SparkSpecBase {
     assert(top(deq, 3).contains(trueTop),
       "true nearest neighbor fell out of the quantized top-3")
   }
+
+  test("channelInt8: calibrated ranges shrug off a value outlier that " +
+    "would crush per-vector resolution") {
+    import spark.implicits._
+    // 300 well-behaved 4-dim vectors in [0,1]; vector 0 carries a
+    // single 1000.0 spike in dim 1. Per-vector scaling of vector 0
+    // would quantize its other dims to ~0 resolution; per-CHANNEL
+    // p99 calibration clips the spike and keeps everyone's error tiny
+    val rows = (0 until 300).map { i =>
+      val base = Seq(i % 7 / 7.0, i % 11 / 11.0, i % 13 / 13.0,
+        i % 17 / 17.0)
+      (i.toLong, if (i == 0) Seq(1000.0) ++ base.tail else base)
+    }.toDF("id", "v")
+    val r = Quantize.channelInt8(rows, "id", "v", dim = 4, k = 128)
+      .collect().map(x => x.getLong(0) -> x.getAs[Double]("recon_err"))
+      .toMap
+    val errsOthers = r.filterNot(_._1 == 0L).values
+    assert(errsOthers.max < 0.01,
+      s"calibrated channel error should be tiny: max ${errsOthers.max}")
+    // the spiked vector pays clipping error in dim 1 ONLY — bounded
+    // by ~spike/dim, not by destroying the other dims
+    assert(r(0L) > errsOthers.max, "the outlier must pay, not the corpus")
+  }
+
+  test("channelInt8 is deterministic under repartitioning") {
+    val e = Tables.embeddings(spark, sf)
+    val a = Quantize.channelInt8(e, "vec_id", "embedding")
+      .collect().map(_.toSeq).toSet
+    val b = Quantize.channelInt8(e.repartition(13), "vec_id", "embedding")
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("channelInt8 plans a broadcast of the cut arrays — the corpus " +
+    "never shuffles") {
+    val e = Tables.embeddings(spark, sf)
+    val plan = Quantize.channelInt8(e, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffles against the cuts:\n$plan")
+  }
 }
