@@ -94,6 +94,119 @@ object Pq {
         Seq(col("adist").asc, col("c_id").asc), k))
   }
 
+  /** IVF-PQ top-k (★ — the PUBLISHED two-level layout of Jégou et
+    * al. 2011 assembled from this file's own parts: the coarse
+    * quantizer IS a product quantizer with ONE subspace over the full
+    * vector (same lowest-id seeds, same decimal Lloyd pass, same
+    * round-6 assignment — one discipline, two granularities), so
+    * `numCells` coarse cells partition the corpus; each query probes
+    * its `nprobe` nearest coarse centroids and runs ADC ONLY against
+    * the residents of those cells. Brute ADC (q159) touches every
+    * code; this touches ~nprobe/numCells of them — the 10¹⁰-vector
+    * search posture.
+    *
+    * Scale shape: both codebooks collect-materialize (guarded ≤ 4096)
+    * and broadcast; the query→cell probe set and the LUT are
+    * query-bounded broadcasts; the only corpus-sized frames are the
+    * coarse assignment (id, ccell) and the code table, which meet the
+    * candidate frame through hash equi-joins. Output as [[adcTopK]]
+    * plus the probed `ccell` count per pair is implicit in recall —
+    * SimilaritySpec-style recall holds it to the brute tier. */
+  def ivfAdcTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, numSub: Int, ks: Int, k: Int,
+                 numQueries: Int, numCells: Int, nprobe: Int,
+                 kmeansIters: Int = 1): DataFrame = {
+    require(numQueries >= 1 && numQueries <= 64,
+      s"numQueries=$numQueries outside [1, 64]")
+    require(nprobe >= 1 && nprobe <= numCells,
+      s"nprobe=$nprobe outside [1, numCells=$numCells]")
+    require(k >= 1, s"k=$k must be positive")
+    val (ccb, ccodes) =
+      trainAndEncode(vectors, idCol, vecCol, dim, 1, numCells, kmeansIters)
+    val cells = ccodes.select(col("id"), col("cell").as("ccell"))
+    val (cb, codes) =
+      trainAndEncode(vectors, idCol, vecCol, dim, numSub, ks, kmeansIters)
+    val sub = dim / numSub
+    val qfull = vectors
+      .select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .filter(col("q_id") < numQueries)
+    val probes = Relational.topKPerGroup(
+        qfull.crossJoin(broadcast(
+            ccb.select(col("cell").as("ccell"), col("cv"))))
+          .withColumn("crd", round(sqrt(sqd(col("qv"), col("cv"))), 6)),
+        Seq(col("q_id")), Seq(col("crd").asc, col("ccell").asc), nprobe)
+      .select(col("q_id"), col("ccell"))
+    val cand = probes.join(cells, Seq("ccell"))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"))
+    val qsubs = subvectors(vectors, idCol, vecCol, numSub, sub)
+      .filter(col("id") < numQueries)
+      .select(col("id").as("q_id"), col("m"), col("sv"))
+    val lut = qsubs.join(broadcast(cb), Seq("m"))
+      .select(col("q_id"), col("m"), col("cell"),
+        sqd(col("sv"), col("cv")).as("lutd"))
+    codes.join(cand, Seq("id"))
+      .join(broadcast(lut), Seq("q_id", "m", "cell"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("lutd"))))
+        .as("es"))
+      .select(col("q_id"), col("id").as("c_id"),
+        round(sqrt(aggregate(col("es"), lit(0.0),
+          (acc, x) => acc + x("lutd"))), 6).as("adist"))
+      .transform(df => Relational.topKPerGroup(df, Seq(col("q_id")),
+        Seq(col("adist").asc, col("c_id").asc), k))
+  }
+
+  /** DuckDB replay of [[ivfAdcTopK]]: the coarse chain (tag `cq`, one
+    * subspace), the fine chain (untagged), probes, candidate
+    * restriction, LUT, and the m-ordered fold. */
+  def sqlIvfAdcTopK(table: String, idCol: String, vecCol: String,
+                    dim: Int, numSub: Int, ks: Int, k: Int,
+                    numQueries: Int, numCells: Int, nprobe: Int,
+                    iters: Int = 1): String = {
+    val sub = dim / numSub
+    "WITH " +
+      sqlChain(table, idCol, vecCol, dim, 1, numCells, iters, tag = "cq") +
+      ",\n" + sqlChain(table, idCol, vecCol, dim, numSub, ks, iters) +
+      s""",
+         |cells AS (SELECT id, cell AS ccell FROM cqcode),
+         |qf AS (SELECT id AS q_id, dv AS qv FROM vecs
+         |       WHERE id < $numQueries),
+         |probes AS (
+         |  SELECT q_id, ccell FROM (
+         |    SELECT q.q_id, c.cell AS ccell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY round(sqrt(${sqlSqd(dim, "q.qv", "c.cv")}), 6),
+         |          c.cell) AS rn
+         |    FROM qf q JOIN cqc$iters c ON c.m = 0) WHERE rn <= $nprobe),
+         |cand AS (
+         |  SELECT p.q_id, ce.id FROM probes p JOIN cells ce USING (ccell)
+         |  WHERE p.q_id <> ce.id),
+         |qs AS (SELECT id AS q_id, m, sv FROM subs WHERE id < $numQueries),
+         |lut AS (
+         |  SELECT q.q_id, c.m, c.cell, ${sqlSqd(sub, "q.sv", "c.cv")} AS lutd
+         |  FROM qs q JOIN c$iters c ON q.m = c.m),
+         |sc AS (
+         |  SELECT ca.q_id, cd.id,
+         |    list_sort(list({'m': cd.m, 'lutd': l.lutd})) AS es
+         |  FROM code cd
+         |  JOIN cand ca ON ca.id = cd.id
+         |  JOIN lut l ON l.q_id = ca.q_id AND l.m = cd.m
+         |    AND l.cell = cd.cell
+         |  GROUP BY 1, 2),
+         |ad AS (
+         |  SELECT q_id, id AS c_id,
+         |    round(sqrt(list_reduce(list_prepend(0.0,
+         |      list_transform(es, x -> x.lutd)), (acc, x) -> acc + x)), 6)
+         |      AS adist
+         |  FROM sc)
+         |SELECT q_id, c_id, adist FROM (
+         |  SELECT q_id, c_id, adist, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adist, c_id) AS rn FROM ad)
+         |WHERE rn <= $k ORDER BY q_id, adist, c_id""".stripMargin
+  }
+
   private def subvectors(vectors: DataFrame, idCol: String,
                          vecCol: String, numSub: Int,
                          sub: Int): DataFrame =
@@ -173,7 +286,7 @@ object Pq {
     val codeSel = (0 until numSub).map(m =>
       s"    MAX(CASE WHEN m = $m THEN cell END) AS code$m,").mkString("\n")
     val outCodes = (0 until numSub).map(m => s"code$m").mkString(", ")
-    sqlChain(table, idCol, vecCol, dim, numSub, ks, iters) +
+    "WITH " + sqlChain(table, idCol, vecCol, dim, numSub, ks, iters) +
       s""",
          |g AS (
          |  SELECT id,
@@ -194,7 +307,7 @@ object Pq {
                  dim: Int, numSub: Int, ks: Int, k: Int,
                  numQueries: Int, iters: Int = 1): String = {
     val sub = dim / numSub
-    sqlChain(table, idCol, vecCol, dim, numSub, ks, iters) +
+    "WITH " + sqlChain(table, idCol, vecCol, dim, numSub, ks, iters) +
       s""",
          |qs AS (SELECT id AS q_id, m, sv FROM subs WHERE id < $numQueries),
          |lut AS (
@@ -222,43 +335,44 @@ object Pq {
       s"j -> ($a[j] - $b[j]) * ($a[j] - $b[j]))), (acc, x) -> acc + x)"
 
   private def sqlChain(table: String, idCol: String, vecCol: String,
-                       dim: Int, numSub: Int, ks: Int, iters: Int)
-                       : String = {
+                       dim: Int, numSub: Int, ks: Int, iters: Int,
+                       tag: String = ""): String = {
     require(iters == 1, "oracle generator currently unrolls exactly 1 pass")
     val sub = dim / numSub
     def sqd(a: String, b: String): String = sqlSqd(sub, a, b)
-    s"""WITH vecs AS (
+    val t = tag
+    s"""${t}vecs AS (
        |  SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS dv FROM $table),
-       |subs AS (
+       |${t}subs AS (
        |  SELECT id, t.m AS m, dv[t.m * $sub + 1 : t.m * $sub + $sub] AS sv
-       |  FROM vecs, LATERAL (SELECT unnest(range(0, $numSub)) AS m) t),
-       |seeds AS (
+       |  FROM ${t}vecs, LATERAL (SELECT unnest(range(0, $numSub)) AS m) t),
+       |${t}seeds AS (
        |  SELECT m, id AS cell, sv AS cv FROM (
        |    SELECT m, id, sv, row_number() OVER (PARTITION BY m ORDER BY id)
-       |      AS rn FROM subs) WHERE rn <= $ks),
-       |a1 AS (
+       |      AS rn FROM ${t}subs) WHERE rn <= $ks),
+       |${t}a1 AS (
        |  SELECT m, id, cell FROM (
        |    SELECT s.m, s.id, c.cell,
        |      row_number() OVER (PARTITION BY s.m, s.id
        |        ORDER BY round(sqrt(${sqd("s.sv", "c.cv")}), 6), c.cell) AS rn
-       |    FROM subs s JOIN seeds c ON s.m = c.m) WHERE rn = 1),
-       |m1 AS (
+       |    FROM ${t}subs s JOIN ${t}seeds c ON s.m = c.m) WHERE rn = 1),
+       |${t}m1 AS (
        |  SELECT a.m, a.cell, t.j AS pos,
        |    CAST(SUM(CAST(s.sv[t.j] AS DECIMAL(30,18))) AS DOUBLE)
        |      / CAST(COUNT(*) AS DOUBLE) AS mv
-       |  FROM a1 a JOIN subs s ON s.m = a.m AND s.id = a.id,
+       |  FROM ${t}a1 a JOIN ${t}subs s ON s.m = a.m AND s.id = a.id,
        |    LATERAL (SELECT unnest(range(1, ${sub + 1})) AS j) t
        |  GROUP BY 1, 2, 3),
-       |c1 AS (
+       |${t}c1 AS (
        |  SELECT s.m, s.cell, coalesce(r.cv, s.cv) AS cv
-       |  FROM seeds s LEFT JOIN (
-       |    SELECT m, cell, list(mv ORDER BY pos) AS cv FROM m1 GROUP BY 1, 2)
+       |  FROM ${t}seeds s LEFT JOIN (
+       |    SELECT m, cell, list(mv ORDER BY pos) AS cv FROM ${t}m1 GROUP BY 1, 2)
        |    r ON r.m = s.m AND r.cell = s.cell),
-       |code AS (
+       |${t}code AS (
        |  SELECT m, id, cell, sqd FROM (
        |    SELECT s.m, s.id, c.cell, ${sqd("s.sv", "c.cv")} AS sqd,
        |      row_number() OVER (PARTITION BY s.m, s.id
        |        ORDER BY round(sqrt(${sqd("s.sv", "c.cv")}), 6), c.cell) AS rn
-       |    FROM subs s JOIN c1 c ON s.m = c.m) WHERE rn = 1)""".stripMargin
+       |    FROM ${t}subs s JOIN ${t}c1 c ON s.m = c.m) WHERE rn = 1)""".stripMargin
   }
 }

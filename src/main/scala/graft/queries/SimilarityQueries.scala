@@ -699,11 +699,29 @@ object SimilarityQueries {
     }
   }
 
+  /** q181: IVF-PQ top-k (★ — the published two-level ANN layout,
+    * assembled from the engine's own parts: the coarse quantizer is a
+    * one-subspace PQ with the identical Lloyd discipline, queries
+    * probe nprobe of numCells coarse cells, and ADC runs only on the
+    * residents — where q159's brute ADC touches every code; see
+    * [[graft.operators.Pq.ivfAdcTopK]]). Fully oracle-replayed: two
+    * tagged training chains + probes + candidate-restricted fold. */
+  val q181IvfPqTopK: QuerySpec = QuerySpec(
+    "q181_ivfpq_topk",
+    graft.operators.Pq.sqlIvfAdcTopK("embeddings", "vec_id", "embedding",
+      dim = 64, numSub = 4, ks = 8, k = 5, numQueries = 8,
+      numCells = 8, nprobe = 3)) { (s, dir) =>
+    graft.operators.Pq.ivfAdcTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, numSub = 4, ks = 8, k = 5,
+        numQueries = 8, numCells = 8, nprobe = 3)
+      .orderBy(col("q_id"), col("adist"), col("c_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
     q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup,
     q147VectorIndexLifecycle, q158PqCodebook, q159PqAdcTopK,
-    q174PcaPower, q175AllButTop, q179BinaryAnn, q180ChannelQuant)
+    q174PcaPower, q175AllButTop, q179BinaryAnn, q180ChannelQuant, q181IvfPqTopK)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by

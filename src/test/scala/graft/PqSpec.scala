@@ -89,4 +89,56 @@ class PqSpec extends SparkSpecBase {
       Pq.codebook(vecs, "vec_id", "embedding", 8, 2, 4096)
     }
   }
+
+  test("ivfAdcTopK with nprobe = numCells equals brute ADC exactly") {
+    val vecs = Tables.embeddings(spark, sf)
+    val brute = Pq.adcTopK(vecs, "vec_id", "embedding",
+        dim = 64, numSub = 4, ks = 8, k = 5, numQueries = 4)
+      .collect().map(_.toSeq).toSet
+    val full = Pq.ivfAdcTopK(vecs, "vec_id", "embedding",
+        dim = 64, numSub = 4, ks = 8, k = 5, numQueries = 4,
+        numCells = 8, nprobe = 8)
+      .collect().map(_.toSeq).toSet
+    assert(full === brute,
+      "probing every cell must reproduce the brute ADC answer")
+  }
+
+  test("ivfAdcTopK results are a subset of brute ADC candidates with " +
+    "matching distances, and recall is substantial at nprobe 3/8") {
+    val vecs = Tables.embeddings(spark, sf)
+    val brute = Pq.adcTopK(vecs, "vec_id", "embedding",
+        64, 4, 8, 5, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val probed = Pq.ivfAdcTopK(vecs, "vec_id", "embedding",
+        64, 4, 8, 5, 4, numCells = 8, nprobe = 3)
+      .collect()
+    // every probed pair's ADC distance equals the brute computation
+    // (same codes, same LUT — probing only prunes candidates); recall
+    // = overlap with the brute top-5 set
+    val bruteAll = Pq.adcTopK(vecs, "vec_id", "embedding",
+        64, 4, 8, 1000000, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    probed.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bruteAll.contains(key) && bruteAll(key) === r.getDouble(2),
+        s"probed pair $key distance drifted from the brute ADC")
+    }
+    val hit = probed.count(r => brute.contains((r.getLong(0), r.getLong(1))))
+    assert(hit >= probed.length / 2,
+      s"recall collapsed: $hit of ${probed.length} probed pairs in brute top-5")
+  }
+
+  test("ivfAdcTopK guards") {
+    val vecs = Tables.embeddings(spark, sf)
+    intercept[IllegalArgumentException] {
+      Pq.ivfAdcTopK(vecs, "vec_id", "embedding", 64, 4, 8, 5, 4,
+        numCells = 8, nprobe = 9)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.ivfAdcTopK(vecs, "vec_id", "embedding", 64, 4, 8, 5, 100,
+        numCells = 8, nprobe = 2)
+    }
+  }
 }
