@@ -1442,6 +1442,67 @@ object DedupQueries {
     }
   }
 
+  /** q182: cross-source duplication matrix (★ — the dataset-audit
+    * every multi-source corpus assembly publishes: how much content
+    * do source pairs share? CommonCrawl dumps overlap heavily and
+    * double-counting inflates dataset size claims). Content keys are
+    * md5 digests; the matrix cell (s1 ≤ s2) counts distinct contents
+    * present in BOTH sources (diagonal = contents duplicated WITHIN
+    * the source). One distinct + one fp-key self-join, both on the
+    * content digest — the q30 shuffle shape. Seeding rotates every
+    * 7th doc into the next source so off-diagonal cells populate. */
+  val q182SourceOverlap: QuerySpec = QuerySpec(
+    "q182_source_overlap",
+    """WITH all_docs AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    'src' || CAST((CAST(substr(source, 4) AS BIGINT) + 1) % 20
+      |      AS VARCHAR),
+      |    text
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |contents AS (
+      |  SELECT DISTINCT source, md5(text) AS fp FROM all_docs),
+      |within AS (
+      |  SELECT source, md5(text) AS fp, COUNT(*) AS copies
+      |  FROM all_docs GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT a.source AS s1, b.source AS s2, COUNT(*) AS shared
+      |  FROM contents a JOIN contents b
+      |    ON a.fp = b.fp AND a.source < b.source
+      |  GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT source, source,
+      |    CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM within GROUP BY source, source)
+      |SELECT s1, s2, shared FROM cells
+      |WHERE shared > 0 ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val rotated = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("src"),
+          ((expr("substring(source, 4)").cast("long") + 1) % 20)
+            .cast("string")).as("source"),
+        col("text"))
+    val all = d.unionByName(rotated)
+      .select(col("source"), md5(col("text")).as("fp"))
+    val contents = all.distinct()
+    val cross = contents.as("a").join(contents.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("shared"))
+    val diag = all.groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("copies"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("copies") > 1, 1L).otherwise(0L)).as("shared"))
+      .select(col("source").as("s1"), col("source").as("s2"),
+        col("shared"))
+    cross.unionByName(diag)
+      .filter(col("shared") > 0)
+      .orderBy(col("s1"), col("s2"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash,
     q66MllibMinhash, q75DedupClusters, q77DedupApply,
@@ -1449,5 +1510,6 @@ object DedupQueries {
     q120RepeatedSpans, q138LeakageSafeSplit, q139IncrementalDedup,
     q142DedupLifecycle, q145ExactSubstrDedup, q153BoilerplateRemoval,
     q164ParagraphDedup, q165WinnowOverlap, q169NoveltyScore,
-    q171DedupKeepBest, q176LshRecallAudit, q177IncrementalNovelty)
+    q171DedupKeepBest, q176LshRecallAudit, q177IncrementalNovelty,
+    q182SourceOverlap)
 }

@@ -1925,6 +1925,158 @@ object TextQueries {
     }
   }
 
+  /** q183: length-distribution drift (PSI — ★ the population
+    * stability index, the standard production monitor for "did this
+    * month's crawl change shape": Σ (p_b − p_a)·ln(p_b/p_a) over
+    * fixed n_chars buckets, Laplace-smoothed so empty buckets stay
+    * finite). Snapshot B drifts deterministically (every 3rd doc
+    * lengthened, every 5th truncated to 10 tokens). Per-bucket terms
+    * round to 6 (the q115 ln discipline); bucket spine is dense so
+    * both engines agree on empty buckets. */
+  val q183LengthPsi: QuerySpec = {
+    val pad = " padding tokens extra appended here now for drift"
+    QuerySpec(
+      "q183_length_psi",
+      s"""WITH snap AS (
+         |  SELECT 'a' AS snap, length(text) AS len FROM documents
+         |  UNION ALL
+         |  SELECT 'b', length(CASE
+         |    WHEN doc_id % 3 = 0 THEN text || '$pad'
+         |    WHEN doc_id % 5 = 1 THEN array_to_string(
+         |      (string_split(text, ' '))[1:10], ' ')
+         |    ELSE text END)
+         |  FROM documents),
+         |bk AS (
+         |  SELECT snap, LEAST(4, CAST(floor(len / 150.0) AS BIGINT))
+         |    AS bucket
+         |  FROM snap),
+         |spine AS (SELECT unnest(range(0, 5)) AS bucket),
+         |cnt0 AS (
+         |  SELECT bucket,
+         |    CAST(SUM(CASE WHEN snap = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(SUM(CASE WHEN snap = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b
+         |  FROM bk GROUP BY 1),
+         |cnt AS (
+         |  SELECT s.bucket, COALESCE(c.n_a, 0) AS n_a,
+         |    COALESCE(c.n_b, 0) AS n_b
+         |  FROM spine s LEFT JOIN cnt0 c ON c.bucket = s.bucket),
+         |tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM cnt)
+         |SELECT bucket, n_a, n_b,
+         |  round((CAST(n_b + 1 AS DOUBLE) / CAST(tb + 5 AS DOUBLE)
+         |    - CAST(n_a + 1 AS DOUBLE) / CAST(ta + 5 AS DOUBLE))
+         |    * ln((CAST(n_b + 1 AS DOUBLE) / CAST(tb + 5 AS DOUBLE))
+         |      / (CAST(n_a + 1 AS DOUBLE) / CAST(ta + 5 AS DOUBLE))), 6)
+         |    AS psi_term
+         |FROM cnt CROSS JOIN tot ORDER BY bucket""".stripMargin) {
+      (s, dir) =>
+        val d = Tables.documents(s, dir)
+        val a = d.select(lit("a").as("snap"),
+          length(col("text")).cast("long").as("len"))
+        val b = d.select(lit("b").as("snap"),
+          length(when(col("doc_id") % 3 === 0, concat(col("text"), lit(pad)))
+            .when(col("doc_id") % 5 === 1,
+              array_join(slice(split(col("text"), " "), 1, 10), " "))
+            .otherwise(col("text"))).cast("long").as("len"))
+        val bk = a.unionByName(b)
+          .select(col("snap"),
+            least(lit(4L), floor(col("len").cast("double") / lit(150.0))
+              .cast("long")).as("bucket"))
+        val spine = s.range(0, 5).select(col("id").as("bucket"))
+        val cnt0 = bk.groupBy(col("bucket"))
+          .agg(sum(when(col("snap") === "a", 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("snap") === "b", 1L).otherwise(0L)).as("n_b"))
+        val cnt = spine.join(cnt0, Seq("bucket"), "left")
+          .select(col("bucket"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+            coalesce(col("n_b"), lit(0L)).as("n_b"))
+        val tot = cnt.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+        def p(n: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
+          (n + lit(1L)).cast("double") / (t + lit(5L)).cast("double")
+        cnt.crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_a"), col("n_b"),
+            round((p(col("n_b"), col("tb")) - p(col("n_a"), col("ta"))) *
+              log(p(col("n_b"), col("tb")) / p(col("n_a"), col("ta"))),
+              6).as("psi_term"))
+          .orderBy(col("bucket"))
+    }
+  }
+
+  /** q184: Zipf-fit corpus health check (★ — the token-frequency
+    * power-law audit: natural corpora show ln(count) ≈ a + s·ln(rank)
+    * with s near −1; a flat slope flags synthetic or templated text —
+    * which is exactly what it reports for THIS deliberately uniform
+    * fixture, making the diagnostic itself the interesting output).
+    * OLS over the top-100 (count DESC, token) ranks, all sums folded
+    * in RANK order over one collected vocab-bounded array (the q121
+    * discipline); ln's last-ulp divergence is absorbed by round-6
+    * outputs (the q115 rule). */
+  val q184ZipfFit: QuerySpec = QuerySpec(
+    "q184_zipf_fit",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+      |ranked AS (
+      |  SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS r
+      |  FROM cnt QUALIFY r <= 100),
+      |pts AS (
+      |  SELECT list_sort(list({'r': r,
+      |    'x': ln(CAST(r AS DOUBLE)), 'y': ln(CAST(c AS DOUBLE))})) AS ps
+      |  FROM ranked),
+      |acc AS (
+      |  SELECT CAST(len(ps) AS BIGINT) AS n,
+      |    list_reduce(list_prepend(
+      |      {'sx': 0.0, 'sy': 0.0, 'sxx': 0.0, 'sxy': 0.0, 'syy': 0.0},
+      |      list_transform(ps, p -> {'sx': p.x, 'sy': p.y,
+      |        'sxx': p.x * p.x, 'sxy': p.x * p.y, 'syy': p.y * p.y})),
+      |      (a, b) -> {'sx': a.sx + b.sx, 'sy': a.sy + b.sy,
+      |        'sxx': a.sxx + b.sxx, 'sxy': a.sxy + b.sxy,
+      |        'syy': a.syy + b.syy}) AS s
+      |  FROM pts)
+      |SELECT n AS n_terms,
+      |  round((CAST(n AS DOUBLE) * s.sxy - s.sx * s.sy)
+      |    / (CAST(n AS DOUBLE) * s.sxx - s.sx * s.sx), 6) AS slope,
+      |  round((s.sy - (CAST(n AS DOUBLE) * s.sxy - s.sx * s.sy)
+      |    / (CAST(n AS DOUBLE) * s.sxx - s.sx * s.sx) * s.sx)
+      |    / CAST(n AS DOUBLE), 6) AS intercept,
+      |  round(((CAST(n AS DOUBLE) * s.sxy - s.sx * s.sy)
+      |    * (CAST(n AS DOUBLE) * s.sxy - s.sx * s.sy))
+      |    / ((CAST(n AS DOUBLE) * s.sxx - s.sx * s.sx)
+      |      * (CAST(n AS DOUBLE) * s.syy - s.sy * s.sy)), 6) AS r2
+      |FROM acc""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val ranked = cnt
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("t"))))
+      .filter(col("r") <= 100)
+      .select(col("r"),
+        log(col("r").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    val pts = ranked.agg(sort_array(collect_list(
+      struct(col("r"), col("x"), col("y")))).as("ps"))
+    val zero = struct(lit(0.0).as("sx"), lit(0.0).as("sy"),
+      lit(0.0).as("sxx"), lit(0.0).as("sxy"), lit(0.0).as("syy"))
+    val folded = pts.select(size(col("ps")).cast("long").as("n"),
+      aggregate(col("ps"), zero, (a, p) => struct(
+        (a.getField("sx") + p.getField("x")).as("sx"),
+        (a.getField("sy") + p.getField("y")).as("sy"),
+        (a.getField("sxx") + p.getField("x") * p.getField("x")).as("sxx"),
+        (a.getField("sxy") + p.getField("x") * p.getField("y")).as("sxy"),
+        (a.getField("syy") + p.getField("y") * p.getField("y")).as("syy")))
+        .as("s"))
+    val n = col("n").cast("double")
+    val num = n * col("s.sxy") - col("s.sx") * col("s.sy")
+    val den = n * col("s.sxx") - col("s.sx") * col("s.sx")
+    folded.select(col("n").as("n_terms"),
+      round(num / den, 6).as("slope"),
+      round((col("s.sy") - num / den * col("s.sx")) / n, 6).as("intercept"),
+      round((num * num) /
+        (den * (n * col("s.syy") - col("s.sy") * col("s.sy"))), 6).as("r2"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -1938,5 +2090,5 @@ object TextQueries {
     q155KnPerplexity, q156BpeMerges, q157BpeEncode, q160RobotsGate,
     q161LuhnRedact, q162NbClassifier, q163DsirSelect, q166FixEncoding,
     q167C4Filter, q168SkipgramPairs, q170TemperatureMix, q173VocabSweep,
-    q178CrawlFrontier)
+    q178CrawlFrontier, q183LengthPsi, q184ZipfFit)
 }

@@ -99,4 +99,27 @@ class QueriesSpec extends SparkSpecBase {
     val prices = rows.map(_.getDouble(2))
     assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q183 PSI: seeded drift registers as positive total index with " +
+    "finite per-bucket terms") {
+    val rows = Queries.byName("q183_length_psi").run(spark, sf).collect()
+    assert(rows.length === 5)
+    val terms = rows.map(_.getAs[Double]("psi_term"))
+    assert(terms.forall(t => !t.isNaN && !t.isInfinite))
+    // PSI ≥ 0 always (each term (p−q)ln(p/q) ≥ 0); drift is seeded,
+    // so the total must be STRICTLY positive
+    assert(terms.forall(_ >= 0.0), s"negative PSI term in ${terms.toSeq}")
+    assert(terms.sum > 0.001, s"seeded drift not detected: ${terms.sum}")
+  }
+
+  test("q184 Zipf fit: slope non-positive, r2 in [0, 1], and the " +
+    "uniform fixture reads as non-Zipfian") {
+    val r = Queries.byName("q184_zipf_fit").run(spark, sf).head()
+    val (slope, r2) = (r.getAs[Double]("slope"), r.getAs[Double]("r2"))
+    assert(slope <= 0.0, s"count cannot increase with rank: $slope")
+    assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r2")
+    // a natural corpus fits s ≈ -1 tightly; this fixture is uniform
+    // by construction — the diagnostic must say so
+    assert(slope > -0.6, s"uniform fixture scored Zipf-steep: $slope")
+  }
 }
