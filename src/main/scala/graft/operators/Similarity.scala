@@ -580,4 +580,66 @@ object Similarity {
        |        j -> CAST(v.dv[j] > mvt.mv[j] AS BIGINT)))),
        |      (a, b) -> a * 2 + b) AS code_hi
        |  FROM $rel v CROSS JOIN ${tag}mv mvt)""".stripMargin
+
+  /** Per-label centroid-distance outlier audit (q186 — the geometric
+    * mislabel check run before training on labeled vectors): each
+    * vector's euclidean distance to its OWN label's centroid, z-scored
+    * within the label; z > `zThreshold` flags probable mislabels.
+    *
+    * Determinism: centroids fold the SORTED per-(label, dim) value
+    * array and round to 6 (the q136 discipline); distances fold the
+    * dims in order and round to 6; per-label mean/std fold the SORTED
+    * (id, dist) array with a pinned round(var, 6) → sqrt → round(6)
+    * sequence, so z replays bit-for-bit in the oracle.
+    *
+    * Scale shape: ONE narrow posexplode shuffles on (label, dim) —
+    * label×dim groups; the rounded centroid arrays (one per label) and
+    * the per-label stats frame are model-sized and BROADCAST into the
+    * corpus passes, which never shuffle. The distance frame is
+    * consumed twice (stats + final join) — cached, dropped by the
+    * caller's harness. */
+  def labelOutliers(vectors: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, zThreshold: Double = 2.0)
+                   : DataFrame = {
+    val centDims = vectors
+      .select(col(labelCol), col(idCol),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(struct(col(idCol).as("id"),
+          col("v").cast("double").as("v")))).as("xs"))
+      .select(col(labelCol), col("dim"),
+        (round(aggregate(transform(col("xs"), x => x("v")), lit(0.0),
+          (a, x) => a + x) / col("n"), 6) + lit(0.0)).as("c"))
+    val cents = centDims.groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c"))))
+        .as("cs"))
+      .select(col(labelCol), transform(col("cs"), x => x("c")).as("cv"))
+    val withDist = vectors.join(broadcast(cents), Seq(labelCol))
+      .select(col(idCol), col(labelCol),
+        round(sqrt(aggregate(
+          zip_with(col(vecCol).cast("array<double>"), col("cv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)), 6).as("dist"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val st = withDist.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(struct(col(idCol).as("id"),
+          col("dist").as("d")))).as("ds"))
+      .withColumn("mean_d",
+        round(aggregate(transform(col("ds"), x => x("d")), lit(0.0),
+          (a, x) => a + x) / col("n"), 6) + lit(0.0))
+      .select(col(labelCol), col("mean_d"),
+        (round(sqrt(round(aggregate(
+          transform(col("ds"), x => (x("d") - col("mean_d"))
+            * (x("d") - col("mean_d"))),
+          lit(0.0), (a, x) => a + x) / col("n"), 6)), 6) + lit(0.0))
+          .as("std_d"))
+    withDist.join(broadcast(st), Seq(labelCol))
+      .withColumn("z", when(col("std_d") > 0.0,
+        round((col("dist") - col("mean_d")) / col("std_d"), 6)
+          + lit(0.0)).otherwise(lit(0.0)))
+      .select(col(idCol), col(labelCol), col("dist"), col("z"),
+        (col("z") > zThreshold).as("is_outlier"))
+  }
 }

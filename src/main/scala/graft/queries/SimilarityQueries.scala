@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QuerySpec, Tables}
 import graft.functions.Exact
 import graft.operators.Similarity
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity-search queries (north-star ★, SURVEY §7.6).
@@ -717,11 +718,149 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("adist"), col("c_id"))
   }
 
+  /** q185: hard-negative mining (★ — the retrieval/contrastive
+    * training-data step from DPR/SimCSE: for each query vector, the
+    * top-k most-similar candidates with a DIFFERENT label — "hard"
+    * because they look like the query but aren't — plus the best
+    * same-label positive and the positive-negative margin the
+    * curriculum filters on). The ≤8-query frame broadcasts into both
+    * the positive and negative passes (q34's whitelisted shape); sims
+    * ride the q34-proven cosine + round(6); the 8-row positive frame
+    * broadcasts into the final join. Margin subtracts two round-6
+    * doubles — one IEEE op both engines agree on — then re-rounds. */
+  val q185HardNegatives: QuerySpec = QuerySpec(
+    "q185_hard_negatives",
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, label AS q_label,
+      |    CAST(embedding AS DOUBLE[]) AS q_vec
+      |  FROM embeddings WHERE vec_id < 8),
+      |c AS (
+      |  SELECT vec_id AS c_id, label AS c_label,
+      |    CAST(embedding AS DOUBLE[]) AS c_vec
+      |  FROM embeddings),
+      |pos AS (
+      |  SELECT q.q_id,
+      |    max(round(list_cosine_similarity(q.q_vec, c.c_vec), 6)) AS pos_sim
+      |  FROM q JOIN c ON c.c_label = q.q_label AND c.c_id <> q.q_id
+      |  GROUP BY 1),
+      |negs AS (
+      |  SELECT q.q_id, c.c_id, c.c_label AS neg_label,
+      |    round(list_cosine_similarity(q.q_vec, c.c_vec), 6) AS sim
+      |  FROM q JOIN c ON c.c_label <> q.q_label),
+      |ranked AS (
+      |  SELECT q_id, c_id, neg_label, sim,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY sim DESC, c_id) AS rn
+      |  FROM negs)
+      |SELECT r.q_id, r.c_id, r.neg_label, r.sim, r.rn, p.pos_sim,
+      |  round(p.pos_sim - r.sim, 6) AS margin
+      |FROM ranked r JOIN pos p USING (q_id)
+      |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("c_id"),
+      col("label").as("c_label"), col("embedding").as("c_vec"))
+    def sim: Column = round(Similarity.cosine(
+      col("q_vec").cast("array<double>"),
+      col("c_vec").cast("array<double>")), 6)
+    val pos = corpus.join(broadcast(queries),
+        col("c_label") === col("q_label") && col("c_id") =!= col("q_id"))
+      .withColumn("sim", sim)
+      .groupBy(col("q_id")).agg(max(col("sim")).as("pos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    corpus.join(broadcast(queries), col("c_label") =!= col("q_label"))
+      .withColumn("sim", sim)
+      .select(col("q_id"), col("c_id"), col("c_label").as("neg_label"),
+        col("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .join(broadcast(pos), Seq("q_id"))
+      .select(col("q_id"), col("c_id"), col("neg_label"), col("sim"),
+        col("rn").cast("long").as("rn"), col("pos_sim"),
+        round(col("pos_sim") - col("sim"), 6).as("margin"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** q186: embedding outlier audit (★ — the geometric mislabel check
+    * embedding curation runs before training on labeled vectors: each
+    * vector's euclidean distance to its OWN label's centroid, z-scored
+    * within the label; z > 2 flags probable mislabels/outliers — the
+    * label-noise analogue of q91's scalar z-score pass). Centroids
+    * ride the q136 sorted-fold + round(6) discipline (label×dim
+    * bounded, collected to one rounded array per label and BROADCAST
+    * into the distance pass — the corpus never shuffles); per-label
+    * mean/std fold the SORTED (id, dist) array with the identical
+    * round(6)-var → sqrt → round(6) sequence on both engines, so z
+    * replays bit-for-bit. */
+  val q186EmbeddingOutliers: QuerySpec = QuerySpec(
+    "q186_embedding_outliers",
+    """WITH e AS (
+      |  SELECT label, vec_id, unnest(list_transform(
+      |    range(1, len(embedding) + 1),
+      |    i -> {'d': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+      |  FROM embeddings),
+      |f AS (SELECT label, u.d AS dim, vec_id, u.v AS v FROM e),
+      |g AS (
+      |  SELECT label, dim, COUNT(*) AS n,
+      |    list_sort(list({'id': vec_id, 'v': v})) AS xs
+      |  FROM f GROUP BY 1, 2),
+      |cd AS (
+      |  SELECT label, dim,
+      |    round(list_reduce(list_prepend(0.0,
+      |      list_transform(xs, x -> x.v)), (a, x) -> a + x) / n, 6)
+      |      + 0.0 AS c
+      |  FROM g),
+      |cent AS (
+      |  SELECT label, list_transform(
+      |    list_sort(list({'dim': dim, 'c': c})), x -> x.c) AS cv
+      |  FROM cd GROUP BY label),
+      |vd AS (
+      |  SELECT v.vec_id, v.label,
+      |    round(sqrt(list_reduce(list_prepend(0.0,
+      |      list_transform(range(1, len(v.embedding) + 1),
+      |        i -> (CAST(v.embedding[i] AS DOUBLE) - ct.cv[i])
+      |           * (CAST(v.embedding[i] AS DOUBLE) - ct.cv[i]))),
+      |      (a, x) -> a + x)), 6) AS dist
+      |  FROM embeddings v JOIN cent ct USING (label)),
+      |st AS (
+      |  SELECT label, COUNT(*) AS n,
+      |    list_sort(list({'id': vec_id, 'd': dist})) AS ds
+      |  FROM vd GROUP BY label),
+      |st2 AS (
+      |  SELECT label, n, ds,
+      |    round(list_reduce(list_prepend(0.0,
+      |      list_transform(ds, x -> x.d)), (a, x) -> a + x) / n, 6)
+      |      + 0.0 AS mean_d
+      |  FROM st),
+      |st3 AS (
+      |  SELECT label, mean_d,
+      |    round(sqrt(round(list_reduce(list_prepend(0.0,
+      |      list_transform(ds, x -> (x.d - mean_d) * (x.d - mean_d))),
+      |      (a, x) -> a + x) / n, 6)), 6) + 0.0 AS std_d
+      |  FROM st2),
+      |zed AS (
+      |  SELECT vd.vec_id, vd.label, vd.dist,
+      |    CASE WHEN std_d > 0.0
+      |      THEN round((dist - mean_d) / std_d, 6) + 0.0
+      |      ELSE 0.0 END AS z
+      |  FROM vd JOIN st3 USING (label))
+      |SELECT vec_id, label, dist, z, z > 2.0 AS is_outlier
+      |FROM zed ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Similarity.labelOutliers(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "label")
+      .orderBy(col("vec_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
     q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup,
     q147VectorIndexLifecycle, q158PqCodebook, q159PqAdcTopK,
-    q174PcaPower, q175AllButTop, q179BinaryAnn, q180ChannelQuant, q181IvfPqTopK)
+    q174PcaPower, q175AllButTop, q179BinaryAnn, q180ChannelQuant,
+    q181IvfPqTopK, q185HardNegatives, q186EmbeddingOutliers)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by

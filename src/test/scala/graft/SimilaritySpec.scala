@@ -253,4 +253,60 @@ class SimilaritySpec extends SparkSpecBase {
       assert(hi >= 0L && hi < (1L << 32), s"hi out of range: $hi")
     }
   }
+
+  test("labelOutliers flags a planted far vector and only it") {
+    // 9 vectors tightly clustered at (1, 0, 0) share label 0 with one
+    // planted at (-1, 0, 0): the far vector dominates the spread, so
+    // its z must clear the threshold while every clustered member's z
+    // stays below it. A second label's clean cluster must see NO flag
+    // (stats are per-label, not global).
+    val rows = (0 until 9).map(i =>
+        (i.toLong, Array(1.0f, 0.0f, i * 1e-4f), 0)) :+
+      (9L, Array(-1.0f, 0.0f, 0.0f), 0)
+    val clean = (10 until 14).map(i =>
+      (i.toLong, Array(0.0f, 1.0f, i * 1e-4f), 1))
+    val df = (rows ++ clean).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelOutliers(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(9L)._2, s"planted far vector not flagged: ${out(9L)}")
+    assert((0 until 9).forall(i => !out(i.toLong)._2),
+      "a clustered member was flagged")
+    assert((10 until 14).forall(i => !out(i.toLong)._2),
+      "the clean label saw a flag")
+  }
+
+  test("labelOutliers is invariant under repartitioning") {
+    val e = Tables.embeddings(spark, sf)
+    val a = Similarity.labelOutliers(e, "vec_id", "embedding", "label")
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.labelOutliers(e.repartition(13), "vec_id",
+      "embedding", "label").collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("q185 hard negatives never share the query's label and the " +
+    "margin ties out against the positive") {
+    val q = Queries.byName("q185_hard_negatives").run(spark, sf)
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qId, negLabel) = (r.getLong(0), r.getInt(2))
+      assert(negLabel != labels(qId),
+        s"q$qId mined a negative with its own label")
+      val (sim, posSim, margin) =
+        (r.getDouble(3), r.getDouble(5), r.getDouble(6))
+      assert(math.abs(margin - (posSim - sim)) < 1e-9)
+    }
+    // ranks are 1..5 and sims descend within each query
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(4))
+      assert(sorted.map(_.getLong(4)).toSeq == (1L to sorted.length))
+      assert(sorted.map(_.getDouble(3)).toSeq
+        .sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
 }
