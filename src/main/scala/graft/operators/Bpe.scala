@@ -69,7 +69,9 @@ object Bpe {
       .select(col(keyCol), col("n_words"), col("n_chars"),
         col("n_bpe_tokens"),
         (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
-          .as("compression"))
+          .as("compression"),
+        (col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
   }
 
   /** The training loop: returns the final `(word, cnt, toks)` table
@@ -233,7 +235,9 @@ object Bpe {
          |  CAST(SUM(n_chr) AS BIGINT) AS n_chars,
          |  CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens,
          |  CAST(SUM(n_chr) AS DOUBLE) / CAST(SUM(n_sub) AS DOUBLE)
-         |    AS compression
+         |    AS compression,
+         |  CAST(SUM(n_sub) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS fertility
          |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def sqlCtes(table: String, textCol: String, k: Int): String = {

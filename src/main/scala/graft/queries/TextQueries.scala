@@ -1510,53 +1510,9 @@ object TextQueries {
     * exact-int single division. */
   val q155KnPerplexity: QuerySpec = QuerySpec(
     "q155_kn_perplexity",
-    """WITH tok AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |tbi0 AS (
-      |  SELECT unnest(list_transform(range(1, len(toks)),
-      |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
-      |  FROM tok WHERE len(toks) >= 2 AND doc_id % 3 <> 0),
-      |tbi AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM tbi0),
-      |cnt AS (SELECT w1, w2, COUNT(*) AS c FROM tbi GROUP BY 1, 2),
-      |ctx AS (
-      |  SELECT w1, CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS n1f
-      |  FROM cnt GROUP BY 1),
-      |cont AS (SELECT w2, COUNT(*) AS n1b FROM cnt GROUP BY 1),
-      |gstat AS (
-      |  SELECT COUNT(*) AS bb, COUNT(DISTINCT w2) AS vv FROM cnt),
-      |sbi0 AS (
-      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-      |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
-      |  FROM tok WHERE len(toks) >= 2),
-      |sbi AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM sbi0),
-      |db AS (
-      |  SELECT doc_id, w1, w2, COUNT(*) AS m FROM sbi GROUP BY 1, 2, 3),
-      |e AS (
-      |  SELECT doc_id, m,
-      |    CASE WHEN c IS NULL THEN m ELSE CAST(0 AS BIGINT) END AS un,
-      |    {'w1': w1, 'w2': w2,
-      |     'nl': CAST(m AS DOUBLE) * -(ln(
-      |        CASE WHEN tot IS NOT NULL
-      |          THEN greatest(CAST(COALESCE(c, 0) AS DOUBLE) - 0.75, 0.0)
-      |                 / CAST(tot AS DOUBLE)
-      |             + (0.75 * CAST(n1f AS DOUBLE) / CAST(tot AS DOUBLE))
-      |               * (CAST(COALESCE(n1b, 0) + 1 AS DOUBLE)
-      |                  / CAST(bb + vv + 1 AS DOUBLE))
-      |          ELSE CAST(COALESCE(n1b, 0) + 1 AS DOUBLE)
-      |               / CAST(bb + vv + 1 AS DOUBLE) END) / ln(2))} AS e
-      |  FROM db LEFT JOIN cnt USING (w1, w2)
-      |    LEFT JOIN ctx USING (w1) LEFT JOIN cont USING (w2)
-      |    CROSS JOIN gstat),
-      |g AS (
-      |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
-      |    CAST(SUM(un) AS BIGINT) AS n_unseen, list_sort(list(e)) AS es
-      |  FROM e GROUP BY 1)
-      |SELECT doc_id, n_bigrams, n_unseen,
-      |  CAST(n_unseen AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS oov_rate,
-      |  round(list_reduce(list_prepend(0.0,
-      |      list_transform(es, x -> x.nl)), (acc, x) -> acc + x)
-      |    / n_bigrams, 6) + 0.0 AS xent
-      |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    s"""WITH ${KnSql.ctes}
+      |SELECT doc_id, n_bigrams, n_unseen, oov_rate, xent
+      |FROM kn ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     graft.operators.Search.knCrossEntropy(
         docs.filter(col("doc_id") % 3 =!= 0), docs, "doc_id", "text")
@@ -2077,6 +2033,162 @@ object TextQueries {
         (den * (n * col("s.syy") - col("s.sy") * col("s.sy"))), 6).as("r2"))
   }
 
+  /** q187: tokenizer fertility by language (★ — the multilingual
+    * tokenizer-equity audit from XLM-R/NLLB: subword tokens per word
+    * ("fertility") and chars per token per LANGUAGE from ONE BPE
+    * training run — a vocabulary trained on a mixed corpus fragments
+    * under-represented languages, and this is the table that shows
+    * it). Rides the whole q156/q157 machinery with the language as
+    * the aggregation key: the corpus is scanned once for the word
+    * table, iterations are vocabulary-bounded, and the learned
+    * segmentation joins back through a BROADCAST word table. All-int
+    * sums + two exact-int divisions. */
+  val q187TokenizerFertility: QuerySpec = QuerySpec(
+    "q187_tokenizer_fertility",
+    graft.operators.Bpe.sqlEncodedLengths("documents", "lang", "text", 8)) {
+    (s, dir) =>
+      graft.operators.Bpe.encodedLengths(
+          Tables.documents(s, dir), "lang", "text", 8)
+        .orderBy(col("lang"))
+  }
+
+  /** q188: perplexity bucketing (★ — CCNet's head/middle/tail split:
+    * per-doc KN cross-entropy from the q155 model, tertile thresholds
+    * computed on the TRAINING partition's score distribution, every
+    * doc bucketed against those thresholds; the head bucket is what
+    * CCNet keeps). Thresholds come from the SORTED (xent, doc_id)
+    * array of the reference partition — exact element picks at n/3
+    * and 2n/3, no approximate percentile — and broadcast as a 1-row
+    * cross (the q76/q117 whitelisted shape). Per-bucket sums ride the
+    * Exact decimal rule; min/max of round-6 doubles are exact. The
+    * oracle replays training, scoring, thresholds, and bucketing
+    * through the shared [[KnSql]] chain. */
+  val q188PerplexityBuckets: QuerySpec = QuerySpec(
+    "q188_perplexity_buckets",
+    s"""WITH ${KnSql.ctes},
+      |ref AS (
+      |  SELECT list_sort(list({'x': xent, 'id': doc_id})) AS xs,
+      |    COUNT(*) AS n
+      |  FROM kn WHERE doc_id % 3 <> 0),
+      |thr AS (
+      |  SELECT xs[greatest(1, n // 3)].x AS t1,
+      |    xs[greatest(1, (2 * n) // 3)].x AS t2
+      |  FROM ref),
+      |b AS (
+      |  SELECT k.doc_id, k.xent,
+      |    CASE WHEN k.xent <= t.t1 THEN 'head'
+      |         WHEN k.xent <= t.t2 THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM kn k CROSS JOIN thr t)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  ${graft.functions.Exact.sqlSum("xent")} AS total_xent,
+      |  min(xent) AS min_xent, max(xent) AS max_xent
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val kn = graft.operators.Search.knCrossEntropy(
+        docs.filter(col("doc_id") % 3 =!= 0), docs, "doc_id", "text")
+      .select(col("doc_id"), (col("xent") + lit(0.0)).as("xent"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = kn.filter(col("doc_id") % 3 =!= 0)
+      .agg(array_sort(collect_list(struct(col("xent").as("x"),
+        col("doc_id").as("id")))).as("xs"), count(lit(1)).as("n"))
+      .select(
+        element_at(col("xs"),
+          greatest(lit(1L), expr("n div 3")).cast("int"))("x").as("t1"),
+        element_at(col("xs"),
+          greatest(lit(1L), expr("(2 * n) div 3")).cast("int"))("x")
+          .as("t2"))
+    kn.crossJoin(broadcast(thr))
+      .withColumn("bucket",
+        when(col("xent") <= col("t1"), lit("head"))
+          .when(col("xent") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.functions.Exact.dsum(col("xent")).as("total_xent"),
+        min(col("xent")).as("min_xent"), max(col("xent")).as("max_xent"))
+      .orderBy(col("bucket"))
+  }
+
+  /** q189: Unicode script-mix audit (★ — the per-document script
+    * histogram web curation uses for encoding/spam tells and routing:
+    * per-script character counts, the dominant script, and a
+    * mixed-script flag — two letter scripts in one doc is the classic
+    * confusable/spam signal; fastText langid mis-scores such docs, so
+    * pipelines gate on this FIRST). The corpus is ASCII, so the query
+    * seeds deterministic Cyrillic/CJK/Arabic tails on doc_id % 4; the
+    * char-class patterns are shared Scala constants interpolated into
+    * both engines (literal BMP ranges — identical in Java regex and
+    * RE2). Dominant = max of the sorted (count, script) struct array,
+    * a total order both engines agree on; all outputs are ints,
+    * strings, and bools. */
+  val q189ScriptMix: QuerySpec = {
+    // literal BMP ranges; endpoints embedded as characters so the
+    // identical class text reaches Java regex and RE2
+    val latin = "[A-Za-z]"
+    val cyr = "[Ѐ-ӿ]"
+    val cjk = "[一-鿿]"
+    val arab = "[؀-ۿ]"
+    val digit = "[0-9]"
+    val seedSql =
+      """text ||
+        |    CASE doc_id % 4
+        |      WHEN 1 THEN ' привет мир 2024'
+        |      WHEN 2 THEN ' 你好世界'
+        |      WHEN 3 THEN ' مرحبا بالعالم'
+        |      ELSE '' END""".stripMargin
+    QuerySpec(
+      "q189_script_mix",
+      s"""WITH seeded AS (
+        |  SELECT doc_id, $seedSql AS t
+        |  FROM documents),
+        |counts AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '$latin')) AS BIGINT) AS n_latin,
+        |    CAST(len(regexp_extract_all(t, '$cyr')) AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(t, '$cjk')) AS BIGINT) AS n_cjk,
+        |    CAST(len(regexp_extract_all(t, '$arab')) AS BIGINT) AS n_arabic,
+        |    CAST(len(regexp_extract_all(t, '$digit')) AS BIGINT) AS n_digit
+        |  FROM seeded)
+        |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic, n_digit,
+        |  list_sort([
+        |    {'cnt': n_latin, 's': 'latin'},
+        |    {'cnt': n_cyrillic, 's': 'cyrillic'},
+        |    {'cnt': n_cjk, 's': 'cjk'},
+        |    {'cnt': n_arabic, 's': 'arabic'}])[4].s AS dominant,
+        |  (CAST(n_latin > 0 AS INTEGER) + CAST(n_cyrillic > 0 AS INTEGER)
+        |    + CAST(n_cjk > 0 AS INTEGER) + CAST(n_arabic > 0 AS INTEGER))
+        |    >= 2 AS mixed
+        |FROM counts ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = concat(col("text"),
+        when(col("doc_id") % 4 === 1, lit(" привет мир 2024"))
+          .when(col("doc_id") % 4 === 2, lit(" 你好世界"))
+          .when(col("doc_id") % 4 === 3, lit(" مرحبا بالعالم"))
+          .otherwise(lit("")))
+      def cnt(pat: String): org.apache.spark.sql.Column =
+        regexp_count(col("t"), lit(pat)).cast("long")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          cnt(latin).as("n_latin"), cnt(cyr).as("n_cyrillic"),
+          cnt(cjk).as("n_cjk"), cnt(arab).as("n_arabic"),
+          cnt(digit).as("n_digit"))
+        .select(col("doc_id"), col("n_latin"), col("n_cyrillic"),
+          col("n_cjk"), col("n_arabic"), col("n_digit"),
+          element_at(array_sort(array(
+            struct(col("n_latin").as("cnt"), lit("latin").as("s")),
+            struct(col("n_cyrillic").as("cnt"), lit("cyrillic").as("s")),
+            struct(col("n_cjk").as("cnt"), lit("cjk").as("s")),
+            struct(col("n_arabic").as("cnt"), lit("arabic").as("s")))),
+            4)("s").as("dominant"),
+          ((col("n_latin") > 0).cast("int")
+            + (col("n_cyrillic") > 0).cast("int")
+            + (col("n_cjk") > 0).cast("int")
+            + (col("n_arabic") > 0).cast("int") >= 2).as("mixed"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -2090,5 +2202,66 @@ object TextQueries {
     q155KnPerplexity, q156BpeMerges, q157BpeEncode, q160RobotsGate,
     q161LuhnRedact, q162NbClassifier, q163DsirSelect, q166FixEncoding,
     q167C4Filter, q168SkipgramPairs, q170TemperatureMix, q173VocabSweep,
-    q178CrawlFrontier, q183LengthPsi, q184ZipfFit)
+    q178CrawlFrontier, q183LengthPsi, q184ZipfFit,
+    q187TokenizerFertility, q188PerplexityBuckets, q189ScriptMix)
+}
+
+/** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,
+  * score the whole corpus), shared by q155 (per-doc perplexity gate)
+  * and q188 (CCNet head/middle/tail bucketing) so the two oracles'
+  * model arithmetic is generated from one source (the IvfSql/
+  * MinhashSql discipline). Emits CTEs ending in
+  * `kn(doc_id, n_bigrams, n_unseen, oov_rate, xent)`; xent is the
+  * round-6, -0.0-normalized per-doc cross-entropy. */
+private[queries] object KnSql {
+  val ctes: String =
+    """tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tbi0 AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+      |  FROM tok WHERE len(toks) >= 2 AND doc_id % 3 <> 0),
+      |tbi AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM tbi0),
+      |cnt AS (SELECT w1, w2, COUNT(*) AS c FROM tbi GROUP BY 1, 2),
+      |ctx AS (
+      |  SELECT w1, CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS n1f
+      |  FROM cnt GROUP BY 1),
+      |cont AS (SELECT w2, COUNT(*) AS n1b FROM cnt GROUP BY 1),
+      |gstat AS (
+      |  SELECT COUNT(*) AS bb, COUNT(DISTINCT w2) AS vv FROM cnt),
+      |sbi0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+      |  FROM tok WHERE len(toks) >= 2),
+      |sbi AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM sbi0),
+      |db AS (
+      |  SELECT doc_id, w1, w2, COUNT(*) AS m FROM sbi GROUP BY 1, 2, 3),
+      |e AS (
+      |  SELECT doc_id, m,
+      |    CASE WHEN c IS NULL THEN m ELSE CAST(0 AS BIGINT) END AS un,
+      |    {'w1': w1, 'w2': w2,
+      |     'nl': CAST(m AS DOUBLE) * -(ln(
+      |        CASE WHEN tot IS NOT NULL
+      |          THEN greatest(CAST(COALESCE(c, 0) AS DOUBLE) - 0.75, 0.0)
+      |                 / CAST(tot AS DOUBLE)
+      |             + (0.75 * CAST(n1f AS DOUBLE) / CAST(tot AS DOUBLE))
+      |               * (CAST(COALESCE(n1b, 0) + 1 AS DOUBLE)
+      |                  / CAST(bb + vv + 1 AS DOUBLE))
+      |          ELSE CAST(COALESCE(n1b, 0) + 1 AS DOUBLE)
+      |               / CAST(bb + vv + 1 AS DOUBLE) END) / ln(2))} AS e
+      |  FROM db LEFT JOIN cnt USING (w1, w2)
+      |    LEFT JOIN ctx USING (w1) LEFT JOIN cont USING (w2)
+      |    CROSS JOIN gstat),
+      |g AS (
+      |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(un) AS BIGINT) AS n_unseen, list_sort(list(e)) AS es
+      |  FROM e GROUP BY 1),
+      |kn AS (
+      |  SELECT doc_id, n_bigrams, n_unseen,
+      |    CAST(n_unseen AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+      |      AS oov_rate,
+      |    round(list_reduce(list_prepend(0.0,
+      |        list_transform(es, x -> x.nl)), (acc, x) -> acc + x)
+      |      / n_bigrams, 6) + 0.0 AS xent
+      |  FROM g)""".stripMargin
 }

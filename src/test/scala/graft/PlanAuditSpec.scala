@@ -63,6 +63,8 @@ class PlanAuditSpec extends SparkSpecBase {
     // q185 broadcasts the ≤8-vector query set under a label-inequality
     // predicate — q34's whitelisted shape (the negative pass is a
     // theta-join by definition; the broadcast side is contract-bounded)
+    // q188 crosses the 1-row tertile-threshold aggregate onto the
+    // scored corpus — the q76/q117 metadata-sized cross again
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
       "q90_resample", "q76_profile", "q100_histogram", "q107_ann_pipeline",
       "q117_bm25", "q120_repeated_spans", "q131_pmi_collocations",
@@ -72,7 +74,8 @@ class PlanAuditSpec extends SparkSpecBase {
       "q162_nb_classifier", "q163_dsir_select", "q168_skipgram_pairs",
       "q170_temperature_mix", "q173_vocab_sweep", "q175_all_but_top",
       "q179_binary_hamming_ann", "q180_channel_quantize",
-      "q181_ivfpq_topk", "q183_length_psi", "q185_hard_negatives")
+      "q181_ivfpq_topk", "q183_length_psi", "q185_hard_negatives",
+      "q188_perplexity_buckets")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

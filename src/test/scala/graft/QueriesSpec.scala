@@ -122,4 +122,65 @@ class QueriesSpec extends SparkSpecBase {
     // by construction — the diagnostic must say so
     assert(slope > -0.6, s"uniform fixture scored Zipf-steep: $slope")
   }
+
+  test("q187 fertility: every word yields at least one subword and " +
+    "the ratios tie out against the counts") {
+    val rows = Queries.byName("q187_tokenizer_fertility").run(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nWords, nChars, nTok) =
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_bpe_tokens"))
+      val (comp, fert) = (r.getAs[Double]("compression"),
+        r.getAs[Double]("fertility"))
+      assert(nTok >= nWords, "a word segmented to zero subwords")
+      assert(nTok <= nChars, "more subwords than characters")
+      assert(math.abs(fert - nTok.toDouble / nWords) < 1e-12)
+      assert(math.abs(comp - nChars.toDouble / nTok) < 1e-12)
+      assert(fert >= 1.0)
+    }
+  }
+
+  test("q188 buckets partition the scored corpus and their score " +
+    "ranges are disjoint and ordered head <= middle <= tail") {
+    val rows = Queries.byName("q188_perplexity_buckets").run(spark, sf)
+      .collect().map(r => r.getAs[String]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("min_xent"),
+          r.getAs[Double]("max_xent")))).toMap
+    assert(rows.keySet === Set("head", "middle", "tail"))
+    // every scoreable doc (>= 2 tokens) lands in exactly one bucket
+    val scored = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")) >= 2)
+      .count()
+    assert(rows.values.map(_._1).sum === scored)
+    assert(rows("head")._3 <= rows("middle")._2,
+      "head max crosses middle min")
+    assert(rows("middle")._3 <= rows("tail")._2,
+      "middle max crosses tail min")
+  }
+
+  test("q189 script mix: seeded scripts surface, clean docs stay " +
+    "latin-dominant and unmixed") {
+    val rows = Queries.byName("q189_script_mix").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (cyr, cjk, ara) = (r.getAs[Long]("n_cyrillic"),
+        r.getAs[Long]("n_cjk"), r.getAs[Long]("n_arabic"))
+      val (dom, mixed) = (r.getAs[String]("dominant"),
+        r.getAs[Boolean]("mixed"))
+      id % 4 match {
+        case 1 => assert(cyr > 0 && mixed, s"doc $id: cyrillic seed lost")
+        case 2 => assert(cjk > 0 && mixed, s"doc $id: cjk seed lost")
+        case 3 => assert(ara > 0 && mixed, s"doc $id: arabic seed lost")
+        case _ =>
+          assert(cyr == 0 && cjk == 0 && ara == 0 && !mixed,
+            s"doc $id: clean doc saw a non-latin count")
+          assert(dom === "latin", s"doc $id: dominant=$dom")
+      }
+    }
+  }
 }
