@@ -581,6 +581,55 @@ object Similarity {
        |      (a, b) -> a * 2 + b) AS code_hi
        |  FROM $rel v CROSS JOIN ${tag}mv mvt)""".stripMargin
 
+  /** Margin-based bitext mining (q190 — Artetxe & Schwenk 2019's
+    * ratio-margin criterion, the CCMatrix/WikiMatrix selection rule):
+    * for each source vector, the best target by
+    * margin = cos(x, y) / ((aₓ + b_y) / 2), where aₓ/b_y are the
+    * round-6 means of each side's top-`k` neighborhood sims (folded
+    * in rank order, so the oracle replays them); a pair is `accepted`
+    * when its margin clears `threshold`. Absolute-cosine mining fails
+    * on hubness vectors that score high against everything — the
+    * mutual-ranking denominator is the published fix.
+    *
+    * `src` must be (q_id, q_vec) and CONTRACT-BOUNDED (it broadcasts
+    * into the sim cross and the forward-mean join); `tgt` is
+    * (c_id, c_vec), corpus-sized — the backward-mean join on c_id is
+    * the one shuffle the criterion's mutual ranking needs. */
+  def bitextMarginMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                       threshold: Double = 1.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sims = tgt.crossJoin(broadcast(src))
+      .withColumn("sim", round(cosine(
+        col("q_vec").cast("array<double>"),
+        col("c_vec").cast("array<double>")), 6))
+      .select(col("q_id"), col("c_id"), col("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def topMean(part: String, tie: String): DataFrame = {
+      val w = Window.partitionBy(col(part))
+        .orderBy(col("sim").desc, col(tie))
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy(col(part))
+        .agg((round(aggregate(
+          transform(array_sort(collect_list(struct(col("rn").as("rn"),
+            col("sim").as("s")))), x => x("s")),
+          lit(0.0), (a, x) => a + x) / lit(k.toDouble), 6) + lit(0.0))
+          .as(s"mean_$part"))
+    }
+    val fwd = topMean("q_id", "c_id").withColumnRenamed("mean_q_id", "a_x")
+    val bwd = topMean("c_id", "q_id").withColumnRenamed("mean_c_id", "b_y")
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("margin").desc, col("c_id"))
+    sims.join(broadcast(fwd), Seq("q_id")).join(bwd, Seq("c_id"))
+      .withColumn("margin",
+        round(col("sim") / ((col("a_x") + col("b_y")) / lit(2)), 6))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("c_id"), col("sim"), col("a_x"),
+        col("b_y"), col("margin"),
+        (col("margin") > threshold).as("accepted"))
+  }
+
   /** Per-label centroid-distance outlier audit (q186 — the geometric
     * mislabel check run before training on labeled vectors): each
     * vector's euclidean distance to its OWN label's centroid, z-scored

@@ -855,12 +855,73 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** q190: margin-based bitext mining (★ — Artetxe & Schwenk 2019's
+    * ratio-margin criterion, the selection rule behind CCMatrix/
+    * WikiMatrix parallel-corpus mining: a source-target pair is mined
+    * when its cosine BEATS both vectors' neighborhood averages —
+    * absolute-threshold mining fails because "hubness" vectors score
+    * high against everything). Source = the 8 lowest-id label-0
+    * vectors (contract-bounded, broadcast — q34's whitelisted shape);
+    * target = every label-1 vector; margin = sim / ((aₓ + b_y)/2)
+    * with aₓ/b_y the round-6 top-4 neighborhood means folded in rank
+    * order. The forward frame (≤8 rows) broadcasts; the backward
+    * frame is target-sized and joins on the target key — the one
+    * shuffle the criterion's mutual-ranking genuinely needs. */
+  val q190BitextMargin: QuerySpec = QuerySpec(
+    "q190_bitext_margin",
+    """WITH src AS (
+      |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+      |  FROM embeddings WHERE label = 0 ORDER BY vec_id LIMIT 8),
+      |tgt AS (
+      |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_vec
+      |  FROM embeddings WHERE label = 1),
+      |sims AS (
+      |  SELECT q_id, c_id,
+      |    round(list_cosine_similarity(q_vec, c_vec), 6) AS sim
+      |  FROM src CROSS JOIN tgt),
+      |fr AS (
+      |  SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY sim DESC, c_id) AS rn
+      |  FROM sims),
+      |fwd AS (
+      |  SELECT q_id, round(list_reduce(list_prepend(0.0,
+      |      list_transform(list_sort(list({'rn': rn, 's': sim})),
+      |        x -> x.s)), (a, x) -> a + x) / 4.0, 6) + 0.0 AS a_x
+      |  FROM fr WHERE rn <= 4 GROUP BY q_id),
+      |br AS (
+      |  SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY c_id
+      |    ORDER BY sim DESC, q_id) AS rn
+      |  FROM sims),
+      |bwd AS (
+      |  SELECT c_id, round(list_reduce(list_prepend(0.0,
+      |      list_transform(list_sort(list({'rn': rn, 's': sim})),
+      |        x -> x.s)), (a, x) -> a + x) / 4.0, 6) + 0.0 AS b_y
+      |  FROM br WHERE rn <= 4 GROUP BY c_id),
+      |m AS (
+      |  SELECT s.q_id, s.c_id, s.sim, f.a_x, b.b_y,
+      |    round(s.sim / ((f.a_x + b.b_y) / 2), 6) AS margin
+      |  FROM sims s JOIN fwd f USING (q_id) JOIN bwd b USING (c_id)),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY margin DESC, c_id) AS rk
+      |  FROM m)
+      |SELECT q_id, c_id, sim, a_x, b_y, margin, margin > 1.05 AS accepted
+      |FROM rk WHERE rk = 1 ORDER BY q_id""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val src = e.filter(col("label") === 0).orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val tgt = e.filter(col("label") === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    Similarity.bitextMarginMine(src, tgt).orderBy(col("q_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
     q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup,
     q147VectorIndexLifecycle, q158PqCodebook, q159PqAdcTopK,
     q174PcaPower, q175AllButTop, q179BinaryAnn, q180ChannelQuant,
-    q181IvfPqTopK, q185HardNegatives, q186EmbeddingOutliers)
+    q181IvfPqTopK, q185HardNegatives, q186EmbeddingOutliers,
+    q190BitextMargin)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by

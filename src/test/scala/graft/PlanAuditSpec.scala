@@ -65,6 +65,8 @@ class PlanAuditSpec extends SparkSpecBase {
     // theta-join by definition; the broadcast side is contract-bounded)
     // q188 crosses the 1-row tertile-threshold aggregate onto the
     // scored corpus — the q76/q117 metadata-sized cross again
+    // q190 crosses the 8-row source-vector set (contract-bounded
+    // TakeOrdered pick) onto the target side — q34's shape
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
       "q90_resample", "q76_profile", "q100_histogram", "q107_ann_pipeline",
       "q117_bm25", "q120_repeated_spans", "q131_pmi_collocations",
@@ -75,7 +77,7 @@ class PlanAuditSpec extends SparkSpecBase {
       "q170_temperature_mix", "q173_vocab_sweep", "q175_all_but_top",
       "q179_binary_hamming_ann", "q180_channel_quantize",
       "q181_ivfpq_topk", "q183_length_psi", "q185_hard_negatives",
-      "q188_perplexity_buckets")
+      "q188_perplexity_buckets", "q190_bitext_margin")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

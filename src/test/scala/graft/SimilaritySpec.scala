@@ -285,6 +285,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("bitextMarginMine surfaces a planted translation pair with the " +
+    "top margin and ties the margin out against its columns") {
+    // plant: target 100 is (almost) source 0's vector — the one true
+    // "translation"; every other target is a different label-1 vector.
+    // The planted pair must be source 0's best candidate, accepted,
+    // and carry the run's highest margin.
+    val e = Tables.embeddings(spark, sf)
+    val src = e.filter(col("label") === 0).orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val firstSrc = src.agg(min(col("q_id"))).head.getLong(0)
+    val planted = src.filter(col("q_id") === firstSrc)
+      .select(lit(100000L).as("c_id"), col("q_vec").as("c_vec"))
+    val tgt = e.filter(col("label") === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .unionByName(planted)
+    val rows = Similarity.bitextMarginMine(src, tgt).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val best = rows(firstSrc)
+    assert(best.getLong(1) === 100000L,
+      s"planted pair not mined: ${best.mkString(",")}")
+    assert(best.getBoolean(6), "planted pair not accepted")
+    rows.values.foreach { r =>
+      val (sim, ax, by, margin) = (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+      assert(math.abs(margin - BigDecimal(sim / ((ax + by) / 2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    assert(rows.values.map(_.getDouble(5)).max === best.getDouble(5),
+      "planted pair does not carry the top margin")
+  }
+
   test("q185 hard negatives never share the query's label and the " +
     "margin ties out against the positive") {
     val q = Queries.byName("q185_hard_negatives").run(spark, sf)
