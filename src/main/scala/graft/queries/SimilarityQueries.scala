@@ -915,13 +915,102 @@ object SimilarityQueries {
     Similarity.bitextMarginMine(src, tgt).orderBy(col("q_id"))
   }
 
+  /** q191: reciprocal-rank fusion of two retrieval tiers (★ —
+    * Cormack, Clarke & Buettcher 2009, the standard hybrid-retrieval
+    * combiner: each ranker contributes 1/(60 + rank) for candidates
+    * in its top-20, summed across rankers — fusing the exact-cosine
+    * tier (q34) with the binary-Hamming sketch tier (q179) hedges
+    * each tier's failure mode without score calibration, exactly how
+    * production retrieval mixes dense and compressed indexes). Ranks
+    * are exact ints; the fused score adds two IEEE reciprocals in a
+    * pinned cos-then-ham order and rounds to 6; the full-outer merge
+    * is an equi-join on (q_id, c_id). */
+  val q191RrfFusion: QuerySpec = QuerySpec(
+    "q191_rrf_fusion",
+    s"""WITH allv AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv
+       |  FROM embeddings),
+       |${Similarity.sqlBinaryCodes("bcodes", "allv")},
+       |q AS (SELECT id AS q_id, dv AS q_vec FROM allv WHERE id < 8),
+       |cosr AS (
+       |  SELECT q_id, c_id, rn FROM (
+       |    SELECT q.q_id, c.id AS c_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        round(list_cosine_similarity(q.q_vec, c.dv), 6) DESC,
+       |        c.id) AS rn
+       |    FROM q JOIN allv c ON c.id <> q.q_id)
+       |  WHERE rn <= 20),
+       |qb AS (
+       |  SELECT id AS q_id, code_lo AS qlo, code_hi AS qhi
+       |  FROM bcodes WHERE id < 8),
+       |hamr AS (
+       |  SELECT q_id, c_id, rn FROM (
+       |    SELECT qb.q_id, c.id AS c_id,
+       |      row_number() OVER (PARTITION BY qb.q_id ORDER BY
+       |        bit_count(xor(c.code_lo, qb.qlo)) +
+       |        bit_count(xor(c.code_hi, qb.qhi)), c.id) AS rn
+       |    FROM qb JOIN bcodes c ON c.id <> qb.q_id)
+       |  WHERE rn <= 20),
+       |fused AS (
+       |  SELECT COALESCE(c.q_id, h.q_id) AS q_id,
+       |    COALESCE(c.c_id, h.c_id) AS c_id,
+       |    c.rn AS cos_rank, h.rn AS ham_rank,
+       |    round(COALESCE(1.0 / (60 + c.rn), 0.0)
+       |        + COALESCE(1.0 / (60 + h.rn), 0.0), 6) AS rrf
+       |  FROM cosr c FULL OUTER JOIN hamr h
+       |    ON c.q_id = h.q_id AND c.c_id = h.c_id),
+       |rk AS (
+       |  SELECT q_id, c_id, cos_rank, ham_rank, rrf,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rrf DESC, c_id) AS fused_rank
+       |  FROM fused)
+       |SELECT q_id, c_id, cos_rank, ham_rank, rrf, fused_rank
+       |FROM rk WHERE fused_rank <= 5
+       |ORDER BY q_id, fused_rank""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"))
+    val wq = Window.partitionBy(col("q_id"))
+    val cosr = corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .withColumn("rn", row_number().over(wq.orderBy(
+        round(Similarity.cosine(col("q_vec").cast("array<double>"),
+          col("c_vec").cast("array<double>")), 6).desc, col("c_id"))))
+      .filter(col("rn") <= 20)
+      .select(col("q_id"), col("c_id"), col("rn"))
+    val codes = Similarity.binaryCodes(e, "vec_id", "embedding")
+    val hamr = Similarity.binaryHammingTopK(
+        codes.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "q_id"),
+        codes.withColumnRenamed("vec_id", "c_id"),
+        "q_id", "c_id", k = 20)
+      .select(col("q_id"), col("c_id"), col("rank").as("rn"))
+    val fused = cosr.withColumnRenamed("rn", "cos_rank")
+      .join(hamr.withColumnRenamed("rn", "ham_rank"),
+        Seq("q_id", "c_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("cos_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("ham_rank")), lit(0.0)), 6))
+    fused
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf").desc, col("c_id"))))
+      .filter(col("fused_rank") <= 5)
+      .select(col("q_id"), col("c_id"),
+        col("cos_rank").cast("long").as("cos_rank"),
+        col("ham_rank").cast("long").as("ham_rank"),
+        col("rrf"), col("fused_rank").cast("long").as("fused_rank"))
+      .orderBy(col("q_id"), col("fused_rank"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
     q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup,
     q147VectorIndexLifecycle, q158PqCodebook, q159PqAdcTopK,
     q174PcaPower, q175AllButTop, q179BinaryAnn, q180ChannelQuant,
     q181IvfPqTopK, q185HardNegatives, q186EmbeddingOutliers,
-    q190BitextMargin)
+    q190BitextMargin, q191RrfFusion)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by

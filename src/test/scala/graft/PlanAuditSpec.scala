@@ -67,6 +67,8 @@ class PlanAuditSpec extends SparkSpecBase {
     // scored corpus — the q76/q117 metadata-sized cross again
     // q190 crosses the 8-row source-vector set (contract-bounded
     // TakeOrdered pick) onto the target side — q34's shape
+    // q191 broadcasts the ≤8-query set into both fused tiers —
+    // q34's and q179's whitelisted shapes composed
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
       "q90_resample", "q76_profile", "q100_histogram", "q107_ann_pipeline",
       "q117_bm25", "q120_repeated_spans", "q131_pmi_collocations",
@@ -77,7 +79,7 @@ class PlanAuditSpec extends SparkSpecBase {
       "q170_temperature_mix", "q173_vocab_sweep", "q175_all_but_top",
       "q179_binary_hamming_ann", "q180_channel_quantize",
       "q181_ivfpq_topk", "q183_length_psi", "q185_hard_negatives",
-      "q188_perplexity_buckets", "q190_bitext_margin")
+      "q188_perplexity_buckets", "q190_bitext_margin", "q191_rrf_fusion")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

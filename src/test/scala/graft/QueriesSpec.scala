@@ -162,6 +162,28 @@ class QueriesSpec extends SparkSpecBase {
       "middle max crosses tail min")
   }
 
+  test("q191 RRF: the fused score ties out from the two rank columns " +
+    "and every row appears in at least one tier") {
+    val rows = Queries.byName("q191_rrf_fusion").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cosR = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val hamR = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(cosR.isDefined || hamR.isDefined,
+        "a fused row appears in neither tier")
+      val expected = BigDecimal(
+        cosR.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+          hamR.map(x => 1.0 / (60 + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(4) - expected) < 1e-9,
+        s"rrf mismatch: ${r.mkString(",")}")
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getLong(5)).sorted.toSeq == (1L to g.length),
+        "fused ranks are not 1..k")
+    }
+  }
+
   test("q189 script mix: seeded scripts surface, clean docs stay " +
     "latin-dominant and unmixed") {
     val rows = Queries.byName("q189_script_mix").run(spark, sf).collect()
