@@ -108,6 +108,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric shingle containment (Broder 1997's second resemblance
+    * measure, q192): directed pairs with
+    * C(src → dst) = |S(src) ∩ S(dst)| / |S(src)| ≥ threshold — the
+    * quote/excerpt/subset detector symmetric Jaccard structurally
+    * misses (a 20-token quote inside a 500-token article has J ≈ 0.04
+    * but C = 1.0). Same inverted-index shape as
+    * [[ngramJaccardPairs]]: the intersection is computed ONCE per
+    * unordered pair on the shingle-hash equi-join, then both directed
+    * normalizations are emitted from it — the join cost does not
+    * double. Containment divides two exact ints, so the value is
+    * oracle-exact. */
+  def containmentPairs(df: DataFrame, keyCol: String, textCol: String,
+                       k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(df, keyCol, textCol, k)
+      .select(col(keyCol), xxhash64(col("shingle")).as("shingle"))
+      .cache()
+    val counts = sh.groupBy(col(keyCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(keyCol).as("a"), col("shingle"))
+    val b = sh.select(col(keyCol).as("b"), col("shingle"))
+    val sized = a.join(b, Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+      .join(counts.select(col(keyCol).as("a"), col("n_sh").as("n_a")),
+        Seq("a"))
+      .join(counts.select(col(keyCol).as("b"), col("n_sh").as("n_b")),
+        Seq("b"))
+    def directed(src: Column, dst: Column, nSrc: Column): DataFrame =
+      sized.select(src.as("src"), dst.as("dst"), col("n_common"),
+        nSrc.as("n_src"),
+        (col("n_common").cast("double") / nSrc.cast("double"))
+          .as("containment"))
+    directed(col("a"), col("b"), col("n_a"))
+      .unionByName(directed(col("b"), col("a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Modulus of the portable MinHash arithmetic: the Mersenne prime
     * 2^31 - 1. Residues are nonnegative and a product of two residues
     * tops out at (P-1)^2 ≈ 4.6e18 < Long.MaxValue, so the multiply-add

@@ -1503,6 +1503,63 @@ object DedupQueries {
       .orderBy(col("s1"), col("s2"))
   }
 
+  /** q192: asymmetric shingle-containment join (★ — Broder 1997's
+    * SECOND resemblance measure, the quote/excerpt detector:
+    * C(src → dst) = |S(src) ∩ S(dst)| / |S(src)|. A short quote
+    * inside a long article has Jaccard ≈ 0 (q31 can never surface
+    * it) but containment 1.0 — news/web dedup gates on exactly this
+    * directed form; see [[graft.operators.Dedup.containmentPairs]]
+    * for the shared-intersection shape). The fixture plants
+    * 12-token excerpt docs for every doc_id % 3 = 0, so true
+    * full-containment pairs exist at J ≈ 0.1; the corpus's natural
+    * exact dups exercise the mutual-containment (1.0 both ways)
+    * edge. Containment divides two exact ints — oracle-exact. */
+  val q192ContainmentJoin: QuerySpec = QuerySpec(
+    "q192_containment_join",
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 80
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    array_to_string(string_split(text, ' ')[1:12], ' ') AS text
+      |  FROM documents WHERE doc_id < 80 AND doc_id % 3 = 0),
+      |tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+      |  FROM tok),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |sized AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common,
+      |    ANY_VALUE(ca.n_sh) AS n_a, ANY_VALUE(cb.n_sh) AS n_b
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  JOIN counts ca ON ca.doc_id = x.doc_id
+      |  JOIN counts cb ON cb.doc_id = y.doc_id
+      |  GROUP BY 1, 2),
+      |directed AS (
+      |  SELECT a AS src, b AS dst, n_common, n_a AS n_src,
+      |    CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+      |  FROM sized
+      |  UNION ALL
+      |  SELECT b AS src, a AS dst, n_common, n_b AS n_src,
+      |    CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment
+      |  FROM sized)
+      |SELECT src, dst, n_common, n_src, containment
+      |FROM directed WHERE containment >= 0.8
+      |ORDER BY src, dst""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 80)
+      .select(col("doc_id"), col("text"))
+    val quotes = d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 12), " ").as("text"))
+    val all = d.unionByName(quotes)
+      .filter(size(split(col("text"), " ")) >= 3)
+    Dedup.containmentPairs(all, "doc_id", "text", k = 3, threshold = 0.8)
+      .orderBy(col("src"), col("dst"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q30ExactDedup, q31NgramJaccard, q32MinhashLsh, q33Simhash,
     q66MllibMinhash, q75DedupClusters, q77DedupApply,
@@ -1511,5 +1568,5 @@ object DedupQueries {
     q142DedupLifecycle, q145ExactSubstrDedup, q153BoilerplateRemoval,
     q164ParagraphDedup, q165WinnowOverlap, q169NoveltyScore,
     q171DedupKeepBest, q176LshRecallAudit, q177IncrementalNovelty,
-    q182SourceOverlap)
+    q182SourceOverlap, q192ContainmentJoin)
 }

@@ -563,4 +563,29 @@ class DedupSpec extends SparkSpecBase {
     assert(r(2L).getAs[Long]("n_distinct_grams") === 1L)
     assert(r(2L).getAs[Double]("novelty") === 1.0)
   }
+
+  test("containmentPairs: a quote is fully contained in its source " +
+    "while Jaccard misses the pair, and the reverse direction fails " +
+    "the threshold") {
+    import spark.implicits._
+    val article = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (5 to 12).map(i => s"w$i").mkString(" ") // 8-token excerpt
+    val other = (100 to 130).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, article), (2L, quote), (3L, other))
+      .toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(df, "doc_id", "text",
+        k = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // quote → article: every quote shingle appears in the article
+    assert(rows.contains((2L, 1L)), s"quote pair missing: ${rows.keys}")
+    assert(rows((2L, 1L)).getAs[Double]("containment") === 1.0)
+    // article → quote: 6/38 shingles — far below the threshold
+    assert(!rows.contains((1L, 2L)), "reverse direction cleared 0.8")
+    assert(!rows.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      "the disjoint doc paired with something")
+    // and symmetric Jaccard would never have surfaced the pair
+    val j = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      k = 3, threshold = 0.5).collect()
+    assert(j.isEmpty, "Jaccard unexpectedly caught the quote pair")
+  }
 }
