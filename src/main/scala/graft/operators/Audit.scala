@@ -70,4 +70,66 @@ object Audit {
     require(parts.nonEmpty, "audit needs at least one constraint")
     parts.reduce(_.unionByName(_))
   }
+
+  /** Fold a batch's per-bucket counts into a persisted exact histogram
+    * at `path` — the CountMin-store read-merge-write posture for a
+    * spine-bounded histogram (kilobytes regardless of what it
+    * summarized). The fold is counter addition, so the drained store
+    * equals the histogram one batch build over the concatenated
+    * stream would produce — the streaming drift monitor and the batch
+    * q183 arithmetic cannot drift. */
+  def histogramFoldIntoStore(batch: DataFrame, bucketCol: String,
+                             path: String): Unit = {
+    val spark = batch.sparkSession
+    val inc = batch
+      .groupBy(col(bucketCol).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val exists =
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    val merged =
+      if (!exists) inc
+      else readHistogramStore(spark, path).unionByName(inc)
+        .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    // detach from the path about to be overwritten (the CountMin
+    // foldIntoStore discipline), then drop the checkpoint blocks
+    val pinned = merged.localCheckpoint(true)
+    pinned.coalesce(1).write.mode("overwrite").parquet(path)
+    Graph.checkpointRdd(pinned).foreach(_.unpersist(false))
+  }
+
+  def readHistogramStore(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("bucket").cast("long"), col("cnt").cast("long"))
+
+  /** Laplace-smoothed population-stability-index terms between a
+    * reference histogram and a current one over the dense
+    * [0, numBuckets) spine — the q183 arithmetic factored so the
+    * batch monitor and the streaming fold score with ONE formula:
+    * p = (n + 1) / (total + numBuckets),
+    * psi_term = round((p_cur − p_ref) · ln(p_cur / p_ref), 6).
+    * Both inputs are (bucket, cnt); missing spine buckets count 0. */
+  def psiTerms(ref: DataFrame, cur: DataFrame,
+               numBuckets: Int): DataFrame = {
+    val spark = ref.sparkSession
+    val spine = spark.range(0, numBuckets).select(col("id").as("bucket"))
+    val cnt = spine
+      .join(ref.select(col("bucket"), col("cnt").as("n_ref")),
+        Seq("bucket"), "left")
+      .join(cur.select(col("bucket"), col("cnt").as("n_cur")),
+        Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = cnt.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    def p(n: Column, t: Column): Column =
+      (n + lit(1L)).cast("double") /
+        (t + lit(numBuckets.toLong)).cast("double")
+    cnt.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round((p(col("n_cur"), col("tc")) - p(col("n_ref"), col("tr"))) *
+          log(p(col("n_cur"), col("tc")) / p(col("n_ref"), col("tr"))),
+          6).as("psi_term"))
+  }
 }

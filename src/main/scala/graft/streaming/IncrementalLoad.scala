@@ -171,4 +171,26 @@ object IncrementalLoad {
           valueCol, storePath, k)
       }
       .start()
+
+  /** Streaming drift monitor (★ — the q183 PSI monitor run as an
+    * ingestion stream would run it: every micro-batch's length
+    * buckets fold into a persisted exact histogram
+    * ([[graft.operators.Audit.histogramFoldIntoStore]]), and the
+    * alert path reads the KILOBYTE store against the reference
+    * histogram through [[graft.operators.Audit.psiTerms]] — the
+    * arriving corpus is never reprocessed. The fold is counter
+    * addition, so the drained store's PSI equals the batch PSI over
+    * the concatenated stream regardless of micro-batch boundaries
+    * (StreamingSpec pins it). */
+  def streamingDriftFold(spark: SparkSession, stream: DataFrame,
+                         bucketCol: String, storePath: String,
+                         checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Audit.histogramFoldIntoStore(batch, bucketCol,
+          storePath)
+      }
+      .start()
 }

@@ -438,4 +438,54 @@ class StreamingSpec extends SparkSpecBase {
       spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
     assert(leaked.isEmpty, s"fold path leaked cached RDDs: $leaked")
   }
+
+  test("streaming drift fold: the drained histogram equals the batch " +
+      "one and its PSI against the reference matches the batch PSI") {
+    import graft.operators.Audit
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val root = java.nio.file.Files.createTempDirectory("graft_sdrift")
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      df.select(least(lit(4L),
+        floor(length(col("text")).cast("double") / lit(150.0))
+          .cast("long")).as("bucket"))
+    val docs = Tables.documents(spark, sf)
+    // the q183 drifted snapshot, split into two micro-batch files
+    val drifted = docs.select(
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit(" padding tokens extra appended here now for drift")))
+        .when(col("doc_id") % 5 === 1,
+          array_join(slice(split(col("text"), " "), 1, 10), " "))
+        .otherwise(col("text")).as("text"),
+      col("doc_id"))
+    val b1 = buckets(drifted.filter(col("doc_id") % 2 === 0))
+    val b2 = buckets(drifted.filter(col("doc_id") % 2 =!= 0))
+    b1.coalesce(1).write.parquet(root.resolve("in/b1").toString)
+    b2.coalesce(1).write.parquet(root.resolve("in/b2").toString)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in/*/")
+    val storePath = root.resolve("store").toString
+    val q = graft.streaming.IncrementalLoad.streamingDriftFold(
+      spark, stream, "bucket", storePath,
+      root.resolve("ckpt").toString)
+    assert(q.awaitTermination(120000), "fold did not drain in time")
+    // drained store == one batch histogram over the whole stream
+    val direct = b1.unionByName(b2).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    assertBagEqual(Audit.readHistogramStore(spark, storePath), direct)
+    // and PSI from the kilobyte store matches the all-batch PSI
+    val ref = buckets(docs).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val fromStore = Audit.psiTerms(ref,
+      Audit.readHistogramStore(spark, storePath), 5)
+    val fromBatch = Audit.psiTerms(ref, direct, 5)
+    assertBagEqual(fromStore, fromBatch)
+    // seeded drift must register (the q183 positivity contract)
+    val total = fromStore.agg(sum(col("psi_term"))).head.getDouble(0)
+    assert(total > 0.001, s"seeded drift not detected: $total")
+    val leaked =
+      spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"fold path leaked cached RDDs: $leaked")
+  }
 }
