@@ -108,6 +108,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "simhash60 takes 1 argument")
         GraftExtensions.simHash60Expr(children.head)
       }))
+    // DuckDB-named alias for the engine's NFC pass (UnicodeNormalize
+    // with stripAccents off) so SQL written against either engine runs
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "nfc_normalize takes 1 argument")
+        UnicodeNormalize(children.head, stripAccentsFlag = false)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("approx_top_terms"),
       new ExpressionInfo(classOf[SpaceSavingAgg].getName, "approx_top_terms"),

@@ -23,9 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object UnicodeNorm extends Serializable {
 
-  def nfc(s: UTF8String): UTF8String =
-    UTF8String.fromString(java.text.Normalizer.normalize(
-      s.toString, java.text.Normalizer.Form.NFC))
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // already-NFC fast path (the whole corpus, for ASCII-dominated
+    // data): one scan, no allocation beyond the toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      str, java.text.Normalizer.Form.NFC))
+  }
 
   def stripAccents(s: UTF8String): UTF8String = {
     val decomposed = java.text.Normalizer.normalize(

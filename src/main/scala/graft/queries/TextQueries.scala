@@ -2189,6 +2189,57 @@ object TextQueries {
     }
   }
 
+  /** q193: Unicode NFC normalization pass (★ — the canonical-
+    * composition step every tokenizer pipeline runs FIRST: decomposed
+    * "e"+U+0301 and composed "é" are different byte strings, so an
+    * un-normalized corpus fragments the vocabulary, splits exact-dedup
+    * keys, and double-counts shingles; see
+    * [[graft.plans.NfcNormalizeExpr]] for the codegen expression —
+    * Spark ships no normalizer built-in). The ASCII corpus is seeded
+    * with decomposed (doc_id % 3 = 0) and composed (doc_id % 3 = 1)
+    * spellings from SHARED Scala constants; DuckDB's `nfc_normalize`
+    * implements the same canonical composition, so the changed flags,
+    * char counts, and normalized md5 all replay byte-for-byte. Where
+    * q105's ladder folds case/whitespace/accents for DEDUP KEYS, this
+    * is the lossless standalone pass run on the text a pipeline
+    * actually ships. */
+  val q193NfcNormalize: QuerySpec = {
+    // é as e+COMBINING ACUTE, ç as c+COMBINING CEDILLA (decomposed)
+    val decomposed = "résumé français"
+    // the same words in composed (NFC) form
+    val composed = "résumé français"
+    QuerySpec(
+      "q193_nfc_normalize",
+      s"""WITH seeded AS (
+        |  SELECT doc_id, text || CASE doc_id % 3
+        |    WHEN 0 THEN ' $decomposed'
+        |    WHEN 1 THEN ' $composed'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM seeded)
+        |SELECT doc_id, nt <> t AS changed,
+        |  CAST(length(t) AS BIGINT) AS n_before,
+        |  CAST(length(nt) AS BIGINT) AS n_after,
+        |  md5(nt) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" " + decomposed))
+          .when(col("doc_id") % 3 === 1, lit(" " + composed))
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          graft.plans.UnicodeNormalize(col("t"), stripAccents = false)
+            .as("nt"),
+          col("t"))
+        .select(col("doc_id"), (col("nt") =!= col("t")).as("changed"),
+          length(col("t")).cast("long").as("n_before"),
+          length(col("nt")).cast("long").as("n_after"),
+          md5(col("nt")).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -2203,7 +2254,8 @@ object TextQueries {
     q161LuhnRedact, q162NbClassifier, q163DsirSelect, q166FixEncoding,
     q167C4Filter, q168SkipgramPairs, q170TemperatureMix, q173VocabSweep,
     q178CrawlFrontier, q183LengthPsi, q184ZipfFit,
-    q187TokenizerFertility, q188PerplexityBuckets, q189ScriptMix)
+    q187TokenizerFertility, q188PerplexityBuckets, q189ScriptMix,
+    q193NfcNormalize)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,

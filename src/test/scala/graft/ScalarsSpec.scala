@@ -345,6 +345,31 @@ class ScalarsSpec extends SparkSpecBase {
     assert(run("CODEGEN_ONLY").sameElements(run("NO_CODEGEN")))
   }
 
+  test("NFC pass composes decomposed marks, fast-paths normalized " +
+    "input, and answers under the nfc_normalize SQL alias") {
+    // decomposed e+U+0301 (2 chars) must compose to é (1 char); a
+    // composed/ASCII string must come back unchanged via the
+    // isNormalized fast path
+    val df = Seq("résumé", "résumé", "plain")
+      .toDF("text")
+    val out = df.select(
+        graft.plans.UnicodeNormalize(col("text"), stripAccents = false),
+        length(col("text")))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(out(0)._1 == "résumé" && out(0)._2 == 8)
+    assert(out(1)._1 == "résumé" && out(1)._2 == 6)
+    assert(out(2)._1 == "plain")
+    // the DuckDB-named SQL alias resolves through the extension
+    val s2 = spark.newSession()
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      exprs => graft.plans.UnicodeNormalize(exprs.head,
+        stripAccentsFlag = false),
+      "scala_udf")
+    val r = s2.sql("SELECT nfc_normalize('ré') AS s").head.getString(0)
+    assert(r == "ré")
+  }
+
   test("fused portable_hash64 is bit-identical to the composed md5 chain") {
     // every oracle replays CAST('0x'||substr(md5(x),1,15) AS BIGINT) —
     // the fused expression must match the conv(substring(md5)) spelling
