@@ -2240,6 +2240,48 @@ object TextQueries {
     }
   }
 
+  /** q194: dictionary blocklist gate (★ — the C4 §2.2 "bad words"
+    * filter: any page containing a blocklisted TERM is dropped —
+    * dictionary membership, not regex shape, which is why it sits
+    * beside q116's pattern-based PII tier and q148's statistical
+    * rules; production pipelines run all three). The blocklist is a
+    * shared Scala constant interpolated into both engines (broadcast
+    * literal array on the Spark side — the filter is one scan-shaped
+    * lambda, no join, no shuffle before the per-doc project). Emits
+    * the audit columns a curation report needs: occurrence count,
+    * distinct terms hit (sorted), and the keep flag. */
+  val q194BlocklistGate: QuerySpec = {
+    val blocklist = Seq("slow", "stale", "drop")
+    val sqlList = blocklist.map(t => s"'$t'").mkString("[", ", ", "]")
+    QuerySpec(
+      "q194_blocklist_gate",
+      s"""WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_filter(toks, t -> list_contains($sqlList, t)) AS hits
+        |  FROM tk)
+        |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+        |  CAST(len(list_distinct(hits)) AS BIGINT) AS n_terms,
+        |  COALESCE(array_to_string(list_sort(list_distinct(hits)), ','),
+        |    '') AS hit_terms,
+        |  len(hits) = 0 AS keep
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val blockLit = array(blocklist.map(lit): _*)
+      val hits = filter(split(col("text"), " "),
+        t => array_contains(blockLit, t))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), hits.as("hits"))
+        .select(col("doc_id"),
+          size(col("hits")).cast("long").as("n_hits"),
+          size(array_distinct(col("hits"))).cast("long").as("n_terms"),
+          array_join(array_sort(array_distinct(col("hits"))), ",")
+            .as("hit_terms"),
+          (size(col("hits")) === 0).as("keep"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -2255,7 +2297,7 @@ object TextQueries {
     q167C4Filter, q168SkipgramPairs, q170TemperatureMix, q173VocabSweep,
     q178CrawlFrontier, q183LengthPsi, q184ZipfFit,
     q187TokenizerFertility, q188PerplexityBuckets, q189ScriptMix,
-    q193NfcNormalize)
+    q193NfcNormalize, q194BlocklistGate)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,
