@@ -1583,6 +1583,61 @@ object RelationalQueries {
     }
   }
 
+  /** q199: k-anonymity / l-diversity audit (★ — the privacy report a
+    * dataset release runs BEFORE publishing training data: group the
+    * table by its quasi-identifiers and measure the smallest
+    * equivalence class; any class below the k threshold re-identifies
+    * its members by linkage, Sweeney 2002). Quasi-identifiers here:
+    * (nation, market segment, account-balance band); the sensitive
+    * attribute is the in-debt flag (acctbal < 0), whose per-class
+    * distinct count is the l-diversity. The global k_min / at-risk
+    * fraction attach via a 1-row aggregate cross (the q76/q100
+    * metadata-sized broadcast shape). One shuffle on the QI key;
+    * balance banding is a single IEEE divide + floor both engines
+    * agree on. */
+  val q199KAnonymity: QuerySpec = QuerySpec(
+    "q199_k_anonymity",
+    """WITH qi AS (
+      |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+      |    CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_band,
+      |    c_acctbal < 0 AS in_debt
+      |  FROM customer),
+      |cls AS (
+      |  SELECT nation, segment, bal_band,
+      |    CAST(COUNT(*) AS BIGINT) AS class_size,
+      |    CAST(COUNT(DISTINCT in_debt) AS BIGINT) AS l_diversity
+      |  FROM qi GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT MIN(class_size) AS k_min,
+      |    round(CAST(SUM(CASE WHEN class_size < 5 THEN class_size
+      |                        ELSE 0 END) AS DOUBLE)
+      |      / SUM(class_size), 6) AS pct_at_risk
+      |  FROM cls)
+      |SELECT c.nation, c.segment, c.bal_band, c.class_size,
+      |  c.l_diversity, c.class_size < 5 AS risky, g.k_min, g.pct_at_risk
+      |FROM cls c CROSS JOIN g
+      |ORDER BY c.nation, c.segment, c.bal_band""".stripMargin) { (s, dir) =>
+    val qi = Tables.customer(s, dir).select(
+      col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / 1000).cast("int").as("bal_band"),
+      (col("c_acctbal") < 0).as("in_debt"))
+    val cls = qi.groupBy(col("nation"), col("segment"), col("bal_band"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("in_debt")).as("l_diversity"))
+    val g = cls.agg(
+      min(col("class_size")).as("k_min"),
+      round(sum(when(col("class_size") < 5, col("class_size"))
+        .otherwise(lit(0L))).cast("double") / sum(col("class_size")), 6)
+        .as("pct_at_risk"))
+    cls.crossJoin(broadcast(g))
+      .select(col("nation"), col("segment"), col("bal_band"),
+        col("class_size"), col("l_diversity"),
+        (col("class_size") < 5).as("risky"),
+        col("k_min"), col("pct_at_risk"))
+      .orderBy(col("nation"), col("segment"), col("bal_band"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
@@ -1596,5 +1651,6 @@ object RelationalQueries {
     q100Histogram, q102DictEncode, q110ImputeMean,
     q118CsvRoundtrip, q122OrcRoundtrip, q123KmvRollup, q124PageRank,
     q125EpochShuffle, q126SchemaEvolution, q133SketchRetention,
-    q143CountMinFreq, q151QuantileSketch, q172JsonlShards)
+    q143CountMinFreq, q151QuantileSketch, q172JsonlShards,
+    q199KAnonymity)
 }

@@ -1004,13 +1004,94 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("fused_rank"))
   }
 
+  /** q196: prototype-distance data pruning (★ — Sorscher et al. 2022,
+    * "Beyond neural scaling laws": when data is abundant, TRAIN ON THE
+    * HARD examples — rank each vector by cosine distance to its own
+    * class prototype and drop the most prototypical half; the easy
+    * examples carry the least marginal information). Prototypes are
+    * q136's per-label centroids verbatim (sorted struct fold +
+    * round(6) per dimension — bit-identical cross-engine), assembled
+    * into dim-ordered arrays that BROADCAST into one label equi-join;
+    * distance rides the q34-proven cosine + round(6) (one 1−sim IEEE
+    * op both engines share). Prototypicality rank / class size are a
+    * per-label window — label-bounded partitions, no global sort.
+    * Scale shape: centroid frame is label×dim-bounded; the corpus is
+    * scanned once and never shuffles except the label window. */
+  val q196PrototypePrune: QuerySpec = QuerySpec(
+    "q196_prototype_prune",
+    """WITH e AS (
+      |  SELECT label, vec_id, unnest(list_transform(
+      |    range(1, len(embedding) + 1),
+      |    i -> {'d': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+      |  FROM embeddings),
+      |f AS (SELECT label, u.d AS dim, vec_id, u.v AS v FROM e),
+      |g AS (
+      |  SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |    list_sort(list({'id': vec_id, 'v': v})) AS xs
+      |  FROM f GROUP BY 1, 2),
+      |cent AS (
+      |  SELECT label, dim,
+      |    round(list_reduce(list_prepend(0.0,
+      |        list_transform(xs, x -> x.v)), (acc, x) -> acc + x)
+      |      / n, 6) + 0.0 AS c
+      |  FROM g),
+      |cv AS (
+      |  SELECT label, list_transform(list_sort(list({'d': dim, 'c': c})),
+      |    x -> x.c) AS proto
+      |  FROM cent GROUP BY label),
+      |d AS (
+      |  SELECT e.vec_id, e.label,
+      |    1 - round(list_cosine_similarity(
+      |      CAST(e.embedding AS DOUBLE[]), c.proto), 6) AS dist
+      |  FROM embeddings e JOIN cv c ON c.label = e.label),
+      |r AS (
+      |  SELECT vec_id, label, dist,
+      |    CAST(row_number() OVER (PARTITION BY label ORDER BY dist, vec_id)
+      |      AS BIGINT) AS proto_rank,
+      |    CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS n_label
+      |  FROM d)
+      |SELECT vec_id, label, dist, proto_rank, n_label,
+      |  proto_rank > n_label // 2 AS kept
+      |FROM r ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    val cent = e
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(
+          struct(col("vec_id").as("id"), col("v").cast("double").as("v"))))
+          .as("xs"))
+      .select(col("label"), col("dim"),
+        (round(aggregate(transform(col("xs"), x => x("v")), lit(0.0),
+          (acc, x) => acc + x) / col("n"), 6) + lit(0.0)).as("c"))
+    val protos = cent.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(
+        struct(col("dim").as("d"), col("c").as("c")))), x => x("c"))
+        .as("proto"))
+    val w = Window.partitionBy(col("label"))
+    val wr = w.orderBy(col("dist"), col("vec_id"))
+    e.join(broadcast(protos), "label")
+      .select(col("vec_id"), col("label"),
+        (lit(1) - round(Similarity.cosine(
+          col("embedding").cast("array<double>"), col("proto")), 6))
+          .as("dist"))
+      .withColumn("proto_rank", row_number().over(wr).cast("long"))
+      .withColumn("n_label", count(lit(1)).over(w))
+      .select(col("vec_id"), col("label"), col("dist"), col("proto_rank"),
+        col("n_label"),
+        (col("proto_rank") > floor(col("n_label") / 2)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
     q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup,
     q147VectorIndexLifecycle, q158PqCodebook, q159PqAdcTopK,
     q174PcaPower, q175AllButTop, q179BinaryAnn, q180ChannelQuant,
     q181IvfPqTopK, q185HardNegatives, q186EmbeddingOutliers,
-    q190BitextMargin, q191RrfFusion)
+    q190BitextMargin, q191RrfFusion, q196PrototypePrune)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by

@@ -2282,6 +2282,81 @@ object TextQueries {
     }
   }
 
+  /** q198: readability scoring (★ — the Flesch–Kincaid grade /
+    * Flesch reading-ease pair, the oldest quality signal in text
+    * curation and still a standard feature in doc-quality stacks
+    * next to q27's ratio score and q148's Gopher bank). Sentences
+    * are seeded deterministically (the corpus has no terminal
+    * punctuation — a '.' lands on every 7th token and the last, the
+    * q167 seeding discipline) and then COUNTED from the constructed
+    * text with regexp_count, not recomputed arithmetically — the
+    * operator is exercised on text, not on n. Syllables use the
+    * classic vowel-group heuristic ([aeiouy]+ runs; groups cannot
+    * span a space, so one corpus-wide count equals the per-word
+    * sum). Both ratios round to 6 before the two linear forms
+    * (coefficients cast to DOUBLE on the SQL side so both engines
+    * bind the identical literal), and each form is one pinned
+    * left-to-right a·x + b·y − c chain + round(6) — hash-stable.
+    * Scale shape: pure per-row Column work, no shuffle before the
+    * final order; codegen end to end. */
+  val q198Readability: QuerySpec = QuerySpec(
+    "q198_readability",
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks, text
+      |  FROM documents),
+      |seeded AS (
+      |  SELECT doc_id, text, toks,
+      |    array_to_string(list_transform(range(1, len(toks) + 1),
+      |      i -> toks[i] || CASE WHEN i % 7 = 0 OR i = len(toks)
+      |                           THEN '.' ELSE '' END), ' ') AS st
+      |  FROM tk),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(len(regexp_extract_all(st, '\.')) AS BIGINT) AS n_sentences,
+      |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+      |      AS n_syllables
+      |  FROM seeded),
+      |r AS (
+      |  SELECT doc_id, n_words, n_sentences, n_syllables,
+      |    round(CAST(n_words AS DOUBLE) / n_sentences, 6) AS wps,
+      |    round(CAST(n_syllables AS DOUBLE) / n_words, 6) AS spw
+      |  FROM c)
+      |SELECT doc_id, n_words, n_sentences, n_syllables, wps, spw,
+      |  round(CAST(0.39 AS DOUBLE) * wps + CAST(11.8 AS DOUBLE) * spw
+      |    - CAST(15.59 AS DOUBLE), 6) + 0.0 AS fk_grade,
+      |  round(CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * wps
+      |    - CAST(84.6 AS DOUBLE) * spw, 6) + 0.0 AS flesch_ease
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val seeded = TextFunctions.bound(split(col("text"), " ")) { toks =>
+      struct(
+        size(toks).cast("long").as("n_words"),
+        array_join(zip_with(toks, sequence(lit(1), size(toks)),
+          (w, i) => concat(w,
+            when(i % 7 === 0 || i === size(toks), lit("."))
+              .otherwise(lit("")))), " ").as("st"))
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), seeded.as("x"))
+      .select(col("doc_id"),
+        col("x.n_words").as("n_words"),
+        regexp_count(col("x.st"), lit("\\.")).cast("long")
+          .as("n_sentences"),
+        regexp_count(col("text"), lit("[aeiouy]+")).cast("long")
+          .as("n_syllables"))
+      .withColumn("wps",
+        round(col("n_words").cast("double") / col("n_sentences"), 6))
+      .withColumn("spw",
+        round(col("n_syllables").cast("double") / col("n_words"), 6))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("wps"), col("spw"),
+        (round(lit(0.39) * col("wps") + lit(11.8) * col("spw")
+          - lit(15.59), 6) + lit(0.0)).as("fk_grade"),
+        (round(lit(206.835) - lit(1.015) * col("wps")
+          - lit(84.6) * col("spw"), 6) + lit(0.0)).as("flesch_ease"))
+      .orderBy(col("doc_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q26TokenStats, q27QualityScore, q28LangId, q29Fingerprint,
     q38BpeTokens, q39RollingFingerprint, q51Sentiment, q60StratifiedSample,
@@ -2297,7 +2372,7 @@ object TextQueries {
     q167C4Filter, q168SkipgramPairs, q170TemperatureMix, q173VocabSweep,
     q178CrawlFrontier, q183LengthPsi, q184ZipfFit,
     q187TokenizerFertility, q188PerplexityBuckets, q189ScriptMix,
-    q193NfcNormalize, q194BlocklistGate)
+    q193NfcNormalize, q194BlocklistGate, q198Readability)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,

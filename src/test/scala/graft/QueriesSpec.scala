@@ -205,4 +205,60 @@ class QueriesSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("q198 readability: counts are consistent and both scores " +
+    "re-derive from the row's own ratios") {
+    val rows = Queries.byName("q198_readability").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, s0, syl) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_sentences"), r.getAs[Long]("n_syllables"))
+      // one '.' every 7 tokens plus one on the last token
+      assert(s0 === (w + 6) / 7, s"doc ${r.get(0)}: $w words, $s0 sentences")
+      assert(syl >= w, "every word has at least one vowel group here")
+      val (wps, spw) = (r.getAs[Double]("wps"), r.getAs[Double]("spw"))
+      def r6(v: Double) = math.round(v * 1e6) / 1e6
+      assert(wps === r6(w.toDouble / s0) && spw === r6(syl.toDouble / w))
+      assert(r.getAs[Double]("fk_grade") ===
+        r6(0.39 * wps + 11.8 * spw - 15.59) + 0.0)
+      assert(r.getAs[Double]("flesch_ease") ===
+        r6(206.835 - 1.015 * wps - 84.6 * spw) + 0.0)
+    }
+  }
+
+  test("q199 k-anonymity: classes partition the table, k_min and the " +
+    "risk flags tie out") {
+    val rows = Queries.byName("q199_k_anonymity").run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.customer(spark, sf).count()
+    val sizes = rows.map(_.getAs[Long]("class_size"))
+    assert(sizes.sum === total, "equivalence classes must partition")
+    val kMin = rows.head.getAs[Long]("k_min")
+    assert(rows.forall(_.getAs[Long]("k_min") == kMin) &&
+      kMin === sizes.min)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("risky") === (r.getAs[Long]("class_size") < 5))
+      val l = r.getAs[Long]("l_diversity")
+      assert(l >= 1 && l <= 2, s"boolean sensitive attribute: l=$l")
+    }
+  }
+
+  test("q196 prototype pruning: keeps exactly the hard half per label " +
+    "and ranks the prototype first") {
+    val rows = Queries.byName("q196_prototype_prune").run(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Int]("label")).foreach { case (label, rs) =>
+      val n = rs.head.getAs[Long]("n_label")
+      assert(rs.length.toLong === n, s"label $label: window count drifted")
+      val kept = rs.count(_.getAs[Boolean]("kept"))
+      assert(kept.toLong === n - n / 2,
+        s"label $label: kept $kept of $n — not the hard half")
+      // rank 1 (most prototypical, smallest distance) is always dropped
+      // when the class has ≥ 2 members
+      val rank1 = rs.find(_.getAs[Long]("proto_rank") == 1L).get
+      if (n >= 2) assert(!rank1.getAs[Boolean]("kept"))
+      rs.foreach(r => assert(r.getAs[Double]("dist") >= 0.0))
+    }
+  }
 }
