@@ -691,4 +691,77 @@ object Similarity {
       .select(col(idCol), col(labelCol), col("dist"), col("z"),
         (col("z") > zThreshold).as("is_outlier"))
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985; the farthest-
+    * point traversal Sener & Savarese 2018 use for active-learning /
+    * data-pruning coresets): start from the lowest-id vector, then k−1
+    * times add the point FARTHEST (max-min cosine distance, ties →
+    * lowest id) from the current center set. The selected radius
+    * sequence is the classic 2-approximation of the optimal k-center
+    * cost and is non-increasing by construction.
+    *
+    * Scale shape: the center set is k literal vectors on the driver
+    * (k ≤ 64 guarded — the q174 bounded-driver-iteration posture);
+    * every round is ONE corpus scan computing min-distance-to-centers
+    * per row (a per-row fold over ≤k literal arrays, no join, no
+    * shuffle) topped by a TakeOrdered(1) argmax, and the final
+    * assignment/count pass is one more scan + one k-group aggregate.
+    * The corpus is cached across the k+1 scans and unpersisted before
+    * returning (the Graph.pageRank cache discipline). Distances are
+    * 1 − round(cosine, 6) — one shared IEEE op on both engines — so
+    * selection, radii, and assignment replay bit-for-bit in SQL.
+    *
+    * Returns one row per round: (round, center_id, radius,
+    * n_assigned); radius is the selection distance (NULL for round 0),
+    * n_assigned the corpus count whose nearest center (min distance,
+    * ties → lowest round) is this round's center. */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1 && k <= 64,
+      s"k=$k out of the bounded-driver-materialization guard [1, 64]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def distTo(center: Seq[Double]): Column =
+      lit(1.0) - round(cosine(col("dv"), typedlit(center)), 6)
+    val first = vecs.orderBy(col("id")).limit(1)
+      .collect().headOption.getOrElse(
+        throw new IllegalArgumentException("k-center on an empty frame"))
+    var centers = Vector[(Long, Seq[Double], Option[Double])](
+      (first.getLong(0), first.getSeq[Double](1), None))
+    // Least requires ≥2 children — a 1-center set folds to its only term
+    def minDistCol(cs: Seq[Seq[Double]]): Column =
+      if (cs.size == 1) distTo(cs.head) else least(cs.map(distTo): _*)
+    for (_ <- 1 until k) {
+      val minDist = minDistCol(centers.map(_._2))
+      val next = vecs.select(col("id"), minDist.as("d"))
+        .orderBy(col("d").desc, col("id")).limit(1).collect().head
+      val nextVec = vecs.filter(col("id") === next.getLong(0))
+        .select(col("dv")).collect().head.getSeq[Double](0)
+      centers :+= ((next.getLong(0), nextVec, Some(next.getDouble(1))))
+    }
+    // nearest-center assignment: array_position takes the FIRST index
+    // holding the min distance — lowest round on ties, the same total
+    // order as SQL's min-distance + MIN(round) replay
+    val dArr = array(centers.map(c => distTo(c._2)): _*)
+    val counts = vecs
+      .select((array_position(dArr, array_min(dArr)) - 1)
+        .cast("int").as("round"))
+      .groupBy(col("round")).agg(count(lit(1)).as("n_assigned"))
+    val sel = centers.zipWithIndex.map { case ((id, _, rad), r) =>
+      (r, id, rad)
+    }.toDF("round", "center_id", "radius")
+    val out = sel.join(counts, Seq("round"), "left")
+      .select(col("round"), col("center_id"),
+        col("radius").cast("double"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"))
+      .orderBy(col("round"))
+    val materialized = out.collect()
+    vecs.unpersist(blocking = false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(materialized.toIndexedSeq, 1),
+      out.schema)
+  }
 }

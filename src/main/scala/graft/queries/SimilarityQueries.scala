@@ -1085,13 +1085,142 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** q195: greedy k-center coreset selection (★ — Gonzalez 1985
+    * farthest-point traversal, the coreset constructor of Sener &
+    * Savarese 2018's active-learning selection and a standard
+    * diversity-pruning pass over embedding corpora: k rounds of "add
+    * the point farthest from every center picked so far" give a
+    * 2-approximate minimal covering radius). See
+    * [[Similarity.kCenterCoreset]] for the scale shape (k bounded
+    * corpus scans, no shuffle, TakeOrdered(1) argmax per round). The
+    * oracle unrolls all k rounds as CTEs — selection, radii, AND the
+    * final nearest-center assignment counts replay bit-for-bit
+    * (distance = 1 − round(cosine, 6) on both sides; argmin ties
+    * resolve to the lowest round via first-index / MIN(r)). */
+  val q195KCenterCoreset: QuerySpec = {
+    val k = 6
+    val iters = (1 until k).map { t =>
+      s"""d$t AS (
+        |  SELECT v.id,
+        |    MIN(1 - round(list_cosine_similarity(v.dv, c.dv), 6)) AS d
+        |  FROM vecs v CROSS JOIN cents$t c GROUP BY v.id),
+        |s$t AS (SELECT id, d FROM d$t ORDER BY d DESC, id LIMIT 1),
+        |cents${t + 1} AS (
+        |  SELECT * FROM cents$t UNION ALL
+        |  SELECT $t AS r, v.id, v.dv FROM s$t JOIN vecs v USING (id))"""
+        .stripMargin
+    }.mkString(",\n")
+    val roundRows = (1 until k).map(t =>
+      s"  UNION ALL SELECT $t, (SELECT id FROM s$t), (SELECT d FROM s$t)")
+      .mkString("\n")
+    QuerySpec(
+      "q195_kcenter_coreset",
+      s"""WITH vecs AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings),
+        |cents1 AS (SELECT 0 AS r, id, dv FROM vecs ORDER BY id LIMIT 1),
+        |$iters,
+        |da AS (
+        |  SELECT v.id, c.r,
+        |    1 - round(list_cosine_similarity(v.dv, c.dv), 6) AS d
+        |  FROM vecs v CROSS JOIN cents$k c),
+        |amin AS (SELECT id, MIN(d) AS md FROM da GROUP BY id),
+        |asg AS (
+        |  SELECT da.id, MIN(da.r) AS r
+        |  FROM da JOIN amin ON amin.id = da.id AND da.d = amin.md
+        |  GROUP BY da.id),
+        |cnt AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_assigned
+        |        FROM asg GROUP BY r),
+        |rounds AS (
+        |  SELECT 0 AS round, (SELECT id FROM cents1) AS center_id,
+        |    CAST(NULL AS DOUBLE) AS radius
+        |$roundRows)
+        |SELECT r.round, r.center_id, r.radius,
+        |  COALESCE(c.n_assigned, 0) AS n_assigned
+        |FROM rounds r LEFT JOIN cnt c ON c.r = r.round
+        |ORDER BY r.round""".stripMargin) { (s, dir) =>
+      Similarity.kCenterCoreset(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = k)
+    }
+  }
+
+  /** q200: Matryoshka truncated-dimension recall audit (★ — the
+    * report run before serving MRL-style embeddings at a reduced
+    * dimension, Kusupati et al. 2022: re-rank with only the FIRST d′
+    * dimensions and measure how much of the full-dimension top-k
+    * survives). Ground truth = q34's exact 64-dim top-5; candidate =
+    * the same ranking over the 16-dim prefix (array slice on both
+    * engines); recall@5 = overlap/5, an exact-int ratio. Both passes
+    * broadcast the ≤16-query set (q34's whitelisted shape); the
+    * overlap join is (q_id, c_id)-keyed and top-k-sized. */
+  val q200MatryoshkaRecall: QuerySpec = QuerySpec(
+    "q200_matryoshka_recall",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+      |           FROM embeddings WHERE vec_id < 16),
+      |full_r AS (
+      |  SELECT q_id, c_id FROM (
+      |    SELECT q.q_id, e.vec_id AS c_id,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        round(list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+      |          CAST(e.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rn
+      |    FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
+      |  WHERE rn <= 5),
+      |pref_r AS (
+      |  SELECT q_id, c_id FROM (
+      |    SELECT q.q_id, e.vec_id AS c_id,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        round(list_cosine_similarity(
+      |          CAST(q.q_vec[1:16] AS DOUBLE[]),
+      |          CAST(e.embedding[1:16] AS DOUBLE[])), 6) DESC,
+      |        e.vec_id) AS rn
+      |    FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
+      |  WHERE rn <= 5),
+      |ov AS (
+      |  SELECT f.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      |  FROM full_r f JOIN pref_r p
+      |    ON p.q_id = f.q_id AND p.c_id = f.c_id
+      |  GROUP BY f.q_id)
+      |SELECT q.q_id, COALESCE(o.n_overlap, 0) AS n_overlap,
+      |  round(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / 5, 6) AS recall
+      |FROM q LEFT JOIN ov o ON o.q_id = q.q_id
+      |ORDER BY q.q_id""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"))
+    def top5(qv: Column, cv: Column) = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+        .withColumn("sim", round(Similarity.cosine(qv, cv), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("c_id"))
+    }
+    val fullR = top5(col("q_vec").cast("array<double>"),
+      col("c_vec").cast("array<double>"))
+    val prefR = top5(slice(col("q_vec"), 1, 16).cast("array<double>"),
+      slice(col("c_vec"), 1, 16).cast("array<double>"))
+    val ov = fullR.join(prefR, Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    queries.select(col("q_id")).join(ov, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / 5, 6)
+          .as("recall"))
+      .orderBy(col("q_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
     q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup,
     q147VectorIndexLifecycle, q158PqCodebook, q159PqAdcTopK,
     q174PcaPower, q175AllButTop, q179BinaryAnn, q180ChannelQuant,
     q181IvfPqTopK, q185HardNegatives, q186EmbeddingOutliers,
-    q190BitextMargin, q191RrfFusion, q196PrototypePrune)
+    q190BitextMargin, q191RrfFusion, q195KCenterCoreset,
+    q196PrototypePrune, q200MatryoshkaRecall)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by

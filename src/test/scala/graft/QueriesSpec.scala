@@ -243,6 +243,21 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q200 matryoshka recall: one row per query, overlap within " +
+    "[0, 5], recall re-derives from the overlap") {
+    val rows = Queries.byName("q200_matryoshka_recall").run(spark, sf)
+      .collect()
+    val nQueries = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 16).count()
+    assert(rows.length.toLong === nQueries)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_overlap")
+      assert(n >= 0 && n <= 5)
+      assert(r.getAs[Double]("recall") ===
+        math.round(n / 5.0 * 1e6) / 1e6)
+    }
+  }
+
   test("q196 prototype pruning: keeps exactly the hard half per label " +
     "and ranks the prototype first") {
     val rows = Queries.byName("q196_prototype_prune").run(spark, sf)

@@ -340,4 +340,44 @@ class SimilaritySpec extends SparkSpecBase {
         .sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
     }
   }
+
+  test("kCenterCoreset picks one center per planted cluster and the " +
+    "radius sequence never increases") {
+    // three tight direction clusters — k=3 must land one center in each
+    val mk = (base: Array[Double], eps: Double) =>
+      base.zipWithIndex.map { case (v, i) => v + (if (i == 0) eps else 0.0) }
+    val a = Array(1.0, 0.0, 0.0, 0.0)
+    val b = Array(0.0, 1.0, 0.0, 0.0)
+    val c = Array(0.0, 0.0, 1.0, 0.0)
+    val rows = Seq(
+      (0L, mk(a, 0.0)), (1L, mk(a, 0.01)), (2L, mk(a, 0.02)),
+      (3L, mk(b, 0.0)), (4L, mk(b, 0.01)), (5L, mk(b, 0.02)),
+      (6L, mk(c, 0.0)), (7L, mk(c, 0.01)), (8L, mk(c, 0.02)))
+    val df = rows.toDF("id", "v")
+    val out = Similarity.kCenterCoreset(df, "id", "v", k = 3).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    val clusterOf = (id: Long) => id / 3
+    assert(out.map(r => clusterOf(r.getLong(1))).toSet.size == 3,
+      "k=3 centers must cover all three planted clusters")
+    // assignment counts partition the 9 points, 3 per cluster
+    assert(out.map(_.getLong(3)).sorted.toSeq == Seq(3L, 3L, 3L))
+    val radii = out.flatMap(r =>
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(radii.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      s"k-center radii must be non-increasing: ${radii.toSeq}")
+  }
+
+  test("kCenterCoreset is invariant under repartitioning and leaves " +
+    "no cached RDDs behind") {
+    val e = Tables.embeddings(spark, sf).limit(60)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r1 = Similarity.kCenterCoreset(e, "vec_id", "embedding", 4)
+      .collect().toSeq
+    val r2 = Similarity.kCenterCoreset(e.repartition(7), "vec_id",
+      "embedding", 4).collect().toSeq
+    assert(r1 == r2)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"operator must unpersist its working cache; leaked RDDs $leaked")
+  }
 }
