@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage (entity resolution) — the Fellegi &
+  * Sunter 1969 decision model every production deduplication /
+  * master-data system descends from (Splink, dedupe.io, the Census
+  * Bureau matchers): candidate pairs come from BLOCKING (an equi-join
+  * on a coarse key — never the full cross product), each pair gets a
+  * field-agreement pattern γ, and the match score is the sum of
+  * per-field log-likelihood ratios log2(m/u) (agree) or
+  * log2((1−m)/(1−u)) (disagree), where m = P(agree | match) and
+  * u = P(agree | non-match).
+  *
+  * m is supplied by the caller (the EM-free textbook initialization);
+  * u is ESTIMATED FROM THE DATA as each field's agreement rate over
+  * all candidate pairs — the standard "random pairs are almost all
+  * non-matches" shortcut — and clamped to [1/n, 1−1/n] so weights
+  * stay finite on degenerate fields.
+  *
+  * Scale shape: ONE aggregate over the pair frame produces the 1-row
+  * u-statistics, which attach via a broadcast cross (the q76/q117
+  * metadata-sized shape); scoring is then pure per-row Column work.
+  * The pair frame itself must already be blocked — at 100 TB the
+  * blocking join is the only shuffle, keyed on the block column.
+  *
+  * Determinism: u is an exact-int ratio; each weight is ONE libm log2
+  * whose ulp round(·, 6) absorbs (the q115 rule); the score folds the
+  * rounded weights in field order and re-rounds.
+  */
+object RecordLinkage {
+
+  /** Score a blocked candidate-pair frame. `agreeCols` are boolean
+    * columns already present on `pairs` (the γ vector); `m` the
+    * matching per-field P(agree | match) literals. Appends one
+    * rounded weight column `w_<field>` per field, the concatenated
+    * `pattern` string, and the summed `score`. */
+  def fellegiSunter(pairs: DataFrame, agreeCols: Seq[String],
+                    m: Seq[Double], scale: Int = 6): DataFrame = {
+    require(agreeCols.nonEmpty && agreeCols.length == m.length,
+      "one m probability per agreement field")
+    require(m.forall(mi => mi > 0.0 && mi < 1.0), "m must be in (0, 1)")
+    val counts = agreeCols.map(c =>
+      sum(col(c).cast("long")).as(s"n_$c")) :+ count(lit(1)).as("n_total")
+    val g = pairs.agg(counts.head, counts.tail: _*)
+    def u(c: String): Column = {
+      val n = col("n_total")
+      least(greatest(col(s"n_$c").cast("double") / n, lit(1.0) / n),
+        lit(1.0) - lit(1.0) / n)
+    }
+    val weights = agreeCols.zip(m).map { case (c, mi) =>
+      round(when(col(c), log2(lit(mi) / u(c)))
+        .otherwise(log2((lit(1.0) - lit(mi)) / (lit(1.0) - u(c)))), scale)
+        .as(s"w_$c")
+    }
+    val pattern = concat(agreeCols.map(c =>
+      when(col(c), lit("1")).otherwise(lit("0"))): _*).as("pattern")
+    pairs.crossJoin(broadcast(g))
+      .select(pairs.columns.map(col) ++ weights :+ pattern: _*)
+      .withColumn("score",
+        round(agreeCols.map(c => col(s"w_$c")).reduce(_ + _), scale)
+          + lit(0.0))
+  }
+}

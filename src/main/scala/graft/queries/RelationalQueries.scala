@@ -1638,6 +1638,124 @@ object RelationalQueries {
       .orderBy(col("nation"), col("segment"), col("bal_band"))
   }
 
+  /** q197: Fellegi–Sunter probabilistic record linkage (★ — entity
+    * resolution between two customer registries, the master-data twin
+    * of the text-dedup tier: [[graft.operators.RecordLinkage]] holds
+    * the decision model and its scale shape). The dirty registry is
+    * seeded deterministically from the clean one: key%3=0 exact
+    * twins, key%3=1 typo twins (name truncated one char, balance
+    * shifted +10), key%3=2 ghosts (different entity: prefixed name,
+    * negated balance). Candidates come from nation-key BLOCKING (the
+    * one shuffle); γ = (name, segment, balance-band) equality;
+    * u-rates are estimated from the candidate pairs (1-row broadcast
+    * cross), m fixed at the textbook (0.95, 0.9, 0.85). Pairs
+    * scoring ≥ 1 surface with their pattern, score, a
+    * match/possible classification at the upper threshold 8, and the
+    * construction's ground-truth flag — exact twins must classify
+    * `match`, typo twins fall to clerical review, ghosts score out
+    * entirely. */
+  val q197RecordLinkage: QuerySpec = QuerySpec(
+    "q197_record_linkage",
+    """WITH a AS (
+      |  SELECT c_custkey AS a_key, c_name AS a_name,
+      |    c_nationkey AS block, c_mktsegment AS a_seg,
+      |    CAST(floor(c_acctbal / 100) AS INTEGER) AS a_band
+      |  FROM customer),
+      |b AS (
+      |  SELECT c_custkey + 1000000 AS b_key,
+      |    CASE c_custkey % 3
+      |      WHEN 2 THEN 'Ghost#' || c_name
+      |      WHEN 1 THEN substring(c_name, 1, length(c_name) - 1)
+      |      ELSE c_name END AS b_name,
+      |    c_nationkey AS block, c_mktsegment AS b_seg,
+      |    CAST(floor((CASE c_custkey % 3
+      |      WHEN 2 THEN -c_acctbal
+      |      WHEN 1 THEN c_acctbal + CAST(10.0 AS DOUBLE)
+      |      ELSE c_acctbal END) / 100) AS INTEGER) AS b_band
+      |  FROM customer),
+      |p AS (
+      |  SELECT a.a_key, b.b_key,
+      |    a.a_name = b.b_name AS name_eq,
+      |    a.a_seg = b.b_seg AS seg_eq,
+      |    a.a_band = b.b_band AS band_eq
+      |  FROM a JOIN b USING (block)),
+      |g AS (
+      |  SELECT CAST(SUM(CASE WHEN name_eq THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_name,
+      |    CAST(SUM(CASE WHEN seg_eq THEN 1 ELSE 0 END) AS BIGINT) AS n_seg,
+      |    CAST(SUM(CASE WHEN band_eq THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_band,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM p),
+      |u AS (
+      |  SELECT
+      |    least(greatest(CAST(n_name AS DOUBLE) / n, 1.0 / n),
+      |      1.0 - 1.0 / n) AS u_name,
+      |    least(greatest(CAST(n_seg AS DOUBLE) / n, 1.0 / n),
+      |      1.0 - 1.0 / n) AS u_seg,
+      |    least(greatest(CAST(n_band AS DOUBLE) / n, 1.0 / n),
+      |      1.0 - 1.0 / n) AS u_band
+      |  FROM g),
+      |w AS (
+      |  SELECT p.a_key, p.b_key, p.name_eq, p.seg_eq, p.band_eq,
+      |    round(CASE WHEN name_eq
+      |      THEN log2(CAST(0.95 AS DOUBLE) / u_name)
+      |      ELSE log2((1.0 - CAST(0.95 AS DOUBLE)) / (1.0 - u_name))
+      |      END, 6) AS w_name_eq,
+      |    round(CASE WHEN seg_eq
+      |      THEN log2(CAST(0.9 AS DOUBLE) / u_seg)
+      |      ELSE log2((1.0 - CAST(0.9 AS DOUBLE)) / (1.0 - u_seg))
+      |      END, 6) AS w_seg_eq,
+      |    round(CASE WHEN band_eq
+      |      THEN log2(CAST(0.85 AS DOUBLE) / u_band)
+      |      ELSE log2((1.0 - CAST(0.85 AS DOUBLE)) / (1.0 - u_band))
+      |      END, 6) AS w_band_eq
+      |  FROM p CROSS JOIN u),
+      |s AS (
+      |  SELECT a_key, b_key,
+      |    (CASE WHEN name_eq THEN '1' ELSE '0' END)
+      |      || (CASE WHEN seg_eq THEN '1' ELSE '0' END)
+      |      || (CASE WHEN band_eq THEN '1' ELSE '0' END) AS pattern,
+      |    round(w_name_eq + w_seg_eq + w_band_eq, 6) + 0.0 AS score
+      |  FROM w)
+      |SELECT a_key, b_key, pattern, score,
+      |  CASE WHEN score > 8 THEN 'match' ELSE 'possible' END
+      |    AS classification,
+      |  b_key - 1000000 = a_key AND a_key % 3 <> 2 AS is_true
+      |FROM s WHERE score >= 1
+      |ORDER BY a_key, b_key""".stripMargin) { (s, dir) =>
+    import graft.operators.RecordLinkage
+    val cust = Tables.customer(s, dir)
+    val a = cust.select(
+      col("c_custkey").as("a_key"), col("c_name").as("a_name"),
+      col("c_nationkey").as("block"), col("c_mktsegment").as("a_seg"),
+      floor(col("c_acctbal") / 100).cast("int").as("a_band"))
+    val k3 = col("c_custkey") % 3
+    val b = cust.select(
+      (col("c_custkey") + 1000000).as("b_key"),
+      when(k3 === 2, concat(lit("Ghost#"), col("c_name")))
+        .when(k3 === 1,
+          col("c_name").substr(lit(1), length(col("c_name")) - 1))
+        .otherwise(col("c_name")).as("b_name"),
+      col("c_nationkey").as("block"), col("c_mktsegment").as("b_seg"),
+      floor(when(k3 === 2, -col("c_acctbal"))
+        .when(k3 === 1, col("c_acctbal") + lit(10.0))
+        .otherwise(col("c_acctbal")) / 100).cast("int").as("b_band"))
+    val pairs = a.join(b, "block")
+      .select(col("a_key"), col("b_key"),
+        (col("a_name") === col("b_name")).as("name_eq"),
+        (col("a_seg") === col("b_seg")).as("seg_eq"),
+        (col("a_band") === col("b_band")).as("band_eq"))
+    RecordLinkage.fellegiSunter(pairs,
+        Seq("name_eq", "seg_eq", "band_eq"), Seq(0.95, 0.9, 0.85))
+      .filter(col("score") >= 1)
+      .select(col("a_key"), col("b_key"), col("pattern"), col("score"),
+        when(col("score") > 8, lit("match")).otherwise(lit("possible"))
+          .as("classification"),
+        (col("b_key") - 1000000 === col("a_key") &&
+          col("a_key") % 3 =!= 2).as("is_true"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
@@ -1652,5 +1770,5 @@ object RelationalQueries {
     q118CsvRoundtrip, q122OrcRoundtrip, q123KmvRollup, q124PageRank,
     q125EpochShuffle, q126SchemaEvolution, q133SketchRetention,
     q143CountMinFreq, q151QuantileSketch, q172JsonlShards,
-    q199KAnonymity)
+    q197RecordLinkage, q199KAnonymity)
 }

@@ -73,6 +73,8 @@ class PlanAuditSpec extends SparkSpecBase {
     // QI-class frame — the q76/q100 metadata-sized cross again
     // q200 broadcasts the ≤16-query set into both ranking passes —
     // q34's whitelisted shape twice
+    // q197 crosses the 1-row u-statistics aggregate onto the blocked
+    // pair frame — the q76/q117 metadata-sized cross again
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
       "q90_resample", "q76_profile", "q100_histogram", "q107_ann_pipeline",
       "q117_bm25", "q120_repeated_spans", "q131_pmi_collocations",
@@ -84,7 +86,8 @@ class PlanAuditSpec extends SparkSpecBase {
       "q179_binary_hamming_ann", "q180_channel_quantize",
       "q181_ivfpq_topk", "q183_length_psi", "q185_hard_negatives",
       "q188_perplexity_buckets", "q190_bitext_margin", "q191_rrf_fusion",
-      "q199_k_anonymity", "q200_matryoshka_recall")
+      "q197_record_linkage", "q199_k_anonymity",
+      "q200_matryoshka_recall")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -243,6 +243,64 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("fellegiSunter: hand-computed weights on a 4-pair fixture, " +
+    "u clamped, agree positive / disagree negative") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 11L, true, true), (2L, 12L, true, false),
+      (3L, 13L, false, true), (4L, 14L, false, false))
+      .toDF("a", "b", "f1", "f2")
+    val out = graft.operators.RecordLinkage
+      .fellegiSunter(pairs, Seq("f1", "f2"), Seq(0.9, 0.8))
+      .collect().map(r => (r.getAs[Long]("a"), r)).toMap
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    // u_f1 = u_f2 = 2/4 = 0.5 (inside the clamp); agree weight
+    // log2(m/0.5), disagree log2((1−m)/0.5)
+    val w1a = r6(math.log(0.9 / 0.5) / math.log(2))
+    val w2d = r6(math.log((1.0 - 0.8) / 0.5) / math.log(2))
+    val row2 = out(2L)
+    assert(row2.getAs[Double]("w_f1") === w1a)
+    assert(row2.getAs[Double]("w_f2") === w2d)
+    assert(row2.getAs[String]("pattern") === "10")
+    assert(row2.getAs[Double]("score") === r6(w1a + w2d) + 0.0)
+    assert(out(1L).getAs[Double]("score") > 0 &&
+      out(4L).getAs[Double]("score") < 0)
+    // a constant-true field clamps u to 1 − 1/n instead of log2(·/1)
+    val allAgree = Seq((1L, true), (2L, true)).toDF("a", "f")
+    val w = graft.operators.RecordLinkage
+      .fellegiSunter(allAgree, Seq("f"), Seq(0.9))
+      .head().getAs[Double]("w_f")
+    assert(!w.isInfinite && w === r6(math.log(0.9 / 0.5) / math.log(2)))
+  }
+
+  test("q197 linkage: exact twins classify match, matches are only " +
+    "true pairs, ghosts never surface") {
+    val rows = Queries.byName("q197_record_linkage").run(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val byPair = rows.map(r => ((r.getAs[Long]("a_key"),
+      r.getAs[Long]("b_key")), r)).toMap
+    // names are unique per key, so pattern 1xx ⇒ the clean twin ⇒ a
+    // score past the upper threshold: match ⇔ is_true here
+    rows.foreach { r =>
+      if (r.getAs[String]("classification") == "match")
+        assert(r.getAs[Boolean]("is_true"),
+          s"false positive at ${r.getAs[Long]("a_key")}")
+      val (a, b) = (r.getAs[Long]("a_key"), r.getAs[Long]("b_key"))
+      assert(!(b - 1000000 == a && a % 3 == 2),
+        s"ghost self-pair $a surfaced with score ${r.getAs[Double]("score")}")
+    }
+    // every clean twin (key%3=0) must be recovered as a match
+    val cleanKeys = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    cleanKeys.foreach { k =>
+      val r = byPair.get((k, k + 1000000))
+      assert(r.isDefined, s"clean twin $k not recovered")
+      assert(r.get.getAs[String]("classification") === "match")
+    }
+  }
+
   test("q200 matryoshka recall: one row per query, overlap within " +
     "[0, 5], recall re-derives from the overlap") {
     val rows = Queries.byName("q200_matryoshka_recall").run(spark, sf)
