@@ -138,6 +138,84 @@ object Graph {
     rank
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over the DISTINCT
+    * directed edge set — the query-independent half of the algorithm
+    * behind early web search and still the standard "who buys / who
+    * is demanded" diagnostic on bipartite interaction graphs (unlike
+    * PageRank, hub and authority scores are distinct only on a
+    * DIRECTED graph — don't symmetrize).
+    *
+    * Arithmetic follows the production PageRank discipline: each
+    * mutual-reinforcement sum quantizes its inputs to 1e-15 units and
+    * adds them as Decimal(38,0) — order-insensitive, bit-reproducible
+    * under any partitioning, O(1) per-node state on power-law hubs.
+    * Normalization is by the MAXIMUM (∞-norm) rather than L2: the max
+    * of exactly-reproducible doubles is itself exact and order-free,
+    * and it keeps every score in [0, 1] so the next round's
+    * quantization domain never grows — an L2 norm would put a libm
+    * sqrt inside the iteration and break bit-parity. The two per-round
+    * maxima are metadata-sized scalar aggregates collected on the
+    * driver (the pageRank stats-job posture).
+    *
+    * Scale shape per iteration: two edge⋈score equi-joins + two
+    * grouped decimal aggregations; every half-round ends in an eager
+    * localCheckpoint (superseded checkpoints freed) so lineage stays
+    * flat and blocks don't accumulate.
+    *
+    * Returns `(node, hub, authority)` — zero for nodes with no
+    * out-/in-edges respectively. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 10,
+      s"iterations=$iterations outside [1, 10]")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    require(nodes.limit(1).count() > 0, "empty graph")
+    var h = nodes.withColumn("h", lit(1.0))
+    var a: DataFrame = null
+    val ckpts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (_ <- 1 to iterations) {
+      val ar = e.join(h, e("src") === h("node"))
+        .select(e("dst").as("node"),
+          round(col("h") * lit(QuantumInv))
+            .cast(DecimalType(38, 0)).as("ci"))
+        .groupBy(col("node")).agg(sum(col("ci")).as("si"))
+      val arf = nodes.join(ar, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("si").cast("double") / lit(QuantumInv), lit(0.0))
+            .as("a"))
+      val amax = arf.agg(max(col("a"))).head().getDouble(0)
+      require(amax > 0, "authority mass vanished — no edges reachable")
+      a = arf.select(col("node"), (col("a") / lit(amax)).as("a"))
+        .localCheckpoint(true)
+      ckpts += a
+      val hr = e.join(a, e("dst") === a("node"))
+        .select(e("src").as("node"),
+          round(col("a") * lit(QuantumInv))
+            .cast(DecimalType(38, 0)).as("ci"))
+        .groupBy(col("node")).agg(sum(col("ci")).as("si"))
+      val hrf = nodes.join(hr, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("si").cast("double") / lit(QuantumInv), lit(0.0))
+            .as("h"))
+      val hmax = hrf.agg(max(col("h"))).head().getDouble(0)
+      require(hmax > 0, "hub mass vanished — no edges reachable")
+      h = hrf.select(col("node"), (col("h") / lit(hmax)).as("h"))
+        .localCheckpoint(true)
+      ckpts += h
+    }
+    val out = h.join(a, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+    // free every superseded checkpoint; the final h and a frames stay
+    // persisted — they ARE the returned plan's leaves
+    ckpts.dropRight(2).foreach(d =>
+      checkpointRdd(d).foreach(_.unpersist(false)))
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** The RDD a `localCheckpoint(true)`ed Dataset persisted: eager
     * local checkpointing rewrites the plan to a [[LogicalRDD]] leaf
     * wrapping the materialized internal RDD — that RDD (not any

@@ -41,4 +41,37 @@ object GraphSql {
        |  FROM nodes),
        |${(1 to iters).map(iterCte).mkString(",\n")}""".stripMargin
   }
+
+  /** CTE chain replaying `Graph.hits` — quantized decimal mutual-
+    * reinforcement sums with ∞-norm normalization (see the operator's
+    * Scaladoc for why max, not L2). Expects `ed(src, dst)` (directed,
+    * deduped); leaves `h<iters>(node, h)` and `aa<iters>(node, a)` in
+    * scope for the caller's final SELECT. */
+  def hitsCtes(iters: Int): String = {
+    def iterCte(i: Int): String =
+      s"""ars$i AS (
+         |  SELECT e.dst AS node,
+         |    SUM(CAST(round(h.h * 1e15) AS DECIMAL(38,0))) AS si
+         |  FROM ed e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst),
+         |arf$i AS (
+         |  SELECT nd.node, COALESCE(CAST(s.si AS DOUBLE) / 1e15, 0.0) AS a
+         |  FROM hnodes nd LEFT JOIN ars$i s USING (node)),
+         |amx$i AS (SELECT MAX(a) AS m FROM arf$i),
+         |aa$i AS (
+         |  SELECT node, a / (SELECT m FROM amx$i) AS a FROM arf$i),
+         |hrs$i AS (
+         |  SELECT e.src AS node,
+         |    SUM(CAST(round(aa.a * 1e15) AS DECIMAL(38,0))) AS si
+         |  FROM ed e JOIN aa$i aa ON aa.node = e.dst GROUP BY e.src),
+         |hrf$i AS (
+         |  SELECT nd.node, COALESCE(CAST(s.si AS DOUBLE) / 1e15, 0.0) AS h
+         |  FROM hnodes nd LEFT JOIN hrs$i s USING (node)),
+         |hmx$i AS (SELECT MAX(h) AS m FROM hrf$i),
+         |h$i AS (
+         |  SELECT node, h / (SELECT m FROM hmx$i) AS h FROM hrf$i)"""
+        .stripMargin
+    s"""hnodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+       |h0 AS (SELECT node, CAST(1 AS DOUBLE) AS h FROM hnodes),
+       |${(1 to iters).map(iterCte).mkString(",\n")}""".stripMargin
+  }
 }

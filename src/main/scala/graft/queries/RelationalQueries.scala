@@ -1235,6 +1235,44 @@ object RelationalQueries {
     }
   }
 
+  /** q201: HITS hubs & authorities over the DIRECTED customer→supplier
+    * trade graph (★ — Kleinberg 1999; the companion diagnostic to
+    * q124's PageRank: on a bipartite interaction graph the hub score
+    * ranks the heaviest BUYERS and the authority score the
+    * most-demanded SUPPLIERS — PageRank on the symmetrized graph
+    * cannot separate the two roles). Runs
+    * [[graft.operators.Graph.hits]]: quantized decimal reinforcement
+    * sums + ∞-norm normalization, so all three iterations replay
+    * bit-for-bit in the [[GraphSql.hitsCtes]] oracle chain. */
+  val q201Hits: QuerySpec = {
+    val iters = 3
+    QuerySpec(
+      "q201_hits",
+      s"""WITH raw AS (
+         |  SELECT DISTINCT o.o_custkey AS src,
+         |    l.l_suppkey + 10000000 AS dst
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE o.o_custkey < 500),
+         |ed AS (SELECT src, dst FROM raw),
+         |${GraphSql.hitsCtes(iters)}
+         |SELECT h.node, round(h.h, 6) + 0.0 AS hub,
+         |  round(a.a, 6) + 0.0 AS authority
+         |FROM h$iters h JOIN aa$iters a USING (node)
+         |ORDER BY h.node""".stripMargin) { (s, dir) =>
+      val edges = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_custkey") < 500),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      graft.operators.Graph.hits(edges, "src", "dst", iters)
+        .select(col("node"),
+          (round(col("hub"), 6) + lit(0.0)).as("hub"),
+          (round(col("authority"), 6) + lit(0.0)).as("authority"))
+        .orderBy(col("node"))
+    }
+  }
+
   /** q125: deterministic epoch shuffle — two different epochs of the
     * sharded training order over the corpus, side by side. The order
     * is a pure function of (key, epoch) through portable_hash64, so
@@ -1770,5 +1808,5 @@ object RelationalQueries {
     q118CsvRoundtrip, q122OrcRoundtrip, q123KmvRollup, q124PageRank,
     q125EpochShuffle, q126SchemaEvolution, q133SketchRetention,
     q143CountMinFreq, q151QuantileSketch, q172JsonlShards,
-    q197RecordLinkage, q199KAnonymity)
+    q197RecordLinkage, q199KAnonymity, q201Hits)
 }

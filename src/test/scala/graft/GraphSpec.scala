@@ -90,4 +90,40 @@ class GraphSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(a == b, "fold-pinned ranks must not depend on partitioning")
   }
+
+  test("HITS: bipartite roles separate — buyers hub, suppliers " +
+    "authority, and the best of each normalizes to 1") {
+    // buyers 1..3 → suppliers 11..13; supplier 11 demanded by all
+    // three, buyer 1 buys from all three
+    val edges = Seq(
+      (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 11L), (2L, 12L),
+      (3L, 11L)).toDF("src", "dst")
+    val out = Graph.hits(edges, "src", "dst", 3).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // pure buyers have zero authority; pure suppliers zero hub
+    Seq(1L, 2L, 3L).foreach(n => assert(out(n)._2 == 0.0))
+    Seq(11L, 12L, 13L).foreach(n => assert(out(n)._1 == 0.0))
+    // ∞-norm: the top hub and top authority score exactly 1
+    assert(out(1L)._1 == 1.0, s"buyer 1 is the top hub: ${out(1L)}")
+    assert(out(11L)._2 == 1.0, s"supplier 11 is the top authority")
+    // strict order by degree under mutual reinforcement
+    assert(out(1L)._1 > out(2L)._1 && out(2L)._1 > out(3L)._1)
+    assert(out(11L)._2 > out(12L)._2 && out(12L)._2 > out(13L)._2)
+  }
+
+  test("HITS is bit-identical under repartitioning and frees its " +
+    "superseded checkpoints") {
+    val edges = (0L until 40L).map(i => (i % 7, 100L + (i * 3) % 11))
+      .toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val a = Graph.hits(edges, "src", "dst", 4).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val b = Graph.hits(edges.repartition(5), "src", "dst", 4).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(a == b, "decimal sums + ∞-norm must not depend on partitioning")
+    val now = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // only the two result-leaf checkpoints per call may remain
+    assert(now.size <= 4, s"checkpoint blocks accumulated: ${now.size}")
+  }
 }
