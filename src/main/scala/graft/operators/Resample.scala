@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -95,4 +95,82 @@ object Resample {
   def sqlEwmaFold(histExpr: String, alpha: Double): String =
     s"list_reduce($histExpr, (acc, x) -> $alpha * x + " +
       s"(CAST(1 AS DOUBLE) - $alpha) * acc)"
+
+  /** Holt double (linear-trend) exponential smoothing — the
+    * forecasting baseline one tier above [[ewma]]: a level AND a
+    * trend state, l_t = αy_t + (1−α)(l+b), b_t = β(l_t−l) + (1−β)b,
+    * initialized the textbook way (l₀ = y₁, b₀ = y₂ − y₁) and folded
+    * over the time-sorted history in one per-group pass (the q121
+    * sorted-array discipline — series are calendar-bounded after the
+    * daily aggregation, so per-group state is metadata-sized). The
+    * h-step forecast is l + h·b. Every step is a pinned IEEE op
+    * sequence ([[sqlHoltFold]] replays it with a same-shape struct
+    * accumulator), so level, trend, and forecasts hash-match.
+    * Requires ≥ 2 observations per key (shorter series are dropped —
+    * b₀ is undefined). */
+  def holt(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+           alpha: Double, beta: Double, horizons: Int = 3): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha outside (0,1)")
+    require(beta > 0 && beta < 1, s"beta=$beta outside (0,1)")
+    require(horizons >= 1 && horizons <= 12, "horizons outside [1,12]")
+    val grouped = df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        array_sort(collect_list(
+          struct(col(tsCol).as("ts"), col(valCol).cast("double").as("v"))))
+          .as("hist"))
+      .filter(col("n_obs") >= 2)
+    val vs = transform(col("hist"), x => x("v"))
+    // the trend update uses the IDENTITY l_t − l_{t−1} =
+    // α(y − l) + (1−α)b so the level expression is never recomputed
+    // inside the trend field: DuckDB's list_reduce mis-CSEs a
+    // repeated sibling-field subexpression across fold steps (step 1
+    // right, step 2 wrong — found the hard way), and this spelling
+    // keeps each struct field an independent tree. Both engines run
+    // THIS op sequence, so parity holds.
+    val fin = aggregate(
+      slice(vs, lit(3), greatest(size(vs) - 2, lit(0))),
+      struct(element_at(vs, 1).as("l"),
+        (element_at(vs, 2) - element_at(vs, 1)).as("b")),
+      (acc, y) => struct(
+        (lit(alpha) * y +
+          (lit(1.0) - lit(alpha)) * (acc("l") + acc("b"))).as("l"),
+        (lit(beta) * (lit(alpha) * (y - acc("l")) +
+          (lit(1.0) - lit(alpha)) * acc("b")) +
+          (lit(1.0) - lit(beta)) * acc("b")).as("b")))
+    val fcs = (1 to horizons).map(h =>
+      (round(fin("l") + lit(h) * fin("b"), 6) + lit(0.0)).as(s"fc$h"))
+    grouped.select(Seq(col(keyCol), col("n_obs"),
+      (round(fin("l"), 6) + lit(0.0)).as("level"),
+      (round(fin("b"), 6) + lit(0.0)).as("trend")) ++ fcs: _*)
+  }
+
+  /** Oracle replay of [[holt]]'s fold as a RECURSIVE CTE — NOT a
+    * struct-valued list_reduce: DuckDB (v1.0.0) mutates the struct
+    * accumulator IN PLACE from the second fold application on, so a
+    * sibling field reading `acc.l` sees the freshly written level
+    * (found the hard way — step 1 folds correctly, step 2 diverges).
+    * The recursive CTE computes both state fields from the same
+    * previous ROW, the standard semantics both engines share. Emits
+    * the CTE `rec(<key>, i, l, b)`; the caller must open the clause
+    * with WITH RECURSIVE, have `<rel>(<key>, <hist>)` in scope with a
+    * time-sorted DOUBLE list ≥ 2 long, and select the terminal rows
+    * `rec.i = len(hist)`. The trend update uses the identity
+    * l_t − l_{t−1} = α(y−l) + (1−α)b — the op sequence [[holt]] pins. */
+  def sqlHoltRec(rel: String, key: String, hist: String,
+                 alpha: Double, beta: Double): String = {
+    val a = s"CAST($alpha AS DOUBLE)"
+    val b = s"CAST($beta AS DOUBLE)"
+    val one = "CAST(1 AS DOUBLE)"
+    s"""rec AS (
+       |  SELECT $key, 2 AS i, $hist[1] AS l, $hist[2] - $hist[1] AS b
+       |  FROM $rel
+       |  UNION ALL
+       |  SELECT r.$key, r.i + 1,
+       |    $a * h.$hist[r.i + 1] + ($one - $a) * (r.l + r.b),
+       |    $b * ($a * (h.$hist[r.i + 1] - r.l) + ($one - $a) * r.b)
+       |      + ($one - $b) * r.b
+       |  FROM rec r JOIN $rel h ON h.$key = r.$key
+       |  WHERE r.i < len(h.$hist))""".stripMargin
+  }
 }

@@ -558,9 +558,56 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** q202: Holt double exponential smoothing (★ — the linear-trend
+    * forecasting baseline one tier above q128's EWMA: a level AND a
+    * trend state give h-step-ahead forecasts, the classic ops-metrics
+    * / capacity-planning first model; see
+    * [[graft.operators.Resample.holt]]). Series = per-event-type
+    * daily value totals (exact decimal sums closed to round-6 doubles
+    * — the q132 discipline), folded in day order with α=0.5, β=0.25;
+    * the oracle replays the identical struct fold via
+    * [[graft.operators.Resample.sqlHoltFold]]. One shuffle to the
+    * (type, day) grain, one to the type grain; per-type state is the
+    * calendar-bounded day array. */
+  val q202Holt: QuerySpec = {
+    import graft.operators.Resample
+    val (alpha, beta) = (0.5, 0.25)
+    QuerySpec(
+      "q202_holt_smoothing",
+      s"""WITH RECURSIVE d AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6)
+         |      AS v
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |h AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    list_transform(list_sort(list({'ts': day, 'v': v})),
+         |      x -> x.v) AS hist
+         |  FROM d GROUP BY event_type HAVING COUNT(*) >= 2),
+         |${Resample.sqlHoltRec("h", "event_type", "hist", alpha, beta)}
+         |SELECT r.event_type, h.n_days,
+         |  round(r.l, 6) + 0.0 AS level, round(r.b, 6) + 0.0 AS trend,
+         |  round(r.l + 1 * r.b, 6) + 0.0 AS fc1,
+         |  round(r.l + 2 * r.b, 6) + 0.0 AS fc2,
+         |  round(r.l + 3 * r.b, 6) + 0.0 AS fc3
+         |FROM rec r JOIN h ON h.event_type = r.event_type
+         |  AND r.i = len(h.hist)
+         |ORDER BY r.event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val daily = Tables.events(s, dir).filter(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(round(sum(col("value").cast(DecimalType(18, 4)))
+          .cast("double"), 6).as("v"))
+      Resample.holt(daily, "event_type", "day", "v", alpha, beta)
+        .withColumnRenamed("n_obs", "n_days")
+        .orderBy(col("event_type"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q40JsonProps, q41Tumbling, q42Sliding, q43Sessions, q44DedupReplay,
     q45AsOf, q56AsOfKeyed, q68RangeAsOf, q74IntervalJoin, q85FillForward,
     q101Sessionize, q106IntervalIslands, q108Scd2Build, q127Funnel,
-    q128Ewma, q130TopP, q132RollingCorr)
+    q128Ewma, q130TopP, q132RollingCorr, q202Holt)
 }

@@ -42,4 +42,30 @@ class ResampleSpec extends SparkSpecBase {
       == 75.0)
     assert(got.agg(sum(col("vcount"))).head().getLong(0) == 4L)
   }
+
+  test("holt matches a hand-rolled fold, drops length-1 series, and " +
+    "is partitioning-invariant") {
+    val ys = Seq(1.0, 3.0, 5.0, 10.0, 4.0)
+    val rows = ys.zipWithIndex.map { case (v, i) => ("s", i, v) } :+
+      (("lone", 0, 9.0))
+    val df = rows.toDF("k", "t", "v")
+    val out = Resample.holt(df, "k", "t", "v", 0.5, 0.25).collect()
+    assert(out.length == 1, "a 1-observation series must be dropped")
+    val r = out.head
+    // replay the exact operator sequence
+    var (l, b) = (ys(0), ys(1) - ys(0))
+    ys.drop(2).foreach { y =>
+      val nl = 0.5 * y + (1.0 - 0.5) * (l + b)
+      val nb = 0.25 * (0.5 * (y - l) + (1.0 - 0.5) * b) + (1.0 - 0.25) * b
+      l = nl; b = nb
+    }
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    assert(r.getAs[Double]("level") === r6(l) + 0.0)
+    assert(r.getAs[Double]("trend") === r6(b) + 0.0)
+    assert(r.getAs[Double]("fc2") === r6(l + 2 * b) + 0.0)
+    val again = Resample.holt(df.repartition(5), "k", "t", "v", 0.5, 0.25)
+      .collect().head
+    assert(again.getAs[Double]("level") === r.getAs[Double]("level") &&
+      again.getAs[Double]("trend") === r.getAs[Double]("trend"))
+  }
 }
