@@ -1794,6 +1794,127 @@ object RelationalQueries {
       .orderBy(col("a_key"), col("b_key"))
   }
 
+  /** q203: Benford first-digit audit (★ — the fraud / data-quality
+    * screen run on monetary columns before trusting an ingested feed:
+    * naturally-occurring multi-scale amounts follow
+    * P(d) = log10(1 + 1/d), and a feed that deviates hard was
+    * truncated, synthesized, or tampered with). First digits are
+    * extracted EXACTLY — floor to BIGINT, then the first character of
+    * the integer's decimal string (no log10 in the extraction path,
+    * where a one-ulp error could flip a boundary digit); only the
+    * expected-share curve uses libm log10, absorbed by round(6) (the
+    * q115 rule). The digit-class frame is 9 rows, so the total
+    * attaches via the q76 metadata-sized 1-row cross. Like q184's
+    * Zipf audit, the synthetic feed's NON-conformance is itself the
+    * verified diagnostic (chi² terms large and positive). */
+  val q203Benford: QuerySpec = QuerySpec(
+    "q203_benford_audit",
+    """WITH d AS (
+      |  SELECT substring(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+      |    AS VARCHAR), 1, 1) AS digit
+      |  FROM lineitem WHERE l_extendedprice >= 1),
+      |c AS (
+      |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      |  FROM d GROUP BY digit),
+      |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM c),
+      |s AS (
+      |  SELECT c.digit, c.n_obs,
+      |    round(CAST(c.n_obs AS DOUBLE) / t.total, 6) AS obs_share,
+      |    round(log10(1 + CAST(1 AS DOUBLE) / CAST(c.digit AS INTEGER)),
+      |      6) AS exp_share
+      |  FROM c CROSS JOIN t)
+      |SELECT digit, n_obs, obs_share, exp_share,
+      |  round((obs_share - exp_share) * (obs_share - exp_share)
+      |    / exp_share, 6) AS chi_term
+      |FROM s ORDER BY digit""".stripMargin) { (s, dir) =>
+    val digits = Tables.lineitem(s, dir)
+      .filter(col("l_extendedprice") >= 1)
+      .select(substring(floor(col("l_extendedprice")).cast("long")
+        .cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum(col("n_obs")).as("total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("total"), 6)
+          .as("obs_share"),
+        round(log10(lit(1) + lit(1.0) / col("digit").cast("int")), 6)
+          .as("exp_share"))
+      .withColumn("chi_term",
+        round((col("obs_share") - col("exp_share"))
+          * (col("obs_share") - col("exp_share")) / col("exp_share"), 6))
+      .orderBy(col("digit"))
+  }
+
+  /** q204: functional-dependency violation audit (★ — the integrity
+    * check entity-resolution and repair systems (HoloClean) run first:
+    * does attribute X still determine attribute Y after a messy load?
+    * Violations = keys bound to > 1 distinct right-hand value). The
+    * audited load is the clean registry UNION a seeded inconsistent
+    * re-ingest (every 7th key re-arrives with its market segment
+    * rotated — the classic partial-update corruption), so
+    * custkey→segment violates on exactly the seeded keys while
+    * custkey→name stays intact — the audit must report BOTH the hit
+    * and the clean negative. One shuffle per FD on the determinant
+    * key; outputs are exact counts and one rounded rate. */
+  val q204FdViolations: QuerySpec = QuerySpec(
+    "q204_fd_violations",
+    """WITH loaded AS (
+      |  SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_name,
+      |    CASE c_mktsegment
+      |      WHEN 'AUTOMOBILE' THEN 'BUILDING'
+      |      WHEN 'BUILDING' THEN 'FURNITURE'
+      |      WHEN 'FURNITURE' THEN 'HOUSEHOLD'
+      |      WHEN 'HOUSEHOLD' THEN 'MACHINERY'
+      |      ELSE 'AUTOMOBILE' END
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |seg AS (
+      |  SELECT c_custkey, COUNT(DISTINCT c_mktsegment) AS nv
+      |  FROM loaded GROUP BY 1),
+      |nm AS (
+      |  SELECT c_custkey, COUNT(DISTINCT c_name) AS nv
+      |  FROM loaded GROUP BY 1),
+      |a AS (
+      |  SELECT 'c_custkey->c_mktsegment' AS fd,
+      |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_violating
+      |  FROM seg
+      |  UNION ALL
+      |  SELECT 'c_custkey->c_name',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM nm)
+      |SELECT fd, n_keys, n_violating,
+      |  round(CAST(n_violating AS DOUBLE) / n_keys, 6) AS violation_rate,
+      |  n_violating = 0 AS holds
+      |FROM a ORDER BY fd""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val rotated = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        when(col("c_mktsegment") === "AUTOMOBILE", "BUILDING")
+          .when(col("c_mktsegment") === "BUILDING", "FURNITURE")
+          .when(col("c_mktsegment") === "FURNITURE", "HOUSEHOLD")
+          .when(col("c_mktsegment") === "HOUSEHOLD", "MACHINERY")
+          .otherwise("AUTOMOBILE").as("c_mktsegment"))
+    val loaded = cust.unionByName(rotated)
+    def audit(fdName: String, rhs: String) =
+      loaded.groupBy(col("c_custkey"))
+        .agg(countDistinct(col(rhs)).as("nv"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("nv") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(fdName).as("fd"), col("n_keys"), col("n_violating"))
+    audit("c_custkey->c_mktsegment", "c_mktsegment")
+      .unionByName(audit("c_custkey->c_name", "c_name"))
+      .select(col("fd"), col("n_keys"), col("n_violating"),
+        round(col("n_violating").cast("double") / col("n_keys"), 6)
+          .as("violation_rate"),
+        (col("n_violating") === 0).as("holds"))
+      .orderBy(col("fd"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
@@ -1808,5 +1929,6 @@ object RelationalQueries {
     q118CsvRoundtrip, q122OrcRoundtrip, q123KmvRollup, q124PageRank,
     q125EpochShuffle, q126SchemaEvolution, q133SketchRetention,
     q143CountMinFreq, q151QuantileSketch, q172JsonlShards,
-    q197RecordLinkage, q199KAnonymity, q201Hits)
+    q197RecordLinkage, q199KAnonymity, q201Hits, q203Benford,
+    q204FdViolations)
 }

@@ -301,6 +301,40 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q203 Benford: nine digit classes partition the rows, expected " +
+    "shares follow log10(1+1/d), chi terms non-negative") {
+    val rows = Queries.byName("q203_benford_audit").run(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[String]("digit")).toSeq ==
+      (1 to 9).map(_.toString))
+    val total = Tables.lineitem(spark, sf)
+      .filter(col("l_extendedprice") >= 1).count()
+    assert(rows.map(_.getAs[Long]("n_obs")).sum === total)
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    rows.foreach { r =>
+      val d = r.getAs[String]("digit").toInt
+      assert(r.getAs[Double]("exp_share") === r6(math.log10(1.0 + 1.0 / d)))
+      assert(r.getAs[Double]("chi_term") >= 0.0)
+    }
+  }
+
+  test("q204 FD audit: the seeded segment FD breaks on exactly the " +
+    "rotated keys while the name FD holds") {
+    val rows = Queries.byName("q204_fd_violations").run(spark, sf)
+      .collect().map(r => r.getAs[String]("fd") -> r).toMap
+    val nKeys = Tables.customer(spark, sf).count()
+    val seeded = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 7 === 0).count()
+    val seg = rows("c_custkey->c_mktsegment")
+    assert(seg.getAs[Long]("n_keys") === nKeys)
+    assert(seg.getAs[Long]("n_violating") === seeded,
+      "every rotated key (and only those) must violate")
+    assert(!seg.getAs[Boolean]("holds"))
+    val nm = rows("c_custkey->c_name")
+    assert(nm.getAs[Long]("n_violating") === 0L &&
+      nm.getAs[Boolean]("holds"))
+  }
+
   test("q200 matryoshka recall: one row per query, overlap within " +
     "[0, 5], recall re-derives from the overlap") {
     val rows = Queries.byName("q200_matryoshka_recall").run(spark, sf)
