@@ -263,4 +263,96 @@ object Streams {
           }
       }.toDF("user_id", "reached")
   }
+
+  case class HoltEvent(event_type: String, ts: java.sql.Timestamp,
+                       value: Double)
+
+  /** Per-key streaming state of [[holtStream]]: the committed Holt
+    * (level, trend) pair plus the still-open day's exact scaled-long
+    * value sum. Flags instead of Options keep the encoder flat. */
+  case class HoltState(y1: Double, hasY1: Boolean,
+                       l: Double, b: Double, hasLb: Boolean,
+                       nDays: Long,
+                       openDay: Long, openSumScaled: Long,
+                       hasOpen: Boolean)
+
+  /** Streaming twin of the batch Holt forecaster
+    * ([[graft.operators.Resample.holt]], q202): per event type, the
+    * daily value total accumulates in state as an EXACT scaled long
+    * (each value rounded to 4 decimals half-up — bit-equal to the
+    * batch side's DECIMAL(18,4) sum), and when a later day arrives
+    * the closed day folds into the committed (level, trend) pair with
+    * the identical IEEE op sequence the batch operator pins. After
+    * every micro-batch the CURRENT forecast — the committed state
+    * plus the open day as its final observation — is emitted, so the
+    * last emission over an in-order feed equals the batch operator on
+    * the same data exactly (StreamingSpec proves it). Days must
+    * arrive non-decreasing per key (an out-of-order day older than
+    * the open one is dropped, the dedupWithinWatermark posture);
+    * state per key is O(1) — two doubles and one open-day sum. */
+  def holtStream(spark: SparkSession, events: DataFrame,
+                 alpha: Double = 0.5, beta: Double = 0.25): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import java.math.{BigDecimal => JBig, RoundingMode}
+    def round6(x: Double): Double =
+      JBig.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+    def scaled4(v: Double): Long =
+      JBig.valueOf(v).setScale(4, RoundingMode.HALF_UP)
+        .movePointRight(4).longValueExact
+    def dayOf(t: java.sql.Timestamp): Long = {
+      val us = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+      java.lang.Math.floorDiv(us, 86400000000L)
+    }
+    def step(l: Double, b: Double, y: Double): (Double, Double) = (
+      alpha * y + (1.0 - alpha) * (l + b),
+      beta * (alpha * (y - l) + (1.0 - alpha) * b) + (1.0 - beta) * b)
+    val typed = events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts"), col("value")).as[HoltEvent]
+    typed.groupByKey(_.event_type)
+      .flatMapGroupsWithState[HoltState,
+        (String, Long, Double, Double, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[HoltEvent],
+         state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(
+            HoltState(0, false, 0, 0, false, 0L, 0L, 0L, false))
+          def commitOpen(): Unit = {
+            val y = round6(st.openSumScaled / 1e4)
+            st =
+              if (!st.hasY1)
+                st.copy(y1 = y, hasY1 = true, nDays = 1)
+              else if (!st.hasLb)
+                st.copy(l = st.y1, b = y - st.y1, hasLb = true, nDays = 2)
+              else {
+                val (nl, nb) = step(st.l, st.b, y)
+                st.copy(l = nl, b = nb, nDays = st.nDays + 1)
+              }
+          }
+          val daySums = rows.foldLeft(Map.empty[Long, Long]) { (m, e) =>
+            val d = dayOf(e.ts)
+            m.updated(d, m.getOrElse(d, 0L) + scaled4(e.value))
+          }
+          daySums.toSeq.sortBy(_._1).foreach { case (d, s) =>
+            if (!st.hasOpen)
+              st = st.copy(openDay = d, openSumScaled = s, hasOpen = true)
+            else if (d == st.openDay)
+              st = st.copy(openSumScaled = st.openSumScaled + s)
+            else if (d > st.openDay) {
+              commitOpen()
+              st = st.copy(openDay = d, openSumScaled = s)
+            } // d < openDay: late day — dropped (watermark posture)
+          }
+          state.update(st)
+          if (!st.hasOpen || !st.hasY1) Iterator.empty
+          else {
+            // tentative fold: the open day as the series' last point
+            val yo = round6(st.openSumScaled / 1e4)
+            val (l, b) =
+              if (!st.hasLb) (st.y1, yo - st.y1) else step(st.l, st.b, yo)
+            Iterator.single((key, st.nDays + 1,
+              round6(l), round6(b), round6(l + 1 * b)))
+          }
+      }.toDF("event_type", "n_days", "level", "trend", "fc1")
+  }
 }

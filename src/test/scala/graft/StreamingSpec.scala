@@ -488,4 +488,70 @@ class StreamingSpec extends SparkSpecBase {
       spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
     assert(leaked.isEmpty, s"fold path leaked cached RDDs: $leaked")
   }
+
+  test("streaming Holt forecast ends exactly at the batch q202 state") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val streamed = runToMemory(
+      Streams.holtStream(spark, Streams.eventsStream(spark, eventsDir)),
+      "t_holt")
+    val last = streamed.withColumn("rn",
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("n_days").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val daily = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(round(sum(col("value").cast(DecimalType(18, 4)))
+        .cast("double"), 6).as("v"))
+    val batch = graft.operators.Resample
+      .holt(daily, "event_type", "day", "v", 0.5, 0.25)
+      .select(col("event_type"), col("n_obs").as("n_days"),
+        col("level"), col("trend"), col("fc1"))
+    assert(last.count() > 0)
+    val joined = last.alias("s").join(batch.alias("b"), Seq("event_type"))
+    assert(joined.filter(col("s.n_days") =!= col("b.n_days") ||
+      col("s.level") =!= col("b.level") ||
+      col("s.trend") =!= col("b.trend") ||
+      col("s.fc1") =!= col("b.fc1")).isEmpty,
+      "streaming state must replay the batch fold bit-for-bit")
+  }
+
+  test("holtStream commits day boundaries across micro-batches the " +
+    "same as in one batch") {
+    import spark.implicits._
+    val day = 86400000L
+    def t(d: Int, h: Int) = new java.sql.Timestamp(d * day + h * 3600000L)
+    val rows = Seq(
+      ("k", t(0, 1), 10.0), ("k", t(0, 5), 2.5),
+      ("k", t(1, 2), 20.0),
+      ("k", t(2, 3), 7.0), ("k", t(2, 9), 3.0),
+      ("k", t(3, 4), 30.0))
+    val root = java.nio.file.Files.createTempDirectory("graft_holt")
+    val (b1, b2) = rows.splitAt(3)
+    b1.toDF("event_type", "ts", "value").coalesce(1)
+      .write.parquet(root.resolve("in/b1").toString)
+    b2.toDF("event_type", "ts", "value").coalesce(1)
+      .write.parquet(root.resolve("in/b2").toString)
+    val schema = b1.toDF("event_type", "ts", "value").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in/*/")
+    val streamed = runToMemory(
+      Streams.holtStream(spark, stream), "t_holt_toy")
+    // emissions: after batch 1 (days 0-1 seen) and after batch 2
+    assert(streamed.count() === 2)
+    val fin = streamed.orderBy(col("n_days").desc).head()
+    assert(fin.getAs[Long]("n_days") === 4)
+    // replay the operator arithmetic: daily sums 12.5, 20, 10, 30
+    var (l, b) = (12.5, 20.0 - 12.5)
+    Seq(10.0, 30.0).foreach { y =>
+      val nl = 0.5 * y + 0.5 * (l + b)
+      val nb = 0.25 * (0.5 * (y - l) + 0.5 * b) + 0.75 * b
+      l = nl; b = nb
+    }
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    assert(fin.getAs[Double]("level") === r6(l))
+    assert(fin.getAs[Double]("trend") === r6(b))
+  }
 }
