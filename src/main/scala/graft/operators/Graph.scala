@@ -182,15 +182,19 @@ object Graph {
           round(col("h") * lit(QuantumInv))
             .cast(DecimalType(38, 0)).as("ci"))
         .groupBy(col("node")).agg(sum(col("ci")).as("si"))
+      // checkpoint the UNNORMALIZED frame first: the max aggregate and
+      // the normalized projection then both read the materialized
+      // blocks instead of re-running the join (one materialization per
+      // half-round, not two)
       val arf = nodes.join(ar, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("si").cast("double") / lit(QuantumInv), lit(0.0))
             .as("a"))
+        .localCheckpoint(true)
+      ckpts += arf
       val amax = arf.agg(max(col("a"))).head().getDouble(0)
       require(amax > 0, "authority mass vanished — no edges reachable")
       a = arf.select(col("node"), (col("a") / lit(amax)).as("a"))
-        .localCheckpoint(true)
-      ckpts += a
       val hr = e.join(a, e("dst") === a("node"))
         .select(e("src").as("node"),
           round(col("a") * lit(QuantumInv))
@@ -200,11 +204,11 @@ object Graph {
         .select(col("node"),
           coalesce(col("si").cast("double") / lit(QuantumInv), lit(0.0))
             .as("h"))
+        .localCheckpoint(true)
+      ckpts += hrf
       val hmax = hrf.agg(max(col("h"))).head().getDouble(0)
       require(hmax > 0, "hub mass vanished — no edges reachable")
       h = hrf.select(col("node"), (col("h") / lit(hmax)).as("h"))
-        .localCheckpoint(true)
-      ckpts += h
     }
     val out = h.join(a, Seq("node"))
       .select(col("node"), col("h").as("hub"), col("a").as("authority"))

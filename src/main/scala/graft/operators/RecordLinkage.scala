@@ -20,10 +20,16 @@ import org.apache.spark.sql.functions._
   * stay finite on degenerate fields.
   *
   * Scale shape: ONE aggregate over the pair frame produces the 1-row
-  * u-statistics, which attach via a broadcast cross (the q76/q117
-  * metadata-sized shape); scoring is then pure per-row Column work.
-  * The pair frame itself must already be blocked — at 100 TB the
-  * blocking join is the only shuffle, keyed on the block column.
+  * u-statistics, COLLECTED to the driver (a single guarded row — the
+  * PageRank stats-job posture) and re-entered as literals, so Catalyst
+  * constant-folds each field's agree/disagree weight into a literal
+  * and the scoring projection stays inside whole-stage codegen. The
+  * first cut attached the stats via a broadcast cross instead — the
+  * resulting BroadcastNestedLoopJoin stage is NOT codegen-capable, so
+  * all 9M pair scores evaluated interpreted (measured 13 s vs scan
+  * speed at sf0.1). The pair frame itself must already be blocked —
+  * at 100 TB the blocking join is the only shuffle, keyed on the
+  * block column.
   *
   * Determinism: u is an exact-int ratio; each weight is ONE libm log2
   * whose ulp round(·, 6) absorbs (the q115 rule); the score folds the
@@ -43,11 +49,13 @@ object RecordLinkage {
     require(m.forall(mi => mi > 0.0 && mi < 1.0), "m must be in (0, 1)")
     val counts = agreeCols.map(c =>
       sum(col(c).cast("long")).as(s"n_$c")) :+ count(lit(1)).as("n_total")
-    val g = pairs.agg(counts.head, counts.tail: _*)
+    val stats = pairs.agg(counts.head, counts.tail: _*).head()
+    val nTotal = stats.getAs[Long]("n_total")
+    require(nTotal > 0, "no candidate pairs — check the blocking key")
     def u(c: String): Column = {
-      val n = col("n_total")
-      least(greatest(col(s"n_$c").cast("double") / n, lit(1.0) / n),
-        lit(1.0) - lit(1.0) / n)
+      val n = lit(nTotal)
+      least(greatest(lit(stats.getAs[Long](s"n_$c")).cast("double") / n,
+        lit(1.0) / n), lit(1.0) - lit(1.0) / n)
     }
     val weights = agreeCols.zip(m).map { case (c, mi) =>
       round(when(col(c), log2(lit(mi) / u(c)))
@@ -56,7 +64,7 @@ object RecordLinkage {
     }
     val pattern = concat(agreeCols.map(c =>
       when(col(c), lit("1")).otherwise(lit("0"))): _*).as("pattern")
-    pairs.crossJoin(broadcast(g))
+    pairs
       .select(pairs.columns.map(col) ++ weights :+ pattern: _*)
       .withColumn("score",
         round(agreeCols.map(c => col(s"w_$c")).reduce(_ + _), scale)

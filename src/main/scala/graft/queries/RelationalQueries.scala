@@ -1778,7 +1778,12 @@ object RelationalQueries {
       floor(when(k3 === 2, -col("c_acctbal"))
         .when(k3 === 1, col("c_acctbal") + lit(10.0))
         .otherwise(col("c_acctbal")) / 100).cast("int").as("b_band"))
-    val pairs = a.join(b, "block")
+    // the probe side arrives as ONE small parquet split, so without
+    // this the broadcast blocking join generates every candidate pair
+    // in a single task — twice (u-statistics pass + scoring pass);
+    // repartitioning on the block key spreads pair generation across
+    // the blocks (measured 27 s → ~2 s at sf0.1)
+    val pairs = a.repartition(col("block")).join(b, "block")
       .select(col("a_key"), col("b_key"),
         (col("a_name") === col("b_name")).as("name_eq"),
         (col("a_seg") === col("b_seg")).as("seg_eq"),

@@ -73,8 +73,6 @@ class PlanAuditSpec extends SparkSpecBase {
     // QI-class frame — the q76/q100 metadata-sized cross again
     // q200 broadcasts the ≤16-query set into both ranking passes —
     // q34's whitelisted shape twice
-    // q197 crosses the 1-row u-statistics aggregate onto the blocked
-    // pair frame — the q76/q117 metadata-sized cross again
     // q203 crosses the 1-row total onto the 9-row digit-class frame —
     // both metadata-sized (the q183 shape)
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
@@ -88,8 +86,8 @@ class PlanAuditSpec extends SparkSpecBase {
       "q179_binary_hamming_ann", "q180_channel_quantize",
       "q181_ivfpq_topk", "q183_length_psi", "q185_hard_negatives",
       "q188_perplexity_buckets", "q190_bitext_margin", "q191_rrf_fusion",
-      "q197_record_linkage", "q199_k_anonymity",
-      "q200_matryoshka_recall", "q203_benford_audit")
+      "q199_k_anonymity", "q200_matryoshka_recall",
+      "q203_benford_audit")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
