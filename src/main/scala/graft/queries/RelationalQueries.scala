@@ -1694,67 +1694,7 @@ object RelationalQueries {
     * entirely. */
   val q197RecordLinkage: QuerySpec = QuerySpec(
     "q197_record_linkage",
-    """WITH a AS (
-      |  SELECT c_custkey AS a_key, c_name AS a_name,
-      |    c_nationkey AS block, c_mktsegment AS a_seg,
-      |    CAST(floor(c_acctbal / 100) AS INTEGER) AS a_band
-      |  FROM customer),
-      |b AS (
-      |  SELECT c_custkey + 1000000 AS b_key,
-      |    CASE c_custkey % 3
-      |      WHEN 2 THEN 'Ghost#' || c_name
-      |      WHEN 1 THEN substring(c_name, 1, length(c_name) - 1)
-      |      ELSE c_name END AS b_name,
-      |    c_nationkey AS block, c_mktsegment AS b_seg,
-      |    CAST(floor((CASE c_custkey % 3
-      |      WHEN 2 THEN -c_acctbal
-      |      WHEN 1 THEN c_acctbal + CAST(10.0 AS DOUBLE)
-      |      ELSE c_acctbal END) / 100) AS INTEGER) AS b_band
-      |  FROM customer),
-      |p AS (
-      |  SELECT a.a_key, b.b_key,
-      |    a.a_name = b.b_name AS name_eq,
-      |    a.a_seg = b.b_seg AS seg_eq,
-      |    a.a_band = b.b_band AS band_eq
-      |  FROM a JOIN b USING (block)),
-      |g AS (
-      |  SELECT CAST(SUM(CASE WHEN name_eq THEN 1 ELSE 0 END) AS BIGINT)
-      |      AS n_name,
-      |    CAST(SUM(CASE WHEN seg_eq THEN 1 ELSE 0 END) AS BIGINT) AS n_seg,
-      |    CAST(SUM(CASE WHEN band_eq THEN 1 ELSE 0 END) AS BIGINT)
-      |      AS n_band,
-      |    CAST(COUNT(*) AS BIGINT) AS n FROM p),
-      |u AS (
-      |  SELECT
-      |    least(greatest(CAST(n_name AS DOUBLE) / n, 1.0 / n),
-      |      1.0 - 1.0 / n) AS u_name,
-      |    least(greatest(CAST(n_seg AS DOUBLE) / n, 1.0 / n),
-      |      1.0 - 1.0 / n) AS u_seg,
-      |    least(greatest(CAST(n_band AS DOUBLE) / n, 1.0 / n),
-      |      1.0 - 1.0 / n) AS u_band
-      |  FROM g),
-      |w AS (
-      |  SELECT p.a_key, p.b_key, p.name_eq, p.seg_eq, p.band_eq,
-      |    round(CASE WHEN name_eq
-      |      THEN log2(CAST(0.95 AS DOUBLE) / u_name)
-      |      ELSE log2((1.0 - CAST(0.95 AS DOUBLE)) / (1.0 - u_name))
-      |      END, 6) AS w_name_eq,
-      |    round(CASE WHEN seg_eq
-      |      THEN log2(CAST(0.9 AS DOUBLE) / u_seg)
-      |      ELSE log2((1.0 - CAST(0.9 AS DOUBLE)) / (1.0 - u_seg))
-      |      END, 6) AS w_seg_eq,
-      |    round(CASE WHEN band_eq
-      |      THEN log2(CAST(0.85 AS DOUBLE) / u_band)
-      |      ELSE log2((1.0 - CAST(0.85 AS DOUBLE)) / (1.0 - u_band))
-      |      END, 6) AS w_band_eq
-      |  FROM p CROSS JOIN u),
-      |s AS (
-      |  SELECT a_key, b_key,
-      |    (CASE WHEN name_eq THEN '1' ELSE '0' END)
-      |      || (CASE WHEN seg_eq THEN '1' ELSE '0' END)
-      |      || (CASE WHEN band_eq THEN '1' ELSE '0' END) AS pattern,
-      |    round(w_name_eq + w_seg_eq + w_band_eq, 6) + 0.0 AS score
-      |  FROM w)
+    s"""WITH ${LinkageSql.scoredCtes}
       |SELECT a_key, b_key, pattern, score,
       |  CASE WHEN score > 8 THEN 'match' ELSE 'possible' END
       |    AS classification,
@@ -1762,6 +1702,25 @@ object RelationalQueries {
       |FROM s WHERE score >= 1
       |ORDER BY a_key, b_key""".stripMargin) { (s, dir) =>
     import graft.operators.RecordLinkage
+    RecordLinkage.fellegiSunter(linkagePairs(s, dir),
+        LinkageSql.fields, LinkageSql.m0)
+      .filter(col("score") >= 1)
+      .select(col("a_key"), col("b_key"), col("pattern"), col("score"),
+        when(col("score") > 8, lit("match")).otherwise(lit("possible"))
+          .as("classification"),
+        (col("b_key") - 1000000 === col("a_key") &&
+          col("a_key") % 3 =!= 2).as("is_true"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
+  /** The q197/q207 shared blocked candidate-pair frame (the Spark twin
+    * of [[LinkageSql.scoredCtes]]'s `p`). The probe side arrives as
+    * ONE small parquet split, so without the block-key repartition the
+    * broadcast blocking join generates every candidate pair in a
+    * single task — twice (u-statistics pass + scoring pass); measured
+    * 27 s → ~2 s at sf0.1. */
+  private def linkagePairs(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
     val cust = Tables.customer(s, dir)
     val a = cust.select(
       col("c_custkey").as("a_key"), col("c_name").as("a_name"),
@@ -1778,25 +1737,104 @@ object RelationalQueries {
       floor(when(k3 === 2, -col("c_acctbal"))
         .when(k3 === 1, col("c_acctbal") + lit(10.0))
         .otherwise(col("c_acctbal")) / 100).cast("int").as("b_band"))
-    // the probe side arrives as ONE small parquet split, so without
-    // this the broadcast blocking join generates every candidate pair
-    // in a single task — twice (u-statistics pass + scoring pass);
-    // repartitioning on the block key spreads pair generation across
-    // the blocks (measured 27 s → ~2 s at sf0.1)
-    val pairs = a.repartition(col("block")).join(b, "block")
+    a.repartition(col("block")).join(b, "block")
       .select(col("a_key"), col("b_key"),
         (col("a_name") === col("b_name")).as("name_eq"),
         (col("a_seg") === col("b_seg")).as("seg_eq"),
         (col("a_band") === col("b_band")).as("band_eq"))
-    RecordLinkage.fellegiSunter(pairs,
-        Seq("name_eq", "seg_eq", "band_eq"), Seq(0.95, 0.9, 0.85))
-      .filter(col("score") >= 1)
-      .select(col("a_key"), col("b_key"), col("pattern"), col("score"),
-        when(col("score") > 8, lit("match")).otherwise(lit("possible"))
-          .as("classification"),
-        (col("b_key") - 1000000 === col("a_key") &&
-          col("a_key") % 3 =!= 2).as("is_true"))
-      .orderBy(col("a_key"), col("b_key"))
+  }
+
+  /** q207: EM-refined linkage weights (★ — the estimation step the
+    * full Fellegi–Sunter method runs that q197's fixed-m scoring
+    * skips: classify pairs with the current model, then RE-ESTIMATE
+    * each field's m = P(agree | match) from the classified matches —
+    * one EM iteration, the Splink/Winkler production recipe. The
+    * report emits, per field: the initial m₀, the data-estimated u,
+    * the refined m₁ (same [1/n, 1−1/n] clamp as u), and the
+    * agree/disagree weights before and after refinement — the
+    * model-drift audit a linkage pipeline publishes). All statistics
+    * are two 1-row guarded aggregates over the blocked pair frame
+    * (the q197 posture); every emitted value is a constant-folded
+    * literal expression, so the 3-row output hash-matches the SQL
+    * replay of the identical chain. */
+  val q207EmLinkage: QuerySpec = {
+    def sqlField(f: String, tag: String, m0: Double): String = {
+      val m = s"CAST($m0 AS DOUBLE)"
+      s"""SELECT '$tag' AS field, $m AS m0,
+         |  round(u_$f, 6) AS u, round(m1_$f, 6) AS m1,
+         |  round(log2($m / u_$f), 6) AS w_agree0,
+         |  round(log2(m1_$f / u_$f), 6) AS w_agree1,
+         |  round(log2((1.0 - $m) / (1.0 - u_$f)), 6) AS w_disagree0,
+         |  round(log2((1.0 - m1_$f) / (1.0 - u_$f)), 6) AS w_disagree1
+         |FROM u, m1""".stripMargin
+    }
+    QuerySpec(
+      "q207_em_linkage",
+      s"""WITH ${LinkageSql.scoredCtes},
+        |mm AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nm,
+        |    CAST(SUM(CASE WHEN name_eq THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nm_name,
+        |    CAST(SUM(CASE WHEN seg_eq THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nm_seg,
+        |    CAST(SUM(CASE WHEN band_eq THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nm_band
+        |  FROM w
+        |  WHERE round(w_name_eq + w_seg_eq + w_band_eq, 6) + 0.0 > 8),
+        |m1 AS (
+        |  SELECT
+        |    least(greatest(CAST(nm_name AS DOUBLE) / nm, 1.0 / nm),
+        |      1.0 - 1.0 / nm) AS m1_name,
+        |    least(greatest(CAST(nm_seg AS DOUBLE) / nm, 1.0 / nm),
+        |      1.0 - 1.0 / nm) AS m1_seg,
+        |    least(greatest(CAST(nm_band AS DOUBLE) / nm, 1.0 / nm),
+        |      1.0 - 1.0 / nm) AS m1_band
+        |  FROM mm),
+        |out AS (
+        |  ${sqlField("band", "band", 0.85)}
+        |  UNION ALL
+        |  ${sqlField("name", "name", 0.95)}
+        |  UNION ALL
+        |  ${sqlField("seg", "seg", 0.9)})
+        |SELECT * FROM out ORDER BY field""".stripMargin) { (s, dir) =>
+      import graft.operators.RecordLinkage
+      val pairs = linkagePairs(s, dir)
+      val fields = LinkageSql.fields
+      val uCounts = pairs.agg(
+        sum(col("name_eq").cast("long")).as("n_name_eq"),
+        sum(col("seg_eq").cast("long")).as("n_seg_eq"),
+        sum(col("band_eq").cast("long")).as("n_band_eq"),
+        count(lit(1)).as("n_total")).head()
+      val scored = RecordLinkage.fellegiSunter(pairs, fields,
+        LinkageSql.m0)
+      val mCounts = scored.filter(col("score") > 8).agg(
+        sum(col("name_eq").cast("long")).as("nm_name_eq"),
+        sum(col("seg_eq").cast("long")).as("nm_seg_eq"),
+        sum(col("band_eq").cast("long")).as("nm_band_eq"),
+        count(lit(1)).as("nm")).head()
+      require(mCounts.getAs[Long]("nm") > 0, "no classified matches")
+      def clamp(num: Long, den: Long): org.apache.spark.sql.Column =
+        least(greatest(lit(num).cast("double") / lit(den),
+          lit(1.0) / lit(den)), lit(1.0) - lit(1.0) / lit(den))
+      val tags = Map("name_eq" -> "name", "seg_eq" -> "seg",
+        "band_eq" -> "band")
+      val rows = fields.zip(LinkageSql.m0).map { case (f, m0) =>
+        val u = clamp(uCounts.getAs[Long](s"n_$f"),
+          uCounts.getAs[Long]("n_total"))
+        val m1 = clamp(mCounts.getAs[Long](s"nm_$f"),
+          mCounts.getAs[Long]("nm"))
+        s.range(1).select(lit(tags(f)).as("field"),
+          lit(m0).as("m0"),
+          round(u, 6).as("u"), round(m1, 6).as("m1"),
+          round(log2(lit(m0) / u), 6).as("w_agree0"),
+          round(log2(m1 / u), 6).as("w_agree1"),
+          round(log2((lit(1.0) - lit(m0)) / (lit(1.0) - u)), 6)
+            .as("w_disagree0"),
+          round(log2((lit(1.0) - m1) / (lit(1.0) - u)), 6)
+            .as("w_disagree1"))
+      }
+      rows.reduce(_ unionByName _).orderBy(col("field"))
+    }
   }
 
   /** q203: Benford first-digit audit (★ — the fraud / data-quality
@@ -1920,6 +1958,121 @@ object RelationalQueries {
       .orderBy(col("fd"))
   }
 
+  /** q205: market-basket association rules (★ — Apriori 2-itemset
+    * support / confidence / lift over order baskets, the
+    * co-occurrence analysis retail warehouses and recommender
+    * bootstraps run; see [[graft.operators.Basket.pairRules]] for the
+    * Apriori-prune-before-pair-generation scale shape). Top-100 rules
+    * by pair support with the (a, b) tie-break; every metric is a
+    * single rounded divide of exact counts, so the SQL replay
+    * hash-matches. */
+  val q205BasketRules: QuerySpec = QuerySpec(
+    "q205_basket_rules",
+    """WITH it AS (
+      |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |  FROM lineitem),
+      |ic AS (
+      |  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+      |  FROM it GROUP BY 1),
+      |nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM it),
+      |fr AS (
+      |  SELECT it.basket, it.item, ic.n_item
+      |  FROM it JOIN ic USING (item) WHERE ic.n_item >= 2),
+      |p AS (
+      |  SELECT a.item AS item_a, b.item AS item_b,
+      |    a.n_item AS n_a, b.n_item AS n_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_pair
+      |  FROM fr a JOIN fr b ON a.basket = b.basket AND a.item < b.item
+      |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2),
+      |s AS (
+      |  SELECT item_a, item_b, n_pair, n_a, n_b,
+      |    round(CAST(n_pair AS DOUBLE) / (SELECT n FROM nb), 6)
+      |      AS support,
+      |    round(CAST(n_pair AS DOUBLE) / n_a, 6) AS conf_a_b,
+      |    round(CAST(n_pair AS DOUBLE) / n_b, 6) AS conf_b_a,
+      |    round(round(CAST(n_pair AS DOUBLE) / n_a, 6)
+      |      / round(CAST(n_b AS DOUBLE) / (SELECT n FROM nb), 6), 6)
+      |      AS lift_a_b,
+      |    round(round(CAST(n_pair AS DOUBLE) / n_b, 6)
+      |      / round(CAST(n_a AS DOUBLE) / (SELECT n FROM nb), 6), 6)
+      |      AS lift_b_a
+      |  FROM p),
+      |top AS (
+      |  SELECT * FROM s ORDER BY n_pair DESC, item_a, item_b LIMIT 100)
+      |SELECT * FROM top ORDER BY n_pair DESC, item_a, item_b"""
+      .stripMargin) { (s, dir) =>
+    graft.operators.Basket.pairRules(Tables.lineitem(s, dir),
+        "l_orderkey", "l_partkey", minPairCount = 2, k = 100)
+      .orderBy(col("n_pair").desc, col("item_a"), col("item_b"))
+  }
+
+  /** q206: Neyman-allocation stratified sampling plan (★ — the
+    * survey-statistics optimum q60's proportional stratified sample
+    * doesn't reach: allocate the budget ∝ N_h·S_h, so high-variance
+    * strata get MORE than their population share; Neyman 1934, the
+    * standard design for audit sampling and data-annotation budgets).
+    * Per-stratum std rides the q91 exact-decimal moment discipline
+    * (sx, sxx as DECIMAL sums closed to doubles once) + round(6); the
+    * Σ N_h·S_h normalizer folds the SORTED (stratum, w) array (q121
+    * discipline) on a 1-row frame that cross-attaches back (5-row ×
+    * 1-row — metadata-sized). Allocations are round-half-up of a
+    * single product/divide chain — exact-int output. */
+  val q206NeymanAllocation: QuerySpec = {
+    val budget = 500
+    QuerySpec(
+      "q206_neyman_allocation",
+      s"""WITH m AS (
+         |  SELECT c_mktsegment AS segment,
+         |    CAST(COUNT(*) AS BIGINT) AS n_h,
+         |    CAST(COUNT(*) AS DOUBLE) AS nd,
+         |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         |    CAST(SUM(
+         |      CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DECIMAL(19,4))
+         |      * CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DECIMAL(19,4)))
+         |      AS DOUBLE) AS sxx
+         |  FROM customer GROUP BY 1),
+         |s AS (
+         |  SELECT segment, n_h,
+         |    round(sqrt((nd * sxx - sx * sx) / (nd * (nd - 1))), 6)
+         |      AS s_h
+         |  FROM m),
+         |w AS (
+         |  SELECT segment, n_h, s_h, round(n_h * s_h, 6) AS w_h FROM s),
+         |t AS (
+         |  SELECT list_reduce(list_prepend(0.0,
+         |    list_transform(list_sort(list({'g': segment, 'w': w_h})),
+         |      x -> x.w)), (a, b) -> a + b) AS tw
+         |  FROM w)
+         |SELECT segment, n_h, s_h, w_h,
+         |  round(w_h / t.tw, 6) AS share,
+         |  CAST(round($budget * w_h / t.tw) AS BIGINT) AS alloc
+         |FROM w CROSS JOIN t ORDER BY segment""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val xd = col("c_acctbal").cast(DecimalType(18, 4))
+      val x19 = xd.cast(DecimalType(19, 4))
+      val m = Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_h"),
+          count(lit(1)).cast("double").as("nd"),
+          sum(xd).cast("double").as("sx"),
+          sum(x19 * x19).cast("double").as("sxx"))
+      val w = m.select(col("segment"), col("n_h"),
+          round(sqrt((col("nd") * col("sxx") - col("sx") * col("sx"))
+            / (col("nd") * (col("nd") - 1))), 6).as("s_h"))
+        .withColumn("w_h", round(col("n_h") * col("s_h"), 6))
+      val t = w.agg(aggregate(transform(
+        array_sort(collect_list(struct(col("segment").as("g"),
+          col("w_h").as("w")))), x => x("w")),
+        lit(0.0), (a, b) => a + b).as("tw"))
+      w.crossJoin(broadcast(t))
+        .select(col("segment"), col("n_h"), col("s_h"), col("w_h"),
+          round(col("w_h") / col("tw"), 6).as("share"),
+          round(lit(budget) * col("w_h") / col("tw")).cast("long")
+            .as("alloc"))
+        .orderBy(col("segment"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
@@ -1935,5 +2088,87 @@ object RelationalQueries {
     q125EpochShuffle, q126SchemaEvolution, q133SketchRetention,
     q143CountMinFreq, q151QuantileSketch, q172JsonlShards,
     q197RecordLinkage, q199KAnonymity, q201Hits, q203Benford,
-    q204FdViolations)
+    q204FdViolations, q205BasketRules, q206NeymanAllocation,
+    q207EmLinkage)
+}
+
+/** The Fellegi–Sunter oracle chain shared by q197 (pair scoring) and
+  * q207 (EM weight refinement) so the two queries' registry seeding,
+  * blocking, u-estimation, and weight arithmetic are generated from
+  * one source (the KnSql/IvfSql discipline). Emits CTEs through
+  * `w(a_key, b_key, name_eq, seg_eq, band_eq, w_name_eq, w_seg_eq,
+  * w_band_eq)` and `s(a_key, b_key, pattern, score)`; callers open
+  * with `WITH` and append their own SELECT (and further CTEs).
+  *
+  * NB: stored with `|` margins INTACT (no stripMargin here) — the
+  * caller's template stripMargins the whole assembled string once. A
+  * pre-stripped constant would lose one bar of every `||` string
+  * concat to the second strip (found the hard way: DuckDB then binds
+  * bitwise `|` on VARCHAR). */
+private[queries] object LinkageSql {
+  val fields: Seq[String] = Seq("name_eq", "seg_eq", "band_eq")
+  val m0: Seq[Double] = Seq(0.95, 0.9, 0.85)
+
+  val scoredCtes: String =
+    """a AS (
+      |  SELECT c_custkey AS a_key, c_name AS a_name,
+      |    c_nationkey AS block, c_mktsegment AS a_seg,
+      |    CAST(floor(c_acctbal / 100) AS INTEGER) AS a_band
+      |  FROM customer),
+      |b AS (
+      |  SELECT c_custkey + 1000000 AS b_key,
+      |    CASE c_custkey % 3
+      |      WHEN 2 THEN 'Ghost#' || c_name
+      |      WHEN 1 THEN substring(c_name, 1, length(c_name) - 1)
+      |      ELSE c_name END AS b_name,
+      |    c_nationkey AS block, c_mktsegment AS b_seg,
+      |    CAST(floor((CASE c_custkey % 3
+      |      WHEN 2 THEN -c_acctbal
+      |      WHEN 1 THEN c_acctbal + CAST(10.0 AS DOUBLE)
+      |      ELSE c_acctbal END) / 100) AS INTEGER) AS b_band
+      |  FROM customer),
+      |p AS (
+      |  SELECT a.a_key, b.b_key,
+      |    a.a_name = b.b_name AS name_eq,
+      |    a.a_seg = b.b_seg AS seg_eq,
+      |    a.a_band = b.b_band AS band_eq
+      |  FROM a JOIN b USING (block)),
+      |g AS (
+      |  SELECT CAST(SUM(CASE WHEN name_eq THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_name,
+      |    CAST(SUM(CASE WHEN seg_eq THEN 1 ELSE 0 END) AS BIGINT) AS n_seg,
+      |    CAST(SUM(CASE WHEN band_eq THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_band,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM p),
+      |u AS (
+      |  SELECT
+      |    least(greatest(CAST(n_name AS DOUBLE) / n, 1.0 / n),
+      |      1.0 - 1.0 / n) AS u_name,
+      |    least(greatest(CAST(n_seg AS DOUBLE) / n, 1.0 / n),
+      |      1.0 - 1.0 / n) AS u_seg,
+      |    least(greatest(CAST(n_band AS DOUBLE) / n, 1.0 / n),
+      |      1.0 - 1.0 / n) AS u_band
+      |  FROM g),
+      |w AS (
+      |  SELECT p.a_key, p.b_key, p.name_eq, p.seg_eq, p.band_eq,
+      |    round(CASE WHEN name_eq
+      |      THEN log2(CAST(0.95 AS DOUBLE) / u_name)
+      |      ELSE log2((1.0 - CAST(0.95 AS DOUBLE)) / (1.0 - u_name))
+      |      END, 6) AS w_name_eq,
+      |    round(CASE WHEN seg_eq
+      |      THEN log2(CAST(0.9 AS DOUBLE) / u_seg)
+      |      ELSE log2((1.0 - CAST(0.9 AS DOUBLE)) / (1.0 - u_seg))
+      |      END, 6) AS w_seg_eq,
+      |    round(CASE WHEN band_eq
+      |      THEN log2(CAST(0.85 AS DOUBLE) / u_band)
+      |      ELSE log2((1.0 - CAST(0.85 AS DOUBLE)) / (1.0 - u_band))
+      |      END, 6) AS w_band_eq
+      |  FROM p CROSS JOIN u),
+      |s AS (
+      |  SELECT a_key, b_key,
+      |    (CASE WHEN name_eq THEN '1' ELSE '0' END)
+      |      || (CASE WHEN seg_eq THEN '1' ELSE '0' END)
+      |      || (CASE WHEN band_eq THEN '1' ELSE '0' END) AS pattern,
+      |    round(w_name_eq + w_seg_eq + w_band_eq, 6) + 0.0 AS score
+      |  FROM w)"""
 }

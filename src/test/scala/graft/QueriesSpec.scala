@@ -335,6 +335,64 @@ class QueriesSpec extends SparkSpecBase {
       nm.getAs[Boolean]("holds"))
   }
 
+  test("q205 basket rules: metrics re-derive from raw co-occurrence " +
+    "counts and ordering is by pair support") {
+    val rows = Queries.byName("q205_basket_rules").run(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val nPairs = rows.map(_.getAs[Long]("n_pair"))
+    assert(nPairs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    val nBaskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey")).distinct().count()
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    rows.take(10).foreach { r =>
+      val (np, na, nb) = (r.getAs[Long]("n_pair"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(np >= 2 && np <= math.min(na, nb))
+      assert(r.getAs[Double]("support") === r6(np.toDouble / nBaskets))
+      assert(r.getAs[Double]("conf_a_b") === r6(np.toDouble / na))
+      assert(r.getAs[Double]("lift_a_b") ===
+        r6(r6(np.toDouble / na) / r6(nb.toDouble / nBaskets)))
+    }
+  }
+
+  test("q206 Neyman allocation: budget is conserved up to rounding " +
+    "and shares normalize") {
+    val rows = Queries.byName("q206_neyman_allocation").run(spark, sf)
+      .collect()
+    assert(rows.length === 5)
+    val allocs = rows.map(_.getAs[Long]("alloc"))
+    assert(math.abs(allocs.sum - 500L) <= 3,
+      s"allocation drifted from the budget: ${allocs.sum}")
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("s_h") > 0.0)
+      assert(r.getAs[Long]("alloc") >= 0)
+    }
+  }
+
+  test("q207 EM refinement: the name field's m sharpens toward 1 on " +
+    "the seeded registry and every weight stays finite") {
+    val rows = Queries.byName("q207_em_linkage").run(spark, sf)
+      .collect().map(r => r.getAs[String]("field") -> r).toMap
+    assert(rows.keySet === Set("band", "name", "seg"))
+    rows.values.foreach { r =>
+      Seq("u", "m1", "w_agree0", "w_agree1", "w_disagree0",
+        "w_disagree1").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(!v.isNaN && !v.isInfinite, s"$c is $v")
+      }
+      assert(r.getAs[Double]("m1") > 0.0 && r.getAs[Double]("m1") < 1.0)
+    }
+    // classified matches are the clean twins, whose names agree —
+    // the re-estimated m_name clamps just under 1 and its agree
+    // weight must not fall below the textbook prior's
+    val name = rows("name")
+    assert(name.getAs[Double]("m1") > 0.9)
+    assert(name.getAs[Double]("w_agree1") >= name.getAs[Double]("w_agree0"))
+  }
+
   test("q200 matryoshka recall: one row per query, overlap within " +
     "[0, 5], recall re-derives from the overlap") {
     val rows = Queries.byName("q200_matryoshka_recall").run(spark, sf)
