@@ -605,9 +605,159 @@ object EventQueries {
     }
   }
 
+  /** q208: clickstream transition matrix (★ — the first-order Markov
+    * model of user navigation every product-analytics stack fits:
+    * P(next event type | current), from per-user lag pairs). The lag
+    * runs in per-user windows ordered by (ts, event_id) — the
+    * distributed shape, no global sort; the matrix is
+    * |types|²-bounded, so its row totals join back as metadata.
+    * Transition probabilities are exact-int ratios rounded to 6. */
+  val q208TransitionMatrix: QuerySpec = QuerySpec(
+    "q208_transition_matrix",
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |t AS (
+      |  SELECT prev_type, event_type AS next_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |rt AS (
+      |  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+      |  FROM t GROUP BY 1)
+      |SELECT t.prev_type, t.next_type, t.n, rt.row_total,
+      |  round(CAST(t.n AS DOUBLE) / rt.row_total, 6) AS p
+      |FROM t JOIN rt USING (prev_type)
+      |ORDER BY t.prev_type, t.next_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"), lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rt = t.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("row_total"))
+    t.join(rt, Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        col("row_total"),
+        round(col("n").cast("double") / col("row_total"), 6).as("p"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** q209: CUSUM changepoint detection (★ — Page 1954's cumulative-sum
+    * control chart, the standard drift alarm on ingestion metrics,
+    * here over the per-type daily value series q202 forecasts on).
+    * The textbook recursion s⁺ₜ = max(0, s⁺ₜ₋₁ + devₜ) is rewritten in
+    * its CLOSED prefix form s⁺ᵢ = Cᵢ − min(0, min_{j≤i} Cⱼ) — two
+    * cumulative window aggregates instead of a sequential fold — and
+    * every quantity in the windows is EXACT DECIMAL (the daily y, μ,
+    * and the k slack are round-6 doubles cast losslessly to
+    * DECIMAL(18,6)), so the cumulative sums are order-free exact
+    * arithmetic: no float ever enters a window aggregate (a double
+    * running sum would hit DuckDB's segment-tree addition order).
+    * Per-type windows ordered by day — calendar-bounded partitions.
+    * Alarm thresholds: k = 0.5σ slack, h = 4σ. */
+  val q209Cusum: QuerySpec = QuerySpec(
+    "q209_cusum_alarm",
+    """WITH d AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6)
+      |      AS y
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(CAST(y AS DECIMAL(18,6)) AS DECIMAL(19,6))
+      |      * CAST(CAST(y AS DECIMAL(18,6)) AS DECIMAL(19,6)))
+      |      AS DOUBLE) AS sxx
+      |  FROM d GROUP BY 1),
+      |mk AS (
+      |  SELECT event_type,
+      |    CAST(round(sx / n, 6) AS DECIMAL(18,6)) AS mu,
+      |    CAST(round(0.5 * round(sqrt((n * sxx - sx * sx)
+      |      / (n * (n - 1))), 6), 6) AS DECIMAL(18,6)) AS k,
+      |    CAST(round(4 * round(sqrt((n * sxx - sx * sx)
+      |      / (n * (n - 1))), 6), 6) AS DECIMAL(18,6)) AS h
+      |  FROM m),
+      |dev AS (
+      |  SELECT d.event_type, d.day, d.y,
+      |    CAST(d.y AS DECIMAL(18,6)) - mk.mu - mk.k AS dev_p,
+      |    CAST(d.y AS DECIMAL(18,6)) - mk.mu + mk.k AS dev_n,
+      |    mk.h AS h
+      |  FROM d JOIN mk USING (event_type)),
+      |c0 AS (
+      |  SELECT event_type, day, y, h,
+      |    SUM(dev_p) OVER w AS cp,
+      |    SUM(dev_n) OVER w AS cn
+      |  FROM dev
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING)),
+      |c AS (
+      |  SELECT event_type, day, y, h, cp, cn,
+      |    MIN(cp) OVER w AS mp,
+      |    MAX(cn) OVER w AS mn
+      |  FROM c0
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING))
+      |SELECT event_type, day, y,
+      |  round(CAST(cp - least(mp, CAST(0 AS DECIMAL(38,6)))
+      |    AS DOUBLE), 6) AS s_pos,
+      |  round(CAST(cn - greatest(mn, CAST(0 AS DECIMAL(38,6)))
+      |    AS DOUBLE), 6) AS s_neg,
+      |  cp - least(mp, CAST(0 AS DECIMAL(38,6))) > h AS alarm_up,
+      |  cn - greatest(mn, CAST(0 AS DECIMAL(38,6))) < -h AS alarm_down
+      |FROM c ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val daily = Tables.events(s, dir).filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(round(sum(col("value").cast(DecimalType(18, 4)))
+        .cast("double"), 6).as("y"))
+    val y6 = col("y").cast(DecimalType(18, 6))
+    val y19 = y6.cast(DecimalType(19, 6))
+    val m = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(y6).cast("double").as("sx"),
+        sum(y19 * y19).cast("double").as("sxx"))
+    val sd = round(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+      / (col("n") * (col("n") - 1))), 6)
+    val mk = m.select(col("event_type"),
+      round(col("sx") / col("n"), 6).cast(DecimalType(18, 6)).as("mu"),
+      round(lit(0.5) * sd, 6).cast(DecimalType(18, 6)).as("k"),
+      round(lit(4) * sd, 6).cast(DecimalType(18, 6)).as("h"))
+    val dev = daily.join(mk, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("y"),
+        (y6 - col("mu") - col("k")).as("dev_p"),
+        (y6 - col("mu") + col("k")).as("dev_n"), col("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val zero = lit(0).cast(DecimalType(38, 6))
+    val c = dev
+      .withColumn("cp", sum(col("dev_p")).over(w))
+      .withColumn("cn", sum(col("dev_n")).over(w))
+      .withColumn("mp", min(col("cp")).over(w))
+      .withColumn("mn", max(col("cn")).over(w))
+    // the exact scale-6 decimal exports through round(·, 6): DuckDB's
+    // decimal→double cast lands an ulp off Spark's on some values
+    // (reciprocal-multiply vs true division); rounding re-canonicalizes
+    c.select(col("event_type"), col("day"), col("y"),
+        round((col("cp") - least(col("mp"), zero)).cast("double"), 6)
+          .as("s_pos"),
+        round((col("cn") - greatest(col("mn"), zero)).cast("double"), 6)
+          .as("s_neg"),
+        (col("cp") - least(col("mp"), zero) > col("h")).as("alarm_up"),
+        (col("cn") - greatest(col("mn"), zero) < -col("h"))
+          .as("alarm_down"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q40JsonProps, q41Tumbling, q42Sliding, q43Sessions, q44DedupReplay,
     q45AsOf, q56AsOfKeyed, q68RangeAsOf, q74IntervalJoin, q85FillForward,
     q101Sessionize, q106IntervalIslands, q108Scd2Build, q127Funnel,
-    q128Ewma, q130TopP, q132RollingCorr, q202Holt)
+    q128Ewma, q130TopP, q132RollingCorr, q202Holt,
+    q208TransitionMatrix, q209Cusum)
 }

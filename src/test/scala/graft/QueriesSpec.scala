@@ -393,6 +393,53 @@ class QueriesSpec extends SparkSpecBase {
     assert(name.getAs[Double]("w_agree1") >= name.getAs[Double]("w_agree0"))
   }
 
+  test("q208 transitions: counts conserve per-user event chains and " +
+    "each row's probabilities normalize") {
+    val rows = Queries.byName("q208_transition_matrix").run(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val totalTransitions = rows.map(_.getAs[Long]("n")).sum
+    val expected = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") - 1)).head().getLong(0)
+    assert(totalTransitions === expected,
+      "every consecutive per-user pair is exactly one transition")
+    rows.groupBy(_.getAs[String]("prev_type")).values.foreach { g =>
+      val rowTotal = g.head.getAs[Long]("row_total")
+      assert(g.map(_.getAs[Long]("n")).sum === rowTotal)
+      assert(math.abs(g.map(_.getAs[Double]("p")).sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("q209 CUSUM: the closed prefix form equals the textbook " +
+    "recursion replayed on the collected series") {
+    val rows = Queries.byName("q209_cusum_alarm").run(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    rows.groupBy(_.getAs[String]("event_type")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[java.sql.Date]("day").toString)
+      val ys = sorted.map(_.getAs[Double]("y"))
+      val n = ys.length.toDouble
+      // mirror the query's exact-decimal moment chain: sx/sxx as
+      // exact sums closed to doubles once, then the double formula
+      val sx = ys.map(BigDecimal(_)).sum.toDouble
+      val sxx = ys.map(v => BigDecimal(v) * BigDecimal(v)).sum.toDouble
+      val sd = r6(math.sqrt((n * sxx - sx * sx) / (n * (n - 1))))
+      val mu = BigDecimal(r6(sx / n))
+      val k = BigDecimal(r6(0.5 * sd))
+      var (sp, sn) = (BigDecimal(0), BigDecimal(0))
+      sorted.foreach { r =>
+        val y = BigDecimal(r.getAs[Double]("y"))
+        sp = (sp + (y - mu - k)).max(0)
+        sn = (sn + (y - mu + k)).min(0)
+        assert(r.getAs[Double]("s_pos") === r6(sp.toDouble),
+          s"${r.getAs[String]("event_type")} ${r.get(1)}: s_pos drifted")
+        assert(r.getAs[Double]("s_neg") === r6(sn.toDouble))
+      }
+    }
+  }
+
   test("q200 matryoshka recall: one row per query, overlap within " +
     "[0, 5], recall re-derives from the overlap") {
     val rows = Queries.byName("q200_matryoshka_recall").run(spark, sf)
