@@ -754,10 +754,149 @@ object EventQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** q210: Kaplan–Meier survival estimator (★ — the 1958
+    * product-limit estimator, the standard retention/churn curve with
+    * RIGHT-CENSORING done correctly: a user whose last event falls in
+    * the final 3 observed days hasn't churned — they're censored, and
+    * naive "lifetime histograms" that ignore this bias every retention
+    * number down). Lifetime = days between a user's first and last
+    * event; event times collapse to a day-bounded frame, so at-risk
+    * counts are cumulative windows over metadata and the survival
+    * product folds, PER OUTPUT ROW, the ≤|days| (t, 1−d/n) array in
+    * t-order — a pinned scalar-double fold both engines spell
+    * identically (the struct-fold DuckDB traps don't apply). The full
+    * ratio array attaches via a 1-row cross (q76 shape). */
+  val q210KaplanMeier: QuerySpec = QuerySpec(
+    "q210_kaplan_meier",
+    """WITH life AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('day', MIN(ts)) AS DATE) AS first_day,
+      |    CAST(date_trunc('day', MAX(ts)) AS DATE) AS last_day
+      |  FROM events GROUP BY 1),
+      |horizon AS (SELECT MAX(last_day) AS max_day FROM life),
+      |obs AS (
+      |  SELECT user_id,
+      |    datediff('day', first_day, last_day) AS t,
+      |    last_day > (SELECT max_day FROM horizon) - 3 AS censored
+      |  FROM life),
+      |grp AS (
+      |  SELECT t,
+      |    CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS d,
+      |    CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c
+      |  FROM obs GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM obs),
+      |risk AS (
+      |  SELECT t, d, c,
+      |    CAST((SELECT n_users FROM tot)
+      |      - COALESCE(SUM(d + c) OVER (ORDER BY t
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n_at_risk
+      |  FROM grp),
+      |rarr AS (
+      |  SELECT list_sort(list({'t': t,
+      |    'r': 1 - CAST(d AS DOUBLE) / n_at_risk})) AS rs
+      |  FROM risk)
+      |SELECT r.t, r.n_at_risk, r.d, r.c,
+      |  round(list_reduce(list_prepend(1.0,
+      |    list_transform(list_filter(a.rs, x -> x.t <= r.t),
+      |      x -> x.r)), (acc, v) -> acc * v), 6) + 0.0 AS survival
+      |FROM risk r CROSS JOIN rarr a
+      |ORDER BY r.t""".stripMargin) { (s, dir) =>
+    val life = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).cast("date").as("first_day"),
+        date_trunc("day", max(col("ts"))).cast("date").as("last_day"))
+    val maxDay = life.agg(max(col("last_day"))).head().getDate(0)
+    val obs = life.select(col("user_id"),
+      datediff(col("last_day"), col("first_day")).as("t"),
+      (col("last_day") > date_sub(lit(maxDay), 3)).as("censored"))
+    val grp = obs.groupBy(col("t"))
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+    val nUsers = obs.count()
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = grp.withColumn("n_at_risk",
+      lit(nUsers) - coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+    val rarr = risk.agg(array_sort(collect_list(struct(col("t").as("t"),
+      (lit(1) - col("d").cast("double") / col("n_at_risk")).as("r"))))
+      .as("rs"))
+    risk.crossJoin(broadcast(rarr))
+      .select(col("t"), col("n_at_risk"), col("d"), col("c"),
+        (round(aggregate(
+          transform(filter(col("rs"), x => x("t") <= col("t")),
+            x => x("r")),
+          lit(1.0), (acc, v) => acc * v), 6) + lit(0.0)).as("survival"))
+      .orderBy(col("t"))
+  }
+
+  /** q211: two-proportion z-test (★ — the A/B experiment readout:
+    * does variant B's conversion rate differ from A's beyond sampling
+    * noise? Deterministic assignment user_id % 2, conversion = any
+    * big-ticket purchase (value > 180 — the all-users-convert
+    * degenerate case would zero the pooled variance); the
+    * pooled-variance z statistic is a pinned
+    * arithmetic chain over four exact counts, rounded to 6 — the one
+    * sqrt is shared IEEE). One grouped pass over events; the output
+    * is a single decision row. */
+  val q211AbTest: QuerySpec = QuerySpec(
+    "q211_ab_ztest",
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 = 1 AS variant_b,
+      |    MAX(CASE WHEN event_type = 'purchase' AND value > 180
+      |      THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN NOT variant_b THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_a,
+      |    CAST(SUM(CASE WHEN NOT variant_b THEN converted ELSE 0 END)
+      |      AS BIGINT) AS x_a,
+      |    CAST(SUM(CASE WHEN variant_b THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_b,
+      |    CAST(SUM(CASE WHEN variant_b THEN converted ELSE 0 END)
+      |      AS BIGINT) AS x_b
+      |  FROM u)
+      |SELECT n_a, x_a, n_b, x_b,
+      |  round(CAST(x_a AS DOUBLE) / n_a, 6) AS p_a,
+      |  round(CAST(x_b AS DOUBLE) / n_b, 6) AS p_b,
+      |  round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+      |    / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+      |      * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+      |      * (1.0 / n_a + 1.0 / n_b)), 6) + 0.0 AS z,
+      |  abs(round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+      |    / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+      |      * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+      |      * (1.0 / n_a + 1.0 / n_b)), 6)) > 1.96 AS significant
+      |FROM g""".stripMargin) { (s, dir) =>
+    val u = Tables.events(s, dir)
+      .groupBy(col("user_id"), (col("user_id") % 2 === 1).as("variant_b"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 180, 1).otherwise(0)).as("converted"))
+    val g = u.agg(
+      sum(when(!col("variant_b"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("variant_b"), col("converted")).otherwise(0L))
+        .cast("long").as("x_a"),
+      sum(when(col("variant_b"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant_b"), col("converted")).otherwise(0L))
+        .cast("long").as("x_b"))
+    val pa = col("x_a").cast("double") / col("n_a")
+    val pb = col("x_b").cast("double") / col("n_b")
+    val pp = (col("x_a") + col("x_b")).cast("double")
+      .divide(col("n_a") + col("n_b"))
+    val z = round((pa - pb) / sqrt(pp * (lit(1) - pp)
+      * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6) + lit(0.0)
+    g.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"), z.as("z"),
+      (abs(z - lit(0.0)) > 1.96).as("significant"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q40JsonProps, q41Tumbling, q42Sliding, q43Sessions, q44DedupReplay,
     q45AsOf, q56AsOfKeyed, q68RangeAsOf, q74IntervalJoin, q85FillForward,
     q101Sessionize, q106IntervalIslands, q108Scd2Build, q127Funnel,
     q128Ewma, q130TopP, q132RollingCorr, q202Holt,
-    q208TransitionMatrix, q209Cusum)
+    q208TransitionMatrix, q209Cusum, q210KaplanMeier, q211AbTest)
 }

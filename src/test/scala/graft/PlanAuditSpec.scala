@@ -77,6 +77,8 @@ class PlanAuditSpec extends SparkSpecBase {
     // both metadata-sized (the q183 shape)
     // q206 crosses the 1-row Neyman normalizer onto the 5-row stratum
     // frame — both metadata-sized (the q183 shape again)
+    // q210 crosses the 1-row survival-ratio array onto the day-bounded
+    // risk frame — both metadata-sized (the q152 sorted-sample shape)
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
       "q90_resample", "q76_profile", "q100_histogram", "q107_ann_pipeline",
       "q117_bm25", "q120_repeated_spans", "q131_pmi_collocations",
@@ -89,7 +91,8 @@ class PlanAuditSpec extends SparkSpecBase {
       "q181_ivfpq_topk", "q183_length_psi", "q185_hard_negatives",
       "q188_perplexity_buckets", "q190_bitext_margin", "q191_rrf_fusion",
       "q199_k_anonymity", "q200_matryoshka_recall",
-      "q203_benford_audit", "q206_neyman_allocation")
+      "q203_benford_audit", "q206_neyman_allocation",
+      "q210_kaplan_meier")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -440,6 +440,48 @@ class QueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q210 Kaplan-Meier: risk set shrinks by prior removals, " +
+    "survival is non-increasing, and drops only at death times") {
+    val rows = Queries.byName("q210_kaplan_meier").run(spark, sf)
+      .collect().sortBy(_.getAs[Int]("t"))
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(r => r.getAs[Long]("d") + r.getAs[Long]("c")).sum
+      === nUsers, "every user dies or is censored exactly once")
+    assert(rows.head.getAs[Long]("n_at_risk") === nUsers)
+    var removed = 0L
+    var prevS = 1.0
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_at_risk") === nUsers - removed)
+      removed += r.getAs[Long]("d") + r.getAs[Long]("c")
+      val sv = r.getAs[Double]("survival")
+      assert(sv <= prevS + 1e-12 && sv >= 0.0)
+      if (r.getAs[Long]("d") == 0) assert(sv === prevS,
+        "censoring alone must not move the curve")
+      prevS = sv
+    }
+  }
+
+  test("q211 A/B z-test: the statistic re-derives from the four " +
+    "counts and arms partition the users") {
+    val r = Queries.byName("q211_ab_ztest").run(spark, sf).head()
+    val (na, xa, nb, xb) = (r.getAs[Long]("n_a"), r.getAs[Long]("x_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("x_b"))
+    val nUsers = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(na + nb === nUsers)
+    assert(xa <= na && xb <= nb && xa + xb > 0 && xa + xb < na + nb,
+      "conversion must be non-degenerate for the pooled variance")
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    val (pa, pb) = (xa.toDouble / na, xb.toDouble / nb)
+    val pp = (xa + xb).toDouble / (na + nb)
+    val z = r6((pa - pb) /
+      math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))) + 0.0
+    assert(r.getAs[Double]("z") === z)
+    assert(r.getAs[Boolean]("significant") === (math.abs(z) > 1.96))
+  }
+
   test("q200 matryoshka recall: one row per query, overlap within " +
     "[0, 5], recall re-derives from the overlap") {
     val rows = Queries.byName("q200_matryoshka_recall").run(spark, sf)
