@@ -2073,6 +2073,243 @@ object RelationalQueries {
     }
   }
 
+  /** q212: referential-integrity sweep (★ — the warehouse-wide orphan
+    * audit a load pipeline runs after every batch: for each declared
+    * FK edge, count child rows whose key has no parent. Six real
+    * star-schema edges plus a SEEDED dirty edge — an "imported" order
+    * batch referencing customers that don't exist (every 11th order
+    * re-arrives pointing at key+2000000) — so the audit must report
+    * six clean edges and exactly one violated one, with the orphan
+    * row/key counts. Each edge is one left-anti-shaped aggregate
+    * (child ⋈ parent on the key, count nulls) — the q05 existence
+    * shape; parent key sides are dimension-sized broadcasts. */
+  val q212FkOrphans: QuerySpec = QuerySpec(
+    "q212_fk_orphans",
+    """WITH dirty_orders AS (
+      |  SELECT o_orderkey + 9000000 AS o_orderkey,
+      |    o_custkey + 2000000 AS o_custkey
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |ord AS (
+      |  SELECT o_orderkey, o_custkey FROM orders
+      |  UNION ALL SELECT o_orderkey, o_custkey FROM dirty_orders),
+      |edges AS (
+      |  SELECT 'lineitem.l_orderkey->orders' AS fk,
+      |    CAST(COUNT(*) AS BIGINT) AS n_child,
+      |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_orphan_rows,
+      |    CAST(COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL
+      |      THEN l.l_orderkey END) AS BIGINT) AS n_orphan_keys
+      |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM ord) o
+      |    ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey->part',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CAST(COUNT(DISTINCT CASE WHEN p.p_partkey IS NULL
+      |      THEN l.l_partkey END) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |  UNION ALL
+      |  SELECT 'lineitem.l_suppkey->supplier',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CAST(COUNT(DISTINCT CASE WHEN s.s_suppkey IS NULL
+      |      THEN l.l_suppkey END) AS BIGINT)
+      |  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey->customer',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL
+      |      THEN o.o_custkey END) AS BIGINT)
+      |  FROM ord o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |  UNION ALL
+      |  SELECT 'customer.c_nationkey->nation',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CAST(COUNT(DISTINCT CASE WHEN n.n_nationkey IS NULL
+      |      THEN c.c_nationkey END) AS BIGINT)
+      |  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  UNION ALL
+      |  SELECT 'supplier.s_nationkey->nation',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CAST(COUNT(DISTINCT CASE WHEN n.n_nationkey IS NULL
+      |      THEN s.s_nationkey END) AS BIGINT)
+      |  FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  UNION ALL
+      |  SELECT 'nation.n_regionkey->region',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CAST(COUNT(DISTINCT CASE WHEN r.r_regionkey IS NULL
+      |      THEN n.n_regionkey END) AS BIGINT)
+      |  FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey)
+      |SELECT fk, n_child, n_orphan_rows, n_orphan_keys,
+      |  n_orphan_rows = 0 AS ok
+      |FROM edges ORDER BY fk""".stripMargin) { (s, dir) =>
+    val orders0 = Tables.orders(s, dir)
+    val dirty = orders0.filter(col("o_orderkey") % 11 === 0)
+      .select((col("o_orderkey") + 9000000L).as("o_orderkey"),
+        (col("o_custkey") + 2000000L).as("o_custkey"))
+    val ord = orders0.select(col("o_orderkey"), col("o_custkey"))
+      .unionByName(dirty)
+    def edge(fk: String, child: org.apache.spark.sql.DataFrame,
+             childKey: String, parent: org.apache.spark.sql.DataFrame,
+             parentKey: String) = {
+      val p = parent.select(col(parentKey)).distinct()
+      child.join(p, child(childKey) === p(parentKey), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(p(parentKey).isNull, 1L).otherwise(0L))
+            .as("n_orphan_rows"),
+          countDistinct(when(p(parentKey).isNull, child(childKey)))
+            .as("n_orphan_keys"))
+        .select(lit(fk).as("fk"), col("n_child"), col("n_orphan_rows"),
+          col("n_orphan_keys"))
+    }
+    val li = Tables.lineitem(s, dir)
+    Seq(
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+        ord.select(col("o_orderkey")), "o_orderkey"),
+      edge("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(s, dir), "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"),
+      edge("orders.o_custkey->customer", ord, "o_custkey",
+        Tables.customer(s, dir), "c_custkey"),
+      edge("customer.c_nationkey->nation", Tables.customer(s, dir),
+        "c_nationkey", Tables.nation(s, dir), "n_nationkey"),
+      edge("supplier.s_nationkey->nation", Tables.supplier(s, dir),
+        "s_nationkey", Tables.nation(s, dir), "n_nationkey"),
+      edge("nation.n_regionkey->region", Tables.nation(s, dir),
+        "n_regionkey", Tables.region(s, dir), "r_regionkey"))
+      .reduce(_ unionByName _)
+      .select(col("fk"), col("n_child"), col("n_orphan_rows"),
+        col("n_orphan_keys"), (col("n_orphan_rows") === 0).as("ok"))
+      .orderBy(col("fk"))
+  }
+
+  /** q213: revenue-concentration audit — decile Lorenz curve + Gini
+    * (★ — the "what share of revenue do the top customers carry"
+    * report every account-risk review runs). SCALE-HONEST decile
+    * assignment: cut values come from the deterministic hash-ranked
+    * 256-customer sample (the q151/q152 sketch posture — no global
+    * sort, no single-partition rank over the customer universe), the
+    * 9 cuts broadcast as one sorted array, and assignment is a
+    * per-row count of exceeded cuts. Per-decile masses are exact
+    * decimal sums; shares and cumulative shares round to 6; the Gini
+    * folds the 10 trapezoid terms over the SORTED decile array (a
+    * scalar-double fold — the struct traps don't apply) and attaches
+    * via the metadata-sized cross. On this uniform synthetic book the
+    * Gini reads LOW — like q184/q203, the diagnostic's value is the
+    * verified reading, not a dramatic number. */
+  val q213LorenzGini: QuerySpec = {
+    import graft.operators.{QuantileSketch, Sampling}
+    val cutPs = (1 to 9).map(_ / 10.0)
+    val cutSelects = cutPs.map(p =>
+      QuantileSketch.sqlAtRank("(SELECT vs FROM vs)", p))
+      .mkString("[", ",\n      |    ", "]")
+    QuerySpec(
+      "q213_lorenz_gini",
+      s"""WITH rev AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev,
+        |    round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |      AS DOUBLE), 6) AS rv
+        |  FROM orders GROUP BY 1),
+        |sk AS (
+        |  SELECT rv AS value FROM rev
+        |  ORDER BY ${Sampling.sqlReservoirOrder("o_custkey")}
+        |  LIMIT 256),
+        |vs AS (SELECT list_sort(list(value)) AS vs FROM sk),
+        |cuts AS (SELECT $cutSelects AS cs),
+        |assigned AS (
+        |  SELECT r.o_custkey, r.rev, r.rv,
+        |    CAST(list_reduce(list_prepend(0,
+        |      list_transform((SELECT cs FROM cuts),
+        |        c -> CASE WHEN r.rv > c THEN 1 ELSE 0 END)),
+        |      (a, b) -> a + b) AS INTEGER) AS decile
+        |  FROM rev r),
+        |dec AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(rev) AS rev_sum
+        |  FROM assigned GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+        |    SUM(rev) AS rev_tot FROM assigned),
+        |sh AS (
+        |  SELECT d.decile, d.n,
+        |    round(CAST(d.n AS DOUBLE) / t.n_tot, 6) AS pop_share,
+        |    round(CAST(d.rev_sum AS DOUBLE) / CAST(t.rev_tot AS DOUBLE),
+        |      6) AS rev_share,
+        |    round(CAST(SUM(d.rev_sum) OVER (ORDER BY d.decile
+        |        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |      / CAST(t.rev_tot AS DOUBLE), 6) AS cum_rev
+        |  FROM dec d CROSS JOIN tot t),
+        |terms AS (
+        |  SELECT decile, n, pop_share, rev_share, cum_rev,
+        |    round((cum_rev + COALESCE(lag(cum_rev)
+        |      OVER (ORDER BY decile), 0.0)) * pop_share, 6) AS term
+        |  FROM sh),
+        |garr AS (
+        |  SELECT list_sort(list({'d': decile, 't': term})) AS ts
+        |  FROM terms)
+        |SELECT t.decile, t.n, t.pop_share, t.rev_share, t.cum_rev,
+        |  round(1 - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(g.ts, x -> x.t)), (a, b) -> a + b), 6) + 0.0
+        |    AS gini
+        |FROM terms t CROSS JOIN garr g
+        |ORDER BY t.decile""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val rev = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("rev"),
+          round(sum(col("o_totalprice").cast(DecimalType(18, 4)))
+            .cast("double"), 6).as("rv"))
+      val sk = QuantileSketch.sketch(rev, Seq.empty, "o_custkey", "rv",
+        256)
+      val cuts = QuantileSketch.estimate(sk, cutPs)
+        .agg(array_sort(collect_list(col("est"))).as("cs"))
+      val assigned = rev.crossJoin(broadcast(cuts))
+        .select(col("o_custkey"), col("rev"), col("rv"),
+          aggregate(transform(col("cs"),
+            c => when(col("rv") > c, 1).otherwise(0)),
+            lit(0), (a, b) => a + b).cast("int").as("decile"))
+      val dec = assigned.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("rev")).as("rev_sum"))
+      val tot = assigned.agg(count(lit(1)).as("n_tot"),
+        sum(col("rev")).as("rev_tot"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sh = dec.crossJoin(broadcast(tot))
+        .select(col("decile"), col("n"),
+          round(col("n").cast("double") / col("n_tot"), 6)
+            .as("pop_share"),
+          round(col("rev_sum").cast("double")
+            / col("rev_tot").cast("double"), 6).as("rev_share"),
+          round(sum(col("rev_sum")).over(w).cast("double")
+            / col("rev_tot").cast("double"), 6).as("cum_rev"))
+      val wl = Window.orderBy(col("decile"))
+      val terms = sh.withColumn("term",
+        round((col("cum_rev") + coalesce(lag(col("cum_rev"), 1).over(wl),
+          lit(0.0))) * col("pop_share"), 6))
+      val garr = terms.agg(array_sort(collect_list(
+        struct(col("decile").as("d"), col("term").as("t")))).as("ts"))
+      terms.crossJoin(broadcast(garr))
+        .select(col("decile"), col("n"), col("pop_share"),
+          col("rev_share"), col("cum_rev"),
+          (round(lit(1) - aggregate(transform(col("ts"), x => x("t")),
+            lit(0.0).cast("double"), (a, b) => a + b), 6) + lit(0.0))
+            .as("gini"))
+        .orderBy(col("decile"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
@@ -2089,7 +2326,7 @@ object RelationalQueries {
     q143CountMinFreq, q151QuantileSketch, q172JsonlShards,
     q197RecordLinkage, q199KAnonymity, q201Hits, q203Benford,
     q204FdViolations, q205BasketRules, q206NeymanAllocation,
-    q207EmLinkage)
+    q207EmLinkage, q212FkOrphans, q213LorenzGini)
 }
 
 /** The Fellegi–Sunter oracle chain shared by q197 (pair scoring) and

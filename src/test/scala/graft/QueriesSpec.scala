@@ -482,6 +482,51 @@ class QueriesSpec extends SparkSpecBase {
     assert(r.getAs[Boolean]("significant") === (math.abs(z) > 1.96))
   }
 
+  test("q212 FK sweep: six clean edges, the seeded dirty edge alone " +
+    "reports its exact orphan counts") {
+    val rows = Queries.byName("q212_fk_orphans").run(spark, sf)
+      .collect().map(r => r.getAs[String]("fk") -> r).toMap
+    assert(rows.size === 7)
+    val seeded = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 11 === 0).count()
+    rows.foreach { case (fk, r) =>
+      if (fk == "orders.o_custkey->customer") {
+        assert(r.getAs[Long]("n_orphan_rows") === seeded)
+        assert(!r.getAs[Boolean]("ok"))
+        assert(r.getAs[Long]("n_orphan_keys") > 0)
+      } else {
+        assert(r.getAs[Long]("n_orphan_rows") === 0L, s"$fk not clean")
+        assert(r.getAs[Boolean]("ok"))
+      }
+    }
+  }
+
+  test("q213 Lorenz: deciles partition the customers, the curve is " +
+    "monotone and ends at 1, and the Gini is consistent") {
+    val rows = Queries.byName("q213_lorenz_gini").run(spark, sf)
+      .collect().sortBy(_.getAs[Int]("decile"))
+    assert(rows.nonEmpty && rows.length <= 10)
+    val nCustomers = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum === nCustomers)
+    val cum = rows.map(_.getAs[Double]("cum_rev"))
+    assert(cum.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(math.abs(cum.last - 1.0) < 1e-6)
+    val gini = rows.head.getAs[Double]("gini")
+    assert(rows.forall(_.getAs[Double]("gini") == gini))
+    assert(gini >= -1e-6 && gini < 1.0)
+    // re-derive the trapezoid sum from the rows themselves
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    var prev = 0.0
+    var s = 0.0
+    rows.foreach { r =>
+      s += r6((r.getAs[Double]("cum_rev") + prev)
+        * r.getAs[Double]("pop_share"))
+      prev = r.getAs[Double]("cum_rev")
+    }
+    assert(math.abs(gini - (1.0 - s)) < 1e-5)
+  }
+
   test("q200 matryoshka recall: one row per query, overlap within " +
     "[0, 5], recall re-derives from the overlap") {
     val rows = Queries.byName("q200_matryoshka_recall").run(spark, sf)
