@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling (training-data pipeline ★): reproducible
@@ -402,4 +402,44 @@ object Sampling {
       s"CAST($keyExpr AS VARCHAR) || ':$epoch'")
   def sqlEpochShard(keyExpr: String, epoch: Int, shards: Int): String =
     s"CAST(${sqlEpochHash(keyExpr, epoch)} % $shards AS INTEGER)"
+
+  /** Poisson(1) CDF prefix, c_k = e⁻¹·Σ_{j≤k} 1/j!, shared by the
+    * Scala ladder and the SQL generator so both engines compare the
+    * identical literal doubles (Double→shortest-string→parse
+    * round-trips exactly). Truncated at 8 — P(X > 8) ≈ 1e-6, and a
+    * deterministic cap keeps the weight domain bounded. */
+  val poissonCdf: Seq[Double] = {
+    val e = math.exp(-1.0)
+    val facts = Seq(1L, 1L, 2L, 6L, 24L, 120L, 720L, 5040L)
+    facts.scanLeft(0.0)((acc, f) => acc + e / f).tail
+  }
+
+  /** Deterministic Poisson(1) bootstrap weight for (key, replicate) —
+    * the POISSON BOOTSTRAP (the production-scale resampling scheme:
+    * classic multinomial bootstrap needs global coordination per
+    * replicate; giving every row an independent Poisson(1) weight per
+    * replicate is the streaming/map-side equivalent, exact as n→∞).
+    * The unit variate is the 60-bit portable hash of "key:replicate"
+    * scaled by 2⁻⁶⁰ (int→double is correctly rounded on both engines,
+    * the scale is a power of two), inverted through the shared
+    * [[poissonCdf]] ladder — every weight replays in SQL. */
+  def poissonWeight(key: Column, rep: Column): Column = {
+    val u = graft.functions.Scalars.portableHash64(
+      concat(key.cast("string"), lit(":"), rep.cast("string")))
+      .cast("double") / lit(math.pow(2, 60))
+    poissonCdf.zipWithIndex.foldRight(lit(poissonCdf.size): Column) {
+      case ((c, k), elseCol) => when(u < c, k).otherwise(elseCol)
+    }
+  }
+
+  /** DuckDB spelling of [[poissonWeight]]. */
+  def sqlPoissonWeight(keyExpr: String, repExpr: String): String = {
+    val h = graft.functions.Scalars.sqlPortableHash64(
+      s"CAST($keyExpr AS VARCHAR) || ':' || CAST($repExpr AS VARCHAR)")
+    val u = s"(CAST($h AS DOUBLE) / ${math.pow(2, 60)})"
+    val ladder = poissonCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN $u < $c THEN $k" }
+      .mkString(" ")
+    s"(CASE $ladder ELSE ${poissonCdf.size} END)"
+  }
 }

@@ -2310,6 +2310,92 @@ object RelationalQueries {
     }
   }
 
+  /** q214: Poisson-bootstrap confidence interval (★ — the
+    * PRODUCTION-scale bootstrap: the classic multinomial resample
+    * needs global coordination per replicate, so large systems give
+    * every row an independent deterministic Poisson(1) weight per
+    * replicate instead ([[graft.operators.Sampling.poissonWeight]] —
+    * one scan computes all B replicates map-side; the approximation
+    * is exact as n→∞). B = 64 replicate means of the customer
+    * balance, each an exact-decimal weighted sum closed to a round-6
+    * double; the percentile CI takes EXACT elements of the sorted
+    * (mean, r) array (type-1, the q151 rank rule) and the bootstrap
+    * SE folds the sorted array through the pinned
+    * round(var,6)→sqrt→round(6) sequence (the q186 discipline). The
+    * 64-row replicate spine is the only cross — metadata-sized. */
+  val q214BootstrapCi: QuerySpec = {
+    import graft.operators.Sampling
+    val b = 64
+    QuerySpec(
+      "q214_bootstrap_ci",
+      s"""WITH reps AS (SELECT unnest(range(0, $b)) AS r),
+        |w AS (
+        |  SELECT r.r,
+        |    ${Sampling.sqlPoissonWeight("c.c_custkey", "r.r")} AS wt,
+        |    CAST(c.c_acctbal AS DECIMAL(18,4)) AS x
+        |  FROM customer c CROSS JOIN reps r),
+        |means AS (
+        |  SELECT r,
+        |    round(CAST(SUM(wt * x) AS DOUBLE) / SUM(wt), 6) AS m
+        |  FROM w GROUP BY r HAVING SUM(wt) > 0),
+        |arr AS (
+        |  SELECT list_sort(list({'m': m, 'r': r})) AS ms,
+        |    CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM means),
+        |obs AS (
+        |  SELECT round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+        |    AS DOUBLE) / COUNT(*), 6) AS mean_obs
+        |  FROM customer),
+        |folds AS (
+        |  SELECT nb, ms,
+        |    round(list_reduce(list_prepend(0.0,
+        |      list_transform(ms, x -> x.m)), (a, v) -> a + v) / nb, 6)
+        |      AS mean_boot
+        |  FROM arr)
+        |SELECT o.mean_obs, f.nb AS b,
+        |  f.ms[GREATEST(1, CAST(ceil(0.025 * f.nb) AS BIGINT))].m
+        |    AS ci_lo,
+        |  f.ms[GREATEST(1, CAST(ceil(0.975 * f.nb) AS BIGINT))].m
+        |    AS ci_hi,
+        |  round(sqrt(round(list_reduce(list_prepend(0.0,
+        |    list_transform(f.ms,
+        |      x -> (x.m - f.mean_boot) * (x.m - f.mean_boot))),
+        |    (a, v) -> a + v) / (f.nb - 1), 6)), 6) + 0.0 AS se_boot
+        |FROM obs o CROSS JOIN folds f""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val reps = s.range(b).select(col("id").cast("int").as("r"))
+      val cust = Tables.customer(s, dir)
+      val w = cust.crossJoin(broadcast(reps))
+        .select(col("r"),
+          Sampling.poissonWeight(col("c_custkey"), col("r")).as("wt"),
+          col("c_acctbal").cast(DecimalType(18, 4)).as("x"))
+      val means = w.groupBy(col("r"))
+        .agg(round(sum(col("wt") * col("x")).cast("double")
+          / sum(col("wt")), 6).as("m"),
+          sum(col("wt")).as("nw"))
+        .filter(col("nw") > 0).drop("nw")
+      val arr = means.agg(
+        array_sort(collect_list(struct(col("m").as("m"), col("r").as("r"))))
+          .as("ms"),
+        count(lit(1)).as("nb"))
+      val obs = cust.agg(
+        round(sum(col("c_acctbal").cast(DecimalType(18, 4)))
+          .cast("double") / count(lit(1)), 6).as("mean_obs"))
+      val folds = arr.withColumn("mean_boot",
+        round(aggregate(transform(col("ms"), x => x("m")), lit(0.0),
+          (a, v) => a + v) / col("nb"), 6))
+      def atR(p: Double) = element_at(col("ms"),
+        greatest(lit(1L), ceil(lit(p) * col("nb"))).cast("int"))("m")
+      obs.crossJoin(broadcast(folds))
+        .select(col("mean_obs"), col("nb").as("b"),
+          atR(0.025).as("ci_lo"), atR(0.975).as("ci_hi"),
+          (round(sqrt(round(aggregate(transform(col("ms"),
+            x => (x("m") - col("mean_boot")) * (x("m") - col("mean_boot"))),
+            lit(0.0), (a, v) => a + v) / (col("nb") - 1), 6)), 6)
+            + lit(0.0)).as("se_boot"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q01PricingSummary, q02MonthlyRollup, q03FilterProject, q04RegionRevenue,
     q05CustomersNoOrders, q06UrgentCustomers, q07UnionBatches, q08TopOrders,
@@ -2326,7 +2412,7 @@ object RelationalQueries {
     q143CountMinFreq, q151QuantileSketch, q172JsonlShards,
     q197RecordLinkage, q199KAnonymity, q201Hits, q203Benford,
     q204FdViolations, q205BasketRules, q206NeymanAllocation,
-    q207EmLinkage, q212FkOrphans, q213LorenzGini)
+    q207EmLinkage, q212FkOrphans, q213LorenzGini, q214BootstrapCi)
 }
 
 /** The Fellegi–Sunter oracle chain shared by q197 (pair scoring) and

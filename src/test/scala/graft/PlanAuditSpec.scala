@@ -82,6 +82,9 @@ class PlanAuditSpec extends SparkSpecBase {
     // q213 crosses the 1-row cut array / totals / Gini-term array onto
     // the customer-revenue and 10-row decile frames — every broadcast
     // side ≤ k-sample-sized (the q152 shape composed)
+    // q214 crosses the 64-row replicate spine onto the scan (the one
+    // fan-out the Poisson bootstrap needs) and two 1-row aggregates —
+    // all metadata-sized
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
       "q90_resample", "q76_profile", "q100_histogram", "q107_ann_pipeline",
       "q117_bm25", "q120_repeated_spans", "q131_pmi_collocations",
@@ -95,7 +98,7 @@ class PlanAuditSpec extends SparkSpecBase {
       "q188_perplexity_buckets", "q190_bitext_margin", "q191_rrf_fusion",
       "q199_k_anonymity", "q200_matryoshka_recall",
       "q203_benford_audit", "q206_neyman_allocation",
-      "q210_kaplan_meier", "q213_lorenz_gini")
+      "q210_kaplan_meier", "q213_lorenz_gini", "q214_bootstrap_ci")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

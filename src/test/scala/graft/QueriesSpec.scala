@@ -527,6 +527,19 @@ class QueriesSpec extends SparkSpecBase {
     assert(math.abs(gini - (1.0 - s)) < 1e-5)
   }
 
+  test("q214 bootstrap CI: interval brackets the observed mean and " +
+    "the replicate spread is positive") {
+    val r = Queries.byName("q214_bootstrap_ci").run(spark, sf).head()
+    val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    val mean = r.getAs[Double]("mean_obs")
+    val se = r.getAs[Double]("se_boot")
+    assert(lo <= hi && se > 0.0)
+    assert(r.getAs[Long]("b") === 64L)
+    // the percentile interval must cover the point estimate at B=64
+    // on this well-behaved mean
+    assert(mean >= lo - 3 * se && mean <= hi + 3 * se)
+  }
+
   test("q200 matryoshka recall: one row per query, overlap within " +
     "[0, 5], recall re-derives from the overlap") {
     val rows = Queries.byName("q200_matryoshka_recall").run(spark, sf)

@@ -346,4 +346,56 @@ class RandomizedLosslessnessSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("holt ≡ the sequential recursion on random series") {
+    import graft.operators.Resample
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    for (round <- 1 to 5) {
+      val nKeys = 1 + rng.nextInt(4)
+      val rows = (0 until nKeys).flatMap { k =>
+        val n = 2 + rng.nextInt(30)
+        (0 until n).map(t =>
+          (s"k$k", t, r6(rng.nextDouble() * 1000 - 200)))
+      }.toDF("k", "t", "v")
+      val (a, b) = (0.5, 0.25)
+      val got = Resample.holt(rows, "k", "t", "v", a, b).collect()
+        .map(r => r.getAs[String]("k") ->
+          (r.getAs[Double]("level"), r.getAs[Double]("trend"))).toMap
+      rows.collect().groupBy(_.getString(0)).foreach { case (k, rs) =>
+        val ys = rs.sortBy(_.getInt(1)).map(_.getDouble(2))
+        var (l, bb) = (ys(0), ys(1) - ys(0))
+        ys.drop(2).foreach { y =>
+          val nl = a * y + (1.0 - a) * (l + bb)
+          val nb = b * (a * (y - l) + (1.0 - a) * bb) + (1.0 - b) * bb
+          l = nl; bb = nb
+        }
+        assert(got(k) === ((r6(l) + 0.0, r6(bb) + 0.0)),
+          s"$k drifted from the sequential fold")
+      }
+    }
+  }
+
+  test("basket pairRules ≡ brute-force co-occurrence counting on " +
+    "random baskets (the Apriori prune is lossless)") {
+    import graft.operators.Basket
+    for (round <- 1 to 4) {
+      val nItems = 4 + rng.nextInt(8)
+      val rows = (0 until 60 + rng.nextInt(60)).flatMap { bkt =>
+        val sz = 1 + rng.nextInt(6)
+        Seq.fill(sz)((bkt.toLong, rng.nextInt(nItems).toLong))
+      }.toDF("basket", "item")
+      val floor0 = 2 + rng.nextInt(3)
+      val got = Basket.pairRules(rows, "basket", "item",
+          minPairCount = floor0, k = 10000)
+        .select(col("item_a"), col("item_b"), col("n_pair"))
+      val it = rows.distinct()
+      val want = it.alias("x").join(it.alias("y"),
+          col("x.basket") === col("y.basket") &&
+            col("x.item") < col("y.item"))
+        .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= floor0)
+      assertBagEqual(got, want)
+    }
+  }
 }

@@ -214,4 +214,29 @@ class SamplingSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus shuffles against the mixture frame:\n$plan")
   }
+
+  test("poissonWeight: bounded, deterministic, Poisson(1)-shaped mass " +
+    "over many keys, decorrelated across replicates") {
+    import spark.implicits._
+    val keys = (0L until 4000L).toDF("k")
+    val w = keys.select(col("k"),
+      Sampling.poissonWeight(col("k"), lit(0)).as("w0"),
+      Sampling.poissonWeight(col("k"), lit(1)).as("w1"))
+    val rows = w.collect()
+    val w0 = rows.map(_.getAs[Int]("w0"))
+    assert(w0.forall(v => v >= 0 && v <= 8))
+    // E[w] = 1, P(0) = P(1) = 1/e ≈ .368 — loose 3σ-ish bands
+    assert(math.abs(w0.sum.toDouble / w0.length - 1.0) < 0.06)
+    val p0 = w0.count(_ == 0).toDouble / w0.length
+    assert(math.abs(p0 - math.exp(-1.0)) < 0.03, s"P(0)=$p0")
+    // replicates decorrelate: the (w0, w1) joint must not sit on the
+    // diagonal
+    val same = rows.count(r => r.getAs[Int]("w0") == r.getAs[Int]("w1"))
+    assert(same < w0.length * 6 / 10, s"replicates correlated: $same")
+    // pure function of (key, replicate): identical under repartition
+    val again = keys.repartition(7).select(col("k"),
+      Sampling.poissonWeight(col("k"), lit(0)).as("w0")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.getAs[Int]("w0")))
+  }
 }
