@@ -77,10 +77,18 @@ object Audit {
     * summarized). The fold is counter addition, so the drained store
     * equals the histogram one batch build over the concatenated
     * stream would produce — the streaming drift monitor and the batch
-    * q183 arithmetic cannot drift. */
+    * q183 arithmetic cannot drift.
+    *
+    * `batchId` (a foreachBatch id) makes the fold replay-idempotent:
+    * a batch whose id is already stamped into the store is a no-op
+    * (see [[Stores]] for why the stamp rides the histogram write). */
   def histogramFoldIntoStore(batch: DataFrame, bucketCol: String,
-                             path: String): Unit = {
+                             path: String,
+                             batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
+    val last = Stores.lastApplied(spark, path)
+    if (batchId.exists(_ <= last)) return // replayed micro-batch
+    val applied = math.max(last, batchId.getOrElse(-1L))
     val inc = batch
       .groupBy(col(bucketCol).cast("long").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -93,7 +101,7 @@ object Audit {
         .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
     // detach from the path about to be overwritten (the CountMin
     // foldIntoStore discipline), then drop the checkpoint blocks
-    val pinned = merged.localCheckpoint(true)
+    val pinned = Stores.stamp(merged, applied).localCheckpoint(true)
     pinned.coalesce(1).write.mode("overwrite").parquet(path)
     Graph.checkpointRdd(pinned).foreach(_.unpersist(false))
   }

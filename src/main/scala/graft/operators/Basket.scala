@@ -34,13 +34,18 @@ object Basket {
                 minPairCount: Long, k: Int = 100): DataFrame = {
     require(minPairCount >= 1, "minPairCount must be positive")
     require(k >= 1, "k must be positive")
+    // deduped once, consumed three times (item counts, basket-universe
+    // count, frequent join) — cached so the distinct shuffle runs once;
+    // the harness drops per-query caches after materialization
     val items = df.select(col(basketCol).as("basket"),
-      col(itemCol).as("item")).distinct()
+      col(itemCol).as("item")).distinct().cache()
     val itemCounts = items.groupBy(col("item"))
       .agg(count(lit(1)).as("n_item"))
-    // one guarded scalar: the basket universe size for support/lift
-    val nBaskets = items.select(col("basket")).distinct().count()
-    require(nBaskets > 0, "no baskets")
+    // basket universe size rides the plan as a 1-row broadcast cross
+    // (the q76 stats-attach shape) — no eager driver action at
+    // operator-construction time
+    val nBaskets = items.agg(
+      countDistinct(col("basket")).as("n_baskets"))
     val frequent = items.join(
       itemCounts.filter(col("n_item") >= minPairCount), Seq("item"))
     val a = frequent.select(col("basket"), col("item").as("item_a"),
@@ -52,11 +57,12 @@ object Basket {
       .groupBy(col("item_a"), col("item_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minPairCount)
-    val supA = round(col("n_a").cast("double") / lit(nBaskets), 6)
-    val supB = round(col("n_b").cast("double") / lit(nBaskets), 6)
-    val scored = pairs.select(col("item_a"), col("item_b"),
+    val supA = round(col("n_a").cast("double") / col("n_baskets"), 6)
+    val supB = round(col("n_b").cast("double") / col("n_baskets"), 6)
+    val scored = pairs.crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"),
       col("n_pair"), col("n_a"), col("n_b"),
-      round(col("n_pair").cast("double") / lit(nBaskets), 6)
+      round(col("n_pair").cast("double") / col("n_baskets"), 6)
         .as("support"),
       round(col("n_pair").cast("double") / col("n_a"), 6)
         .as("conf_a_b"),

@@ -71,20 +71,25 @@ object CountMin {
     * folds sign with ITS parameters, not the caller's. */
   final case class CountMinStore(cells: DataFrame, depth: Int, width: Int)
 
-  /** Persist a merged grid (no group columns) with its manifest. */
+  /** Persist a merged grid (no group columns) with its manifest.
+    * `applied` stamps the cells write with the highest foreachBatch
+    * id folded in ([[Stores]]); -1 for batch-built stores. */
   def writeStore(cells: DataFrame, path: String, depth: Int,
-                 width: Int): Unit = {
-    cells.write.mode("overwrite").parquet(s"$path/cells")
+                 width: Int, applied: Long = -1L): Unit = {
+    Stores.stamp(cells, applied)
+      .write.mode("overwrite").parquet(s"$path/cells")
     cells.sparkSession.createDataFrame(Seq((depth, width)))
       .toDF("depth", "width")
       .write.mode("overwrite").parquet(s"$path/params")
   }
 
-  /** Read a [[writeStore]] grid back, manifest included. */
+  /** Read a [[writeStore]] grid back, manifest included (the
+    * idempotence stamp stays out of query plans). */
   def readStore(spark: org.apache.spark.sql.SparkSession,
                 path: String): CountMinStore = {
     val p = spark.read.parquet(s"$path/params").head()
-    CountMinStore(spark.read.parquet(s"$path/cells"),
+    CountMinStore(
+      spark.read.parquet(s"$path/cells").select("row", "pos", "cnt"),
       p.getAs[Int]("depth"), p.getAs[Int]("width"))
   }
 
@@ -95,23 +100,31 @@ object CountMin {
     * grid) and overwrite with the merged cells. The merged frame is
     * eagerly materialized (localCheckpoint) before the overwrite so
     * the read and the write of the same path cannot interleave; the
-    * grid is ≤ depth×width rows, so this is kilobytes. */
+    * grid is ≤ depth×width rows, so this is kilobytes.
+    *
+    * `batchId` (a foreachBatch id) makes the fold replay-idempotent:
+    * a batch whose id is already stamped into the store is a no-op
+    * (see [[Stores]] for why the stamp rides the cells write). */
   def foldIntoStore(batch: DataFrame, valueCol: String, path: String,
-                    depth: Int, width: Int): Unit = {
+                    depth: Int, width: Int,
+                    batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val hp = new org.apache.hadoop.fs.Path(s"$path/params")
     val exists =
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    val last = Stores.lastApplied(spark, s"$path/cells")
+    if (batchId.exists(_ <= last)) return // replayed micro-batch
+    val applied = math.max(last, batchId.getOrElse(-1L))
     if (!exists) {
       writeStore(sketch(batch, Seq.empty, valueCol, depth, width),
-        path, depth, width)
+        path, depth, width, applied)
     } else {
       val store = readStore(spark, path)
       val grown = merge(
         store.cells.unionByName(
           sketch(batch, Seq.empty, valueCol, store.depth, store.width)),
         Seq.empty).localCheckpoint(true)
-      writeStore(grown, path, store.depth, store.width)
+      writeStore(grown, path, store.depth, store.width, applied)
       // checkpoint blocks live on the LogicalRDD, not a CacheManager
       // entry — the pageRank discipline (Graph.checkpointRdd)
       Graph.checkpointRdd(grown).foreach(_.unpersist(false))

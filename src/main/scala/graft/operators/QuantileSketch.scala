@@ -126,9 +126,11 @@ object QuantileSketch {
     * whatever the source key type. */
   final case class QuantileStore(rows: DataFrame, k: Int)
 
-  def writeStore(sk: DataFrame, path: String, k: Int): Unit = {
-    sk.select(col("h"), col("key").cast("string").as("key"),
-        col("value").cast("double").as("value"))
+  def writeStore(sk: DataFrame, path: String, k: Int,
+                 applied: Long = -1L): Unit = {
+    Stores.stamp(
+        sk.select(col("h"), col("key").cast("string").as("key"),
+          col("value").cast("double").as("value")), applied)
       .write.mode("overwrite").parquet(s"$path/rows")
     sk.sparkSession.createDataFrame(Seq(Tuple1(k))).toDF("k")
       .write.mode("overwrite").parquet(s"$path/params")
@@ -137,7 +139,9 @@ object QuantileSketch {
   def readStore(spark: org.apache.spark.sql.SparkSession,
                 path: String): QuantileStore = {
     val p = spark.read.parquet(s"$path/params").head()
-    QuantileStore(spark.read.parquet(s"$path/rows"), p.getAs[Int]("k"))
+    QuantileStore(
+      spark.read.parquet(s"$path/rows").select("h", "key", "value"),
+      p.getAs[Int]("k"))
   }
 
   /** Fold a batch into a persisted sketch: create the store with the
@@ -147,13 +151,21 @@ object QuantileSketch {
     * deterministic policy; callers whose values mutate should version
     * their keys), and re-take the bottom-k. The result is eagerly
     * materialized before the overwrite so the read and write of the
-    * same path cannot interleave; the store is ≤ k rows. */
+    * same path cannot interleave; the store is ≤ k rows.
+    *
+    * `batchId` (a foreachBatch id) makes the fold replay-idempotent:
+    * a batch whose id is already stamped into the store is a no-op
+    * (see [[Stores]] for why the stamp rides the rows write). */
   def foldIntoStore(batch: DataFrame, keyCol: String, valueCol: String,
-                    path: String, k: Int): Unit = {
+                    path: String, k: Int,
+                    batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val hp = new org.apache.hadoop.fs.Path(s"$path/params")
     val exists =
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    val last = Stores.lastApplied(spark, s"$path/rows")
+    if (batchId.exists(_ <= last)) return // replayed micro-batch
+    val applied = math.max(last, batchId.getOrElse(-1L))
     // collapse batch-INTERNAL duplicate keys before sketching (the
     // same min-value policy as the store merge below), so a batch
     // that re-ingests a key still satisfies sketch()'s unique-key
@@ -164,7 +176,7 @@ object QuantileSketch {
           col(valueCol).cast("double").as(valueCol))
         .groupBy(col(keyCol)).agg(min(col(valueCol)).as(valueCol)),
         Seq.empty, keyCol, valueCol, kk)
-    if (!exists) writeStore(batchOf(k), path, k)
+    if (!exists) writeStore(batchOf(k), path, k, applied)
     else {
       val store = readStore(spark, path)
       val grown = mergeToGlobal(
@@ -172,7 +184,7 @@ object QuantileSketch {
           .groupBy(col("h"), col("key"))
           .agg(min(col("value")).as("value")),
         store.k).localCheckpoint(true)
-      writeStore(grown, path, store.k)
+      writeStore(grown, path, store.k, applied)
       Graph.checkpointRdd(grown).foreach(_.unpersist(false))
     }
   }

@@ -581,20 +581,44 @@ object Similarity {
        |      (a, b) -> a * 2 + b) AS code_hi
        |  FROM $rel v CROSS JOIN ${tag}mv mvt)""".stripMargin
 
+  /** Pin a model-sized frame to the driver and re-parallelize it as a
+    * 1-partition local relation (the kCenterCoreset discipline): the
+    * pinned frame re-broadcasts into later passes without recomputing
+    * its plan and without leaving cache or checkpoint blocks behind.
+    * `cap` bounds driver memory — the collect fetches at most cap+1
+    * rows before the guard fires. */
+  private[operators] def pinSmall(df: DataFrame, cap: Int,
+                                  what: String): DataFrame = {
+    val rows = df.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"$what frame exceeds the bounded-driver-materialization " +
+        s"guard $cap")
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      df.schema)
+  }
+
   /** Margin-based bitext mining (q190 — Artetxe & Schwenk 2019's
     * ratio-margin criterion, the CCMatrix/WikiMatrix selection rule):
     * for each source vector, the best target by
     * margin = cos(x, y) / ((aₓ + b_y) / 2), where aₓ/b_y are the
     * round-6 means of each side's top-`k` neighborhood sims (folded
-    * in rank order, so the oracle replays them); a pair is `accepted`
-    * when its margin clears `threshold`. Absolute-cosine mining fails
-    * on hubness vectors that score high against everything — the
-    * mutual-ranking denominator is the published fix.
+    * in rank order, so the oracle replays them; a neighborhood
+    * smaller than k divides by its actual size, not k — the published
+    * mean, not a deflated one); a pair is `accepted` when its margin
+    * clears `threshold`. Absolute-cosine mining fails on hubness
+    * vectors that score high against everything — the mutual-ranking
+    * denominator is the published fix.
     *
     * `src` must be (q_id, q_vec) and CONTRACT-BOUNDED (it broadcasts
     * into the sim cross and the forward-mean join); `tgt` is
-    * (c_id, c_vec), corpus-sized — the backward-mean join on c_id is
-    * the one shuffle the criterion's mutual ranking needs. */
+    * (c_id, c_vec), corpus-sized — the backward grouping on c_id is
+    * the ONE corpus shuffle the criterion's mutual ranking needs: the
+    * per-candidate neighborhood (≤|src| entries, bounded by contract)
+    * is collected once there, b_y folds from it, and the rows explode
+    * back out carrying b_y — no corpus-sized cache, and the forward
+    * pass reuses the same exchange (ReuseExchange) instead of
+    * recomputing the similarity cross. */
   def bitextMarginMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
                        threshold: Double = 1.05): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -603,24 +627,43 @@ object Similarity {
         col("q_vec").cast("array<double>"),
         col("c_vec").cast("array<double>")), 6))
       .select(col("q_id"), col("c_id"), col("sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def topMean(part: String, tie: String): DataFrame = {
-      val w = Window.partitionBy(col(part))
-        .orderBy(col("sim").desc, col(tie))
-      sims.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
-        .groupBy(col(part))
-        .agg((round(aggregate(
-          transform(array_sort(collect_list(struct(col("rn").as("rn"),
-            col("sim").as("s")))), x => x("s")),
-          lit(0.0), (a, x) => a + x) / lit(k.toDouble), 6) + lit(0.0))
-          .as(s"mean_$part"))
-    }
-    val fwd = topMean("q_id", "c_id").withColumnRenamed("mean_q_id", "a_x")
-    val bwd = topMean("c_id", "q_id").withColumnRenamed("mean_c_id", "b_y")
+    // rank-order sort key: round-6 sims are exact integers in micro
+    // units, so descending sim = ascending (2e6 − micro) as an exact
+    // LONG (negating the double would sort -0.0 before 0.0 and drift
+    // tie order against the SQL replay)
+    def rankKey: Column =
+      (lit(2000000L) - round(col("sim") * lit(1e6), 0).cast("long"))
+    // mean of the top-min(k, n) sims folded in rank order (sim desc,
+    // tie-id asc) — the exact fold sequence the oracle replays
+    def topMean(xs: Column): Column =
+      round(aggregate(transform(slice(xs, 1, k), x => x("s")),
+        lit(0.0), (a, x) => a + x) /
+        least(lit(k), size(xs)).cast("double"), 6) + lit(0.0)
+    val perC = sims.groupBy(col("c_id"))
+      .agg(array_sort(collect_list(struct(rankKey.as("nk"),
+        col("q_id").as("q"), col("sim").as("s")))).as("qs"))
+      .withColumn("b_y", topMean(col("qs")))
+    val rows = perC
+      .select(col("c_id"), col("b_y"), explode(col("qs")).as("e"))
+      .select(col("e.q").as("q_id"), col("c_id"),
+        col("e.s").as("sim"), col("b_y"))
+    // forward means keep the rank-then-filter shape (WindowGroupLimit
+    // pushes the top-k per partition) — a groupBy(q_id) collect would
+    // gather a CORPUS-sized array per query
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    val fwd = rows.withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= k)
+      .groupBy(col("q_id"))
+      .agg((round(aggregate(
+        transform(array_sort(collect_list(struct(col("rn").as("rn"),
+          col("sim").as("s")))), x => x("s")),
+        lit(0.0), (a, x) => a + x) /
+        least(lit(k), count(lit(1))).cast("double"), 6) + lit(0.0))
+        .as("a_x"))
     val wk = Window.partitionBy(col("q_id"))
       .orderBy(col("margin").desc, col("c_id"))
-    sims.join(broadcast(fwd), Seq("q_id")).join(bwd, Seq("c_id"))
+    rows.join(broadcast(fwd), Seq("q_id"))
       .withColumn("margin",
         round(col("sim") / ((col("a_x") + col("b_y")) / lit(2)), 6))
       .withColumn("rk", row_number().over(wk))
@@ -642,11 +685,14 @@ object Similarity {
     * sequence, so z replays bit-for-bit in the oracle.
     *
     * Scale shape: ONE narrow posexplode shuffles on (label, dim) —
-    * label×dim groups; the rounded centroid arrays (one per label) and
-    * the per-label stats frame are model-sized and BROADCAST into the
-    * corpus passes, which never shuffle. The distance frame is
-    * consumed twice (stats + final join) — cached, dropped by the
-    * caller's harness. */
+    * label×dim groups; the rounded centroid arrays (one per label) are
+    * model-sized and BROADCAST into the distance pass, which never
+    * shuffles. The per-label stats group already gathers every
+    * (id, dist) of the label into its sorted determinism array, so the
+    * z-scores EXPLODE that array back out instead of rescanning or
+    * caching the distance frame — the corpus is read once, shuffled
+    * once (on the label key), and nothing persists past the
+    * operator. */
   def labelOutliers(vectors: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, zThreshold: Double = 2.0)
                    : DataFrame = {
@@ -670,25 +716,29 @@ object Similarity {
           zip_with(col(vecCol).cast("array<double>"), col("cv"),
             (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x)), 6).as("dist"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val st = withDist.groupBy(col(labelCol))
+    // the stats group ALREADY gathers every (id, dist) of the label
+    // into its sorted determinism array — z-scores explode that same
+    // array back out, so the distance pass is consumed exactly once
+    // and nothing caches or rescans
+    withDist.groupBy(col(labelCol))
       .agg(count(lit(1)).as("n"),
         array_sort(collect_list(struct(col(idCol).as("id"),
           col("dist").as("d")))).as("ds"))
       .withColumn("mean_d",
         round(aggregate(transform(col("ds"), x => x("d")), lit(0.0),
           (a, x) => a + x) / col("n"), 6) + lit(0.0))
-      .select(col(labelCol), col("mean_d"),
-        (round(sqrt(round(aggregate(
+      .withColumn("std_d",
+        round(sqrt(round(aggregate(
           transform(col("ds"), x => (x("d") - col("mean_d"))
             * (x("d") - col("mean_d"))),
           lit(0.0), (a, x) => a + x) / col("n"), 6)), 6) + lit(0.0))
-          .as("std_d"))
-    withDist.join(broadcast(st), Seq(labelCol))
+      .select(col(labelCol), col("mean_d"), col("std_d"),
+        explode(col("ds")).as("e"))
       .withColumn("z", when(col("std_d") > 0.0,
-        round((col("dist") - col("mean_d")) / col("std_d"), 6)
+        round((col("e.d") - col("mean_d")) / col("std_d"), 6)
           + lit(0.0)).otherwise(lit(0.0)))
-      .select(col(idCol), col(labelCol), col("dist"), col("z"),
+      .select(col("e.id").as(idCol), col(labelCol),
+        col("e.d").as("dist"), col("z"),
         (col("z") > zThreshold).as("is_outlier"))
   }
 
@@ -736,11 +786,13 @@ object Similarity {
       if (cs.size == 1) distTo(cs.head) else least(cs.map(distTo): _*)
     for (_ <- 1 until k) {
       val minDist = minDistCol(centers.map(_._2))
-      val next = vecs.select(col("id"), minDist.as("d"))
+      // the winner's vector rides the argmax row (TakeOrdered carries
+      // it for free) — ONE job per round, not an argmax plus a
+      // second fetch-by-id scan
+      val next = vecs.select(col("id"), minDist.as("d"), col("dv"))
         .orderBy(col("d").desc, col("id")).limit(1).collect().head
-      val nextVec = vecs.filter(col("id") === next.getLong(0))
-        .select(col("dv")).collect().head.getSeq[Double](0)
-      centers :+= ((next.getLong(0), nextVec, Some(next.getDouble(1))))
+      centers :+= ((next.getLong(0), next.getSeq[Double](2),
+        Some(next.getDouble(1))))
     }
     // nearest-center assignment: array_position takes the FIRST index
     // holding the min distance — lowest round on ties, the same total

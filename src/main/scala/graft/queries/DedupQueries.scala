@@ -1228,8 +1228,10 @@ object DedupQueries {
     * what fraction of TRUE near-dup pairs did the q32 LSH tier
     * surface? Banding = 16 bands × 4 rows gives the usual S-curve —
     * high-J pairs are near-certain, threshold-adjacent pairs are
-    * where recall is spent). Ground truth is the LOSSLESS shingle
-    * self-join (q31's shape); detection is the full q32 chain
+    * where recall is spent). Ground truth is the LOSSLESS AllPairs
+    * prefix-filter join (q94's operator — identical pairs to the
+    * naive shingle self-join, sub-quadratic candidate generation);
+    * detection is the full q32 chain
     * (signatures → band buckets → verified candidates) — detected ⊆
     * truth by construction (candidates are exact-verified), so recall
     * is a clean ratio of exact ints. Seeding: each doc with
@@ -1334,9 +1336,15 @@ object DedupQueries {
           array_join(slice(toks, ((col("doc_id") % 10) * 4 + 1).cast("int"),
             size(toks)), " ").as("text"))
       val all = d.unionByName(twins)
-      val truth = Dedup.ngramJaccardPairs(
-        all.filter(size(split(col("text"), " ")) >= 3),
-        "doc_id", "text", k = 3, threshold = 0.5)
+      // truth via the LOSSLESS AllPairs prefix-filter join (q94's
+      // operator): exactly the same J ≥ 0.5 pairs as the naive
+      // shingle self-join, but candidates are pruned by the prefix
+      // principle instead of exploding on every shared shingle — at
+      // corpus scale one boilerplate shingle would otherwise create
+      // an O(df²) candidate pocket (the oracle keeps the naive
+      // spelling: DuckDB replays at sf0.01 only)
+      val truth = Dedup.prefixJaccardPairs(all, "doc_id", "text",
+        threshold = 0.5, shingleK = 3)
       val detected = Dedup.minhashNearDupPairs(all, "doc_id", "text",
           k = 3, numHashes = nH, bands = bands, threshold = 0.5)
         .select(col("a"), col("b"), lit(true).as("hit"))

@@ -886,7 +886,8 @@ object SimilarityQueries {
       |fwd AS (
       |  SELECT q_id, round(list_reduce(list_prepend(0.0,
       |      list_transform(list_sort(list({'rn': rn, 's': sim})),
-      |        x -> x.s)), (a, x) -> a + x) / 4.0, 6) + 0.0 AS a_x
+      |        x -> x.s)), (a, x) -> a + x)
+      |    / least(4, count(*)), 6) + 0.0 AS a_x
       |  FROM fr WHERE rn <= 4 GROUP BY q_id),
       |br AS (
       |  SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY c_id
@@ -895,7 +896,8 @@ object SimilarityQueries {
       |bwd AS (
       |  SELECT c_id, round(list_reduce(list_prepend(0.0,
       |      list_transform(list_sort(list({'rn': rn, 's': sim})),
-      |        x -> x.s)), (a, x) -> a + x) / 4.0, 6) + 0.0 AS b_y
+      |        x -> x.s)), (a, x) -> a + x)
+      |    / least(4, count(*)), 6) + 0.0 AS b_y
       |  FROM br WHERE rn <= 4 GROUP BY c_id),
       |m AS (
       |  SELECT s.q_id, s.c_id, s.sim, f.a_x, b.b_y,

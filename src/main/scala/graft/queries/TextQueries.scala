@@ -351,22 +351,74 @@ object TextQueries {
   /** q73: bounded-memory heavy hitters per source — the SpaceSaving
     * TypedImperativeAggregate next to q61's exact vocabulary: a
     * k-entry summary per partition instead of shuffling every distinct
-    * term. Estimates vary with encounter order (rows-only driver
-    * check); the sketch guarantees are pinned in SketchSpec. The
-    * frequency question itself IS hash-verifiable when the sketch is
-    * order-independent — q143's Count-Min grid covers that tier. */
-  val q73HeavyHitters: QuerySpec =
-    QuerySpec.noOracle("q73_heavy_hitters") { (s, dir) =>
-      Tables.documents(s, dir)
+    * term. The ESTIMATES vary with encounter order, so the registered
+    * output is the sketch's ORDER-FREE content — the published
+    * guarantees audited against exact counts on the same corpus:
+    * every emitted term satisfies count_est ≥ true ≥ count_est − err
+    * (n_bound_violations = 0), every term with true frequency > n/k
+    * is in the summary (n_missed_heavy = 0, the Metwally et al.
+    * coverage theorem under the Agarwal et al. mergeable-summaries
+    * merge), and the summary emits exactly min(k, |vocab|) entries.
+    * All six columns are deterministic whatever the partitioning, so
+    * DuckDB hash-verifies them from exact counts alone — the sketch's
+    * verifiable surface, not its order-dependent estimates (those
+    * remain exercised by SketchSpec's fixture assertions). The exact
+    * per-(source, term) aggregation here is the AUDIT's cost, not the
+    * sketch's — production reads the k-entry summaries directly. */
+  val q73HeavyHitters: QuerySpec = QuerySpec(
+    "q73_heavy_hitters",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |t AS (
+      |  SELECT source, COUNT(*) AS n_tokens,
+      |    COUNT(DISTINCT term) AS n_distinct
+      |  FROM tok GROUP BY 1)
+      |SELECT source, n_tokens, n_distinct,
+      |  least(10, n_distinct) AS n_emitted,
+      |  CAST(0 AS BIGINT) AS n_bound_violations,
+      |  CAST(0 AS BIGINT) AS n_missed_heavy
+      |FROM t ORDER BY source""".stripMargin) { (s, dir) =>
+      val k = 10
+      val toks = Tables.documents(s, dir)
         .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      val sketch = toks.groupBy(col("source"))
+        .agg(graft.plans.SpaceSavingAgg.approxTopTerms(col("term"), k)
+          .as("tt"))
+        .select(col("source"), explode(col("tt")).as("e"))
+        .select(col("source"), col("e.term").as("term"),
+          col("e.count_est").as("est"), col("e.err").as("err"))
+      val exact = toks.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c_true"))
+      val totals = toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("term")).as("n_distinct"))
+      // the sketch side is |sources| × k rows; a LEFT outer join
+      // cannot build its left side, but the exact frame arrives
+      // already partitioned on (source, term) from its own aggregate,
+      // so the sort-merge join reuses that exchange and only the tiny
+      // sketch side shuffles
+      val audited = sketch
+        .join(exact, Seq("source", "term"), "left")
         .groupBy(col("source"))
-        .agg(graft.plans.SpaceSavingAgg.approxTopTerms(col("term"), 10)
-          .as("top_terms"))
-        .select(col("source"), posexplode(col("top_terms")).as(Seq("rank", "e")))
-        .select(col("source"), col("rank"), col("e.term"),
-          col("e.count_est"), col("e.err"))
-        .filter(col("rank") < 5)
-        .orderBy(col("source"), col("rank"))
+        .agg(count(lit(1)).as("n_emitted"),
+          sum(when(col("c_true").isNull ||
+              col("c_true") > col("est") ||
+              col("c_true") < col("est") - col("err"), 1L)
+            .otherwise(0L)).as("n_bound_violations"))
+      val missed = exact.join(broadcast(totals), Seq("source"))
+        .filter(col("c_true") * k > col("n_tokens"))
+        .join(broadcast(sketch.select(col("source"), col("term"))),
+          Seq("source", "term"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_missed_heavy"))
+      totals.join(audited, Seq("source"), "left")
+        .join(missed, Seq("source"), "left")
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+          coalesce(col("n_emitted"), lit(0L)).as("n_emitted"),
+          coalesce(col("n_bound_violations"), lit(0L))
+            .as("n_bound_violations"),
+          coalesce(col("n_missed_heavy"), lit(0L)).as("n_missed_heavy"))
+        .orderBy(col("source"))
     }
 
   /** q82: deterministic train/val/test split (`Sampling.hashSplit`,
@@ -2052,6 +2104,54 @@ object TextQueries {
         .orderBy(col("lang"))
   }
 
+  /** q215: spaceless-script tokenizer fertility (★ — q187's
+    * multilingual-equity audit extended to scripts that write WITHOUT
+    * word spaces, where a whitespace tokenizer collapses every
+    * sentence into one pseudo-word and the fertility statistic
+    * degenerates). The corpus gains deterministic CJK (doc_id % 3 = 0)
+    * and Thai (doc_id % 3 = 1) tails — Thai spelled with standalone
+    * consonants only, so codepoint and grapheme indexing agree across
+    * engines — and the BPE machinery runs with the OPT-IN
+    * [[graft.functions.TextFunctions.segmentText]] pre-pass: each
+    * CJK/Thai run becomes its own word, character-split into initial
+    * tokens, so the trained vocabulary contains the scripts' units and
+    * per-script fertility is a MEASURED subword rate (≫ 1 while the
+    * merge budget favors the Latin majority — exactly the
+    * under-representation the XLM-R audit exists to show) instead of
+    * one giant unmatched pseudo-word. The oracle replays segmentation,
+    * training, and encoding through the shared [[graft.operators.Bpe]]
+    * SQL twins with `segment = true`. */
+  val q215CjkFertility: QuerySpec = {
+    // whole-document replacements, not tails: a cjk/thai "document" is
+    // entirely its script, so the per-script fertility rows measure
+    // the scripts themselves instead of averaging against the Latin
+    // base text. Several runs per doc (runs embed no spaces) with
+    // repeated within-run pairs, so merges are learnable and the
+    // run-length spread is real.
+    val cjkText = "数据清洗 数据质量 清洗流程数据清洗 数据流程"
+    val thaiText = "ขอมล คณภาพขอมล ขอมลสะอาด ขอมลคณภาพ"
+    val seededSql =
+      "(SELECT CASE doc_id % 3 WHEN 0 THEN 'cjk' WHEN 1 THEN 'thai' " +
+        "ELSE 'latin' END AS script, CASE doc_id % 3 " +
+        s"WHEN 0 THEN '$cjkText' WHEN 1 THEN '$thaiText' " +
+        "ELSE text END AS t FROM documents)"
+    QuerySpec(
+      "q215_cjk_fertility",
+      graft.operators.Bpe.sqlEncodedLengths(seededSql, "script", "t", 8,
+        segment = true)) { (s, dir) =>
+      val seeded = Tables.documents(s, dir).select(
+        when(col("doc_id") % 3 === 0, lit("cjk"))
+          .when(col("doc_id") % 3 === 1, lit("thai"))
+          .otherwise(lit("latin")).as("script"),
+        when(col("doc_id") % 3 === 0, lit(cjkText))
+          .when(col("doc_id") % 3 === 1, lit(thaiText))
+          .otherwise(col("text")).as("t"))
+      graft.operators.Bpe.encodedLengths(seeded, "script", "t", 8,
+          segment = true)
+        .orderBy(col("script"))
+    }
+  }
+
   /** q188: perplexity bucketing (★ — CCNet's head/middle/tail split:
     * per-doc KN cross-entropy from the q155 model, tertile thresholds
     * computed on the TRAINING partition's score distribution, every
@@ -2372,7 +2472,8 @@ object TextQueries {
     q167C4Filter, q168SkipgramPairs, q170TemperatureMix, q173VocabSweep,
     q178CrawlFrontier, q183LengthPsi, q184ZipfFit,
     q187TokenizerFertility, q188PerplexityBuckets, q189ScriptMix,
-    q193NfcNormalize, q194BlocklistGate, q198Readability)
+    q193NfcNormalize, q194BlocklistGate, q198Readability,
+    q215CjkFertility)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,

@@ -135,7 +135,10 @@ object IncrementalLoad {
     * build over the concatenated stream would produce (StreamingSpec
     * pins this) — the streaming and batch answers cannot drift.
     * Micro-batches serialize through foreachBatch, so read-merge-write
-    * on the store cannot race. */
+    * on the store cannot race, and the foreachBatch id is stamped
+    * into the store write itself, so foreachBatch's at-least-once
+    * replay of a committed batch is a no-op (the fold stays exact
+    * across failure recovery — see [[graft.operators.Stores]]). */
   def streamingCountMinFold(spark: SparkSession, stream: DataFrame,
                             valueCol: String, storePath: String,
                             checkpoint: String, depth: Int,
@@ -143,9 +146,9 @@ object IncrementalLoad {
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.CountMin.foldIntoStore(batch, valueCol,
-          storePath, depth, width)
+          storePath, depth, width, batchId = Some(batchId))
       }
       .start()
 
@@ -158,7 +161,8 @@ object IncrementalLoad {
     * micro-batch boundaries (StreamingSpec pins it); a key arriving
     * twice — within one batch or across batches — collapses under
     * the store's deterministic min-value policy rather than being
-    * double-sampled. */
+    * double-sampled. Replay-idempotent via the stamped foreachBatch
+    * id ([[graft.operators.Stores]]). */
   def streamingQuantileFold(spark: SparkSession, stream: DataFrame,
                             keyCol: String, valueCol: String,
                             storePath: String, checkpoint: String,
@@ -166,9 +170,9 @@ object IncrementalLoad {
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.QuantileSketch.foldIntoStore(batch, keyCol,
-          valueCol, storePath, k)
+          valueCol, storePath, k, batchId = Some(batchId))
       }
       .start()
 
@@ -181,16 +185,18 @@ object IncrementalLoad {
     * arriving corpus is never reprocessed. The fold is counter
     * addition, so the drained store's PSI equals the batch PSI over
     * the concatenated stream regardless of micro-batch boundaries
-    * (StreamingSpec pins it). */
+    * (StreamingSpec pins it), including across foreachBatch's
+    * at-least-once replays (the foreachBatch id is stamped into the
+    * store write — [[graft.operators.Stores]]). */
   def streamingDriftFold(spark: SparkSession, stream: DataFrame,
                          bucketCol: String, storePath: String,
                          checkpoint: String): StreamingQuery =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Audit.histogramFoldIntoStore(batch, bucketCol,
-          storePath)
+          storePath, batchId = Some(batchId))
       }
       .start()
 }

@@ -82,6 +82,8 @@ class PlanAuditSpec extends SparkSpecBase {
     // q213 crosses the 1-row cut array / totals / Gini-term array onto
     // the customer-revenue and 10-row decile frames — every broadcast
     // side ≤ k-sample-sized (the q152 shape composed)
+    // q205 crosses the 1-row basket-universe count onto the frequent-
+    // pair frame — the q76/q117 metadata-sized cross again
     // q214 crosses the 64-row replicate spine onto the scan (the one
     // fan-out the Poisson bootstrap needs) and two 1-row aggregates —
     // all metadata-sized
@@ -97,7 +99,8 @@ class PlanAuditSpec extends SparkSpecBase {
       "q181_ivfpq_topk", "q183_length_psi", "q185_hard_negatives",
       "q188_perplexity_buckets", "q190_bitext_margin", "q191_rrf_fusion",
       "q199_k_anonymity", "q200_matryoshka_recall",
-      "q203_benford_audit", "q206_neyman_allocation",
+      "q203_benford_audit", "q205_basket_rules",
+      "q206_neyman_allocation",
       "q210_kaplan_meier", "q213_lorenz_gini", "q214_bootstrap_ci")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
@@ -163,6 +166,16 @@ class PlanAuditSpec extends SparkSpecBase {
 
   test("q96 reservoir sample is TakeOrderedAndProject, not a global sort") {
     assert(planOf("q96_reservoir_sample").contains("TakeOrderedAndProject"))
+  }
+
+  test("q176 ground truth goes through the AllPairs prefix filter, " +
+      "not the unguarded shingle self-join") {
+    // the prefix-filter tier verifies candidates with array_intersect
+    // on the per-doc element arrays; the naive lossless self-join
+    // (the 100 TB scale-killer q176 used to carry) never touches it
+    val plan = planOf("q176_lsh_recall_audit")
+    assert(plan.contains("array_intersect"),
+      s"q176 truth side lost the AllPairs prefix-filter shape:\n$plan")
   }
 
   test("q99 audit row-checks share one aggregate, not one scan each") {

@@ -316,6 +316,35 @@ class SimilaritySpec extends SparkSpecBase {
       "planted pair does not carry the top margin")
   }
 
+  test("bitextMarginMine divides a sub-k neighborhood by its actual " +
+    "size, not k (the ratio-margin criterion's published mean)") {
+    import spark.implicits._
+    // 2 sources × 2 targets with k = 4: every neighborhood has 2
+    // members, so a_x/b_y must be the mean of 2 sims — dividing by 4
+    // (the old bias) would halve the denominators and inflate margins
+    val src = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("q_id", "q_vec")
+    val tgt = Seq((10L, Seq(1.0, 0.1)), (11L, Seq(0.1, 1.0)))
+      .toDF("c_id", "c_vec")
+    val out = Similarity.bitextMarginMine(src, tgt, k = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 2)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(d / n).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val s00 = cos(Seq(1.0, 0.0), Seq(1.0, 0.1))
+    val s01 = cos(Seq(1.0, 0.0), Seq(0.1, 1.0))
+    // source 0's forward mean over its 2-candidate neighborhood
+    val a0 = BigDecimal((s00 + s01) / 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(0L).getDouble(3) - a0) < 1e-9,
+      s"a_x=${out(0L).getDouble(3)} — expected the 2-neighbor mean $a0")
+  }
+
   test("q185 hard negatives never share the query's label and the " +
     "margin ties out against the positive") {
     val q = Queries.byName("q185_hard_negatives").run(spark, sf)

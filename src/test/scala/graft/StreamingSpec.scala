@@ -396,6 +396,62 @@ class StreamingSpec extends SparkSpecBase {
     assert(leaked.isEmpty, s"fold path leaked cached RDDs: $leaked")
   }
 
+  test("fold stores are replay-idempotent: re-executing a committed " +
+      "foreachBatch id is a no-op, later ids still fold") {
+    import spark.implicits._
+    import graft.operators.{Audit, CountMin, QuantileSketch}
+    val root = java.nio.file.Files.createTempDirectory("graft_replay")
+    val b1 = (1L to 100L).map(_ % 11).toDF("v")
+    val b2 = (1L to 80L).map(i => (i * 3) % 13).toDF("v")
+    // Count-Min: fold 0, fold 1, replay 1 (must not double-count),
+    // then 2 still folds
+    val cm = root.resolve("cm").toString
+    CountMin.foldIntoStore(b1, "v", cm, 4, 64, batchId = Some(0L))
+    CountMin.foldIntoStore(b2, "v", cm, 4, 64, batchId = Some(1L))
+    def cmTotal(): Long = CountMin.readStore(spark, cm).cells
+      .agg(sum(col("cnt"))).head.getLong(0)
+    val afterTwo = cmTotal()
+    assert(afterTwo === (100L + 80L) * 4)
+    CountMin.foldIntoStore(b2, "v", cm, 4, 64, batchId = Some(1L))
+    assert(cmTotal() === afterTwo, "replayed batch was double-folded")
+    CountMin.foldIntoStore(b1, "v", cm, 4, 64, batchId = Some(2L))
+    assert(cmTotal() === (100L + 80L + 100L) * 4,
+      "a NEW batch id after a replay must still fold")
+    // histogram: same protocol
+    val hist = root.resolve("hist").toString
+    Audit.histogramFoldIntoStore(b1.withColumnRenamed("v", "bucket"),
+      "bucket", hist, batchId = Some(0L))
+    def histTotal(): Long = Audit.readHistogramStore(spark, hist)
+      .agg(sum(col("cnt"))).head.getLong(0)
+    Audit.histogramFoldIntoStore(b1.withColumnRenamed("v", "bucket"),
+      "bucket", hist, batchId = Some(0L))
+    assert(histTotal() === 100L, "replayed histogram batch re-folded")
+    Audit.histogramFoldIntoStore(b2.withColumnRenamed("v", "bucket"),
+      "bucket", hist, batchId = Some(1L))
+    assert(histTotal() === 180L)
+    // quantile sketch: a replayed batch leaves the store's rows
+    // bit-identical (min-value policy would mask pure re-folds of the
+    // same keys, so replay with DIFFERENT values to prove the skip)
+    val qs = root.resolve("qs").toString
+    val q1 = (1L to 60L).map(i => (i, i.toDouble)).toDF("key", "v")
+    QuantileSketch.foldIntoStore(q1, "key", "v", qs, 40,
+      batchId = Some(0L))
+    val before = QuantileSketch.readStore(spark, qs).rows.collect().toSet
+    QuantileSketch.foldIntoStore(
+      q1.withColumn("v", col("v") - lit(100.0)), "key", "v", qs, 40,
+      batchId = Some(0L))
+    val after = QuantileSketch.readStore(spark, qs).rows.collect().toSet
+    assert(after === before, "replayed quantile batch mutated the store")
+    // and a batch-mode caller (no batchId) still folds unguarded:
+    // re-ingesting the keys with lower values pulls every stored
+    // value down under the min-value policy
+    QuantileSketch.foldIntoStore(
+      q1.withColumn("v", col("v") - lit(1000.0)), "key", "v", qs, 40)
+    val unguarded = QuantileSketch.readStore(spark, qs).rows
+    assert(unguarded.agg(max(col("value"))).head.getDouble(0) < 0.0,
+      "an unguarded (batch-mode) fold must still apply")
+  }
+
   test("streaming quantile fold: the drained store equals the " +
       "batch-built sketch over the concatenated stream") {
     import spark.implicits._
