@@ -27,6 +27,35 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Character class of the spaceless scripts the tokenizer pipeline
+    * must segment DETERMINISTICALLY before any whitespace split: the
+    * q189 CJK unified-ideographs range plus the Thai block — scripts
+    * that write without word spaces, so a whitespace tokenizer sees
+    * one giant pseudo-word per run and every word-grained statistic
+    * (BPE training, fertility, n_words) degenerates. Literal BMP
+    * endpoints, identical in Java regex and RE2. */
+  val spacelessClass: String = "[一-鿿ก-๛]"
+
+  /** Deterministic segmentation for spaceless scripts: every
+    * contiguous CJK/Thai run becomes its own whitespace-delimited
+    * word (boundaries at script transitions), surrounding whitespace
+    * re-collapsed. Runs stay INTACT — the BPE layer then splits them
+    * per-codepoint as its initial tokens and learns merges WITHIN the
+    * run, which is what makes fertility on these scripts a measured
+    * number instead of a vacuous 1-token-per-pseudo-word. A pure
+    * regex ladder (no UDF, codegen-friendly) with a byte-identical
+    * DuckDB twin ([[sqlSegmentText]]). */
+  def segmentText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, s"($spacelessClass+)", " $1 "),
+      " +", " "))
+
+  /** DuckDB spelling of [[segmentText]] — same two-stage ladder
+    * (RE2 replacement backrefs are `\1`; 'g' replaces all). */
+  def sqlSegmentText(e: String): String =
+    s"trim(regexp_replace(regexp_replace($e, " +
+      s"'($spacelessClass+)', ' \\1 ', 'g'), ' +', ' ', 'g'))"
+
   /** Tokens matched against a fixed vocabulary, as a count. */
   def vocabHits(text: Column, vocab: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(vocab.map(lit(_)): _*))).cast("long")

@@ -40,10 +40,45 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  def learnMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+  /** The word stream the trainer and encoder share: a plain
+    * whitespace split, optionally preceded by the deterministic
+    * spaceless-script segmentation
+    * ([[graft.functions.TextFunctions.segmentText]]) that turns each
+    * CJK/Thai run into its own word — the run is then character-split
+    * into initial tokens exactly like a Latin word, so BPE learns
+    * merges WITHIN runs and fertility on spaceless scripts measures
+    * real subword counts. */
+  private def wordStream(textCol: String, segment: Boolean)
+      : org.apache.spark.sql.Column =
+    if (segment)
+      split(graft.functions.TextFunctions.segmentText(col(textCol)), " ")
+    else split(col(textCol), " ")
+
+  /** Trainable-word charset: [a-z0-9]+ always; with segmentation on,
+    * also pure spaceless-script runs. Both charsets exclude the '|'
+    * delimiter the SQL replay folds through. */
+  private def charsetRe(segment: Boolean): String =
+    if (segment)
+      s"^[a-z0-9]+$$|^${graft.functions.TextFunctions.spacelessClass}+$$"
+    else "^[a-z0-9]+$"
+
+  /** SQL twin of [[wordStream]]. */
+  private def sqlWordStream(textCol: String, segment: Boolean): String =
+    if (segment)
+      s"string_split(${graft.functions.TextFunctions.sqlSegmentText(textCol)}, ' ')"
+    else s"string_split($textCol, ' ')"
+
+  /** SQL twin of [[charsetRe]] (single-quoted for interpolation). */
+  private def sqlCharsetRe(segment: Boolean): String =
+    if (segment)
+      s"'^[a-z0-9]+$$|^${graft.functions.TextFunctions.spacelessClass}+$$'"
+    else "'^[a-z0-9]+$'"
+
+  def learnMerges(docs: DataFrame, textCol: String, k: Int,
+                  segment: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    train(docs, textCol, k)._2
+    train(docs, textCol, k, segment)._2
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
   }
 
@@ -57,9 +92,9 @@ object Bpe {
     * outside the trained charset drop out in the join, exactly as
     * they never entered training. */
   def encodedLengths(docs: DataFrame, keyCol: String, textCol: String,
-                     k: Int): DataFrame = {
-    val (wt, _) = train(docs, textCol, k)
-    docs.select(col(keyCol), explode(split(col(textCol), " ")).as("word"))
+                     k: Int, segment: Boolean = false): DataFrame = {
+    val (wt, _) = train(docs, textCol, k, segment)
+    docs.select(col(keyCol), explode(wordStream(textCol, segment)).as("word"))
       .join(broadcast(wt.select(col("word"),
         size(col("toks")).cast("long").as("n_sub"),
         length(col("word")).cast("long").as("n_chr"))), Seq("word"))
@@ -76,9 +111,11 @@ object Bpe {
 
   /** The training loop: returns the final `(word, cnt, toks)` table
     * and the learned merges. */
-  private def train(docs: DataFrame, textCol: String, k: Int)
+  private def train(docs: DataFrame, textCol: String, k: Int,
+                    segment: Boolean = false)
       : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
-    val (wt, merges, _) = trainWithSnapshots(docs, textCol, k, Set.empty)
+    val (wt, merges, _) =
+      trainWithSnapshots(docs, textCol, k, Set.empty, segment)
     (wt, merges)
   }
 
@@ -90,14 +127,15 @@ object Bpe {
     * scans. If training exhausts early, later-ranked snapshots alias
     * the fixed point (no merges left ⇒ the segmentation is final). */
   private def trainWithSnapshots(docs: DataFrame, textCol: String, k: Int,
-                                 snaps: Set[Int])
+                                 snaps: Set[Int],
+                                 segment: Boolean = false)
       : (DataFrame, Seq[(Int, String, String, String, Long)],
          Map[Int, DataFrame]) = {
     require(k >= 1 && k <= 64, s"k=$k outside [1, 64]")
     val taken = scala.collection.mutable.Map.empty[Int, DataFrame]
     var wt = docs
-      .select(explode(split(col(textCol), " ")).as("word"))
-      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .select(explode(wordStream(textCol, segment)).as("word"))
+      .filter(col("word").rlike(charsetRe(segment)))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("toks", transform(sequence(lit(1), length(col("word"))),
         i => col("word").substr(i, lit(1))))
@@ -209,23 +247,24 @@ object Bpe {
     * a '|'-delimited string accumulator (`list_reduce` needs acc and
     * element types equal) — safe because the word charset excludes
     * the delimiter. */
-  def sqlLearnMerges(table: String, textCol: String, k: Int): String = {
+  def sqlLearnMerges(table: String, textCol: String, k: Int,
+                     segment: Boolean = false): String = {
     val sel = (1 to k).map { r =>
       s"SELECT CAST($r AS INTEGER) AS merge_rank, l AS lhs, r AS rhs, " +
         s"l || r AS merged, c AS pair_count FROM b$r"
     }.mkString("\nUNION ALL ")
-    sqlCtes(table, textCol, k) +
+    sqlCtes(table, textCol, k, segment) +
       s"\nSELECT * FROM (\n$sel\n) ORDER BY merge_rank"
   }
 
   /** DuckDB replay of [[encodedLengths]]: the training CTEs, then the
     * corpus explode joined against the final word table. */
   def sqlEncodedLengths(table: String, keyCol: String, textCol: String,
-                        k: Int): String =
-    sqlCtes(table, textCol, k) +
+                        k: Int, segment: Boolean = false): String =
+    sqlCtes(table, textCol, k, segment) +
       s""",
          |dw AS (
-         |  SELECT $keyCol, unnest(string_split($textCol, ' ')) AS word
+         |  SELECT $keyCol, unnest(${sqlWordStream(textCol, segment)}) AS word
          |  FROM $table),
          |enc AS (
          |  SELECT $keyCol, CAST(len(toks) AS BIGINT) AS n_sub,
@@ -240,14 +279,15 @@ object Bpe {
          |    AS fertility
          |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
 
-  private def sqlCtes(table: String, textCol: String, k: Int): String = {
+  private def sqlCtes(table: String, textCol: String, k: Int,
+                      segment: Boolean = false): String = {
     require(k >= 1 && k <= 64, s"k=$k outside [1, 64]")
     val head =
       s"""WITH w0 AS (
          |  SELECT word, COUNT(*) AS cnt FROM (
-         |    SELECT unnest(string_split($textCol, ' ')) AS word
+         |    SELECT unnest(${sqlWordStream(textCol, segment)}) AS word
          |    FROM $table)
-         |  WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY 1),
+         |  WHERE regexp_matches(word, ${sqlCharsetRe(segment)}) GROUP BY 1),
          |wt0 AS (
          |  SELECT word, cnt,
          |    list_transform(range(1, len(word) + 1), i -> word[i]) AS toks

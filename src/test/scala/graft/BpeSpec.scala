@@ -44,6 +44,37 @@ class BpeSpec extends SparkSpecBase {
       r.getString(3).exists(c => !c.isLetterOrDigit)))
   }
 
+  test("segmentText isolates spaceless-script runs; segmented BPE " +
+      "learns merges inside them") {
+    import spark.implicits._
+    // mixed line: latin words, a CJK run, a Thai run — segmentation
+    // must isolate the runs as words and leave latin untouched
+    val seg = Seq(Tuple1("see 数据清洗 and ขอมล here"))
+      .toDF("t")
+      .select(graft.functions.TextFunctions.segmentText(col("t")))
+      .head.getString(0)
+    assert(seg === "see 数据清洗 and ขอมล here")
+    val glued = Seq(Tuple1("ab数据cd")).toDF("t")
+      .select(graft.functions.TextFunctions.segmentText(col("t")))
+      .head.getString(0)
+    assert(glued === "ab 数据 cd", s"run not isolated: '$glued'")
+    // a pure-CJK corpus: without segmentation the whole line is one
+    // non-charset pseudo-word and nothing trains; with it, the run
+    // character-splits and the frequent pair merges
+    val docs = Seq((1L, "数据数据"), (2L, "数据清洗")).toDF("doc_id", "text")
+    assert(Bpe.learnMerges(docs, "text", 2).collect().isEmpty)
+    val merges = Bpe.learnMerges(docs, "text", 2, segment = true)
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    // (数,据) appears 3x (twice in 数据数据, once in 数据清洗)
+    assert(merges.head === ((1, "数据", 3L)), merges.mkString(","))
+    // encoded fertility on the segmented corpus is measured, not the
+    // one-pseudo-word degenerate value
+    val enc = Bpe.encodedLengths(docs, "doc_id", "text", 2,
+        segment = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(enc(1L) < 2.0 && enc(1L) >= 1.0, s"fertility ${enc(1L)}")
+  }
+
   test("encoded lengths: counts follow the learned segmentation") {
     import spark.implicits._
     // after 1 merge (a,a): aa→[aa](1), ab→[a,b](2), b→[b](1)

@@ -19,6 +19,16 @@ flagship query's WORKLOAD scales ~10x rather than degenerating:
   nodes and ~10x edges; o_custkey is NOT shifted so the query's
   o_custkey < 500 customer hub-set keeps selecting every replica's
   orders.
+- embeddings: vec_id += k*10_000 per replica k; replica k>=1 applies a
+  fixed ORTHOGONAL transform (coordinate rotation by 7k positions +
+  deterministic sign flips). Orthogonality preserves every norm and
+  within-replica inner product EXACTLY, so cluster/near-dup structure
+  scales 10x, while cross-replica cosines are scrambled — naive
+  replication would hand the ANN tier 10 exact copies of every vector
+  and measure dedup of the fixture, not search at scale. Labels are
+  kept, so per-label populations (q186's groups, q185's negatives)
+  also grow 10x. Sign flips are exact in IEEE, so replica geometry is
+  bit-faithful.
 - all other tables: copied verbatim (unused by the flagship tier).
 
 Usage: python3 tools/gen_sf1.py [outdir]   (default /tmp/graft_sf1)
@@ -75,6 +85,24 @@ lineitem = [
 ]
 write("lineitem", " UNION ALL ".join(lineitem))
 
-for t in ["region", "nation", "customer", "supplier", "part", "events",
-          "embeddings"]:
+emb = []
+for k in range(REPLICAS):
+    if k == 0:
+        vec = "embedding"
+    else:
+        # orthogonal per-replica transform: rotate coordinates by 7k
+        # and flip signs on a k-dependent pattern — exact in IEEE
+        vec = (
+            "CAST(list_transform(range(1, 65), i ->"
+            f" embedding[1 + ((i - 1 + {7 * k}) % 64)]"
+            f" * (CASE WHEN (i + {k}) % 3 = 0 THEN -1 ELSE 1 END))"
+            " AS FLOAT[])"
+        )
+    emb.append(
+        f"SELECT vec_id + {k * 10_000} AS vec_id, {vec} AS embedding,"
+        f" label FROM '{SRC}/embeddings.parquet'"
+    )
+write("embeddings", " UNION ALL ".join(emb))
+
+for t in ["region", "nation", "customer", "supplier", "part", "events"]:
     write(t, f"SELECT * FROM '{SRC}/{t}.parquet'")
