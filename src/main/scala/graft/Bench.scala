@@ -101,13 +101,31 @@ object Bench {
     // per-pass wall-clock start (epoch ms) and loadavg at start/end, so a
     // reader can line the run up against any external record of host load
     val passMeta = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
-    val allPasses: Seq[Map[String, (Double, Double)]] = (1 to nPasses).map { _ =>
-      val startMs = System.currentTimeMillis()
-      val l0 = loadAvg()
-      val res = pass()
-      passMeta += ((startMs, l0, loadAvg()))
-      res
-    }
+    // idle gate: a timed pass that STARTED under heavy external load
+    // (1-min loadavg > cpus/2 on a bench that itself contributes ~0 at
+    // pass start) is re-run once, so the published min always includes
+    // at least the retried pass from a quieter window. The retry is
+    // recorded like any pass (its load rides the artifact), so the gate
+    // is visible, not silent; one retry per pass bounds total runtime.
+    val loadGate = cpus.toDouble / 2.0
+    var retried = 0
+    val allPasses: Seq[Map[String, (Double, Double)]] =
+      (1 to nPasses).flatMap { _ =>
+        val startMs = System.currentTimeMillis()
+        val l0 = loadAvg()
+        val res = pass()
+        passMeta += ((startMs, l0, loadAvg()))
+        if (l0 > loadGate && retried == 0) {
+          retried += 1
+          System.err.println(
+            f"BENCH IDLE-GATE: pass started at load $l0%.2f > $loadGate%.1f — retrying once")
+          val rs = System.currentTimeMillis()
+          val rl0 = loadAvg()
+          val rres = pass()
+          passMeta += ((rs, rl0, loadAvg()))
+          Seq(res, rres)
+        } else Seq(res)
+      }
     val p1 = allPasses.head.map { case (k, (t, _)) => k -> t }
     val pMins = allPasses.tail.foldLeft(p1) { (acc, p) =>
       acc.map { case (k, v) =>

@@ -893,10 +893,81 @@ object EventQueries {
       (abs(z - lit(0.0)) > 1.96).as("significant"))
   }
 
+  /** q216: end-to-end streaming Holt forecast (★ — the q202 model run
+    * the way production runs it: a FILE-SOURCE stream drained with
+    * `Trigger.AvailableNow` through a PARQUET sink, not a MemoryStream
+    * fixture). The events table is staged into two files split at the
+    * time midpoint (days arrive non-decreasing across micro-batches —
+    * the operator's watermark posture; a day straddling the cut
+    * accumulates into the open-day state), `maxFilesPerTrigger = 1`
+    * forces two micro-batches, and the sink's LAST emission per type
+    * must equal the batch q202 fold exactly — so the oracle is the
+    * same recursive Holt SQL, which makes this a fully hash-checked
+    * integration of source → stateful operator → sink. Emissions are
+    * (n_days)-monotone per type, so the final-state pick is a
+    * deterministic max; -0.0 is normalized at the edge like every
+    * exported double. */
+  val q216StreamingHolt: QuerySpec = {
+    import graft.operators.Resample
+    val (alpha, beta) = (0.5, 0.25)
+    QuerySpec(
+      "q216_streaming_holt",
+      s"""WITH RECURSIVE d AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6)
+         |      AS v
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |h AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    list_transform(list_sort(list({'ts': day, 'v': v})),
+         |      x -> x.v) AS hist
+         |  FROM d GROUP BY event_type HAVING COUNT(*) >= 2),
+         |${Resample.sqlHoltRec("h", "event_type", "hist", alpha, beta)}
+         |SELECT r.event_type, h.n_days,
+         |  round(r.l, 6) + 0.0 AS level, round(r.b, 6) + 0.0 AS trend,
+         |  round(r.l + 1 * r.b, 6) + 0.0 AS fc1
+         |FROM rec r JOIN h ON h.event_type = r.event_type
+         |  AND r.i = len(h.hist)
+         |ORDER BY r.event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("ts"), col("value"))
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (lo, hi) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+      val cut = new java.sql.Timestamp(
+        lo.getTime + (hi.getTime - lo.getTime) / 2)
+      val root = java.nio.file.Files.createTempDirectory("graft_q216")
+      ev.filter(col("ts") < lit(cut)).coalesce(1)
+        .write.parquet(root.resolve("in/a").toString)
+      ev.filter(col("ts") >= lit(cut)).coalesce(1)
+        .write.parquet(root.resolve("in/b").toString)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root.toString + "/in/*/")
+      val q = graft.streaming.Streams.holtStream(s, stream)
+        .writeStream.format("parquet")
+        .option("path", root.resolve("sink").toString)
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "q216 stream did not drain")
+      val sink = s.read.parquet(root.resolve("sink").toString)
+      sink.withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("n_days").desc)))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n_days"),
+          (col("level") + lit(0.0)).as("level"),
+          (col("trend") + lit(0.0)).as("trend"),
+          (col("fc1") + lit(0.0)).as("fc1"))
+        .orderBy(col("event_type"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q40JsonProps, q41Tumbling, q42Sliding, q43Sessions, q44DedupReplay,
     q45AsOf, q56AsOfKeyed, q68RangeAsOf, q74IntervalJoin, q85FillForward,
     q101Sessionize, q106IntervalIslands, q108Scd2Build, q127Funnel,
     q128Ewma, q130TopP, q132RollingCorr, q202Holt,
-    q208TransitionMatrix, q209Cusum, q210KaplanMeier, q211AbTest)
+    q208TransitionMatrix, q209Cusum, q210KaplanMeier, q211AbTest,
+    q216StreamingHolt)
 }
