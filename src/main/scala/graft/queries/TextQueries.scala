@@ -2152,6 +2152,26 @@ object TextQueries {
     }
   }
 
+  /** q217: unigram-LM (SentencePiece) tokenizer training (★ — Kudo
+    * 2018's Viterbi hard-EM, the OTHER subword family beside q156's
+    * BPE: seed vocabulary of all ≤4-char substrings of the word
+    * table, two EM rounds of min-cost segmentation under round-6
+    * −log p with deterministic tie-breaks, exact piece-count
+    * re-estimation between rounds; see [[graft.operators.Unigram]]
+    * for the determinism engineering). Output = the top-40 final
+    * pieces by exact count — ints and strings only; the oracle
+    * replays the seed statistics, BOTH Viterbi DPs (recursive CTEs —
+    * `list_reduce`'s struct-accumulator mutation makes folds unsafe,
+    * the q202 lesson), both backwalks, and the count re-estimation. */
+  val q217UnigramTrain: QuerySpec = QuerySpec(
+    "q217_unigram_train",
+    graft.operators.Unigram.sqlTrainCounts("documents", "text") +
+      "\nSELECT piece, piece_len, cnt FROM out " +
+      "ORDER BY cnt DESC, piece LIMIT 40") { (s, dir) =>
+    graft.operators.Unigram.trainCounts(Tables.documents(s, dir), "text")
+      .orderBy(col("cnt").desc, col("piece")).limit(40)
+  }
+
   /** q188: perplexity bucketing (★ — CCNet's head/middle/tail split:
     * per-doc KN cross-entropy from the q155 model, tertile thresholds
     * computed on the TRAINING partition's score distribution, every
@@ -2473,7 +2493,7 @@ object TextQueries {
     q178CrawlFrontier, q183LengthPsi, q184ZipfFit,
     q187TokenizerFertility, q188PerplexityBuckets, q189ScriptMix,
     q193NfcNormalize, q194BlocklistGate, q198Readability,
-    q215CjkFertility)
+    q215CjkFertility, q217UnigramTrain)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,

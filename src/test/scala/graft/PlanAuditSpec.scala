@@ -87,6 +87,9 @@ class PlanAuditSpec extends SparkSpecBase {
     // q214 crosses the 64-row replicate spine onto the scan (the one
     // fan-out the Poisson bootstrap needs) and two 1-row aggregates —
     // all metadata-sized
+    // q217 crosses each EM round's 1-row piece-count total onto the
+    // vocabulary-bounded piece frame — the q76/q117 metadata-sized
+    // cross again (twice, once per round)
     val bounded = Set("q34_cosine_topk", "q52_ivf_topk", "q62_tfidf",
       "q90_resample", "q76_profile", "q100_histogram", "q107_ann_pipeline",
       "q117_bm25", "q120_repeated_spans", "q131_pmi_collocations",
@@ -100,7 +103,7 @@ class PlanAuditSpec extends SparkSpecBase {
       "q188_perplexity_buckets", "q190_bitext_margin", "q191_rrf_fusion",
       "q199_k_anonymity", "q200_matryoshka_recall",
       "q203_benford_audit", "q205_basket_rules",
-      "q206_neyman_allocation",
+      "q206_neyman_allocation", "q217_unigram_train",
       "q210_kaplan_meier", "q213_lorenz_gini", "q214_bootstrap_ci")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString

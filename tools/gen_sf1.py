@@ -31,7 +31,13 @@ flagship query's WORKLOAD scales ~10x rather than degenerating:
   bit-faithful.
 - all other tables: copied verbatim (unused by the flagship tier).
 
-Usage: python3 tools/gen_sf1.py [outdir]   (default /tmp/graft_sf1)
+Usage: python3 tools/gen_sf1.py [outdir] [replicas]
+       (defaults /tmp/graft_sf1, 10; replicas=100 builds the sf10
+       two-decade fixture — key shifts stay collision-free up to
+       replicas=100: max doc_id 5e3 + 99*1e4 < the +1e6 synthesis
+       band, max o_orderkey 6e5 + 99*1e6 distinct per replica, and
+       no two replicas share an (orthogonal-rotation, sign) pair
+       below k=192)
 """
 import os
 import sys
@@ -40,7 +46,8 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
-REPLICAS = 10
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+assert 1 <= REPLICAS <= 100, "key shifts verified collision-free to 100"
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
