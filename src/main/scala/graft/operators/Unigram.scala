@@ -50,7 +50,42 @@ object Unigram {
     * `(piece, piece_len, cnt)` — exact ints, no float in the output
     * contract. */
   def trainCounts(docs: DataFrame, textCol: String,
-                  seedSize: Int = 256, maxPieceLen: Int = 4): DataFrame = {
+                  seedSize: Int = 256, maxPieceLen: Int = 4): DataFrame =
+    pieceCounts(train(docs, textCol, seedSize, maxPieceLen))
+      .select(col("piece"), length(col("piece")).as("piece_len"),
+        col("c").as("cnt"))
+
+  /** Apply the trained segmentation back to the corpus, keyed (the
+    * q187 fertility audit under the unigram vocabulary): per key,
+    * word/char/piece counts plus compression and fertility. Encoding
+    * is the [[Bpe.encodedLengths]] shape — the final word table
+    * already holds each word's segmentation, so the corpus explode
+    * joins the BROADCAST vocabulary-bounded table; words outside the
+    * trained charset/length cap drop out in the join exactly as they
+    * never entered training. */
+  def encodedLengths(docs: DataFrame, keyCol: String, textCol: String,
+                     seedSize: Int = 256, maxPieceLen: Int = 4)
+      : DataFrame = {
+    val seg = train(docs, textCol, seedSize, maxPieceLen)
+      .select(col("word"), size(col("pieces")).cast("long").as("n_sub"),
+        length(col("word")).cast("long").as("n_chr"))
+    docs.select(col(keyCol), explode(split(col(textCol), " ")).as("word"))
+      .join(broadcast(seg), Seq("word"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_chr")).as("n_chars"),
+        sum(col("n_sub")).as("n_pieces"))
+      .select(col(keyCol), col("n_words"), col("n_chars"),
+        col("n_pieces"),
+        (col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("compression"),
+        (col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+  }
+
+  /** The shared EM chain; returns the ROUND-2 segmentation frame
+    * `(word, cnt, pieces)`. */
+  private def train(docs: DataFrame, textCol: String,
+                    seedSize: Int, maxPieceLen: Int): DataFrame = {
     require(seedSize >= 16 && seedSize <= 4096,
       s"seedSize=$seedSize outside [16, 4096]")
     require(maxPieceLen >= 2 && maxPieceLen <= 8,
@@ -74,9 +109,7 @@ object Unigram {
     val v0 = withLogProb(p0, "f")
     val c1 = pieceCounts(viterbi(subs, v0))
     val v1 = withLogProb(c1, "c")
-    val c2 = pieceCounts(viterbi(subs, v1))
-    c2.select(col("piece"), length(col("piece")).as("piece_len"),
-      col("c").as("cnt"))
+    viterbi(subs, v1)
   }
 
   /** All (word, cnt, s, e, sub) spans of the word table: start s
@@ -190,6 +223,42 @@ object Unigram {
     * (piece, piece_len, cnt) for the final round. */
   def sqlTrainCounts(table: String, textCol: String,
                      seedSize: Int = 256, maxPieceLen: Int = 4): String =
+    sqlCtes(table, textCol, seedSize, maxPieceLen) +
+      s""",
+         |c2 AS (
+         |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+         |    SELECT cnt, unnest(ps) AS piece FROM done2) GROUP BY 1),
+         |out AS (
+         |  SELECT piece, CAST(len(piece) AS INTEGER) AS piece_len,
+         |    c AS cnt
+         |  FROM c2)""".stripMargin
+
+  /** DuckDB replay of [[encodedLengths]]: the training CTEs, then the
+    * corpus explode joined against the round-2 segmentation. */
+  def sqlEncodedLengths(table: String, keyCol: String, textCol: String,
+                        seedSize: Int = 256, maxPieceLen: Int = 4): String =
+    sqlCtes(table, textCol, seedSize, maxPieceLen) +
+      s""",
+         |dw AS (
+         |  SELECT $keyCol, unnest(string_split($textCol, ' ')) AS word
+         |  FROM $table),
+         |enc AS (
+         |  SELECT $keyCol, CAST(len(ps) AS BIGINT) AS n_sub,
+         |    CAST(len(word) AS BIGINT) AS n_chr
+         |  FROM dw JOIN done2 USING (word))
+         |SELECT $keyCol, COUNT(*) AS n_words,
+         |  CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+         |  CAST(SUM(n_sub) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(n_chr) AS DOUBLE) / CAST(SUM(n_sub) AS DOUBLE)
+         |    AS compression,
+         |  CAST(SUM(n_sub) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS fertility
+         |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The shared training CTE chain, ending in `done2` =
+    * (word, cnt, ps) — the round-2 Viterbi segmentation. */
+  private def sqlCtes(table: String, textCol: String,
+                      seedSize: Int, maxPieceLen: Int): String =
     s"""WITH RECURSIVE w0 AS (
        |  SELECT word, COUNT(*) AS cnt FROM (
        |    SELECT unnest(string_split($textCol, ' ')) AS word
@@ -239,12 +308,5 @@ object Unigram {
        |    list_sort(list({'e': su.e, 's': su.s, 'lp': v.lp})) AS sp
        |  FROM subs su JOIN v1 v ON v.piece = su.sub
        |  GROUP BY su.word, su.cnt),
-       |${sqlViterbi(2)},
-       |c2 AS (
-       |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c FROM (
-       |    SELECT cnt, unnest(ps) AS piece FROM done2) GROUP BY 1),
-       |out AS (
-       |  SELECT piece, CAST(len(piece) AS INTEGER) AS piece_len,
-       |    c AS cnt
-       |  FROM c2)""".stripMargin
+       |${sqlViterbi(2)}""".stripMargin
 }

@@ -2172,6 +2172,25 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("piece")).limit(40)
   }
 
+  /** q218: unigram-tokenizer fertility by language (★ — q187's
+    * multilingual-equity audit under the q217 unigram vocabulary
+    * instead of BPE: pieces per word and chars per piece per
+    * LANGUAGE from one unigram training run. The two tables together
+    * are the tokenizer-selection comparison — same corpus, same
+    * audit, the two subword families' fragmentation side by side.
+    * Scale shape is q187's: the corpus is scanned once for the word
+    * table, EM runs vocabulary-bounded, and the learned round-2
+    * segmentation joins back through a BROADCAST word table; all-int
+    * sums and two exact-int divisions. */
+  val q218UnigramFertility: QuerySpec = QuerySpec(
+    "q218_unigram_fertility",
+    graft.operators.Unigram.sqlEncodedLengths(
+      "documents", "lang", "text")) { (s, dir) =>
+    graft.operators.Unigram.encodedLengths(
+        Tables.documents(s, dir), "lang", "text")
+      .orderBy(col("lang"))
+  }
+
   /** q188: perplexity bucketing (★ — CCNet's head/middle/tail split:
     * per-doc KN cross-entropy from the q155 model, tertile thresholds
     * computed on the TRAINING partition's score distribution, every
@@ -2493,7 +2512,7 @@ object TextQueries {
     q178CrawlFrontier, q183LengthPsi, q184ZipfFit,
     q187TokenizerFertility, q188PerplexityBuckets, q189ScriptMix,
     q193NfcNormalize, q194BlocklistGate, q198Readability,
-    q215CjkFertility, q217UnigramTrain)
+    q215CjkFertility, q217UnigramTrain, q218UnigramFertility)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,

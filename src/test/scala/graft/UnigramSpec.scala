@@ -50,6 +50,25 @@ class UnigramSpec extends SparkSpecBase {
     assert(!pieces.exists(_.length > 4), "piece beyond maxPieceLen")
   }
 
+  test("encodedLengths: hand-computed fertility under the trained " +
+      "vocabulary; out-of-charset words drop") {
+    import spark.implicits._
+    // lang en: "abc abc abc" + "ab ab" (plus one excluded token);
+    // lang fr: "c c c c c". Round-2 segmentations (first spec):
+    // abc->[abc], ab->[ab], c->[c].
+    val docs = Seq(
+      ("en", "abc abc abc"), ("en", "ab ab X!"), ("fr", "c c c c c"))
+      .toDF("lang", "text")
+    val out = Unigram.encodedLengths(docs, "lang", "text", seedSize = 16)
+      .orderBy(col("lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    // en: 5 words (X! drops), chars 3*3+2*2=13, pieces 5 → comp 2.6,
+    // fert 1.0; fr: 5 words, 5 chars, 5 pieces → comp 1.0, fert 1.0
+    assert(out.toSeq === Seq(("en", 5L, 13L, 5L, 2.6, 1.0),
+      ("fr", 5L, 5L, 5L, 1.0, 1.0)))
+  }
+
   test("oracle SQL replays training bit-for-bit on the documents table") {
     // guards the generated recursive-CTE chain against drift from the
     // Spark fold (the full-corpus check runs in the q217 oracle gate;
