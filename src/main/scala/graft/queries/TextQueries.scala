@@ -2191,6 +2191,24 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** q219: WordPiece tokenizer training (★ — the THIRD subword
+    * family, completing the triple: q156's BPE merges by pair
+    * frequency, q217's unigram fits by EM, and BERT's WordPiece
+    * merges by unigram-likelihood GAIN score = c(lr)/(c(l)·c(r)),
+    * with the `##` continuation convention keeping word-initial and
+    * word-internal symbols distinct. Same one-corpus-scan word-table
+    * formulation; the per-round unigram denominator is WordPiece's
+    * extra vocabulary-bounded aggregate; see
+    * [[graft.operators.WordPiece]] for the round-6 score stance. */
+  val q219WordpieceMerges: QuerySpec = QuerySpec(
+    "q219_wordpiece_merges",
+    graft.operators.WordPiece.sqlLearnMerges("documents", "text", 8)) {
+    (s, dir) =>
+      graft.operators.WordPiece
+        .learnMerges(Tables.documents(s, dir), "text", 8)
+        .orderBy(col("merge_rank"))
+  }
+
   /** q188: perplexity bucketing (★ — CCNet's head/middle/tail split:
     * per-doc KN cross-entropy from the q155 model, tertile thresholds
     * computed on the TRAINING partition's score distribution, every
@@ -2512,7 +2530,8 @@ object TextQueries {
     q178CrawlFrontier, q183LengthPsi, q184ZipfFit,
     q187TokenizerFertility, q188PerplexityBuckets, q189ScriptMix,
     q193NfcNormalize, q194BlocklistGate, q198Readability,
-    q215CjkFertility, q217UnigramTrain, q218UnigramFertility)
+    q215CjkFertility, q217UnigramTrain, q218UnigramFertility,
+    q219WordpieceMerges)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,
