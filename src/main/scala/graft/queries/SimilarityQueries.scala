@@ -1215,6 +1215,65 @@ object SimilarityQueries {
       .orderBy(col("q_id"))
   }
 
+  /** q220: judged retrieval metrics (★ — precision@10, MRR, and
+    * binary-relevance nDCG@10 over the q34 exact-cosine run with
+    * same-label relevance judgments: the standard IR eval tier that
+    * scores ranked quality, complementing q176's detector-recall
+    * audit and q191's rank fusion. The run is the audited q34 chain
+    * (broadcast queries, one corpus stream, per-query window); label
+    * counts and metric assembly are query-bounded broadcasts; every
+    * log2 term is round-6 BEFORE its left fold (the Pca foldSum
+    * discipline), so both engines sum identical doubles in identical
+    * order. */
+  val q220RetrievalMetrics: QuerySpec = QuerySpec(
+    "q220_retrieval_metrics",
+    s"""WITH q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+      |  FROM embeddings WHERE vec_id < 16),
+      |lc AS (SELECT label, COUNT(*) AS n_label FROM embeddings GROUP BY 1),
+      |sims AS (
+      |  SELECT q.q_id, q.q_label, e.vec_id AS c_id,
+      |    CASE WHEN e.label = q.q_label THEN 1 ELSE 0 END AS rel,
+      |    round(list_cosine_similarity(
+      |      CAST(q.q_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6)
+      |      AS sim
+      |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+      |run AS (
+      |  SELECT q_id, q_label, rel,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+      |      AS rn
+      |  FROM sims),
+      |rc AS (
+      |  SELECT q.q_id, lc.n_label - 1 AS n_rel
+      |  FROM (SELECT DISTINCT q_id, q_label FROM run) q
+      |  JOIN lc ON lc.label = q.q_label),
+      |${graft.operators.RetrievalEval.sqlJudgedMetrics(10)}"""
+      .stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val lc = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val corpus = e.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"), col("label").as("c_label"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    val run = corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(Similarity.cosine(
+        col("q_vec").cast("array<double>"),
+        col("c_vec").cast("array<double>")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("q_id"), col("rn"),
+        when(col("c_label") === col("q_label"), 1L).otherwise(0L)
+          .as("rel"))
+    val relCounts = queries.select(col("q_id"), col("q_label"))
+      .join(broadcast(lc), col("q_label") === col("label"))
+      .select(col("q_id"), (col("n_label") - 1L).as("n_rel"))
+    graft.operators.RetrievalEval.judgedMetrics(run, relCounts, 10)
+      .orderBy(col("q_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
     q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup,
@@ -1222,7 +1281,7 @@ object SimilarityQueries {
     q174PcaPower, q175AllButTop, q179BinaryAnn, q180ChannelQuant,
     q181IvfPqTopK, q185HardNegatives, q186EmbeddingOutliers,
     q190BitextMargin, q191RrfFusion, q195KCenterCoreset,
-    q196PrototypePrune, q200MatryoshkaRecall)
+    q196PrototypePrune, q200MatryoshkaRecall, q220RetrievalMetrics)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by

@@ -87,6 +87,9 @@ class PlanAuditSpec extends SparkSpecBase {
     // q214 crosses the 64-row replicate spine onto the scan (the one
     // fan-out the Poisson bootstrap needs) and two 1-row aggregates —
     // all metadata-sized
+    // q220 broadcasts the 16-query vector set under the non-self
+    // inequality predicate — q34's whitelisted shape; metric assembly
+    // is query-bounded
     // q217/q218 cross each EM round's 1-row piece-count total onto the
     // vocabulary-bounded piece frame — the q76/q117 metadata-sized
     // cross again (twice, once per round)
@@ -104,7 +107,7 @@ class PlanAuditSpec extends SparkSpecBase {
       "q199_k_anonymity", "q200_matryoshka_recall",
       "q203_benford_audit", "q205_basket_rules",
       "q206_neyman_allocation", "q217_unigram_train",
-      "q218_unigram_fertility",
+      "q218_unigram_fertility", "q220_retrieval_metrics",
       "q210_kaplan_meier", "q213_lorenz_gini", "q214_bootstrap_ci")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
