@@ -145,6 +145,113 @@ object Resample {
       (round(fin("b"), 6) + lit(0.0)).as("trend")) ++ fcs: _*)
   }
 
+  /** Holt–Winters ADDITIVE seasonal smoothing — the tier above
+    * [[holt]] for series with a repeating period m (weekly cycles on
+    * daily data): level, trend, AND a rolling m-vector of seasonal
+    * indices. Textbook initialization over the first two seasons
+    * (l₀ = mean of season 1, b₀ = (mean₂ − mean₁)/m, sᵢ = yᵢ − l₀),
+    * then one per-group fold over the rest with the updates
+    * l ← α(y − s_{t−m}) + (1−α)(l+b);
+    * b ← β·Δl + (1−β)b (via the Δl identity, the [[holt]] CSE
+    * discipline); s_t ← γ(y − l − b) + (1−γ)s_{t−m}, the seasonal
+    * queue rolling left. h-step forecast = l + h·b + s_queue[h]
+    * (h ≤ m). Requires ≥ 2m observations (shorter series drop — the
+    * init means are undefined). Init sums are LEFT folds in both
+    * engines, so every IEEE op is sequence-pinned end to end.
+    * Output also carries `s_range` = round-6 max−min of the final
+    * seasonal queue — the seasonality-amplitude statistic. */
+  def holtWinters(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, alpha: Double, beta: Double,
+                  gamma: Double, period: Int,
+                  horizons: Int = 3): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha outside (0,1)")
+    require(beta > 0 && beta < 1, s"beta=$beta outside (0,1)")
+    require(gamma > 0 && gamma < 1, s"gamma=$gamma outside (0,1)")
+    require(period >= 2 && period <= 24, s"period=$period outside [2,24]")
+    require(horizons >= 1 && horizons <= period,
+      s"horizons=$horizons outside [1, period]")
+    val m = period
+    val grouped = df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        array_sort(collect_list(
+          struct(col(tsCol).as("ts"), col(valCol).cast("double").as("v"))))
+          .as("hist"))
+      .filter(col("n_obs") >= 2 * m)
+    val vs = transform(col("hist"), x => x("v"))
+    val foldSum = (arr: org.apache.spark.sql.Column) =>
+      aggregate(arr, lit(0.0), (acc, x) => acc + x)
+    val sum1 = foldSum(slice(vs, lit(1), lit(m)))
+    val sum2 = foldSum(slice(vs, lit(m + 1), lit(m)))
+    val l0 = sum1 / lit(m.toDouble)
+    val b0 = (sum2 / lit(m.toDouble) - sum1 / lit(m.toDouble)) /
+      lit(m.toDouble)
+    val s0 = transform(slice(vs, lit(1), lit(m)), y => y - l0)
+    val fin = aggregate(
+      slice(vs, lit(2 * m + 1), greatest(size(vs) - 2 * m, lit(0))),
+      struct(l0.as("l"), b0.as("b"), s0.as("sq")),
+      (acc, y) => {
+        val sUse = element_at(acc("sq"), 1)
+        struct(
+          (lit(alpha) * (y - sUse) +
+            (lit(1.0) - lit(alpha)) * (acc("l") + acc("b"))).as("l"),
+          (lit(beta) * (lit(alpha) * (y - sUse - acc("l")) +
+            (lit(1.0) - lit(alpha)) * acc("b")) +
+            (lit(1.0) - lit(beta)) * acc("b")).as("b"),
+          concat(slice(acc("sq"), lit(2), lit(m - 1)),
+            array(lit(gamma) * (y - acc("l") - acc("b")) +
+              (lit(1.0) - lit(gamma)) * sUse)).as("sq"))
+      })
+    val fcs = (1 to horizons).map(h =>
+      (round(fin("l") + lit(h) * fin("b") +
+        element_at(fin("sq"), h), 6) + lit(0.0)).as(s"fc$h"))
+    grouped.select(Seq(col(keyCol), col("n_obs"),
+      (round(fin("l"), 6) + lit(0.0)).as("level"),
+      (round(fin("b"), 6) + lit(0.0)).as("trend"),
+      (round(array_max(fin("sq")) - array_min(fin("sq")), 6) + lit(0.0))
+        .as("s_range")) ++ fcs: _*)
+  }
+
+  /** Oracle replay of [[holtWinters]] as a RECURSIVE CTE (the
+    * [[sqlHoltRec]] struct-mutation rationale; the seasonal queue is
+    * a DOUBLE[] column rolling left each row). Emits `rec(<key>, i,
+    * l, b, sq)`; caller opens WITH RECURSIVE, provides
+    * `<rel>(<key>, <hist>)` with a time-sorted DOUBLE list ≥ 2m long,
+    * and selects `rec.i = len(hist)`. */
+  def sqlHoltWintersRec(rel: String, key: String, hist: String,
+                        alpha: Double, beta: Double, gamma: Double,
+                        period: Int): String = {
+    val m = period
+    val a = s"CAST($alpha AS DOUBLE)"
+    val b = s"CAST($beta AS DOUBLE)"
+    val g = s"CAST($gamma AS DOUBLE)"
+    val one = "CAST(1 AS DOUBLE)"
+    val md = s"CAST($m AS DOUBLE)"
+    def foldSum(listExpr: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), " +
+        "(x, y) -> x + y)"
+    val sum1 = foldSum(s"$hist[1:$m]")
+    val sum2 = foldSum(s"$hist[${m + 1}:${2 * m}]")
+    s"""ini AS (
+       |  SELECT $key, $sum1 / $md AS l0,
+       |    ($sum2 / $md - $sum1 / $md) / $md AS b0
+       |  FROM $rel),
+       |rec AS (
+       |  SELECT r.$key, ${2 * m} AS i, ini.l0 AS l, ini.b0 AS b,
+       |    list_transform(r.$hist[1:$m], y -> y - ini.l0) AS sq
+       |  FROM $rel r JOIN ini ON ini.$key = r.$key
+       |  UNION ALL
+       |  SELECT r.$key, r.i + 1,
+       |    $a * (h.$hist[r.i + 1] - r.sq[1])
+       |      + ($one - $a) * (r.l + r.b),
+       |    $b * ($a * (h.$hist[r.i + 1] - r.sq[1] - r.l)
+       |      + ($one - $a) * r.b) + ($one - $b) * r.b,
+       |    list_append(r.sq[2:$m],
+       |      $g * (h.$hist[r.i + 1] - r.l - r.b) + ($one - $g) * r.sq[1])
+       |  FROM rec r JOIN $rel h ON h.$key = r.$key
+       |  WHERE r.i < len(h.$hist))""".stripMargin
+  }
+
   /** Oracle replay of [[holt]]'s fold as a RECURSIVE CTE — NOT a
     * struct-valued list_reduce: DuckDB (v1.0.0) mutates the struct
     * accumulator IN PLACE from the second fold application on, so a

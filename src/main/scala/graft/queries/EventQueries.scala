@@ -605,6 +605,53 @@ object EventQueries {
     }
   }
 
+  /** q221: Holt–Winters additive seasonal forecast (★ — the tier
+    * above q202's Holt for series with a weekly cycle: level + trend
+    * + a rolling 7-slot seasonal queue, textbook two-season
+    * initialization, forecasts carrying the seasonal index, and the
+    * amplitude statistic s_range. Same per-type daily aggregation and
+    * sorted-history fold shape as q202; the oracle replays the queue
+    * as a DOUBLE[] column in the recursive CTE (the struct-mutation
+    * rationale), with the init means as the same left folds. */
+  val q221HoltWinters: QuerySpec = {
+    import graft.operators.Resample
+    val (alpha, beta, gamma, m) = (0.5, 0.25, 0.3, 7)
+    QuerySpec(
+      "q221_holt_winters",
+      s"""WITH RECURSIVE d AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6)
+         |      AS v
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |h AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    list_transform(list_sort(list({'ts': day, 'v': v})),
+         |      x -> x.v) AS hist
+         |  FROM d GROUP BY event_type HAVING COUNT(*) >= ${2 * m}),
+         |${Resample.sqlHoltWintersRec("h", "event_type", "hist",
+             alpha, beta, gamma, m)}
+         |SELECT r.event_type, h.n_days,
+         |  round(r.l, 6) + 0.0 AS level, round(r.b, 6) + 0.0 AS trend,
+         |  round(list_max(r.sq) - list_min(r.sq), 6) + 0.0 AS s_range,
+         |  round(r.l + 1 * r.b + r.sq[1], 6) + 0.0 AS fc1,
+         |  round(r.l + 2 * r.b + r.sq[2], 6) + 0.0 AS fc2,
+         |  round(r.l + 3 * r.b + r.sq[3], 6) + 0.0 AS fc3
+         |FROM rec r JOIN h ON h.event_type = r.event_type
+         |  AND r.i = len(h.hist)
+         |ORDER BY r.event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val daily = Tables.events(s, dir).filter(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(round(sum(col("value").cast(DecimalType(18, 4)))
+          .cast("double"), 6).as("v"))
+      Resample.holtWinters(daily, "event_type", "day", "v",
+          alpha, beta, gamma, m)
+        .withColumnRenamed("n_obs", "n_days")
+        .orderBy(col("event_type"))
+    }
+  }
+
   /** q208: clickstream transition matrix (★ — the first-order Markov
     * model of user navigation every product-analytics stack fits:
     * P(next event type | current), from per-user lag pairs). The lag
@@ -967,7 +1014,7 @@ object EventQueries {
     q40JsonProps, q41Tumbling, q42Sliding, q43Sessions, q44DedupReplay,
     q45AsOf, q56AsOfKeyed, q68RangeAsOf, q74IntervalJoin, q85FillForward,
     q101Sessionize, q106IntervalIslands, q108Scd2Build, q127Funnel,
-    q128Ewma, q130TopP, q132RollingCorr, q202Holt,
+    q128Ewma, q130TopP, q132RollingCorr, q202Holt, q221HoltWinters,
     q208TransitionMatrix, q209Cusum, q210KaplanMeier, q211AbTest,
     q216StreamingHolt)
 }

@@ -68,4 +68,42 @@ class ResampleSpec extends SparkSpecBase {
     assert(again.getAs[Double]("level") === r.getAs[Double]("level") &&
       again.getAs[Double]("trend") === r.getAs[Double]("trend"))
   }
+
+  test("holtWinters matches a hand-rolled seasonal fold, drops " +
+    "sub-2m series, and is partitioning-invariant") {
+    val m = 3
+    // period-3 sawtooth with drift: two init seasons + 4 folded obs
+    val ys = Seq(10.0, 2.0, 6.0, 13.0, 5.0, 9.0, 16.0, 8.0, 12.0, 19.0)
+    val rows = ys.zipWithIndex.map { case (v, i) => ("s", i, v) } :+
+      (("short", 0, 9.0)) :+ (("short", 1, 8.0))
+    val df = rows.toDF("k", "t", "v")
+    val out = Resample.holtWinters(df, "k", "t", "v",
+      0.5, 0.25, 0.3, m, horizons = 3).collect()
+    assert(out.length == 1, "a sub-2m series must be dropped")
+    val r = out.head
+    // replay the exact operator sequence
+    val l0 = ys.take(m).foldLeft(0.0)(_ + _) / m
+    val b0 = (ys.slice(m, 2 * m).foldLeft(0.0)(_ + _) / m -
+      ys.take(m).foldLeft(0.0)(_ + _) / m) / m
+    var (l, b) = (l0, b0)
+    var sq = ys.take(m).map(_ - l0)
+    ys.drop(2 * m).foreach { y =>
+      val sU = sq.head
+      val nl = 0.5 * (y - sU) + (1.0 - 0.5) * (l + b)
+      val nb = 0.25 * (0.5 * (y - sU - l) + (1.0 - 0.5) * b) +
+        (1.0 - 0.25) * b
+      val ns = 0.3 * (y - l - b) + (1.0 - 0.3) * sU
+      l = nl; b = nb; sq = sq.tail :+ ns
+    }
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    assert(r.getAs[Double]("level") === r6(l) + 0.0)
+    assert(r.getAs[Double]("trend") === r6(b) + 0.0)
+    assert(r.getAs[Double]("s_range") === r6(sq.max - sq.min) + 0.0)
+    assert(r.getAs[Double]("fc1") === r6(l + 1 * b + sq(0)) + 0.0)
+    assert(r.getAs[Double]("fc3") === r6(l + 3 * b + sq(2)) + 0.0)
+    val again = Resample.holtWinters(df.repartition(5), "k", "t", "v",
+      0.5, 0.25, 0.3, m, horizons = 3).collect().head
+    assert(again.getAs[Double]("level") === r.getAs[Double]("level") &&
+      again.getAs[Double]("fc3") === r.getAs[Double]("fc3"))
+  }
 }
