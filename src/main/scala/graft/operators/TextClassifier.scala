@@ -38,6 +38,63 @@ object TextClassifier {
     * (reported back as `actual` for accuracy audits downstream). */
   def naiveBayes(train: DataFrame, score: DataFrame, keyCol: String,
                  textCol: String, labelCol: String): DataFrame = {
+    sortedLl(train, score, keyCol, textCol, labelCol)
+      .select(col(keyCol), col("actual"),
+        element_at(col("ss"), -1).getField("cls").as("pred"),
+        (element_at(col("ss"), -1).getField("ll") + lit(0.0)).as("ll"),
+        (element_at(col("ss"), -1).getField("cls") === col("actual"))
+          .as("correct"))
+  }
+
+  /** Reliability-diagram calibration audit over the NB posteriors
+    * (★ — the Guo et al. 2017 audit every model-based curation gate
+    * needs before its scores steer a corpus: confidence = softmax of
+    * the per-class log2-likelihoods, binned into `bins` equal-width
+    * confidence buckets; per bucket accuracy vs mean confidence,
+    * their gap, and the expected calibration error ECE =
+    * Σ_b (n_b/N)·|acc_b − conf_b| carried on every row). The softmax
+    * folds 2^(ll − ll_win) over the SAME sorted (ll, cls) array the
+    * argmax reads, so confidence inherits the classifier's
+    * determinism contract (pow is the one libm op, summed in pinned
+    * order and rounded to 6); bin sums ride the Exact decimal rule.
+    * Output: `(bin, n_docs, n_correct, accuracy, avg_conf, gap,
+    * ece)`. */
+  def calibrationBins(train: DataFrame, score: DataFrame, keyCol: String,
+                      textCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bins=$bins outside [2, 100]")
+    import org.apache.spark.sql.types.DecimalType
+    val win = element_at(col("ss"), -1)
+    val conf = round(lit(1.0) / aggregate(col("ss"), lit(0.0),
+      (acc, x) => acc + pow(lit(2.0), x("ll") - win.getField("ll"))), 6)
+    val perDoc = sortedLl(train, score, keyCol, textCol, labelCol)
+      .select(
+        least(floor(conf * lit(bins)).cast("long"),
+          lit((bins - 1).toLong)).as("bin"),
+        (win.getField("cls") === col("actual")).cast("long").as("ok"),
+        conf.as("conf"))
+    val binned = perDoc.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"),
+        sum(col("conf").cast(DecimalType(18, 6))).as("sconf"))
+      .select(col("bin"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") /
+          col("n_docs").cast("double"), 6).as("accuracy"),
+        round(col("sconf").cast("double") /
+          col("n_docs").cast("double"), 6).as("avg_conf"))
+      .withColumn("gap", round(abs(col("accuracy") - col("avg_conf")), 6))
+    val ece = binned.agg(round(
+      sum(col("gap").cast(DecimalType(18, 6)) * col("n_docs"))
+        .cast("double") / sum(col("n_docs")).cast("double"), 6).as("ece"))
+    binned.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n_docs"), col("n_correct"),
+        col("accuracy"), col("avg_conf"), col("gap"), col("ece"))
+  }
+
+  /** The shared train-and-score chain: per scored row, the SORTED
+    * (ll, cls) per-class log2-likelihood array — argmax and softmax
+    * both read the last element. */
+  private def sortedLl(train: DataFrame, score: DataFrame, keyCol: String,
+                       textCol: String, labelCol: String): DataFrame = {
     def toks(df: DataFrame) = df.select(col(labelCol).as("cls"),
       explode(split(col(textCol), " ")).as("tok"))
     // model frames — all vocabulary×classes bounded, broadcastable
@@ -76,11 +133,6 @@ object TextClassifier {
       .groupBy(col(keyCol), col("actual"))
       .agg(array_sort(collect_list(struct(col("ll"), col("cls"))))
         .as("ss"))
-      .select(col(keyCol), col("actual"),
-        element_at(col("ss"), -1).getField("cls").as("pred"),
-        (element_at(col("ss"), -1).getField("ll") + lit(0.0)).as("ll"),
-        (element_at(col("ss"), -1).getField("cls") === col("actual"))
-          .as("correct"))
   }
 
   /** DuckDB replay of [[naiveBayes]] over table `rel` with the same
@@ -128,4 +180,44 @@ object TextClassifier {
        |    ss[len(ss)].ll + 0.0 AS ll,
        |    ss[len(ss)].cls = actual AS correct
        |  FROM nbsort)""".stripMargin
+
+  /** DuckDB replay of [[calibrationBins]]: extends the
+    * [[sqlNaiveBayes]] chain (must precede this fragment) from
+    * `nbsort` through softmax confidence, binning, and ECE; ends in
+    * relation `nbcal(bin, n_docs, n_correct, accuracy, avg_conf,
+    * gap, ece)`. */
+  def sqlCalibrationBins(bins: Int): String = {
+    require(bins >= 2 && bins <= 100, s"bins=$bins outside [2, 100]")
+    s"""nbconf AS (
+       |  SELECT least(CAST(floor(
+       |      round(1.0 / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(ss,
+       |          x -> power(2.0, x.ll - ss[len(ss)].ll))),
+       |        (a, b) -> a + b), 6) * $bins) AS BIGINT),
+       |      ${bins - 1}) AS bin,
+       |    CASE WHEN ss[len(ss)].cls = actual THEN 1 ELSE 0 END AS ok,
+       |    round(1.0 / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(ss, x -> power(2.0, x.ll - ss[len(ss)].ll))),
+       |      (a, b) -> a + b), 6) AS conf
+       |  FROM nbsort),
+       |nbbin AS (
+       |  SELECT bin, COUNT(*) AS n_docs,
+       |    CAST(SUM(ok) AS BIGINT) AS n_correct,
+       |    round(CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |      AS accuracy,
+       |    round(CAST(SUM(CAST(conf AS DECIMAL(18,6))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 6) AS avg_conf
+       |  FROM nbconf GROUP BY 1),
+       |nbgap AS (
+       |  SELECT bin, n_docs, n_correct, accuracy, avg_conf,
+       |    round(abs(accuracy - avg_conf), 6) AS gap
+       |  FROM nbbin),
+       |nbece AS (
+       |  SELECT round(CAST(SUM(CAST(gap AS DECIMAL(18,6)) * n_docs)
+       |      AS DOUBLE) / CAST(SUM(n_docs) AS DOUBLE), 6) AS ece
+       |  FROM nbgap),
+       |nbcal AS (
+       |  SELECT bin, n_docs, n_correct, accuracy, avg_conf, gap, ece
+       |  FROM nbgap CROSS JOIN nbece)""".stripMargin
+  }
 }

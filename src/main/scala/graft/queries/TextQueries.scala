@@ -1723,6 +1723,29 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q222: classifier calibration audit (★ — Guo et al. 2017's
+    * reliability diagram + ECE over the q162 NB gate's posteriors:
+    * before a classifier's scores steer corpus curation, the audit
+    * that says whether "0.9 confident" means 90% correct. Softmax
+    * confidence folds 2^(ll − ll_win) over the SAME sorted per-class
+    * array the argmax reads; equal-width bins; per-bin accuracy vs
+    * mean confidence and the N-weighted ECE on every row. Bin sums
+    * ride the Exact decimal rule; the ECE 1-row frame is a
+    * whitelisted metadata cross. */
+  val q222NbCalibration: QuerySpec = QuerySpec(
+    "q222_nb_calibration",
+    s"""WITH ${graft.operators.TextClassifier.sqlNaiveBayes(
+           "documents", "doc_id", "text", "lang", "doc_id % 3 <> 0")},
+       |${graft.operators.TextClassifier.sqlCalibrationBins(10)}
+       |SELECT bin, n_docs, n_correct, accuracy, avg_conf, gap, ece
+       |FROM nbcal ORDER BY bin""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.TextClassifier.calibrationBins(
+        docs.filter(col("doc_id") % 3 =!= 0), docs,
+        "doc_id", "text", "lang", bins = 10)
+      .orderBy(col("bin"))
+  }
+
   /** q163: DSIR importance resampling (★ — distribution-matching doc
     * selection, Xie et al. 2023: hashed-feature likelihood-ratio
     * weights toward the English subcorpus, top-100 kept). The hashed
@@ -2531,7 +2554,7 @@ object TextQueries {
     q187TokenizerFertility, q188PerplexityBuckets, q189ScriptMix,
     q193NfcNormalize, q194BlocklistGate, q198Readability,
     q215CjkFertility, q217UnigramTrain, q218UnigramFertility,
-    q219WordpieceMerges)
+    q219WordpieceMerges, q222NbCalibration)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,

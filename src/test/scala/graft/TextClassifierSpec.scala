@@ -30,6 +30,49 @@ class TextClassifierSpec extends SparkSpecBase {
       2 * math.log(4.0 / 8) / math.log(2))) < 1e-6, s"ll1=$ll1")
   }
 
+  test("calibration: hand-computed softmax confidence, binning, and " +
+      "N-weighted ECE") {
+    import spark.implicits._
+    val train = Seq(("a", "x x y"), ("a", "x y"), ("b", "z z y"))
+      .toDF("lab", "text")
+    val score = Seq((1L, "a", "x x"), (2L, "b", "z z"), (3L, "b", "y y"))
+      .toDF("id", "lab", "text")
+    val out = TextClassifier.calibrationBins(
+        train, score, "id", "text", "lab", bins = 4)
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(6)))
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    val lg = (v: Double) => math.log(v) / math.log(2)
+    // lls per first-spec arithmetic (round-6 per class), softmax:
+    def conf(lls: Seq[Double]): Double = {
+      val rs = lls.map(r6); val w = rs.max
+      r6(1.0 / rs.map(x => math.pow(2.0, x - w)).foldLeft(0.0)(_ + _))
+    }
+    val c1 = conf(Seq(lg(2.0 / 3) + 2 * lg(4.0 / 8),
+      lg(1.0 / 3) + 2 * lg(1.0 / 6)))
+    val c2 = conf(Seq(lg(2.0 / 3) + 2 * lg(1.0 / 8),
+      lg(1.0 / 3) + 2 * lg(3.0 / 6)))
+    val c3 = conf(Seq(lg(2.0 / 3) + 2 * lg(3.0 / 8),
+      lg(1.0 / 3) + 2 * lg(2.0 / 6)))
+    // doc 1 -> pred a, correct; doc 2 -> pred b, correct;
+    // doc 3 -> pred a, WRONG. bins of width .25
+    def bin(c: Double) = math.min((c * 4).toInt, 3).toLong
+    assert(Seq(c1, c2, c3).forall(c => c > 0.5 && c <= 1.0))
+    val byBin = Seq((bin(c1), 1L, c1), (bin(c2), 1L, c2),
+      (bin(c3), 0L, c3)).groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, xs) =>
+        val n = xs.size.toLong
+        val acc = r6(xs.map(_._2).sum.toDouble / n)
+        val avg = r6(xs.map(x => BigDecimal(x._3)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / n)
+        (b, n, xs.map(_._2).sum, acc, avg, r6(math.abs(acc - avg)))
+      }
+    val ece = r6(byBin.map(x => x._6 * x._2).sum / 3.0)
+    assert(out.toSeq === byBin.map(x =>
+      (x._1, x._2, x._3, x._4, x._5, ece)))
+  }
+
   test("unseen tokens route through add-one smoothing, not NaN/-inf") {
     import spark.implicits._
     val train = Seq(("a", "x"), ("b", "z")).toDF("lab", "text")
