@@ -90,6 +90,67 @@ object TextClassifier {
         col("accuracy"), col("avg_conf"), col("gap"), col("ece"))
   }
 
+  /** Per-class evaluation report + chance-corrected agreement (★ —
+    * the confusion-matrix tier of the classifier audit: per actual
+    * class its support, predicted count, diagonal hits, precision /
+    * recall / F1, plus corpus accuracy and Cohen's κ = (p_o − p_e) /
+    * (1 − p_e) carried on every row — κ is the agreement statistic
+    * labeled-data pipelines report between a model and its raters.
+    * Classes are the ACTUAL label set (a label never predicted gets
+    * precision 0; a prediction outside the actual set contributes to
+    * no row but counts in the totals). All inputs are exact ints from
+    * the |classes|²-bounded confusion matrix; the κ expectation's
+    * rowTot·colTot products run in DECIMAL(38,0) (counts at corpus
+    * scale overflow int64 products), divided in double space.
+    * Degenerate p_e = 1 (single class) reports κ = 0. */
+  def classReport(train: DataFrame, score: DataFrame, keyCol: String,
+                  textCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cm = naiveBayes(train, score, keyCol, textCol, labelCol)
+      .groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rt = cm.groupBy(col("actual").as("cls"))
+      .agg(sum(col("n")).as("n_true"))
+    val ct = cm.groupBy(col("pred").as("cls"))
+      .agg(sum(col("n")).as("n_pred"))
+    val dg = cm.filter(col("actual") === col("pred"))
+      .groupBy(col("actual").as("cls")).agg(sum(col("n")).as("n_correct"))
+    val per = rt.join(broadcast(ct), Seq("cls"), "left")
+      .join(broadcast(dg), Seq("cls"), "left")
+      .select(col("cls"), col("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+    val tots = cm.agg(sum(col("n")).as("nn"),
+      sum(when(col("actual") === col("pred"), col("n")).otherwise(0L))
+        .as("ndiag"))
+    val peNum = rt.join(broadcast(ct), Seq("cls"), "left")
+      .agg(sum(col("n_true").cast(DecimalType(19, 0)) *
+        coalesce(col("n_pred"), lit(0L)).cast(DecimalType(19, 0)))
+        .as("pe_num"))
+    val glob = tots.crossJoin(broadcast(peNum))
+      .select(
+        round(col("ndiag").cast("double") / col("nn").cast("double"), 6)
+          .as("accuracy"),
+        round(col("pe_num").cast("double") /
+          (col("nn").cast("double") * col("nn").cast("double")), 6)
+          .as("pe"))
+      .select(col("accuracy"),
+        when(col("pe") < 1.0,
+          round((col("accuracy") - col("pe")) / (lit(1.0) - col("pe")), 6))
+          .otherwise(lit(0.0)).as("kappa"))
+    val p = col("n_correct").cast("double") / col("n_pred").cast("double")
+    val r = col("n_correct").cast("double") / col("n_true").cast("double")
+    per.crossJoin(broadcast(glob))
+      .select(col("cls"), col("n_true"), col("n_pred"), col("n_correct"),
+        when(col("n_pred") > 0, round(p, 6)).otherwise(lit(0.0))
+          .as("precision"),
+        round(r, 6).as("recall"),
+        when(col("n_pred") > 0 && (p + r) > 0,
+          round(lit(2.0) * p * r / (p + r), 6)).otherwise(lit(0.0))
+          .as("f1"),
+        col("accuracy"), col("kappa"))
+  }
+
   /** The shared train-and-score chain: per scored row, the SORTED
     * (ll, cls) per-class log2-likelihood array — argmax and softmax
     * both read the last element. */
@@ -220,4 +281,68 @@ object TextClassifier {
        |  SELECT bin, n_docs, n_correct, accuracy, avg_conf, gap, ece
        |  FROM nbgap CROSS JOIN nbece)""".stripMargin
   }
+
+  /** DuckDB replay of [[classReport]]: extends the [[sqlNaiveBayes]]
+    * chain (must precede this fragment) from `nbpred` through the
+    * confusion matrix, per-class metrics, accuracy, and Cohen's κ;
+    * ends in relation `nbrep(cls, n_true, n_pred, n_correct,
+    * precision, recall, f1, accuracy, kappa)`. */
+  def sqlClassReport: String =
+    s"""cmc AS (
+       |  SELECT actual, pred, COUNT(*) AS n FROM nbpred GROUP BY 1, 2),
+       |crt AS (
+       |  SELECT actual AS cls, CAST(SUM(n) AS BIGINT) AS n_true
+       |  FROM cmc GROUP BY 1),
+       |cct AS (
+       |  SELECT pred AS cls, CAST(SUM(n) AS BIGINT) AS n_pred
+       |  FROM cmc GROUP BY 1),
+       |cdg AS (
+       |  SELECT actual AS cls, CAST(SUM(n) AS BIGINT) AS n_correct
+       |  FROM cmc WHERE actual = pred GROUP BY 1),
+       |cper AS (
+       |  SELECT crt.cls, crt.n_true,
+       |    COALESCE(cct.n_pred, 0) AS n_pred,
+       |    COALESCE(cdg.n_correct, 0) AS n_correct
+       |  FROM crt LEFT JOIN cct ON cct.cls = crt.cls
+       |  LEFT JOIN cdg ON cdg.cls = crt.cls),
+       |ctot AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+       |    CAST(SUM(CASE WHEN actual = pred THEN n ELSE 0 END)
+       |      AS BIGINT) AS ndiag
+       |  FROM cmc),
+       |cpen AS (
+       |  SELECT SUM(CAST(crt.n_true AS DECIMAL(19,0)) *
+       |    CAST(COALESCE(cct.n_pred, 0) AS DECIMAL(19,0))) AS pe_num
+       |  FROM crt LEFT JOIN cct ON cct.cls = crt.cls),
+       |cglob AS (
+       |  SELECT accuracy,
+       |    CASE WHEN pe < 1.0
+       |      THEN round((accuracy - pe) / (1.0 - pe), 6)
+       |      ELSE 0.0 END AS kappa
+       |  FROM (
+       |    SELECT
+       |      round(CAST(ndiag AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+       |        AS accuracy,
+       |      round(CAST(pe_num AS DOUBLE)
+       |        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS pe
+       |    FROM ctot CROSS JOIN cpen)),
+       |nbrep AS (
+       |  SELECT cls, n_true, n_pred, n_correct,
+       |    CASE WHEN n_pred > 0
+       |      THEN round(CAST(n_correct AS DOUBLE)
+       |        / CAST(n_pred AS DOUBLE), 6)
+       |      ELSE 0.0 END AS precision,
+       |    round(CAST(n_correct AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+       |      AS recall,
+       |    CASE WHEN n_pred > 0 AND
+       |      (CAST(n_correct AS DOUBLE) / CAST(n_pred AS DOUBLE)
+       |        + CAST(n_correct AS DOUBLE) / CAST(n_true AS DOUBLE)) > 0
+       |      THEN round(2.0
+       |        * (CAST(n_correct AS DOUBLE) / CAST(n_pred AS DOUBLE))
+       |        * (CAST(n_correct AS DOUBLE) / CAST(n_true AS DOUBLE))
+       |        / (CAST(n_correct AS DOUBLE) / CAST(n_pred AS DOUBLE)
+       |          + CAST(n_correct AS DOUBLE) / CAST(n_true AS DOUBLE)), 6)
+       |      ELSE 0.0 END AS f1,
+       |    accuracy, kappa
+       |  FROM cper CROSS JOIN cglob)""".stripMargin
 }

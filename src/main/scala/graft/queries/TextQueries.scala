@@ -1746,6 +1746,30 @@ object TextQueries {
       .orderBy(col("bin"))
   }
 
+  /** q223: classifier class report + Cohen's κ (★ — the
+    * confusion-matrix tier of the q162/q222 audit stack: per-class
+    * precision / recall / F1 with corpus accuracy and the
+    * chance-corrected agreement κ on every row — the statistic
+    * labeled-data pipelines report before a gate's routing is
+    * trusted. Everything reads the |classes|²-bounded confusion
+    * matrix; the κ expectation's rowTot·colTot products run in
+    * DECIMAL(38,0) (int64 products overflow at corpus counts),
+    * divided in double space. */
+  val q223NbClassReport: QuerySpec = QuerySpec(
+    "q223_nb_class_report",
+    s"""WITH ${graft.operators.TextClassifier.sqlNaiveBayes(
+           "documents", "doc_id", "text", "lang", "doc_id % 3 <> 0")},
+       |${graft.operators.TextClassifier.sqlClassReport}
+       |SELECT cls, n_true, n_pred, n_correct, precision, recall, f1,
+       |  accuracy, kappa
+       |FROM nbrep ORDER BY cls""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.TextClassifier.classReport(
+        docs.filter(col("doc_id") % 3 =!= 0), docs,
+        "doc_id", "text", "lang")
+      .orderBy(col("cls"))
+  }
+
   /** q163: DSIR importance resampling (★ — distribution-matching doc
     * selection, Xie et al. 2023: hashed-feature likelihood-ratio
     * weights toward the English subcorpus, top-100 kept). The hashed
@@ -2554,7 +2578,7 @@ object TextQueries {
     q187TokenizerFertility, q188PerplexityBuckets, q189ScriptMix,
     q193NfcNormalize, q194BlocklistGate, q198Readability,
     q215CjkFertility, q217UnigramTrain, q218UnigramFertility,
-    q219WordpieceMerges, q222NbCalibration)
+    q219WordpieceMerges, q222NbCalibration, q223NbClassReport)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,

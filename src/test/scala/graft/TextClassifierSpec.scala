@@ -73,6 +73,32 @@ class TextClassifierSpec extends SparkSpecBase {
       (x._1, x._2, x._3, x._4, x._5, ece)))
   }
 
+  test("classReport: hand-computed confusion metrics and Cohen's kappa") {
+    import spark.implicits._
+    val train = Seq(("a", "x x y"), ("a", "x y"), ("b", "z z y"))
+      .toDF("lab", "text")
+    // preds per first-spec arithmetic: "x x"->a, "z z"->b, "y y"->a
+    val score = Seq((1L, "a", "x x"), (2L, "b", "z z"), (3L, "b", "y y"))
+      .toDF("id", "lab", "text")
+    val out = TextClassifier.classReport(train, score, "id", "text", "lab")
+      .orderBy(col("cls")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8)))
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    // confusion: actual a: pred a (1). actual b: pred a (1), pred b (1)
+    // a: n_true=1 n_pred=2 n_correct=1 -> p=.5 r=1 f1=2*.5*1/1.5
+    // b: n_true=2 n_pred=1 n_correct=1 -> p=1 r=.5 f1 same
+    // acc = 2/3; pe = (1*2 + 2*1)/9 = 4/9; kappa = (2/3-4/9)/(1-4/9)
+    val acc = r6(2.0 / 3)
+    val pe = r6(4.0 / 9)
+    val kappa = r6((acc - pe) / (1.0 - pe))
+    val f1 = r6(2.0 * 0.5 * 1.0 / 1.5)
+    assert(out.toSeq === Seq(
+      ("a", 1L, 2L, 1L, 0.5, 1.0, f1, acc, kappa),
+      ("b", 2L, 1L, 1L, 1.0, 0.5, f1, acc, kappa)))
+  }
+
   test("unseen tokens route through add-one smoothing, not NaN/-inf") {
     import spark.implicits._
     val train = Seq(("a", "x"), ("b", "z")).toDF("lab", "text")
