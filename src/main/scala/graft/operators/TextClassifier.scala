@@ -151,6 +151,99 @@ object TextClassifier {
         col("accuracy"), col("kappa"))
   }
 
+  /** χ² feature selection (★ — the vocabulary-pruning tier of the
+    * classifier stack: for each class, the top-k tokens by the χ²
+    * statistic of the token-presence × class 2×2 table — how
+    * lightweight routing classifiers (fastText-style) and lexicon
+    * builders choose their feature vocabulary). Document-level
+    * presence (one distinct over the exploded corpus — the single
+    * corpus-sized shuffle), then every count lives on the
+    * vocabulary×classes-bounded frame: a = docs of the class with the
+    * token, b = other docs with it, c = class docs without it,
+    * d = the rest; χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), computed
+    * in double from exact-int counts (products reach ~N⁴ — beyond
+    * any fixed decimal; IEEE ops are identical in both engines) and
+    * rounded to 6 before the (χ² desc, token) per-class rank. Only
+    * co-occurring (token, class) pairs are scored (a ≥ 1; absent
+    * pairs measure negative association, which selection never
+    * keeps). An all-docs token (c+d = 0 across classes ⇒ d-side
+    * degenerate) scores 0 by the denominator guard. */
+  def chiSquareTokens(docs: DataFrame, keyCol: String, textCol: String,
+                      labelCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"k=$k outside [1, 100]")
+    val dt = docs.select(col(labelCol).as("cls"), col(keyCol),
+        explode(split(col(textCol), " ")).as("tok"))
+      .distinct()
+    val a = dt.groupBy(col("tok"), col("cls"))
+      .agg(count(lit(1)).as("a"))
+    val ta = a.groupBy(col("tok")).agg(sum(col("a")).as("ta"))
+    val nc = docs.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("nc"))
+    val nn = docs.agg(count(lit(1)).as("nn"))
+    val d = (c: String) => col(c).cast("double")
+    val (av, bv, cv, dv) = (d("a"), d("ta") - d("a"), d("nc") - d("a"),
+      d("nn") - d("ta") - d("nc") + d("a"))
+    val den = (av + bv) * (cv + dv) * (av + cv) * (bv + dv)
+    val num = d("nn") * (av * dv - bv * cv) * (av * dv - bv * cv)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cls"))
+      .orderBy(col("chi2").desc, col("tok"))
+    a.join(ta, Seq("tok"))
+      .join(broadcast(nc), Seq("cls"))
+      .crossJoin(broadcast(nn))
+      .select(col("cls"), col("tok"), col("a").as("n_docs"),
+        when(den > 0, round(num / den, 6)).otherwise(lit(0.0))
+          .as("chi2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB replay of [[chiSquareTokens]]; emits a full CTE chain
+    * ending in `chitop(cls, tok, n_docs, chi2, rank)`. */
+  def sqlChiSquareTokens(rel: String, keyExpr: String, textExpr: String,
+                         labelExpr: String, k: Int): String =
+    s"""chdt AS (
+       |  SELECT DISTINCT $labelExpr AS cls, $keyExpr AS k,
+       |    unnest(string_split($textExpr, ' ')) AS tok
+       |  FROM $rel),
+       |cha AS (
+       |  SELECT tok, cls, COUNT(*) AS a FROM chdt GROUP BY 1, 2),
+       |chta AS (
+       |  SELECT tok, CAST(SUM(a) AS BIGINT) AS ta FROM cha GROUP BY 1),
+       |chnc AS (
+       |  SELECT $labelExpr AS cls, COUNT(*) AS nc FROM $rel GROUP BY 1),
+       |chnn AS (SELECT COUNT(*) AS nn FROM $rel),
+       |chx AS (
+       |  SELECT cls, tok, a AS n_docs,
+       |    CASE WHEN (CAST(ta AS DOUBLE))
+       |        * (CAST(nn AS DOUBLE) - CAST(ta AS DOUBLE))
+       |        * (CAST(nc AS DOUBLE))
+       |        * (CAST(nn AS DOUBLE) - CAST(nc AS DOUBLE)) > 0
+       |      THEN round(CAST(nn AS DOUBLE)
+       |        * (CAST(a AS DOUBLE)
+       |            * (CAST(nn AS DOUBLE) - CAST(ta AS DOUBLE)
+       |               - CAST(nc AS DOUBLE) + CAST(a AS DOUBLE))
+       |           - (CAST(ta AS DOUBLE) - CAST(a AS DOUBLE))
+       |            * (CAST(nc AS DOUBLE) - CAST(a AS DOUBLE)))
+       |        * (CAST(a AS DOUBLE)
+       |            * (CAST(nn AS DOUBLE) - CAST(ta AS DOUBLE)
+       |               - CAST(nc AS DOUBLE) + CAST(a AS DOUBLE))
+       |           - (CAST(ta AS DOUBLE) - CAST(a AS DOUBLE))
+       |            * (CAST(nc AS DOUBLE) - CAST(a AS DOUBLE)))
+       |        / ((CAST(ta AS DOUBLE))
+       |          * (CAST(nn AS DOUBLE) - CAST(ta AS DOUBLE))
+       |          * (CAST(nc AS DOUBLE))
+       |          * (CAST(nn AS DOUBLE) - CAST(nc AS DOUBLE))), 6)
+       |      ELSE 0.0 END AS chi2
+       |  FROM cha JOIN chta USING (tok) JOIN chnc USING (cls)
+       |  CROSS JOIN chnn),
+       |chtop AS (
+       |  SELECT cls, tok, n_docs, chi2, rank FROM (
+       |    SELECT cls, tok, n_docs, chi2,
+       |      CAST(row_number() OVER (PARTITION BY cls
+       |        ORDER BY chi2 DESC, tok) AS BIGINT) AS rank
+       |    FROM chx) WHERE rank <= $k)""".stripMargin
+
   /** The shared train-and-score chain: per scored row, the SORTED
     * (ll, cls) per-class log2-likelihood array — argmax and softmax
     * both read the last element. */

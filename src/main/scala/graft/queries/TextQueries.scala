@@ -1770,6 +1770,26 @@ object TextQueries {
       .orderBy(col("cls"))
   }
 
+  /** q224: χ² feature selection (★ — top-10 class-discriminative
+    * tokens by the presence×class 2×2 χ², the vocabulary-pruning
+    * pass routing classifiers and lexicon builders run before
+    * training. One distinct over the exploded corpus is the only
+    * corpus shuffle; scoring lives on the vocab×classes frame with
+    * the class counts broadcast and the 1-row N cross whitelisted;
+    * χ² in double from exact-int counts (identical IEEE op sequence
+    * both engines — the products exceed any fixed decimal), round-6
+    * before the (χ² desc, token) rank. */
+  val q224Chi2Tokens: QuerySpec = QuerySpec(
+    "q224_chi2_tokens",
+    s"""WITH ${graft.operators.TextClassifier.sqlChiSquareTokens(
+           "documents", "doc_id", "text", "lang", 10)}
+       |SELECT cls, tok, n_docs, chi2, rank
+       |FROM chtop ORDER BY cls, rank""".stripMargin) { (s, dir) =>
+    graft.operators.TextClassifier.chiSquareTokens(
+        Tables.documents(s, dir), "doc_id", "text", "lang", 10)
+      .orderBy(col("cls"), col("rank"))
+  }
+
   /** q163: DSIR importance resampling (★ — distribution-matching doc
     * selection, Xie et al. 2023: hashed-feature likelihood-ratio
     * weights toward the English subcorpus, top-100 kept). The hashed
@@ -2578,7 +2598,8 @@ object TextQueries {
     q187TokenizerFertility, q188PerplexityBuckets, q189ScriptMix,
     q193NfcNormalize, q194BlocklistGate, q198Readability,
     q215CjkFertility, q217UnigramTrain, q218UnigramFertility,
-    q219WordpieceMerges, q222NbCalibration, q223NbClassReport)
+    q219WordpieceMerges, q222NbCalibration, q223NbClassReport,
+    q224Chi2Tokens)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,

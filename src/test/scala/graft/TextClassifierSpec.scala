@@ -99,6 +99,34 @@ class TextClassifierSpec extends SparkSpecBase {
       ("b", 2L, 1L, 1L, 1.0, 0.5, f1, acc, kappa)))
   }
 
+  test("chiSquareTokens: hand-computed 2x2 chi-square, all-docs token " +
+      "guard, doc-level presence") {
+    import spark.implicits._
+    // 4 docs: "x" marks class a (both a-docs, no b-doc); "w" in every
+    // doc (degenerate -> 0); "y y" repeats within one doc (presence
+    // counts once)
+    val docs = Seq(
+      (1L, "a", "x w y y"), (2L, "a", "x w"),
+      (3L, "b", "w z"), (4L, "b", "w z"))
+      .toDF("id", "lab", "text")
+    val out = TextClassifier.chiSquareTokens(docs, "id", "text", "lab", 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    // x in cls a: a=2 b=0 c=0 d=2 -> chi2 = 4*(4-0)^2/(2*2*2*2) = 4
+    val xa = out.find(t => t._1 == "a" && t._2 == "x").get
+    assert(xa._3 === 2L && xa._4 === 4.0 && xa._5 === 1L)
+    // w is in all docs -> chi2 0 in both classes
+    assert(out.filter(_._2 == "w").forall(_._4 === 0.0))
+    // y: presence once in doc 1: a=1 b=0 c=1 d=2 ->
+    // chi2 = 4*(1*2-0*1)^2/(1*3*2*2) = 16/12
+    val ya = out.find(t => t._1 == "a" && t._2 == "y").get
+    assert(ya._3 === 1L && ya._4 === r6(16.0 / 12))
+    // z marks class b exactly like x marks a
+    val zb = out.find(t => t._1 == "b" && t._2 == "z").get
+    assert(zb._4 === 4.0 && zb._5 === 1L)
+  }
+
   test("unseen tokens route through add-one smoothing, not NaN/-inf") {
     import spark.implicits._
     val train = Seq(("a", "x"), ("b", "z")).toDF("lab", "text")
