@@ -35,6 +35,61 @@ object Audit {
         .as(Seq("check", "n_violations")))
   }
 
+  /** Disparate-impact audit of a keep/drop gate (★ — the four-fifths
+    * rule applied to corpus curation: a quality filter tuned on
+    * majority-language text silently drops minority groups at higher
+    * rates, and this is the per-group table that shows it BEFORE the
+    * filtered corpus ships). Per group: document count, kept count,
+    * keep rate, the ratio to the best group's rate, and the
+    * `adverse_impact` flag (ratio < 4/5). One grouped aggregate over
+    * one scan (the gate predicate evaluates inline); the best-rate
+    * frame is a 1-row broadcast cross. Rates are exact-int ratios
+    * rounded to 6; the ratio divides the two rounded doubles (both
+    * engines identically); groups with a zero best rate (nothing kept
+    * anywhere) report ratio 1 and no flag — there is no impact to
+    * compare. */
+  def selectionParity(df: DataFrame, groupCol: String,
+                      keep: Column): DataFrame = {
+    val rates = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
+      .select(col(groupCol), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"),
+          6).as("keep_rate"))
+    val best = rates.agg(max(col("keep_rate")).as("best_rate"))
+    rates.crossJoin(broadcast(best))
+      .select(col(groupCol), col("n_docs"), col("n_kept"),
+        col("keep_rate"),
+        when(col("best_rate") > 0,
+          round(col("keep_rate") / col("best_rate"), 6))
+          .otherwise(lit(1.0)).as("rate_ratio"),
+        (col("best_rate") > 0 &&
+          col("keep_rate") / col("best_rate") < lit(0.8))
+          .as("adverse_impact"))
+  }
+
+  /** DuckDB replay of [[selectionParity]] over table `rel`; emits a
+    * CTE chain ending in `parity(<groupCol>, n_docs, n_kept,
+    * keep_rate, rate_ratio, adverse_impact)`. */
+  def sqlSelectionParity(rel: String, groupCol: String,
+                         keepExpr: String): String =
+    s"""prates AS (
+       |  SELECT $groupCol, COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN $keepExpr THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_kept,
+       |    round(CAST(SUM(CASE WHEN $keepExpr THEN 1 ELSE 0 END)
+       |        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate
+       |  FROM $rel GROUP BY 1),
+       |pbest AS (SELECT max(keep_rate) AS best_rate FROM prates),
+       |parity AS (
+       |  SELECT $groupCol, n_docs, n_kept, keep_rate,
+       |    CASE WHEN best_rate > 0
+       |      THEN round(keep_rate / best_rate, 6) ELSE 1.0 END
+       |      AS rate_ratio,
+       |    (best_rate > 0 AND keep_rate / best_rate < 0.8)
+       |      AS adverse_impact
+       |  FROM prates CROSS JOIN pbest)""".stripMargin
+
   /** Duplicate-key count for a uniqueness constraint: the number of
     * EXTRA rows (rows beyond the first per key) — 0 iff unique. */
   def uniqueCheck(df: DataFrame, name: String,

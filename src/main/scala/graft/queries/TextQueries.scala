@@ -1790,6 +1790,37 @@ object TextQueries {
       .orderBy(col("cls"), col("rank"))
   }
 
+  /** q225: curation-gate disparate-impact audit (★ — the four-fifths
+    * rule over the q148 heuristic keep gate: per-language document
+    * and kept counts, keep rate, ratio to the best group, and the
+    * adverse-impact flag. The seed mangles 'de' documents with the
+    * q148 symbol variant so the gate measurably discriminates — the
+    * audit exists to catch exactly a filter tuned on the majority
+    * that silently drops one group. One grouped aggregate over one
+    * scan; the best-rate frame is a whitelisted 1-row cross. */
+  val q225GateParity: QuerySpec = QuerySpec(
+    "q225_gate_parity",
+    s"""WITH seeded AS (
+       |  SELECT lang,
+       |    CASE WHEN lang = 'de'
+       |      THEN regexp_replace(text, ' ', ' ## ', 'g')
+       |      ELSE text END AS t
+       |  FROM documents),
+       |${graft.operators.Audit.sqlSelectionParity("seeded", "lang",
+           "(" + TextFunctions.sqlHeuristicRules("t").map(_._2)
+             .mkString("\n      AND ") + ")")}
+       |SELECT lang, n_docs, n_kept, keep_rate, rate_ratio,
+       |  adverse_impact
+       |FROM parity ORDER BY lang""".stripMargin) { (s, dir) =>
+    val seeded = Tables.documents(s, dir).select(col("lang"),
+      when(col("lang") === "de",
+        regexp_replace(col("text"), " ", " ## "))
+        .otherwise(col("text")).as("t"))
+    graft.operators.Audit.selectionParity(seeded, "lang",
+        TextFunctions.heuristicKeep(col("t")))
+      .orderBy(col("lang"))
+  }
+
   /** q163: DSIR importance resampling (★ — distribution-matching doc
     * selection, Xie et al. 2023: hashed-feature likelihood-ratio
     * weights toward the English subcorpus, top-100 kept). The hashed
@@ -2599,7 +2630,7 @@ object TextQueries {
     q193NfcNormalize, q194BlocklistGate, q198Readability,
     q215CjkFertility, q217UnigramTrain, q218UnigramFertility,
     q219WordpieceMerges, q222NbCalibration, q223NbClassReport,
-    q224Chi2Tokens)
+    q224Chi2Tokens, q225GateParity)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,

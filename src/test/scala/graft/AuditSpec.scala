@@ -54,4 +54,24 @@ class AuditSpec extends SparkSpecBase {
     assert(got == Map("price_positive" -> 3L, "id_unique" -> 1L,
       "id_in_dim" -> 0L))
   }
+
+  test("selectionParity: four-fifths flag, NULL-keep counts as drop, " +
+      "zero-best edge") {
+    val docs = Seq(
+      ("en", 1), ("en", 1), ("en", 1), ("en", 1), ("en", 0),  // 4/5 keep
+      ("de", 1), ("de", 0), ("de", 0), ("de", 0)              // 1/4 keep
+    ).toDF("g", "keepv")
+    val got = Audit.selectionParity(docs, "g", col("keepv") === 1)
+      .orderBy(col("g")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    assert(got.toSeq === Seq(
+      ("de", 4L, 1L, 0.25, r6(0.25 / 0.8), true),
+      ("en", 5L, 4L, 0.8, 1.0, false)))
+    // all-drop corpus: best_rate 0 -> ratio 1, no flag
+    val none = Audit.selectionParity(docs, "g", lit(false))
+      .collect().map(r => (r.getDouble(4), r.getBoolean(5)))
+    assert(none.forall(_ == ((1.0, false))))
+  }
 }
