@@ -244,6 +244,99 @@ object TextClassifier {
        |        ORDER BY chi2 DESC, tok) AS BIGINT) AS rank
        |    FROM chx) WHERE rank <= $k)""".stripMargin
 
+  /** One-vs-rest ROC-AUC per class (★ — the ranking-quality tier of
+    * the classifier audit: can the gate's class-c posterior SEPARATE
+    * class-c documents from the rest, independent of any threshold —
+    * the metric reported next to accuracy for every routing
+    * classifier). AUC via the Mann–Whitney rank-sum with
+    * tie-AVERAGED ranks over the round-6 posteriors:
+    * AUC_c = (Σ_{pos} r̄ − n_pos(n_pos+1)/2) / (n_pos·n_neg), where
+    * r̄ rides as the INTEGER 2r̄ = 2·rank_min + ties − 1 so every sum
+    * is exact; the rank sums and the n(n+1) product run in
+    * DECIMAL(38,0) (they reach N² — past int64 at corpus scale) and
+    * only the final ratio divides in double. Posteriors come from the
+    * same softmax as [[calibrationBins]], exploded to one (class,
+    * score, is_pos) row per doc×class; the per-class rank is the one
+    * sort this audit fundamentally needs. A class with no positives
+    * or no negatives reports the uninformative 0.5. */
+  def oneVsRestAuc(train: DataFrame, score: DataFrame, keyCol: String,
+                   textCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val win = element_at(col("ss"), -1)
+    val den = aggregate(col("ss"), lit(0.0),
+      (acc, x) => acc + pow(lit(2.0), x("ll") - win.getField("ll")))
+    val scoredSs = sortedLl(train, score, keyCol, textCol, labelCol)
+      .select(col("actual"), col("ss"), den.as("den"))
+      .select(col("actual"), explode(col("ss")).as("e"),
+        element_at(col("ss"), -1).getField("ll").as("llw"), col("den"))
+      .select(col("e").getField("cls").as("cls"),
+        round(pow(lit(2.0), col("e").getField("ll") - col("llw")) /
+          col("den"), 6).as("p"),
+        (col("e").getField("cls") === col("actual")).as("pos"))
+    val wRank = Window.partitionBy(col("cls")).orderBy(col("p"))
+    val wTie = Window.partitionBy(col("cls"), col("p"))
+    val ranked = scoredSs
+      .withColumn("r2",
+        lit(2L) * rank().over(wRank).cast("long") +
+          count(lit(1)).over(wTie) - lit(1L))
+    ranked.groupBy(col("cls"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("pos"), col("r2")).otherwise(lit(0L))
+          .cast(DecimalType(38, 0))).as("sr2"))
+      .select(col("cls"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("sr2") -
+            col("n_pos").cast(DecimalType(19, 0)) *
+              (col("n_pos") + 1L).cast(DecimalType(19, 0)))
+            .cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") *
+              col("n_neg").cast("double")), 6))
+          .otherwise(lit(0.5)).as("auc"))
+  }
+
+  /** DuckDB replay of [[oneVsRestAuc]]: extends the [[sqlNaiveBayes]]
+    * chain from `nbsort`; ends in `nbauc(cls, n_pos, n_neg, auc)`. */
+  def sqlOneVsRestAuc: String =
+    s"""aucs AS (
+       |  SELECT e.cls AS cls,
+       |    round(power(2.0, e.ll - ss[len(ss)].ll)
+       |      / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(ss,
+       |            x -> power(2.0, x.ll - ss[len(ss)].ll))),
+       |        (a, b) -> a + b), 6) AS p,
+       |    e.cls = actual AS pos
+       |  FROM nbsort, LATERAL (SELECT unnest(ss) AS e)),
+       |aucr AS (
+       |  SELECT cls, pos,
+       |    2 * CAST(rank() OVER (PARTITION BY cls ORDER BY p)
+       |      AS BIGINT)
+       |      + CAST(COUNT(*) OVER (PARTITION BY cls, p) AS BIGINT) - 1
+       |      AS r2
+       |  FROM aucs),
+       |nbauc AS (
+       |  SELECT cls,
+       |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pos,
+       |    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n_neg,
+       |    CASE WHEN SUM(CASE WHEN pos THEN 1 ELSE 0 END) > 0
+       |           AND SUM(CASE WHEN pos THEN 0 ELSE 1 END) > 0
+       |      THEN round(CAST(SUM(CASE WHEN pos
+       |            THEN CAST(r2 AS DECIMAL(38,0))
+       |            ELSE CAST(0 AS DECIMAL(38,0)) END)
+       |          - CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+       |              AS DECIMAL(19,0))
+       |            * CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1
+       |              AS DECIMAL(19,0)) AS DOUBLE)
+       |        / (2.0
+       |          * CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+       |          * CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END)
+       |            AS DOUBLE)), 6)
+       |      ELSE 0.5 END AS auc
+       |  FROM aucr GROUP BY 1)""".stripMargin
+
   /** The shared train-and-score chain: per scored row, the SORTED
     * (ll, cls) per-class log2-likelihood array — argmax and softmax
     * both read the last element. */

@@ -1821,6 +1821,27 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** q226: one-vs-rest ROC-AUC per class (★ — the ranking-quality
+    * tier completing the q162/q222/q223 audit stack: threshold-free
+    * separability of each class's posterior, via the Mann–Whitney
+    * rank-sum with tie-averaged ranks riding as the exact integer
+    * 2r̄. Rank sums and the n(n+1) product run in DECIMAL(38,0) —
+    * past int64 at corpus counts — with only the final ratio in
+    * double; the per-class rank is the one sort the audit needs. */
+  val q226NbAuc: QuerySpec = QuerySpec(
+    "q226_nb_auc",
+    s"""WITH ${graft.operators.TextClassifier.sqlNaiveBayes(
+           "documents", "doc_id", "text", "lang", "doc_id % 3 <> 0")},
+       |${graft.operators.TextClassifier.sqlOneVsRestAuc}
+       |SELECT cls, n_pos, n_neg, auc
+       |FROM nbauc ORDER BY cls""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.TextClassifier.oneVsRestAuc(
+        docs.filter(col("doc_id") % 3 =!= 0), docs,
+        "doc_id", "text", "lang")
+      .orderBy(col("cls"))
+  }
+
   /** q163: DSIR importance resampling (★ — distribution-matching doc
     * selection, Xie et al. 2023: hashed-feature likelihood-ratio
     * weights toward the English subcorpus, top-100 kept). The hashed
@@ -2630,7 +2651,7 @@ object TextQueries {
     q193NfcNormalize, q194BlocklistGate, q198Readability,
     q215CjkFertility, q217UnigramTrain, q218UnigramFertility,
     q219WordpieceMerges, q222NbCalibration, q223NbClassReport,
-    q224Chi2Tokens, q225GateParity)
+    q224Chi2Tokens, q225GateParity, q226NbAuc)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,

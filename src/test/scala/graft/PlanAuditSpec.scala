@@ -109,7 +109,7 @@ class PlanAuditSpec extends SparkSpecBase {
       "q206_neyman_allocation", "q217_unigram_train",
       "q218_unigram_fertility", "q220_retrieval_metrics",
       "q222_nb_calibration", "q223_nb_class_report", "q224_chi2_tokens",
-      "q225_gate_parity",
+      "q225_gate_parity", "q226_nb_auc",
       "q210_kaplan_meier", "q213_lorenz_gini", "q214_bootstrap_ci")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString

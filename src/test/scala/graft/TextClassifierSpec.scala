@@ -127,6 +127,42 @@ class TextClassifierSpec extends SparkSpecBase {
     assert(zb._4 === 4.0 && zb._5 === 1L)
   }
 
+  test("oneVsRestAuc: perfect separation scores 1, ties average, " +
+      "degenerate class reports 0.5") {
+    import spark.implicits._
+    val train = Seq(("a", "x x y"), ("a", "x y"), ("b", "z z y"))
+      .toDF("lab", "text")
+    // doc scores for class a (first-spec lls): "x x" high, "z z" low,
+    // "y y" mid — actual labels make class-a ranking PERFECT
+    // (the one positive "x x" ranks top) and class-b perfect too.
+    val score = Seq((1L, "a", "x x"), (2L, "b", "z z"), (3L, "b", "y y"))
+      .toDF("id", "lab", "text")
+    val out = TextClassifier.oneVsRestAuc(train, score, "id", "text", "lab")
+      .orderBy(col("cls")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // class a: pos {xx: p_a max}, neg {zz lowest, yy mid} -> AUC 1
+    // class b: pos {zz, yy}, neg {xx}; p_b ranks: zz top, yy mid,
+    // xx bottom -> AUC 1
+    assert(out.toSeq === Seq(("a", 1L, 2L, 1.0), ("b", 2L, 1L, 1.0)))
+
+    // all docs identical text -> every posterior ties -> AUC = 0.5
+    // via tie-averaged ranks (not the degenerate guard)
+    val tied = Seq((1L, "a", "y"), (2L, "b", "y"), (3L, "b", "y"))
+      .toDF("id", "lab", "text")
+    val t = TextClassifier.oneVsRestAuc(train, tied, "id", "text", "lab")
+      .orderBy(col("cls")).collect().map(r => r.getDouble(3))
+    assert(t.toSeq === Seq(0.5, 0.5))
+
+    // single-class corpus: class a has no negatives -> guard 0.5
+    val mono = Seq((1L, "a", "x x"), (2L, "a", "x"))
+      .toDF("id", "lab", "text")
+    val m = TextClassifier.oneVsRestAuc(train, mono, "id", "text", "lab")
+      .orderBy(col("cls")).collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    assert(m.find(_._1 == "a").get._2 === 0.5)
+  }
+
   test("unseen tokens route through add-one smoothing, not NaN/-inf") {
     import spark.implicits._
     val train = Seq(("a", "x"), ("b", "z")).toDF("lab", "text")
