@@ -816,4 +816,99 @@ object Similarity {
       spark.sparkContext.parallelize(materialized.toIndexedSeq, 1),
       out.schema)
   }
+
+  /** Clustering-quality audit over the IVF cell structure — the
+    * report a curation run reads before trusting cell-bucketed
+    * operators (semantic dedup q146, IVF probes q52/q181): per cell,
+    * the SIMPLIFIED silhouette (Hruschka et al. 2004 — a(i) = distance
+    * to own centroid, b(i) = distance to the nearest OTHER centroid,
+    * s = (b−a)/max(a,b); the O(n·k) member of the silhouette family,
+    * the O(n²) original being exactly the pairwise scan cell bucketing
+    * exists to avoid) and the Davies–Bouldin term
+    * max_{c'≠c} (S_c + S_c')/d(μ_c, μ_c') (Davies & Bouldin 1979),
+    * whose mean over cells is the global DB index.
+    *
+    * Scale shape: centroids are seeded/refined exactly as [[ivfTopK]]
+    * (lowest-id seeds + deterministic Lloyd's passes, DECIMAL means)
+    * and materialized to ≤`numCells` driver rows (guarded); the
+    * per-point audit is then ONE corpus scan with NO join and NO
+    * per-point shuffle — each row computes its k centroid distances
+    * as literal-vector expressions (the kCenterCoreset posture) and
+    * in-row sorts the (d, cell) pairs, so a(i), b(i), and the owning
+    * cell fall out of elements 1–2 — followed by a single k-group
+    * aggregate. The DB ratio matrix is a k×k broadcast cross of the
+    * LOCAL centroid relation joined to the k-row per-cell stats (all
+    * metadata-sized). Means run through DECIMAL(27,6) sums of
+    * 6-dp-rounded doubles, so every statistic replays bit-for-bit in
+    * SQL. Distances are 1 − round(cosine, 6), the engine's shared
+    * spelling.
+    *
+    * Returns one row per NONEMPTY cell: (cell, n, mean_sil, s_c,
+    * db_c); db_c is 0.0 when no other nonempty cell sits at positive
+    * centroid distance (identical centroids are excluded from the max
+    * rather than emitting an infinity). */
+  def clusterQualityAudit(df: DataFrame, idCol: String, vecCol: String,
+                          numCells: Int = 16,
+                          kmeansIters: Int = 1): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(numCells >= 2 && numCells <= 256,
+      s"numCells=$numCells out of the audit guard [2, 256]: each row " +
+        "evaluates numCells literal-centroid distances and the DB " +
+        "matrix is numCells² driver-local rows")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("dv"))
+    val cents = refinedCentroids(vecs, "id", "dv", numCells, kmeansIters)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+      .sortBy(_._1).toList
+    def distTo(center: Seq[Double]): Column =
+      lit(1.0) - round(cosine(col("dv"), typedlit(center)), 6)
+    // in-row sorted (d, cell) pairs: element 1 = own cell + a(i),
+    // element 2 = nearest-other distance b(i); struct sort is
+    // (d asc, cell asc) — the rounded-cosine-desc / cell-asc
+    // assignment rank every IVF consumer uses
+    val darr = array_sort(array(cents.map { case (cell, cv) =>
+      struct(distTo(cv).as("d"), lit(cell).as("cell"))
+    }: _*))
+    val pt = vecs
+      .select(element_at(darr, 1).getField("cell").as("cell"),
+        element_at(darr, 1).getField("d").as("a_d"),
+        element_at(darr, 2).getField("d").as("b_d"))
+      .select(col("cell"), col("a_d"),
+        when(greatest(col("a_d"), col("b_d")) === 0.0, lit(0.0))
+          .otherwise(round((col("b_d") - col("a_d")) /
+            greatest(col("a_d"), col("b_d")), 6)).as("sil"))
+    def dmean(c: Column): Column =
+      round(sum(c.cast(DecimalType(27, 6))).cast("double") /
+        count(lit(1)).cast("double"), 6)
+    val cs = pt.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), dmean(col("sil")).as("mean_sil"),
+        dmean(col("a_d")).as("s_c"))
+    // per-cell stats are ≤numCells rows consumed by three joins below —
+    // materialize once (the bounded-model discipline) instead of
+    // re-running the corpus aggregate per branch
+    val csLocal = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(cs.collect().toSeq.asJava, cs.schema)
+    }
+    val cdf = cents.toDF("cell", "cv")
+    val pairs = cdf.select(col("cell"), col("cv").as("v1"))
+      .crossJoin(broadcast(
+        cdf.select(col("cell").as("cell2"), col("cv").as("v2"))))
+      .filter(col("cell") =!= col("cell2"))
+      .select(col("cell"), col("cell2"),
+        (lit(1.0) - round(cosine(col("v1"), col("v2")), 6)).as("dcc"))
+    val db = pairs
+      .join(csLocal.select(col("cell"), col("s_c")), Seq("cell"))
+      .join(csLocal.select(col("cell").as("cell2"), col("s_c").as("s_c2")),
+        Seq("cell2"))
+      .filter(col("dcc") > 0.0)
+      .groupBy(col("cell"))
+      .agg(round(max((col("s_c") + col("s_c2")) / col("dcc")), 6)
+        .as("db_c"))
+    csLocal.join(db, Seq("cell"), "left")
+      .select(col("cell"), col("n"), col("mean_sil"), col("s_c"),
+        coalesce(col("db_c"), lit(0.0)).as("db_c"))
+  }
 }

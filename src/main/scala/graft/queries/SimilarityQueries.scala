@@ -1274,6 +1274,64 @@ object SimilarityQueries {
       .orderBy(col("q_id"))
   }
 
+  /** q227: clustering-quality audit (★ — the report read before
+    * trusting any cell-bucketed operator: simplified silhouette,
+    * Hruschka et al. 2004, and the per-cell Davies–Bouldin term,
+    * Davies & Bouldin 1979, over the SAME 16-cell / 1-Lloyd's-pass
+    * structure q52/q146 probe). See
+    * [[Similarity.clusterQualityAudit]] for the scale shape (one
+    * corpus scan, per-row literal-centroid distances, k-group
+    * aggregate; DB matrix is a k×k metadata cross). The oracle
+    * reuses the shared [[IvfSql]] Lloyd's chain, so both engines'
+    * centroids are generated from one source. */
+  val q227ClusterQuality: QuerySpec = QuerySpec(
+    "q227_cluster_quality",
+    s"""WITH vecs AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv
+      |  FROM embeddings),
+      |seed AS (SELECT id AS cell, dv AS cv FROM vecs ORDER BY id LIMIT 16),
+      |${IvfSql.lloydSql(1, "seed")},
+      |dist AS (
+      |  SELECT v.id, c.cell,
+      |    1 - round(list_cosine_similarity(v.dv, c.cv), 6) AS d
+      |  FROM vecs v CROSS JOIN c1 c),
+      |two AS (
+      |  SELECT id, cell, d,
+      |    row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+      |  FROM dist),
+      |pt AS (
+      |  SELECT a.cell AS cell, a.d AS a_d,
+      |    CASE WHEN greatest(a.d, b.d) = 0 THEN CAST(0 AS DOUBLE)
+      |         ELSE round((b.d - a.d) / greatest(a.d, b.d), 6)
+      |    END AS sil
+      |  FROM (SELECT id, cell, d FROM two WHERE rn = 1) a
+      |  JOIN (SELECT id, d FROM two WHERE rn = 2) b USING (id)),
+      |cs AS (
+      |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+      |    round(CAST(SUM(CAST(sil AS DECIMAL(27,6))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_sil,
+      |    round(CAST(SUM(CAST(a_d AS DECIMAL(27,6))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE), 6) AS s_c
+      |  FROM pt GROUP BY 1),
+      |cd AS (
+      |  SELECT x.cell AS cell, y.cell AS cell2,
+      |    1 - round(list_cosine_similarity(x.cv, y.cv), 6) AS dcc
+      |  FROM c1 x JOIN c1 y ON x.cell <> y.cell),
+      |db AS (
+      |  SELECT d.cell,
+      |    round(MAX((s1.s_c + s2.s_c) / d.dcc), 6) AS db_c
+      |  FROM cd d JOIN cs s1 ON s1.cell = d.cell
+      |  JOIN cs s2 ON s2.cell = d.cell2
+      |  WHERE d.dcc > 0 GROUP BY 1)
+      |SELECT cs.cell, cs.n, cs.mean_sil, cs.s_c,
+      |  coalesce(db.db_c, CAST(0 AS DOUBLE)) AS db_c
+      |FROM cs LEFT JOIN db ON db.cell = cs.cell
+      |ORDER BY cs.cell""".stripMargin) { (s, dir) =>
+    Similarity.clusterQualityAudit(Tables.embeddings(s, dir),
+        "vec_id", "embedding", numCells = 16, kmeansIters = 1)
+      .orderBy(col("cell"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
     q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup,
@@ -1281,7 +1339,8 @@ object SimilarityQueries {
     q174PcaPower, q175AllButTop, q179BinaryAnn, q180ChannelQuant,
     q181IvfPqTopK, q185HardNegatives, q186EmbeddingOutliers,
     q190BitextMargin, q191RrfFusion, q195KCenterCoreset,
-    q196PrototypePrune, q200MatryoshkaRecall, q220RetrievalMetrics)
+    q196PrototypePrune, q200MatryoshkaRecall, q220RetrievalMetrics,
+    q227ClusterQuality)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by

@@ -110,6 +110,10 @@ class PlanAuditSpec extends SparkSpecBase {
       "q218_unigram_fertility", "q220_retrieval_metrics",
       "q222_nb_calibration", "q223_nb_class_report", "q224_chi2_tokens",
       "q225_gate_parity", "q226_nb_auc",
+      // q227 crosses the ≤numCells LOCAL centroid relation with itself
+      // for the Davies–Bouldin ratio matrix (k² metadata-sized rows);
+      // the corpus pass is join-free (literal-centroid distances)
+      "q227_cluster_quality",
       "q210_kaplan_meier", "q213_lorenz_gini", "q214_bootstrap_ci")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString

@@ -409,4 +409,46 @@ class SimilaritySpec extends SparkSpecBase {
     assert(leaked.isEmpty,
       s"operator must unpersist its working cache; leaked RDDs $leaked")
   }
+
+  test("clusterQualityAudit: two clean clusters score silhouette 1, " +
+      "zero intra distance, zero DB") {
+    // seeds (kmeansIters = 0) are the two lowest ids: cells at [1,0]
+    // and [0,1]; the third point duplicates cell 0's centroid, so
+    // a = 0, b = 1 everywhere -> sil = 1, S_c = 0, DB term = 0/1 = 0
+    val df = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(1.0, 0.0))).toDF("id", "v")
+    val out = Similarity.clusterQualityAudit(df, "id", "v",
+        numCells = 2, kmeansIters = 0)
+      .orderBy(col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq === Seq((0L, 2L, 1.0, 0.0, 0.0),
+      (1L, 1L, 1.0, 0.0, 0.0)))
+  }
+
+  test("clusterQualityAudit: identical centroids are excluded from " +
+      "the DB max and ties assign to the lowest cell") {
+    // both seeds are [1,0]: every point ties -> cell 0, cell 1 empty;
+    // the dcc = 0 pair is excluded so db_c coalesces to 0; sil = 0
+    // for every point (a = b, or the 0/0 guard at the duplicate)
+    val df = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.0, 1.0))).toDF("id", "v")
+    val out = Similarity.clusterQualityAudit(df, "id", "v",
+        numCells = 2, kmeansIters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq === Seq((0L, 3L, 0.0, 0.333333, 0.0)))
+  }
+
+  test("clusterQualityAudit is invariant under repartitioning") {
+    val e = Tables.embeddings(spark, sf).limit(80)
+    val r1 = Similarity.clusterQualityAudit(e, "vec_id", "embedding",
+      numCells = 4).orderBy(col("cell")).collect().toSeq
+    val r2 = Similarity.clusterQualityAudit(e.repartition(7), "vec_id",
+      "embedding", numCells = 4).orderBy(col("cell")).collect().toSeq
+    assert(r1 == r2)
+    assert(r1.forall { r =>
+      val s = r.getDouble(2); s >= -1.0 && s <= 1.0
+    })
+  }
 }
