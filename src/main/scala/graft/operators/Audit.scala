@@ -195,4 +195,85 @@ object Audit {
           log(p(col("n_cur"), col("tc")) / p(col("n_ref"), col("tr"))),
           6).as("psi_term"))
   }
+
+  /** Jensen–Shannon token-distribution drift, one row per group:
+    * JS(P_g ‖ P_rest) in nats between the group's unigram
+    * distribution and the REST of the corpus (Lin 1991 — the
+    * symmetric, √-metrizable companion to [[psiTerms]]' PSI; the
+    * standard "did this source/shard change the token mix" monitor).
+    *
+    * The distribution support is the top-`topK` GLOBAL tokens plus
+    * one OTHER bucket — the vocabulary-bounded audit shape (a full
+    * 100 TB vocabulary would make the per-term sum unbounded and the
+    * statistic noise-dominated by hapaxes); Laplace smoothing
+    * (n+1)/(t+topK+1) keeps empty cells finite, the q183 discipline.
+    *
+    * Scale shape: the corpus explodes ONCE; the spine is a
+    * TakeOrdered top-`topK` aggregate broadcast back into the token
+    * stream (equi-join on term), so per-(group, term) counts shuffle
+    * only spine hits; the dense grid is |groups| × topK metadata
+    * rows (the q183 bucket-spine cross) and the three totals are
+    * 1-row broadcasts (the q76 shape). Per-term JS contributions
+    * round to 6 dp and sum as DECIMAL(18,6) — order-insensitive, so
+    * the statistic replays bit-for-bit in SQL.
+    *
+    * Output: (grp, n_tokens, js_nats), js_nats ∈ [0, ln 2]. */
+  def jsTokenDrift(docs: DataFrame, groupCol: String, textCol: String,
+                   topK: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(topK >= 1 && topK <= 4096,
+      s"topK=$topK outside [1, 4096]: the token spine is broadcast")
+    val k1 = (topK + 1).toLong
+    val tok = docs.select(col(groupCol).as("grp"),
+      explode(split(col(textCol), " ")).as("term"))
+    val termCnt = tok.groupBy(col("term")).agg(count(lit(1)).as("n_glob"))
+    val spine = termCnt.orderBy(col("n_glob").desc, col("term")).limit(topK)
+    val grpTot = tok.groupBy(col("grp")).agg(count(lit(1)).as("tot_grp"))
+    val nTot = tok.agg(count(lit(1)).as("n_tot"))
+    val spineGlob = spine.agg(sum(col("n_glob")).as("spine_glob"))
+    val grpTerm = tok.join(broadcast(spine.select(col("term"))), Seq("term"))
+      .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("n_grp"))
+    def p(n: Column, t: Column): Column =
+      (n + lit(1L)).cast("double") / (t + lit(k1)).cast("double")
+    def jsTerm(pn: Column, pt: Column, qn: Column, qt: Column): Column = {
+      val pp = p(pn, pt); val qq = p(qn, qt)
+      val m = (pp + qq) / lit(2.0)
+      round(lit(0.5) * pp * log(pp / m) + lit(0.5) * qq * log(qq / m), 6)
+    }
+    val cells = grpTot.crossJoin(broadcast(spine))
+      .join(grpTerm, Seq("grp", "term"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(col("grp"), col("tot_grp"),
+        coalesce(col("n_grp"), lit(0L)).as("n_grp"),
+        jsTerm(coalesce(col("n_grp"), lit(0L)), col("tot_grp"),
+          col("n_glob") - coalesce(col("n_grp"), lit(0L)),
+          col("n_tot") - col("tot_grp")).as("t6"))
+    val perGrp = cells.groupBy(col("grp"), col("tot_grp"))
+      .agg(sum(col("t6").cast(DecimalType(18, 6))).as("sj"),
+        sum(col("n_grp")).as("spine_grp"))
+    perGrp.crossJoin(broadcast(nTot)).crossJoin(broadcast(spineGlob))
+      .select(col("grp"), col("tot_grp").as("n_tokens"),
+        round((col("sj") +
+          jsTerm(col("tot_grp") - col("spine_grp"), col("tot_grp"),
+            (col("n_tot") - col("spine_glob")) -
+              (col("tot_grp") - col("spine_grp")),
+            col("n_tot") - col("tot_grp")).cast(DecimalType(18, 6)))
+          .cast("double"), 6).as("js_nats"))
+  }
+
+  /** DuckDB spelling of [[jsTokenDrift]]'s per-term contribution —
+    * round(½·p·ln(p/m) + ½·q·ln(q/m), 6) with the same Laplace
+    * smoothing, so both engines' terms are generated from one
+    * formula. */
+  def sqlJsTerm(pn: String, pt: String, qn: String, qt: String,
+                topK: Int): String = {
+    val k1 = topK + 1
+    val p = s"(CAST(($pn) + 1 AS DOUBLE) / CAST(($pt) + $k1 AS DOUBLE))"
+    val q = s"(CAST(($qn) + 1 AS DOUBLE) / CAST(($qt) + $k1 AS DOUBLE))"
+    // halves spelled as double CASTs — a bare 0.5/2.0 literal is
+    // DECIMAL in DuckDB (the struct-literal poisoning trap's cousin)
+    val half = "CAST(0.5 AS DOUBLE)"
+    val m = s"(($p + $q) / CAST(2 AS DOUBLE))"
+    s"round($half * $p * ln($p / $m) + $half * $q * ln($q / $m), 6)"
+  }
 }

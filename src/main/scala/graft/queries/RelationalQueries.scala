@@ -1273,6 +1273,64 @@ object RelationalQueries {
     }
   }
 
+  /** q229: triangle count + local clustering coefficient (★ —
+    * Suri & Vassilvitskii 2011 degree-ordered orientation, the
+    * O(m^1.5) MapReduce-scale shape) over the supplier CO-SUPPLY
+    * graph: suppliers are adjacent when they ship lines of the same
+    * order (order size is schema-bounded, so the pair build is
+    * linear). The community diagnostic next to q124/q149 PageRank and
+    * q201 HITS — high degree with near-zero coefficient flags a hub
+    * that never closes wedges. All integer until one rounded
+    * division; see [[graft.operators.Graph.triangleStats]]. */
+  val q229Triangles: QuerySpec = QuerySpec(
+    "q229_triangle_count",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT x.s AS a, y.s AS b
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.s < y.s),
+      |deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY 1),
+      |orient AS (
+      |  SELECT
+      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+      |      THEN e.a ELSE e.b END AS src,
+      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+      |      THEN e.b ELSE e.a END AS dst,
+      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+      |      THEN db.deg ELSE da.deg END AS ddst
+      |  FROM e JOIN deg da ON da.node = e.a
+      |  JOIN deg db ON db.node = e.b),
+      |tri AS (
+      |  SELECT x.src AS u, x.dst AS v, y.dst AS w
+      |  FROM orient x JOIN orient y ON x.src = y.src
+      |    AND (x.ddst < y.ddst OR (x.ddst = y.ddst AND x.dst < y.dst))
+      |  JOIN orient z ON z.src = x.dst AND z.dst = y.dst),
+      |tn AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+      |    SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+      |    UNION ALL SELECT w FROM tri)
+      |  GROUP BY 1)
+      |SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+      |  CASE WHEN d.deg >= 2 THEN
+      |    round(CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE)
+      |      / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6)
+      |  ELSE CAST(0 AS DOUBLE) END AS coeff
+      |FROM deg d LEFT JOIN tn t ON t.node = d.node
+      |ORDER BY d.node""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sup"))
+      .distinct()
+    val pairs = li.select(col("ok"), col("sup").as("a"))
+      .join(li.select(col("ok"), col("sup").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    graft.operators.Graph.triangleStats(pairs, "a", "b")
+      .orderBy(col("node"))
+  }
+
   /** q125: deterministic epoch shuffle — two different epochs of the
     * sharded training order over the corpus, side by side. The order
     * is a pure function of (key, epoch) through portable_hash64, so
@@ -2412,7 +2470,8 @@ object RelationalQueries {
     q143CountMinFreq, q151QuantileSketch, q172JsonlShards,
     q197RecordLinkage, q199KAnonymity, q201Hits, q203Benford,
     q204FdViolations, q205BasketRules, q206NeymanAllocation,
-    q207EmLinkage, q212FkOrphans, q213LorenzGini, q214BootstrapCi)
+    q207EmLinkage, q212FkOrphans, q213LorenzGini, q214BootstrapCi,
+    q229Triangles)
 }
 
 /** The Fellegi–Sunter oracle chain shared by q197 (pair scoring) and

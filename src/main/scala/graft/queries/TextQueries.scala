@@ -1842,6 +1842,59 @@ object TextQueries {
       .orderBy(col("cls"))
   }
 
+  /** q228: Jensen–Shannon token-distribution drift per source (★ —
+    * the symmetric companion to q183's PSI, over the TOKEN mix
+    * instead of the length shape: JS(source ‖ rest-of-corpus) in
+    * nats on the top-64-token + OTHER support, Laplace-smoothed.
+    * See [[graft.operators.Audit.jsTokenDrift]] for the scale shape
+    * (one corpus explode, broadcast spine, metadata-sized grid,
+    * DECIMAL term sums). */
+  val q228JsDrift: QuerySpec = {
+    import graft.operators.Audit.sqlJsTerm
+    val k = 64
+    QuerySpec(
+      "q228_js_token_drift",
+      s"""WITH tok AS (
+         |  SELECT source AS grp, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_glob
+         |       FROM tok GROUP BY 1),
+         |spine AS (SELECT term, n_glob FROM tc
+         |          ORDER BY n_glob DESC, term LIMIT $k),
+         |gt AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS tot_grp
+         |       FROM tok GROUP BY 1),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM tok),
+         |sg AS (SELECT CAST(SUM(n_glob) AS BIGINT) AS spine_glob
+         |       FROM spine),
+         |gterm AS (
+         |  SELECT t.grp, t.term, CAST(COUNT(*) AS BIGINT) AS n_grp
+         |  FROM tok t JOIN spine s ON s.term = t.term GROUP BY 1, 2),
+         |cells AS (
+         |  SELECT g.grp, g.tot_grp, COALESCE(x.n_grp, 0) AS n_grp,
+         |    ${sqlJsTerm("COALESCE(x.n_grp, 0)", "g.tot_grp",
+                "s.n_glob - COALESCE(x.n_grp, 0)",
+                "nt.n_tot - g.tot_grp", k)} AS t6
+         |  FROM gt g CROSS JOIN spine s CROSS JOIN nt
+         |  LEFT JOIN gterm x ON x.grp = g.grp AND x.term = s.term),
+         |pg AS (
+         |  SELECT grp, tot_grp, SUM(CAST(t6 AS DECIMAL(18,6))) AS sj,
+         |    CAST(SUM(n_grp) AS BIGINT) AS spine_grp
+         |  FROM cells GROUP BY 1, 2)
+         |SELECT grp AS source, tot_grp AS n_tokens,
+         |  round(CAST(sj + CAST(${sqlJsTerm("tot_grp - spine_grp",
+                "tot_grp",
+                "(nt.n_tot - sg.spine_glob) - (tot_grp - spine_grp)",
+                "nt.n_tot - tot_grp", k)} AS DECIMAL(18,6))
+         |    AS DOUBLE), 6) AS js_nats
+         |FROM pg CROSS JOIN nt CROSS JOIN sg
+         |ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Audit.jsTokenDrift(
+          Tables.documents(s, dir), "source", "text", topK = k)
+        .select(col("grp").as("source"), col("n_tokens"), col("js_nats"))
+        .orderBy(col("source"))
+    }
+  }
+
   /** q163: DSIR importance resampling (★ — distribution-matching doc
     * selection, Xie et al. 2023: hashed-feature likelihood-ratio
     * weights toward the English subcorpus, top-100 kept). The hashed
@@ -2651,7 +2704,7 @@ object TextQueries {
     q193NfcNormalize, q194BlocklistGate, q198Readability,
     q215CjkFertility, q217UnigramTrain, q218UnigramFertility,
     q219WordpieceMerges, q222NbCalibration, q223NbClassReport,
-    q224Chi2Tokens, q225GateParity, q226NbAuc)
+    q224Chi2Tokens, q225GateParity, q226NbAuc, q228JsDrift)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,

@@ -74,4 +74,31 @@ class AuditSpec extends SparkSpecBase {
       .collect().map(r => (r.getDouble(4), r.getBoolean(5)))
     assert(none.forall(_ == ((1.0, false))))
   }
+
+  test("jsTokenDrift: identical token mixes score 0, disjoint ones " +
+      "approach ln 2, and two-group drift is symmetric") {
+    // two groups with the SAME token multiset: each group's rest IS
+    // its own distribution -> every smoothed cell has p = q -> JS = 0
+    val same = Seq(("a", "x x y z"), ("b", "x x y z")).toDF("src", "text")
+    val s0 = Audit.jsTokenDrift(same, "src", "text", topK = 8)
+      .orderBy(col("grp")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(s0.toSeq === Seq(("a", 4L, 0.0), ("b", 4L, 0.0)))
+
+    // fully disjoint vocabularies: JS positive, bounded by ln 2
+    // (Laplace smoothing over topK+1 cells flattens a 6-token group
+    // hard — the expected value here is ~0.105, not the raw-ln-2 cap)
+    val disj = Seq(("a", "x x y y z z"), ("b", "u u v v w w"))
+      .toDF("src", "text")
+    val d = Audit.jsTokenDrift(disj, "src", "text", topK = 8)
+      .orderBy(col("grp")).collect().map(_.getDouble(2))
+    assert(d.forall(v => v > 0.05 && v <= 0.693148), d.toSeq)
+    // two groups: rest(a) = b and rest(b) = a, and JS is symmetric
+    assert(d(0) === d(1))
+
+    // invariance under repartitioning
+    val r = Audit.jsTokenDrift(disj.repartition(5), "src", "text", 8)
+      .orderBy(col("grp")).collect().map(_.getDouble(2))
+    assert(r.toSeq === d.toSeq)
+  }
 }

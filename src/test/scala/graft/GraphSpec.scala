@@ -126,4 +126,46 @@ class GraphSpec extends SparkSpecBase {
     // only the two result-leaf checkpoints per call may remain
     assert(now.size <= 4, s"checkpoint blocks accumulated: ${now.size}")
   }
+
+  test("triangleStats: a 4-clique closes every wedge, a path closes " +
+      "none, a pendant dilutes its anchor") {
+    // K4 on 1..4: deg 3 everywhere, 3 triangles per node, coeff 1
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("a", "b")
+    val got = Graph.triangleStats(k4, "a", "b").orderBy(col("node"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq === (1L to 4L).map(n => (n, 3L, 3L, 1.0)))
+
+    // path 1-2-3: no triangle anywhere
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val p = Graph.triangleStats(path, "a", "b").orderBy(col("node"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(p.toSeq === Seq((1L, 0L, 0.0), (2L, 0L, 0.0), (3L, 0L, 0.0)))
+
+    // K3 on 1..3 plus pendant 4-1: the anchor's coefficient drops to
+    // 1/3, the two pure-triangle corners stay at 1, the pendant is 0
+    val mixed = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("a", "b")
+    val m = Graph.triangleStats(mixed, "a", "b").orderBy(col("node"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(m.toSeq === Seq((1L, 3L, 1L, 0.333333), (2L, 2L, 1L, 1.0),
+      (3L, 2L, 1L, 1.0), (4L, 1L, 0L, 0.0)))
+  }
+
+  test("triangleStats normalizes duplicates, reversed edges, and " +
+      "self-loops, and is invariant under repartitioning") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L), (1L, 3L),
+      (3L, 2L)).toDF("a", "b")
+    val clean = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val g1 = Graph.triangleStats(messy, "a", "b").orderBy(col("node"))
+      .collect().toSeq
+    val g2 = Graph.triangleStats(clean, "a", "b").orderBy(col("node"))
+      .collect().toSeq
+    val g3 = Graph.triangleStats(messy.repartition(5), "a", "b")
+      .orderBy(col("node")).collect().toSeq
+    assert(g1 == g2 && g1 == g3)
+    assert(g1.map(r => (r.getLong(0), r.getLong(2))) ===
+      Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
 }

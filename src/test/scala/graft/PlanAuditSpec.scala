@@ -114,6 +114,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // for the Davies–Bouldin ratio matrix (k² metadata-sized rows);
       // the corpus pass is join-free (literal-centroid distances)
       "q227_cluster_quality",
+      // q228 crosses the |groups| aggregate with the top-64 token
+      // spine (the q183 bucket-spine grid) and three 1-row totals
+      // (the q76 shape) — every broadcast side metadata-sized
+      "q228_js_token_drift",
       "q210_kaplan_meier", "q213_lorenz_gini", "q214_bootstrap_ci")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
