@@ -1275,20 +1275,35 @@ object RelationalQueries {
 
   /** q229: triangle count + local clustering coefficient (★ —
     * Suri & Vassilvitskii 2011 degree-ordered orientation, the
-    * O(m^1.5) MapReduce-scale shape) over the supplier CO-SUPPLY
-    * graph: suppliers are adjacent when they ship lines of the same
-    * order (order size is schema-bounded, so the pair build is
-    * linear). The community diagnostic next to q124/q149 PageRank and
-    * q201 HITS — high degree with near-zero coefficient flags a hub
-    * that never closes wedges. All integer until one rounded
-    * division; see [[graft.operators.Graph.triangleStats]]. */
+    * O(m^1.5) MapReduce-scale shape) over the part CO-PURCHASE
+    * BACKBONE: parts are adjacent when they appear in the same order,
+    * TRUNCATED to each part's top-8 partners by co-count (ties →
+    * lowest partner id) — the "frequently bought together" kNN
+    * backbone production co-occurrence graphs always apply, and the
+    * step that keeps the graph m = O(k·|V|) SPARSE at any corpus
+    * size (the raw co-occurrence graph of a uniform order stream is
+    * a dense random graph whose wedge count grows quadratically —
+    * measured 41M wedges at sf0.1 vs 2.5M after truncation). The
+    * community diagnostic next to q124/q149 PageRank and q201 HITS —
+    * high degree with near-zero coefficient flags a hub that never
+    * closes wedges. All integer until one rounded division; see
+    * [[graft.operators.Graph.triangleStats]]. */
   val q229Triangles: QuerySpec = QuerySpec(
     "q229_triangle_count",
     """WITH li AS (
-      |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |pc AS (
+      |  SELECT x.p AS a, y.p AS b, CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p GROUP BY 1, 2),
+      |dir AS (SELECT a AS u, b AS v, w FROM pc
+      |        UNION ALL SELECT b, a, w FROM pc),
+      |knn AS (
+      |  SELECT u, v FROM (
+      |    SELECT u, v, row_number() OVER (PARTITION BY u
+      |      ORDER BY w DESC, v) AS rn
+      |    FROM dir) WHERE rn <= 8),
       |e AS (
-      |  SELECT DISTINCT x.s AS a, y.s AS b
-      |  FROM li x JOIN li y ON x.ok = y.ok AND x.s < y.s),
+      |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM knn),
       |deg AS (
       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
       |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
@@ -1321,13 +1336,19 @@ object RelationalQueries {
       |FROM deg d LEFT JOIN tn t ON t.node = d.node
       |ORDER BY d.node""".stripMargin) { (s, dir) =>
     val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sup"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct()
-    val pairs = li.select(col("ok"), col("sup").as("a"))
-      .join(li.select(col("ok"), col("sup").as("b")), Seq("ok"))
+    val pc = li.select(col("ok"), col("p").as("a"))
+      .join(li.select(col("ok"), col("p").as("b")), Seq("ok"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-    graft.operators.Graph.triangleStats(pairs, "a", "b")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+    val dirEdges = pc.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionAll(pc.select(col("b").as("u"), col("a").as("v"), col("w")))
+    val knn = graft.operators.Relational.topKPerGroup(dirEdges,
+      Seq(col("u")), Seq(col("w").desc, col("v").asc), 8)
+    val e = knn.select(least(col("u"), col("v")).as("a"),
+      greatest(col("u"), col("v")).as("b")).distinct()
+    graft.operators.Graph.triangleStats(e, "a", "b")
       .orderBy(col("node"))
   }
 
