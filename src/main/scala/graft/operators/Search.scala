@@ -272,4 +272,63 @@ object Search {
             / col("n_bigrams"), 6).as("xent"))
     out
   }
+
+  /** DoReMi-flavored domain reweighting (Xie et al. 2023: upweight
+    * the domains a WEAK proxy model loses the most on relative to a
+    * reference — "learnability" — then renormalize; here ONE
+    * deterministic multiplicative-weights step so the whole update
+    * replays in SQL). Per domain on held-out text:
+    *
+    *   excess_d = max(x̄_weak(d) − x̄_ref(d), 0)
+    *   weight_d = exp(η·excess_d) / Σ_d' exp(η·excess_d')
+    *
+    * where x̄ are per-domain means of the [[knCrossEntropy]] per-doc
+    * cross-entropies under two KN models: `refTrain` selects the
+    * reference corpus and `weakTrain` the (smaller) proxy corpus;
+    * `scorePred` the held-out docs both models score. Docs under 2
+    * tokens carry no bigrams and drop from both means identically.
+    *
+    * Determinism: per-doc xents are the operator's round-6 doubles;
+    * means run through DECIMAL(18,6) sums; excess re-rounds the
+    * 6-dp difference; exp rounds to 6 immediately (the engine's
+    * shared libm stance) and the normalizer is an exact decimal sum
+    * — every statistic replays bit-for-bit.
+    *
+    * Scale shape: two KN model builds (vocabulary-bounded aggregates
+    * off one train explode each, the q155 shape), two held-out
+    * scoring passes, two corpus-keyed equi-joins to attach the
+    * per-doc scores, ONE |domains|-group aggregate, and a 1-row
+    * normalizer cross (the q76 shape).
+    *
+    * Output: (grp, n_docs, xent_ref, xent_weak, excess, weight). */
+  def domainExcessWeights(docs: DataFrame, groupCol: String,
+                          keyCol: String, textCol: String,
+                          refTrain: Column, weakTrain: Column,
+                          scorePred: Column,
+                          eta: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(eta > 0.0 && eta <= 16.0, s"eta=$eta outside (0, 16]")
+    val heldOut = docs.filter(scorePred)
+    val ref = knCrossEntropy(docs.filter(refTrain), heldOut,
+      keyCol, textCol).select(col(keyCol), col("xent").as("x_ref"))
+    val weak = knCrossEntropy(docs.filter(weakTrain), heldOut,
+      keyCol, textCol).select(col(keyCol), col("xent").as("x_weak"))
+    val perDoc = heldOut.select(col(keyCol), col(groupCol).as("grp"))
+      .join(ref, Seq(keyCol)).join(weak, Seq(keyCol))
+    def dmean(c: Column): Column =
+      round(sum(c.cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1)).cast("double"), 6)
+    val per = perDoc.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), dmean(col("x_ref")).as("xent_ref"),
+        dmean(col("x_weak")).as("xent_weak"))
+      .withColumn("excess",
+        round(greatest(col("xent_weak") - col("xent_ref"), lit(0.0)), 6))
+      .withColumn("ew", round(exp(lit(eta) * col("excess")), 6))
+    val norm = per.agg(
+      sum(col("ew").cast(DecimalType(18, 6))).cast("double").as("nrm"))
+    per.crossJoin(broadcast(norm))
+      .select(col("grp"), col("n_docs"), col("xent_ref"),
+        col("xent_weak"), col("excess"),
+        round(col("ew") / col("nrm"), 6).as("weight"))
+  }
 }

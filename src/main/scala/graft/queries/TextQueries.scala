@@ -1895,6 +1895,56 @@ object TextQueries {
     }
   }
 
+  /** q230: DoReMi-style domain reweighting (★ — Xie et al. 2023's
+    * excess-loss multiplicative-weights step, deterministic: per
+    * source on held-out docs, how much worse the WEAK proxy KN model
+    * (trained on the doc_id % 9 = 1 subsplit) scores than the
+    * reference model (trained on the standard doc_id % 3 ≠ 0 split),
+    * exponentiated and renormalized into next-epoch sampling
+    * weights). See [[graft.operators.Search.domainExcessWeights]];
+    * the oracle runs TWO prefixed [[KnSql]] chains off one `tok`
+    * base, so both engines' model arithmetic is generated from one
+    * source. */
+  val q230DomainReweight: QuerySpec = QuerySpec(
+    "q230_domain_reweight",
+    s"""WITH ${KnSql.tokCte},
+       |${KnSql.chain("r", "doc_id % 3 <> 0", "doc_id % 3 = 0")},
+       |${KnSql.chain("k", "doc_id % 9 = 1", "doc_id % 3 = 0")},
+       |src AS (
+       |  SELECT doc_id, source FROM documents WHERE doc_id % 3 = 0),
+       |pd AS (
+       |  SELECT s.source, r.xent AS xr, k.xent AS xk
+       |  FROM src s JOIN rkn r USING (doc_id) JOIN kkn k USING (doc_id)),
+       |per AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    round(CAST(SUM(CAST(xr AS DECIMAL(18,6))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 6) AS xent_ref,
+       |    round(CAST(SUM(CAST(xk AS DECIMAL(18,6))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 6) AS xent_weak
+       |  FROM pd GROUP BY 1),
+       |ex AS (
+       |  SELECT source, n_docs, xent_ref, xent_weak,
+       |    round(greatest(xent_weak - xent_ref, CAST(0 AS DOUBLE)), 6)
+       |      AS excess,
+       |    round(exp(round(greatest(xent_weak - xent_ref,
+       |      CAST(0 AS DOUBLE)), 6)), 6) AS ew
+       |  FROM per),
+       |nm AS (
+       |  SELECT CAST(SUM(CAST(ew AS DECIMAL(18,6))) AS DOUBLE) AS nrm
+       |  FROM ex)
+       |SELECT source, n_docs, xent_ref, xent_weak, excess,
+       |  round(ew / nrm, 6) AS weight
+       |FROM ex CROSS JOIN nm ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.Search.domainExcessWeights(docs, "source", "doc_id",
+        "text", refTrain = col("doc_id") % 3 =!= 0,
+        weakTrain = col("doc_id") % 9 === 1,
+        scorePred = col("doc_id") % 3 === 0)
+      .select(col("grp").as("source"), col("n_docs"), col("xent_ref"),
+        col("xent_weak"), col("excess"), col("weight"))
+      .orderBy(col("source"))
+  }
+
   /** q163: DSIR importance resampling (★ — distribution-matching doc
     * selection, Xie et al. 2023: hashed-feature likelihood-ratio
     * weights toward the English subcorpus, top-100 kept). The hashed
@@ -2704,7 +2754,8 @@ object TextQueries {
     q193NfcNormalize, q194BlocklistGate, q198Readability,
     q215CjkFertility, q217UnigramTrain, q218UnigramFertility,
     q219WordpieceMerges, q222NbCalibration, q223NbClassReport,
-    q224Chi2Tokens, q225GateParity, q226NbAuc, q228JsDrift)
+    q224Chi2Tokens, q225GateParity, q226NbAuc, q228JsDrift,
+    q230DomainReweight)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,
@@ -2715,29 +2766,40 @@ object TextQueries {
   * `kn(doc_id, n_bigrams, n_unseen, oov_rate, xent)`; xent is the
   * round-6, -0.0-normalized per-doc cross-entropy. */
 private[queries] object KnSql {
-  val ctes: String =
+  /** The `tok` base CTE every chain hangs off (emit ONCE per query
+    * even when two model chains follow). */
+  val tokCte: String =
     """tok AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |tbi0 AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"""
+      .stripMargin
+
+  /** One full KN model + scoring chain with every CTE name prefixed
+    * `p` (so two models can coexist in one query), the training
+    * corpus selected by `trainPred` and the scored corpus by
+    * `scorePred` (both over `tok`'s columns). Ends in
+    * `${p}kn(doc_id, n_bigrams, n_unseen, oov_rate, xent)`. */
+  def chain(p: String, trainPred: String,
+            scorePred: String = "TRUE"): String =
+    s"""${p}tbi0 AS (
       |  SELECT unnest(list_transform(range(1, len(toks)),
       |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
-      |  FROM tok WHERE len(toks) >= 2 AND doc_id % 3 <> 0),
-      |tbi AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM tbi0),
-      |cnt AS (SELECT w1, w2, COUNT(*) AS c FROM tbi GROUP BY 1, 2),
-      |ctx AS (
+      |  FROM tok WHERE len(toks) >= 2 AND ($trainPred)),
+      |${p}tbi AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM ${p}tbi0),
+      |${p}cnt AS (SELECT w1, w2, COUNT(*) AS c FROM ${p}tbi GROUP BY 1, 2),
+      |${p}ctx AS (
       |  SELECT w1, CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS n1f
-      |  FROM cnt GROUP BY 1),
-      |cont AS (SELECT w2, COUNT(*) AS n1b FROM cnt GROUP BY 1),
-      |gstat AS (
-      |  SELECT COUNT(*) AS bb, COUNT(DISTINCT w2) AS vv FROM cnt),
-      |sbi0 AS (
+      |  FROM ${p}cnt GROUP BY 1),
+      |${p}cont AS (SELECT w2, COUNT(*) AS n1b FROM ${p}cnt GROUP BY 1),
+      |${p}gstat AS (
+      |  SELECT COUNT(*) AS bb, COUNT(DISTINCT w2) AS vv FROM ${p}cnt),
+      |${p}sbi0 AS (
       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
       |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
-      |  FROM tok WHERE len(toks) >= 2),
-      |sbi AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM sbi0),
-      |db AS (
-      |  SELECT doc_id, w1, w2, COUNT(*) AS m FROM sbi GROUP BY 1, 2, 3),
-      |e AS (
+      |  FROM tok WHERE len(toks) >= 2 AND ($scorePred)),
+      |${p}sbi AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM ${p}sbi0),
+      |${p}db AS (
+      |  SELECT doc_id, w1, w2, COUNT(*) AS m FROM ${p}sbi GROUP BY 1, 2, 3),
+      |${p}e AS (
       |  SELECT doc_id, m,
       |    CASE WHEN c IS NULL THEN m ELSE CAST(0 AS BIGINT) END AS un,
       |    {'w1': w1, 'w2': w2,
@@ -2750,19 +2812,23 @@ private[queries] object KnSql {
       |                  / CAST(bb + vv + 1 AS DOUBLE))
       |          ELSE CAST(COALESCE(n1b, 0) + 1 AS DOUBLE)
       |               / CAST(bb + vv + 1 AS DOUBLE) END) / ln(2))} AS e
-      |  FROM db LEFT JOIN cnt USING (w1, w2)
-      |    LEFT JOIN ctx USING (w1) LEFT JOIN cont USING (w2)
-      |    CROSS JOIN gstat),
-      |g AS (
+      |  FROM ${p}db LEFT JOIN ${p}cnt USING (w1, w2)
+      |    LEFT JOIN ${p}ctx USING (w1) LEFT JOIN ${p}cont USING (w2)
+      |    CROSS JOIN ${p}gstat),
+      |${p}g AS (
       |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
       |    CAST(SUM(un) AS BIGINT) AS n_unseen, list_sort(list(e)) AS es
-      |  FROM e GROUP BY 1),
-      |kn AS (
+      |  FROM ${p}e GROUP BY 1),
+      |${p}kn AS (
       |  SELECT doc_id, n_bigrams, n_unseen,
       |    CAST(n_unseen AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
       |      AS oov_rate,
       |    round(list_reduce(list_prepend(0.0,
       |        list_transform(es, x -> x.nl)), (acc, x) -> acc + x)
       |      / n_bigrams, 6) + 0.0 AS xent
-      |  FROM g)""".stripMargin
+      |  FROM ${p}g)""".stripMargin
+
+  /** The q155/q188 chain: train on doc_id % 3 ≠ 0, score the whole
+    * corpus, unprefixed names ending in `kn`. */
+  val ctes: String = tokCte + ",\n" + chain("", "doc_id % 3 <> 0")
 }

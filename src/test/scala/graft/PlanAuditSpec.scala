@@ -118,6 +118,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // spine (the q183 bucket-spine grid) and three 1-row totals
       // (the q76 shape) — every broadcast side metadata-sized
       "q228_js_token_drift",
+      // q230 runs two q155 KN chains (each crosses its 1-row (B, V)
+      // model-global aggregate) plus a 1-row weight normalizer —
+      // all metadata-sized (the q155/q76 shapes)
+      "q230_domain_reweight",
       "q210_kaplan_meier", "q213_lorenz_gini", "q214_bootstrap_ci")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString

@@ -161,4 +161,32 @@ class SearchSpec extends SparkSpecBase {
       Search.knCrossEntropy(tr.repartition(7), docs.repartition(13),
         "doc_id", "text"))
   }
+
+  test("domainExcessWeights: the domain the weak model never saw " +
+      "gets the excess, weights normalize to 1") {
+    import spark.implicits._
+    // ref train (id % 3 != 0) covers both domains; weak train
+    // (id % 9 = 1) sees ONLY domain a's bigrams -> on held-out
+    // (id % 3 = 0) the weak model is lossier on b than on a
+    val docs = Seq(
+      (1L, "a", "x y x y"), (2L, "b", "u v u v"), (4L, "a", "x y x"),
+      (5L, "b", "u v u"), (7L, "a", "y x y"), (8L, "b", "v u v"),
+      (0L, "a", "x y x y"), (3L, "b", "u v u v"), (6L, "a", "x y"),
+      (9L, "b", "u v")).toDF("doc_id", "src", "text")
+    val out = Search.domainExcessWeights(docs, "src", "doc_id", "text",
+        refTrain = col("doc_id") % 3 =!= 0,
+        weakTrain = col("doc_id") % 9 === 1,
+        scorePred = col("doc_id") % 3 === 0)
+      .orderBy(col("grp")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4),
+        r.getDouble(5)))
+    assert(out.map(_._1).toSeq === Seq("a", "b"))
+    val (exA, exB) = (out(0)._3, out(1)._3)
+    assert(exB > exA, s"unseen domain must carry the excess: $exA $exB")
+    assert(out(1)._4 > out(0)._4, "higher excess -> higher weight")
+    val wsum = out.map(_._4).sum
+    assert(math.abs(wsum - 1.0) < 1e-5, s"weights must normalize: $wsum")
+    // all held-out docs of each domain counted
+    assert(out.map(_._2).toSeq === Seq(2L, 2L))
+  }
 }
