@@ -911,4 +911,64 @@ object Similarity {
       .select(col("cell"), col("n"), col("mean_sil"), col("s_c"),
         coalesce(col("db_c"), lit(0.0)).as("db_c"))
   }
+
+  /** Index-staleness (centroid-drift) audit — the "when do we rebuild"
+    * report for a serving IVF structure: compare the index's
+    * centroids C0 (seeded + `kmeansIters` Lloyd's passes, exactly the
+    * structure [[ivfTopK]]/[[semanticDedup]] probe) against ONE more
+    * refinement pass C1 over the current corpus, and measure per cell
+    * how far the centroid has drifted and how many of its vectors
+    * would change cells under the refreshed assignment. A cell whose
+    * centroid has moved but whose members wouldn't reassign is
+    * cosmetic; reassignment fraction is the statistic that actually
+    * degrades probe recall.
+    *
+    * Scale shape: both centroid sets are ≤`numCells` driver rows
+    * (guarded); the audit is then ONE corpus scan computing BOTH
+    * nearest-cell assignments as literal-centroid argmins (the
+    * [[clusterQualityAudit]] posture — no join, no per-point
+    * shuffle), one k-group aggregate, and a k-row metadata join for
+    * the shift column.
+    *
+    * Output per NONEMPTY C0 cell: (cell, n, shift, n_reassigned,
+    * reassign_rate); shift = 1 − round(cosine(C0_c, C1_c), 6). */
+  def centroidDriftAudit(df: DataFrame, idCol: String, vecCol: String,
+                         numCells: Int = 16,
+                         kmeansIters: Int = 1): DataFrame = {
+    require(numCells >= 2 && numCells <= 256,
+      s"numCells=$numCells out of the audit guard [2, 256]")
+    require(kmeansIters >= 0 && kmeansIters <= 15,
+      s"kmeansIters=$kmeansIters out of range (each pass rescans)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("dv"))
+    def materialize(c: DataFrame): List[(Long, List[Double])] =
+      c.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+        .sortBy(_._1).toList
+    val c0 = materialize(
+      refinedCentroids(vecs, "id", "dv", numCells, kmeansIters))
+    val c1 = materialize(lloydStep(vecs, "id", "dv",
+      c0.toDF("cell", "cent_vec")))
+    def nearest(cents: List[(Long, List[Double])]): Column =
+      element_at(array_sort(array(cents.map { case (cell, cv) =>
+        struct((lit(1.0) - round(cosine(col("dv"), typedlit(cv)), 6))
+          .as("d"), lit(cell).as("cell"))
+      }: _*)), 1).getField("cell")
+    val per = vecs
+      .select(nearest(c0).as("cell"),
+        (nearest(c1) =!= nearest(c0)).cast("long").as("moved"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("moved")).as("n_reassigned"))
+    val shiftDf = c0.zip(c1).map { case ((cell, v0), (cell1, v1)) =>
+      require(cell == cell1, "Lloyd's step must preserve cell ids")
+      (cell, v0, v1)
+    }.toDF("cell", "v0", "v1")
+      .select(col("cell"),
+        (lit(1.0) - round(cosine(col("v0"), col("v1")), 6)).as("shift"))
+    per.join(shiftDf, Seq("cell"))
+      .select(col("cell"), col("n"), col("shift"), col("n_reassigned"),
+        round(col("n_reassigned").cast("double") /
+          col("n").cast("double"), 6).as("reassign_rate"))
+  }
 }

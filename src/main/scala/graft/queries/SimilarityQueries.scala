@@ -1332,6 +1332,47 @@ object SimilarityQueries {
       .orderBy(col("cell"))
   }
 
+  /** q231: index-staleness (centroid-drift) audit (★ — the "when do
+    * we rebuild" report for a serving IVF structure: per cell, how
+    * far one more Lloyd's pass over the CURRENT corpus moves the
+    * centroid and what fraction of the cell's vectors would change
+    * cells — reassignment, not displacement, is what degrades probe
+    * recall). See [[Similarity.centroidDriftAudit]] (one corpus scan
+    * with two literal-centroid argmins, k-group aggregate, k-row
+    * shift join). Oracle: the shared [[IvfSql]] Lloyd's chain run one
+    * pass deeper, with fresh assignments under both centroid sets. */
+  val q231CentroidDrift: QuerySpec = {
+    import IvfSql.{assignSql, lloydSql}
+    QuerySpec(
+      "q231_centroid_drift",
+      s"""WITH vecs AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings),
+        |seed AS (SELECT id AS cell, dv AS cv FROM vecs ORDER BY id LIMIT 16),
+        |${lloydSql(1, "seed")},
+        |${lloydSql(2, "c1")},
+        |${assignSql("b0", "c1")},
+        |${assignSql("b1", "c2")},
+        |per AS (
+        |  SELECT b0.cell, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN b0.cell <> b1.cell THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_reassigned
+        |  FROM b0 JOIN b1 USING (id) GROUP BY 1),
+        |sh AS (
+        |  SELECT x.cell,
+        |    1 - round(list_cosine_similarity(x.cv, y.cv), 6) AS shift
+        |  FROM c1 x JOIN c2 y USING (cell))
+        |SELECT p.cell, p.n, s.shift, p.n_reassigned,
+        |  round(CAST(p.n_reassigned AS DOUBLE) / CAST(p.n AS DOUBLE), 6)
+        |    AS reassign_rate
+        |FROM per p JOIN sh s USING (cell)
+        |ORDER BY p.cell""".stripMargin) { (s, dir) =>
+      Similarity.centroidDriftAudit(Tables.embeddings(s, dir),
+          "vec_id", "embedding", numCells = 16, kmeansIters = 1)
+        .orderBy(col("cell"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
     q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup,
@@ -1340,7 +1381,7 @@ object SimilarityQueries {
     q181IvfPqTopK, q185HardNegatives, q186EmbeddingOutliers,
     q190BitextMargin, q191RrfFusion, q195KCenterCoreset,
     q196PrototypePrune, q200MatryoshkaRecall, q220RetrievalMetrics,
-    q227ClusterQuality)
+    q227ClusterQuality, q231CentroidDrift)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by

@@ -440,6 +440,41 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.toSeq === Seq((0L, 3L, 0.0, 0.333333, 0.0)))
   }
 
+  test("centroidDriftAudit: converged clusters report zero shift and " +
+      "zero reassignment") {
+    // two pure orthogonal clusters; seeds (iters = 0) are already the
+    // member means, so the refresh pass is a fixed point
+    val df = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)), (4L, Seq(1.0, 0.0)))
+      .toDF("id", "v")
+    val out = Similarity.centroidDriftAudit(df, "id", "v",
+        numCells = 2, kmeansIters = 0)
+      .orderBy(col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq((0L, 3L, 0.0, 0L, 0.0),
+      (1L, 2L, 0.0, 0L, 0.0)))
+  }
+
+  test("centroidDriftAudit: unrefined seeds drift on real embeddings " +
+      "and the audit is invariant under repartitioning") {
+    val e = Tables.embeddings(spark, sf).limit(120)
+    val r1 = Similarity.centroidDriftAudit(e, "vec_id", "embedding",
+      numCells = 4, kmeansIters = 0).orderBy(col("cell")).collect()
+    val r2 = Similarity.centroidDriftAudit(e.repartition(7), "vec_id",
+      "embedding", numCells = 4, kmeansIters = 0)
+      .orderBy(col("cell")).collect()
+    assert(r1.toSeq == r2.toSeq)
+    assert(r1.map(_.getLong(1)).sum === 120L)
+    assert(r1.forall { r =>
+      r.getDouble(2) >= 0.0 && r.getDouble(4) >= 0.0 &&
+        r.getDouble(4) <= 1.0
+    })
+    // arbitrary-point seeds are not means: the refresh must move
+    assert(r1.map(_.getDouble(2)).sum > 0.0,
+      "seed centroids refreshed over real data must show drift")
+  }
+
   test("clusterQualityAudit is invariant under repartitioning") {
     val e = Tables.embeddings(spark, sf).limit(80)
     val r1 = Similarity.clusterQualityAudit(e, "vec_id", "embedding",
