@@ -2307,6 +2307,125 @@ object TextQueries {
         (den * (n * col("s.syy") - col("s.sy") * col("s.sy"))), 6).as("r2"))
   }
 
+  /** q232: Heaps'-law vocabulary-growth audit (★ — the companion
+    * power law to q184's Zipf: distinct type count grows as
+    * V(N) ≈ k·N^β, β ≈ 0.4–0.6 for natural text; a saturating curve
+    * (β → 0) flags a closed/templated vocabulary, β → 1 flags
+    * near-random token soup — the corpus-health diagnostic run before
+    * committing a tokenizer budget). Types are the q169 4-gram
+    * shingle universe (the raw 31-token synthetic unigram vocabulary
+    * saturates in the first bucket, which would make the fit
+    * degenerate — the 4-gram universe keeps growing and the measured
+    * β IS the health signal). The corpus splits into 16 doc_id-range
+    * buckets; cumulative (tokens, types) per bucket give 16 log-log
+    * points; OLS via the q184 sorted-fold discipline.
+    *
+    * Scale shape: one corpus explode; first-seen bucket is ONE
+    * min-aggregate over the type universe (the shuffle a distinct
+    * would pay anyway); the cumulative window runs on the 16-row
+    * bucket spine (metadata-sized); the max-id attach is a 1-row
+    * cross (q76). */
+  val q232HeapsGrowth: QuerySpec = QuerySpec(
+    "q232_heaps_growth",
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+      |tok AS (
+      |  SELECT least(15, CAST(floor(CAST(doc_id * 16 AS DOUBLE)
+      |      / CAST(m + 1 AS DOUBLE)) AS BIGINT)) AS bucket,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents CROSS JOIN mx),
+      |gr AS (
+      |  SELECT bucket, unnest(list_transform(range(1, len(toks) - 2),
+      |    i -> array_to_string(toks[i:i+3], ' '))) AS g
+      |  FROM tok WHERE len(toks) >= 4),
+      |nb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nt
+      |       FROM gr GROUP BY 1),
+      |fs AS (SELECT g, MIN(bucket) AS b0 FROM gr GROUP BY 1),
+      |nv AS (SELECT b0 AS bucket, CAST(COUNT(*) AS BIGINT) AS nv
+      |       FROM fs GROUP BY 1),
+      |sp AS (SELECT unnest(range(0, 16)) AS bucket),
+      |cum AS (
+      |  SELECT sp.bucket,
+      |    CAST(SUM(COALESCE(nb.nt, 0)) OVER (ORDER BY sp.bucket)
+      |      AS BIGINT) AS tcum,
+      |    CAST(SUM(COALESCE(nv.nv, 0)) OVER (ORDER BY sp.bucket)
+      |      AS BIGINT) AS vcum
+      |  FROM sp LEFT JOIN nb ON nb.bucket = sp.bucket
+      |  LEFT JOIN nv ON nv.bucket = sp.bucket),
+      |pts AS (
+      |  SELECT list_sort(list({'b': bucket,
+      |    'x': ln(CAST(tcum AS DOUBLE)),
+      |    'y': ln(CAST(vcum AS DOUBLE))})) AS ps
+      |  FROM cum WHERE tcum > 0 AND vcum > 0),
+      |acc AS (
+      |  SELECT CAST(len(ps) AS BIGINT) AS n,
+      |    list_reduce(list_prepend(
+      |      {'sx': 0.0, 'sy': 0.0, 'sxx': 0.0, 'sxy': 0.0, 'syy': 0.0},
+      |      list_transform(ps, p -> {'sx': p.x, 'sy': p.y,
+      |        'sxx': p.x * p.x, 'sxy': p.x * p.y, 'syy': p.y * p.y})),
+      |      (a, b) -> {'sx': a.sx + b.sx, 'sy': a.sy + b.sy,
+      |        'sxx': a.sxx + b.sxx, 'sxy': a.sxy + b.sxy,
+      |        'syy': a.syy + b.syy}) AS s
+      |  FROM pts)
+      |SELECT n AS n_buckets,
+      |  round((CAST(n AS DOUBLE) * s.sxy - s.sx * s.sy)
+      |    / (CAST(n AS DOUBLE) * s.sxx - s.sx * s.sx), 6) AS beta,
+      |  round((s.sy - (CAST(n AS DOUBLE) * s.sxy - s.sx * s.sy)
+      |    / (CAST(n AS DOUBLE) * s.sxx - s.sx * s.sx) * s.sx)
+      |    / CAST(n AS DOUBLE), 6) AS intercept,
+      |  round(((CAST(n AS DOUBLE) * s.sxy - s.sx * s.sy)
+      |    * (CAST(n AS DOUBLE) * s.sxy - s.sx * s.sy))
+      |    / ((CAST(n AS DOUBLE) * s.sxx - s.sx * s.sx)
+      |      * (CAST(n AS DOUBLE) * s.syy - s.sy * s.sy)), 6) AS r2
+      |FROM acc""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val mx = docs.agg(max(col("doc_id")).as("m"))
+    val toks = split(col("text"), " ")
+    val gr = docs.crossJoin(broadcast(mx))
+      .filter(size(toks) >= 4)
+      .select(least(lit(15L),
+          floor((col("doc_id") * 16).cast("double") /
+            (col("m") + 1).cast("double")).cast("long")).as("bucket"),
+        explode(transform(sequence(lit(1), size(toks) - 3),
+          i => array_join(slice(toks, i, lit(4)), " "))).as("g"))
+    val nb = gr.groupBy(col("bucket")).agg(count(lit(1)).as("nt"))
+    val nv = gr.groupBy(col("g")).agg(min(col("bucket")).as("b0"))
+      .groupBy(col("b0")).agg(count(lit(1)).as("nv"))
+      .withColumnRenamed("b0", "bucket")
+    val sp = s.range(0, 16).select(col("id").as("bucket"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sp.join(nb, Seq("bucket"), "left")
+      .join(nv, Seq("bucket"), "left")
+      .select(col("bucket"),
+        sum(coalesce(col("nt"), lit(0L))).over(w).as("tcum"),
+        sum(coalesce(col("nv"), lit(0L))).over(w).as("vcum"))
+    val pts = cum.filter(col("tcum") > 0 && col("vcum") > 0)
+      .select(col("bucket").as("b"),
+        log(col("tcum").cast("double")).as("x"),
+        log(col("vcum").cast("double")).as("y"))
+      .agg(sort_array(collect_list(struct(col("b"), col("x"), col("y"))))
+        .as("ps"))
+    val zero = struct(lit(0.0).as("sx"), lit(0.0).as("sy"),
+      lit(0.0).as("sxx"), lit(0.0).as("sxy"), lit(0.0).as("syy"))
+    val folded = pts.select(size(col("ps")).cast("long").as("n"),
+      aggregate(col("ps"), zero, (a, p) => struct(
+        (a.getField("sx") + p.getField("x")).as("sx"),
+        (a.getField("sy") + p.getField("y")).as("sy"),
+        (a.getField("sxx") + p.getField("x") * p.getField("x")).as("sxx"),
+        (a.getField("sxy") + p.getField("x") * p.getField("y")).as("sxy"),
+        (a.getField("syy") + p.getField("y") * p.getField("y")).as("syy")))
+        .as("s"))
+    val n = col("n").cast("double")
+    val num = n * col("s.sxy") - col("s.sx") * col("s.sy")
+    val den = n * col("s.sxx") - col("s.sx") * col("s.sx")
+    folded.select(col("n").as("n_buckets"),
+      round(num / den, 6).as("beta"),
+      round((col("s.sy") - num / den * col("s.sx")) / n, 6).as("intercept"),
+      round((num * num) /
+        (den * (n * col("s.syy") - col("s.sy") * col("s.sy"))), 6).as("r2"))
+  }
+
   /** q187: tokenizer fertility by language (★ — the multilingual
     * tokenizer-equity audit from XLM-R/NLLB: subword tokens per word
     * ("fertility") and chars per token per LANGUAGE from ONE BPE
@@ -2755,7 +2874,7 @@ object TextQueries {
     q215CjkFertility, q217UnigramTrain, q218UnigramFertility,
     q219WordpieceMerges, q222NbCalibration, q223NbClassReport,
     q224Chi2Tokens, q225GateParity, q226NbAuc, q228JsDrift,
-    q230DomainReweight)
+    q230DomainReweight, q232HeapsGrowth)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,

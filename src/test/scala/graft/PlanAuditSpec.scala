@@ -122,6 +122,9 @@ class PlanAuditSpec extends SparkSpecBase {
       // model-global aggregate) plus a 1-row weight normalizer —
       // all metadata-sized (the q155/q76 shapes)
       "q230_domain_reweight",
+      // q232 crosses the 1-row max-doc-id aggregate onto the scan for
+      // bucketing — the q76/q100 metadata-sized cross again
+      "q232_heaps_growth",
       "q210_kaplan_meier", "q213_lorenz_gini", "q214_bootstrap_ci")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
