@@ -2321,25 +2321,29 @@ object TextQueries {
     * points; OLS via the q184 sorted-fold discipline.
     *
     * Scale shape: one corpus explode; first-seen bucket is ONE
-    * min-aggregate over the type universe (the shuffle a distinct
-    * would pay anyway); the cumulative window runs on the 16-row
+    * min-aggregate over the type universe, shuffled as the 8-byte
+    * portable hash of the 4-gram rather than the ~25-byte string
+    * (identical on both engines, so the oracle stays exact; a 2⁻⁶⁴
+    * collision would merge two types — the standard sketch trade at
+    * this statistic's precision); the cumulative window runs on the 16-row
     * bucket spine (metadata-sized); the max-id attach is a 1-row
     * cross (q76). */
   val q232HeapsGrowth: QuerySpec = QuerySpec(
     "q232_heaps_growth",
-    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    s"""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
       |tok AS (
       |  SELECT least(15, CAST(floor(CAST(doc_id * 16 AS DOUBLE)
       |      / CAST(m + 1 AS DOUBLE)) AS BIGINT)) AS bucket,
       |    string_split(text, ' ') AS toks
       |  FROM documents CROSS JOIN mx),
-      |gr AS (
+      |gr0 AS (
       |  SELECT bucket, unnest(list_transform(range(1, len(toks) - 2),
       |    i -> array_to_string(toks[i:i+3], ' '))) AS g
       |  FROM tok WHERE len(toks) >= 4),
+      |gr AS (SELECT bucket, ${graft.functions.Scalars.sqlPortableHash64("g")} AS h FROM gr0),
       |nb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nt
       |       FROM gr GROUP BY 1),
-      |fs AS (SELECT g, MIN(bucket) AS b0 FROM gr GROUP BY 1),
+      |fs AS (SELECT h, MIN(bucket) AS b0 FROM gr GROUP BY 1),
       |nv AS (SELECT b0 AS bucket, CAST(COUNT(*) AS BIGINT) AS nv
       |       FROM fs GROUP BY 1),
       |sp AS (SELECT unnest(range(0, 16)) AS bucket),
@@ -2388,8 +2392,10 @@ object TextQueries {
             (col("m") + 1).cast("double")).cast("long")).as("bucket"),
         explode(transform(sequence(lit(1), size(toks) - 3),
           i => array_join(slice(toks, i, lit(4)), " "))).as("g"))
+      .select(col("bucket"),
+        graft.functions.Scalars.portableHash64(col("g")).as("h"))
     val nb = gr.groupBy(col("bucket")).agg(count(lit(1)).as("nt"))
-    val nv = gr.groupBy(col("g")).agg(min(col("bucket")).as("b0"))
+    val nv = gr.groupBy(col("h")).agg(min(col("bucket")).as("b0"))
       .groupBy(col("b0")).agg(count(lit(1)).as("nv"))
       .withColumnRenamed("b0", "bucket")
     val sp = s.range(0, 16).select(col("id").as("bucket"))
