@@ -1352,6 +1352,49 @@ object RelationalQueries {
       .orderBy(col("node"))
   }
 
+  /** q233: key-skew diagnosis report (★ — the measurement a salted
+    * join or an AQE skew threshold is tuned FROM, run BEFORE the
+    * shuffle it diagnoses: top heavy keys with shares and cumulative
+    * shares, distinct-key and row counts, and the recommended salt
+    * factor ceil(max_share · partitions)). Diagnosed key:
+    * `l_returnflag`, lineitem's genuinely skewed low-cardinality
+    * column (~50/25/25) — the report prescribes salt_reco = 16 at 32
+    * partitions, exactly the bucket count that levels the hot key.
+    * See [[graft.operators.Skew.skewReport]] (one keyed aggregate —
+    * the same shuffle the diagnosed join would pay — TakeOrdered
+    * top-k, topK-row window, 1-row stats cross). */
+  val q233SkewReport: QuerySpec = QuerySpec(
+    "q233_skew_report",
+    """WITH counts AS (
+      |  SELECT l_returnflag AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |    MAX(cnt) AS max_cnt
+      |  FROM counts),
+      |top AS (
+      |  SELECT key, cnt,
+      |    CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT)
+      |      AS rank,
+      |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, key
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccnt
+      |  FROM counts QUALIFY rank <= 10)
+      |SELECT t.rank, t.key, t.cnt,
+      |  round(CAST(t.cnt AS DOUBLE) / CAST(s.n_rows AS DOUBLE), 6)
+      |    AS share,
+      |  round(CAST(t.ccnt AS DOUBLE) / CAST(s.n_rows AS DOUBLE), 6)
+      |    AS cum_share,
+      |  s.n_keys, s.n_rows,
+      |  CAST(ceil(CAST(s.max_cnt AS DOUBLE) * 32
+      |    / CAST(s.n_rows AS DOUBLE)) AS BIGINT) AS salt_reco
+      |FROM top t CROSS JOIN stats s
+      |ORDER BY t.rank""".stripMargin) { (s, dir) =>
+    graft.operators.Skew.skewReport(Tables.lineitem(s, dir),
+        "l_returnflag", topK = 10, partitions = 32)
+      .orderBy(col("rank"))
+  }
+
   /** q125: deterministic epoch shuffle — two different epochs of the
     * sharded training order over the corpus, side by side. The order
     * is a pure function of (key, epoch) through portable_hash64, so
@@ -2492,7 +2535,7 @@ object RelationalQueries {
     q197RecordLinkage, q199KAnonymity, q201Hits, q203Benford,
     q204FdViolations, q205BasketRules, q206NeymanAllocation,
     q207EmLinkage, q212FkOrphans, q213LorenzGini, q214BootstrapCi,
-    q229Triangles)
+    q229Triangles, q233SkewReport)
 }
 
 /** The Fellegi–Sunter oracle chain shared by q197 (pair scoring) and

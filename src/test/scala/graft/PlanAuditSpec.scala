@@ -125,6 +125,9 @@ class PlanAuditSpec extends SparkSpecBase {
       // q232 crosses the 1-row max-doc-id aggregate onto the scan for
       // bucketing — the q76/q100 metadata-sized cross again
       "q232_heaps_growth",
+      // q233 crosses the 1-row skew-stats aggregate onto the top-k
+      // key frame — the q76 metadata cross again
+      "q233_skew_report",
       "q210_kaplan_meier", "q213_lorenz_gini", "q214_bootstrap_ci")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString

@@ -63,4 +63,29 @@ class SkewSpec extends SparkSpecBase {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("skewReport: hand-computed shares, cumulative shares, and the " +
+      "salt recommendation on a planted 80/10/10 key") {
+    import spark.implicits._
+    val df = (Seq.fill(80)("hot") ++ Seq.fill(10)("a") ++
+      Seq.fill(10)("b")).toDF("k")
+    val out = Skew.skewReport(df, "k", topK = 2, partitions = 10)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    // topK = 2 truncates the tail; ties on cnt break by key asc
+    assert(out.toSeq === Seq(
+      (1L, "hot", 80L, 0.8, 0.8, 3L, 100L, 8L),
+      (2L, "a", 10L, 0.1, 0.9, 3L, 100L, 8L)))
+  }
+
+  test("skewReport is invariant under repartitioning") {
+    val e = Tables.lineitem(spark, sf).limit(500)
+    val r1 = Skew.skewReport(e, "l_returnflag", 10, 32)
+      .orderBy(col("rank")).collect().toSeq
+    val r2 = Skew.skewReport(e.repartition(7), "l_returnflag", 10, 32)
+      .orderBy(col("rank")).collect().toSeq
+    assert(r1 == r2)
+  }
 }
