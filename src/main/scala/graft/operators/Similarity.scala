@@ -971,4 +971,84 @@ object Similarity {
         round(col("n_reassigned").cast("double") /
           col("n").cast("double"), 6).as("reassign_rate"))
   }
+
+  /** IVF recall-vs-nprobe sweep — the tuning curve an index operator
+    * reads before fixing `nprobe` ("which probe depth buys 95%
+    * recall"): for every exact top-`k` (query, neighbor) pair, the
+    * probe depth at which IVF first finds it is simply the RANK of
+    * the neighbor's cell in the query's centroid-distance order — so
+    * the whole sweep over nprobe = 1..numCells falls out of ONE
+    * computation per pair, not one index scan per probe depth.
+    *
+    * Scale shape: the exact top-k truth pass is the audit's honest
+    * cost (a brute-force broadcast-queries × corpus scan — the q34
+    * shape, and the same stance as q176's recall audit: the detector
+    * is cheap, the ground truth prices the audit); corpus cell
+    * assignment is the [[clusterQualityAudit]] literal-centroid scan
+    * (join-free); the query probe order is an in-row sorted array
+    * posexploded to (q_id, cell, prank) — query-set-bounded; the
+    * closing joins are equi (c_id; then (q_id, cell)); the sweep
+    * spine is numCells rows with one cumulative window.
+    *
+    * Output: (nprobe, n_found, n_pairs, recall), nprobe =
+    * 1..numCells; recall is non-decreasing and reaches 1.0 at
+    * nprobe = numCells by construction. */
+  def ivfRecallSweep(corpus: DataFrame, corpusId: String,
+                     corpusVec: String, queries: DataFrame,
+                     queryId: String, queryVec: String, k: Int,
+                     numCells: Int = 16,
+                     kmeansIters: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numCells >= 2 && numCells <= 256,
+      s"numCells=$numCells out of the audit guard [2, 256]")
+    require(k >= 1 && k <= 64, s"k=$k outside [1, 64]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(corpusId).cast("long").as("id"),
+      col(corpusVec).cast("array<double>").as("dv"))
+    val cents = refinedCentroids(vecs, "id", "dv", numCells, kmeansIters)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+      .sortBy(_._1).toList
+    def dArr(vcol: Column): Column =
+      array_sort(array(cents.map { case (cell, cv) =>
+        struct((lit(1.0) - round(cosine(vcol, typedlit(cv)), 6)).as("d"),
+          lit(cell).as("cell"))
+      }: _*))
+    val cc = vecs.select(col("id").as("c_id"),
+      element_at(dArr(col("dv")), 1).getField("cell").as("cell"))
+    val qv = queries.select(col(queryId).cast("long").as("q_id"),
+      col(queryVec).cast("array<double>").as("q_dv"))
+    // exact top-k ground truth: rounded cosine desc, candidate asc
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    val truth = vecs.join(broadcast(qv), col("q_id") =!= col("id"))
+      .select(col("q_id"),  col("id").as("c_id"),
+        round(cosine(col("q_dv"), col("dv")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"))
+    // probe order per query: the sorted (d, cell) array posexploded —
+    // prank = position in the centroid-distance order
+    val porder = qv
+      .select(col("q_id"), posexplode(dArr(col("q_dv"))).as(Seq("p", "e")))
+      .select(col("q_id"), col("e").getField("cell").as("cell"),
+        (col("p") + 1).cast("long").as("prank"))
+    val found = truth.join(cc, Seq("c_id"))
+      .join(porder, Seq("q_id", "cell"))
+    val hits = found.groupBy(col("prank"))
+      .agg(count(lit(1)).as("h"))
+    val tot = truth.agg(count(lit(1)).as("n_pairs"))
+    val spine = spark.range(1, numCells + 1)
+      .select(col("id").as("nprobe"))
+    val cum = Window.orderBy(col("nprobe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hits, col("nprobe") === col("prank"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("nprobe"),
+        sum(coalesce(col("h"), lit(0L))).over(cum).as("n_found"),
+        col("n_pairs"))
+      .select(col("nprobe"), col("n_found"), col("n_pairs"),
+        round(col("n_found").cast("double") /
+          col("n_pairs").cast("double"), 6).as("recall"))
+  }
 }

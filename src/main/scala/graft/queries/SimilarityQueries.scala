@@ -1373,6 +1373,64 @@ object SimilarityQueries {
     }
   }
 
+  /** q234: IVF recall-vs-nprobe sweep (★ — the tuning curve read
+    * before fixing q52's probe depth: recall@5 at every nprobe =
+    * 1..16, from ONE computation per exact-top-k pair — the probe
+    * depth that finds a pair IS the rank of its cell in the query's
+    * centroid order, so no per-depth index scans). See
+    * [[Similarity.ivfRecallSweep]]; the truth pass is the audit's
+    * honest brute-force cost (the q176 stance). Oracle reuses the
+    * shared [[IvfSql]] chain for centroids and assignment. */
+  val q234NprobeSweep: QuerySpec = {
+    import IvfSql.{assignSql, lloydSql}
+    QuerySpec(
+      "q234_nprobe_sweep",
+      s"""WITH vecs AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings),
+        |q AS (SELECT id AS q_id, dv AS q_dv FROM vecs WHERE id < 16),
+        |seed AS (SELECT id AS cell, dv AS cv FROM vecs ORDER BY id LIMIT 16),
+        |${lloydSql(1, "seed")},
+        |${assignSql("cc", "c1")},
+        |truth AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q.q_id, v.id AS c_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY round(list_cosine_similarity(q.q_dv, v.dv), 6)
+        |          DESC, v.id) AS rn
+        |    FROM q JOIN vecs v ON v.id <> q.q_id) WHERE rn <= 5),
+        |porder AS (
+        |  SELECT q.q_id, c.cell,
+        |    CAST(row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY round(list_cosine_similarity(q.q_dv, c.cv), 6)
+        |        DESC, c.cell) AS BIGINT) AS prank
+        |  FROM q CROSS JOIN c1 c),
+        |found AS (
+        |  SELECT t.q_id, p.prank
+        |  FROM truth t JOIN cc ON cc.id = t.c_id
+        |  JOIN porder p ON p.q_id = t.q_id AND p.cell = cc.cell),
+        |hits AS (
+        |  SELECT prank, CAST(COUNT(*) AS BIGINT) AS h
+        |  FROM found GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM truth),
+        |sp AS (SELECT unnest(range(1, 17)) AS nprobe)
+        |SELECT sp.nprobe,
+        |  CAST(SUM(COALESCE(h.h, 0)) OVER (ORDER BY sp.nprobe)
+        |    AS BIGINT) AS n_found,
+        |  t.n_pairs,
+        |  round(CAST(SUM(COALESCE(h.h, 0)) OVER (ORDER BY sp.nprobe)
+        |    AS DOUBLE) / CAST(t.n_pairs AS DOUBLE), 6) AS recall
+        |FROM sp LEFT JOIN hits h ON h.prank = sp.nprobe
+        |CROSS JOIN tot t
+        |ORDER BY sp.nprobe""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfRecallSweep(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 16), "vec_id", "embedding",
+          k = 5, numCells = 16, kmeansIters = 1)
+        .orderBy(col("nprobe"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
     q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup,
@@ -1381,7 +1439,7 @@ object SimilarityQueries {
     q181IvfPqTopK, q185HardNegatives, q186EmbeddingOutliers,
     q190BitextMargin, q191RrfFusion, q195KCenterCoreset,
     q196PrototypePrune, q200MatryoshkaRecall, q220RetrievalMetrics,
-    q227ClusterQuality, q231CentroidDrift)
+    q227ClusterQuality, q231CentroidDrift, q234NprobeSweep)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by

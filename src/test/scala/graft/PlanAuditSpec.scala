@@ -128,6 +128,9 @@ class PlanAuditSpec extends SparkSpecBase {
       // q233 crosses the 1-row skew-stats aggregate onto the top-k
       // key frame — the q76 metadata cross again
       "q233_skew_report",
+      // q234's truth pass broadcasts the ≤16-query set (q34's shape)
+      // and the sweep crosses a 1-row pair-count total (q76)
+      "q234_nprobe_sweep",
       "q210_kaplan_meier", "q213_lorenz_gini", "q214_bootstrap_ci")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString

@@ -475,6 +475,39 @@ class SimilaritySpec extends SparkSpecBase {
       "seed centroids refreshed over real data must show drift")
   }
 
+  test("ivfRecallSweep: a neighbor in the second-probed cell is found " +
+      "exactly at nprobe 2, and recall reaches 1") {
+    // seeds (iters = 0): cells at [1,0] and [0,1]; id2 sits in cell 0.
+    // query 0's top-1 is id2 in its OWN first-probed cell (prank 1);
+    // query 1's top-1 is also id2 — but cell 0 is query 1's SECOND
+    // probe, so it appears only at nprobe 2
+    val df = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.9, 0.1))).toDF("id", "v")
+    val out = Similarity.ivfRecallSweep(df, "id", "v",
+        df.filter(col("id") < 2), "id", "v", k = 1,
+        numCells = 2, kmeansIters = 0)
+      .orderBy(col("nprobe")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 1L, 2L, 0.5), (2L, 2L, 2L, 1.0)))
+  }
+
+  test("ivfRecallSweep is monotone, ends at recall 1, and is " +
+      "invariant under repartitioning") {
+    val e = Tables.embeddings(spark, sf).limit(100)
+    val q = e.filter(col("vec_id") < 8)
+    val r1 = Similarity.ivfRecallSweep(e, "vec_id", "embedding", q,
+      "vec_id", "embedding", k = 3, numCells = 4, kmeansIters = 1)
+      .orderBy(col("nprobe")).collect()
+    val r2 = Similarity.ivfRecallSweep(e.repartition(7), "vec_id",
+      "embedding", q, "vec_id", "embedding", k = 3, numCells = 4,
+      kmeansIters = 1).orderBy(col("nprobe")).collect()
+    assert(r1.toSeq == r2.toSeq)
+    val recalls = r1.map(_.getDouble(3)).toSeq
+    assert(recalls == recalls.sorted, "recall must be non-decreasing")
+    assert(recalls.last === 1.0, "full probe depth must find every pair")
+  }
+
   test("clusterQualityAudit is invariant under repartitioning") {
     val e = Tables.embeddings(spark, sf).limit(80)
     val r1 = Similarity.clusterQualityAudit(e, "vec_id", "embedding",
