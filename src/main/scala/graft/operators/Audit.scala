@@ -261,6 +261,57 @@ object Audit {
           .cast("double"), 6).as("js_nats"))
   }
 
+  /** Mutual information between two CATEGORICAL columns (nats) plus
+    * both entropies and the normalized MI — the redundancy/leakage
+    * audit run before adding a metadata column to a model's features
+    * or a stratification key (NMI ≈ 1 means the columns are the same
+    * signal; NMI ≈ 0 means independent). Intended for bounded-
+    * cardinality columns: every statistic lives on the |A|·|B| joint
+    * frame after ONE grouped corpus aggregate; marginals re-aggregate
+    * that frame, N is a 1-row cross. Per-cell terms
+    * (n_ab/N)·ln(n_ab·N/(n_a·n_b)) round to 6 dp and sum as
+    * DECIMAL(18,6), the engine's order-insensitive log-sum rule.
+    *
+    * Output (one row): (n_rows, a_cats, b_cats, mi_nats, h_a, h_b,
+    * nmi); nmi = mi/√(h_a·h_b), 0 when either entropy is 0. */
+  def categoricalMi(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val joint = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val ma = joint.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    val mb = joint.groupBy(col("b")).agg(sum(col("n_ab")).as("n_b"))
+    val nTot = joint.agg(sum(col("n_ab")).as("n"),
+      count(lit(1)).as("cells"))
+    def fold6(c: Column): Column =
+      sum(c.cast(DecimalType(18, 6))).cast("double")
+    val mi = joint.join(ma, Seq("a")).join(mb, Seq("b"))
+      .crossJoin(broadcast(nTot))
+      .select(round((col("n_ab").cast("double") / col("n").cast("double"))
+        * log((col("n_ab") * col("n")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")), 6).as("t"))
+      .agg(round(fold6(col("t")), 6).as("mi_nats"))
+    def entropy(m: DataFrame, cnt: String): DataFrame = m
+      .crossJoin(broadcast(nTot.select(col("n"))))
+      .select(round((col(cnt).cast("double") / col("n").cast("double"))
+        * -log(col(cnt).cast("double") / col("n").cast("double")), 6)
+        .as("t"))
+      .agg(round(fold6(col("t")), 6).as("h"))
+    val ha = entropy(ma, "n_a")
+    val hb = entropy(mb, "n_b")
+    val aCats = ma.agg(count(lit(1)).as("a_cats"))
+    val bCats = mb.agg(count(lit(1)).as("b_cats"))
+    nTot.select(col("n").as("n_rows"))
+      .crossJoin(broadcast(aCats)).crossJoin(broadcast(bCats))
+      .crossJoin(broadcast(mi))
+      .crossJoin(broadcast(ha.select(col("h").as("h_a"))))
+      .crossJoin(broadcast(hb.select(col("h").as("h_b"))))
+      .select(col("n_rows"), col("a_cats"), col("b_cats"),
+        col("mi_nats"), col("h_a"), col("h_b"),
+        when(col("h_a") > 0.0 && col("h_b") > 0.0,
+          round(col("mi_nats") / sqrt(col("h_a") * col("h_b")), 6))
+          .otherwise(lit(0.0)).as("nmi"))
+  }
+
   /** DuckDB spelling of [[jsTokenDrift]]'s per-term contribution —
     * round(½·p·ln(p/m) + ½·q·ln(q/m), 6) with the same Laplace
     * smoothing, so both engines' terms are generated from one

@@ -2432,6 +2432,103 @@ object TextQueries {
         (den * (n * col("s.syy") - col("s.sy") * col("s.sy"))), 6).as("r2"))
   }
 
+  /** q235: padding-waste audit (★ — the static-shape batching cost
+    * report, the measurement behind choosing max_seq_len and behind
+    * adopting q113's packing at all: for each candidate length L,
+    * pad-to-L batching wastes L − n_tok slots per shorter doc and
+    * TRUNCATES n_tok − L tokens off longer ones; utilization =
+    * Σ min(n_tok, L) / (n_docs·L) is the fraction of the compute
+    * budget that touches real tokens). One corpus scan computes
+    * per-doc token counts; the 4-row L spine explodes in-row, so the
+    * whole sweep is one aggregate — exact integers until one rounded
+    * division per row. */
+  val q235PaddingWaste: QuerySpec = QuerySpec(
+    "q235_padding_waste",
+    """WITH d AS (
+      |  SELECT len(string_split(text, ' ')) AS n_tok FROM documents),
+      |sw AS (
+      |  SELECT seq_len, n_tok
+      |  FROM d, LATERAL (SELECT unnest([64, 128, 256, 512]) AS seq_len))
+      |SELECT CAST(seq_len AS BIGINT) AS seq_len,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_tok > seq_len THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_truncated,
+      |  CAST(SUM(greatest(n_tok - seq_len, 0)) AS BIGINT) AS tokens_lost,
+      |  CAST(SUM(greatest(seq_len - n_tok, 0)) AS BIGINT)
+      |    AS tokens_padded,
+      |  round(CAST(SUM(least(n_tok, seq_len)) AS DOUBLE)
+      |    / CAST(COUNT(*) * seq_len AS DOUBLE), 6) AS utilization
+      |FROM sw GROUP BY sw.seq_len ORDER BY 1""".stripMargin) { (s, dir) =>
+    val lens = Seq(64, 128, 256, 512).map(_.toLong)
+    val sw = Tables.documents(s, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .select(col("n_tok"),
+        explode(typedlit(lens)).as("seq_len"))
+    sw.groupBy(col("seq_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok") > col("seq_len"), 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(greatest(col("n_tok") - col("seq_len"), lit(0L)))
+          .as("tokens_lost"),
+        sum(greatest(col("seq_len") - col("n_tok"), lit(0L)))
+          .as("tokens_padded"),
+        round(sum(least(col("n_tok"), col("seq_len"))).cast("double") /
+          (count(lit(1)) * col("seq_len")).cast("double"), 6)
+          .as("utilization"))
+      .orderBy(col("seq_len"))
+  }
+
+  /** q236: categorical mutual information, lang × source (★ — the
+    * redundancy/leakage audit run before using a metadata column as a
+    * model feature or stratification key: NMI ≈ 1 means the two
+    * columns carry the same signal, ≈ 0 independent — here the
+    * synthetic corpus's lang and source are independent by
+    * construction and the audit measures exactly that). See
+    * [[graft.operators.Audit.categoricalMi]]: every statistic lives
+    * on the |A|·|B| joint frame after one grouped corpus aggregate;
+    * round-6 log terms sum as DECIMAL(18,6). */
+  val q236CategoricalMi: QuerySpec = QuerySpec(
+    "q236_categorical_mi",
+    """WITH joint AS (
+      |  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM documents GROUP BY 1, 2),
+      |ma AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a
+      |       FROM joint GROUP BY 1),
+      |mb AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b
+      |       FROM joint GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM joint),
+      |mi AS (
+      |  SELECT round(CAST(SUM(CAST(round(
+      |      (CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln(CAST(n_ab * n AS DOUBLE)
+      |        / CAST(n_a * n_b AS DOUBLE)), 6) AS DECIMAL(18,6)))
+      |    AS DOUBLE), 6) AS mi_nats
+      |  FROM joint JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nt),
+      |ha AS (
+      |  SELECT round(CAST(SUM(CAST(round(
+      |      (CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * -ln(CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      |    AS DECIMAL(18,6))) AS DOUBLE), 6) AS h_a
+      |  FROM ma CROSS JOIN nt),
+      |hb AS (
+      |  SELECT round(CAST(SUM(CAST(round(
+      |      (CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * -ln(CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      |    AS DECIMAL(18,6))) AS DOUBLE), 6) AS h_b
+      |  FROM mb CROSS JOIN nt),
+      |ac AS (SELECT CAST(COUNT(*) AS BIGINT) AS a_cats FROM ma),
+      |bc AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_cats FROM mb)
+      |SELECT nt.n AS n_rows, ac.a_cats, bc.b_cats, mi.mi_nats,
+      |  ha.h_a, hb.h_b,
+      |  CASE WHEN ha.h_a > 0 AND hb.h_b > 0
+      |    THEN round(mi.mi_nats / sqrt(ha.h_a * hb.h_b), 6)
+      |    ELSE CAST(0 AS DOUBLE) END AS nmi
+      |FROM nt CROSS JOIN ac CROSS JOIN bc CROSS JOIN mi
+      |CROSS JOIN ha CROSS JOIN hb""".stripMargin) { (s, dir) =>
+    graft.operators.Audit.categoricalMi(
+      Tables.documents(s, dir), "lang", "source")
+  }
+
   /** q187: tokenizer fertility by language (★ — the multilingual
     * tokenizer-equity audit from XLM-R/NLLB: subword tokens per word
     * ("fertility") and chars per token per LANGUAGE from ONE BPE
@@ -2880,7 +2977,8 @@ object TextQueries {
     q215CjkFertility, q217UnigramTrain, q218UnigramFertility,
     q219WordpieceMerges, q222NbCalibration, q223NbClassReport,
     q224Chi2Tokens, q225GateParity, q226NbAuc, q228JsDrift,
-    q230DomainReweight, q232HeapsGrowth)
+    q230DomainReweight, q232HeapsGrowth, q235PaddingWaste,
+    q236CategoricalMi)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,

@@ -101,4 +101,24 @@ class AuditSpec extends SparkSpecBase {
       .orderBy(col("grp")).collect().map(_.getDouble(2))
     assert(r.toSeq === d.toSeq)
   }
+
+  test("categoricalMi: bijective columns score NMI 1, independent " +
+      "columns 0, and a constant column hits the zero-entropy guard") {
+    import spark.implicits._
+    val bij = Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"), ("a2", "b2"))
+      .toDF("x", "y")
+    val r1 = Audit.categoricalMi(bij, "x", "y").head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) === ((4L, 2L, 2L)))
+    // MI = H = 2 * round(0.5 ln 2, 6) = 0.693148; NMI exactly 1
+    assert(r1.getDouble(3) === 0.693148 && r1.getDouble(6) === 1.0)
+
+    val ind = Seq(("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("a2", "b2"))
+      .toDF("x", "y")
+    val r2 = Audit.categoricalMi(ind, "x", "y").head
+    assert(r2.getDouble(3) === 0.0 && r2.getDouble(6) === 0.0)
+
+    val const = Seq(("a1", "b1"), ("a1", "b2")).toDF("x", "y")
+    val r3 = Audit.categoricalMi(const, "x", "y").head
+    assert(r3.getDouble(4) === 0.0 && r3.getDouble(6) === 0.0)
+  }
 }

@@ -131,6 +131,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // q234's truth pass broadcasts the ≤16-query set (q34's shape)
       // and the sweep crosses a 1-row pair-count total (q76)
       "q234_nprobe_sweep",
+      // q236 assembles six 1-row statistic frames (totals, entropies,
+      // MI, cat counts) with crosses — all single-row (q76); the only
+      // data-sized work is the one joint grouped aggregate
+      "q236_categorical_mi",
       "q210_kaplan_meier", "q213_lorenz_gini", "q214_bootstrap_ci")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString

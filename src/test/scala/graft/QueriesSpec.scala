@@ -573,4 +573,24 @@ class QueriesSpec extends SparkSpecBase {
       rs.foreach(r => assert(r.getAs[Double]("dist") >= 0.0))
     }
   }
+
+  test("q235 padding waste: token conservation per seq_len row and " +
+    "utilization re-derives") {
+    val total = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    val rows = Queries.byName("q235_padding_waste").run(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("seq_len")).toSeq ==
+      Seq(64L, 128L, 256L, 512L))
+    rows.foreach { r =>
+      val (l, d) = (r.getAs[Long]("seq_len"), r.getAs[Long]("n_docs"))
+      val used = l * d - r.getAs[Long]("tokens_padded")
+      // conservation: used tokens + truncated tokens = corpus tokens
+      assert(used + r.getAs[Long]("tokens_lost") === total,
+        s"seq_len $l: token conservation broke")
+      assert(r.getAs[Double]("utilization") ===
+        math.round(used.toDouble / (l * d).toDouble * 1e6) / 1e6)
+    }
+  }
 }
