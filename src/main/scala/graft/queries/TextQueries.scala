@@ -2529,6 +2529,64 @@ object TextQueries {
       Tables.documents(s, dir), "lang", "source")
   }
 
+  /** q237: dataset datasheet (★ — the one-row release report of
+    * "Datasheets for Datasets" (Gebru et al. 2021) practice, the
+    * summary card attached to every corpus drop: volume, language/
+    * source diversity, exact-duplicate rate, mean length, mean
+    * unigram entropy (the q115 quality proxy), and the short-doc
+    * fraction. Everything is ONE corpus pass — the only data-sized
+    * work is the scan plus the three distinct aggregates (lang,
+    * source, content hash; Spark's Expand), per-doc entropy is the
+    * in-row q115 fold, and the mean rides the DECIMAL(18,6) rule. */
+  val q237Datasheet: QuerySpec = QuerySpec(
+    "q237_datasheet",
+    """WITH tok AS (
+      |  SELECT doc_id, lang, source, text, string_split(text, ' ')
+      |    AS toks
+      |  FROM documents),
+      |per AS (
+      |  SELECT lang, source, CAST(len(toks) AS BIGINT) AS n_tok,
+      |    md5(text) AS h,
+      |    round(0.0 - list_sum(list_transform(list_distinct(toks),
+      |      t -> (CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE)
+      |            / CAST(len(toks) AS DOUBLE))
+      |        * ln(CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE)
+      |             / CAST(len(toks) AS DOUBLE)))), 6) AS ent
+      |  FROM tok)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |  round(CAST(1 AS DOUBLE) - CAST(COUNT(DISTINCT h) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+      |  round(CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    AS mean_tokens,
+      |  round(CAST(SUM(CAST(ent AS DECIMAL(18,6))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_entropy,
+      |  round(CAST(SUM(CASE WHEN n_tok < 50 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS short_rate
+      |FROM per""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val per = Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        md5(col("text")).as("h"),
+        graft.functions.TextFunctions.tokenEntropy(col("text")).as("ent"))
+    per.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        round(lit(1.0) - countDistinct(col("h")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("dup_rate"),
+        round(sum(col("n_tok")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_tokens"),
+        round(sum(col("ent").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_entropy"),
+        round(sum(when(col("n_tok") < 50, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double"), 6)
+          .as("short_rate"))
+  }
+
   /** q187: tokenizer fertility by language (★ — the multilingual
     * tokenizer-equity audit from XLM-R/NLLB: subword tokens per word
     * ("fertility") and chars per token per LANGUAGE from ONE BPE
@@ -2978,7 +3036,7 @@ object TextQueries {
     q219WordpieceMerges, q222NbCalibration, q223NbClassReport,
     q224Chi2Tokens, q225GateParity, q226NbAuc, q228JsDrift,
     q230DomainReweight, q232HeapsGrowth, q235PaddingWaste,
-    q236CategoricalMi)
+    q236CategoricalMi, q237Datasheet)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,
