@@ -1395,6 +1395,75 @@ object RelationalQueries {
       .orderBy(col("rank"))
   }
 
+  /** q238: pairwise correlation matrix (★ — the profiling tier above
+    * q63's single correlation: every Pearson r among the four
+    * lineitem measures from ONE corpus scan — all 14 moment sums in
+    * a single aggregate (the q63 decimal-exact discipline: 2-decimal
+    * data cast to DECIMAL(12,2), products summed exactly, finish in
+    * double), then the 6 upper-triangle pairs expand from that 1-row
+    * frame. Adding a column costs sums, not scans. Round-7, the q63
+    * cancellation-noise bound. */
+  val q238CorrMatrix: QuerySpec = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    def dsql(c: String) = s"CAST($c AS DECIMAL(12,2))"
+    val momentSql =
+      (cols.map(c => s"CAST(SUM(${dsql(c)}) AS DOUBLE) AS s_$c") ++
+        cols.map(c =>
+          s"CAST(SUM(${dsql(c)} * ${dsql(c)}) AS DOUBLE) AS ss_$c") ++
+        pairs.map { case (a, b) =>
+          s"CAST(SUM(${dsql(a)} * ${dsql(b)}) AS DOUBLE) AS sp_${a}_$b"
+        }).mkString(",\n  ")
+    val pairSql = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+         |  round((n * sp_${a}_$b - s_$a * s_$b)
+         |    / (sqrt(n * ss_$a - s_$a * s_$a)
+         |       * sqrt(n * ss_$b - s_$b * s_$b)), 7) AS pearson_r
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    QuerySpec(
+      "q238_corr_matrix",
+      s"""WITH m AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  $momentSql
+         |  FROM lineitem)
+         |$pairSql
+         |ORDER BY col_a, col_b""".stripMargin) { (s, dir) =>
+      import graft.functions.Exact
+      val d = Tables.lineitem(s, dir)
+      val aggs: Seq[org.apache.spark.sql.Column] =
+        (count(lit(1)).cast("double").as("n") +:
+          cols.map(c => sum(Exact.money(col(c))).cast("double")
+            .as(s"s_$c"))) ++
+          cols.map(c => sum(Exact.money(col(c)) * Exact.money(col(c)))
+            .cast("double").as(s"ss_$c")) ++
+          pairs.map { case (a, b) =>
+            sum(Exact.money(col(a)) * Exact.money(col(b)))
+              .cast("double").as(s"sp_${a}_$b")
+          }
+      val m0 = d.agg(aggs.head, aggs.tail: _*)
+      // the 6 pair rows all read the SAME 1-row moment frame — union
+      // of 6 selects over the aggregate plan would rescan the corpus
+      // 6×; materialize the single row once (bounded by construction)
+      val m = {
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(m0.collect().toSeq.asJava, m0.schema)
+      }
+      val rows = pairs.map { case (a, b) =>
+        m.select(lit(a).as("col_a"), lit(b).as("col_b"),
+          col("n").cast("long").as("n"),
+          round((col("n") * col(s"sp_${a}_$b") -
+            col(s"s_$a") * col(s"s_$b")) /
+            (sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+              sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))),
+            7).as("pearson_r"))
+      }
+      rows.reduce(_.unionByName(_)).orderBy(col("col_a"), col("col_b"))
+    }
+  }
+
   /** q125: deterministic epoch shuffle — two different epochs of the
     * sharded training order over the corpus, side by side. The order
     * is a pure function of (key, epoch) through portable_hash64, so
@@ -2535,7 +2604,7 @@ object RelationalQueries {
     q197RecordLinkage, q199KAnonymity, q201Hits, q203Benford,
     q204FdViolations, q205BasketRules, q206NeymanAllocation,
     q207EmLinkage, q212FkOrphans, q213LorenzGini, q214BootstrapCi,
-    q229Triangles, q233SkewReport)
+    q229Triangles, q233SkewReport, q238CorrMatrix)
 }
 
 /** The Fellegi–Sunter oracle chain shared by q197 (pair scoring) and
