@@ -233,13 +233,8 @@ object Audit {
     val spineGlob = spine.agg(sum(col("n_glob")).as("spine_glob"))
     val grpTerm = tok.join(broadcast(spine.select(col("term"))), Seq("term"))
       .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("n_grp"))
-    def p(n: Column, t: Column): Column =
-      (n + lit(1L)).cast("double") / (t + lit(k1)).cast("double")
-    def jsTerm(pn: Column, pt: Column, qn: Column, qt: Column): Column = {
-      val pp = p(pn, pt); val qq = p(qn, qt)
-      val m = (pp + qq) / lit(2.0)
-      round(lit(0.5) * pp * log(pp / m) + lit(0.5) * qq * log(qq / m), 6)
-    }
+    def jsTerm(pn: Column, pt: Column, qn: Column, qt: Column): Column =
+      jsTermCol(pn, pt, qn, qt, k1)
     val cells = grpTot.crossJoin(broadcast(spine))
       .join(grpTerm, Seq("grp", "term"), "left")
       .crossJoin(broadcast(nTot))
@@ -259,6 +254,58 @@ object Audit {
               (col("tot_grp") - col("spine_grp")),
             col("n_tot") - col("tot_grp")).cast(DecimalType(18, 6)))
           .cast("double"), 6).as("js_nats"))
+  }
+
+  /** The shared smoothed JS contribution: with k1 support cells,
+    * p = (pn+1)/(pt+k1), q likewise, m = (p+q)/2 —
+    * round(½p·ln(p/m) + ½q·ln(q/m), 6). */
+  private def jsTermCol(pn: Column, pt: Column, qn: Column, qt: Column,
+                        k1: Long): Column = {
+    def p(n: Column, t: Column): Column =
+      (n + lit(1L)).cast("double") / (t + lit(k1)).cast("double")
+    val pp = p(pn, pt); val qq = p(qn, qt)
+    val m = (pp + qq) / lit(2.0)
+    round(lit(0.5) * pp * log(pp / m) + lit(0.5) * qq * log(qq / m), 6)
+  }
+
+  /** JS divergence between two (bucket, cnt) HISTOGRAMS — the
+    * [[jsTokenDrift]] statistic computed from pre-aggregated counts,
+    * so a persisted token-histogram store (built by
+    * [[histogramFoldIntoStore]] / the streaming fold) can be scored
+    * against a reference WITHOUT reprocessing any corpus: both inputs
+    * are kilobyte summaries. The support is the REFERENCE's top-`topK`
+    * buckets plus OTHER (the production monitoring convention — the
+    * reference defines the vocabulary the monitor watches), Laplace
+    * (n+1)/(t+topK+1), per-cell terms round-6 summed as
+    * DECIMAL(18,6). Output one row: (n_ref, n_cur, js_nats). */
+  def jsFromHistograms(ref: DataFrame, cur: DataFrame,
+                       topK: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(topK >= 1 && topK <= 4096,
+      s"topK=$topK outside [1, 4096]: the support spine is broadcast")
+    val k1 = (topK + 1).toLong
+    val spine = ref.orderBy(col("cnt").desc, col("bucket")).limit(topK)
+      .select(col("bucket"), col("cnt").as("n_r"))
+    val refTot = ref.agg(sum(col("cnt")).as("t_ref"))
+    val curTot = cur.agg(sum(col("cnt")).as("t_cur"))
+    val spineCur = spine
+      .join(cur.select(col("bucket"), col("cnt").as("n_c")),
+        Seq("bucket"), "left")
+      .select(col("n_r"), coalesce(col("n_c"), lit(0L)).as("n_c"))
+    val cells = spineCur.crossJoin(broadcast(refTot))
+      .crossJoin(broadcast(curTot))
+      .select(col("n_r"), col("n_c"), col("t_ref"), col("t_cur"),
+        jsTermCol(col("n_r"), col("t_ref"), col("n_c"), col("t_cur"), k1)
+          .as("t6"))
+    val folded = cells.agg(
+      sum(col("t6").cast(DecimalType(18, 6))).as("sj"),
+      sum(col("n_r")).as("spine_r"), sum(col("n_c")).as("spine_c"),
+      first(col("t_ref")).as("t_ref"), first(col("t_cur")).as("t_cur"))
+    folded.select(col("t_ref").as("n_ref"), col("t_cur").as("n_cur"),
+      round((col("sj") +
+        jsTermCol(col("t_ref") - col("spine_r"), col("t_ref"),
+          col("t_cur") - col("spine_c"), col("t_cur"), k1)
+          .cast(DecimalType(18, 6))).cast("double"), 6).as("js_nats"))
   }
 
   /** Mutual information between two CATEGORICAL columns (nats) plus

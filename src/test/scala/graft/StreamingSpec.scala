@@ -545,6 +545,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(leaked.isEmpty, s"fold path leaked cached RDDs: $leaked")
   }
 
+  test("streaming token-histogram fold scores JS against a reference " +
+      "from the kilobyte store, equal to the all-batch value") {
+    import graft.operators.Audit
+    val root = java.nio.file.Files.createTempDirectory("graft_sjs")
+    // token stream as hashed buckets (the q232 discipline: the store's
+    // bucket column is long)
+    def tokens(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split(col("text"), " ")).as("t"), col("doc_id"))
+        .select(graft.functions.Scalars.portableHash64(col("t"))
+          .as("bucket"), col("doc_id"))
+    val docs = Tables.documents(spark, sf).limit(200)
+    // drifted current corpus: every 3rd doc gains alien tokens
+    val cur = docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" zz1 zz2 zz3 zz4 zz5")))
+        .otherwise(col("text")).as("text"))
+    val b1 = tokens(cur.filter(col("doc_id") % 2 === 0)).drop("doc_id")
+    val b2 = tokens(cur.filter(col("doc_id") % 2 =!= 0)).drop("doc_id")
+    b1.coalesce(1).write.parquet(root.resolve("in/b1").toString)
+    b2.coalesce(1).write.parquet(root.resolve("in/b2").toString)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in/*/")
+    val storePath = root.resolve("store").toString
+    val q = graft.streaming.IncrementalLoad.streamingDriftFold(
+      spark, stream, "bucket", storePath,
+      root.resolve("ckpt").toString)
+    assert(q.awaitTermination(120000), "fold did not drain in time")
+    val ref = tokens(docs).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val direct = b1.unionByName(b2).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val fromStore = Audit.jsFromHistograms(ref,
+      Audit.readHistogramStore(spark, storePath), topK = 64).head
+    val fromBatch = Audit.jsFromHistograms(ref, direct, topK = 64).head
+    assert(fromStore === fromBatch,
+      "store-scored JS must equal the all-batch JS")
+    assert(fromStore.getDouble(2) > 0.0, "planted drift not detected")
+    // identical histograms score exactly 0
+    val zero = Audit.jsFromHistograms(ref, ref, topK = 64).head
+    assert(zero.getDouble(2) === 0.0)
+  }
+
   test("streaming Holt forecast ends exactly at the batch q202 state") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
