@@ -282,6 +282,72 @@ object Graph {
           .otherwise(lit(0.0)).as("coeff"))
   }
 
+  /** k-core peeling profile — `rounds` deterministic peel passes
+    * toward the `k`-core (Seidman 1983; the BZ/peeling family's
+    * distributed form): each round drops every node of degree < k,
+    * then every edge touching a dropped node. The per-round removal
+    * counts are the DIAGNOSTIC — how fast the graph collapses toward
+    * its cohesive core separates organic community structure (slow
+    * decay to a dense residue) from star/hub topologies (one round
+    * strips almost everything). A FIXED round count keeps both
+    * engines' unrolled computations identical whether or not the
+    * fixpoint has been reached; the last row's n_removed = 0 IS the
+    * convergence certificate when it holds.
+    *
+    * Scale shape: per round ONE degree aggregate and two semi-joins
+    * (a, then b) against the surviving-node set — all equi, the
+    * connected-components round shape — with an eager localCheckpoint
+    * per round so the lineage never nests (the [[pageRank]]
+    * discipline); the result is rounds×4 numbers, materialized and
+    * the round checkpoints freed before returning (the kCenterCoreset
+    * cache hygiene).
+    *
+    * Output per round 1..`rounds`: (round, n_removed, n_nodes_left,
+    * n_edges_left); n_nodes_left counts nodes still incident to a
+    * surviving edge. */
+  def kCorePeelProfile(edges: DataFrame, aCol: String, bCol: String,
+                       k: Int, rounds: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k=$k outside [2, 64]")
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds=$rounds outside [1, 16]: each round is a full pass")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def nodesOf(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+    var cur = edges.select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var kept = Vector.empty[org.apache.spark.rdd.RDD[_]]
+    kept ++= checkpointRdd(cur)
+    val stats = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val deg = nodesOf(cur).groupBy(col("node"))
+        .agg(count(lit(1)).as("dg"))
+      val keep = deg.filter(col("dg") >= k).select(col("node"))
+      val next = cur
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      kept ++= checkpointRdd(next)
+      val Array(nPrev, nKeep) = Array(
+        deg.count(), keep.count())
+      val nEdges = next.count()
+      val nNodes = nodesOf(next).distinct().count()
+      stats += ((r, nPrev - nKeep, nNodes, nEdges))
+      cur = next
+    }
+    val out = stats.toSeq
+      .toDF("round", "n_removed", "n_nodes_left", "n_edges_left")
+      .select(col("round").cast("long").as("round"), col("n_removed"),
+        col("n_nodes_left"), col("n_edges_left"))
+    kept.foreach(_.unpersist(false))
+    out
+  }
+
   /** The RDD a `localCheckpoint(true)`ed Dataset persisted: eager
     * local checkpointing rewrites the plan to a [[LogicalRDD]] leaf
     * wrapping the materialized internal RDD — that RDD (not any

@@ -1290,20 +1290,7 @@ object RelationalQueries {
     * [[graft.operators.Graph.triangleStats]]. */
   val q229Triangles: QuerySpec = QuerySpec(
     "q229_triangle_count",
-    """WITH li AS (
-      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
-      |pc AS (
-      |  SELECT x.p AS a, y.p AS b, CAST(COUNT(*) AS BIGINT) AS w
-      |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p GROUP BY 1, 2),
-      |dir AS (SELECT a AS u, b AS v, w FROM pc
-      |        UNION ALL SELECT b, a, w FROM pc),
-      |knn AS (
-      |  SELECT u, v FROM (
-      |    SELECT u, v, row_number() OVER (PARTITION BY u
-      |      ORDER BY w DESC, v) AS rn
-      |    FROM dir) WHERE rn <= 8),
-      |e AS (
-      |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM knn),
+    s"""WITH ${BackboneSql.ctes},
       |deg AS (
       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
       |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
@@ -1335,20 +1322,8 @@ object RelationalQueries {
       |  ELSE CAST(0 AS DOUBLE) END AS coeff
       |FROM deg d LEFT JOIN tn t ON t.node = d.node
       |ORDER BY d.node""".stripMargin) { (s, dir) =>
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct()
-    val pc = li.select(col("ok"), col("p").as("a"))
-      .join(li.select(col("ok"), col("p").as("b")), Seq("ok"))
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-    val dirEdges = pc.select(col("a").as("u"), col("b").as("v"), col("w"))
-      .unionAll(pc.select(col("b").as("u"), col("a").as("v"), col("w")))
-    val knn = graft.operators.Relational.topKPerGroup(dirEdges,
-      Seq(col("u")), Seq(col("w").desc, col("v").asc), 8)
-    val e = knn.select(least(col("u"), col("v")).as("a"),
-      greatest(col("u"), col("v")).as("b")).distinct()
-    graft.operators.Graph.triangleStats(e, "a", "b")
+    graft.operators.Graph.triangleStats(
+        BackboneSql.edges(s, dir), "a", "b")
       .orderBy(col("node"))
   }
 
@@ -1462,6 +1437,120 @@ object RelationalQueries {
       }
       rows.reduce(_.unionByName(_)).orderBy(col("col_a"), col("col_b"))
     }
+  }
+
+  /** q239: k-core peeling profile over the q229 backbone (★ — Seidman
+    * 1983 cores; per-round removal counts separate organic community
+    * structure from hub topologies, and the last row's n_removed = 0
+    * certifies the k-core fixpoint when reached). Fixed 6 rounds so
+    * both engines unroll identically; see
+    * [[graft.operators.Graph.kCorePeelProfile]]. The oracle unrolls
+    * the peel rounds as generated MATERIALIZED CTEs (the q219
+    * inlining lesson) over the shared [[BackboneSql]] chain. */
+  val q239KCorePeel: QuerySpec = {
+    // the backbone's top-8 out-picks floor every degree at 8, so the
+    // first interesting core is k = 9: it strips exactly the nodes
+    // nobody ELSE picked (reciprocation-only membership) and the
+    // cascade that follows is the community-cohesion signal
+    val (k, rounds) = (9, 6)
+    val peel = (1 to rounds).map { i =>
+      val prev = if (i == 1) "e" else s"e${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+         |    SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+         |  GROUP BY 1),
+         |keep$i AS MATERIALIZED (SELECT node FROM d$i WHERE dg >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT p.a, p.b FROM $prev p
+         |  JOIN keep$i ka ON ka.node = p.a
+         |  JOIN keep$i kb ON kb.node = p.b),
+         |s$i AS (
+         |  SELECT CAST($i AS BIGINT) AS round,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d$i)
+         |      - (SELECT CAST(COUNT(*) AS BIGINT) FROM keep$i)
+         |      AS n_removed,
+         |    (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM (
+         |       SELECT a AS node FROM e$i UNION ALL SELECT b FROM e$i))
+         |      AS n_nodes_left,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e$i)
+         |      AS n_edges_left)"""
+        .stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map(i => s"SELECT * FROM s$i")
+      .mkString("\nUNION ALL\n")
+    QuerySpec(
+      "q239_kcore_peel",
+      s"""WITH ${BackboneSql.ctes},
+         |$peel
+         |$union
+         |ORDER BY round""".stripMargin) { (s, dir) =>
+      graft.operators.Graph.kCorePeelProfile(
+          BackboneSql.edges(s, dir), "a", "b", k = k, rounds = rounds)
+        .orderBy(col("round"))
+    }
+  }
+
+  /** q240: degree assortativity of the q229 backbone (★ — Newman
+    * 2002: the Pearson correlation of endpoint degrees over the
+    * directed edge list; negative = hubs attach to leaves
+    * (disassortative, the usual co-occurrence shape), positive =
+    * rich-club mixing. One degree aggregate + two equi-joins; the
+    * moments are exact integer sums (degrees are ints), finished in
+    * double — the q63 discipline without even needing decimals. */
+  val q240Assortativity: QuerySpec = QuerySpec(
+    "q240_assortativity",
+    s"""WITH ${BackboneSql.ctes},
+       |deg AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+       |  GROUP BY 1),
+       |de AS (
+       |  SELECT da.deg AS x, db.deg AS y
+       |  FROM e JOIN deg da ON da.node = e.a
+       |  JOIN deg db ON db.node = e.b
+       |  UNION ALL
+       |  SELECT db.deg, da.deg
+       |  FROM e JOIN deg da ON da.node = e.a
+       |  JOIN deg db ON db.node = e.b),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+       |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+       |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+       |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+       |  FROM de)
+       |SELECT CAST(CAST(n AS BIGINT) / 2 AS BIGINT) AS n_edges,
+       |  round((n * sxy - sx * sy)
+       |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 7)
+       |    AS assortativity
+       |FROM m""".stripMargin) { (s, dir) =>
+    val e = BackboneSql.edges(s, dir)
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val joined = e
+      .join(deg.select(col("node").as("a"), col("deg").as("dega")),
+        Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("degb")),
+        Seq("b"))
+    // both orientations from ONE evaluation of the join subtree (the
+    // connectedComponents explode discipline — a two-branch union
+    // would compute the backbone twice)
+    val de = joined.select(explode(array(
+        struct(col("dega").as("x"), col("degb").as("y")),
+        struct(col("degb").as("x"), col("dega").as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    de.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+      .select((col("n") / 2).cast("long").as("n_edges"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 7)
+          .as("assortativity"))
   }
 
   /** q125: deterministic epoch shuffle — two different epochs of the
@@ -2604,7 +2693,8 @@ object RelationalQueries {
     q197RecordLinkage, q199KAnonymity, q201Hits, q203Benford,
     q204FdViolations, q205BasketRules, q206NeymanAllocation,
     q207EmLinkage, q212FkOrphans, q213LorenzGini, q214BootstrapCi,
-    q229Triangles, q233SkewReport, q238CorrMatrix)
+    q229Triangles, q233SkewReport, q238CorrMatrix,
+    q239KCorePeel, q240Assortativity)
 }
 
 /** The Fellegi–Sunter oracle chain shared by q197 (pair scoring) and
@@ -2620,6 +2710,48 @@ object RelationalQueries {
   * pre-stripped constant would lose one bar of every `||` string
   * concat to the second strip (found the hard way: DuckDB then binds
   * bitwise `|` on VARCHAR). */
+/** The part co-purchase top-8 kNN backbone (q229's edge set) shared
+  * by the graph-diagnostic family q229/q239/q240 so the truncation
+  * and tie rules are generated from one source (the IvfSql/KnSql
+  * discipline). Emits CTEs `li, pc, dir, knn` ending in `e(a, b)` —
+  * the undirected deduped backbone edges. */
+private[queries] object BackboneSql {
+  val ctes: String =
+    """li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |pc AS (
+      |  SELECT x.p AS a, y.p AS b, CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p GROUP BY 1, 2),
+      |dir AS (SELECT a AS u, b AS v, w FROM pc
+      |        UNION ALL SELECT b, a, w FROM pc),
+      |knn AS (
+      |  SELECT u, v FROM (
+      |    SELECT u, v, row_number() OVER (PARTITION BY u
+      |      ORDER BY w DESC, v) AS rn
+      |    FROM dir) WHERE rn <= 8),
+      |e AS (
+      |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM knn)"""
+      .stripMargin
+
+  /** The Spark twin: the same backbone as a (a, b) edge frame. */
+  def edges(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val pc = li.select(col("ok"), col("p").as("a"))
+      .join(li.select(col("ok"), col("p").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+    val dirEdges = pc.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionAll(pc.select(col("b").as("u"), col("a").as("v"), col("w")))
+    val knn = graft.operators.Relational.topKPerGroup(dirEdges,
+      Seq(col("u")), Seq(col("w").desc, col("v").asc), 8)
+    knn.select(least(col("u"), col("v")).as("a"),
+      greatest(col("u"), col("v")).as("b")).distinct()
+  }
+}
+
 private[queries] object LinkageSql {
   val fields: Seq[String] = Seq("name_eq", "seg_eq", "band_eq")
   val m0: Seq[Double] = Seq(0.95, 0.9, 0.85)

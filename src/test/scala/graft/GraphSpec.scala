@@ -153,6 +153,48 @@ class GraphSpec extends SparkSpecBase {
       (3L, 2L, 1L, 1.0), (4L, 1L, 0L, 0.0)))
   }
 
+  test("kCorePeelProfile: pendants peel in round 1 and the triangle " +
+      "survives as the 2-core fixpoint") {
+    // K3 on 1..3 plus pendants 4-1 and 5-2: at k = 2 the pendants
+    // (degree 1) peel in round 1, the triangle survives as the 2-core
+    // fixpoint; rounds 2..3 remove nothing
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 5L))
+      .toDF("a", "b")
+    val out = Graph.kCorePeelProfile(g, "a", "b", k = 2, rounds = 3)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 2L, 3L, 3L), (2L, 0L, 3L, 3L),
+      (3L, 0L, 3L, 3L)))
+  }
+
+  test("kCorePeelProfile: a path collapses fully under k = 2 and the " +
+      "cascade takes one round per layer") {
+    // path 1-2-3-4-5: ends peel first, the collapse cascades inward
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val out = Graph.kCorePeelProfile(g, "a", "b", k = 2, rounds = 3)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // round 1: nodes 1,5 go -> edges (2,3),(3,4); round 2: 2,4 go ->
+    // no edges; round 3: node 3 (degree 0 already gone from frame)
+    assert(out(0) === ((1L, 2L, 2L)))
+    assert(out(1) === ((2L, 2L, 0L)))
+    assert(out(2)._3 === 0L)
+  }
+
+  test("kCorePeelProfile is invariant under repartitioning and frees " +
+      "its round checkpoints") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r1 = Graph.kCorePeelProfile(g, "a", "b", 2, 4)
+      .orderBy(col("round")).collect().toSeq
+    val r2 = Graph.kCorePeelProfile(g.repartition(5), "a", "b", 2, 4)
+      .orderBy(col("round")).collect().toSeq
+    assert(r1 == r2)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"peel rounds leaked checkpoints: $leaked")
+  }
+
   test("triangleStats normalizes duplicates, reversed edges, and " +
       "self-loops, and is invariant under repartitioning") {
     val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L), (1L, 3L),
