@@ -1553,6 +1553,223 @@ object RelationalQueries {
           .as("assortativity"))
   }
 
+  /** q241: MAD robust outliers per nation (★ — the Iglewicz–Hoaglin
+    * modified z-score, the robust tier above q91's mean/σ z and q88's
+    * IQR: median and MAD shrug off the very outliers they hunt, so a
+    * contaminated group can't hide its own anomalies). Medians are
+    * exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the q70 identity); a group with MAD = 0 flags
+    * nothing (the guard, not a NaN). Two grouped percentile passes +
+    * one flag aggregate — all nation-keyed shuffles. */
+  val q241MadOutliers: QuerySpec = QuerySpec(
+    "q241_mad_outliers",
+    """WITH med AS (
+      |  SELECT c_nationkey AS nk,
+      |    round(quantile_cont(c_acctbal, 0.5), 6) AS med
+      |  FROM customer GROUP BY 1),
+      |dev AS (
+      |  SELECT c.c_nationkey AS nk, m.med,
+      |    CAST(c.c_acctbal AS DOUBLE) AS v,
+      |    round(abs(CAST(c.c_acctbal AS DOUBLE) - m.med), 6) AS ad
+      |  FROM customer c JOIN med m ON m.nk = c.c_nationkey),
+      |madt AS (
+      |  SELECT nk, round(quantile_cont(ad, 0.5), 6) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.nk AS nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(d.med) AS median, MIN(t.mad) AS mad,
+      |  CAST(SUM(CASE WHEN t.mad > 0
+      |    AND 0.6745 * abs(d.v - d.med) > 3.5 * t.mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN madt t ON t.nk = d.nk
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val med = cust.groupBy(col("c_nationkey").as("nk"))
+      .agg(round(percentile(col("c_acctbal"), lit(0.5)), 6).as("med"))
+    val dev = cust.join(med, col("c_nationkey") === col("nk"))
+      .select(col("nk"), col("med"),
+        col("c_acctbal").cast("double").as("v"),
+        round(abs(col("c_acctbal").cast("double") - col("med")), 6)
+          .as("ad"))
+    val mad = dev.groupBy(col("nk"))
+      .agg(round(percentile(col("ad"), lit(0.5)), 6).as("mad"))
+    dev.join(mad, Seq("nk"))
+      .groupBy(col("nk"))
+      .agg(count(lit(1)).as("n"), min(col("med")).as("median"),
+        min(col("mad")).as("mad"),
+        sum(when(col("mad") > 0.0 &&
+          lit(0.6745) * abs(col("v") - col("med")) >
+            lit(3.5) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("nk").as("nationkey"), col("n"), col("median"),
+        col("mad"), col("n_outliers"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** q242: single-changepoint detection over the daily event series
+    * (★ — binary segmentation's first split, Scott & Knott: the day
+    * boundary minimizing SSE_left + SSE_right, found from prefix
+    * sums in ONE pass over the calendar-bounded spine — the
+    * level-shift locator that complements q209's CUSUM alarm with an
+    * actual WHERE). Daily counts collapse the corpus to ≤ a-year of
+    * rows first; every candidate split reads two prefix sums. */
+  val q242Changepoint: QuerySpec = QuerySpec(
+    "q242_changepoint",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |ord AS (
+      |  SELECT day, y,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+      |    CAST(SUM(y) OVER (ORDER BY day) AS BIGINT) AS s1
+      |  FROM daily),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS st,
+      |    CAST(SUM(y * y) AS BIGINT) AS s2t
+      |  FROM daily),
+      |cand AS (
+      |  SELECT o.day,
+      |    round(CAST(s2t AS DOUBLE)
+      |      - CAST(o.s1 AS DOUBLE) * CAST(o.s1 AS DOUBLE)
+      |        / CAST(o.t AS DOUBLE)
+      |      - CAST(st - o.s1 AS DOUBLE) * CAST(st - o.s1 AS DOUBLE)
+      |        / CAST(n - o.t AS DOUBLE), 6) AS sse
+      |  FROM ord o CROSS JOIN tot WHERE o.t < n),
+      |best AS (
+      |  SELECT day, sse FROM (
+      |    SELECT day, sse, row_number() OVER (ORDER BY sse, day) AS rn
+      |    FROM cand) WHERE rn = 1)
+      |SELECT b.day AS split_day, t.n AS n_days,
+      |  round(CAST(s2t AS DOUBLE)
+      |    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE),
+      |    6) AS sse_total,
+      |  b.sse AS sse_split,
+      |  round((CAST(s2t AS DOUBLE)
+      |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - b.sse)
+      |    / (CAST(s2t AS DOUBLE)
+      |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+      |        / CAST(n AS DOUBLE)), 6) AS reduction
+      |FROM best b CROSS JOIN tot t""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.orderBy(col("day"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ord = daily.select(col("day"), col("y"),
+      row_number().over(w).cast("long").as("t"),
+      sum(col("y")).over(cum).as("s1"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("st"),
+      sum(col("y") * col("y")).as("s2t"))
+    val cand = ord.crossJoin(broadcast(tot)).filter(col("t") < col("n"))
+      .select(col("day"),
+        round(col("s2t").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") /
+            col("t").cast("double") -
+          (col("st") - col("s1")).cast("double") *
+            (col("st") - col("s1")).cast("double") /
+            (col("n") - col("t")).cast("double"), 6).as("sse"))
+    val best = cand
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("sse"), col("day"))))
+      .filter(col("rn") === 1).drop("rn")
+    val sseT = col("s2t").cast("double") -
+      col("st").cast("double") * col("st").cast("double") /
+        col("n").cast("double")
+    best.crossJoin(broadcast(tot))
+      .select(col("day").as("split_day"), col("n").as("n_days"),
+        round(sseT, 6).as("sse_total"), col("sse").as("sse_split"),
+        round((sseT - col("sse")) / sseT, 6).as("reduction"))
+  }
+
+  /** q243: autocorrelation function + Ljung–Box (★ — the seasonality/
+    * whiteness audit of the daily event series: ACF at lags 1–14 and
+    * the cumulative Ljung–Box Q statistic whose blow-up rejects
+    * "residuals are white noise" — the check run before trusting
+    * q202/q221's fitted forecasts). The corpus collapses to the
+    * calendar-bounded daily frame first; each lag is one equi-join on
+    * the shifted index; round-6 product terms sum as DECIMAL(18,6);
+    * the Q cumulative folds 14 rows in lag order on both engines. */
+  val q243Acf: QuerySpec = QuerySpec(
+    "q243_acf",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |ord AS (
+      |  SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+      |  FROM daily),
+      |st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu
+      |  FROM ord),
+      |dv AS (
+      |  SELECT t, CAST(y AS DOUBLE) - mu AS d FROM ord CROSS JOIN st),
+      |den AS (
+      |  SELECT CAST(SUM(CAST(round(d * d, 6) AS DECIMAL(18,6)))
+      |    AS DOUBLE) AS s0
+      |  FROM dv),
+      |lags AS (SELECT CAST(unnest(range(1, 15)) AS BIGINT) AS lag),
+      |pr AS (
+      |  SELECT l.lag,
+      |    CAST(SUM(CAST(round(a.d * b.d, 6) AS DECIMAL(18,6)))
+      |      AS DOUBLE) AS sk
+      |  FROM dv a CROSS JOIN lags l
+      |  JOIN dv b ON b.t = a.t - l.lag
+      |  GROUP BY 1),
+      |acf AS (
+      |  SELECT p.lag, round(p.sk / d.s0, 6) AS acf
+      |  FROM pr p CROSS JOIN den d)
+      |SELECT a.lag, a.acf,
+      |  round(CAST(s.n AS DOUBLE) * CAST(s.n + 2 AS DOUBLE)
+      |    * SUM(a.acf * a.acf / CAST(s.n - a.lag AS DOUBLE))
+      |      OVER (ORDER BY a.lag), 6) AS lb_q
+      |FROM acf a CROSS JOIN st s
+      |ORDER BY a.lag""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val ord = daily.select(col("y"),
+      row_number().over(Window.orderBy(col("day"))).cast("long").as("t"))
+    val st = ord.agg(count(lit(1)).as("n"),
+      (sum(col("y")).cast("double") / count(lit(1)).cast("double"))
+        .as("mu"))
+    // the deviation series is calendar-bounded — materialize once
+    // (the q238 1-row-moment discipline) so den and the 14 lag joins
+    // don't recompute the corpus aggregate three times
+    val dv = {
+      import scala.jdk.CollectionConverters._
+      val plan = ord.crossJoin(broadcast(st))
+        .select(col("t"), (col("y").cast("double") - col("mu")).as("d"))
+      s.createDataFrame(plan.collect().toSeq.asJava, plan.schema)
+    }
+    val den = dv.agg(
+      sum(round(col("d") * col("d"), 6).cast(DecimalType(18, 6)))
+        .cast("double").as("s0"))
+    val lags = s.range(1, 15).select(col("id").as("lag"))
+    val pr = dv.select(col("t"), col("d"))
+      .crossJoin(broadcast(lags))
+      .join(dv.select(col("t").as("tb"), col("d").as("db")),
+        col("tb") === col("t") - col("lag"))
+      .groupBy(col("lag"))
+      .agg(sum(round(col("d") * col("db"), 6).cast(DecimalType(18, 6)))
+        .cast("double").as("sk"))
+    val acf = pr.crossJoin(broadcast(den))
+      .select(col("lag"), round(col("sk") / col("s0"), 6).as("acf"))
+    val cum = Window.orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    acf.crossJoin(broadcast(st))
+      .select(col("lag"), col("acf"),
+        round(col("n").cast("double") * (col("n") + 2).cast("double") *
+          sum(col("acf") * col("acf") /
+            (col("n") - col("lag")).cast("double")).over(cum), 6)
+          .as("lb_q"))
+      .orderBy(col("lag"))
+  }
+
   /** q125: deterministic epoch shuffle — two different epochs of the
     * sharded training order over the corpus, side by side. The order
     * is a pure function of (key, epoch) through portable_hash64, so
@@ -2694,7 +2911,8 @@ object RelationalQueries {
     q204FdViolations, q205BasketRules, q206NeymanAllocation,
     q207EmLinkage, q212FkOrphans, q213LorenzGini, q214BootstrapCi,
     q229Triangles, q233SkewReport, q238CorrMatrix,
-    q239KCorePeel, q240Assortativity)
+    q239KCorePeel, q240Assortativity, q241MadOutliers, q242Changepoint,
+    q243Acf)
 }
 
 /** The Fellegi–Sunter oracle chain shared by q197 (pair scoring) and

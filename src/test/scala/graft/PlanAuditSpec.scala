@@ -135,6 +135,11 @@ class PlanAuditSpec extends SparkSpecBase {
       // MI, cat counts) with crosses — all single-row (q76); the only
       // data-sized work is the one joint grouped aggregate
       "q236_categorical_mi",
+      // q242/q243 cross 1-row series statistics onto the
+      // calendar-bounded daily spine (≤366 rows) and, for q243, the
+      // 14-row lag spine onto the materialized deviation series —
+      // every side metadata-sized (the q76/q183 shapes)
+      "q242_changepoint", "q243_acf",
       "q210_kaplan_meier", "q213_lorenz_gini", "q214_bootstrap_ci")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
