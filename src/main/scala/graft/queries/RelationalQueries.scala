@@ -1770,6 +1770,127 @@ object RelationalQueries {
       .orderBy(col("lag"))
   }
 
+  /** q244: Theil–Sen robust trend of the daily event series (★ — the
+    * median of all pairwise slopes, Sen 1968: up to ~29% of the days
+    * can be corrupted before the estimate moves, where q63's OLS
+    * bends to a single bad day). The corpus collapses to the
+    * calendar-bounded spine FIRST, so the O(n²) pair set is ≤366²/2
+    * metadata rows; medians are the exact interpolated percentile
+    * (the q70 identity); the intercept is the median residual under
+    * the fitted slope. */
+  val q244TheilSen: QuerySpec = QuerySpec(
+    "q244_theil_sen",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |ord AS (
+      |  SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+      |  FROM daily),
+      |sl AS (
+      |  SELECT round(CAST(b.y - a.y AS DOUBLE)
+      |    / CAST(b.t - a.t AS DOUBLE), 6) AS slope
+      |  FROM ord a JOIN ord b ON b.t > a.t),
+      |ms AS (SELECT round(quantile_cont(slope, 0.5), 6) AS slope,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs FROM sl),
+      |ic AS (
+      |  SELECT round(quantile_cont(
+      |    round(CAST(o.y AS DOUBLE) - m.slope * CAST(o.t AS DOUBLE), 6),
+      |    0.5), 6) AS intercept
+      |  FROM ord o CROSS JOIN ms m)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ord) AS n_days,
+      |  m.n_pairs, m.slope, i.intercept
+      |FROM ms m CROSS JOIN ic i""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+    // calendar-bounded — materialize once for the pair join and the
+    // residual pass (the q243 discipline)
+    val ord = {
+      import scala.jdk.CollectionConverters._
+      val plan = daily.select(col("y"),
+        row_number().over(Window.orderBy(col("day"))).cast("long").as("t"))
+      s.createDataFrame(plan.collect().toSeq.asJava, plan.schema)
+    }
+    val sl = ord.select(col("t").as("ta"), col("y").as("ya"))
+      .crossJoin(broadcast(
+        ord.select(col("t").as("tb"), col("y").as("yb"))))
+      .filter(col("tb") > col("ta"))
+      .select(round((col("yb") - col("ya")).cast("double") /
+        (col("tb") - col("ta")).cast("double"), 6).as("slope"))
+    val ms = sl.agg(round(percentile(col("slope"), lit(0.5)), 6)
+      .as("slope"), count(lit(1)).as("n_pairs"))
+    val ic = ord.crossJoin(broadcast(ms))
+      .select(round(col("y").cast("double") -
+        col("slope") * col("t").cast("double"), 6).as("resid"))
+      .agg(round(percentile(col("resid"), lit(0.5)), 6).as("intercept"))
+    val nDays = ord.agg(count(lit(1)).as("n_days"))
+    nDays.crossJoin(broadcast(ms)).crossJoin(broadcast(ic))
+      .select(col("n_days"), col("n_pairs"), col("slope"),
+        col("intercept"))
+  }
+
+  /** q245: day-of-week seasonality ANOVA over the daily event series
+    * (★ — the one-way F-test for a weekly effect, the EXPLICIT
+    * companion to q243's ACF bump at lag 7: per-weekday means plus
+    * the F statistic whose blow-up rejects "no weekly pattern").
+    * Weekday via ISO numbering on both engines (Spark `weekday` ≡
+    * DuckDB `isodow − 1`); moments are exact integer sums (daily
+    * counts are ints) finished in double; the F rides every row (the
+    * q222 ECE pattern). */
+  val q245DowAnova: QuerySpec = QuerySpec(
+    "q245_dow_anova",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |g AS (
+      |  SELECT CAST(isodow(day) - 1 AS BIGINT) AS dow,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS s1, CAST(SUM(y * y) AS BIGINT) AS s2
+      |  FROM daily GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s1) AS BIGINT)
+      |    AS st, CAST(SUM(s2) AS BIGINT) AS s2t,
+      |    CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(SUM(CAST(round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |      / CAST(n AS DOUBLE), 6) AS DECIMAL(24,6))) AS DOUBLE)
+      |      AS ssb_part
+      |  FROM g)
+      |SELECT g.dow, g.n,
+      |  round(CAST(g.s1 AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS mean_y,
+      |  round(((t.ssb_part
+      |      - CAST(t.st AS DOUBLE) * CAST(t.st AS DOUBLE)
+      |        / CAST(t.nn AS DOUBLE)) / CAST(t.k - 1 AS DOUBLE))
+      |    / ((CAST(t.s2t AS DOUBLE) - t.ssb_part)
+      |      / CAST(t.nn - t.k AS DOUBLE)), 6) AS f_stat
+      |FROM g CROSS JOIN tot t
+      |ORDER BY g.dow""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val g = daily.groupBy(weekday(col("day")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s1"),
+        sum(col("y") * col("y")).as("s2"))
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("s1")).as("st"),
+      sum(col("s2")).as("s2t"), count(lit(1)).as("k"),
+      sum(round(col("s1").cast("double") * col("s1").cast("double") /
+        col("n").cast("double"), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(24, 6)))
+        .cast("double").as("ssb_part"))
+    g.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n"),
+        round(col("s1").cast("double") / col("n").cast("double"), 6)
+          .as("mean_y"),
+        round(((col("ssb_part") -
+          col("st").cast("double") * col("st").cast("double") /
+            col("nn").cast("double")) / (col("k") - 1).cast("double")) /
+          ((col("s2t").cast("double") - col("ssb_part")) /
+            (col("nn") - col("k")).cast("double")), 6).as("f_stat"))
+      .orderBy(col("dow"))
+  }
+
   /** q125: deterministic epoch shuffle — two different epochs of the
     * sharded training order over the corpus, side by side. The order
     * is a pure function of (key, epoch) through portable_hash64, so
@@ -2912,7 +3033,7 @@ object RelationalQueries {
     q207EmLinkage, q212FkOrphans, q213LorenzGini, q214BootstrapCi,
     q229Triangles, q233SkewReport, q238CorrMatrix,
     q239KCorePeel, q240Assortativity, q241MadOutliers, q242Changepoint,
-    q243Acf)
+    q243Acf, q244TheilSen, q245DowAnova)
 }
 
 /** The Fellegi–Sunter oracle chain shared by q197 (pair scoring) and

@@ -2587,6 +2587,73 @@ object TextQueries {
           .as("short_rate"))
   }
 
+  /** q246: token-rank stability between corpus halves (★ — Spearman's
+    * ρ over the global-top-100 tokens' frequency ranks in the
+    * doc_id-parity halves: ρ near 1 says the token distribution is
+    * stationary across the split, a drop flags vocabulary drift the
+    * magnitude-sensitive q228 JS can under-report when only the tail
+    * reshuffles). EXACT integer arithmetic end to end: ranks are
+    * row_numbers (count desc, token asc — absent tokens count 0),
+    * ρ = 1 − 6Σd²/(n(n²−1)), so the only double is the final ratio.
+    * One corpus explode; everything after lives on the ≤100-token
+    * spine. */
+  val q246RankStability: QuerySpec = QuerySpec(
+    "q246_rank_stability",
+    """WITH tok AS (
+      |  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM tok GROUP BY 1),
+      |spine AS (SELECT t FROM tc ORDER BY c DESC, t LIMIT 100),
+      |hc AS (
+      |  SELECT s.t, k.half, CAST(COUNT(tok.t) AS BIGINT) AS c
+      |  FROM spine s CROSS JOIN (SELECT 0 AS half UNION ALL SELECT 1) k
+      |  LEFT JOIN tok ON tok.t = s.t AND tok.half = k.half
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT t, half,
+      |    CAST(row_number() OVER (PARTITION BY half
+      |      ORDER BY c DESC, t) AS BIGINT) AS r
+      |  FROM hc),
+      |dd AS (
+      |  SELECT a.t, (a.r - b.r) * (a.r - b.r) AS d2
+      |  FROM rk a JOIN rk b ON b.t = a.t AND a.half = 0 AND b.half = 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(d2) AS BIGINT) AS sum_d2,
+      |  round(CAST(1 AS DOUBLE)
+      |    - 6.0 * CAST(SUM(d2) AS DOUBLE)
+      |      / (CAST(COUNT(*) AS DOUBLE)
+      |        * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+      |          - 1)), 6) AS spearman_rho
+      |FROM dd""".stripMargin) { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .select((col("doc_id") % 2).as("half"),
+        explode(split(col("text"), " ")).as("t"))
+    val spine = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(100).select(col("t"))
+    val halves = s.range(0, 2).select(col("id").as("half"))
+    val hc = spine.crossJoin(broadcast(halves))
+      .join(tok.groupBy(col("t"), col("half")).agg(count(lit(1)).as("c")),
+        Seq("t", "half"), "left")
+      .select(col("t"), col("half"), coalesce(col("c"), lit(0L)).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val rk = hc.withColumn("r", row_number().over(
+        Window.partitionBy(col("half")).orderBy(col("c").desc, col("t")))
+      .cast("long"))
+    val dd = rk.filter(col("half") === 0)
+      .select(col("t"), col("r").as("ra"))
+      .join(rk.filter(col("half") === 1)
+        .select(col("t"), col("r").as("rb")), Seq("t"))
+      .select(((col("ra") - col("rb")) * (col("ra") - col("rb")))
+        .as("d2"))
+    dd.agg(count(lit(1)).as("n_terms"), sum(col("d2")).as("sum_d2"))
+      .select(col("n_terms"), col("sum_d2"),
+        round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+          (col("n_terms").cast("double") *
+            (col("n_terms").cast("double") *
+              col("n_terms").cast("double") - 1)), 6).as("spearman_rho"))
+  }
+
   /** q187: tokenizer fertility by language (★ — the multilingual
     * tokenizer-equity audit from XLM-R/NLLB: subword tokens per word
     * ("fertility") and chars per token per LANGUAGE from ONE BPE
@@ -3036,7 +3103,7 @@ object TextQueries {
     q219WordpieceMerges, q222NbCalibration, q223NbClassReport,
     q224Chi2Tokens, q225GateParity, q226NbAuc, q228JsDrift,
     q230DomainReweight, q232HeapsGrowth, q235PaddingWaste,
-    q236CategoricalMi, q237Datasheet)
+    q236CategoricalMi, q237Datasheet, q246RankStability)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,

@@ -140,6 +140,14 @@ class PlanAuditSpec extends SparkSpecBase {
       // 14-row lag spine onto the materialized deviation series —
       // every side metadata-sized (the q76/q183 shapes)
       "q242_changepoint", "q243_acf",
+      // q244's pairwise-slope join is a range theta over the
+      // MATERIALIZED ≤366-row daily spine (the q90 metadata grid);
+      // q245 crosses its 1-row moment frame onto the 7-row weekday
+      // frame (the q183 shape)
+      "q244_theil_sen", "q245_dow_anova",
+      // q246 crosses the ≤100-token spine with the 2-row half spine —
+      // both metadata-sized (the q183 grid)
+      "q246_rank_stability",
       "q210_kaplan_meier", "q213_lorenz_gini", "q214_bootstrap_ci")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
