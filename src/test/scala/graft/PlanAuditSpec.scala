@@ -179,6 +179,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(planOf("q45_asof_join").contains("AsOfJoin"))
   }
 
+  test("q229 wedge closure is a shuffled equi-join, never a broadcast " +
+      "of a data-sized side") {
+    val plan = planOf("q229_triangle_count")
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"the oriented wedge/closure joins must shuffle on their " +
+        s"equi-keys:\n$plan")
+  }
+
+  test("q233 heavy-key pick is TakeOrderedAndProject, not a global sort") {
+    assert(planOf("q233_skew_report").contains("TakeOrderedAndProject"))
+  }
+
   test("q56 keyed as-of partitions its window — no single-partition sort") {
     val plan = planOf("q56_asof_keyed")
     assert(plan.contains("Window"), s"expected a window plan:\n$plan")
