@@ -1431,6 +1431,96 @@ object SimilarityQueries {
     }
   }
 
+  /** q247: rank-biased overlap of the full-dimension vs 16-dim-prefix
+    * rankings (★ — Webber et al. 2010's TOP-WEIGHTED ranking
+    * similarity, the drift statistic q200's flat recall@5 cannot
+    * grade: RBO discounts disagreement geometrically with depth, so a
+    * swap at rank 1 costs more than one at rank 10 — the metric
+    * ranking-serving teams actually alert on). Truncated at depth 10
+    * with p = 0.9 (documented: no extrapolation term — the audited
+    * quantity is the PREFIX agreement itself). Each (query, doc) pair
+    * in both top-10s contributes to every depth d ≥ max(rank_a,
+    * rank_b); overlap counts are exact ints, the 10 weighted terms
+    * round-6 and fold as DECIMAL(18,6). Both ranking passes broadcast
+    * the ≤16-query set (q34's shape); everything after is
+    * query×depth-bounded. */
+  val q247Rbo: QuerySpec = QuerySpec(
+    "q247_rbo",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+      |           FROM embeddings WHERE vec_id < 16),
+      |full_r AS (
+      |  SELECT q_id, c_id, rn FROM (
+      |    SELECT q.q_id, e.vec_id AS c_id,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        round(list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+      |          CAST(e.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rn
+      |    FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
+      |  WHERE rn <= 10),
+      |pref_r AS (
+      |  SELECT q_id, c_id, rn FROM (
+      |    SELECT q.q_id, e.vec_id AS c_id,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        round(list_cosine_similarity(
+      |          CAST(q.q_vec[1:16] AS DOUBLE[]),
+      |          CAST(e.embedding[1:16] AS DOUBLE[])), 6) DESC,
+      |        e.vec_id) AS rn
+      |    FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
+      |  WHERE rn <= 10),
+      |both_r AS (
+      |  SELECT f.q_id, greatest(f.rn, p.rn) AS mx
+      |  FROM full_r f JOIN pref_r p
+      |    ON p.q_id = f.q_id AND p.c_id = f.c_id),
+      |sp AS (SELECT unnest(range(1, 11)) AS d),
+      |ov AS (
+      |  SELECT q.q_id, sp.d, CAST(COUNT(b.mx) AS BIGINT) AS o
+      |  FROM q CROSS JOIN sp
+      |  LEFT JOIN both_r b ON b.q_id = q.q_id AND b.mx <= sp.d
+      |  GROUP BY 1, 2)
+      |SELECT q_id,
+      |  round(CAST(SUM(CAST(round(
+      |    (CAST(1 AS DOUBLE) - 0.9) * power(0.9, d - 1)
+      |      * CAST(o AS DOUBLE) / CAST(d AS DOUBLE), 6)
+      |    AS DECIMAL(18,6))) AS DOUBLE), 6) AS rbo
+      |FROM ov GROUP BY 1 ORDER BY q_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"))
+    def ranked(sim: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.DataFrame =
+      corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+        .withColumn("sim", sim)
+        .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("c_id"))).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("c_id"), col("rn"))
+    val fullR = ranked(round(Similarity.cosine(
+      col("q_vec").cast("array<double>"),
+      col("c_vec").cast("array<double>")), 6))
+    val prefR = ranked(round(Similarity.cosine(
+      slice(col("q_vec"), 1, 16).cast("array<double>"),
+      slice(col("c_vec"), 1, 16).cast("array<double>")), 6))
+    val bothR = fullR.join(
+        prefR.select(col("q_id"), col("c_id"), col("rn").as("rp")),
+        Seq("q_id", "c_id"))
+      .select(col("q_id"), greatest(col("rn"), col("rp")).as("mx"))
+    val sp = s.range(1, 11).select(col("id").as("d"))
+    val ov = queries.select(col("q_id")).crossJoin(broadcast(sp))
+      .join(bothR, Seq("q_id"), "left")
+      .groupBy(col("q_id"), col("d"))
+      .agg(sum(when(col("mx") <= col("d"), 1L).otherwise(0L)).as("o"))
+    ov.groupBy(col("q_id"))
+      .agg(round(sum(
+        round((lit(1.0) - lit(0.9)) * pow(lit(0.9), col("d") - 1) *
+          col("o").cast("double") / col("d").cast("double"), 6)
+          .cast(DecimalType(18, 6)))
+        .cast("double"), 6).as("rbo"))
+      .orderBy(col("q_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(q34CosineTopK, q35EmbeddingStats,
     q36CosineLshTopK, q37CosineNearDup, q52IvfTopK, q67MllibBrpTopK,
     q83Quantize, q107AnnPipeline, q136LabelCentroids, q146SemanticDedup,
@@ -1439,7 +1529,7 @@ object SimilarityQueries {
     q181IvfPqTopK, q185HardNegatives, q186EmbeddingOutliers,
     q190BitextMargin, q191RrfFusion, q195KCenterCoreset,
     q196PrototypePrune, q200MatryoshkaRecall, q220RetrievalMetrics,
-    q227ClusterQuality, q231CentroidDrift, q234NprobeSweep)
+    q227ClusterQuality, q231CentroidDrift, q234NprobeSweep, q247Rbo)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by

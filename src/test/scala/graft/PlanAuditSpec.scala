@@ -148,6 +148,9 @@ class PlanAuditSpec extends SparkSpecBase {
       // q246 crosses the ≤100-token spine with the 2-row half spine —
       // both metadata-sized (the q183 grid)
       "q246_rank_stability",
+      // q247 broadcasts the ≤16-query set into both ranking passes
+      // (q34's/q200's shape) and crosses the 10-row depth spine
+      "q247_rbo",
       "q210_kaplan_meier", "q213_lorenz_gini", "q214_bootstrap_ci")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
