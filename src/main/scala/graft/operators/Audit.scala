@@ -57,14 +57,16 @@ object Audit {
         round(col("n_kept").cast("double") / col("n_docs").cast("double"),
           6).as("keep_rate"))
     val best = rates.agg(max(col("keep_rate")).as("best_rate"))
+    // the flag tests the SAME round-6 ratio that is emitted, so a
+    // borderline group can never report rate_ratio = 0.8 with
+    // adverse_impact = true (a self-inconsistent row)
+    val ratio = when(col("best_rate") > 0,
+      round(col("keep_rate") / col("best_rate"), 6)).otherwise(lit(1.0))
     rates.crossJoin(broadcast(best))
       .select(col(groupCol), col("n_docs"), col("n_kept"),
         col("keep_rate"),
-        when(col("best_rate") > 0,
-          round(col("keep_rate") / col("best_rate"), 6))
-          .otherwise(lit(1.0)).as("rate_ratio"),
-        (col("best_rate") > 0 &&
-          col("keep_rate") / col("best_rate") < lit(0.8))
+        ratio.as("rate_ratio"),
+        (col("best_rate") > 0 && ratio < lit(0.8))
           .as("adverse_impact"))
   }
 
@@ -86,7 +88,7 @@ object Audit {
        |    CASE WHEN best_rate > 0
        |      THEN round(keep_rate / best_rate, 6) ELSE 1.0 END
        |      AS rate_ratio,
-       |    (best_rate > 0 AND keep_rate / best_rate < 0.8)
+       |    (best_rate > 0 AND round(keep_rate / best_rate, 6) < 0.8)
        |      AS adverse_impact
        |  FROM prates CROSS JOIN pbest)""".stripMargin
 

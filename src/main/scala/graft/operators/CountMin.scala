@@ -73,15 +73,30 @@ object CountMin {
 
   /** Persist a merged grid (no group columns) with its manifest.
     * `applied` stamps the cells write with the highest foreachBatch
-    * id folded in ([[Stores]]); -1 for batch-built stores. */
+    * id folded in ([[Stores]]); -1 for batch-built stores.
+    *
+    * Write ORDER is the crash contract: params first, stamped cells
+    * second, so the cells write is the single commit point. A crash
+    * after params but before cells leaves no cells dir — readers and
+    * [[foldIntoStore]] treat the store as absent and the creation
+    * batch re-folds cleanly. (The reverse order had a window where a
+    * stamped-but-manifestless store made the replay a no-op while the
+    * next batch took the creation branch and erased prior counts.) */
   def writeStore(cells: DataFrame, path: String, depth: Int,
                  width: Int, applied: Long = -1L): Unit = {
-    Stores.stamp(cells, applied)
-      .write.mode("overwrite").parquet(s"$path/cells")
     cells.sparkSession.createDataFrame(Seq((depth, width)))
       .toDF("depth", "width")
       .write.mode("overwrite").parquet(s"$path/params")
+    writeCells(cells, path, applied)
   }
+
+  /** The commit write alone — used by the merge branch, where the
+    * manifest is immutable and rewriting it would reopen the very
+    * params/payload desync window [[writeStore]]'s ordering closes. */
+  private def writeCells(cells: DataFrame, path: String,
+                         applied: Long): Unit =
+    Stores.stamp(cells, applied)
+      .write.mode("overwrite").parquet(s"$path/cells")
 
   /** Read a [[writeStore]] grid back, manifest included (the
     * idempotence stamp stays out of query plans). */
@@ -104,12 +119,16 @@ object CountMin {
     *
     * `batchId` (a foreachBatch id) makes the fold replay-idempotent:
     * a batch whose id is already stamped into the store is a no-op
-    * (see [[Stores]] for why the stamp rides the cells write). */
+    * (see [[Stores]] for why the stamp rides the cells write).
+    * Existence — and therefore the replay guard — keys on the CELLS
+    * dir, the commit point: a stamp can only exist inside committed
+    * cells, and committed cells imply the params manifest (written
+    * first), so stamp-present always means fully committed. */
   def foldIntoStore(batch: DataFrame, valueCol: String, path: String,
                     depth: Int, width: Int,
                     batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
-    val hp = new org.apache.hadoop.fs.Path(s"$path/params")
+    val hp = new org.apache.hadoop.fs.Path(s"$path/cells")
     val exists =
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
     val last = Stores.lastApplied(spark, s"$path/cells")
@@ -124,7 +143,7 @@ object CountMin {
         store.cells.unionByName(
           sketch(batch, Seq.empty, valueCol, store.depth, store.width)),
         Seq.empty).localCheckpoint(true)
-      writeStore(grown, path, store.depth, store.width, applied)
+      writeCells(grown, path, applied) // manifest immutable: cells only
       // checkpoint blocks live on the LogicalRDD, not a CacheManager
       // entry — the pageRank discipline (Graph.checkpointRdd)
       Graph.checkpointRdd(grown).foreach(_.unpersist(false))

@@ -333,11 +333,18 @@ object Graph {
         .select(col("a"), col("b"))
         .localCheckpoint(true)
       kept ++= checkpointRdd(next)
-      val Array(nPrev, nKeep) = Array(
-        deg.count(), keep.count())
-      val nEdges = next.count()
-      val nNodes = nodesOf(next).distinct().count()
-      stats += ((r, nPrev - nKeep, nNodes, nEdges))
+      // ONE aggregate over deg derives both counts (the old code paid
+      // two jobs), and ONE aggregate over the checkpointed next's node
+      // bag derives edges (count/2 — every edge contributes its a and
+      // its b) and surviving nodes — 2 stat jobs per round, not 4
+      val d = deg.agg(count(lit(1)).as("n_prev"),
+        coalesce(sum(when(col("dg") >= k, 1L).otherwise(0L)), lit(0L))
+          .as("n_keep")).head()
+      val e = nodesOf(next).agg(
+        (count(lit(1)) / lit(2)).cast("long").as("n_edges"),
+        countDistinct(col("node")).as("n_nodes")).head()
+      stats += ((r, d.getLong(0) - d.getLong(1),
+        e.getLong(1), e.getLong(0)))
       cur = next
     }
     val out = stats.toSeq

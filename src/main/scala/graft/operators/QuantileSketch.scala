@@ -126,15 +126,28 @@ object QuantileSketch {
     * whatever the source key type. */
   final case class QuantileStore(rows: DataFrame, k: Int)
 
+  /** Write ORDER is the crash contract (the [[CountMin.writeStore]]
+    * discipline): params first, stamped rows second, so the rows
+    * write is the single commit point — a crash in between leaves no
+    * rows dir and the creation batch re-folds cleanly, instead of a
+    * stamped-but-manifestless store that silently erases prior
+    * samples on the next fold. */
   def writeStore(sk: DataFrame, path: String, k: Int,
                  applied: Long = -1L): Unit = {
+    sk.sparkSession.createDataFrame(Seq(Tuple1(k))).toDF("k")
+      .write.mode("overwrite").parquet(s"$path/params")
+    writeRows(sk, path, applied)
+  }
+
+  /** The commit write alone — the merge branch's write (manifest
+    * immutable after creation, so rewriting it would reopen the
+    * desync window the [[writeStore]] ordering closes). */
+  private def writeRows(sk: DataFrame, path: String,
+                        applied: Long): Unit =
     Stores.stamp(
         sk.select(col("h"), col("key").cast("string").as("key"),
           col("value").cast("double").as("value")), applied)
       .write.mode("overwrite").parquet(s"$path/rows")
-    sk.sparkSession.createDataFrame(Seq(Tuple1(k))).toDF("k")
-      .write.mode("overwrite").parquet(s"$path/params")
-  }
 
   def readStore(spark: org.apache.spark.sql.SparkSession,
                 path: String): QuantileStore = {
@@ -155,12 +168,15 @@ object QuantileSketch {
     *
     * `batchId` (a foreachBatch id) makes the fold replay-idempotent:
     * a batch whose id is already stamped into the store is a no-op
-    * (see [[Stores]] for why the stamp rides the rows write). */
+    * (see [[Stores]] for why the stamp rides the rows write).
+    * Existence — and the replay guard — keys on the ROWS dir, the
+    * commit point: committed rows imply the params manifest (written
+    * first), so stamp-present always means fully committed. */
   def foldIntoStore(batch: DataFrame, keyCol: String, valueCol: String,
                     path: String, k: Int,
                     batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
-    val hp = new org.apache.hadoop.fs.Path(s"$path/params")
+    val hp = new org.apache.hadoop.fs.Path(s"$path/rows")
     val exists =
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
     val last = Stores.lastApplied(spark, s"$path/rows")
@@ -184,7 +200,7 @@ object QuantileSketch {
           .groupBy(col("h"), col("key"))
           .agg(min(col("value")).as("value")),
         store.k).localCheckpoint(true)
-      writeStore(grown, path, store.k, applied)
+      writeRows(grown, path, applied) // manifest immutable: rows only
       Graph.checkpointRdd(grown).foreach(_.unpersist(false))
     }
   }

@@ -53,6 +53,26 @@ object Relational {
     day.fold(base)(d => base.filter(col("day") === d))
   }
 
+  /** Pin a model-sized frame to the driver and re-parallelize it as a
+    * 1-partition local relation (the kCenterCoreset discipline): the
+    * pinned frame re-broadcasts into later passes without recomputing
+    * its plan and without leaving cache or checkpoint blocks behind.
+    * `cap` bounds driver memory — the collect fetches at most cap+1
+    * rows before the guard fires — and is the house invariant that
+    * EVERY driver-side collect in main is mechanically guard-bounded
+    * (centroid sets ≤4096, per-cell stats ≤256, moment rows = 1,
+    * calendar spines ≤16384: a 44-year daily history before the
+    * guard trips, and day count grows with history, not volume). */
+  def pinSmall(df: DataFrame, cap: Int, what: String): DataFrame = {
+    val rows = df.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"$what frame exceeds the bounded-driver-materialization " +
+        s"guard $cap")
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      df.schema)
+  }
+
   /** Multi-way inner equi-join fold (J1) — the reference's
     * `reduce(pd.merge, on=key)` over per-indicator series
     * (`weekly_dag.py:393-394`). Catalyst picks broadcast-hash for the

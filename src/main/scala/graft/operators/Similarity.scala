@@ -581,23 +581,6 @@ object Similarity {
        |      (a, b) -> a * 2 + b) AS code_hi
        |  FROM $rel v CROSS JOIN ${tag}mv mvt)""".stripMargin
 
-  /** Pin a model-sized frame to the driver and re-parallelize it as a
-    * 1-partition local relation (the kCenterCoreset discipline): the
-    * pinned frame re-broadcasts into later passes without recomputing
-    * its plan and without leaving cache or checkpoint blocks behind.
-    * `cap` bounds driver memory — the collect fetches at most cap+1
-    * rows before the guard fires. */
-  private[operators] def pinSmall(df: DataFrame, cap: Int,
-                                  what: String): DataFrame = {
-    val rows = df.limit(cap + 1).collect()
-    require(rows.length <= cap,
-      s"$what frame exceeds the bounded-driver-materialization " +
-        s"guard $cap")
-    df.sparkSession.createDataFrame(
-      df.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1),
-      df.schema)
-  }
-
   /** Margin-based bitext mining (q190 — Artetxe & Schwenk 2019's
     * ratio-margin criterion, the CCMatrix/WikiMatrix selection rule):
     * for each source vector, the best target by
@@ -888,10 +871,8 @@ object Similarity {
     // per-cell stats are ≤numCells rows consumed by three joins below —
     // materialize once (the bounded-model discipline) instead of
     // re-running the corpus aggregate per branch
-    val csLocal = {
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(cs.collect().toSeq.asJava, cs.schema)
-    }
+    val csLocal =
+      Relational.pinSmall(cs, 256, "clusterQualityAudit per-cell stats")
     val cdf = cents.toDF("cell", "cv")
     val pairs = cdf.select(col("cell"), col("cv").as("v1"))
       .crossJoin(broadcast(

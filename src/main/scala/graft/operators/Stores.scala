@@ -19,6 +19,18 @@ import org.apache.spark.sql.functions._
   * left the old stamp in place and re-folds normally. Store readers
   * project their payload columns explicitly, so the stamp never
   * reaches query plans.
+  *
+  * For the two-dir stores (payload + params manifest) the stamp is
+  * only half the contract; write ORDER is the other half. Creation
+  * writes params FIRST and the stamped payload SECOND, so the payload
+  * write is the single commit point: a crash in between leaves no
+  * payload — the store reads as absent and the creation batch
+  * re-folds. Merge folds rewrite ONLY the payload (the manifest is
+  * immutable after creation), so no later write can desync the pair.
+  * Net invariant: payload-present ⇒ params-present ⇒ the stamp read
+  * back describes a fully committed store. StreamingSpec exercises
+  * both crash windows (params-without-payload, and a checkpoint
+  * rewound past a committed fold).
   */
 object Stores {
 

@@ -1010,11 +1010,68 @@ object EventQueries {
     }
   }
 
+  /** q248: end-to-end streaming Count-Min fold (★ — the q216 wire for
+    * the SKETCH-STORE family: a FILE-SOURCE stream drained with
+    * `Trigger.AvailableNow` through [[graft.streaming.IncrementalLoad
+    * .streamingCountMinFold]] into a persisted grid, not a
+    * MemoryStream fixture). The events table is staged into two files
+    * split at the time midpoint, `maxFilesPerTrigger = 1` forces two
+    * micro-batches — so batch 1 exercises the real read-merge-write
+    * fold against the store batch 0 created — and the query emits the
+    * DRAINED STORE's cells. Because cells ride portable_hash64 (the
+    * q143 discipline), DuckDB rebuilds the identical grid from the
+    * concatenated table: a fully hash-checked integration of source →
+    * stateful fold → store. The emitted `applied` stamp (= 1, the
+    * last foreachBatch id) is the in-output proof that TWO
+    * micro-batches folded and the replay-idempotence bookkeeping
+    * committed with the data ([[graft.operators.Stores]]). */
+  val q248StreamingCountmin: QuerySpec = {
+    val d = 4
+    val w = 64
+    val incSelects: String = (0 until d).map(i =>
+      s"""  SELECT $i AS row,
+         |    ${graft.operators.CountMin.sqlPosition("k", i, w)} AS pos
+         |  FROM v""".stripMargin).mkString("\n  UNION ALL\n")
+    QuerySpec(
+      "q248_streaming_countmin",
+      s"""WITH v AS (SELECT user_id AS k FROM events),
+         |inc AS (
+         |$incSelects),
+         |cells AS (
+         |  SELECT row, pos, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM inc GROUP BY 1, 2)
+         |SELECT row, pos, cnt, CAST(1 AS BIGINT) AS applied
+         |FROM cells ORDER BY row, pos""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("ts"), col("user_id").as("k"))
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (lo, hi) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+      val cut = new java.sql.Timestamp(
+        lo.getTime + (hi.getTime - lo.getTime) / 2)
+      val root = java.nio.file.Files.createTempDirectory("graft_q248")
+      ev.filter(col("ts") < lit(cut)).coalesce(1)
+        .write.parquet(root.resolve("in/a").toString)
+      ev.filter(col("ts") >= lit(cut)).coalesce(1)
+        .write.parquet(root.resolve("in/b").toString)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root.toString + "/in/*/")
+      val store = root.resolve("store").toString
+      val q = graft.streaming.IncrementalLoad.streamingCountMinFold(
+        s, stream, "k", store, root.resolve("ckpt").toString,
+        depth = d, width = w)
+      require(q.awaitTermination(300000), "q248 stream did not drain")
+      s.read.parquet(s"$store/cells")
+        .select(col("row"), col("pos"), col("cnt"), col("applied"))
+        .orderBy(col("row"), col("pos"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     q40JsonProps, q41Tumbling, q42Sliding, q43Sessions, q44DedupReplay,
     q45AsOf, q56AsOfKeyed, q68RangeAsOf, q74IntervalJoin, q85FillForward,
     q101Sessionize, q106IntervalIslands, q108Scd2Build, q127Funnel,
     q128Ewma, q130TopP, q132RollingCorr, q202Holt, q221HoltWinters,
     q208TransitionMatrix, q209Cusum, q210KaplanMeier, q211AbTest,
-    q216StreamingHolt)
+    q216StreamingHolt, q248StreamingCountmin)
 }

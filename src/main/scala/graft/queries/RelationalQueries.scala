@@ -1422,10 +1422,7 @@ object RelationalQueries {
       // the 6 pair rows all read the SAME 1-row moment frame — union
       // of 6 selects over the aggregate plan would rescan the corpus
       // 6×; materialize the single row once (bounded by construction)
-      val m = {
-        import scala.jdk.CollectionConverters._
-        s.createDataFrame(m0.collect().toSeq.asJava, m0.schema)
-      }
+      val m = Relational.pinSmall(m0, 1, "q238 moment row")
       val rows = pairs.map { case (a, b) =>
         m.select(lit(a).as("col_a"), lit(b).as("col_b"),
           col("n").cast("long").as("n"),
@@ -1739,13 +1736,12 @@ object RelationalQueries {
         .as("mu"))
     // the deviation series is calendar-bounded — materialize once
     // (the q238 1-row-moment discipline) so den and the 14 lag joins
-    // don't recompute the corpus aggregate three times
-    val dv = {
-      import scala.jdk.CollectionConverters._
-      val plan = ord.crossJoin(broadcast(st))
-        .select(col("t"), (col("y").cast("double") - col("mu")).as("d"))
-      s.createDataFrame(plan.collect().toSeq.asJava, plan.schema)
-    }
+    // don't recompute the corpus aggregate three times; the 16384-day
+    // guard (a 44-year daily history) is the documented spine contract
+    val dv = Relational.pinSmall(
+      ord.crossJoin(broadcast(st))
+        .select(col("t"), (col("y").cast("double") - col("mu")).as("d")),
+      16384, "q243 calendar deviation spine")
     val den = dv.agg(
       sum(round(col("d") * col("d"), 6).cast(DecimalType(18, 6)))
         .cast("double").as("s0"))
@@ -1806,13 +1802,11 @@ object RelationalQueries {
       .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
       .agg(count(lit(1)).as("y"))
     // calendar-bounded — materialize once for the pair join and the
-    // residual pass (the q243 discipline)
-    val ord = {
-      import scala.jdk.CollectionConverters._
-      val plan = daily.select(col("y"),
-        row_number().over(Window.orderBy(col("day"))).cast("long").as("t"))
-      s.createDataFrame(plan.collect().toSeq.asJava, plan.schema)
-    }
+    // residual pass (the q243 discipline, same 16384-day spine guard)
+    val ord = Relational.pinSmall(
+      daily.select(col("y"),
+        row_number().over(Window.orderBy(col("day"))).cast("long").as("t")),
+      16384, "q244 calendar spine")
     val sl = ord.select(col("t").as("ta"), col("y").as("ya"))
       .crossJoin(broadcast(
         ord.select(col("t").as("tb"), col("y").as("yb"))))
@@ -3052,15 +3046,36 @@ object RelationalQueries {
 /** The part co-purchase top-8 kNN backbone (q229's edge set) shared
   * by the graph-diagnostic family q229/q239/q240 so the truncation
   * and tie rules are generated from one source (the IvfSql/KnSql
-  * discipline). Emits CTEs `li, pc, dir, knn` ending in `e(a, b)` —
-  * the undirected deduped backbone edges. */
+  * discipline). Emits CTEs `li, lic, pc, dir, knn` ending in
+  * `e(a, b)` — the undirected deduped backbone edges.
+  *
+  * The pair generation is per-order quadratic, so each order's item
+  * list is PRE-TRUNCATED to its [[maxItemsPerOrder]] smallest
+  * partkeys before the self-join (the q205 prune-before-pair-gen
+  * discipline): one pathological mega-basket at corpus scale would
+  * otherwise create an O(items²) pocket BEFORE the top-8 kNN
+  * truncation could prune it. TPC-H orders carry ≤ 7 items, so the
+  * cap is hash-invisible on the fixtures; a 64-item cap bounds any
+  * basket's contribution at 2016 pairs while co-purchase structure
+  * above 64 items is noise, not signal (standard basket-graph
+  * practice). Each registry query rebuilds the backbone — honest
+  * per-query pricing; a composite caller running the q229/q239/q240
+  * trio together should build [[edges]] once, `localCheckpoint(true)`
+  * it, and free the blocks via `Graph.checkpointRdd` after. */
 private[queries] object BackboneSql {
+  val maxItemsPerOrder = 64
+
   val ctes: String =
-    """li AS (
+    s"""li AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |lic AS (
+      |  SELECT ok, p FROM (
+      |    SELECT ok, p, row_number() OVER (PARTITION BY ok
+      |      ORDER BY p) AS rn
+      |    FROM li) WHERE rn <= $maxItemsPerOrder),
       |pc AS (
       |  SELECT x.p AS a, y.p AS b, CAST(COUNT(*) AS BIGINT) AS w
-      |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p GROUP BY 1, 2),
+      |  FROM lic x JOIN lic y ON x.ok = y.ok AND x.p < y.p GROUP BY 1, 2),
       |dir AS (SELECT a AS u, b AS v, w FROM pc
       |        UNION ALL SELECT b, a, w FROM pc),
       |knn AS (
@@ -3075,9 +3090,11 @@ private[queries] object BackboneSql {
   /** The Spark twin: the same backbone as a (a, b) edge frame. */
   def edges(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct()
+    val li = graft.operators.Relational.topKPerGroup(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct(),
+      Seq(col("ok")), Seq(col("p").asc), maxItemsPerOrder)
     val pc = li.select(col("ok"), col("p").as("a"))
       .join(li.select(col("ok"), col("p").as("b")), Seq("ok"))
       .filter(col("a") < col("b"))

@@ -191,6 +191,14 @@ class PlanAuditSpec extends SparkSpecBase {
         s"equi-keys:\n$plan")
   }
 
+  test("q229 backbone pair generation is pre-capped per order: the " +
+      "item-list top-k window precedes the quadratic self-join") {
+    val plan = planOf("q229_triangle_count")
+    assert(plan.contains("<= 64"),
+      s"the 64-item per-order cap filter (BackboneSql.maxItemsPerOrder," +
+        s" the q205 prune-before-pair-gen discipline) is missing:\n$plan")
+  }
+
   test("q233 heavy-key pick is TakeOrderedAndProject, not a global sort") {
     assert(planOf("q233_skew_report").contains("TakeOrderedAndProject"))
   }

@@ -653,4 +653,90 @@ class StreamingSpec extends SparkSpecBase {
     assert(fin.getAs[Double]("level") === r6(l))
     assert(fin.getAs[Double]("trend") === r6(b))
   }
+
+  test("store commit protocol: params-without-payload reads as an " +
+      "uncommitted creation and the batch re-folds cleanly") {
+    import spark.implicits._
+    import graft.operators.{CountMin, QuantileSketch}
+    val root = java.nio.file.Files.createTempDirectory("graft_crash")
+    val b1 = (1L to 100L).map(_ % 11).toDF("v")
+    // simulate a creation fold that crashed BETWEEN the params write
+    // and the cells write (the commit point): params present, no cells
+    val cm = root.resolve("cm").toString
+    spark.createDataFrame(Seq((4, 64))).toDF("depth", "width")
+      .write.parquet(s"$cm/params")
+    // the replayed creation batch must fold in full — the half-written
+    // store reads as absent, not as "batch 0 already applied"
+    CountMin.foldIntoStore(b1, "v", cm, 4, 64, batchId = Some(0L))
+    val store = CountMin.readStore(spark, cm)
+    assert((store.depth, store.width) == (4, 64))
+    assert(store.cells.agg(sum(col("cnt"))).head.getLong(0) == 100L * 4,
+      "the re-folded creation batch must count in full")
+    // and the next id folds on top as usual
+    CountMin.foldIntoStore(b1, "v", cm, 4, 64, batchId = Some(1L))
+    assert(CountMin.readStore(spark, cm).cells
+      .agg(sum(col("cnt"))).head.getLong(0) == 200L * 4)
+    // same protocol for the quantile store (rows = commit point)
+    val qs = root.resolve("qs").toString
+    spark.createDataFrame(Seq(Tuple1(40))).toDF("k")
+      .write.parquet(s"$qs/params")
+    val q1 = (1L to 60L).map(i => (i, i.toDouble)).toDF("key", "v")
+    QuantileSketch.foldIntoStore(q1, "key", "v", qs, 40,
+      batchId = Some(0L))
+    val qstore = QuantileSketch.readStore(spark, qs)
+    assert(qstore.k == 40 && qstore.rows.count() == 40,
+      "the re-folded creation batch must populate the sample")
+  }
+
+  test("crash replay through a real checkpoint: rewinding the commit " +
+      "log past a folded batch re-delivers it as a no-op") {
+    import spark.implicits._
+    import graft.operators.CountMin
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val b1 = (1L to 400L).map(_ % 37).toDF("v")
+    val b2 = (1L to 300L).map(i => (i * 7) % 41).toDF("v")
+    b1.coalesce(1).write.parquet(root.resolve("in/b1").toString)
+    b2.coalesce(1).write.parquet(root.resolve("in/b2").toString)
+    def stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in/*/")
+    val storePath = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt").toString
+    val q1 = graft.streaming.IncrementalLoad.streamingCountMinFold(
+      spark, stream, "v", storePath, ckpt, depth = 4, width = 64)
+    assert(q1.awaitTermination(120000), "first drain did not finish")
+    // release the checkpoint-path lock before the restart: termination
+    // unregisters asynchronously, and Spark refuses a second query on
+    // a checkpoint it still considers in use
+    q1.stop()
+    val deadline = System.nanoTime() + 60e9.toLong
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(spark.streams.active.isEmpty, "first query never unregistered")
+    def total(): Long = CountMin.readStore(spark, storePath).cells
+      .agg(sum(col("cnt"))).head.getLong(0)
+    assert(total() == (400L + 300L) * 4)
+    // simulate a failure BETWEEN the store overwrite and the checkpoint
+    // commit of the last micro-batch: the store already folded batch 1,
+    // but the engine never recorded it — delete its commit-log entry so
+    // a restart re-delivers batch 1 with the same id (at-least-once)
+    val lastCommit = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(lastCommit.getName.toLong == 1L && lastCommit.delete(),
+      "commit-log rewind failed")
+    // drop the Hadoop checksum sibling too — a stale .1.crc makes the
+    // replayed commit write look like a concurrent writer's
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    val q2 = graft.streaming.IncrementalLoad.streamingCountMinFold(
+      spark, stream, "v", storePath, ckpt, depth = 4, width = 64)
+    assert(q2.awaitTermination(120000), "replay drain did not finish")
+    // the stamped batch id makes the re-delivered fold a no-op: the
+    // drained store still equals the single-application batch build
+    assert(total() == (400L + 300L) * 4,
+      "a checkpoint-rewound replay must not double-fold")
+    assertBagEqual(
+      CountMin.readStore(spark, storePath).cells
+        .select(col("row"), col("pos"), col("cnt").cast("long")),
+      CountMin.sketch(b1.unionByName(b2), Seq.empty, "v", 4, 64))
+  }
 }

@@ -22,8 +22,12 @@ flagship query's WORKLOAD scales ~10x rather than degenerating:
 - embeddings: vec_id += k*10_000 per replica k; replica k>=1 applies a
   fixed ORTHOGONAL transform (coordinate rotation by 7k positions +
   deterministic sign flips). Orthogonality preserves every norm and
-  within-replica inner product EXACTLY, so cluster/near-dup structure
-  scales 10x, while cross-replica cosines are scrambled — naive
+  within-replica inner product exactly UP TO FLOAT SUMMATION ORDER
+  (the permuted coordinates make downstream dot/norm reductions sum
+  in a different order, so raw doubles can differ from replica 0 by
+  ulps; the round-6 statistics every query emits are identical), so
+  cluster/near-dup structure scales 10x, while cross-replica cosines
+  are scrambled — naive
   replication would hand the ANN tier 10 exact copies of every vector
   and measure dedup of the fixture, not search at scale. Labels are
   kept, so per-label populations (q186's groups, q185's negatives)
