@@ -979,12 +979,8 @@ object Similarity {
                      queryId: String, queryVec: String, k: Int,
                      numCells: Int = 16,
                      kmeansIters: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(numCells >= 2 && numCells <= 256,
       s"numCells=$numCells out of the audit guard [2, 256]")
-    require(k >= 1 && k <= 64, s"k=$k outside [1, 64]")
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val vecs = corpus.select(col(corpusId).cast("long").as("id"),
       col(corpusVec).cast("array<double>").as("dv"))
     val cents = refinedCentroids(vecs, "id", "dv", numCells, kmeansIters)
@@ -997,6 +993,54 @@ object Similarity {
       }: _*))
     val cc = vecs.select(col("id").as("c_id"),
       element_at(dArr(col("dv")), 1).getField("cell").as("cell"))
+    recallSweepCore(vecs, cc, cents, queries, queryId, queryVec, k,
+      numCells)
+  }
+
+  /** Store-reading overload: sweep the recall-vs-nprobe tuning curve
+    * for a PERSISTED index ([[writeIvfStore]]'s layout) — the
+    * operational form of the audit: "what probe depth does the index
+    * we actually serve need?". Uses the store's FROZEN centroids and
+    * its persisted cell assignments verbatim (no re-clustering, no
+    * re-assignment), so the curve describes the index on disk —
+    * including rows [[appendToIvfStore]] admitted after the build —
+    * not a fresh rebuild of it. On an unappended store the curve is
+    * identical to the in-plan sweep with the same parameters
+    * (SimilaritySpec pins this), which closes the loop between the
+    * q234 tuning curve and the q147 store lifecycle. */
+  def ivfRecallSweep(store: IvfStore, queries: DataFrame,
+                     queryId: String, queryVec: String,
+                     k: Int): DataFrame = {
+    require(store.numCells >= 2 && store.numCells <= 256,
+      s"numCells=${store.numCells} out of the audit guard [2, 256]")
+    val vecs = store.vectors.select(
+      col(store.idCol).cast("long").as("id"),
+      col("vec").cast("array<double>").as("dv"))
+    val cc = store.vectors.select(
+      col(store.idCol).cast("long").as("c_id"), col("cell"))
+    val cents = store.centroids
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+      .sortBy(_._1).toList
+    recallSweepCore(vecs, cc, cents, queries, queryId, queryVec, k,
+      store.numCells)
+  }
+
+  /** The sweep body shared by the in-plan and store-reading forms:
+    * exact truth pass + probe-rank join + cumulative spine over the
+    * GIVEN centroid list and cell assignment. */
+  private def recallSweepCore(vecs: DataFrame, cc: DataFrame,
+                              cents: List[(Long, List[Double])],
+                              queries: DataFrame, queryId: String,
+                              queryVec: String, k: Int,
+                              numCells: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 64, s"k=$k outside [1, 64]")
+    val spark = vecs.sparkSession
+    def dArr(vcol: Column): Column =
+      array_sort(array(cents.map { case (cell, cv) =>
+        struct((lit(1.0) - round(cosine(vcol, typedlit(cv)), 6)).as("d"),
+          lit(cell).as("cell"))
+      }: _*))
     val qv = queries.select(col(queryId).cast("long").as("q_id"),
       col(queryVec).cast("array<double>").as("q_dv"))
     // exact top-k ground truth: rounded cosine desc, candidate asc

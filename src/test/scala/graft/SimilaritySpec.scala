@@ -508,6 +508,41 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recalls.last === 1.0, "full probe depth must find every pair")
   }
 
+  test("ivfRecallSweep over a persisted store equals the in-plan " +
+      "sweep on an unappended index, and tracks appended rows") {
+    val e = Tables.embeddings(spark, sf).limit(100)
+    val q = e.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sweep_store").toString
+    Similarity.writeIvfStore(e, "vec_id", "embedding", dir,
+      numCells = 4, kmeansIters = 1)
+    val store = Similarity.readIvfStore(spark, dir)
+    // the store sweep reads frozen centroids + persisted cells; on an
+    // unappended store it must equal the in-plan sweep bit-for-bit —
+    // the tuning curve and the store lifecycle cannot drift
+    val fromStore = Similarity.ivfRecallSweep(store, q, "vec_id",
+      "embedding", k = 3).orderBy(col("nprobe")).collect().toSeq
+    val inPlan = Similarity.ivfRecallSweep(e, "vec_id", "embedding", q,
+      "vec_id", "embedding", k = 3, numCells = 4, kmeansIters = 1)
+      .orderBy(col("nprobe")).collect().toSeq
+    assert(fromStore == inPlan,
+      "store-read sweep diverged from the in-plan sweep")
+    // appended rows enter the curve's corpus (truth set AND cells):
+    // grow the index and the pair count must grow with it
+    Similarity.appendToIvfStore(
+      Tables.embeddings(spark, sf)
+        .filter(col("vec_id") >= 100 && col("vec_id") < 150),
+      "embedding", dir)
+    val grown = Similarity.ivfRecallSweep(
+      Similarity.readIvfStore(spark, dir), q, "vec_id", "embedding",
+      k = 3).orderBy(col("nprobe")).collect()
+    assert(grown.head.getLong(2) == inPlan.head.getLong(2),
+      "n_pairs is k x |queries| and must not change with corpus size")
+    val recalls = grown.map(_.getDouble(3)).toSeq
+    assert(recalls == recalls.sorted && recalls.last === 1.0,
+      "the grown index's curve must stay monotone to 1")
+  }
+
   test("clusterQualityAudit is invariant under repartitioning") {
     val e = Tables.embeddings(spark, sf).limit(80)
     val r1 = Similarity.clusterQualityAudit(e, "vec_id", "embedding",
