@@ -2155,6 +2155,96 @@ object TextQueries {
     }
   }
 
+  /** q249: end-to-end STREAMING drift monitor (★ — q183's PSI run the
+    * way production runs it, completing the q248 wire family for the
+    * histogram store): the DRIFTED snapshot (q183's deterministic b —
+    * every 3rd doc lengthened, every 5th truncated) is staged as two
+    * files split at the doc_id midpoint, drained through a file-source
+    * stream into [[graft.operators.Audit.histogramFoldIntoStore]]
+    * (`maxFilesPerTrigger = 1` → two micro-batches, so batch 1
+    * exercises the real read-merge-write fold), and the emitted rows
+    * are [[graft.operators.Audit.psiTerms]] of the KILOBYTE drained
+    * store against the batch-built reference histogram — the arriving
+    * corpus is never reprocessed, the alert path reads only the store.
+    * DuckDB replays both histograms and the Laplace-smoothed terms
+    * exactly (counter addition is order-free), and the emitted
+    * `applied` stamp (= 1) is the in-output proof that two
+    * micro-batches folded with the idempotence bookkeeping committed
+    * alongside the counts ([[graft.operators.Stores]]). */
+  val q249StreamingDrift: QuerySpec = {
+    val pad = " padding tokens extra appended here now for drift"
+    QuerySpec(
+      "q249_streaming_drift",
+      s"""WITH raw AS (
+         |  SELECT LEAST(4, CAST(floor(length(text) / 150.0) AS BIGINT))
+         |    AS bucket
+         |  FROM documents),
+         |drift AS (
+         |  SELECT LEAST(4, CAST(floor(length(CASE
+         |      WHEN doc_id % 3 = 0 THEN text || '$pad'
+         |      WHEN doc_id % 5 = 1 THEN array_to_string(
+         |        (string_split(text, ' '))[1:10], ' ')
+         |      ELSE text END) / 150.0) AS BIGINT)) AS bucket
+         |  FROM documents),
+         |spine AS (SELECT unnest(range(0, 5)) AS bucket),
+         |cr AS (
+         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_ref
+         |  FROM raw GROUP BY 1),
+         |cc AS (
+         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_cur
+         |  FROM drift GROUP BY 1),
+         |cnt AS (
+         |  SELECT s.bucket, COALESCE(cr.n_ref, 0) AS n_ref,
+         |    COALESCE(cc.n_cur, 0) AS n_cur
+         |  FROM spine s LEFT JOIN cr USING (bucket)
+         |    LEFT JOIN cc USING (bucket)),
+         |tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM cnt)
+         |SELECT bucket, n_ref, n_cur,
+         |  round((CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 5 AS DOUBLE)
+         |    - CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 5 AS DOUBLE))
+         |    * ln((CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 5 AS DOUBLE))
+         |      / (CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 5 AS DOUBLE))),
+         |    6) AS psi_term,
+         |  CAST(1 AS BIGINT) AS applied
+         |FROM cnt CROSS JOIN tot ORDER BY bucket""".stripMargin) {
+      (s, dir) =>
+        import graft.operators.Audit
+        val d = Tables.documents(s, dir)
+        def bucketOf(len: org.apache.spark.sql.Column) =
+          least(lit(4L),
+            floor(len.cast("double") / lit(150.0)).cast("long"))
+        val drifted = d.select(col("doc_id"),
+          bucketOf(length(
+            when(col("doc_id") % 3 === 0, concat(col("text"), lit(pad)))
+              .when(col("doc_id") % 5 === 1,
+                array_join(slice(split(col("text"), " "), 1, 10), " "))
+              .otherwise(col("text")))).as("bucket"))
+        val bounds = drifted.agg(min(col("doc_id")), max(col("doc_id")))
+          .head()
+        val cut = bounds.getLong(0) +
+          (bounds.getLong(1) - bounds.getLong(0)) / 2
+        val root = java.nio.file.Files.createTempDirectory("graft_q249")
+        drifted.filter(col("doc_id") < cut).coalesce(1)
+          .write.parquet(root.resolve("in/a").toString)
+        drifted.filter(col("doc_id") >= cut).coalesce(1)
+          .write.parquet(root.resolve("in/b").toString)
+        val stream = s.readStream.schema(drifted.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(root.toString + "/in/*/")
+        val store = root.resolve("store").toString
+        val q = graft.streaming.IncrementalLoad.streamingDriftFold(
+          s, stream, "bucket", store, root.resolve("ckpt").toString)
+        require(q.awaitTermination(300000), "q249 stream did not drain")
+        val ref = d.select(bucketOf(length(col("text"))).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        val applied = s.read.parquet(store)
+          .agg(max(col("applied"))).head().getLong(0)
+        Audit.psiTerms(ref, Audit.readHistogramStore(s, store), 5)
+          .withColumn("applied", lit(applied))
+          .orderBy(col("bucket"))
+    }
+  }
+
   /** q183: length-distribution drift (PSI — ★ the population
     * stability index, the standard production monitor for "did this
     * month's crawl change shape": Σ (p_b − p_a)·ln(p_b/p_a) over
@@ -3103,7 +3193,8 @@ object TextQueries {
     q219WordpieceMerges, q222NbCalibration, q223NbClassReport,
     q224Chi2Tokens, q225GateParity, q226NbAuc, q228JsDrift,
     q230DomainReweight, q232HeapsGrowth, q235PaddingWaste,
-    q236CategoricalMi, q237Datasheet, q246RankStability)
+    q236CategoricalMi, q237Datasheet, q246RankStability,
+    q249StreamingDrift)
 }
 
 /** The interpolated-Kneser–Ney CTE chain (train on doc_id % 3 ≠ 0,

@@ -151,6 +151,11 @@ class PlanAuditSpec extends SparkSpecBase {
       // q247 broadcasts the ≤16-query set into both ranking passes
       // (q34's/q200's shape) and crosses the 10-row depth spine
       "q247_rbo",
+      // q249 is q183's PSI read from the drained histogram store:
+      // the same 5-bucket-spine × 1-row-totals cross (psiTerms) —
+      // both metadata-sized; the corpus passed through the stream
+      // fold once and is never reprocessed here
+      "q249_streaming_drift",
       "q210_kaplan_meier", "q213_lorenz_gini", "q214_bootstrap_ci")
     for (q <- Queries.all if !bounded(q.name)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
