@@ -2118,6 +2118,59 @@ object RelationalQueries {
     }
   }
 
+  /** q250: end-to-end STREAMING bottom-k quantile fold (★ — the
+    * q248/q249 wire for the third sketch store, completing the trio
+    * the round-9 review named): customers staged as two files split at
+    * the custkey midpoint, drained through a file-source stream into
+    * [[graft.operators.QuantileSketch.foldIntoStore]]
+    * (`maxFilesPerTrigger = 1` → two micro-batches, so batch 1
+    * exercises the real union/collapse/re-take fold against the store
+    * batch 0 created), and the query emits the DRAINED store's rows.
+    * Because the sample is a pure function of the key set (bottom-k
+    * by [[graft.functions.Scalars.portableHash64]] — arrival-order
+    * free, unlike GK/KLL/t-digest), DuckDB rebuilds the identical
+    * sample from the full table: source → stateful fold → store,
+    * fully hash-checked. `applied` (= 1) proves two micro-batches
+    * folded with the idempotence stamp committed alongside the rows
+    * ([[graft.operators.Stores]]). */
+  val q250StreamingQuantile: QuerySpec = {
+    val k = 100
+    QuerySpec(
+      "q250_streaming_quantile",
+      s"""WITH s AS (
+         |  SELECT
+         |    ${graft.functions.Scalars
+                .sqlPortableHash64("CAST(c_custkey AS VARCHAR)")} AS h,
+         |    CAST(c_custkey AS VARCHAR) AS key,
+         |    CAST(c_acctbal AS DOUBLE) AS value
+         |  FROM customer
+         |  ORDER BY h, key LIMIT $k)
+         |SELECT h, key, value, CAST(1 AS BIGINT) AS applied
+         |FROM s ORDER BY h, key""".stripMargin) { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("v"))
+      val bounds = cust.agg(min(col("key")), max(col("key"))).head()
+      val cut = bounds.getLong(0) +
+        (bounds.getLong(1) - bounds.getLong(0)) / 2
+      val root = java.nio.file.Files.createTempDirectory("graft_q250")
+      cust.filter(col("key") < cut).coalesce(1)
+        .write.parquet(root.resolve("in/a").toString)
+      cust.filter(col("key") >= cut).coalesce(1)
+        .write.parquet(root.resolve("in/b").toString)
+      val stream = s.readStream.schema(cust.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root.toString + "/in/*/")
+      val store = root.resolve("store").toString
+      val q = graft.streaming.IncrementalLoad.streamingQuantileFold(
+        s, stream, "key", "v", store, root.resolve("ckpt").toString,
+        k = k)
+      require(q.awaitTermination(300000), "q250 stream did not drain")
+      s.read.parquet(s"$store/rows")
+        .select(col("h"), col("key"), col("value"), col("applied"))
+        .orderBy(col("h"), col("key"))
+    }
+  }
+
   val q143CountMinFreq: QuerySpec = {
     val d = 4
     val w = 256
@@ -3021,7 +3074,8 @@ object RelationalQueries {
     q100Histogram, q102DictEncode, q110ImputeMean,
     q118CsvRoundtrip, q122OrcRoundtrip, q123KmvRollup, q124PageRank,
     q125EpochShuffle, q126SchemaEvolution, q133SketchRetention,
-    q143CountMinFreq, q151QuantileSketch, q172JsonlShards,
+    q143CountMinFreq, q151QuantileSketch, q250StreamingQuantile,
+    q172JsonlShards,
     q197RecordLinkage, q199KAnonymity, q201Hits, q203Benford,
     q204FdViolations, q205BasketRules, q206NeymanAllocation,
     q207EmLinkage, q212FkOrphans, q213LorenzGini, q214BootstrapCi,
