@@ -125,7 +125,15 @@ object Bench {
       val ld = loadAvg()
       val t0 = System.nanoTime()
       val ok = try { consume(fn(spark, sfDir)); true }
-               catch { case _: Throwable => false }
+               catch { case e: Throwable =>
+                 // a failed retry must stay diagnosable: the artifact
+                 // only shows [-1.0, load], so the exception goes to
+                 // stderr (the query's PASS results stand regardless)
+                 System.err.println("BENCH VARIANCE-GATE retry failed: " +
+                   e.getClass.getSimpleName + ": " +
+                   Option(e.getMessage).getOrElse("").take(200))
+                 false
+               }
       ((if (ok) (System.nanoTime() - t0) / 1e9 else -1.0), ld)
     }
     val retries: Map[String, (Double, Double)] =

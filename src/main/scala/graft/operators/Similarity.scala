@@ -1018,7 +1018,11 @@ object Similarity {
       col("vec").cast("array<double>").as("dv"))
     val cc = store.vectors.select(
       col(store.idCol).cast("long").as("c_id"), col("cell"))
+    // the store's cell ids carry the RAW id type the index was built
+    // from (writeIvfStore does not cast) — cast before the collect so
+    // an IntegerType-keyed store doesn't ClassCastException here
     val cents = store.centroids
+      .select(col("cell").cast("long").as("cell"), col("cent_vec"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList))
       .sortBy(_._1).toList
     recallSweepCore(vecs, cc, cents, queries, queryId, queryVec, k,

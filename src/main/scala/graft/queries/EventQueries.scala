@@ -1042,25 +1042,21 @@ object EventQueries {
          |  FROM inc GROUP BY 1, 2)
          |SELECT row, pos, cnt, CAST(1 AS BIGINT) AS applied
          |FROM cells ORDER BY row, pos""".stripMargin) { (s, dir) =>
+      import graft.streaming.IncrementalLoad
       val ev = Tables.events(s, dir)
         .select(col("ts"), col("user_id").as("k"))
       val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
       val (lo, hi) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
       val cut = new java.sql.Timestamp(
         lo.getTime + (hi.getTime - lo.getTime) / 2)
-      val root = java.nio.file.Files.createTempDirectory("graft_q248")
-      ev.filter(col("ts") < lit(cut)).coalesce(1)
-        .write.parquet(root.resolve("in/a").toString)
-      ev.filter(col("ts") >= lit(cut)).coalesce(1)
-        .write.parquet(root.resolve("in/b").toString)
-      val stream = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(root.toString + "/in/*/")
+      val (stream, root) = IncrementalLoad.stageTwoFileStream(
+        ev, col("ts") < lit(cut), "graft_q248")
       val store = root.resolve("store").toString
-      val q = graft.streaming.IncrementalLoad.streamingCountMinFold(
+      val q = IncrementalLoad.streamingCountMinFold(
         s, stream, "k", store, root.resolve("ckpt").toString,
         depth = d, width = w)
       require(q.awaitTermination(300000), "q248 stream did not drain")
+      IncrementalLoad.cleanStaging(root)
       s.read.parquet(s"$store/cells")
         .select(col("row"), col("pos"), col("cnt"), col("applied"))
         .orderBy(col("row"), col("pos"))

@@ -2147,24 +2147,20 @@ object RelationalQueries {
          |  ORDER BY h, key LIMIT $k)
          |SELECT h, key, value, CAST(1 AS BIGINT) AS applied
          |FROM s ORDER BY h, key""".stripMargin) { (s, dir) =>
+      import graft.streaming.IncrementalLoad
       val cust = Tables.customer(s, dir)
         .select(col("c_custkey").as("key"), col("c_acctbal").as("v"))
       val bounds = cust.agg(min(col("key")), max(col("key"))).head()
       val cut = bounds.getLong(0) +
         (bounds.getLong(1) - bounds.getLong(0)) / 2
-      val root = java.nio.file.Files.createTempDirectory("graft_q250")
-      cust.filter(col("key") < cut).coalesce(1)
-        .write.parquet(root.resolve("in/a").toString)
-      cust.filter(col("key") >= cut).coalesce(1)
-        .write.parquet(root.resolve("in/b").toString)
-      val stream = s.readStream.schema(cust.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(root.toString + "/in/*/")
+      val (stream, root) = IncrementalLoad.stageTwoFileStream(
+        cust, col("key") < cut, "graft_q250")
       val store = root.resolve("store").toString
-      val q = graft.streaming.IncrementalLoad.streamingQuantileFold(
+      val q = IncrementalLoad.streamingQuantileFold(
         s, stream, "key", "v", store, root.resolve("ckpt").toString,
         k = k)
       require(q.awaitTermination(300000), "q250 stream did not drain")
+      IncrementalLoad.cleanStaging(root)
       s.read.parquet(s"$store/rows")
         .select(col("h"), col("key"), col("value"), col("applied"))
         .orderBy(col("h"), col("key"))

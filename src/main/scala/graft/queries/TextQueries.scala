@@ -2155,6 +2155,29 @@ object TextQueries {
     }
   }
 
+  /** q183/q249's shared deterministic drift rule — every 3rd doc
+    * lengthened by [[driftPad]], every 5th truncated to 10 tokens —
+    * and the shared 5-bucket length spine, each with ONE Spark and
+    * ONE SQL spelling (the BackboneSql single-source discipline):
+    * q249's claim that its streamed snapshot IS q183's cannot drift. */
+  private val driftPad = " padding tokens extra appended here now for drift"
+  private def driftedText: org.apache.spark.sql.Column =
+    when(col("doc_id") % 3 === 0, concat(col("text"), lit(driftPad)))
+      .when(col("doc_id") % 5 === 1,
+        array_join(slice(split(col("text"), " "), 1, 10), " "))
+      .otherwise(col("text"))
+  private val sqlDriftedText: String =
+    s"""CASE
+       |    WHEN doc_id % 3 = 0 THEN text || '$driftPad'
+       |    WHEN doc_id % 5 = 1 THEN array_to_string(
+       |      (string_split(text, ' '))[1:10], ' ')
+       |    ELSE text END""".stripMargin
+  private def lenBucket(len: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    least(lit(4L), floor(len.cast("double") / lit(150.0)).cast("long"))
+  private def sqlLenBucket(e: String): String =
+    s"LEAST(4, CAST(floor($e / 150.0) AS BIGINT))"
+
   /** q249: end-to-end STREAMING drift monitor (★ — q183's PSI run the
     * way production runs it, completing the q248 wire family for the
     * histogram store): the DRIFTED snapshot (q183's deterministic b —
@@ -2172,19 +2195,13 @@ object TextQueries {
     * micro-batches folded with the idempotence bookkeeping committed
     * alongside the counts ([[graft.operators.Stores]]). */
   val q249StreamingDrift: QuerySpec = {
-    val pad = " padding tokens extra appended here now for drift"
     QuerySpec(
       "q249_streaming_drift",
       s"""WITH raw AS (
-         |  SELECT LEAST(4, CAST(floor(length(text) / 150.0) AS BIGINT))
-         |    AS bucket
+         |  SELECT ${sqlLenBucket("length(text)")} AS bucket
          |  FROM documents),
          |drift AS (
-         |  SELECT LEAST(4, CAST(floor(length(CASE
-         |      WHEN doc_id % 3 = 0 THEN text || '$pad'
-         |      WHEN doc_id % 5 = 1 THEN array_to_string(
-         |        (string_split(text, ' '))[1:10], ' ')
-         |      ELSE text END) / 150.0) AS BIGINT)) AS bucket
+         |  SELECT ${sqlLenBucket(s"length($sqlDriftedText)")} AS bucket
          |  FROM documents),
          |spine AS (SELECT unnest(range(0, 5)) AS bucket),
          |cr AS (
@@ -2209,33 +2226,22 @@ object TextQueries {
          |FROM cnt CROSS JOIN tot ORDER BY bucket""".stripMargin) {
       (s, dir) =>
         import graft.operators.Audit
+        import graft.streaming.IncrementalLoad
         val d = Tables.documents(s, dir)
-        def bucketOf(len: org.apache.spark.sql.Column) =
-          least(lit(4L),
-            floor(len.cast("double") / lit(150.0)).cast("long"))
         val drifted = d.select(col("doc_id"),
-          bucketOf(length(
-            when(col("doc_id") % 3 === 0, concat(col("text"), lit(pad)))
-              .when(col("doc_id") % 5 === 1,
-                array_join(slice(split(col("text"), " "), 1, 10), " "))
-              .otherwise(col("text")))).as("bucket"))
+          lenBucket(length(driftedText)).as("bucket"))
         val bounds = drifted.agg(min(col("doc_id")), max(col("doc_id")))
           .head()
         val cut = bounds.getLong(0) +
           (bounds.getLong(1) - bounds.getLong(0)) / 2
-        val root = java.nio.file.Files.createTempDirectory("graft_q249")
-        drifted.filter(col("doc_id") < cut).coalesce(1)
-          .write.parquet(root.resolve("in/a").toString)
-        drifted.filter(col("doc_id") >= cut).coalesce(1)
-          .write.parquet(root.resolve("in/b").toString)
-        val stream = s.readStream.schema(drifted.schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(root.toString + "/in/*/")
+        val (stream, root) = IncrementalLoad.stageTwoFileStream(
+          drifted, col("doc_id") < cut, "graft_q249")
         val store = root.resolve("store").toString
-        val q = graft.streaming.IncrementalLoad.streamingDriftFold(
+        val q = IncrementalLoad.streamingDriftFold(
           s, stream, "bucket", store, root.resolve("ckpt").toString)
         require(q.awaitTermination(300000), "q249 stream did not drain")
-        val ref = d.select(bucketOf(length(col("text"))).as("bucket"))
+        IncrementalLoad.cleanStaging(root)
+        val ref = d.select(lenBucket(length(col("text"))).as("bucket"))
           .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
         val applied = s.read.parquet(store)
           .agg(max(col("applied"))).head().getLong(0)
@@ -2254,21 +2260,15 @@ object TextQueries {
     * round to 6 (the q115 ln discipline); bucket spine is dense so
     * both engines agree on empty buckets. */
   val q183LengthPsi: QuerySpec = {
-    val pad = " padding tokens extra appended here now for drift"
     QuerySpec(
       "q183_length_psi",
       s"""WITH snap AS (
          |  SELECT 'a' AS snap, length(text) AS len FROM documents
          |  UNION ALL
-         |  SELECT 'b', length(CASE
-         |    WHEN doc_id % 3 = 0 THEN text || '$pad'
-         |    WHEN doc_id % 5 = 1 THEN array_to_string(
-         |      (string_split(text, ' '))[1:10], ' ')
-         |    ELSE text END)
+         |  SELECT 'b', length($sqlDriftedText)
          |  FROM documents),
          |bk AS (
-         |  SELECT snap, LEAST(4, CAST(floor(len / 150.0) AS BIGINT))
-         |    AS bucket
+         |  SELECT snap, ${sqlLenBucket("len")} AS bucket
          |  FROM snap),
          |spine AS (SELECT unnest(range(0, 5)) AS bucket),
          |cnt0 AS (
@@ -2295,14 +2295,9 @@ object TextQueries {
         val a = d.select(lit("a").as("snap"),
           length(col("text")).cast("long").as("len"))
         val b = d.select(lit("b").as("snap"),
-          length(when(col("doc_id") % 3 === 0, concat(col("text"), lit(pad)))
-            .when(col("doc_id") % 5 === 1,
-              array_join(slice(split(col("text"), " "), 1, 10), " "))
-            .otherwise(col("text"))).cast("long").as("len"))
+          length(driftedText).cast("long").as("len"))
         val bk = a.unionByName(b)
-          .select(col("snap"),
-            least(lit(4L), floor(col("len").cast("double") / lit(150.0))
-              .cast("long")).as("bucket"))
+          .select(col("snap"), lenBucket(col("len")).as("bucket"))
         val spine = s.range(0, 5).select(col("id").as("bucket"))
         val cnt0 = bk.groupBy(col("bucket"))
           .agg(sum(when(col("snap") === "a", 1L).otherwise(0L)).as("n_a"),

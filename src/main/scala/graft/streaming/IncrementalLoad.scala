@@ -16,6 +16,42 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IncrementalLoad {
 
+  /** Stage a frame as TWO single-file parquet datasets split by the
+    * `firstHalf` predicate under a fresh temp root, and return the
+    * file-source stream over them (`maxFilesPerTrigger = 1` → exactly
+    * two micro-batches) plus the root for store/checkpoint paths —
+    * the q216 wire's staging, shared by every end-to-end streaming
+    * query so the split/glob/trigger plumbing has one source.
+    * `firstHalf` must be a predicate over non-null columns (a null
+    * evaluation would drop the row from BOTH halves). */
+  def stageTwoFileStream(df: DataFrame, firstHalf: org.apache.spark.sql.Column,
+                         tag: String): (DataFrame, java.nio.file.Path) = {
+    val root = java.nio.file.Files.createTempDirectory(tag)
+    df.filter(firstHalf).coalesce(1)
+      .write.parquet(root.resolve("in/a").toString)
+    df.filter(!firstHalf).coalesce(1)
+      .write.parquet(root.resolve("in/b").toString)
+    val stream = df.sparkSession.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in/*/")
+    (stream, root)
+  }
+
+  /** Delete a drained wire's STAGING and CHECKPOINT dirs (the store
+    * stays — the query's returned plan reads it), bounding the temp
+    * footprint to the kilobyte store instead of leaking a table copy
+    * per invocation (bench runs each wire 3+ times per session). */
+  def cleanStaging(root: java.nio.file.Path): Unit =
+    Seq("in", "ckpt").foreach { d =>
+      val p = root.resolve(d)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+
   /** Daily fact load (`daily_dag.py:89-117` semantics, plus the J2
     * dedup the reference forgot on this path — SURVEY §7.5.5):
     * date-part derivation + key-deduped partitioned append. */

@@ -199,7 +199,11 @@ class PlanAuditSpec extends SparkSpecBase {
   test("q229 backbone pair generation is pre-capped per order: the " +
       "item-list top-k window precedes the quadratic self-join") {
     val plan = planOf("q229_triangle_count")
-    assert(plan.contains("<= 64"),
+    // anchor on topKPerGroup's rn column so the assertion can neither
+    // pass on an unrelated 64 elsewhere in the plan nor survive the
+    // cap window's removal
+    assert(java.util.regex.Pattern.compile("rn#\\d+L? <= 64")
+        .matcher(plan).find(),
       s"the 64-item per-order cap filter (BackboneSql.maxItemsPerOrder," +
         s" the q205 prune-before-pair-gen discipline) is missing:\n$plan")
   }

@@ -541,6 +541,21 @@ class SimilaritySpec extends SparkSpecBase {
     val recalls = grown.map(_.getDouble(3)).toSeq
     assert(recalls == recalls.sorted && recalls.last === 1.0,
       "the grown index's curve must stay monotone to 1")
+    // an IntegerType-keyed store must sweep too: the store's cell ids
+    // carry the raw id type (writeIvfStore does not cast), so the
+    // overload's centroid collect must cast before reading longs
+    val intIds = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)),
+      (2, Seq(0.9, 0.1)), (3, Seq(0.1, 0.9))).toDF("id", "v")
+    val idir = java.nio.file.Files
+      .createTempDirectory("graft_sweep_int").toString
+    Similarity.writeIvfStore(intIds, "id", "v", idir,
+      numCells = 2, kmeansIters = 0)
+    val ints = Similarity.ivfRecallSweep(
+      Similarity.readIvfStore(spark, idir),
+      intIds.filter(col("id") < 2), "id", "v", k = 1)
+      .orderBy(col("nprobe")).collect()
+    assert(ints.last.getDouble(3) === 1.0,
+      "int-keyed store sweep must reach recall 1")
   }
 
   test("clusterQualityAudit is invariant under repartitioning") {
