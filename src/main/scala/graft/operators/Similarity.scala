@@ -155,6 +155,15 @@ object Similarity {
     * centroid set is small BY CONTRACT (≤4096, guarded at the call
     * sites) — the `lit(true)` join is a deliberate broadcast cross
     * join against that bounded side, NOT a data-sized cross product. */
+  // Assignment stays the explode+window form deliberately. Round-10
+  // A/B'd two "join-free" alternatives at sf1/sf10: an in-row
+  // `transform` over a collected centroid array (higher-order-function
+  // lambdas run INTERPRETED — 1.3–1.7× slower end to end) and the
+  // q227-style codegen'd literal-centroid rank (2× faster at sf0.1
+  // but 2.5× slower at sf1 — the narrow scan input collapses the
+  // downstream pair stage's parallelism under AQE coalescing). The
+  // window form keeps every stage codegen'd and well-partitioned; its
+  // N×numCells intermediate is the measured-cheapest of the three.
   private def assignCells(df: DataFrame, centroids: DataFrame,
                           id: String, vec: String, n: Int): DataFrame =
     Relational.topKPerGroup(
