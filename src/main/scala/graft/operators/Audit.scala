@@ -149,23 +149,22 @@ object Audit {
     val inc = batch
       .groupBy(col(bucketCol).cast("long").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val exists =
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
     val merged =
-      if (!exists) inc
+      if (!Stores.payloadExists(spark, path)) inc
       else readHistogramStore(spark, path).unionByName(inc)
         .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
-    // detach from the path about to be overwritten (the CountMin
-    // foldIntoStore discipline), then drop the checkpoint blocks
-    val pinned = Stores.stamp(merged, applied).localCheckpoint(true)
-    pinned.coalesce(1).write.mode("overwrite").parquet(path)
-    Graph.checkpointRdd(pinned).foreach(_.unpersist(false))
+    // the merge reads the current generation and commits the next
+    // (Stores.commitPayload), so read and write never touch the same
+    // files and a crash mid-write cannot erase the committed counts
+    Stores.commitPayload(spark, path) { dir =>
+      Stores.stamp(merged, applied)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
   }
 
   def readHistogramStore(spark: org.apache.spark.sql.SparkSession,
                          path: String): DataFrame =
-    spark.read.parquet(path)
+    Stores.readPayload(spark, path)
       .select(col("bucket").cast("long"), col("cnt").cast("long"))
 
   /** Laplace-smoothed population-stability-index terms between a

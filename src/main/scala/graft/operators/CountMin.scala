@@ -75,9 +75,10 @@ object CountMin {
     * `applied` stamps the cells write with the highest foreachBatch
     * id folded in ([[Stores]]); -1 for batch-built stores.
     *
-    * Write ORDER is the crash contract: params first, stamped cells
-    * second, so the cells write is the single commit point. A crash
-    * after params but before cells leaves no cells dir — readers and
+    * Write ORDER is the crash contract: params first, committed cells
+    * second, so the cells commit (a [[Stores.commitPayload]] pointer
+    * flip) is the single commit point. A crash after params but
+    * before the flip leaves no committed cells — readers and
     * [[foldIntoStore]] treat the store as absent and the creation
     * batch re-folds cleanly. (The reverse order had a window where a
     * stamped-but-manifestless store made the replay a no-op while the
@@ -92,11 +93,15 @@ object CountMin {
 
   /** The commit write alone — used by the merge branch, where the
     * manifest is immutable and rewriting it would reopen the very
-    * params/payload desync window [[writeStore]]'s ordering closes. */
+    * params/payload desync window [[writeStore]]'s ordering closes.
+    * The write lands in a fresh generation dir and commits via the
+    * pointer flip ([[Stores.commitPayload]]), so a crash mid-write
+    * can never erase the previously committed grid. */
   private def writeCells(cells: DataFrame, path: String,
                          applied: Long): Unit =
-    Stores.stamp(cells, applied)
-      .write.mode("overwrite").parquet(s"$path/cells")
+    Stores.commitPayload(cells.sparkSession, s"$path/cells") { dir =>
+      Stores.stamp(cells, applied).write.mode("overwrite").parquet(dir)
+    }
 
   /** Read a [[writeStore]] grid back, manifest included (the
     * idempotence stamp stays out of query plans). */
@@ -104,7 +109,8 @@ object CountMin {
                 path: String): CountMinStore = {
     val p = spark.read.parquet(s"$path/params").head()
     CountMinStore(
-      spark.read.parquet(s"$path/cells").select("row", "pos", "cnt"),
+      Stores.readPayload(spark, s"$path/cells")
+        .select("row", "pos", "cnt"),
       p.getAs[Int]("depth"), p.getAs[Int]("width"))
   }
 
@@ -112,25 +118,23 @@ object CountMin {
     * the store with (`depth`, `width`) when absent, otherwise sketch
     * the batch with the MANIFEST's parameters (the caller's are for
     * creation only — a drifted caller cannot corrupt an existing
-    * grid) and overwrite with the merged cells. The merged frame is
-    * eagerly materialized (localCheckpoint) before the overwrite so
-    * the read and the write of the same path cannot interleave; the
-    * grid is ≤ depth×width rows, so this is kilobytes.
+    * grid) and commit the merged cells. The merge reads the current
+    * generation and writes the NEXT ([[Stores.commitPayload]]), so
+    * the read and the write can never touch the same files; the grid
+    * is ≤ depth×width rows, so this is kilobytes.
     *
     * `batchId` (a foreachBatch id) makes the fold replay-idempotent:
     * a batch whose id is already stamped into the store is a no-op
     * (see [[Stores]] for why the stamp rides the cells write).
     * Existence — and therefore the replay guard — keys on the CELLS
-    * dir, the commit point: a stamp can only exist inside committed
-    * cells, and committed cells imply the params manifest (written
-    * first), so stamp-present always means fully committed. */
+    * pointer, the commit point: a stamp can only exist inside
+    * committed cells, and committed cells imply the params manifest
+    * (written first), so stamp-present always means fully committed. */
   def foldIntoStore(batch: DataFrame, valueCol: String, path: String,
                     depth: Int, width: Int,
                     batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
-    val hp = new org.apache.hadoop.fs.Path(s"$path/cells")
-    val exists =
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    val exists = Stores.payloadExists(spark, s"$path/cells")
     val last = Stores.lastApplied(spark, s"$path/cells")
     if (batchId.exists(_ <= last)) return // replayed micro-batch
     val applied = math.max(last, batchId.getOrElse(-1L))
@@ -142,11 +146,8 @@ object CountMin {
       val grown = merge(
         store.cells.unionByName(
           sketch(batch, Seq.empty, valueCol, store.depth, store.width)),
-        Seq.empty).localCheckpoint(true)
+        Seq.empty)
       writeCells(grown, path, applied) // manifest immutable: cells only
-      // checkpoint blocks live on the LogicalRDD, not a CacheManager
-      // entry — the pageRank discipline (Graph.checkpointRdd)
-      Graph.checkpointRdd(grown).foreach(_.unpersist(false))
     }
   }
 

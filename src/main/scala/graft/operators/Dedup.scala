@@ -445,9 +445,28 @@ object Dedup {
 
   /** Read a [[writeMinhashStore]] index back, validating the manifest
     * against this library's hash constants (see [[MinhashStore]] for
-    * why a silent mismatch is unacceptable). */
+    * why a silent mismatch is unacceptable). Includes any
+    * gate-committed generations ([[gateAppends]]) so every reader
+    * sees the grown index, not just the base build. */
   def readMinhashStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): MinhashStore = {
+    val base = readMinhashStoreBase(spark, path)
+    def grown(ds: String, b: DataFrame): DataFrame =
+      gateAppends(spark, path, ds)
+        .map(g => b.unionByName(g.select(b.columns.map(col).toSeq: _*)))
+        .getOrElse(b)
+    base.copy(buckets = grown("buckets", base.buckets),
+      shingles = grown("shingles", base.shingles))
+  }
+
+  /** The base build alone — what [[writeMinhashStore]] wrote, without
+    * gate generations. The streaming gate composes this with the
+    * generations committed strictly before its own batch id
+    * (decide-once replay semantics — see
+    * [[graft.streaming.IncrementalLoad.streamingNearDupGate]]). */
+  private[graft] def readMinhashStoreBase(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): MinhashStore = {
     val p = spark.read.parquet(s"$path/params").head()
     val hc = p.getAs[Long]("horner_c")
     val mp = p.getAs[Long]("minhash_p")
@@ -461,6 +480,30 @@ object Dedup {
       p.getAs[String]("key_col"), p.getAs[Int]("k"),
       p.getAs[Int]("num_hashes"), p.getAs[Int]("bands"))
   }
+
+  /** Gate-committed generations of dataset `ds` ("buckets" or
+    * "shingles"): each streaming micro-batch's admitted rows live in
+    * `<path>/<ds>-batches/batch=<id>` — an idempotent per-batch
+    * OVERWRITE, never an append, so a replayed batch rewrites its own
+    * generation instead of duplicating rows. The partition column
+    * `batch` is exposed for the gate's own-batch exclusion. None when
+    * no gate has ever admitted. */
+  private[graft] def gateAppends(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, ds: String): Option[DataFrame] = {
+    val root = s"$path/$ds-batches"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    if (!hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(hp)) None
+    else Some(spark.read.parquet(root))
+  }
+
+  /** Overwrite one gate generation — idempotent for a given batch id
+    * by construction. */
+  private[graft] def writeGateAppend(rows: DataFrame, path: String,
+                                     ds: String, batchId: Long): Unit =
+    rows.write.mode("overwrite")
+      .parquet(s"$path/$ds-batches/batch=$batchId")
 
   /** Admit a batch into a persisted index: append its band buckets
     * and shingles, signed with the INDEX's manifest parameters (read,

@@ -359,7 +359,7 @@ object Graph {
     * local checkpointing rewrites the plan to a [[LogicalRDD]] leaf
     * wrapping the materialized internal RDD — that RDD (not any
     * Dataset-level cache entry) is what holds the storage blocks. */
-  private[operators] def checkpointRdd(df: DataFrame)
+  private[graft] def checkpointRdd(df: DataFrame)
       : Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd

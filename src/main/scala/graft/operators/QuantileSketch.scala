@@ -127,9 +127,10 @@ object QuantileSketch {
   final case class QuantileStore(rows: DataFrame, k: Int)
 
   /** Write ORDER is the crash contract (the [[CountMin.writeStore]]
-    * discipline): params first, stamped rows second, so the rows
-    * write is the single commit point — a crash in between leaves no
-    * rows dir and the creation batch re-folds cleanly, instead of a
+    * discipline): params first, committed rows second, so the rows
+    * commit (a [[Stores.commitPayload]] pointer flip) is the single
+    * commit point — a crash in between leaves no committed rows and
+    * the creation batch re-folds cleanly, instead of a
     * stamped-but-manifestless store that silently erases prior
     * samples on the next fold. */
   def writeStore(sk: DataFrame, path: String, k: Int,
@@ -141,19 +142,24 @@ object QuantileSketch {
 
   /** The commit write alone — the merge branch's write (manifest
     * immutable after creation, so rewriting it would reopen the
-    * desync window the [[writeStore]] ordering closes). */
+    * desync window the [[writeStore]] ordering closes). Lands in a
+    * fresh generation dir and commits via the pointer flip, so a
+    * crash mid-write can never erase the committed sample. */
   private def writeRows(sk: DataFrame, path: String,
                         applied: Long): Unit =
-    Stores.stamp(
-        sk.select(col("h"), col("key").cast("string").as("key"),
-          col("value").cast("double").as("value")), applied)
-      .write.mode("overwrite").parquet(s"$path/rows")
+    Stores.commitPayload(sk.sparkSession, s"$path/rows") { dir =>
+      Stores.stamp(
+          sk.select(col("h"), col("key").cast("string").as("key"),
+            col("value").cast("double").as("value")), applied)
+        .write.mode("overwrite").parquet(dir)
+    }
 
   def readStore(spark: org.apache.spark.sql.SparkSession,
                 path: String): QuantileStore = {
     val p = spark.read.parquet(s"$path/params").head()
     QuantileStore(
-      spark.read.parquet(s"$path/rows").select("h", "key", "value"),
+      Stores.readPayload(spark, s"$path/rows")
+        .select("h", "key", "value"),
       p.getAs[Int]("k"))
   }
 
@@ -162,23 +168,22 @@ object QuantileSketch {
     * MANIFEST's k, union with the stored rows, collapse re-folded
     * keys (a re-ingested key keeps its smallest observed value — a
     * deterministic policy; callers whose values mutate should version
-    * their keys), and re-take the bottom-k. The result is eagerly
-    * materialized before the overwrite so the read and write of the
-    * same path cannot interleave; the store is ≤ k rows.
+    * their keys), and re-take the bottom-k. The merge reads the
+    * current generation and commits the next
+    * ([[Stores.commitPayload]]), so the read and the write can never
+    * touch the same files; the store is ≤ k rows.
     *
     * `batchId` (a foreachBatch id) makes the fold replay-idempotent:
     * a batch whose id is already stamped into the store is a no-op
     * (see [[Stores]] for why the stamp rides the rows write).
-    * Existence — and the replay guard — keys on the ROWS dir, the
+    * Existence — and the replay guard — keys on the ROWS pointer, the
     * commit point: committed rows imply the params manifest (written
     * first), so stamp-present always means fully committed. */
   def foldIntoStore(batch: DataFrame, keyCol: String, valueCol: String,
                     path: String, k: Int,
                     batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
-    val hp = new org.apache.hadoop.fs.Path(s"$path/rows")
-    val exists =
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    val exists = Stores.payloadExists(spark, s"$path/rows")
     val last = Stores.lastApplied(spark, s"$path/rows")
     if (batchId.exists(_ <= last)) return // replayed micro-batch
     val applied = math.max(last, batchId.getOrElse(-1L))
@@ -199,9 +204,8 @@ object QuantileSketch {
         store.rows.unionByName(batchOf(store.k))
           .groupBy(col("h"), col("key"))
           .agg(min(col("value")).as("value")),
-        store.k).localCheckpoint(true)
+        store.k)
       writeRows(grown, path, applied) // manifest immutable: rows only
-      Graph.checkpointRdd(grown).foreach(_.unpersist(false))
     }
   }
 }

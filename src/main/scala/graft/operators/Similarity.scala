@@ -382,9 +382,27 @@ object Similarity {
 
   /** Read a [[writeIvfStore]] index back, refusing one signed under a
     * different rounding contract (a silently drifted probe ranks
-    * candidates differently than the index's builder did). */
+    * candidates differently than the index's builder did). Includes
+    * any gate-committed vector generations ([[gateVectors]]) so every
+    * reader sees the grown index, not just the base build. */
   def readIvfStore(spark: org.apache.spark.sql.SparkSession,
                    path: String): IvfStore = {
+    val base = readIvfStoreBase(spark, path)
+    val vectors = gateVectors(spark, path)
+      .map(g => base.vectors.unionByName(
+        g.select(base.vectors.columns.map(col).toSeq: _*)))
+      .getOrElse(base.vectors)
+    base.copy(vectors = vectors)
+  }
+
+  /** The base build alone — what [[writeIvfStore]] wrote (plus any
+    * [[appendToIvfStore]] batch appends), without gate generations.
+    * The streaming gate composes this with the generations committed
+    * strictly before its own batch id (decide-once replay semantics —
+    * see [[graft.streaming.IncrementalLoad.streamingSemanticGate]]). */
+  private[graft] def readIvfStoreBase(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfStore = {
     val p = spark.read.parquet(s"$path/params").head()
     val rs = p.getAs[Int]("round_scale")
     require(rs == CosineRoundScale,
@@ -396,6 +414,30 @@ object Similarity {
       p.getAs[String]("id_col"), p.getAs[Int]("num_cells"),
       p.getAs[Int]("kmeans_iters"))
   }
+
+  /** Gate-committed vector generations: each streaming micro-batch's
+    * admitted vectors live in `<path>/vectors-batches/batch=<id>` —
+    * an idempotent per-batch OVERWRITE, never an append, so a
+    * replayed batch rewrites its own generation instead of
+    * duplicating vectors. The partition column `batch` is exposed for
+    * the gate's own-batch exclusion. None when no gate has ever
+    * admitted. */
+  private[graft] def gateVectors(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val root = s"$path/vectors-batches"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    if (!hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(hp)) None
+    else Some(spark.read.parquet(root))
+  }
+
+  /** Overwrite one gate generation — idempotent for a given batch id
+    * by construction. */
+  private[graft] def writeGateVectors(rows: DataFrame, path: String,
+                                      batchId: Long): Unit =
+    rows.write.mode("overwrite")
+      .parquet(s"$path/vectors-batches/batch=$batchId")
 
   /** Admit a batch into a persisted index: cells assigned by the
     * INDEX's own frozen centroids (read, not caller-supplied — a

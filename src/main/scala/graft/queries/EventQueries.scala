@@ -1057,7 +1057,7 @@ object EventQueries {
         depth = d, width = w)
       require(q.awaitTermination(300000), "q248 stream did not drain")
       IncrementalLoad.cleanStaging(root)
-      s.read.parquet(s"$store/cells")
+      graft.operators.Stores.readPayload(s, s"$store/cells")
         .select(col("row"), col("pos"), col("cnt"), col("applied"))
         .orderBy(col("row"), col("pos"))
     }

@@ -2161,7 +2161,7 @@ object RelationalQueries {
         k = k)
       require(q.awaitTermination(300000), "q250 stream did not drain")
       IncrementalLoad.cleanStaging(root)
-      s.read.parquet(s"$store/rows")
+      graft.operators.Stores.readPayload(s, s"$store/rows")
         .select(col("h"), col("key"), col("value"), col("applied"))
         .orderBy(col("h"), col("key"))
     }

@@ -2243,7 +2243,7 @@ object TextQueries {
         IncrementalLoad.cleanStaging(root)
         val ref = d.select(lenBucket(length(col("text"))).as("bucket"))
           .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
-        val applied = s.read.parquet(store)
+        val applied = graft.operators.Stores.readPayload(s, store)
           .agg(max(col("applied"))).head().getLong(0)
         Audit.psiTerms(ref, Audit.readHistogramStore(s, store), 5)
           .withColumn("applied", lit(applied))

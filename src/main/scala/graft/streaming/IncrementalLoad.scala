@@ -46,8 +46,12 @@ object IncrementalLoad {
       val p = root.resolve(d)
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
+        // materialize under Using so the walk's directory handles are
+        // closed even when the traversal throws mid-stream
+        val paths = scala.util.Using.resource(java.nio.file.Files.walk(p)) {
+          _.iterator().asScala.toSeq
+        }
+        paths.sortBy(-_.getNameCount)
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
@@ -106,7 +110,23 @@ object IncrementalLoad {
     * probe plan reads only the store's (band, bucket) / (key, shingle)
     * columns. Micro-batches serialize through the sink (standard
     * foreachBatch semantics), so index append and next-batch probe
-    * cannot race. */
+    * cannot race.
+    *
+    * EXACTLY-ONCE under foreachBatch's at-least-once replay, by
+    * decide-once + idempotent rewrites (no plain append anywhere):
+    *  - the probe composes the BASE index with gate generations from
+    *    batches STRICTLY BEFORE this id, so a replay — with its own
+    *    partial writes present, or later generations present after a
+    *    checkpoint rewind — recomputes the identical admit set;
+    *  - admitted rows, their band buckets, and their shingles each
+    *    OVERWRITE a per-batch generation dir (`.../batch=<id>`), so a
+    *    replayed batch rewrites rather than duplicates, and the
+    *    buckets/shingles pair can never desync (a crash between the
+    *    two writes is healed by the rewrite);
+    *  - a committed batch is recorded in the `gatelog` marker (the
+    *    [[graft.operators.Stores]] pointer protocol) and replays of
+    *    it are skipped outright; losing the marker mid-flip merely
+    *    degrades to one idempotent re-fold. */
   def streamingNearDupGate(spark: SparkSession, stream: DataFrame,
                            textCol: String, storePath: String,
                            admittedPath: String, checkpoint: String,
@@ -114,16 +134,43 @@ object IncrementalLoad {
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        import org.apache.spark.sql.functions.col
-        val idx = graft.operators.Dedup.readMinhashStore(spark, storePath)
-        val flagged = graft.operators.Dedup
-          .minhashNearDupAgainstStore(batch, textCol, idx, threshold)
-          .select(col("b").as(idx.keyCol))
-        val admitted = batch.join(flagged, Seq(idx.keyCol), "left_anti")
-        admitted.write.mode("append").parquet(admittedPath)
-        graft.operators.Dedup.appendToMinhashStore(admitted, textCol,
-          storePath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val D = graft.operators.Dedup
+        val gatelog = s"$storePath/gatelog"
+        if (batchId > graft.operators.Stores.lastApplied(spark, gatelog)) {
+          val base = D.readMinhashStoreBase(spark, storePath)
+          def upTo(ds: String, b: DataFrame): DataFrame =
+            D.gateAppends(spark, storePath, ds)
+              .map(g => b.unionByName(g.filter(col("batch") < batchId)
+                .select(b.columns.map(col).toSeq: _*)))
+              .getOrElse(b)
+          val flagged = D.minhashNearDupAgainstStore(batch, base.keyCol,
+              textCol, upTo("buckets", base.buckets),
+              upTo("shingles", base.shingles), base.k, base.numHashes,
+              base.bands, threshold)
+            .select(col("b").as(base.keyCol))
+          val admitted = batch.join(flagged, Seq(base.keyCol), "left_anti")
+            .localCheckpoint(true)
+          if (admitted.count() > 0) {
+            admitted.write.mode("overwrite")
+              .parquet(s"$admittedPath/batch=$batchId")
+            D.writeGateAppend(
+              D.minhashBandBuckets(admitted, base.keyCol, textCol,
+                base.k, base.numHashes, base.bands),
+              storePath, "buckets", batchId)
+            D.writeGateAppend(
+              D.portableShingleHashes(admitted, base.keyCol, textCol,
+                base.k),
+              storePath, "shingles", batchId)
+          }
+          graft.operators.Stores.commitPayload(spark, gatelog) { dir =>
+            spark.range(1).select(lit(batchId).as("applied"))
+              .write.mode("overwrite").parquet(dir)
+          }
+          graft.operators.Graph.checkpointRdd(admitted)
+            .foreach(_.unpersist(false))
+        }
       }
       .start()
 
@@ -140,7 +187,13 @@ object IncrementalLoad {
     * the cell join, so the store vectors stream in place (PlanAuditSpec
     * pins this); the store parquet is re-read per batch — the corpus
     * is never re-assigned. Micro-batches serialize through
-    * foreachBatch, so index append and next-batch probe cannot race. */
+    * foreachBatch, so index append and next-batch probe cannot race.
+    *
+    * EXACTLY-ONCE under replay by the [[streamingNearDupGate]]
+    * protocol: decide-once probes (base index + generations strictly
+    * before this batch id), per-batch OVERWRITE generations for both
+    * the admitted sink and the index vectors, and the `gatelog`
+    * committed-batch marker. */
   def streamingSemanticGate(spark: SparkSession, stream: DataFrame,
                             vecCol: String, storePath: String,
                             admittedPath: String, checkpoint: String,
@@ -148,16 +201,37 @@ object IncrementalLoad {
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        import org.apache.spark.sql.functions.col
-        val idx = graft.operators.Similarity.readIvfStore(spark, storePath)
-        val flagged = graft.operators.Similarity
-          .semanticDedupAgainstStore(batch, vecCol, idx, threshold)
-          .select(col("b").as(idx.idCol))
-        val admitted = batch.join(flagged, Seq(idx.idCol), "left_anti")
-        admitted.write.mode("append").parquet(admittedPath)
-        graft.operators.Similarity.appendToIvfStore(admitted, vecCol,
-          storePath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val S = graft.operators.Similarity
+        val gatelog = s"$storePath/gatelog"
+        if (batchId > graft.operators.Stores.lastApplied(spark, gatelog)) {
+          val base = S.readIvfStoreBase(spark, storePath)
+          val vectors = S.gateVectors(spark, storePath)
+            .map(g => base.vectors.unionByName(
+              g.filter(col("batch") < batchId)
+                .select(base.vectors.columns.map(col).toSeq: _*)))
+            .getOrElse(base.vectors)
+          val flagged = S.semanticDedupAgainstStore(batch, vecCol,
+              base.centroids, vectors, base.idCol, threshold)
+            .select(col("b").as(base.idCol))
+          val admitted = batch.join(flagged, Seq(base.idCol), "left_anti")
+            .localCheckpoint(true)
+          if (admitted.count() > 0) {
+            admitted.write.mode("overwrite")
+              .parquet(s"$admittedPath/batch=$batchId")
+            S.writeGateVectors(
+              S.ivfStoreRows(admitted, base.idCol, vecCol,
+                base.centroids),
+              storePath, batchId)
+          }
+          graft.operators.Stores.commitPayload(spark, gatelog) { dir =>
+            spark.range(1).select(lit(batchId).as("applied"))
+              .write.mode("overwrite").parquet(dir)
+          }
+          graft.operators.Graph.checkpointRdd(admitted)
+            .foreach(_.unpersist(false))
+        }
       }
       .start()
 

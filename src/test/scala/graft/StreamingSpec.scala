@@ -688,6 +688,60 @@ class StreamingSpec extends SparkSpecBase {
       "the re-folded creation batch must populate the sample")
   }
 
+  test("mid-merge crash: a generation written without a pointer flip " +
+      "leaves the committed history intact and the batch re-folds") {
+    import spark.implicits._
+    import graft.operators.{Audit, CountMin, Stores}
+    val root = java.nio.file.Files.createTempDirectory("graft_midcrash")
+    val b1 = (1L to 100L).map(_ % 11).toDF("v")
+    val b2 = (1L to 80L).map(i => (i * 3) % 13).toDF("v")
+    val cm = root.resolve("cm").toString
+    CountMin.foldIntoStore(b1, "v", cm, 4, 64, batchId = Some(0L))
+    def cmTotal(): Long = CountMin.readStore(spark, cm).cells
+      .agg(sum(col("cnt"))).head.getLong(0)
+    assert(cmTotal() == 100L * 4)
+    // simulate batch 1 crashing AFTER its merged generation was
+    // written but BEFORE the pointer flip — the window where the old
+    // mode("overwrite") protocol had already DELETED the committed
+    // payload, so a crash silently rebuilt the store from only the
+    // replayed batch
+    Stores.stamp(CountMin.sketch(b2, Seq.empty, "v", 4, 64), 1L)
+      .write.parquet(s"$cm/cells/g1")
+    assert(cmTotal() == 100L * 4,
+      "an uncommitted generation leaked into reads")
+    assert(Stores.lastApplied(spark, s"$cm/cells") == 0L,
+      "an uncommitted generation's stamp suppressed the replay")
+    // the re-delivered batch folds onto the intact history (its next
+    // generation write clobbers the garbage dir at the same number)
+    CountMin.foldIntoStore(b2, "v", cm, 4, 64, batchId = Some(1L))
+    assert(cmTotal() == (100L + 80L) * 4,
+      "history lost across the simulated mid-merge crash")
+    // exactly one committed generation remains after the sweep
+    val gens = new java.io.File(s"$cm/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("g\\d+"))
+    assert(gens.map(_.getName).toSeq == Seq("g1"),
+      s"superseded generations not swept: ${gens.mkString(",")}")
+    // and the replay of the now-committed batch is a no-op
+    CountMin.foldIntoStore(b2, "v", cm, 4, 64, batchId = Some(1L))
+    assert(cmTotal() == (100L + 80L) * 4)
+    // the histogram store (root-level payload) honors the same flip
+    val hist = root.resolve("hist").toString
+    Audit.histogramFoldIntoStore(b1.withColumnRenamed("v", "bucket"),
+      "bucket", hist, batchId = Some(0L))
+    Stores.stamp(
+        b2.groupBy(col("v").cast("long").as("bucket"))
+          .agg(count(lit(1)).as("cnt")), 1L)
+      .write.parquet(s"$hist/g1")
+    assert(Audit.readHistogramStore(spark, hist)
+      .agg(sum(col("cnt"))).head.getLong(0) == 100L,
+      "uncommitted histogram generation leaked into reads")
+    Audit.histogramFoldIntoStore(b2.withColumnRenamed("v", "bucket"),
+      "bucket", hist, batchId = Some(1L))
+    assert(Audit.readHistogramStore(spark, hist)
+      .agg(sum(col("cnt"))).head.getLong(0) == 180L,
+      "histogram history lost across the simulated mid-merge crash")
+  }
+
   test("crash replay through a real checkpoint: rewinding the commit " +
       "log past a folded batch re-delivers it as a no-op") {
     import spark.implicits._
@@ -738,5 +792,84 @@ class StreamingSpec extends SparkSpecBase {
       CountMin.readStore(spark, storePath).cells
         .select(col("row"), col("pos"), col("cnt").cast("long")),
       CountMin.sketch(b1.unionByName(b2), Seq.empty, "v", 4, 64))
+  }
+
+  test("gate replay: a checkpoint rewind plus a lost gatelog marker " +
+      "re-folds the batch idempotently — no duplicate admits, no " +
+      "desynced index") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Stores}
+    val root = java.nio.file.Files.createTempDirectory("graft_gatereplay")
+    val storePath = root.resolve("store").toString
+    val admittedPath = root.resolve("admitted").toString
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    Dedup.writeMinhashStore(corpus, "doc_id", "text", storePath)
+    val novel = "zebra quark lantern voyage ember crystal meadow pylon"
+    val novel2 = "glacier orbit thistle quarry lagoon saffron tundra vex"
+    // batch 0 admits 7001; batch 1 rejects a near-dup of 7001 against
+    // the GROWN index and admits the second novel doc 9001
+    val b1 = Seq((7001L, novel)).toDF("doc_id", "text")
+    val b2 = Seq(
+      (8000L, novel.split(" ").drop(1).mkString(" ")),
+      (9001L, novel2)).toDF("doc_id", "text")
+    b1.coalesce(1).write.parquet(root.resolve("in/b1").toString)
+    b2.coalesce(1).write.parquet(root.resolve("in/b2").toString)
+    import java.nio.file.attribute.FileTime
+    def touch(sub: String, t: Long): Unit =
+      java.nio.file.Files.walk(root.resolve(sub)).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, FileTime.fromMillis(t)))
+    val now = System.currentTimeMillis()
+    touch("in/b1", now - 60000); touch("in/b2", now)
+    def stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in/*/")
+    val ckpt = root.resolve("ckpt").toString
+    val q1 = graft.streaming.IncrementalLoad.streamingNearDupGate(
+      spark, stream, "text", storePath, admittedPath, ckpt)
+    assert(q1.awaitTermination(120000), "first drain did not finish")
+    q1.stop()
+    val deadline = System.nanoTime() + 60e9.toLong
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(spark.streams.active.isEmpty, "first query never unregistered")
+    def admittedIds(): Seq[Long] = spark.read.parquet(admittedPath)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(admittedIds() == Seq(7001L, 9001L), "first drain admit set")
+    // simulate a crash BETWEEN batch 1's generation writes and its
+    // gatelog flip: the generation dirs exist, but the marker still
+    // says only batch 0 committed
+    Stores.commitPayload(spark, s"$storePath/gatelog") { dir =>
+      spark.range(1).select(lit(0L).as("applied"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    // and rewind the commit log so batch 1 re-delivers
+    val lastCommit = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(lastCommit.getName.toLong == 1L && lastCommit.delete(),
+      "commit-log rewind failed")
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    val q2 = graft.streaming.IncrementalLoad.streamingNearDupGate(
+      spark, stream, "text", storePath, admittedPath, ckpt)
+    assert(q2.awaitTermination(120000), "replay drain did not finish")
+    // decide-once: the replay probed only generations BEFORE batch 1
+    // (so 8000 is still rejected against admitted 7001, and 9001 is
+    // still admitted) and REWROTE generation 1 — under the old append
+    // protocol 9001 would now appear twice in the admitted sink and
+    // twice in the index
+    assert(admittedIds() == Seq(7001L, 9001L),
+      "replay changed the admit decisions")
+    assert(spark.read.parquet(admittedPath).count() == 2,
+      "replay duplicated admitted rows")
+    val grown = Dedup.readMinhashStore(spark, storePath)
+    assert(grown.buckets.filter(col("doc_id") === 9001L).count() ==
+      grown.buckets.filter(col("doc_id") === 7001L).count(),
+      "replay duplicated the bucket generation")
+    // buckets and shingles agree on the admitted key set — the crash
+    // can no longer desync the two datasets
+    assert(grown.buckets.filter(col("doc_id") >= 7000L)
+      .select("doc_id").distinct().as[Long].collect().toSet ==
+      grown.shingles.filter(col("doc_id") >= 7000L)
+        .select("doc_id").distinct().as[Long].collect().toSet)
   }
 }
