@@ -1054,6 +1054,112 @@ object DedupQueries {
     }
   }
 
+  /** q251: the q142 grow-then-probe lifecycle driven through a REAL
+    * file-source stream (★ — the q248/q216 wire for the GATE family,
+    * closing the one streaming surface still MemoryStream-pinned
+    * after round 10): batch 1 = near-dups of store docs (flagged)
+    * plus token-reversed docs (shingle-disjoint → admitted); batch 2
+    * = near-dups of the batch-1 ADMISSIONS (flaggable only by the
+    * grown index) plus fresh reversed docs (admitted). The two
+    * batches are staged as two parquet files, `maxFilesPerTrigger=1`
+    * forces two micro-batches through
+    * [[graft.streaming.IncrementalLoad.streamingNearDupGate]], and
+    * the query emits the gate's PERSISTED DECISIONS — the admitted
+    * (batch, doc_id) rows — plus the gatelog `applied` stamp (= 1:
+    * in-output proof TWO micro-batches committed). The oracle replays
+    * both probe generations with the q139/q142 [[MinhashSql]]
+    * generators, so streaming admission ≡ the batch lifecycle math,
+    * hash-checked end to end. The store is signed fresh into the
+    * wire's temp root per run (the gate MUTATES its index — probing
+    * [[sharedDocStore]] would poison q139/q142's reads) over a quarter
+    * of the corpus (signing IS the wire's marginal cost; the nightly
+    * posture signs once ever — q139), and swept with the staging after the eager drain: only
+    * the kilobyte admitted set outlives the query. */
+  val q251StreamingNeardupGate: QuerySpec = {
+    val rev = "array_to_string(list_reverse(string_split(text, ' ')), ' ')"
+    QuerySpec(
+      "q251_streaming_neardup_gate",
+      s"""WITH store AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        |batch1 AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    substr(text, strpos(text, ' ') + 1) AS text
+        |  FROM documents WHERE doc_id % 28 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, $rev
+        |  FROM documents WHERE doc_id % 10 = 1),
+        |batch2 AS (
+        |  SELECT doc_id + 4000000 AS doc_id,
+        |    substr(r, strpos(r, ' ') + 1) AS text
+        |  FROM (SELECT doc_id, $rev AS r
+        |        FROM documents WHERE doc_id % 10 = 1)
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, $rev
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |${MinhashSql.shingleCtes("s", "store")},
+        |${MinhashSql.shingleCtes("b1", "batch1")},
+        |${MinhashSql.probeCtes("b1", "s", "p1")},
+        |adm1 AS (
+        |  SELECT doc_id FROM batch1
+        |  WHERE doc_id NOT IN (SELECT b FROM p1flag)),
+        |s2sh AS (
+        |  SELECT doc_id, sh FROM ssh
+        |  UNION ALL
+        |  SELECT doc_id, sh FROM b1sh
+        |  WHERE doc_id IN (SELECT doc_id FROM adm1)),
+        |s2bands AS (
+        |  SELECT doc_id, band, bucket FROM sbands
+        |  UNION ALL
+        |  SELECT doc_id, band, bucket FROM b1bands
+        |  WHERE doc_id IN (SELECT doc_id FROM adm1)),
+        |${MinhashSql.shingleCtes("b2", "batch2")},
+        |${MinhashSql.probeCtes("b2", "s2", "p2")},
+        |adm2 AS (
+        |  SELECT doc_id FROM batch2
+        |  WHERE doc_id NOT IN (SELECT b FROM p2flag))
+        |SELECT CAST(0 AS BIGINT) AS batch, doc_id,
+        |  CAST(1 AS BIGINT) AS applied FROM adm1
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), doc_id, CAST(1 AS BIGINT) FROM adm2
+        |ORDER BY batch, doc_id""".stripMargin) { (s, dir) =>
+      import graft.streaming.IncrementalLoad
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val store = docs.filter(col("doc_id") % 4 === 0)
+      val revC = concat_ws(" ", reverse(split(col("text"), " ")))
+      val b1 = docs.filter(col("doc_id") % 28 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 3000000).as("doc_id"), revC.as("text")))
+      val b2 = docs.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 4000000).as("doc_id"), revC.as("r"))
+        .select(col("doc_id"),
+          expr("substring(r, instr(r, ' ') + 1)").as("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 5000000).as("doc_id"), revC.as("text")))
+      val (stream, root) = IncrementalLoad.stageTwoFileStream(
+        b1.unionByName(b2), col("doc_id") < 4000000, "graft_q251")
+      val storePath = root.resolve("store").toString
+      Dedup.writeMinhashStore(store, "doc_id", "text", storePath,
+        k = 3, numHashes = MinhashSql.nH, bands = MinhashSql.bands)
+      val admittedPath = root.resolve("admitted").toString
+      val q = IncrementalLoad.streamingNearDupGate(s, stream, "text",
+        storePath, admittedPath, root.resolve("ckpt").toString,
+        threshold = 0.5)
+      require(q.awaitTermination(300000), "q251 stream did not drain")
+      val applied = graft.operators.Stores.lastApplied(
+        s, s"$storePath/gatelog")
+      // sweep staging, checkpoint AND the per-run signature index
+      // (megabytes); only the kilobyte admitted set outlives the run,
+      // and the returned plan reads exactly it
+      IncrementalLoad.cleanStaging(root, Seq("in", "ckpt", "store"))
+      s.read.parquet(admittedPath)
+        .select(col("batch").cast("long").as("batch"), col("doc_id"),
+          lit(applied).as("applied"))
+        .orderBy(col("batch"), col("doc_id"))
+    }
+  }
+
   /** q164: paragraph-level exact dedup with reconstruction (★ — the
     * MassiveText/RefinedWeb aligned-paragraph pass; see
     * [[Dedup.paragraphDedup]] for where it sits between q30's
@@ -1576,5 +1682,5 @@ object DedupQueries {
     q142DedupLifecycle, q145ExactSubstrDedup, q153BoilerplateRemoval,
     q164ParagraphDedup, q165WinnowOverlap, q169NoveltyScore,
     q171DedupKeepBest, q176LshRecallAudit, q177IncrementalNovelty,
-    q182SourceOverlap, q192ContainmentJoin)
+    q182SourceOverlap, q192ContainmentJoin, q251StreamingNeardupGate)
 }

@@ -1291,30 +1291,7 @@ object RelationalQueries {
   val q229Triangles: QuerySpec = QuerySpec(
     "q229_triangle_count",
     s"""WITH ${BackboneSql.ctes},
-      |deg AS (
-      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
-      |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
-      |  GROUP BY 1),
-      |orient AS (
-      |  SELECT
-      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
-      |      THEN e.a ELSE e.b END AS src,
-      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
-      |      THEN e.b ELSE e.a END AS dst,
-      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
-      |      THEN db.deg ELSE da.deg END AS ddst
-      |  FROM e JOIN deg da ON da.node = e.a
-      |  JOIN deg db ON db.node = e.b),
-      |tri AS (
-      |  SELECT x.src AS u, x.dst AS v, y.dst AS w
-      |  FROM orient x JOIN orient y ON x.src = y.src
-      |    AND (x.ddst < y.ddst OR (x.ddst = y.ddst AND x.dst < y.dst))
-      |  JOIN orient z ON z.src = x.dst AND z.dst = y.dst),
-      |tn AS (
-      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
-      |    SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
-      |    UNION ALL SELECT w FROM tri)
-      |  GROUP BY 1)
+      |${BackboneSql.triCtes}
       |SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
       |  CASE WHEN d.deg >= 2 THEN
       |    round(CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE)
@@ -1450,29 +1427,7 @@ object RelationalQueries {
     // nobody ELSE picked (reciprocation-only membership) and the
     // cascade that follows is the community-cohesion signal
     val (k, rounds) = (9, 6)
-    val peel = (1 to rounds).map { i =>
-      val prev = if (i == 1) "e" else s"e${i - 1}"
-      s"""d$i AS MATERIALIZED (
-         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
-         |    SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
-         |  GROUP BY 1),
-         |keep$i AS MATERIALIZED (SELECT node FROM d$i WHERE dg >= $k),
-         |e$i AS MATERIALIZED (
-         |  SELECT p.a, p.b FROM $prev p
-         |  JOIN keep$i ka ON ka.node = p.a
-         |  JOIN keep$i kb ON kb.node = p.b),
-         |s$i AS (
-         |  SELECT CAST($i AS BIGINT) AS round,
-         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d$i)
-         |      - (SELECT CAST(COUNT(*) AS BIGINT) FROM keep$i)
-         |      AS n_removed,
-         |    (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM (
-         |       SELECT a AS node FROM e$i UNION ALL SELECT b FROM e$i))
-         |      AS n_nodes_left,
-         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e$i)
-         |      AS n_edges_left)"""
-        .stripMargin
-    }.mkString(",\n")
+    val peel = BackboneSql.peelCtes(k, rounds)
     val union = (1 to rounds).map(i => s"SELECT * FROM s$i")
       .mkString("\nUNION ALL\n")
     QuerySpec(
@@ -1548,6 +1503,146 @@ object RelationalQueries {
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 7)
           .as("assortativity"))
+  }
+
+  /** q253: the graph-diagnostic COMPOSITE (★ — the share-one-build
+    * pattern the q229/q239/q240 scaladocs prescribe, exercised as a
+    * registry query): the co-purchase backbone is built ONCE,
+    * `localCheckpoint(true)`-pinned, and every diagnostic the trio
+    * computes separately — triangle census (count, transitivity, mean
+    * local clustering), degree moments, Newman assortativity, and the
+    * k=9 six-round core peel — reads the pinned edge RDD instead of
+    * re-deriving lineitem → pairs → kNN per metric. At sf0.1 the
+    * backbone build is ~60% of each trio member's cost, so the
+    * composite prices near ONE member, not three. The checkpoint
+    * blocks are freed before returning (the q239 discipline); the
+    * output is a 10-row (metric, value) report. Exact-integer sums
+    * everywhere (degrees/triangles are ints); the one decimal path is
+    * the mean of round-6 clustering coefficients, summed as
+    * DECIMAL(16,6) so partial-aggregation order cannot move it. */
+  val q253GraphSuite: QuerySpec = QuerySpec(
+    "q253_graph_suite",
+    s"""WITH ${BackboneSql.ctes},
+       |${BackboneSql.triCtes},
+       |coeffs AS (
+       |  SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+       |    CASE WHEN d.deg >= 2 THEN
+       |      round(CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE)
+       |        / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6)
+       |    ELSE CAST(0 AS DOUBLE) END AS coeff
+       |  FROM deg d LEFT JOIN tn t ON t.node = d.node),
+       |g AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(deg) AS BIGINT) AS deg_sum,
+       |    CAST(MAX(deg) AS BIGINT) AS max_deg,
+       |    CAST(SUM(n_tri) AS BIGINT) AS tri3,
+       |    CAST(SUM(deg * (deg - 1)) AS BIGINT) AS wedges2,
+       |    SUM(CAST(coeff AS DECIMAL(16,6))) AS coeff_sum
+       |  FROM coeffs),
+       |de AS (
+       |  SELECT da.deg AS x, db.deg AS y
+       |  FROM e JOIN deg da ON da.node = e.a
+       |  JOIN deg db ON db.node = e.b
+       |  UNION ALL
+       |  SELECT db.deg, da.deg
+       |  FROM e JOIN deg da ON da.node = e.a
+       |  JOIN deg db ON db.node = e.b),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+       |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+       |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+       |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+       |  FROM de),
+       |${BackboneSql.peelCtes(9, 6)}
+       |SELECT metric, value FROM (
+       |  SELECT 'n_nodes' AS metric, CAST(n_nodes AS DOUBLE) AS value
+       |  FROM g
+       |  UNION ALL
+       |  SELECT 'n_edges', CAST(deg_sum AS DOUBLE) / 2 FROM g
+       |  UNION ALL
+       |  SELECT 'n_triangles', round(CAST(tri3 AS DOUBLE) / 3, 6) FROM g
+       |  UNION ALL
+       |  SELECT 'max_degree', CAST(max_deg AS DOUBLE) FROM g
+       |  UNION ALL
+       |  SELECT 'mean_degree',
+       |    round(CAST(deg_sum AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+       |  FROM g
+       |  UNION ALL
+       |  SELECT 'transitivity',
+       |    round(CAST(2 * tri3 AS DOUBLE) / CAST(wedges2 AS DOUBLE), 6)
+       |  FROM g
+       |  UNION ALL
+       |  SELECT 'mean_clustering',
+       |    round(CAST(coeff_sum AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+       |  FROM g
+       |  UNION ALL
+       |  SELECT 'assortativity', round((n * sxy - sx * sy)
+       |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+       |  FROM m
+       |  UNION ALL
+       |  SELECT 'kcore9_nodes_left', CAST(n_nodes_left AS DOUBLE) FROM s6
+       |  UNION ALL
+       |  SELECT 'kcore9_edges_left', CAST(n_edges_left AS DOUBLE) FROM s6)
+       |ORDER BY metric""".stripMargin) { (s, dir) =>
+    val G = graft.operators.Graph
+    val e0 = BackboneSql.edges(s, dir).localCheckpoint(true)
+    def mrow(name: String, c: org.apache.spark.sql.Column) =
+      struct(lit(name).as("metric"), c.cast("double").as("value"))
+    val tri = G.triangleStats(e0, "a", "b")
+    val gRows = tri.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("deg")).as("deg_sum"),
+        max(col("deg")).as("max_deg"),
+        sum(col("n_tri")).as("tri3"),
+        sum(col("deg") * (col("deg") - 1)).as("wedges2"),
+        sum(col("coeff").cast("decimal(16,6)")).as("coeff_sum"))
+      .select(explode(array(
+        mrow("n_nodes", col("n_nodes")),
+        mrow("n_edges", col("deg_sum").cast("double") / 2),
+        mrow("n_triangles", round(col("tri3").cast("double") / 3, 6)),
+        mrow("max_degree", col("max_deg")),
+        mrow("mean_degree", round(col("deg_sum").cast("double")
+          / col("n_nodes").cast("double"), 6)),
+        mrow("transitivity", round((col("tri3") * 2).cast("double")
+          / col("wedges2").cast("double"), 6)),
+        mrow("mean_clustering", round(col("coeff_sum").cast("double")
+          / col("n_nodes").cast("double"), 6)))).as("r"))
+      .select(col("r.metric").as("metric"), col("r.value").as("value"))
+    val deg = e0.select(col("a").as("node"))
+      .unionAll(e0.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val joined = e0
+      .join(deg.select(col("node").as("a"), col("deg").as("dega")),
+        Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("degb")),
+        Seq("b"))
+    val de = joined.select(explode(array(
+        struct(col("dega").as("x"), col("degb").as("y")),
+        struct(col("degb").as("x"), col("dega").as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val aRow = de.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+      .select(explode(array(mrow("assortativity",
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))),
+          6)))).as("r"))
+      .select(col("r.metric").as("metric"), col("r.value").as("value"))
+    val peel = G.kCorePeelProfile(e0, "a", "b", k = 9, rounds = 6)
+      .filter(col("round") === 6)
+      .select(explode(array(
+        mrow("kcore9_nodes_left", col("n_nodes_left")),
+        mrow("kcore9_edges_left", col("n_edges_left")))).as("r"))
+      .select(col("r.metric").as("metric"), col("r.value").as("value"))
+    val out = gRows.unionByName(aRow).unionByName(peel)
+      .localCheckpoint(true)
+    G.checkpointRdd(e0).foreach(_.unpersist(false))
+    out.orderBy(col("metric"))
   }
 
   /** q241: MAD robust outliers per nation (★ — the Iglewicz–Hoaglin
@@ -3077,7 +3172,7 @@ object RelationalQueries {
     q207EmLinkage, q212FkOrphans, q213LorenzGini, q214BootstrapCi,
     q229Triangles, q233SkewReport, q238CorrMatrix,
     q239KCorePeel, q240Assortativity, q241MadOutliers, q242Changepoint,
-    q243Acf, q244TheilSen, q245DowAnova)
+    q243Acf, q244TheilSen, q245DowAnova, q253GraphSuite)
 }
 
 /** The Fellegi–Sunter oracle chain shared by q197 (pair scoring) and
@@ -3133,9 +3228,72 @@ private[queries] object BackboneSql {
       |    SELECT u, v, row_number() OVER (PARTITION BY u
       |      ORDER BY w DESC, v) AS rn
       |    FROM dir) WHERE rn <= 8),
-      |e AS (
+      |e AS MATERIALIZED (
       |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM knn)"""
       .stripMargin
+
+  /** The q229 degree-oriented wedge chain over edge CTE `e`: `deg`
+    * (node degrees), `orient` (each edge oriented low-degree →
+    * high-degree, ties by id), `tri` (closed wedges = triangles,
+    * each counted once), `tn` (per-node triangle counts). Shared by
+    * q229 and the q253 composite so the orientation/tie rules have
+    * one source. */
+  val triCtes: String =
+    s"""deg AS MATERIALIZED (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY 1),
+      |orient AS MATERIALIZED (
+      |  SELECT
+      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+      |      THEN e.a ELSE e.b END AS src,
+      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+      |      THEN e.b ELSE e.a END AS dst,
+      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+      |      THEN db.deg ELSE da.deg END AS ddst
+      |  FROM e JOIN deg da ON da.node = e.a
+      |  JOIN deg db ON db.node = e.b),
+      |tri AS (
+      |  SELECT x.src AS u, x.dst AS v, y.dst AS w
+      |  FROM orient x JOIN orient y ON x.src = y.src
+      |    AND (x.ddst < y.ddst OR (x.ddst = y.ddst AND x.dst < y.dst))
+      |  JOIN orient z ON z.src = x.dst AND z.dst = y.dst),
+      |tn AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+      |    SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+      |    UNION ALL SELECT w FROM tri)
+      |  GROUP BY 1)""".stripMargin
+
+  /** The q239 k-core peel unrolled as generated MATERIALIZED CTEs
+    * over edge CTE `e` (the q219 inlining lesson — without the hint
+    * DuckDB re-inlines each round's references exponentially):
+    * rounds `d<i>/keep<i>/e<i>/s<i>`, with `s<i>` the per-round stats
+    * row. Shared by q239 and the q253 composite so the peel SQL has
+    * one source. */
+  def peelCtes(k: Int, rounds: Int): String =
+    (1 to rounds).map { i =>
+      val prev = if (i == 1) "e" else s"e${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+         |    SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+         |  GROUP BY 1),
+         |keep$i AS MATERIALIZED (SELECT node FROM d$i WHERE dg >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT p.a, p.b FROM $prev p
+         |  JOIN keep$i ka ON ka.node = p.a
+         |  JOIN keep$i kb ON kb.node = p.b),
+         |s$i AS (
+         |  SELECT CAST($i AS BIGINT) AS round,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d$i)
+         |      - (SELECT CAST(COUNT(*) AS BIGINT) FROM keep$i)
+         |      AS n_removed,
+         |    (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM (
+         |       SELECT a AS node FROM e$i UNION ALL SELECT b FROM e$i))
+         |      AS n_nodes_left,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e$i)
+         |      AS n_edges_left)"""
+        .stripMargin
+    }.mkString(",\n")
 
   /** The Spark twin: the same backbone as a (a, b) edge frame. */
   def edges(s: org.apache.spark.sql.SparkSession, dir: String)

@@ -517,6 +517,101 @@ object SimilarityQueries {
     }
   }
 
+  /** q252: the q147 grow-then-probe lifecycle driven through a REAL
+    * file-source stream (★ — q251's wire for the EMBEDDING tier,
+    * closing the last MemoryStream-pinned streaming surface): batch 1
+    * = exact copies of store vectors (flagged) plus genuinely novel
+    * vectors (admitted); batch 2 = copies of the batch-1 ADMISSIONS
+    * (flaggable only by the GROWN index) plus NEGATED store vectors
+    * (cosine −1 against their sources, under the 0.999 gate against
+    * everything else → admitted — novelty that needs no extra corpus
+    * rows, so the fixture is SF-invariant like q147's). Two staged
+    * files → `maxFilesPerTrigger = 1` → [[graft.streaming
+    * .IncrementalLoad.streamingSemanticGate]]; the query emits the
+    * admitted (batch, vec_id) rows plus the gatelog `applied` stamp
+    * (= 1), and the oracle replays centroids/assignment/probes with
+    * the q52/q146/q147 [[IvfSql]] generators. The IVF index is built
+    * fresh in the wire's temp root per run (the gate MUTATES it —
+    * probing [[sharedIvfStore]] would poison q147's reads; 400
+    * vectors, one Lloyd pass — trivial) and swept with the staging
+    * after the drain. */
+  val q252StreamingSemanticGate: QuerySpec = {
+    import IvfSql.{assignSql, lloydSql, probeSql}
+    QuerySpec(
+      "q252_streaming_semantic_gate",
+      s"""WITH vecs AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings WHERE vec_id < 400),
+        |b1v AS (
+        |  SELECT vec_id + 100000 AS id, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings WHERE vec_id < 20
+        |  UNION ALL
+        |  SELECT vec_id + 200000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id >= 400 AND vec_id < 450),
+        |b2v AS (
+        |  SELECT vec_id + 300000 AS id, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings WHERE vec_id >= 400 AND vec_id < 450
+        |  UNION ALL
+        |  SELECT vec_id + 400000,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+        |  FROM embeddings WHERE vec_id < 20),
+        |allv AS (
+        |  SELECT id, dv FROM vecs
+        |  UNION ALL SELECT id, dv FROM b1v
+        |  UNION ALL SELECT id, dv FROM b2v),
+        |seed AS (SELECT id AS cell, dv AS cv FROM vecs ORDER BY id LIMIT 16),
+        |${lloydSql(1, "seed")},
+        |${assignSql("cs", "c1")},
+        |${assignSql("cb1", "c1", "b1v")},
+        |${assignSql("cb2", "c1", "b2v")},
+        |${probeSql("p1", "cb1", "cs", "0.999")},
+        |adm1 AS (
+        |  SELECT id FROM b1v WHERE id NOT IN (SELECT b FROM p1flag)),
+        |cs2 AS (
+        |  SELECT id, cell FROM cs
+        |  UNION ALL
+        |  SELECT id, cell FROM cb1 WHERE id IN (SELECT id FROM adm1)),
+        |${probeSql("p2", "cb2", "cs2", "0.999")},
+        |adm2 AS (
+        |  SELECT id FROM b2v WHERE id NOT IN (SELECT b FROM p2flag))
+        |SELECT CAST(0 AS BIGINT) AS batch, id AS vec_id,
+        |  CAST(1 AS BIGINT) AS applied FROM adm1
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), id, CAST(1 AS BIGINT) FROM adm2
+        |ORDER BY batch, vec_id""".stripMargin) { (s, dir) =>
+      import graft.streaming.IncrementalLoad
+      val e = Tables.embeddings(s, dir)
+      val store = e.filter(col("vec_id") < 400)
+        .select(col("vec_id"), col("embedding"))
+      val b1 = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+          .select((col("vec_id") + 200000).as("vec_id"), col("embedding")))
+      val b2 = e.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+        .select((col("vec_id") + 300000).as("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 400000).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+      val (stream, root) = IncrementalLoad.stageTwoFileStream(
+        b1.unionByName(b2), col("vec_id") < 300000, "graft_q252")
+      val storePath = root.resolve("store").toString
+      Similarity.writeIvfStore(store, "vec_id", "embedding", storePath,
+        numCells = 16, kmeansIters = 1)
+      val admittedPath = root.resolve("admitted").toString
+      val q = IncrementalLoad.streamingSemanticGate(s, stream,
+        "embedding", storePath, admittedPath,
+        root.resolve("ckpt").toString, threshold = 0.999)
+      require(q.awaitTermination(300000), "q252 stream did not drain")
+      val applied = graft.operators.Stores.lastApplied(
+        s, s"$storePath/gatelog")
+      IncrementalLoad.cleanStaging(root, Seq("in", "ckpt", "store"))
+      s.read.parquet(admittedPath)
+        .select(col("batch").cast("long").as("batch"), col("vec_id"),
+          lit(applied).as("applied"))
+        .orderBy(col("batch"), col("vec_id"))
+    }
+  }
+
   /** q158: product-quantization codebook (★ — the IVF-PQ compression
     * tier: 4 subspaces × 8 L2 k-means centroids over the 64-dim
     * embeddings, one decimal-mean Lloyd pass; codes and the round-6
@@ -1529,7 +1624,8 @@ object SimilarityQueries {
     q181IvfPqTopK, q185HardNegatives, q186EmbeddingOutliers,
     q190BitextMargin, q191RrfFusion, q195KCenterCoreset,
     q196PrototypePrune, q200MatryoshkaRecall, q220RetrievalMetrics,
-    q227ClusterQuality, q231CentroidDrift, q234NprobeSweep, q247Rbo)
+    q227ClusterQuality, q231CentroidDrift, q234NprobeSweep, q247Rbo,
+    q252StreamingSemanticGate)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by

@@ -40,9 +40,14 @@ object IncrementalLoad {
   /** Delete a drained wire's STAGING and CHECKPOINT dirs (the store
     * stays — the query's returned plan reads it), bounding the temp
     * footprint to the kilobyte store instead of leaking a table copy
-    * per invocation (bench runs each wire 3+ times per session). */
-  def cleanStaging(root: java.nio.file.Path): Unit =
-    Seq("in", "ckpt").foreach { d =>
+    * per invocation (bench runs each wire 3+ times per session).
+    * Gate wires whose returned plan reads only the ADMITTED rows pass
+    * `dirs = Seq("in", "ckpt", "store")` to also drop their per-run
+    * signature index (megabytes, not kilobytes — it must not leak
+    * per invocation). */
+  def cleanStaging(root: java.nio.file.Path,
+                   dirs: Seq[String] = Seq("in", "ckpt")): Unit =
+    dirs.foreach { d =>
       val p = root.resolve(d)
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
