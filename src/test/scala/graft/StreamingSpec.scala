@@ -872,4 +872,81 @@ class StreamingSpec extends SparkSpecBase {
       grown.shingles.filter(col("doc_id") >= 7000L)
         .select("doc_id").distinct().as[Long].collect().toSet)
   }
+
+  test("semantic gate replay: a checkpoint rewind plus a lost gatelog " +
+      "marker re-folds the batch idempotently — no duplicate admits, " +
+      "no duplicated index vectors") {
+    import spark.implicits._
+    import graft.operators.{Similarity, Stores}
+    val root = java.nio.file.Files.createTempDirectory("graft_vgatereplay")
+    val storePath = root.resolve("store").toString
+    val admittedPath = root.resolve("admitted").toString
+    val e = Tables.embeddings(spark, sf)
+    val corpus = e.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.writeIvfStore(corpus, "vec_id", "embedding", storePath,
+      numCells = 8, kmeansIters = 1)
+    // batch 0 admits the novel 7001 (corpus vec 200, absent from the
+    // 100-vector store); batch 1 rejects a COPY of it against the
+    // grown index and admits a second novel vector 9001 (vec 300)
+    val b1 = e.filter(col("vec_id") === 200)
+      .select(lit(7001L).as("vec_id"), col("embedding"))
+    val b2 = e.filter(col("vec_id") === 200)
+      .select(lit(8000L).as("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("vec_id") === 300)
+        .select(lit(9001L).as("vec_id"), col("embedding")))
+    b1.coalesce(1).write.parquet(root.resolve("in/b1").toString)
+    b2.coalesce(1).write.parquet(root.resolve("in/b2").toString)
+    import java.nio.file.attribute.FileTime
+    def touch(sub: String, t: Long): Unit =
+      java.nio.file.Files.walk(root.resolve(sub)).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, FileTime.fromMillis(t)))
+    val now = System.currentTimeMillis()
+    touch("in/b1", now - 60000); touch("in/b2", now)
+    def stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in/*/")
+    val ckpt = root.resolve("ckpt").toString
+    val q1 = graft.streaming.IncrementalLoad.streamingSemanticGate(
+      spark, stream, "embedding", storePath, admittedPath, ckpt)
+    assert(q1.awaitTermination(120000), "first drain did not finish")
+    q1.stop()
+    val deadline = System.nanoTime() + 60e9.toLong
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(spark.streams.active.isEmpty, "first query never unregistered")
+    def admittedIds(): Seq[Long] = spark.read.parquet(admittedPath)
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    assert(admittedIds() == Seq(7001L, 9001L), "first drain admit set")
+    // crash BETWEEN batch 1's generation writes and its gatelog flip:
+    // the vector generation exists, but the marker says only batch 0
+    // committed
+    Stores.commitPayload(spark, s"$storePath/gatelog") { dir =>
+      spark.range(1).select(lit(0L).as("applied"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    val lastCommit = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(lastCommit.getName.toLong == 1L && lastCommit.delete(),
+      "commit-log rewind failed")
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    val q2 = graft.streaming.IncrementalLoad.streamingSemanticGate(
+      spark, stream, "embedding", storePath, admittedPath, ckpt)
+    assert(q2.awaitTermination(120000), "replay drain did not finish")
+    // decide-once: 8000 is still rejected against the batch-0
+    // admission, 9001 is still admitted, and generation 1 was
+    // REWRITTEN, not appended — no duplicate sink rows, no
+    // duplicated index vectors
+    assert(admittedIds() == Seq(7001L, 9001L),
+      "replay changed the admit decisions")
+    assert(spark.read.parquet(admittedPath).count() == 2,
+      "replay duplicated admitted rows")
+    val grown = Similarity.readIvfStore(spark, storePath)
+    assert(grown.vectors.filter(col("vec_id") >= 7000L)
+      .groupBy(col("vec_id")).count()
+      .filter(col("count") =!= 1L).isEmpty,
+      "replay duplicated an index vector generation")
+    assert(grown.vectors.filter(col("vec_id") >= 7000L)
+      .select("vec_id").as[Long].collect().toSet == Set(7001L, 9001L))
+  }
 }
