@@ -1467,6 +1467,149 @@ object DedupQueries {
     }
   }
 
+  /** q254: LSH band-parameter sweep (★ — the q234 nprobe-sweep
+    * pattern transplanted to the MinHash tier: the measurement a
+    * dedup gate's (bands, rows) choice is tuned FROM, not a guess).
+    * The corpus is signed ONCE (64 minhashes via the fused
+    * [[graft.plans.MinHashSigExpr]], cached); each swept bands value
+    * re-derives its band buckets from the SAME signature frame — the
+    * signatures are the expensive pass and the sweep shares it, the
+    * q234/q147 discipline. Per bands ∈ {8, 16, 32}: candidate-pair
+    * count (the verify cost the setting buys), candidate recall
+    * against the lossless AllPairs truth set (q176's ground truth,
+    * built once), and verify yield (truth pairs per candidate — the
+    * precision of the bucket join). More bands → fewer rows per band
+    * → more candidates → higher recall at higher verify cost; the
+    * emitted curve is exactly that trade. The oracle replays
+    * signatures/bands/candidates with the q176 generators, every
+    * multiply-consumed CTE MATERIALIZED (the q253 hub lesson). */
+  val q254LshBandSweep: QuerySpec = {
+    val P = Dedup.MinhashP
+    val C = Dedup.HornerC
+    val nH = 64
+    val sweep = Seq(8, 16, 32)
+    val cs = Dedup.minhashCoeffs(nH)
+    val minCols = cs.zipWithIndex.map { case ((a, b), i) =>
+      s"min((s * $a + $b) % $P) AS h$i"
+    }.mkString(",\n      |    ")
+    def bandCtes(b: Int): String = {
+      val r = nH / b
+      val selects = (0 until b).map { bnd =>
+        val bucket = (bnd * r until (bnd + 1) * r).map(i => s"h$i")
+          .reduceLeft((acc, h) => s"(($acc) * $C + $h) % $P")
+        s"SELECT doc_id, $bnd AS band, $bucket AS bucket FROM sigs"
+      }.mkString("\n      |  UNION ALL ")
+      s"""bands$b AS MATERIALIZED (
+        |  $selects),
+        |cand$b AS MATERIALIZED (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands$b l JOIN bands$b r
+        |    ON l.band = r.band AND l.bucket = r.bucket
+        |      AND l.doc_id < r.doc_id),
+        |s$b AS (
+        |  SELECT $b AS bands, $r AS rows_per_band,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$b)
+        |      AS n_candidates,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$b c
+        |       JOIN truth t ON t.a = c.a AND t.b = c.b) AS n_hit)"""
+    }
+    QuerySpec(
+      "q254_lsh_band_sweep",
+      s"""WITH base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |all_docs AS MATERIALIZED (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(
+        |      toks[CAST((doc_id % 10) * 4 + 1 AS BIGINT):len(toks)], ' ')
+        |      AS text
+        |  FROM base WHERE doc_id % 10 >= 1),
+        |tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |ssh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        |  FROM tok),
+        |scounts AS (SELECT doc_id, COUNT(*) AS n_sh FROM ssh GROUP BY 1),
+        |truth AS MATERIALIZED (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM ssh x JOIN ssh y
+        |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  JOIN scounts ca ON ca.doc_id = x.doc_id
+        |  JOIN scounts cb ON cb.doc_id = y.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING CAST(COUNT(*) AS DOUBLE) /
+        |    CAST(ANY_VALUE(ca.n_sh) + ANY_VALUE(cb.n_sh) - COUNT(*)
+        |      AS DOUBLE) >= 0.5),
+        |th AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |    t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $P) AS ths
+        |  FROM all_docs),
+        |hsh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(ths) - 1),
+        |      i -> (((ths[i] * $C + ths[i+1]) % $P) * $C + ths[i+2]) % $P))
+        |      AS s
+        |  FROM th WHERE len(ths) >= 3),
+        |sigs AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    $minCols
+        |  FROM hsh GROUP BY doc_id),
+        |${sweep.map(bandCtes).mkString(",\n")}
+        |SELECT CAST(bands AS INTEGER) AS bands,
+        |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
+        |  n_candidates, n_hit,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+        |  round(CAST(n_hit AS DOUBLE) /
+        |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM truth), 6) AS recall,
+        |  round(CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6)
+        |    AS verify_yield
+        |FROM (${sweep.map(b => s"SELECT * FROM s$b").mkString(
+            "\n      |  UNION ALL ")})
+        |ORDER BY bands""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val toks = split(col("text"), " ")
+      val twins = d.filter(col("doc_id") % 10 >= 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(toks,
+            ((col("doc_id") % 10) * 4 + 1).cast("int"),
+            size(toks)), " ").as("text"))
+      val all = d.unionByName(twins)
+      val truth = Dedup.prefixJaccardPairs(all, "doc_id", "text",
+          threshold = 0.5, shingleK = 3)
+        .select(col("a"), col("b")).cache()
+      // nTrue is a bounded driver scalar (pair count of the truth
+      // set); the count also populates the truth cache every swept
+      // branch's left join reuses
+      val nTrue = truth.count()
+      val sigRow = all.select(col("doc_id"),
+          graft.plans.MinHashSigExpr(col("text"), 3, nH).as("ms"))
+        .select(col("doc_id") +: (0 until nH).map(i =>
+          element_at(col("ms.sig"), i + 1).as(s"h$i")): _*)
+        .cache()
+      val perB = sweep.map { b =>
+        Dedup.lshCandidatePairs(sigRow, "doc_id", b, nH / b)
+          .join(truth.withColumn("t", lit(1)), Seq("a", "b"), "left")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_hit"))
+          .select(lit(b).as("bands"), lit(nH / b).as("rows_per_band"),
+            col("n_candidates"), col("n_hit"), lit(nTrue).as("n_true"),
+            round(col("n_hit").cast("double") / lit(nTrue).cast("double"),
+              6).as("recall"),
+            round(col("n_hit").cast("double") /
+              col("n_candidates").cast("double"), 6).as("verify_yield"))
+      }
+      val out = perB.reduce(_ unionByName _).localCheckpoint(true)
+      sigRow.unpersist(blocking = true)
+      truth.unpersist(blocking = true)
+      out.orderBy(col("bands"))
+    }
+  }
+
   /** q177: incremental novelty against a persisted gram-frequency
     * index (★ — q169's lifecycle form, the q139/q142 posture applied
     * to the measurement side; see [[Dedup.noveltyAgainstStore]] for
@@ -1682,5 +1825,6 @@ object DedupQueries {
     q142DedupLifecycle, q145ExactSubstrDedup, q153BoilerplateRemoval,
     q164ParagraphDedup, q165WinnowOverlap, q169NoveltyScore,
     q171DedupKeepBest, q176LshRecallAudit, q177IncrementalNovelty,
-    q182SourceOverlap, q192ContainmentJoin, q251StreamingNeardupGate)
+    q182SourceOverlap, q192ContainmentJoin, q251StreamingNeardupGate,
+    q254LshBandSweep)
 }
