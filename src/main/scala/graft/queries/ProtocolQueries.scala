@@ -218,6 +218,54 @@ object ProtocolQueries {
       .orderBy(col("mktsegment"))
   }
 
+  /** q255: the per-entity history union end to end (`daily_dag.py:
+    * 91-96` S2 — the reference's per-ticker download loop: one frame
+    * per entity, tagged with its id, unioned): three per-segment
+    * "history pulls" built with deliberately DIFFERING column orders
+    * (the positional-union corruption `unionByName` exists to make
+    * inexpressible — a positional union here would silently write
+    * keys into the balance column for one entity), tagged and unioned
+    * via [[graft.sources.Ingest.taggedUnion]], then rolled up per
+    * entity. The oracle computes the same rollup relationally, so the
+    * tag/union semantics — row completeness per entity, no
+    * cross-column bleed (exact key range AND exact decimal balance
+    * sum per entity) — are hash-checked. Closes the one S-row of the
+    * reference-surface table that was spec-only (IngestSpec). */
+  val q255TaggedHistoryUnion: QuerySpec = QuerySpec(
+    "q255_tagged_history_union",
+    s"""WITH u AS (
+       |  SELECT 'automobile' AS entity, c_custkey AS k, c_acctbal AS bal
+       |  FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+       |  UNION ALL
+       |  SELECT 'building', c_custkey, c_acctbal
+       |  FROM customer WHERE c_mktsegment = 'BUILDING'
+       |  UNION ALL
+       |  SELECT 'machinery', c_custkey, c_acctbal
+       |  FROM customer WHERE c_mktsegment = 'MACHINERY')
+       |SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  MIN(k) AS first_key, MAX(k) AS last_key,
+       |  ${Exact.sqlSum("bal")} AS total_bal
+       |FROM u GROUP BY entity ORDER BY entity""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    def hist(seg: String, reversed: Boolean) = {
+      val f = c.filter(col("c_mktsegment") === seg)
+      if (reversed)
+        f.select(col("c_acctbal").as("bal"), col("c_custkey").as("k"))
+      else
+        f.select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+    }
+    graft.sources.Ingest.taggedUnion(Seq(
+        "automobile" -> hist("AUTOMOBILE", reversed = false),
+        "building" -> hist("BUILDING", reversed = true),
+        "machinery" -> hist("MACHINERY", reversed = false)),
+      "entity")
+      .groupBy(col("entity"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("k")).as("first_key"), max(col("k")).as("last_key"),
+        Exact.dsum(col("bal")).as("total_bal"))
+      .orderBy(col("entity"))
+  }
+
   /** q71: snapshot diff / CDC change classification
     * (`Relational.snapshotDiff` — the set-valued form of the A2 gate):
     * the old snapshot holds monthly totals before 1998; the new one
@@ -525,5 +573,5 @@ object ProtocolQueries {
   val specs: Seq[QuerySpec] = Seq(q48DedupAppend, q49UpsertPartition,
     q65Lifecycle, q69KvScrapePivot, q71SnapshotDiff, q80CdcApply,
     q84RollupMaintenance, q92HllRollup, q99QualityAudit,
-    q109RepairRoundtrip)
+    q109RepairRoundtrip, q255TaggedHistoryUnion)
 }
