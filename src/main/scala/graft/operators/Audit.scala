@@ -155,10 +155,10 @@ object Audit {
         .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
     // the merge reads the current generation and commits the next
     // (Stores.commitPayload), so read and write never touch the same
-    // files and a crash mid-write cannot erase the committed counts
-    Stores.commitPayload(spark, path) { dir =>
-      Stores.stamp(merged, applied)
-        .coalesce(1).write.mode("overwrite").parquet(dir)
+    // files and a crash mid-write cannot erase the committed counts;
+    // the applied stamp rides the pointer flip itself
+    Stores.commitPayload(spark, path, Some(applied)) { dir =>
+      merged.coalesce(1).write.mode("overwrite").parquet(dir)
     }
   }
 

@@ -96,11 +96,14 @@ object CountMin {
     * params/payload desync window [[writeStore]]'s ordering closes.
     * The write lands in a fresh generation dir and commits via the
     * pointer flip ([[Stores.commitPayload]]), so a crash mid-write
-    * can never erase the previously committed grid. */
+    * can never erase the previously committed grid. The `applied`
+    * stamp rides the pointer (committed atomically with the flip),
+    * keeping the payload schema free of bookkeeping columns. */
   private def writeCells(cells: DataFrame, path: String,
                          applied: Long): Unit =
-    Stores.commitPayload(cells.sparkSession, s"$path/cells") { dir =>
-      Stores.stamp(cells, applied).write.mode("overwrite").parquet(dir)
+    Stores.commitPayload(cells.sparkSession, s"$path/cells",
+        Some(applied)) { dir =>
+      cells.write.mode("overwrite").parquet(dir)
     }
 
   /** Read a [[writeStore]] grid back, manifest included (the

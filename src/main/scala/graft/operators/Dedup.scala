@@ -445,15 +445,20 @@ object Dedup {
 
   /** Read a [[writeMinhashStore]] index back, validating the manifest
     * against this library's hash constants (see [[MinhashStore]] for
-    * why a silent mismatch is unacceptable). Includes any
-    * gate-committed generations ([[gateAppends]]) so every reader
-    * sees the grown index, not just the base build. */
+    * why a silent mismatch is unacceptable). Includes gate-COMMITTED
+    * generations only ([[gateAppends]] filtered by the gatelog's
+    * committed batch id): a generation written by a batch that
+    * crashed before its gatelog flip stays invisible to every reader
+    * until the stream replays and commits it — the same decide-once
+    * horizon the gate itself probes with. */
   def readMinhashStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): MinhashStore = {
     val base = readMinhashStoreBase(spark, path)
+    val committed = Stores.lastApplied(spark, s"$path/gatelog")
     def grown(ds: String, b: DataFrame): DataFrame =
       gateAppends(spark, path, ds)
-        .map(g => b.unionByName(g.select(b.columns.map(col).toSeq: _*)))
+        .map(g => b.unionByName(g.filter(col("batch") <= committed)
+          .select(b.columns.map(col).toSeq: _*)))
         .getOrElse(b)
     base.copy(buckets = grown("buckets", base.buckets),
       shingles = grown("shingles", base.shingles))

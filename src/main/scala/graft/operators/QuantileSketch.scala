@@ -147,10 +147,10 @@ object QuantileSketch {
     * crash mid-write can never erase the committed sample. */
   private def writeRows(sk: DataFrame, path: String,
                         applied: Long): Unit =
-    Stores.commitPayload(sk.sparkSession, s"$path/rows") { dir =>
-      Stores.stamp(
-          sk.select(col("h"), col("key").cast("string").as("key"),
-            col("value").cast("double").as("value")), applied)
+    Stores.commitPayload(sk.sparkSession, s"$path/rows",
+        Some(applied)) { dir =>
+      sk.select(col("h"), col("key").cast("string").as("key"),
+          col("value").cast("double").as("value"))
         .write.mode("overwrite").parquet(dir)
     }
 

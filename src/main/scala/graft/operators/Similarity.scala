@@ -383,14 +383,20 @@ object Similarity {
   /** Read a [[writeIvfStore]] index back, refusing one signed under a
     * different rounding contract (a silently drifted probe ranks
     * candidates differently than the index's builder did). Includes
-    * any gate-committed vector generations ([[gateVectors]]) so every
-    * reader sees the grown index, not just the base build. */
+    * gate-COMMITTED vector generations only ([[gateVectors]] filtered
+    * by the gatelog's committed batch id): a generation written by a
+    * batch that crashed before its gatelog flip stays invisible to
+    * every reader until the stream replays and commits it — the same
+    * decide-once horizon the gate itself probes with. */
   def readIvfStore(spark: org.apache.spark.sql.SparkSession,
                    path: String): IvfStore = {
     val base = readIvfStoreBase(spark, path)
+    val committed = graft.operators.Stores.lastApplied(
+      spark, s"$path/gatelog")
     val vectors = gateVectors(spark, path)
       .map(g => base.vectors.unionByName(
-        g.select(base.vectors.columns.map(col).toSeq: _*)))
+        g.filter(col("batch") <= committed)
+          .select(base.vectors.columns.map(col).toSeq: _*)))
       .getOrElse(base.vectors)
     base.copy(vectors = vectors)
   }

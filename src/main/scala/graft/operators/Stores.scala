@@ -16,13 +16,15 @@ import org.apache.spark.sql.functions._
   * at-least-once: a micro-batch that fails between the store write
   * and the checkpoint commit is re-executed, and a plain counter fold
   * would apply it twice. The guard stamps the foreachBatch `batchId`
-  * into the payload as a constant `applied` column — the id commits
-  * in the same parquet dataset as the data it describes, so there is
-  * no second write whose failure could desynchronize them. A replayed
-  * batch (id ≤ the stamp read back) is skipped; a batch that failed
-  * before its payload committed left the old stamp in place and
-  * re-folds normally. Store readers project their payload columns
-  * explicitly, so the stamp never reaches query plans.
+  * into the SAME pointer file whose rename commits the payload
+  * (`<root>/PTR`, content `<generation> <applied>`), so the stamp and
+  * the data it describes commit in one atomic operation and reading
+  * it back is a one-file read, not a payload scan. A replayed batch
+  * (id ≤ the stamp read back) is skipped; a batch that failed before
+  * its pointer flipped left the old stamp in place and re-folds
+  * normally. Stores written before the pointer carried the stamp keep
+  * working: [[lastApplied]] falls back to the legacy `applied` column
+  * those payloads embed.
   *
   * '''Atomic replace.''' A merge fold must REPLACE the payload, and a
   * plain `mode("overwrite")` is delete-then-write: a crash mid-
@@ -43,11 +45,31 @@ import org.apache.spark.sql.functions._
   *  - crash between payload write and pointer flip: pointer still
   *    names `g<N>` with the OLD stamp, so the re-delivered batch
   *    folds again — onto the intact history;
-  *  - crash after the flip: the stamp in `g<N+1>` marks the batch
-  *    committed and the replay is a no-op;
+  *  - crash after the flip: the stamp in the new pointer marks the
+  *    batch committed and the replay is a no-op;
   *  - crash before the superseded `g<N>` is deleted: an unreferenced
   *    dir lingers until the next fold's sweep — garbage, never
   *    corruption.
+  *
+  * '''Legacy migration.''' A store written by a pre-generation caller
+  * holds its payload as plain parquet files directly under `root`.
+  * The first generation fold over such a store writes `g0` INSIDE
+  * that root, so root transiently mixes files and a g-dir; to keep
+  * every crash window readable, legacy payloads are always read
+  * through an EXPLICIT root-level file list (never directory
+  * discovery, which trips over the mixed layout), and the post-flip
+  * sweep removes the superseded root-level files once `g0` is
+  * committed.
+  *
+  * '''Concurrency contract.''' The protocol assumes the repo's
+  * single-writer, serialized-use discipline (foreachBatch serializes
+  * micro-batches; registry queries run a store's lifecycle
+  * sequentially). [[resolvePayload]]-then-read is NOT atomic against
+  * a concurrent fold: the post-flip sweep deletes the superseded
+  * generation immediately, so a reader that resolved `g<N>` while a
+  * writer flips to `g<N+1>` can lose its scan mid-read. Do not run
+  * concurrent folds, or folds concurrent with long readers, against
+  * one store root.
   *
   * For the two-dir stores (payload + params manifest) write ORDER
   * still matters at creation: params first, committed payload second,
@@ -68,23 +90,49 @@ object Stores {
     FileContext.getFileContext(p.toUri,
       spark.sparkContext.hadoopConfiguration)
 
-  /** Generation the pointer currently commits, if any. */
-  private def currentGen(spark: SparkSession, root: String): Option[Long] = {
+  /** Parse the pointer: committed generation plus the optional
+    * `applied` stamp (absent on pointers written before the stamp
+    * moved into the pointer, or by callers that never stamp). */
+  private def readPointer(spark: SparkSession,
+                          root: String): Option[(Long, Option[Long])] = {
     val pp = new Path(root, PtrName)
     val ctx = fc(spark, pp)
     if (!ctx.util().exists(pp)) None
     else {
       val in = ctx.open(pp)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim.toLong)
-      finally in.close()
+      val parts =
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.split("\\s+").toSeq
+        finally in.close()
+      Some((parts.head.toLong, parts.lift(1).map(_.toLong)))
     }
+  }
+
+  /** Generation the pointer currently commits, if any. */
+  private def currentGen(spark: SparkSession, root: String): Option[Long] =
+    readPointer(spark, root).map(_._1)
+
+  /** Root-level parquet part-files of a pre-generation (legacy)
+    * payload — listed explicitly so the read survives a `g<N>` dir
+    * coexisting under the same root (the migration crash window:
+    * directory discovery on the mixed layout fails; an explicit file
+    * list cannot). Empty when root holds no legacy payload. */
+  private def legacyPayloadFiles(spark: SparkSession,
+                                 root: String): Seq[String] = {
+    val rp = new Path(root)
+    val ctx = fc(spark, rp)
+    if (!ctx.util().exists(rp)) Seq.empty
+    else ctx.util().listStatus(rp).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
   }
 
   /** The committed payload dir under `root`: the generation the
     * pointer names, or (for a store written by a pre-generation
     * caller) `root` itself when it holds a plain parquet dataset.
-    * None ⇒ the store is absent or uncommitted. */
+    * None ⇒ the store is absent or uncommitted. NOTE: resolve-then-
+    * read is only safe under the single-writer contract above — a
+    * concurrent fold's sweep can delete a resolved generation. */
   def resolvePayload(spark: SparkSession, root: String): Option[String] =
     currentGen(spark, root) match {
       case Some(g) => Some(s"$root/g$g")
@@ -103,70 +151,97 @@ object Stores {
   def payloadExists(spark: SparkSession, root: String): Boolean =
     resolvePayload(spark, root).isDefined
 
-  /** Read the committed payload (stamp column included — callers
-    * project what they need). */
+  /** Read the committed payload. Legacy (pre-generation) payloads are
+    * read through an explicit root-level file list so a half-migrated
+    * root — legacy files plus an uncommitted `g0` from a crashed first
+    * generation fold — still reads cleanly (see the migration note in
+    * the object scaladoc). */
   def readPayload(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(resolvePayload(spark, root).getOrElse(
-      throw new IllegalStateException(
-        s"no committed payload under $root")))
+    resolvePayload(spark, root) match {
+      case None => throw new IllegalStateException(
+        s"no committed payload under $root")
+      case Some(dir) if dir == root =>
+        spark.read.parquet(legacyPayloadFiles(spark, root): _*)
+      case Some(dir) => spark.read.parquet(dir)
+    }
 
   /** Atomically replace the payload under `root`: `write` receives
     * the next generation dir (it must write with `mode("overwrite")`
     * so a garbage dir from a crashed prior attempt at the same
-    * number is clobbered), then the pointer flips, then superseded
-    * generations are best-effort swept. The flip is the commit
-    * point; everything before it leaves the current generation
-    * committed and everything after it is garbage collection. */
-  def commitPayload(spark: SparkSession, root: String)
+    * number is clobbered), then the pointer flips — carrying
+    * `applied` when given, so the replay stamp commits atomically
+    * with the data it describes — then superseded payloads (older
+    * generation dirs AND any root-level legacy files) are best-effort
+    * swept. The flip is the commit point; everything before it leaves
+    * the current generation committed and everything after it is
+    * garbage collection. Single-writer only (object scaladoc). */
+  def commitPayload(spark: SparkSession, root: String,
+                    applied: Option[Long] = None)
                    (write: String => Unit): Unit = {
     val next = currentGen(spark, root).getOrElse(-1L) + 1L
     write(s"$root/g$next")
-    flipPointer(spark, root, next)
+    flipPointer(spark, root, next, applied)
     val rp = new Path(root)
     val ctx = fc(spark, rp)
     ctx.util().listStatus(rp).foreach { st =>
       val n = st.getPath.getName
-      val stale = st.isDirectory && n.length > 1 && n.head == 'g' &&
+      val staleGen = st.isDirectory && n.length > 1 && n.head == 'g' &&
         n.tail.forall(_.isDigit) && n != s"g$next"
-      if (stale)
+      // a legacy payload superseded by its first generation fold:
+      // root-level files other than the pointer pair (and their
+      // checksum siblings) are garbage once a generation is committed
+      val staleLegacy = st.isFile && !n.contains(PtrName)
+      if (staleGen || staleLegacy)
         try ctx.delete(st.getPath, true)
         catch { case _: java.io.IOException => () }
     }
   }
 
   /** Single-file atomic pointer flip: write `PTR.tmp`, rename onto
-    * `PTR` with OVERWRITE. All pointer I/O goes through
-    * `FileContext` (the raw, checksum-free local FS), so no stale
-    * `.crc` sibling can poison a later read. */
+    * `PTR` with OVERWRITE. All pointer I/O goes through `FileContext`;
+    * on local disk that is `LocalFs` (a `ChecksumFs`), which DOES
+    * write `.crc` siblings — but its create(OVERWRITE) and rename
+    * keep the crc pair consistent with the data file, so no stale
+    * sibling can poison a later read. Content: the generation number,
+    * plus the `applied` stamp when the commit carries one. */
   private def flipPointer(spark: SparkSession, root: String,
-                          gen: Long): Unit = {
+                          gen: Long, applied: Option[Long]): Unit = {
     val pp = new Path(root, PtrName)
     val tmp = new Path(root, PtrName + ".tmp")
     val ctx = fc(spark, pp)
     val out = ctx.create(tmp,
       EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
       Options.CreateOpts.createParent())
-    try out.write(gen.toString.getBytes(StandardCharsets.UTF_8))
+    val content = applied.fold(gen.toString)(a => s"$gen $a")
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     ctx.rename(tmp, pp, Options.Rename.OVERWRITE)
   }
 
   /** Highest foreachBatch id already folded into the committed
-    * payload's `applied` stamp; -1 when the store is absent or
-    * pre-dates the idempotence column (e.g. created by a batch
-    * caller). */
+    * payload: the pointer's own stamp when present (one file read —
+    * the committed path for every store written by this version),
+    * else the legacy `applied` column embedded in older payloads;
+    * -1 when the store is absent or was never stamped. */
   def lastApplied(spark: SparkSession, root: String): Long =
-    resolvePayload(spark, root) match {
-      case None => -1L
-      case Some(dir) =>
-        val df = spark.read.parquet(dir)
-        if (!df.columns.contains("applied")) -1L
-        else df.agg(coalesce(max(col("applied")), lit(-1L)))
-          .head.getLong(0)
+    readPointer(spark, root) match {
+      case Some((_, Some(a))) => a
+      case _ =>
+        resolvePayload(spark, root) match {
+          case None => -1L
+          case Some(_) =>
+            val df = readPayload(spark, root)
+            if (!df.columns.contains("applied")) -1L
+            else df.agg(coalesce(max(col("applied")), lit(-1L)))
+              .head.getLong(0)
+        }
     }
 
-  /** Stamp the store payload with the id it reflects (constant
-    * column; kilobyte stores, so the duplication is nil). */
+  /** Stamp a payload frame with the id it reflects (constant column).
+    * LEGACY: new folds carry the stamp in the pointer instead
+    * ([[commitPayload]]'s `applied`); kept so pre-pointer-stamp
+    * payloads — and the crash-simulation fixtures that mimic them —
+    * still construct. */
   def stamp(df: DataFrame, applied: Long): DataFrame =
     df.withColumn("applied", lit(applied))
 }

@@ -1057,8 +1057,11 @@ object EventQueries {
         depth = d, width = w)
       require(q.awaitTermination(300000), "q248 stream did not drain")
       IncrementalLoad.cleanStaging(root)
+      // the replay stamp now rides the store pointer, not the payload
+      val applied = graft.operators.Stores.lastApplied(s, s"$store/cells")
       graft.operators.Stores.readPayload(s, s"$store/cells")
-        .select(col("row"), col("pos"), col("cnt"), col("applied"))
+        .select(col("row"), col("pos"), col("cnt"),
+          lit(applied).as("applied"))
         .orderBy(col("row"), col("pos"))
     }
   }

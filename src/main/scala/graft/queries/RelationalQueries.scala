@@ -2256,8 +2256,11 @@ object RelationalQueries {
         k = k)
       require(q.awaitTermination(300000), "q250 stream did not drain")
       IncrementalLoad.cleanStaging(root)
+      // the replay stamp now rides the store pointer, not the payload
+      val applied = graft.operators.Stores.lastApplied(s, s"$store/rows")
       graft.operators.Stores.readPayload(s, s"$store/rows")
-        .select(col("h"), col("key"), col("value"), col("applied"))
+        .select(col("h"), col("key"), col("value"),
+          lit(applied).as("applied"))
         .orderBy(col("h"), col("key"))
     }
   }

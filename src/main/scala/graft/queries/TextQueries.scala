@@ -2243,8 +2243,8 @@ object TextQueries {
         IncrementalLoad.cleanStaging(root)
         val ref = d.select(lenBucket(length(col("text"))).as("bucket"))
           .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
-        val applied = graft.operators.Stores.readPayload(s, store)
-          .agg(max(col("applied"))).head().getLong(0)
+        // the replay stamp now rides the store pointer, not the payload
+        val applied = graft.operators.Stores.lastApplied(s, store)
         Audit.psiTerms(ref, Audit.readHistogramStore(s, store), 5)
           .withColumn("applied", lit(applied))
           .orderBy(col("bucket"))

@@ -169,7 +169,10 @@ object IncrementalLoad {
                 base.k),
               storePath, "shingles", batchId)
           }
-          graft.operators.Stores.commitPayload(spark, gatelog) { dir =>
+          // the stamp rides the pointer flip; the one-row payload stays
+          // for readers that predate the pointer-stamp protocol
+          graft.operators.Stores.commitPayload(spark, gatelog,
+              Some(batchId)) { dir =>
             spark.range(1).select(lit(batchId).as("applied"))
               .write.mode("overwrite").parquet(dir)
           }
@@ -230,7 +233,8 @@ object IncrementalLoad {
                 base.centroids),
               storePath, batchId)
           }
-          graft.operators.Stores.commitPayload(spark, gatelog) { dir =>
+          graft.operators.Stores.commitPayload(spark, gatelog,
+              Some(batchId)) { dir =>
             spark.range(1).select(lit(batchId).as("applied"))
               .write.mode("overwrite").parquet(dir)
           }

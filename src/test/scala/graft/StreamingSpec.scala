@@ -742,6 +742,85 @@ class StreamingSpec extends SparkSpecBase {
       "histogram history lost across the simulated mid-merge crash")
   }
 
+  test("legacy-store migration crash: a g0 written inside a legacy " +
+      "payload root leaves the legacy store readable, and the replayed " +
+      "fold migrates it cleanly") {
+    import spark.implicits._
+    import graft.operators.{Audit, Stores}
+    val root = java.nio.file.Files.createTempDirectory("graft_legacy")
+    val hist = root.resolve("hist").toString
+    val b1 = (1L to 100L).map(_ % 11).toDF("bucket")
+    val b2 = (1L to 80L).map(i => (i * 3) % 13).toDF("bucket")
+    // a store written by a pre-generation caller: root-level parquet
+    // files with the legacy embedded stamp, no pointer
+    Stores.stamp(
+        b1.groupBy(col("bucket").cast("long").as("bucket"))
+          .agg(count(lit(1)).as("cnt")), 0L)
+      .coalesce(1).write.parquet(hist)
+    assert(Stores.lastApplied(spark, hist) == 0L,
+      "legacy embedded stamp not honored")
+    // simulate batch 1's migration fold crashing AFTER its g0 parquet
+    // job committed but BEFORE the pointer flip: root now mixes
+    // legacy part-files with a generation dir — the window where
+    // directory discovery fails partition inference
+    Stores.stamp(
+        b2.groupBy(col("bucket").cast("long").as("bucket"))
+          .agg(count(lit(1)).as("cnt")), 1L)
+      .coalesce(1).write.parquet(s"$hist/g0")
+    assert(Audit.readHistogramStore(spark, hist)
+      .agg(sum(col("cnt"))).head.getLong(0) == 100L,
+      "legacy payload unreadable beside an uncommitted generation")
+    assert(Stores.lastApplied(spark, hist) == 0L,
+      "an uncommitted generation's stamp suppressed the replay")
+    // the re-delivered batch folds onto the legacy history (its g0
+    // write clobbers the garbage dir), and the sweep retires the
+    // superseded root-level files
+    Audit.histogramFoldIntoStore(b2, "bucket", hist, batchId = Some(1L))
+    assert(Audit.readHistogramStore(spark, hist)
+      .agg(sum(col("cnt"))).head.getLong(0) == 180L,
+      "history lost across the simulated migration crash")
+    assert(Stores.lastApplied(spark, hist) == 1L)
+    val leftovers = new java.io.File(hist).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(leftovers.isEmpty,
+      s"superseded legacy files not swept: ${leftovers.mkString(",")}")
+  }
+
+  test("an uncommitted gate generation is invisible to non-gate store " +
+      "readers until its batch commits") {
+    import graft.operators.{Dedup, Stores}
+    val root = java.nio.file.Files.createTempDirectory("graft_uncommitted")
+    val storePath = root.resolve("store").toString
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    Dedup.writeMinhashStore(corpus, "doc_id", "text", storePath)
+    val baseBuckets = Dedup.readMinhashStore(spark, storePath)
+      .buckets.count()
+    // a gate batch that crashed after its generation writes but before
+    // its gatelog flip: the generation exists, the marker does not
+    val admitted = corpus.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 7000L).as("doc_id"), col("text"))
+    Dedup.writeGateAppend(
+      Dedup.minhashBandBuckets(admitted, "doc_id", "text"),
+      storePath, "buckets", 0L)
+    Dedup.writeGateAppend(
+      Dedup.portableShingleHashes(admitted, "doc_id", "text"),
+      storePath, "shingles", 0L)
+    val beforeCommit = Dedup.readMinhashStore(spark, storePath)
+    assert(beforeCommit.buckets.count() == baseBuckets,
+      "an uncommitted generation leaked into a non-gate reader")
+    assert(beforeCommit.buckets.filter(col("doc_id") === 7000L).isEmpty)
+    // once the batch commits its gatelog marker, the generation is
+    // visible to every reader
+    Stores.commitPayload(spark, s"$storePath/gatelog", Some(0L)) { dir =>
+      spark.range(1).select(lit(0L).as("applied"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    assert(Dedup.readMinhashStore(spark, storePath)
+      .buckets.filter(col("doc_id") === 7000L).count() > 0,
+      "a committed generation must be visible to non-gate readers")
+  }
+
   test("crash replay through a real checkpoint: rewinding the commit " +
       "log past a folded batch re-delivers it as a no-op") {
     import spark.implicits._
