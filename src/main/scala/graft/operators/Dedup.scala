@@ -265,7 +265,41 @@ object Dedup {
     * bit-for-bit by the DuckDB oracle. */
   def minhashNearDupPairs(df: DataFrame, keyCol: String, textCol: String,
                           k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                          threshold: Double = 0.5): DataFrame = {
+                          threshold: Double = 0.5): DataFrame =
+    nearDupPairsPlan(df, keyCol, textCol, k, numHashes, bands,
+      threshold)._1
+
+  /** Within-batch near-dup flags (the intra-batch half of the
+    * streaming gate protocol — see
+    * [[graft.streaming.IncrementalLoad.streamingNearDupGate]]): the
+    * keys of batch docs that have a verified near-dup with a SMALLER
+    * key in the SAME batch — the q32 pairwise keep-min rule, signed
+    * with the caller's (i.e. the index manifest's) parameters so this
+    * pass and the store probe that follows it agree by construction.
+    * Returns one column named `keyCol`. EAGER: the result is
+    * batch-bounded and materialized, and every internal cache is
+    * dropped before returning — the gate runs this once per
+    * micro-batch, so a lazy cache would leak per batch. */
+  def minhashIntraBatchFlags(batch: DataFrame, keyCol: String,
+                             textCol: String, k: Int, numHashes: Int,
+                             bands: Int, threshold: Double): DataFrame = {
+    val (pairs, caches) = nearDupPairsPlan(batch, keyCol, textCol, k,
+      numHashes, bands, threshold)
+    val out = pairs.select(col("b").as(keyCol)).distinct()
+      .localCheckpoint(true)
+    caches.foreach(_.unpersist(blocking = true))
+    out
+  }
+
+  /** The shared pairs plan behind [[minhashNearDupPairs]] and
+    * [[minhashIntraBatchFlags]]: verified (a, b, jaccard) pairs with
+    * a < b, plus the internal caches so an eager caller can drop them
+    * after materializing (the lazy public operator leaves them to the
+    * session, matching its one-shot registry usage). */
+  private def nearDupPairsPlan(df: DataFrame, keyCol: String,
+                               textCol: String, k: Int, numHashes: Int,
+                               bands: Int, threshold: Double)
+      : (DataFrame, Seq[DataFrame]) = {
     // signature + distinct-shingle count per document from the FUSED
     // codegen expression (graft.plans.MinHashSigExpr): one pass per
     // doc, no shingle explode and no 64-wide aggregate on this path —
@@ -300,7 +334,7 @@ object Dedup {
       .join(sh.select(col(keyCol).as("a"), col("shingle")), Seq("a"))
       .join(sh.select(col(keyCol).as("b"), col("shingle")), Seq("b", "shingle"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
-    common
+    val pairs = common
       .join(counts.select(col(keyCol).as("a"), col("n_sh").as("n_a")), Seq("a"))
       .join(counts.select(col(keyCol).as("b"), col("n_sh").as("n_b")), Seq("b"))
       .select(col("a"), col("b"),
@@ -308,6 +342,7 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    (pairs, Seq(sigRow, sh))
   }
 
   /** MinHash band-bucket index of a corpus — the ARTIFACT an

@@ -500,6 +500,43 @@ object Similarity {
     semanticDedupAgainstStore(batch, vecCol, store.centroids,
       store.vectors, store.idCol, threshold)
 
+  /** Within-batch semantic near-dup flags under a FROZEN centroid set
+    * (the intra-batch half of the streaming gate protocol — see
+    * [[graft.streaming.IncrementalLoad.streamingSemanticGate]]): the
+    * ids of batch vectors with a SMALLER-id near-dup in the same
+    * batch, pairs scoped to the cell each vector assigns to under the
+    * GIVEN centroids — [[semanticDedup]]'s keep-min-id rule, but with
+    * the index's own cells so this pass and the store probe that
+    * follows it agree by construction. Returns one column named
+    * `idCol`. EAGER: the result is batch-bounded and materialized,
+    * and the internal assignment cache is dropped before returning —
+    * the gate runs this once per micro-batch. */
+  def semanticIntraBatchFlags(batch: DataFrame, vecCol: String,
+                              centroids: DataFrame, idCol: String,
+                              threshold: Double): DataFrame = {
+    def norm(v: Column): Column = sqrt(graft.plans.DotProduct(v, v))
+    val cells = assignCells(batch, centroids, idCol, vecCol, 1)
+      .select(col(idCol), col("cell"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_n", norm(col("_v")))
+      .cache() // both pair sides read it; the assignment otherwise
+               // re-runs its broadcast per branch (semanticDedup's
+               // chunk-cache precedent)
+    val a = cells.select(col("cell"), col(idCol).as("a"),
+      col("_v").as("_va"), col("_n").as("_na"))
+    val b = cells.select(col("cell"), col(idCol).as("b"),
+      col("_v").as("_vb"), col("_n").as("_nb"))
+    val out = a.join(b, Seq("cell")).filter(col("a") < col("b"))
+      .withColumn("sim", round(
+        graft.plans.DotProduct(col("_va"), col("_vb")) /
+          (col("_na") * col("_nb")), CosineRoundScale))
+      .filter(col("sim") >= threshold)
+      .select(col("b").as(idCol)).distinct()
+      .localCheckpoint(true)
+    cells.unpersist(blocking = true)
+    out
+  }
+
   /** Deterministic pseudo-random hyperplane COMPONENTS (fixed seed —
     * no wall-clock, no engine hash). Public so the q36 oracle can
     * interpolate the same doubles into SQL: Double.toString is the

@@ -888,6 +888,38 @@ object DedupQueries {
         |${tag}bands AS (
         |  ${bandSelects(tag + "sig")})""".stripMargin
 
+    /** The within-batch pass (the SQL twin of
+      * Dedup.minhashIntraBatchFlags): self-join `(tag)bands` for
+      * candidate pairs a < b, verify with exact Jaccard over
+      * `(tag)sh`, and flag every b with a smaller verified near-dup —
+      * CTE `(tag)iflag(b)` — plus the SURVIVOR views `(tag)fsh` /
+      * `(tag)fbands` the store probe then runs on. */
+    def intraCtes(tag: String): String =
+      s"""${tag}icand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM ${tag}bands x JOIN ${tag}bands y
+        |    ON x.band = y.band AND x.bucket = y.bucket
+        |      AND x.doc_id < y.doc_id),
+        |${tag}icnt AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM ${tag}sh GROUP BY doc_id),
+        |${tag}iflag AS (
+        |  SELECT DISTINCT c.b FROM (
+        |    SELECT a, b, COUNT(*) AS n_common
+        |    FROM ${tag}icand
+        |    JOIN ${tag}sh x ON x.doc_id = a
+        |    JOIN ${tag}sh y ON y.doc_id = b AND y.sh = x.sh
+        |    GROUP BY 1, 2) c
+        |  JOIN ${tag}icnt ca ON ca.doc_id = c.a
+        |  JOIN ${tag}icnt cb ON cb.doc_id = c.b
+        |  WHERE CAST(c.n_common AS DOUBLE)
+        |    / CAST(ca.n + cb.n - c.n_common AS DOUBLE) >= 0.5),
+        |${tag}fsh AS (
+        |  SELECT doc_id, sh FROM ${tag}sh
+        |  WHERE doc_id NOT IN (SELECT b FROM ${tag}iflag)),
+        |${tag}fbands AS (
+        |  SELECT doc_id, band, bucket FROM ${tag}bands
+        |  WHERE doc_id NOT IN (SELECT b FROM ${tag}iflag))""".stripMargin
+
     /** The probe: candidates from the band-bucket equi-join of
       * `(bTag)bands` against `(sTag)bands`, exact Jaccard on
       * candidates, best match per flagged batch doc — ends in CTE
@@ -1057,24 +1089,30 @@ object DedupQueries {
   /** q251: the q142 grow-then-probe lifecycle driven through a REAL
     * file-source stream (★ — the q248/q216 wire for the GATE family,
     * closing the one streaming surface still MemoryStream-pinned
-    * after round 10): batch 1 = near-dups of store docs (flagged)
-    * plus token-reversed docs (shingle-disjoint → admitted); batch 2
-    * = near-dups of the batch-1 ADMISSIONS (flaggable only by the
-    * grown index) plus fresh reversed docs (admitted). The two
-    * batches are staged as two parquet files, `maxFilesPerTrigger=1`
-    * forces two micro-batches through
-    * [[graft.streaming.IncrementalLoad.streamingNearDupGate]], and
-    * the query emits the gate's PERSISTED DECISIONS — the admitted
+    * after round 10): batch 1 = near-dups of store docs (flagged by
+    * the base index) plus token-reversed docs (shingle-disjoint →
+    * admitted) plus an INTRA-BATCH near-dup pair per %20==5 doc — a
+    * reversed doc (+4M) and its first-token-dropped twin (+5M), both
+    * new to the index, so only the gate's within-batch self-probe can
+    * reject the +5M copy (keep-min-key; without it both would admit —
+    * the round-11 admission hole). Batch 2 = near-dups of the batch-1
+    * ADMISSIONS (flaggable only by the grown index) plus fresh
+    * reversed docs (admitted). The two batches are staged as two
+    * parquet files, `maxFilesPerTrigger=1` forces two micro-batches
+    * through [[graft.streaming.IncrementalLoad.streamingNearDupGate]],
+    * and the query emits the gate's PERSISTED DECISIONS — the admitted
     * (batch, doc_id) rows — plus the gatelog `applied` stamp (= 1:
     * in-output proof TWO micro-batches committed). The oracle replays
-    * both probe generations with the q139/q142 [[MinhashSql]]
-    * generators, so streaming admission ≡ the batch lifecycle math,
-    * hash-checked end to end. The store is signed fresh into the
-    * wire's temp root per run (the gate MUTATES its index — probing
-    * [[sharedDocStore]] would poison q139/q142's reads) over a quarter
-    * of the corpus (signing IS the wire's marginal cost; the nightly
-    * posture signs once ever — q139), and swept with the staging after the eager drain: only
-    * the kilobyte admitted set outlives the query. */
+    * both generations with the q139/q142 [[MinhashSql]] generators —
+    * each batch's intra pass ([[MinhashSql.intraCtes]]) THEN the
+    * store probe over the survivors — so streaming admission ≡ the
+    * batch lifecycle math, hash-checked end to end. The store is
+    * signed fresh into the wire's temp root per run (the gate MUTATES
+    * its index — probing [[sharedDocStore]] would poison q139/q142's
+    * reads) over a quarter of the corpus (signing IS the wire's
+    * marginal cost; the nightly posture signs once ever — q139), and
+    * swept with the staging after the eager drain: only the kilobyte
+    * admitted set outlives the query. */
   val q251StreamingNeardupGate: QuerySpec = {
     val rev = "array_to_string(list_reverse(string_split(text, ' ')), ' ')"
     QuerySpec(
@@ -1087,21 +1125,30 @@ object DedupQueries {
         |  FROM documents WHERE doc_id % 28 = 0
         |  UNION ALL
         |  SELECT doc_id + 3000000, $rev
-        |  FROM documents WHERE doc_id % 10 = 1),
+        |  FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, $rev
+        |  FROM documents WHERE doc_id % 20 = 5
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, substr(r, strpos(r, ' ') + 1)
+        |  FROM (SELECT doc_id, $rev AS r
+        |        FROM documents WHERE doc_id % 20 = 5)),
         |batch2 AS (
-        |  SELECT doc_id + 4000000 AS doc_id,
+        |  SELECT doc_id + 6000000 AS doc_id,
         |    substr(r, strpos(r, ' ') + 1) AS text
         |  FROM (SELECT doc_id, $rev AS r
         |        FROM documents WHERE doc_id % 10 = 1)
         |  UNION ALL
-        |  SELECT doc_id + 5000000, $rev
+        |  SELECT doc_id + 7000000, $rev
         |  FROM documents WHERE doc_id % 10 = 3),
         |${MinhashSql.shingleCtes("s", "store")},
         |${MinhashSql.shingleCtes("b1", "batch1")},
-        |${MinhashSql.probeCtes("b1", "s", "p1")},
+        |${MinhashSql.intraCtes("b1")},
+        |${MinhashSql.probeCtes("b1f", "s", "p1")},
         |adm1 AS (
         |  SELECT doc_id FROM batch1
-        |  WHERE doc_id NOT IN (SELECT b FROM p1flag)),
+        |  WHERE doc_id NOT IN (SELECT b FROM b1iflag)
+        |    AND doc_id NOT IN (SELECT b FROM p1flag)),
         |s2sh AS (
         |  SELECT doc_id, sh FROM ssh
         |  UNION ALL
@@ -1113,10 +1160,12 @@ object DedupQueries {
         |  SELECT doc_id, band, bucket FROM b1bands
         |  WHERE doc_id IN (SELECT doc_id FROM adm1)),
         |${MinhashSql.shingleCtes("b2", "batch2")},
-        |${MinhashSql.probeCtes("b2", "s2", "p2")},
+        |${MinhashSql.intraCtes("b2")},
+        |${MinhashSql.probeCtes("b2f", "s2", "p2")},
         |adm2 AS (
         |  SELECT doc_id FROM batch2
-        |  WHERE doc_id NOT IN (SELECT b FROM p2flag))
+        |  WHERE doc_id NOT IN (SELECT b FROM b2iflag)
+        |    AND doc_id NOT IN (SELECT b FROM p2flag))
         |SELECT CAST(0 AS BIGINT) AS batch, doc_id,
         |  CAST(1 AS BIGINT) AS applied FROM adm1
         |UNION ALL
@@ -1131,14 +1180,20 @@ object DedupQueries {
           expr("substring(text, instr(text, ' ') + 1)").as("text"))
         .unionByName(docs.filter(col("doc_id") % 10 === 1)
           .select((col("doc_id") + 3000000).as("doc_id"), revC.as("text")))
+        .unionByName(docs.filter(col("doc_id") % 20 === 5)
+          .select((col("doc_id") + 4000000).as("doc_id"), revC.as("text")))
+        .unionByName(docs.filter(col("doc_id") % 20 === 5)
+          .select((col("doc_id") + 5000000).as("doc_id"), revC.as("r"))
+          .select(col("doc_id"),
+            expr("substring(r, instr(r, ' ') + 1)").as("text")))
       val b2 = docs.filter(col("doc_id") % 10 === 1)
-        .select((col("doc_id") + 4000000).as("doc_id"), revC.as("r"))
+        .select((col("doc_id") + 6000000).as("doc_id"), revC.as("r"))
         .select(col("doc_id"),
           expr("substring(r, instr(r, ' ') + 1)").as("text"))
         .unionByName(docs.filter(col("doc_id") % 10 === 3)
-          .select((col("doc_id") + 5000000).as("doc_id"), revC.as("text")))
+          .select((col("doc_id") + 7000000).as("doc_id"), revC.as("text")))
       val (stream, root) = IncrementalLoad.stageTwoFileStream(
-        b1.unionByName(b2), col("doc_id") < 4000000, "graft_q251")
+        b1.unionByName(b2), col("doc_id") < 6000000, "graft_q251")
       val storePath = root.resolve("store").toString
       Dedup.writeMinhashStore(store, "doc_id", "text", storePath,
         k = 3, numHashes = MinhashSql.nH, bands = MinhashSql.bands)

@@ -521,22 +521,26 @@ object SimilarityQueries {
     * file-source stream (★ — q251's wire for the EMBEDDING tier,
     * closing the last MemoryStream-pinned streaming surface): batch 1
     * = exact copies of store vectors (flagged) plus genuinely novel
-    * vectors (admitted); batch 2 = copies of the batch-1 ADMISSIONS
-    * (flaggable only by the GROWN index) plus NEGATED store vectors
-    * (cosine −1 against their sources, under the 0.999 gate against
-    * everything else → admitted — novelty that needs no extra corpus
-    * rows, so the fixture is SF-invariant like q147's). Two staged
-    * files → `maxFilesPerTrigger = 1` → [[graft.streaming
+    * vectors (admitted) plus an INTRA-BATCH duplicate pair per vector
+    * in [450, 460) — two copies at +150000 and +160000, both new to
+    * the index, so only the gate's within-batch self-probe can reject
+    * the +160000 copy (keep-min-id; without it both would admit — the
+    * round-11 admission hole). Batch 2 = copies of the batch-1
+    * ADMISSIONS (flaggable only by the GROWN index) plus NEGATED
+    * store vectors (cosine −1 against their sources, under the 0.999
+    * gate against everything else → admitted — novelty that needs no
+    * extra corpus rows, so the fixture is SF-invariant like q147's).
+    * Two staged files → `maxFilesPerTrigger = 1` → [[graft.streaming
     * .IncrementalLoad.streamingSemanticGate]]; the query emits the
     * admitted (batch, vec_id) rows plus the gatelog `applied` stamp
-    * (= 1), and the oracle replays centroids/assignment/probes with
-    * the q52/q146/q147 [[IvfSql]] generators. The IVF index is built
-    * fresh in the wire's temp root per run (the gate MUTATES it —
-    * probing [[sharedIvfStore]] would poison q147's reads; 400
-    * vectors, one Lloyd pass — trivial) and swept with the staging
-    * after the drain. */
+    * (= 1), and the oracle replays centroids/assignment/intra-pass/
+    * probes with the q52/q146/q147 [[IvfSql]] generators. The IVF
+    * index is built fresh in the wire's temp root per run (the gate
+    * MUTATES it — probing [[sharedIvfStore]] would poison q147's
+    * reads; 400 vectors, one Lloyd pass — trivial) and swept with the
+    * staging after the drain. */
   val q252StreamingSemanticGate: QuerySpec = {
-    import IvfSql.{assignSql, lloydSql, probeSql}
+    import IvfSql.{assignSql, intraSql, lloydSql, probeSql}
     QuerySpec(
       "q252_streaming_semantic_gate",
       s"""WITH vecs AS (
@@ -545,6 +549,12 @@ object SimilarityQueries {
         |b1v AS (
         |  SELECT vec_id + 100000 AS id, CAST(embedding AS DOUBLE[]) AS dv
         |  FROM embeddings WHERE vec_id < 20
+        |  UNION ALL
+        |  SELECT vec_id + 150000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id >= 450 AND vec_id < 460
+        |  UNION ALL
+        |  SELECT vec_id + 160000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id >= 450 AND vec_id < 460
         |  UNION ALL
         |  SELECT vec_id + 200000, CAST(embedding AS DOUBLE[])
         |  FROM embeddings WHERE vec_id >= 400 AND vec_id < 450),
@@ -564,16 +574,22 @@ object SimilarityQueries {
         |${assignSql("cs", "c1")},
         |${assignSql("cb1", "c1", "b1v")},
         |${assignSql("cb2", "c1", "b2v")},
-        |${probeSql("p1", "cb1", "cs", "0.999")},
+        |${intraSql("i1", "cb1", "0.999")},
+        |${probeSql("p1", "cb1f", "cs", "0.999")},
         |adm1 AS (
-        |  SELECT id FROM b1v WHERE id NOT IN (SELECT b FROM p1flag)),
+        |  SELECT id FROM b1v
+        |  WHERE id NOT IN (SELECT b FROM i1i)
+        |    AND id NOT IN (SELECT b FROM p1flag)),
         |cs2 AS (
         |  SELECT id, cell FROM cs
         |  UNION ALL
         |  SELECT id, cell FROM cb1 WHERE id IN (SELECT id FROM adm1)),
-        |${probeSql("p2", "cb2", "cs2", "0.999")},
+        |${intraSql("i2", "cb2", "0.999")},
+        |${probeSql("p2", "cb2f", "cs2", "0.999")},
         |adm2 AS (
-        |  SELECT id FROM b2v WHERE id NOT IN (SELECT b FROM p2flag))
+        |  SELECT id FROM b2v
+        |  WHERE id NOT IN (SELECT b FROM i2i)
+        |    AND id NOT IN (SELECT b FROM p2flag))
         |SELECT CAST(0 AS BIGINT) AS batch, id AS vec_id,
         |  CAST(1 AS BIGINT) AS applied FROM adm1
         |UNION ALL
@@ -585,6 +601,10 @@ object SimilarityQueries {
         .select(col("vec_id"), col("embedding"))
       val b1 = e.filter(col("vec_id") < 20)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") >= 450 && col("vec_id") < 460)
+          .select((col("vec_id") + 150000).as("vec_id"), col("embedding")))
+        .unionByName(e.filter(col("vec_id") >= 450 && col("vec_id") < 460)
+          .select((col("vec_id") + 160000).as("vec_id"), col("embedding")))
         .unionByName(e.filter(col("vec_id") >= 400 && col("vec_id") < 450)
           .select((col("vec_id") + 200000).as("vec_id"), col("embedding")))
       val b2 = e.filter(col("vec_id") >= 400 && col("vec_id") < 450)
@@ -1645,6 +1665,24 @@ private[queries] object IvfSql {
       |        ORDER BY round(list_cosine_similarity(v.dv, c.cv), 6) DESC,
       |          c.cell) AS rn
       |    FROM $vin v CROSS JOIN $cin c) WHERE rn = 1)"""
+
+  /** The within-batch pass (the SQL twin of
+    * Similarity.semanticIntraBatchFlags): self-join batch cells
+    * `bCells` (id, cell), verify rounded cosine over `allv`, and flag
+    * every id with a SMALLER-id near-dup in the same batch — CTE
+    * `(tag)i(b)` — plus the survivor view `(bCells)f` the store probe
+    * then runs on. */
+  def intraSql(tag: String, bCells: String, tau: String): String =
+    s"""${tag}i AS (
+      |  SELECT DISTINCT y.id AS b
+      |  FROM $bCells x JOIN $bCells y
+      |    ON x.cell = y.cell AND x.id < y.id
+      |  JOIN allv xv ON xv.id = x.id
+      |  JOIN allv yv ON yv.id = y.id
+      |  WHERE round(list_cosine_similarity(xv.dv, yv.dv), 6) >= $tau),
+      |${bCells}f AS (
+      |  SELECT id, cell FROM $bCells
+      |  WHERE id NOT IN (SELECT b FROM ${tag}i))"""
 
   /** Cell-scoped probe of batch cells `bCells` against store cells
     * `sCells` (both (id, cell)), vectors looked up in CTE

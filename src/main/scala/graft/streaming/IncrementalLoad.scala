@@ -100,12 +100,18 @@ object IncrementalLoad {
       .start()
 
   /** Streaming NEAR-dup gate (★ — the nightly-ingest posture run as a
-    * stream): every micro-batch probes the persisted MinHash signature
+    * stream): every micro-batch first self-probes for WITHIN-batch
+    * near-dups (keep the min key —
+    * [[graft.operators.Dedup.minhashIntraBatchFlags]], so two
+    * near-dups arriving in one micro-batch cannot both admit), then
+    * probes the survivors against the persisted MinHash signature
     * index ([[graft.operators.Dedup.writeMinhashStore]]'s layout),
     * appends the ADMITTED rows to `admittedPath`, and admits their
     * signatures into the index — so a near-dup arriving in a LATER
     * micro-batch of the same stream is rejected against the grown
-    * index, exactly like a later nightly batch would be.
+    * index, exactly like a later nightly batch would be. Net
+    * contract: the admitted set is near-dup-free regardless of how
+    * batch boundaries fall.
     *
     * Scale shape per micro-batch = the q139 probe: only the batch is
     * signed (fused expression), candidates from the batch⋈store
@@ -150,12 +156,23 @@ object IncrementalLoad {
               .map(g => b.unionByName(g.filter(col("batch") < batchId)
                 .select(b.columns.map(col).toSeq: _*)))
               .getOrElse(b)
-          val flagged = D.minhashNearDupAgainstStore(batch, base.keyCol,
-              textCol, upTo("buckets", base.buckets),
+          // intra-batch pass FIRST: two near-dups arriving in the SAME
+          // micro-batch are invisible to the store probe (neither is
+          // in the index yet) and would both admit — self-probe the
+          // batch and keep the min key (the q32 within-corpus rule),
+          // exactly the within-batch dedup a nightly-batch posture
+          // composes before its store probe. Deterministic, so replays
+          // recompute the identical survivor set.
+          val intra = D.minhashIntraBatchFlags(batch, base.keyCol,
+            textCol, base.k, base.numHashes, base.bands, threshold)
+          val survivors = batch.join(intra, Seq(base.keyCol), "left_anti")
+          val flagged = D.minhashNearDupAgainstStore(survivors,
+              base.keyCol, textCol, upTo("buckets", base.buckets),
               upTo("shingles", base.shingles), base.k, base.numHashes,
               base.bands, threshold)
             .select(col("b").as(base.keyCol))
-          val admitted = batch.join(flagged, Seq(base.keyCol), "left_anti")
+          val admitted = survivors
+            .join(flagged, Seq(base.keyCol), "left_anti")
             .localCheckpoint(true)
           if (admitted.count() > 0) {
             admitted.write.mode("overwrite")
@@ -176,19 +193,25 @@ object IncrementalLoad {
             spark.range(1).select(lit(batchId).as("applied"))
               .write.mode("overwrite").parquet(dir)
           }
-          graft.operators.Graph.checkpointRdd(admitted)
-            .foreach(_.unpersist(false))
+          Seq(intra, admitted).foreach(df =>
+            graft.operators.Graph.checkpointRdd(df)
+              .foreach(_.unpersist(false)))
         }
       }
       .start()
 
   /** Streaming SEMANTIC gate — the [[streamingNearDupGate]] posture
-    * for the embedding tier: every micro-batch probes the persisted
-    * IVF vector index ([[graft.operators.Similarity.writeIvfStore]]'s
-    * layout), appends ADMITTED rows to `admittedPath`, and admits
-    * their vectors into the index (cells assigned by the index's own
-    * frozen centroids), so a semantic near-dup arriving in a later
-    * micro-batch is rejected against the grown index.
+    * for the embedding tier: every micro-batch first self-probes for
+    * within-batch semantic near-dups (keep the min id —
+    * [[graft.operators.Similarity.semanticIntraBatchFlags]], under
+    * the index's frozen centroids), then probes the survivors against
+    * the persisted IVF vector index
+    * ([[graft.operators.Similarity.writeIvfStore]]'s layout), appends
+    * ADMITTED rows to `admittedPath`, and admits their vectors into
+    * the index (cells assigned by the index's own frozen centroids),
+    * so a semantic near-dup arriving in a later micro-batch is
+    * rejected against the grown index — and the admitted set is
+    * near-dup-free regardless of batch boundaries.
     *
     * Scale shape per micro-batch = the q147 probe: the batch assigns
     * against the broadcast-bounded centroid set and broadcasts into
@@ -220,10 +243,19 @@ object IncrementalLoad {
               g.filter(col("batch") < batchId)
                 .select(base.vectors.columns.map(col).toSeq: _*)))
             .getOrElse(base.vectors)
-          val flagged = S.semanticDedupAgainstStore(batch, vecCol,
+          // intra-batch pass FIRST (the near-dup gate's rule for the
+          // embedding tier): two semantic near-dups arriving in one
+          // micro-batch would both admit against an index containing
+          // neither — self-probe the batch within the index's own
+          // cells and keep the min id before the store probe.
+          val intra = S.semanticIntraBatchFlags(batch, vecCol,
+            base.centroids, base.idCol, threshold)
+          val survivors = batch.join(intra, Seq(base.idCol), "left_anti")
+          val flagged = S.semanticDedupAgainstStore(survivors, vecCol,
               base.centroids, vectors, base.idCol, threshold)
             .select(col("b").as(base.idCol))
-          val admitted = batch.join(flagged, Seq(base.idCol), "left_anti")
+          val admitted = survivors
+            .join(flagged, Seq(base.idCol), "left_anti")
             .localCheckpoint(true)
           if (admitted.count() > 0) {
             admitted.write.mode("overwrite")
@@ -238,8 +270,9 @@ object IncrementalLoad {
             spark.range(1).select(lit(batchId).as("applied"))
               .write.mode("overwrite").parquet(dir)
           }
-          graft.operators.Graph.checkpointRdd(admitted)
-            .foreach(_.unpersist(false))
+          Seq(intra, admitted).foreach(df =>
+            graft.operators.Graph.checkpointRdd(df)
+              .foreach(_.unpersist(false)))
         }
       }
       .start()

@@ -311,6 +311,77 @@ class StreamingSpec extends SparkSpecBase {
     assert(grown.buckets.filter(col("doc_id") === 7001L).count() > 0)
   }
 
+  test("streaming near-dup gate: two near-dups arriving in ONE " +
+      "micro-batch admit only the min key (intra-batch self-probe)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_intragate")
+    val storePath = root.resolve("store").toString
+    val admittedPath = root.resolve("admitted").toString
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    Dedup.writeMinhashStore(corpus, "doc_id", "text", storePath)
+    val novel = "zebra quark lantern voyage ember crystal meadow pylon"
+    // ONE staged file = ONE micro-batch carrying a near-dup pair,
+    // neither in the store: the store probe alone would admit both
+    // (the index contains neither at probe time) — only the
+    // within-batch self-probe can reject the larger key
+    val b1 = Seq(
+      (7000L, novel),
+      (7001L, novel.split(" ").drop(1).mkString(" "))
+    ).toDF("doc_id", "text")
+    b1.coalesce(1).write.parquet(root.resolve("in/b1").toString)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in/*/")
+    val q = graft.streaming.IncrementalLoad.streamingNearDupGate(
+      spark, stream, "text", storePath, admittedPath,
+      root.resolve("ckpt").toString)
+    assert(q.awaitTermination(120000), "gate did not drain in time")
+    val admitted = spark.read.parquet(admittedPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(7000L), s"admitted: $admitted")
+    // the index carries exactly the admitted doc's signatures
+    val grown = Dedup.readMinhashStore(spark, storePath)
+    assert(grown.buckets.filter(col("doc_id") === 7000L).count() > 0)
+    assert(grown.buckets.filter(col("doc_id") === 7001L).isEmpty,
+      "a rejected intra-batch near-dup leaked into the index")
+  }
+
+  test("streaming semantic gate: two copies arriving in ONE " +
+      "micro-batch admit only the min id (intra-batch self-probe)") {
+    import graft.operators.Similarity
+    val root = java.nio.file.Files.createTempDirectory("graft_intravgate")
+    val storePath = root.resolve("store").toString
+    val admittedPath = root.resolve("admitted").toString
+    val e = Tables.embeddings(spark, sf)
+    val corpus = e.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.writeIvfStore(corpus, "vec_id", "embedding", storePath,
+      numCells = 8, kmeansIters = 1)
+    // two copies of the same novel vector (corpus vec 200, absent from
+    // the 100-vector store) in ONE micro-batch
+    val b1 = e.filter(col("vec_id") === 200)
+      .select(lit(7000L).as("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("vec_id") === 200)
+        .select(lit(7001L).as("vec_id"), col("embedding")))
+    b1.coalesce(1).write.parquet(root.resolve("in/b1").toString)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in/*/")
+    val q = graft.streaming.IncrementalLoad.streamingSemanticGate(
+      spark, stream, "embedding", storePath, admittedPath,
+      root.resolve("ckpt").toString)
+    assert(q.awaitTermination(120000), "gate did not drain in time")
+    val admitted = spark.read.parquet(admittedPath)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(7000L), s"admitted: $admitted")
+    val grown = Similarity.readIvfStore(spark, storePath)
+    assert(grown.vectors.filter(col("vec_id") === 7000L).count() == 1)
+    assert(grown.vectors.filter(col("vec_id") === 7001L).isEmpty,
+      "a rejected intra-batch copy leaked into the index")
+  }
+
   test("streaming semantic gate: a later micro-batch rejects a copy of an " +
       "earlier ADMITTED vector (the vector index grows mid-stream)") {
     import graft.operators.Similarity
