@@ -1195,23 +1195,33 @@ object DedupQueries {
       val (stream, root) = IncrementalLoad.stageTwoFileStream(
         b1.unionByName(b2), col("doc_id") < 6000000, "graft_q251")
       val storePath = root.resolve("store").toString
-      Dedup.writeMinhashStore(store, "doc_id", "text", storePath,
-        k = 3, numHashes = MinhashSql.nH, bands = MinhashSql.bands)
       val admittedPath = root.resolve("admitted").toString
-      val q = IncrementalLoad.streamingNearDupGate(s, stream, "text",
-        storePath, admittedPath, root.resolve("ckpt").toString,
-        threshold = 0.5)
-      require(q.awaitTermination(300000), "q251 stream did not drain")
-      val applied = graft.operators.Stores.lastApplied(
-        s, s"$storePath/gatelog")
-      // sweep staging, checkpoint AND the per-run signature index
-      // (megabytes); only the kilobyte admitted set outlives the run,
-      // and the returned plan reads exactly it
-      IncrementalLoad.cleanStaging(root, Seq("in", "ckpt", "store"))
-      s.read.parquet(admittedPath)
-        .select(col("batch").cast("long").as("batch"), col("doc_id"),
-          lit(applied).as("applied"))
-        .orderBy(col("batch"), col("doc_id"))
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      // sweep in a FINALLY so a failed drain can't leak the staging,
+      // checkpoint, or per-run signature index (megabytes); a run
+      // killed outright is retired by the next run's aged-root sweep
+      // (IncrementalLoad.sweepAgedRoots via stageTwoFileStream). Only
+      // the kilobyte admitted set outlives the run, and the returned
+      // plan reads exactly it.
+      try {
+        Dedup.writeMinhashStore(store, "doc_id", "text", storePath,
+          k = 3, numHashes = MinhashSql.nH, bands = MinhashSql.bands)
+        q = IncrementalLoad.streamingNearDupGate(s, stream, "text",
+          storePath, admittedPath, root.resolve("ckpt").toString,
+          threshold = 0.5)
+        require(q.awaitTermination(300000), "q251 stream did not drain")
+        val applied = graft.operators.Stores.lastApplied(
+          s, s"$storePath/gatelog")
+        s.read.parquet(admittedPath)
+          .select(col("batch").cast("long").as("batch"), col("doc_id"),
+            lit(applied).as("applied"))
+          .orderBy(col("batch"), col("doc_id"))
+      } finally {
+        if (q != null) { // stop a hung stream before deleting under it
+          try q.stop() catch { case _: Exception => () }
+        }
+        IncrementalLoad.cleanStaging(root, Seq("in", "ckpt", "store"))
+      }
     }
   }
 

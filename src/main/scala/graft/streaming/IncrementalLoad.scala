@@ -26,6 +26,10 @@ object IncrementalLoad {
     * evaluation would drop the row from BOTH halves). */
   def stageTwoFileStream(df: DataFrame, firstHalf: org.apache.spark.sql.Column,
                          tag: String): (DataFrame, java.nio.file.Path) = {
+    // crash hygiene first: a prior run of this wire killed mid-drain
+    // (JVM death — beyond any try/finally) left its staging and
+    // per-run index behind; retire such roots before creating ours
+    sweepAgedRoots(tag)
     val root = java.nio.file.Files.createTempDirectory(tag)
     df.filter(firstHalf).coalesce(1)
       .write.parquet(root.resolve("in/a").toString)
@@ -35,6 +39,44 @@ object IncrementalLoad {
       .option("maxFilesPerTrigger", "1")
       .parquet(root.toString + "/in/*/")
     (stream, root)
+  }
+
+  /** Delete temp roots of a prior `tag` run older than `maxAgeMs`
+    * (default 1 h) — the crash half of the wires' temp hygiene. The
+    * normal path sweeps its own root after the drain (and the gate
+    * wires do so in a `finally`, covering exceptions), but a run
+    * killed outright — OOM, SIGKILL, driver loss — leaves its staging
+    * plus per-run signature index (megabytes) behind until the OS tmp
+    * cleaner runs; the NEXT invocation of the same wire retires them
+    * here. The age guard keeps concurrent LIVE runs (bench
+    * parallelism, test suites on the same host) untouched: a root
+    * under an hour old is presumed active. */
+  def sweepAgedRoots(tag: String, maxAgeMs: Long = 3600000L): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    if (java.nio.file.Files.isDirectory(tmp)) {
+      val aged = scala.util.Using.resource(
+          java.nio.file.Files.list(tmp)) {
+        _.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(tag))
+          .filter(p =>
+            try java.nio.file.Files.getLastModifiedTime(p)
+              .toMillis < cutoff
+            catch { case _: java.io.IOException => false })
+          .toSeq
+      }
+      aged.foreach { p =>
+        try {
+          val paths = scala.util.Using.resource(
+            java.nio.file.Files.walk(p))(_.iterator().asScala.toSeq)
+          paths.sortBy(-_.getNameCount).foreach(q =>
+            try java.nio.file.Files.deleteIfExists(q)
+            catch { case _: java.io.IOException => () })
+        } catch { case _: java.io.IOException => () }
+      }
+    }
   }
 
   /** Delete a drained wire's STAGING and CHECKPOINT dirs (the store

@@ -427,6 +427,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(grown.vectors.filter(col("vec_id") === 7001L).count() == 1)
   }
 
+  test("gate wire crash hygiene: a stale temp root from a killed run " +
+      "is swept at the next wire start; live roots survive") {
+    import spark.implicits._
+    import graft.streaming.IncrementalLoad
+    import java.nio.file.attribute.FileTime
+    val tag = "graft_q251"
+    // a killed run's leftovers: staging + a per-run index fragment,
+    // aged past the sweep horizon (only the ROOT mtime is consulted)
+    val stale = java.nio.file.Files.createTempDirectory(tag)
+    java.nio.file.Files.createDirectories(stale.resolve("in/a"))
+    java.nio.file.Files.createDirectories(stale.resolve("store"))
+    java.nio.file.Files.write(stale.resolve("in/a/part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.setLastModifiedTime(stale,
+      FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+    // a concurrent LIVE run's root: same tag, recent mtime
+    val live = java.nio.file.Files.createTempDirectory(tag)
+    val df = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val (_, root) = IncrementalLoad.stageTwoFileStream(
+      df, col("doc_id") < 2L, tag)
+    assert(!java.nio.file.Files.exists(stale),
+      "a killed run's aged root survived the next wire start")
+    assert(java.nio.file.Files.exists(live),
+      "a live (recent) sibling root was swept")
+    assert(java.nio.file.Files.exists(root.resolve("in")))
+    // leave exactly nothing behind ourselves
+    IncrementalLoad.cleanStaging(root, Seq("in"))
+    java.nio.file.Files.deleteIfExists(root)
+    java.nio.file.Files.deleteIfExists(live)
+  }
+
   test("streaming Count-Min fold: the drained store equals the batch grid " +
       "over the concatenated stream") {
     import spark.implicits._
