@@ -1675,6 +1675,183 @@ object DedupQueries {
     }
   }
 
+  /** q256: the q254 band sweep with a SAMPLED truth set (★ — the
+    * instrument a 100 TB operator actually runs: q254's exact
+    * AllPairs ground truth is 87% of its sf10 cost, an honest but
+    * super-linear audit term; here the truth is built only over a
+    * deterministic 20% document stratum — every doc whose portable
+    * 60-bit hash lands in residues 0–1 of 10 — so the quadratic truth
+    * pass pays ~4% of the exact audit's pair work while the SWEPT
+    * OPERATOR's own cost, the full-corpus candidate counts, is
+    * measured unchanged). Recall is estimated on truth pairs with
+    * BOTH endpoints sampled (vertex sampling — self-weighting, so the
+    * estimator is unbiased for pair recall; pairs sharing a vertex
+    * are mildly dependent, the standard caveat of sampled-recall
+    * audits) and reported with a Wilson 95% score interval
+    * (z = 1.96, z² = 3.8416), the estimator DedupSpec pins against
+    * q254's exact recall at this SF. All arithmetic is
+    * count-ratio-then-double with one shared operation order, so the
+    * interval replays bit-for-bit in DuckDB. */
+  val q256LshBandSweepSampled: QuerySpec = {
+    val P = Dedup.MinhashP
+    val C = Dedup.HornerC
+    val nH = 64
+    val sweep = Seq(8, 16, 32)
+    val cs = Dedup.minhashCoeffs(nH)
+    val minCols = cs.zipWithIndex.map { case ((a, b), i) =>
+      s"min((s * $a + $b) % $P) AS h$i"
+    }.mkString(",\n      |    ")
+    // the Wilson interval, spelled ONCE and interpolated into the
+    // oracle so both engines share the operation order exactly
+    val nD = "CAST(n_true_sampled AS DOUBLE)"
+    val pD = s"(CAST(n_hit_sampled AS DOUBLE) / $nD)"
+    val denomD = s"(1.0 + 3.8416 / $nD)"
+    val centerD = s"(($pD + 1.9208 / $nD) / $denomD)"
+    val halfD = s"((1.96 / $denomD) * sqrt($pD * (1.0 - $pD) / $nD" +
+      s" + 0.9604 / ($nD * $nD)))"
+    def bandCtes(b: Int): String = {
+      val r = nH / b
+      val selects = (0 until b).map { bnd =>
+        val bucket = (bnd * r until (bnd + 1) * r).map(i => s"h$i")
+          .reduceLeft((acc, h) => s"(($acc) * $C + $h) % $P")
+        s"SELECT doc_id, $bnd AS band, $bucket AS bucket FROM sigs"
+      }.mkString("\n      |  UNION ALL ")
+      s"""bands$b AS MATERIALIZED (
+        |  $selects),
+        |cand$b AS MATERIALIZED (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands$b l JOIN bands$b r
+        |    ON l.band = r.band AND l.bucket = r.bucket
+        |      AND l.doc_id < r.doc_id),
+        |s$b AS (
+        |  SELECT $b AS bands, $r AS rows_per_band,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$b)
+        |      AS n_candidates,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$b c
+        |       JOIN samp pa ON pa.doc_id = c.a
+        |       JOIN samp pb ON pb.doc_id = c.b) AS n_cand_sampled,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM struth)
+        |      AS n_true_sampled,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$b c
+        |       JOIN struth t ON t.a = c.a AND t.b = c.b)
+        |      AS n_hit_sampled)"""
+    }
+    QuerySpec(
+      "q256_lsh_band_sweep_sampled",
+      s"""WITH base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |all_docs AS MATERIALIZED (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(
+        |      toks[CAST((doc_id % 10) * 4 + 1 AS BIGINT):len(toks)], ' ')
+        |      AS text
+        |  FROM base WHERE doc_id % 10 >= 1),
+        |samp AS MATERIALIZED (
+        |  SELECT doc_id FROM all_docs
+        |  WHERE ${graft.functions.Scalars.sqlPortableHash64("doc_id")}
+        |    % 10 < 2),
+        |tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+        |  WHERE doc_id IN (SELECT doc_id FROM samp)
+        |    AND len(string_split(text, ' ')) >= 3),
+        |ssh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        |  FROM tok),
+        |scounts AS (SELECT doc_id, COUNT(*) AS n_sh FROM ssh GROUP BY 1),
+        |struth AS MATERIALIZED (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM ssh x JOIN ssh y
+        |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  JOIN scounts ca ON ca.doc_id = x.doc_id
+        |  JOIN scounts cb ON cb.doc_id = y.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING CAST(COUNT(*) AS DOUBLE) /
+        |    CAST(ANY_VALUE(ca.n_sh) + ANY_VALUE(cb.n_sh) - COUNT(*)
+        |      AS DOUBLE) >= 0.5),
+        |th AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |    t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $P) AS ths
+        |  FROM all_docs),
+        |hsh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(ths) - 1),
+        |      i -> (((ths[i] * $C + ths[i+1]) % $P) * $C + ths[i+2]) % $P))
+        |      AS s
+        |  FROM th WHERE len(ths) >= 3),
+        |sigs AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    $minCols
+        |  FROM hsh GROUP BY doc_id),
+        |${sweep.map(bandCtes).mkString(",\n")}
+        |SELECT CAST(bands AS INTEGER) AS bands,
+        |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
+        |  n_candidates, n_cand_sampled, n_true_sampled, n_hit_sampled,
+        |  round($pD, 6) AS recall_est,
+        |  round(greatest(0.0, $centerD - $halfD), 6) AS ci_lo,
+        |  round(least(1.0, $centerD + $halfD), 6) AS ci_hi
+        |FROM (${sweep.map(b => s"SELECT * FROM s$b").mkString(
+            "\n      |  UNION ALL ")})
+        |ORDER BY bands""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val toks = split(col("text"), " ")
+      val twins = d.filter(col("doc_id") % 10 >= 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(toks,
+            ((col("doc_id") % 10) * 4 + 1).cast("int"),
+            size(toks)), " ").as("text"))
+      val all = d.unionByName(twins)
+      val inSample = (c: org.apache.spark.sql.Column) =>
+        graft.functions.Scalars.portableHash64(c) % 10 < 2
+      // the quadratic truth pass runs on the 20% stratum ONLY — the
+      // whole point of the sampled audit; the candidate counts below
+      // stay full-corpus (the operator's own cost, measured honestly)
+      val truthS = Dedup.prefixJaccardPairs(
+          all.filter(inSample(col("doc_id"))), "doc_id", "text",
+          threshold = 0.5, shingleK = 3)
+        .select(col("a"), col("b")).cache()
+      val nTrueS = truthS.count()
+      require(nTrueS > 0,
+        "sampled truth set is empty — the Wilson interval is undefined; " +
+          "raise the sample rate for this corpus")
+      val sigRow = all.select(col("doc_id"),
+          graft.plans.MinHashSigExpr(col("text"), 3, nH).as("ms"))
+        .select(col("doc_id") +: (0 until nH).map(i =>
+          element_at(col("ms.sig"), i + 1).as(s"h$i")): _*)
+        .cache()
+      val nDbl = lit(nTrueS.toDouble)
+      val perB = sweep.map { b =>
+        val p = col("n_hit_sampled").cast("double") / nDbl
+        val denom = lit(1.0) + lit(3.8416) / nDbl
+        val center = (p + lit(1.9208) / nDbl) / denom
+        val half = (lit(1.96) / denom) *
+          sqrt(p * (lit(1.0) - p) / nDbl +
+            lit(0.9604) / (nDbl * nDbl))
+        Dedup.lshCandidatePairs(sigRow, "doc_id", b, nH / b)
+          .join(truthS.withColumn("t", lit(1)), Seq("a", "b"), "left")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(inSample(col("a")) && inSample(col("b")), 1L)
+              .otherwise(0L)).as("n_cand_sampled"),
+            sum(when(col("t") === 1, 1L).otherwise(0L))
+              .as("n_hit_sampled"))
+          .select(lit(b).as("bands"), lit(nH / b).as("rows_per_band"),
+            col("n_candidates"), col("n_cand_sampled"),
+            lit(nTrueS).as("n_true_sampled"), col("n_hit_sampled"),
+            round(p, 6).as("recall_est"),
+            round(greatest(lit(0.0), center - half), 6).as("ci_lo"),
+            round(least(lit(1.0), center + half), 6).as("ci_hi"))
+      }
+      val out = perB.reduce(_ unionByName _).localCheckpoint(true)
+      sigRow.unpersist(blocking = true)
+      truthS.unpersist(blocking = true)
+      out.orderBy(col("bands"))
+    }
+  }
+
   /** q177: incremental novelty against a persisted gram-frequency
     * index (★ — q169's lifecycle form, the q139/q142 posture applied
     * to the measurement side; see [[Dedup.noveltyAgainstStore]] for
@@ -1891,5 +2068,5 @@ object DedupQueries {
     q164ParagraphDedup, q165WinnowOverlap, q169NoveltyScore,
     q171DedupKeepBest, q176LshRecallAudit, q177IncrementalNovelty,
     q182SourceOverlap, q192ContainmentJoin, q251StreamingNeardupGate,
-    q254LshBandSweep)
+    q254LshBandSweep, q256LshBandSweepSampled)
 }

@@ -588,4 +588,31 @@ class DedupSpec extends SparkSpecBase {
       k = 3, threshold = 0.5).collect()
     assert(j.isEmpty, "Jaccard unexpectedly caught the quote pair")
   }
+
+  test("sampled band sweep (q256): the Wilson interval brackets the " +
+      "exact recall (q254) for every swept band setting") {
+    // the estimator's contract: running the truth pass on the 20%
+    // stratum must still localize the exact full-corpus recall — at
+    // this SF the interval is wide (n_true_sampled is small), which
+    // is exactly what the interval is FOR; at production SF it
+    // narrows as 1/sqrt(n)
+    val exact = graft.queries.DedupQueries.q254LshBandSweep
+      .run(spark, sf).collect()
+      .map(r => r.getAs[Int]("bands") -> r.getAs[Double]("recall")).toMap
+    val est = graft.queries.DedupQueries.q256LshBandSweepSampled
+      .run(spark, sf).collect()
+    assert(est.length == 3, s"expected 3 swept settings, got ${est.length}")
+    est.foreach { r =>
+      val b = r.getAs[Int]("bands")
+      val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo <= hi && lo >= 0.0 && hi <= 1.0, s"bands=$b: bad CI [$lo, $hi]")
+      assert(lo <= exact(b) && exact(b) <= hi,
+        s"bands=$b: exact recall ${exact(b)} outside the sampled CI [$lo, $hi]")
+    }
+    // and the estimator's own point estimate is a valid probability
+    est.foreach { r =>
+      val p = r.getAs[Double]("recall_est")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
 }
