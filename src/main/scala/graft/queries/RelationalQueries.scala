@@ -1505,21 +1505,47 @@ object RelationalQueries {
           .as("assortativity"))
   }
 
+  /** The persisted co-purchase backbone ([[BackboneSql]]'s edge set
+    * written once per corpus into an sfDir-keyed
+    * [[graft.operators.Graph.writeEdgeStore]] store — the
+    * DedupQueries sharedDocStore posture for the graph tier): built
+    * when absent or stale (lineitem row-count mismatch, a
+    * parquet-metadata probe), read from disk otherwise. One artifact,
+    * every composite/diagnostic re-run: exactly how a production
+    * pipeline amortizes the li → pairs → kNN build across its
+    * scheduled graph reports. The TRIO members (q229/q239/q240)
+    * deliberately keep rebuilding — they price the standalone
+    * posture the composite is measured against. */
+  private def sharedBackbone(s: org.apache.spark.sql.SparkSession,
+                             dir: String)
+      : (org.apache.spark.sql.DataFrame, Long) = {
+    val G = graft.operators.Graph
+    val path = scratchPath("backbone", dir)
+    val nLi = Tables.lineitem(s, dir).count()
+    if (!G.edgeStoreIsCurrent(s, path, nLi))
+      G.writeEdgeStore(BackboneSql.edges(s, dir), path, nLi)
+    G.readEdgeStore(s, path)
+  }
+
   /** q253: the graph-diagnostic COMPOSITE (★ — the share-one-build
     * pattern the q229/q239/q240 scaladocs prescribe, exercised as a
-    * registry query): the co-purchase backbone is built ONCE,
-    * `localCheckpoint(true)`-pinned, and every diagnostic the trio
-    * computes separately — triangle census (count, transitivity, mean
-    * local clustering), degree moments, Newman assortativity, and the
-    * k=9 six-round core peel — reads the pinned edge RDD instead of
-    * re-deriving lineitem → pairs → kNN per metric. At sf0.1 the
-    * backbone build is ~60% of each trio member's cost, so the
-    * composite prices near ONE member, not three. The checkpoint
-    * blocks are freed before returning (the q239 discipline); the
-    * output is a 10-row (metric, value) report. Exact-integer sums
-    * everywhere (degrees/triangles are ints); the one decimal path is
-    * the mean of round-6 clustering coefficients, summed as
-    * DECIMAL(16,6) so partial-aggregation order cannot move it. */
+    * registry query): the co-purchase backbone comes from the
+    * PERSISTED [[sharedBackbone]] store (built once per corpus, read
+    * thereafter — round 12; previously rebuilt per run), is
+    * `localCheckpoint(true)`-pinned for the in-query fan-out, and
+    * every diagnostic the trio computes separately — triangle census
+    * (count, transitivity, mean local clustering), degree moments,
+    * Newman assortativity, and the k=9 six-round core peel — reads
+    * the pinned edge RDD instead of re-deriving lineitem → pairs →
+    * kNN per metric. The build was ~60% of the composite's cost, so
+    * warm re-runs (every scheduled report after the first) price near
+    * the diagnostics alone; q257 oracle-pins the store contents. The
+    * checkpoint blocks are freed before returning (the q239
+    * discipline); the output is a 10-row (metric, value) report.
+    * Exact-integer sums everywhere (degrees/triangles are ints); the
+    * one decimal path is the mean of round-6 clustering coefficients,
+    * summed as DECIMAL(16,6) so partial-aggregation order cannot move
+    * it. */
   val q253GraphSuite: QuerySpec = QuerySpec(
     "q253_graph_suite",
     s"""WITH ${BackboneSql.ctes},
@@ -1586,7 +1612,7 @@ object RelationalQueries {
        |  SELECT 'kcore9_edges_left', CAST(n_edges_left AS DOUBLE) FROM s6)
        |ORDER BY metric""".stripMargin) { (s, dir) =>
     val G = graft.operators.Graph
-    val e0 = BackboneSql.edges(s, dir).localCheckpoint(true)
+    val e0 = sharedBackbone(s, dir)._1.localCheckpoint(true)
     def mrow(name: String, c: org.apache.spark.sql.Column) =
       struct(lit(name).as("metric"), c.cast("double").as("value"))
     val tri = G.triangleStats(e0, "a", "b")
@@ -1643,6 +1669,52 @@ object RelationalQueries {
       .localCheckpoint(true)
     G.checkpointRdd(e0).foreach(_.unpersist(false))
     out.orderBy(col("metric"))
+  }
+
+  /** q257: the persisted-backbone store read back (★ — the oracle row
+    * for the [[sharedBackbone]] lifecycle: q139/q147 pin their index
+    * stores this way, this pins the graph tier's). Builds the store
+    * when absent/stale, then the emitted row reads ONLY the persisted
+    * edges plus the manifest stamp — node/edge counts, degree extremes
+    * and mean, and the `n_source_rows` staleness stamp (= the lineitem
+    * count the build derived from, so the output itself proves which
+    * corpus generation the store reflects). The oracle replays the
+    * full backbone derivation from lineitem, so a store that drifted
+    * from its source — wrong truncation, stale build surviving a
+    * count change — hash-mismatches here. Warm cost is one bounded
+    * edge-set scan; the build amortizes across this audit, q253, and
+    * every future diagnostic added to the family. */
+  val q257BackboneStore: QuerySpec = QuerySpec(
+    "q257_backbone_store",
+    s"""WITH ${BackboneSql.ctes},
+       |deg AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+       |  GROUP BY 1)
+       |SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       |  (SELECT CAST(MIN(deg) AS BIGINT) FROM deg) AS min_degree,
+       |  (SELECT CAST(MAX(deg) AS BIGINT) FROM deg) AS max_degree,
+       |  round((SELECT CAST(SUM(deg) AS DOUBLE) FROM deg)
+       |    / (SELECT CAST(COUNT(*) AS DOUBLE) FROM deg), 6)
+       |    AS mean_degree,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+       |    AS n_source_rows""".stripMargin) { (s, dir) =>
+    val (e, stamp) = sharedBackbone(s, dir)
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg")).as("deg_sum"),
+        min(col("deg")).cast("long").as("min_degree"),
+        max(col("deg")).cast("long").as("max_degree"))
+      .select(col("n_nodes"),
+        (col("deg_sum") / 2).cast("long").as("n_edges"),
+        col("min_degree"), col("max_degree"),
+        round(col("deg_sum").cast("double") /
+          col("n_nodes").cast("double"), 6).as("mean_degree"),
+        lit(stamp).as("n_source_rows"))
   }
 
   /** q241: MAD robust outliers per nation (★ — the Iglewicz–Hoaglin
@@ -3175,7 +3247,8 @@ object RelationalQueries {
     q207EmLinkage, q212FkOrphans, q213LorenzGini, q214BootstrapCi,
     q229Triangles, q233SkewReport, q238CorrMatrix,
     q239KCorePeel, q240Assortativity, q241MadOutliers, q242Changepoint,
-    q243Acf, q244TheilSen, q245DowAnova, q253GraphSuite)
+    q243Acf, q244TheilSen, q245DowAnova, q253GraphSuite,
+    q257BackboneStore)
 }
 
 /** The Fellegi–Sunter oracle chain shared by q197 (pair scoring) and

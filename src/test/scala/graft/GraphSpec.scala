@@ -195,6 +195,33 @@ class GraphSpec extends SparkSpecBase {
     assert(leaked.isEmpty, s"peel rounds leaked checkpoints: $leaked")
   }
 
+  test("edge store lifecycle: round-trip, staleness on source growth, " +
+      "and a crash mid-build reads as absent") {
+    val root = java.nio.file.Files.createTempDirectory("graft_estore")
+    val path = root.resolve("bb").toString
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    // a crash between the edges write and the manifest write must read
+    // as absent (manifest-present ⇒ complete store)
+    edges.write.parquet(s"$path/edges")
+    assert(!Graph.edgeStoreIsCurrent(spark, path, 100L),
+      "a manifestless (mid-build crash) store read as current")
+    Graph.writeEdgeStore(edges, path, 100L)
+    assert(Graph.edgeStoreIsCurrent(spark, path, 100L))
+    val (read, stamp) = Graph.readEdgeStore(spark, path)
+    assert(stamp == 100L)
+    assert(read.orderBy(col("a"), col("b")).collect().toSeq ==
+      edges.orderBy(col("a"), col("b")).collect().toSeq)
+    // the source table grew → the store is stale and a caller rebuilds
+    assert(!Graph.edgeStoreIsCurrent(spark, path, 101L),
+      "a stale store (source count moved) read as current")
+    // rebuild over the grown source replaces the artifact
+    val grown = edges.unionByName(Seq((3L, 4L)).toDF("a", "b"))
+    Graph.writeEdgeStore(grown, path, 101L)
+    assert(Graph.edgeStoreIsCurrent(spark, path, 101L) &&
+      !Graph.edgeStoreIsCurrent(spark, path, 100L))
+    assert(Graph.readEdgeStore(spark, path)._1.count() == 4L)
+  }
+
   test("triangleStats normalizes duplicates, reversed edges, and " +
       "self-loops, and is invariant under repartitioning") {
     val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L), (1L, 3L),

@@ -437,6 +437,10 @@ class PlanAuditSpec extends SparkSpecBase {
     val plan = graft.operators.Similarity
       .semanticDedupAgainstStore(batch, "embedding", idx, 0.999)
       .queryExecution.executedPlan.toString
+    // the kilobyte scratch store must not accumulate across runs
+    graft.streaming.IncrementalLoad.cleanStaging(
+      java.nio.file.Paths.get(dir).getParent,
+      Seq(java.nio.file.Paths.get(dir).getFileName.toString))
     assert(!plan.contains("SortMergeJoin"),
       s"semantic probe sort-merges (store would be shuffled):\n$plan")
     // the cell join must build (broadcast) its LEFT — the assigned
