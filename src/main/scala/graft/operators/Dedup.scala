@@ -283,11 +283,13 @@ object Dedup {
   def minhashIntraBatchFlags(batch: DataFrame, keyCol: String,
                              textCol: String, k: Int, numHashes: Int,
                              bands: Int, threshold: Double): DataFrame = {
-    val (pairs, caches) = nearDupPairsPlan(batch, keyCol, textCol, k,
-      numHashes, bands, threshold)
-    val out = pairs.select(col("b").as(keyCol)).distinct()
+    val bb = minhashBandBuckets(batch, keyCol, textCol, k, numHashes,
+      bands).cache() // both self-join sides read it
+    val bsh = portableShingleHashes(batch, keyCol, textCol, k).cache()
+    val out = intraFlagsCore(bb, bsh, keyCol, threshold)
       .localCheckpoint(true)
-    caches.foreach(_.unpersist(blocking = true))
+    bb.unpersist(blocking = true)
+    bsh.unpersist(blocking = true)
     out
   }
 
@@ -581,6 +583,24 @@ object Dedup {
       storeBuckets: DataFrame, storeShingles: DataFrame,
       k: Int, numHashes: Int, bands: Int,
       threshold: Double): (DataFrame, DataFrame) = {
+    val bb = minhashBandBuckets(batch, keyCol, textCol, k, numHashes,
+      bands)
+    val bsh = portableShingleHashes(batch, keyCol, textCol, k).cache()
+    (nearDupProbeCore(bb, bsh, keyCol, storeBuckets, storeShingles,
+      threshold), bsh)
+  }
+
+  /** The probe over PRE-DERIVED batch artifacts — `bb0` =
+    * [[minhashBandBuckets]] rows, `bsh0` = [[portableShingleHashes]]
+    * rows — so a caller that already holds them (the streaming gate
+    * signs its batch exactly ONCE and feeds the same two frames to
+    * the intra pass, this probe, and the admission append) pays no
+    * re-signing. [[nearDupAgainstStorePlan]] is the text-input
+    * wrapper. */
+  private[graft] def nearDupProbeCore(
+      bb0: DataFrame, bsh0: DataFrame, keyCol: String,
+      storeBuckets: DataFrame, storeShingles: DataFrame,
+      threshold: Double): DataFrame = {
     // Every batch-derived side below carries an explicit broadcast
     // hint: the batch is the nightly increment — orders of magnitude
     // smaller than the store — and hinting it keeps the store side
@@ -588,13 +608,12 @@ object Dedup {
     // place; relying on AQE instead leaves the store's fate to a size
     // estimate). A batch too large to broadcast should be split into
     // sub-batches upstream, the natural unit of an ingest pipeline.
-    val bb = minhashBandBuckets(batch, keyCol, textCol, k, numHashes, bands)
-      .select(col(keyCol).as("b"), col("band"), col("bucket"))
+    val bb = bb0.select(col(keyCol).as("b"), col("band"), col("bucket"))
     val sb = storeBuckets.select(col(keyCol).as("s"), col("band"),
       col("bucket"))
     val cand = broadcast(bb).join(sb, Seq("band", "bucket"))
       .select(col("b"), col("s")).distinct()
-    val bsh = portableShingleHashes(batch, keyCol, textCol, k).cache()
+    val bsh = bsh0
     val bCounts = bsh.groupBy(col(keyCol)).agg(count(lit(1)).as("n_b"))
       .select(col(keyCol).as("b"), col("n_b"))
     // store-side set sizes are only consumed for CANDIDATE store docs:
@@ -622,13 +641,42 @@ object Dedup {
     // deterministic one-row summary per flagged doc
     val w = Window.partitionBy(col("b"))
       .orderBy(col("jaccard").desc, col("s"))
-    val flagged = pairs
+    pairs
       .withColumn("n_matches", count(lit(1)).over(Window.partitionBy(col("b"))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("b"), col("s").as("best_match"), col("jaccard"),
         col("n_matches"))
-    (flagged, bsh)
+  }
+
+  /** Within-batch flags over the same PRE-DERIVED artifacts as
+    * [[nearDupProbeCore]]: candidate pairs a < b from the band-bucket
+    * self-join of `bb0`, exact Jaccard over `bsh0`, one `keyCol`
+    * column of flagged (larger) keys. LAZY — the caller owns
+    * materialization and the lifetime of the two input frames. */
+  private[graft] def intraFlagsCore(bb0: DataFrame, bsh0: DataFrame,
+                                    keyCol: String,
+                                    threshold: Double): DataFrame = {
+    val l = bb0.select(col(keyCol).as("a"), col("band"), col("bucket"))
+    val r = bb0.select(col(keyCol).as("b"), col("band"), col("bucket"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val counts = bsh0.groupBy(col(keyCol)).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(bsh0.select(col(keyCol).as("a"), col("shingle")), Seq("a"))
+      .join(bsh0.select(col(keyCol).as("b"), col("shingle")),
+        Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.select(col(keyCol).as("a"), col("n_sh").as("n_a")),
+        Seq("a"))
+      .join(counts.select(col(keyCol).as("b"), col("n_sh").as("n_b")),
+        Seq("b"))
+      .filter((col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+        >= threshold)
+      .select(col("b").as(keyCol)).distinct()
   }
 
   /** Connected components over an undirected pair list — the step

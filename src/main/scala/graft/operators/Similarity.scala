@@ -468,11 +468,23 @@ object Similarity {
   def semanticDedupAgainstStore(batch: DataFrame, vecCol: String,
                                 centroids: DataFrame,
                                 storeVectors: DataFrame, idCol: String,
-                                threshold: Double): DataFrame = {
+                                threshold: Double): DataFrame =
+    semanticProbeCore(ivfStoreRows(batch, idCol, vecCol, centroids),
+      storeVectors, idCol, threshold)
+
+  /** The probe over a PRE-ASSIGNED batch — `assigned` =
+    * [[ivfStoreRows]] rows (idCol, vec double[], cell) — so a caller
+    * that already holds them (the streaming gate assigns its batch
+    * exactly ONCE and feeds the same frame to the intra pass, this
+    * probe, and the admission append) pays no re-assignment.
+    * [[semanticDedupAgainstStore]] is the raw-batch wrapper. */
+  private[graft] def semanticProbeCore(assigned: DataFrame,
+                                       storeVectors: DataFrame,
+                                       idCol: String,
+                                       threshold: Double): DataFrame = {
     def norm(v: Column): Column = sqrt(graft.plans.DotProduct(v, v))
-    val bc = assignCells(batch, centroids, idCol, vecCol, 1)
-      .select(col(idCol).as("b"),
-        col(vecCol).cast("array<double>").as("_vb"), col("cell"))
+    val bc = assigned
+      .select(col(idCol).as("b"), col("vec").as("_vb"), col("cell"))
       .withColumn("_nb", norm(col("_vb")))
     val sv = storeVectors.select(col(idCol).as("s"), col("vec").as("_vs"),
         col("cell"))
@@ -514,27 +526,39 @@ object Similarity {
   def semanticIntraBatchFlags(batch: DataFrame, vecCol: String,
                               centroids: DataFrame, idCol: String,
                               threshold: Double): DataFrame = {
-    def norm(v: Column): Column = sqrt(graft.plans.DotProduct(v, v))
-    val cells = assignCells(batch, centroids, idCol, vecCol, 1)
-      .select(col(idCol), col("cell"),
-        col(vecCol).cast("array<double>").as("_v"))
-      .withColumn("_n", norm(col("_v")))
+    val rows = ivfStoreRows(batch, idCol, vecCol, centroids)
       .cache() // both pair sides read it; the assignment otherwise
                // re-runs its broadcast per branch (semanticDedup's
                // chunk-cache precedent)
-    val a = cells.select(col("cell"), col(idCol).as("a"),
+    val out = semanticIntraFlagsCore(rows, idCol, threshold)
+      .localCheckpoint(true)
+    rows.unpersist(blocking = true)
+    out
+  }
+
+  /** Within-batch flags over a PRE-ASSIGNED batch (the
+    * [[semanticProbeCore]] input shape): cell-scoped pairs a < b at
+    * rounded cosine ≥ threshold, one `idCol` column of flagged
+    * (larger) ids. LAZY — the caller owns materialization and the
+    * input frame's lifetime. */
+  private[graft] def semanticIntraFlagsCore(assigned: DataFrame,
+                                            idCol: String,
+                                            threshold: Double)
+      : DataFrame = {
+    def norm(v: Column): Column = sqrt(graft.plans.DotProduct(v, v))
+    val withNorm = assigned.select(col(idCol), col("cell"),
+        col("vec").as("_v"))
+      .withColumn("_n", norm(col("_v")))
+    val a = withNorm.select(col("cell"), col(idCol).as("a"),
       col("_v").as("_va"), col("_n").as("_na"))
-    val b = cells.select(col("cell"), col(idCol).as("b"),
+    val b = withNorm.select(col("cell"), col(idCol).as("b"),
       col("_v").as("_vb"), col("_n").as("_nb"))
-    val out = a.join(b, Seq("cell")).filter(col("a") < col("b"))
+    a.join(b, Seq("cell")).filter(col("a") < col("b"))
       .withColumn("sim", round(
         graft.plans.DotProduct(col("_va"), col("_vb")) /
           (col("_na") * col("_nb")), CosineRoundScale))
       .filter(col("sim") >= threshold)
       .select(col("b").as(idCol)).distinct()
-      .localCheckpoint(true)
-    cells.unpersist(blocking = true)
-    out
   }
 
   /** Deterministic pseudo-random hyperplane COMPONENTS (fixed seed —

@@ -198,6 +198,14 @@ object IncrementalLoad {
               .map(g => b.unionByName(g.filter(col("batch") < batchId)
                 .select(b.columns.map(col).toSeq: _*)))
               .getOrElse(b)
+          // the batch is signed exactly ONCE per micro-batch: these two
+          // pinned frames feed the intra pass, the store probe, AND the
+          // admission append (re-deriving them per consumer would sign
+          // the batch three times — measured 1.6× on the whole wire)
+          val bb = D.minhashBandBuckets(batch, base.keyCol, textCol,
+            base.k, base.numHashes, base.bands).localCheckpoint(true)
+          val bsh = D.portableShingleHashes(batch, base.keyCol, textCol,
+            base.k).localCheckpoint(true)
           // intra-batch pass FIRST: two near-dups arriving in the SAME
           // micro-batch are invisible to the store probe (neither is
           // in the index yet) and would both admit — self-probe the
@@ -205,27 +213,27 @@ object IncrementalLoad {
           // exactly the within-batch dedup a nightly-batch posture
           // composes before its store probe. Deterministic, so replays
           // recompute the identical survivor set.
-          val intra = D.minhashIntraBatchFlags(batch, base.keyCol,
-            textCol, base.k, base.numHashes, base.bands, threshold)
-          val survivors = batch.join(intra, Seq(base.keyCol), "left_anti")
-          val flagged = D.minhashNearDupAgainstStore(survivors,
-              base.keyCol, textCol, upTo("buckets", base.buckets),
-              upTo("shingles", base.shingles), base.k, base.numHashes,
-              base.bands, threshold)
+          val intra = D.intraFlagsCore(bb, bsh, base.keyCol, threshold)
+            .localCheckpoint(true)
+          val survBB = bb.join(intra, Seq(base.keyCol), "left_anti")
+          val survSH = bsh.join(intra, Seq(base.keyCol), "left_anti")
+          val flagged = D.nearDupProbeCore(survBB, survSH, base.keyCol,
+              upTo("buckets", base.buckets),
+              upTo("shingles", base.shingles), threshold)
             .select(col("b").as(base.keyCol))
-          val admitted = survivors
+          val admitted = batch
+            .join(intra, Seq(base.keyCol), "left_anti")
             .join(flagged, Seq(base.keyCol), "left_anti")
             .localCheckpoint(true)
           if (admitted.count() > 0) {
             admitted.write.mode("overwrite")
               .parquet(s"$admittedPath/batch=$batchId")
+            val keys = admitted.select(col(base.keyCol))
             D.writeGateAppend(
-              D.minhashBandBuckets(admitted, base.keyCol, textCol,
-                base.k, base.numHashes, base.bands),
+              bb.join(keys, Seq(base.keyCol), "left_semi"),
               storePath, "buckets", batchId)
             D.writeGateAppend(
-              D.portableShingleHashes(admitted, base.keyCol, textCol,
-                base.k),
+              bsh.join(keys, Seq(base.keyCol), "left_semi"),
               storePath, "shingles", batchId)
           }
           // the stamp rides the pointer flip; the one-row payload stays
@@ -235,7 +243,7 @@ object IncrementalLoad {
             spark.range(1).select(lit(batchId).as("applied"))
               .write.mode("overwrite").parquet(dir)
           }
-          Seq(intra, admitted).foreach(df =>
+          Seq(bb, bsh, intra, admitted).foreach(df =>
             graft.operators.Graph.checkpointRdd(df)
               .foreach(_.unpersist(false)))
         }
@@ -285,26 +293,32 @@ object IncrementalLoad {
               g.filter(col("batch") < batchId)
                 .select(base.vectors.columns.map(col).toSeq: _*)))
             .getOrElse(base.vectors)
+          // the batch is assigned exactly ONCE per micro-batch: this
+          // pinned frame feeds the intra pass, the store probe, AND
+          // the admission append (the near-dup gate's sign-once rule)
+          val rows = S.ivfStoreRows(batch, base.idCol, vecCol,
+            base.centroids).localCheckpoint(true)
           // intra-batch pass FIRST (the near-dup gate's rule for the
           // embedding tier): two semantic near-dups arriving in one
           // micro-batch would both admit against an index containing
           // neither — self-probe the batch within the index's own
           // cells and keep the min id before the store probe.
-          val intra = S.semanticIntraBatchFlags(batch, vecCol,
-            base.centroids, base.idCol, threshold)
-          val survivors = batch.join(intra, Seq(base.idCol), "left_anti")
-          val flagged = S.semanticDedupAgainstStore(survivors, vecCol,
-              base.centroids, vectors, base.idCol, threshold)
+          val intra = S.semanticIntraFlagsCore(rows, base.idCol,
+            threshold).localCheckpoint(true)
+          val survRows = rows.join(intra, Seq(base.idCol), "left_anti")
+          val flagged = S.semanticProbeCore(survRows, vectors,
+              base.idCol, threshold)
             .select(col("b").as(base.idCol))
-          val admitted = survivors
+          val admitted = batch
+            .join(intra, Seq(base.idCol), "left_anti")
             .join(flagged, Seq(base.idCol), "left_anti")
             .localCheckpoint(true)
           if (admitted.count() > 0) {
             admitted.write.mode("overwrite")
               .parquet(s"$admittedPath/batch=$batchId")
             S.writeGateVectors(
-              S.ivfStoreRows(admitted, base.idCol, vecCol,
-                base.centroids),
+              rows.join(admitted.select(col(base.idCol)),
+                Seq(base.idCol), "left_semi"),
               storePath, batchId)
           }
           graft.operators.Stores.commitPayload(spark, gatelog,
@@ -312,7 +326,7 @@ object IncrementalLoad {
             spark.range(1).select(lit(batchId).as("applied"))
               .write.mode("overwrite").parquet(dir)
           }
-          Seq(intra, admitted).foreach(df =>
+          Seq(rows, intra, admitted).foreach(df =>
             graft.operators.Graph.checkpointRdd(df)
               .foreach(_.unpersist(false)))
         }
