@@ -199,13 +199,16 @@ object IncrementalLoad {
                 .select(b.columns.map(col).toSeq: _*)))
               .getOrElse(b)
           // the batch is signed exactly ONCE per micro-batch: these two
-          // pinned frames feed the intra pass, the store probe, AND the
-          // admission append (re-deriving them per consumer would sign
-          // the batch three times — measured 1.6× on the whole wire)
+          // CACHED frames feed the intra pass, the store probe, AND the
+          // admission append (re-deriving them per consumer signs the
+          // batch three times). cache(), not localCheckpoint: the
+          // shingle frame is the batch × shingles row explosion, and
+          // checkpointing it writes gigabytes to the block store at
+          // scale where memory-speed reuse is the whole point.
           val bb = D.minhashBandBuckets(batch, base.keyCol, textCol,
-            base.k, base.numHashes, base.bands).localCheckpoint(true)
+            base.k, base.numHashes, base.bands).cache()
           val bsh = D.portableShingleHashes(batch, base.keyCol, textCol,
-            base.k).localCheckpoint(true)
+            base.k).cache()
           // intra-batch pass FIRST: two near-dups arriving in the SAME
           // micro-batch are invisible to the store probe (neither is
           // in the index yet) and would both admit — self-probe the
@@ -243,7 +246,9 @@ object IncrementalLoad {
             spark.range(1).select(lit(batchId).as("applied"))
               .write.mode("overwrite").parquet(dir)
           }
-          Seq(bb, bsh, intra, admitted).foreach(df =>
+          bb.unpersist(blocking = false)
+          bsh.unpersist(blocking = false)
+          Seq(intra, admitted).foreach(df =>
             graft.operators.Graph.checkpointRdd(df)
               .foreach(_.unpersist(false)))
         }
@@ -294,10 +299,10 @@ object IncrementalLoad {
                 .select(base.vectors.columns.map(col).toSeq: _*)))
             .getOrElse(base.vectors)
           // the batch is assigned exactly ONCE per micro-batch: this
-          // pinned frame feeds the intra pass, the store probe, AND
+          // CACHED frame feeds the intra pass, the store probe, AND
           // the admission append (the near-dup gate's sign-once rule)
           val rows = S.ivfStoreRows(batch, base.idCol, vecCol,
-            base.centroids).localCheckpoint(true)
+            base.centroids).cache()
           // intra-batch pass FIRST (the near-dup gate's rule for the
           // embedding tier): two semantic near-dups arriving in one
           // micro-batch would both admit against an index containing
@@ -326,7 +331,8 @@ object IncrementalLoad {
             spark.range(1).select(lit(batchId).as("applied"))
               .write.mode("overwrite").parquet(dir)
           }
-          Seq(rows, intra, admitted).foreach(df =>
+          rows.unpersist(blocking = false)
+          Seq(intra, admitted).foreach(df =>
             graft.operators.Graph.checkpointRdd(df)
               .foreach(_.unpersist(false)))
         }
