@@ -437,17 +437,33 @@ object Dedup {
     * re-reading it. */
   def writeMinhashStore(df: DataFrame, keyCol: String, textCol: String,
                         path: String, k: Int = 3, numHashes: Int = 64,
-                        bands: Int = 16): Unit = {
+                        bands: Int = 16,
+                        withSignatures: Boolean = false): Unit = {
     require(numHashes % bands == 0,
       s"numHashes=$numHashes not divisible by bands=$bands")
     minhashBandBuckets(df, keyCol, textCol, k, numHashes, bands)
       .write.mode("overwrite").parquet(s"$path/buckets")
     portableShingleHashes(df, keyCol, textCol, k)
       .write.mode("overwrite").parquet(s"$path/shingles")
+    // optional RAW signature dataset (doc → h0..h{n-1}): the band
+    // buckets above are one FIXED (bands, rows) reading of the
+    // signatures, so a band-parameter sweep (q254/q256's audit) needs
+    // the raw minhashes to re-derive other settings without
+    // re-signing the corpus — the store then feeds the tuning curve
+    // too, not just the probe path. Off by default: probe-only stores
+    // (the streaming gates re-sign theirs per run) shouldn't pay the
+    // numHashes-wide extra write.
+    if (withSignatures)
+      df.select(col(keyCol),
+          graft.plans.MinHashSigExpr(col(textCol), k, numHashes).as("ms"))
+        .select(col(keyCol) +: (0 until numHashes).map(i =>
+          element_at(col("ms.sig"), i + 1).as(s"h$i")): _*)
+        .write.mode("overwrite").parquet(s"$path/sigs")
     // n_docs records the signed corpus size — a cheap staleness probe
     // for reuse decisions (parquet-metadata count vs manifest), since
     // the store is deterministic in the corpus. Written LAST: its
-    // presence implies the bucket/shingle writes completed.
+    // presence implies the bucket/shingle (and sigs, when requested)
+    // writes completed.
     df.sparkSession
       .createDataFrame(Seq(
         (keyCol, k, numHashes, bands, HornerC, MinhashP, df.count())))
@@ -455,6 +471,23 @@ object Dedup {
         "minhash_p", "n_docs")
       .write.mode("overwrite").parquet(s"$path/params")
   }
+
+  /** True when `path`'s index carries the optional raw-signature
+    * dataset (a [[writeMinhashStore]] `withSignatures = true` build). */
+  def minhashStoreHasSignatures(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(s"$path/sigs")
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** The raw signature frame (keyCol, h0..h{numHashes-1}) of a
+    * `withSignatures` store — the input shape [[lshCandidatePairs]]
+    * takes, so swept band settings derive straight from the persisted
+    * artifact. */
+  def readMinhashStoreSignatures(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/sigs")
 
   /** True when `path` holds a completed index signed over exactly
     * `corpus` (same doc count — the store is a deterministic function
@@ -1005,10 +1038,36 @@ object Dedup {
       if (shingleK == 1) array_distinct(transform(words, w => xxhash64(w)))
       else array_distinct(transform(shinglePositions(words, shingleK),
         i => xxhash64(shingleAt(words, i, shingleK))))
-    val toks = df
+    prefixPairsCore(df
       .filter(size(split(col(textCol), " ")) >= shingleK)
       .select(col(keyCol), split(col(textCol), " ").as("__words"))
-      .select(col(keyCol), elems.as("toks"))
+      .select(col(keyCol), elems.as("toks")),
+      keyCol, threshold)
+  }
+
+  /** [[prefixJaccardPairs]] over PRE-HASHED element sets — the input
+    * is a (keyCol, element-hash) pair frame, e.g. a persisted index's
+    * [[portableShingleHashes]] dataset — so the exact-truth tier can
+    * run entirely off a store artifact without re-reading any text
+    * (the q139 "signed once EVER" posture extended to the audit's
+    * ground truth). Same lossless prefix/size/positional pruning and
+    * the same output contract as the text overload. */
+  def prefixJaccardPairsFromShingles(sh: DataFrame, keyCol: String,
+                                     shingleCol: String,
+                                     threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold outside (0, 1]")
+    prefixPairsCore(
+      sh.groupBy(col(keyCol))
+        .agg(array_distinct(collect_list(col(shingleCol))).as("toks")),
+      keyCol, threshold)
+  }
+
+  /** The shared prefix-filter body: `toksDf` is (keyCol,
+    * toks array<long>) with per-row distinct elements. */
+  private def prefixPairsCore(toksDf: DataFrame, keyCol: String,
+                              threshold: Double): DataFrame = {
+    val toks = toksDf
       .cache() // consumed by the token explode and twice by the verify
     val tok = toks.select(col(keyCol), explode(col("toks")).as("token"))
     val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))

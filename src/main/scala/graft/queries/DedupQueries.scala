@@ -1852,6 +1852,185 @@ object DedupQueries {
     }
   }
 
+  /** q258: the band sweep run ENTIRELY off a persisted signature store
+    * (★ — the r11 VERDICT's named depth item: "re-run the q254 sweep
+    * against the persisted signature store, closing the loop between
+    * the tuning curve and the store lifecycle the way q234 closed it
+    * for IVF"). The corpus is signed once EVER into an sfDir-keyed
+    * [[Dedup.writeMinhashStore]] build with `withSignatures = true`
+    * (raw h0..h63 persisted beside the fixed-band buckets); every
+    * sweep re-run then derives all three band settings from the
+    * PERSISTED signatures and builds its q256-style sampled truth
+    * from the PERSISTED shingle dataset
+    * ([[Dedup.prefixJaccardPairsFromShingles]]) — zero text is
+    * re-read, zero hashing re-done: the tuning instrument becomes one
+    * more reader of the index artifact, exactly the operational
+    * posture at 100 TB. Output = q256's columns plus the store's
+    * `n_docs` staleness stamp, and DedupSpec pins q258 ≡ q256 on the
+    * estimator columns (persisted signatures and store shingles must
+    * reproduce the from-scratch audit bit-for-bit). The oracle
+    * replays the whole derivation from the tables, so a stale or
+    * drifted store hash-mismatches (the q257 discipline). */
+  val q258StoreBandSweep: QuerySpec = {
+    val P = Dedup.MinhashP
+    val C = Dedup.HornerC
+    val nH = 64
+    val sweep = Seq(8, 16, 32)
+    val cs = Dedup.minhashCoeffs(nH)
+    val minCols = cs.zipWithIndex.map { case ((a, b), i) =>
+      s"min((s * $a + $b) % $P) AS h$i"
+    }.mkString(",\n      |    ")
+    val nD = "CAST(n_true_sampled AS DOUBLE)"
+    val pD = s"(CAST(n_hit_sampled AS DOUBLE) / $nD)"
+    val denomD = s"(1.0 + 3.8416 / $nD)"
+    val centerD = s"(($pD + 1.9208 / $nD) / $denomD)"
+    val halfD = s"((1.96 / $denomD) * sqrt($pD * (1.0 - $pD) / $nD" +
+      s" + 0.9604 / ($nD * $nD)))"
+    def bandCtes(b: Int): String = {
+      val r = nH / b
+      val selects = (0 until b).map { bnd =>
+        val bucket = (bnd * r until (bnd + 1) * r).map(i => s"h$i")
+          .reduceLeft((acc, h) => s"(($acc) * $C + $h) % $P")
+        s"SELECT doc_id, $bnd AS band, $bucket AS bucket FROM sigs"
+      }.mkString("\n      |  UNION ALL ")
+      s"""bands$b AS MATERIALIZED (
+        |  $selects),
+        |cand$b AS MATERIALIZED (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands$b l JOIN bands$b r
+        |    ON l.band = r.band AND l.bucket = r.bucket
+        |      AND l.doc_id < r.doc_id),
+        |s$b AS (
+        |  SELECT $b AS bands, $r AS rows_per_band,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$b)
+        |      AS n_candidates,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$b c
+        |       JOIN samp pa ON pa.doc_id = c.a
+        |       JOIN samp pb ON pb.doc_id = c.b) AS n_cand_sampled,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM struth)
+        |      AS n_true_sampled,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$b c
+        |       JOIN struth t ON t.a = c.a AND t.b = c.b)
+        |      AS n_hit_sampled)"""
+    }
+    QuerySpec(
+      "q258_store_band_sweep",
+      s"""WITH base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |all_docs AS MATERIALIZED (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(
+        |      toks[CAST((doc_id % 10) * 4 + 1 AS BIGINT):len(toks)], ' ')
+        |      AS text
+        |  FROM base WHERE doc_id % 10 >= 1),
+        |samp AS MATERIALIZED (
+        |  SELECT doc_id FROM all_docs
+        |  WHERE ${graft.functions.Scalars.sqlPortableHash64("doc_id")}
+        |    % 10 < 2),
+        |th AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |    t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $P) AS ths
+        |  FROM all_docs),
+        |hsh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(ths) - 1),
+        |      i -> (((ths[i] * $C + ths[i+1]) % $P) * $C + ths[i+2]) % $P))
+        |      AS s
+        |  FROM th WHERE len(ths) >= 3),
+        |shsh AS MATERIALIZED (
+        |  SELECT doc_id, s FROM hsh
+        |  WHERE doc_id IN (SELECT doc_id FROM samp)),
+        |scnt AS (SELECT doc_id, COUNT(*) AS n FROM shsh GROUP BY 1),
+        |struth AS MATERIALIZED (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM shsh x JOIN shsh y
+        |    ON x.s = y.s AND x.doc_id < y.doc_id
+        |  JOIN scnt ca ON ca.doc_id = x.doc_id
+        |  JOIN scnt cb ON cb.doc_id = y.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING CAST(COUNT(*) AS DOUBLE) /
+        |    CAST(ANY_VALUE(ca.n) + ANY_VALUE(cb.n) - COUNT(*)
+        |      AS DOUBLE) >= 0.5),
+        |sigs AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    $minCols
+        |  FROM hsh GROUP BY doc_id),
+        |${sweep.map(bandCtes).mkString(",\n")}
+        |SELECT CAST(bands AS INTEGER) AS bands,
+        |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
+        |  n_candidates, n_cand_sampled, n_true_sampled, n_hit_sampled,
+        |  round($pD, 6) AS recall_est,
+        |  round(greatest(0.0, $centerD - $halfD), 6) AS ci_lo,
+        |  round(least(1.0, $centerD + $halfD), 6) AS ci_hi,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM all_docs) AS n_docs
+        |FROM (${sweep.map(b => s"SELECT * FROM s$b").mkString(
+            "\n      |  UNION ALL ")})
+        |ORDER BY bands""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val toks = split(col("text"), " ")
+      val twins = d.filter(col("doc_id") % 10 >= 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(toks,
+            ((col("doc_id") % 10) * 4 + 1).cast("int"),
+            size(toks)), " ").as("text"))
+      val all = d.unionByName(twins)
+      val path = scratchPath("sweep_store", dir)
+      // signed once EVER per corpus generation; every re-run of the
+      // audit reads the artifact (staleness = the manifest n_docs
+      // probe, the q139 discipline)
+      if (!Dedup.minhashStoreIsCurrent(all, path) ||
+          !Dedup.minhashStoreHasSignatures(s, path))
+        Dedup.writeMinhashStore(all, "doc_id", "text", path,
+          k = 3, numHashes = nH, bands = MinhashSql.bands,
+          withSignatures = true)
+      val st = Dedup.readMinhashStore(s, path)
+      val nDocs = s.read.parquet(s"$path/params").head()
+        .getAs[Long]("n_docs")
+      val sigRow = Dedup.readMinhashStoreSignatures(s, path)
+      val inSample = (c: org.apache.spark.sql.Column) =>
+        graft.functions.Scalars.portableHash64(c) % 10 < 2
+      // the sampled truth from the PERSISTED shingle dataset — no
+      // text re-read, no re-hashing; prefix-filtered, lossless
+      val truthS = Dedup.prefixJaccardPairsFromShingles(
+          st.shingles.filter(inSample(col("doc_id"))), "doc_id",
+          "shingle", threshold = 0.5)
+        .select(col("a"), col("b")).cache()
+      val nTrueS = truthS.count()
+      require(nTrueS > 0,
+        "sampled truth set is empty — the Wilson interval is undefined; " +
+          "raise the sample rate for this corpus")
+      val nDbl = lit(nTrueS.toDouble)
+      val perB = sweep.map { b =>
+        val p = col("n_hit_sampled").cast("double") / nDbl
+        val denom = lit(1.0) + lit(3.8416) / nDbl
+        val center = (p + lit(1.9208) / nDbl) / denom
+        val half = (lit(1.96) / denom) *
+          sqrt(p * (lit(1.0) - p) / nDbl +
+            lit(0.9604) / (nDbl * nDbl))
+        Dedup.lshCandidatePairs(sigRow, "doc_id", b, nH / b)
+          .join(truthS.withColumn("t", lit(1)), Seq("a", "b"), "left")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(inSample(col("a")) && inSample(col("b")), 1L)
+              .otherwise(0L)).as("n_cand_sampled"),
+            sum(when(col("t") === 1, 1L).otherwise(0L))
+              .as("n_hit_sampled"))
+          .select(lit(b).as("bands"), lit(nH / b).as("rows_per_band"),
+            col("n_candidates"), col("n_cand_sampled"),
+            lit(nTrueS).as("n_true_sampled"), col("n_hit_sampled"),
+            round(p, 6).as("recall_est"),
+            round(greatest(lit(0.0), center - half), 6).as("ci_lo"),
+            round(least(lit(1.0), center + half), 6).as("ci_hi"),
+            lit(nDocs).as("n_docs"))
+      }
+      val out = perB.reduce(_ unionByName _).localCheckpoint(true)
+      truthS.unpersist(blocking = true)
+      out.orderBy(col("bands"))
+    }
+  }
+
   /** q177: incremental novelty against a persisted gram-frequency
     * index (★ — q169's lifecycle form, the q139/q142 posture applied
     * to the measurement side; see [[Dedup.noveltyAgainstStore]] for
@@ -2068,5 +2247,5 @@ object DedupQueries {
     q164ParagraphDedup, q165WinnowOverlap, q169NoveltyScore,
     q171DedupKeepBest, q176LshRecallAudit, q177IncrementalNovelty,
     q182SourceOverlap, q192ContainmentJoin, q251StreamingNeardupGate,
-    q254LshBandSweep, q256LshBandSweepSampled)
+    q254LshBandSweep, q256LshBandSweepSampled, q258StoreBandSweep)
 }

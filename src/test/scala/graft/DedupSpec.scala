@@ -615,4 +615,20 @@ class DedupSpec extends SparkSpecBase {
       assert(p >= 0.0 && p <= 1.0)
     }
   }
+
+  test("store-resident band sweep (q258) reproduces the from-scratch " +
+      "sampled audit (q256) bit-for-bit from persisted artifacts") {
+    // the persisted raw signatures and shingle dataset must yield
+    // exactly the candidates, sampled truth, and Wilson interval the
+    // from-scratch audit computes — otherwise the store lifecycle and
+    // the tuning curve have drifted apart
+    val cols = Seq("bands", "rows_per_band", "n_candidates",
+      "n_cand_sampled", "n_true_sampled", "n_hit_sampled",
+      "recall_est", "ci_lo", "ci_hi")
+    def rows(q: graft.QuerySpec) = q.run(spark, sf)
+      .select(cols.map(col): _*).orderBy(col("bands"))
+      .collect().toSeq
+    assert(rows(graft.queries.DedupQueries.q258StoreBandSweep) ==
+      rows(graft.queries.DedupQueries.q256LshBandSweepSampled))
+  }
 }
