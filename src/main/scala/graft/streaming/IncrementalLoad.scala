@@ -179,7 +179,20 @@ object IncrementalLoad {
     *  - a committed batch is recorded in the `gatelog` marker (the
     *    [[graft.operators.Stores]] pointer protocol) and replays of
     *    it are skipped outright; losing the marker mid-flip merely
-    *    degrades to one idempotent re-fold. */
+    *    degrades to one idempotent re-fold.
+    *
+    * KNOWN BOUND: each admitting micro-batch adds one generation dir
+    * per dataset (`batch=<id>`), so a long-running continuous stream
+    * accumulates directories whose LISTING cost eventually shows in
+    * the per-batch probe (thousands of batches ⇒ thousands of parquet
+    * leaf dirs). The idempotent-rewrite protocol deliberately has no
+    * in-place compaction (any partial rewrite of a generation would
+    * reopen the duplicate-admission window the protocol closes);
+    * the production remedy is the same as for every store here —
+    * periodically re-sign the grown corpus into a FRESH store root
+    * ([[graft.operators.Dedup.writeMinhashStore]] over base ∪
+    * admitted) and point the stream's next incarnation at it, which
+    * also resets the checkpoint horizon. */
   def streamingNearDupGate(spark: SparkSession, stream: DataFrame,
                            textCol: String, storePath: String,
                            admittedPath: String, checkpoint: String,

@@ -450,6 +450,70 @@ class PlanAuditSpec extends SparkSpecBase {
       s"cell join does not broadcast the batch side:\n$plan")
   }
 
+  test("gate per-batch cores: the intra self-probe is an equi-join and " +
+      "the precomputed-input probe keeps the batch side broadcast " +
+      "(these plans run inside foreachBatch, invisible to planOf)") {
+    import org.apache.spark.sql.functions._
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+    val batch = corpus.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 9000L).as("doc_id"), col("text"))
+    // the gate's shape: both derived frames cached, shared by all
+    // three consumers
+    val bb = graft.operators.Dedup.minhashBandBuckets(
+      batch, "doc_id", "text").cache()
+    val bsh = graft.operators.Dedup.portableShingleHashes(
+      batch, "doc_id", "text").cache()
+    val intraPlan = graft.operators.Dedup
+      .intraFlagsCore(bb, bsh, "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!intraPlan.contains("CartesianProduct") &&
+      !intraPlan.contains("BroadcastNestedLoopJoin"),
+      s"intra self-probe is not an equi-join:\n$intraPlan")
+    val probePlan = graft.operators.Dedup.nearDupProbeCore(
+        bb, bsh, "doc_id",
+        graft.operators.Dedup.minhashBandBuckets(corpus, "doc_id", "text"),
+        graft.operators.Dedup.portableShingleHashes(corpus, "doc_id", "text"),
+        0.5)
+      .queryExecution.executedPlan.toString
+    // the cached batch frames must not demote the explicit broadcast
+    // hints: the store side stays shuffle-free
+    assert(probePlan.contains("BroadcastHashJoin") &&
+      !probePlan.contains("CartesianProduct") &&
+      !probePlan.contains("BroadcastNestedLoopJoin"),
+      s"precomputed-input probe lost its broadcast shape:\n$probePlan")
+    bb.unpersist(blocking = true); bsh.unpersist(blocking = true)
+    // the semantic twin: assigned-once frame, cell-scoped intra pairs
+    // (centroids via a scratch store read — the public surface)
+    val e = Tables.embeddings(spark, sf)
+    val vdir = java.nio.file.Files
+      .createTempDirectory("graft_audit_gate_").toString
+    graft.operators.Similarity.writeIvfStore(
+      e.filter(col("vec_id") < 100).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", vdir, numCells = 8, kmeansIters = 1)
+    val centroids = graft.operators.Similarity
+      .readIvfStore(spark, vdir).centroids
+    // stage the assigned frame through parquet so the asserted plan
+    // holds ONLY the core's own joins (a cached frame's
+    // InMemoryRelation embeds its child plan, which legitimately
+    // contains the whitelisted bounded-centroid assignment cross)
+    graft.operators.Similarity.ivfStoreRows(
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+          .select((col("vec_id") + 9000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", centroids)
+      .write.mode("overwrite").parquet(s"$vdir/staged_rows")
+    val rows = spark.read.parquet(s"$vdir/staged_rows")
+    val vIntra = graft.operators.Similarity
+      .semanticIntraFlagsCore(rows, "vec_id", 0.999)
+      .queryExecution.executedPlan.toString
+    assert(!vIntra.contains("CartesianProduct") &&
+      !vIntra.contains("BroadcastNestedLoopJoin"),
+      s"semantic intra self-probe is not a cell equi-join:\n$vIntra")
+    graft.streaming.IncrementalLoad.cleanStaging(
+      java.nio.file.Paths.get(vdir).getParent,
+      Seq(java.nio.file.Paths.get(vdir).getFileName.toString))
+  }
+
   test("q144 phrase search broadcasts the phrase frame and prunes the scan") {
     val plan = planOf("q144_phrase_search")
     // the literal phrase-term frame must be the build side — a
