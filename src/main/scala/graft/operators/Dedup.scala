@@ -580,19 +580,38 @@ object Dedup {
     rows.write.mode("overwrite")
       .parquet(s"$path/$ds-batches/batch=$batchId")
 
-  /** Admit a batch into a persisted index: append its band buckets
-    * and shingles, signed with the INDEX's manifest parameters (read,
-    * not caller-supplied — the caller cannot introduce a mismatch).
-    * Call with the ADMITTED subset of a probed batch, i.e. the rows
-    * whose key is absent from the probe's flagged output. */
+  /** Admit a batch into a persisted index, signed with the INDEX's
+    * manifest parameters (read, not caller-supplied — the caller
+    * cannot introduce a mismatch). Call with the ADMITTED subset of a
+    * probed batch, i.e. the rows whose key is absent from the probe's
+    * flagged output.
+    *
+    * Uses the streaming gate's generation protocol rather than a
+    * plain parquet append (which is add-files: a crash mid-append
+    * left partial shingle rows that silently SKEWED every later
+    * Jaccard verification, and a crash between the bucket and shingle
+    * writes desynced the pair): both datasets land in a fresh
+    * `batch=<id>` generation and the `gatelog` marker commits them
+    * together — readers ([[readMinhashStore]]) include only committed
+    * generations, so every crash window reads as "append never
+    * happened" and the retry overwrites the garbage generation. */
   def appendToMinhashStore(batch: DataFrame, textCol: String,
                            path: String): Unit = {
-    val st = readMinhashStore(batch.sparkSession, path)
-    minhashBandBuckets(batch, st.keyCol, textCol, st.k, st.numHashes,
-        st.bands)
-      .write.mode("append").parquet(s"$path/buckets")
-    portableShingleHashes(batch, st.keyCol, textCol, st.k)
-      .write.mode("append").parquet(s"$path/shingles")
+    val spark = batch.sparkSession
+    val st = readMinhashStore(spark, path)
+    val gatelog = s"$path/gatelog"
+    val next = Stores.lastApplied(spark, gatelog) + 1L
+    writeGateAppend(
+      minhashBandBuckets(batch, st.keyCol, textCol, st.k, st.numHashes,
+        st.bands),
+      path, "buckets", next)
+    writeGateAppend(
+      portableShingleHashes(batch, st.keyCol, textCol, st.k),
+      path, "shingles", next)
+    Stores.commitPayload(spark, gatelog, Some(next)) { dir =>
+      spark.range(1).select(lit(next).as("applied"))
+        .write.mode("overwrite").parquet(dir)
+    }
   }
 
   /** Probe a [[readMinhashStore]] index: the store's own manifest

@@ -363,10 +363,11 @@ object Similarity {
   /** True when `path` holds a completed index signed over exactly
     * `corpus` under this library's rounding contract (the
     * minhashStoreIsCurrent shape: manifest present, constants match,
-    * counts match). The count probed is the VECTORS dataset's — a
-    * parquet-metadata count, and unlike the manifest's build-time
-    * n_vecs it also goes stale when [[appendToIvfStore]] grows the
-    * index past the original corpus. */
+    * counts match). The count probed is the GROWN vector count —
+    * base dataset plus committed append/gate generations (all
+    * parquet-metadata counts) — and unlike the manifest's build-time
+    * n_vecs it therefore goes stale when [[appendToIvfStore]] grows
+    * the index past the original corpus. */
   def ivfStoreIsCurrent(corpus: DataFrame, path: String): Boolean =
     try {
       val spark = corpus.sparkSession
@@ -374,9 +375,15 @@ object Similarity {
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(hp) && {
         val p = spark.read.parquet(s"$path/params").head()
+        val committed = graft.operators.Stores.lastApplied(
+          spark, s"$path/gatelog")
+        val grown = spark.read.parquet(s"$path/vectors").count() +
+          gateVectors(spark, path)
+            .map(_.filter(col("batch") <= committed).count())
+            .getOrElse(0L)
         p.schema.fieldNames.contains("n_vecs") &&
           p.getAs[Int]("round_scale") == CosineRoundScale &&
-          spark.read.parquet(s"$path/vectors").count() == corpus.count()
+          grown == corpus.count()
       }
     } catch { case _: Exception => false }
 
@@ -448,12 +455,28 @@ object Similarity {
   /** Admit a batch into a persisted index: cells assigned by the
     * INDEX's own frozen centroids (read, not caller-supplied — a
     * mismatch is inexpressible). Call with the ADMITTED subset of a
-    * probed batch. */
+    * probed batch.
+    *
+    * Uses the streaming gate's generation protocol rather than a
+    * plain parquet append (add-files: a crash mid-append left
+    * PARTIAL vector rows visible): the batch lands in a fresh
+    * `batch=<id>` generation committed by the `gatelog` marker —
+    * readers include only committed generations, so a crash reads as
+    * "append never happened" and the retry overwrites the garbage
+    * generation. */
   def appendToIvfStore(batch: DataFrame, vecCol: String,
                        path: String): Unit = {
-    val st = readIvfStore(batch.sparkSession, path)
-    ivfStoreRows(batch, st.idCol, vecCol, st.centroids)
-      .write.mode("append").parquet(s"$path/vectors")
+    val spark = batch.sparkSession
+    val st = readIvfStore(spark, path)
+    val gatelog = s"$path/gatelog"
+    val next = graft.operators.Stores.lastApplied(spark, gatelog) + 1L
+    writeGateVectors(
+      ivfStoreRows(batch, st.idCol, vecCol, st.centroids), path, next)
+    graft.operators.Stores.commitPayload(spark, gatelog, Some(next)) {
+      dir =>
+        spark.range(1).select(lit(next).as("applied"))
+          .write.mode("overwrite").parquet(dir)
+    }
   }
 
   /** Probe a persisted/grown IVF index with a batch: each batch

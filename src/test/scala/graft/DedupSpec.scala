@@ -143,6 +143,38 @@ class DedupSpec extends SparkSpecBase {
       s"near-dup of the admitted doc not flagged by the grown index: $f2")
   }
 
+  test("batch append crash heals: a generation written without its " +
+      "gatelog commit is invisible, and the retried append overwrites " +
+      "it — no partial rows, no duplicates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
+    val store = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 40)
+    Dedup.writeMinhashStore(store, "doc_id", "text", dir)
+    val base = Dedup.readMinhashStore(spark, dir)
+    val baseBuckets = base.buckets.count()
+    val batch = Seq(
+      (7000L, "zebra quark lantern voyage ember crystal meadow pylon"))
+      .toDF("doc_id", "text")
+    // simulate an append that crashed AFTER the bucket generation but
+    // BEFORE the shingle write and the gatelog commit — under the old
+    // mode("append") protocol this was a silent bucket/shingle desync
+    Dedup.writeGateAppend(
+      Dedup.minhashBandBuckets(batch, "doc_id", "text"),
+      dir, "buckets", 0L)
+    val afterCrash = Dedup.readMinhashStore(spark, dir)
+    assert(afterCrash.buckets.count() == baseBuckets,
+      "a crashed append's uncommitted generation leaked into reads")
+    // the retried append reuses the uncommitted id, overwrites the
+    // garbage, and commits both datasets atomically via the gatelog
+    Dedup.appendToMinhashStore(batch, "text", dir)
+    val grown = Dedup.readMinhashStore(spark, dir)
+    assert(grown.buckets.filter(col("doc_id") === 7000L).count() == 16L,
+      "retried append must yield exactly one bucket generation (16 bands)")
+    assert(grown.shingles.filter(col("doc_id") === 7000L).count() > 0,
+      "retried append must commit the shingle rows too")
+  }
+
   test("index manifest with drifted hash constants is refused") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store_").toString
     val store = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
