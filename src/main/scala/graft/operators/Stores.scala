@@ -233,7 +233,7 @@ object Stores {
             val df = readPayload(spark, root)
             if (!df.columns.contains("applied")) -1L
             else df.agg(coalesce(max(col("applied")), lit(-1L)))
-              .head.getLong(0)
+              .head().getLong(0)
         }
     }
 
