@@ -614,6 +614,71 @@ object Dedup {
     }
   }
 
+  /** Fold every gate-COMMITTED generation into a FRESH base store at
+    * `newPath` — the maintenance move for the gates' documented
+    * generation-accumulation bound
+    * ([[graft.streaming.IncrementalLoad.streamingNearDupGate]]'s
+    * KNOWN BOUND): a long-running stream adds one `batch=<id>` dir
+    * per admitting micro-batch, and after thousands of batches the
+    * probe's leaf-dir listing cost shows. Compaction rewrites
+    * base ∪ committed generations as the new root's plain
+    * `buckets`/`shingles` datasets with NO re-signing — the
+    * generations already hold the exact band buckets and shingle
+    * hashes the admitted docs were probed with — so the cost is one
+    * scan+write of the index artifact, never a corpus text pass
+    * (the "re-sign the grown corpus" remedy this replaces is a full
+    * corpus hash). The manifest is written LAST (manifest-present ⇒
+    * complete), so a crash mid-compaction reads as "no store at
+    * newPath" and the old root stays untouched and authoritative.
+    *
+    * Call only on a QUIESCED store (the single-writer discipline: the
+    * gate's stream drained or stopped). A generation beyond the
+    * gatelog's committed horizon — possible only when the stream
+    * crashed between its generation write and its gatelog flip — is
+    * deliberately EXCLUDED, exactly as every reader excludes it;
+    * point the stream's next incarnation at `newPath` with a FRESH
+    * checkpoint and the crashed batch re-arrives through the source.
+    * The optional raw-signature dataset (`sigs`) is not carried:
+    * gates never write raw signatures for admitted docs, so a
+    * compacted sweep store would be signature-incomplete — rebuild
+    * with [[writeMinhashStore]]`(withSignatures = true)` if the
+    * tuning path needs one over the grown corpus. */
+  def compactMinhashStore(spark: org.apache.spark.sql.SparkSession,
+                          path: String, newPath: String): Unit = {
+    val base = readMinhashStoreBase(spark, path) // validates constants
+    val committed = Stores.lastApplied(spark, s"$path/gatelog")
+    def folded(ds: String, b: DataFrame): DataFrame =
+      gateAppends(spark, path, ds)
+        .map(g => b.unionByName(g.filter(col("batch") <= committed)
+          .select(b.columns.map(col).toSeq: _*)))
+        .getOrElse(b)
+    folded("buckets", base.buckets)
+      .write.mode("overwrite").parquet(s"$newPath/buckets")
+    folded("shingles", base.shingles)
+      .write.mode("overwrite").parquet(s"$newPath/shingles")
+    // n_docs = base manifest count + the committed generations'
+    // distinct admitted keys (generations are batch-sized, so the
+    // distinct is cheap); a pre-count base manifest falls back to one
+    // distinct over the compacted buckets (exact: every doc carries
+    // `bands` bucket rows)
+    val baseP = spark.read.parquet(s"$path/params").head()
+    val nDocs =
+      if (baseP.schema.fieldNames.contains("n_docs"))
+        baseP.getAs[Long]("n_docs") +
+          gateAppends(spark, path, "buckets")
+            .map(_.filter(col("batch") <= committed)
+              .select(col(base.keyCol)).distinct().count())
+            .getOrElse(0L)
+      else spark.read.parquet(s"$newPath/buckets")
+        .select(col(base.keyCol)).distinct().count()
+    spark.createDataFrame(Seq(
+        (base.keyCol, base.k, base.numHashes, base.bands, HornerC,
+          MinhashP, nDocs)))
+      .toDF("key_col", "k", "num_hashes", "bands", "horner_c",
+        "minhash_p", "n_docs")
+      .write.mode("overwrite").parquet(s"$newPath/params")
+  }
+
   /** Probe a [[readMinhashStore]] index: the store's own manifest
     * supplies every signing parameter, so batch and index arithmetic
     * agree by construction. Same output contract as the raw-frame

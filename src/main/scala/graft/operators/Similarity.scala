@@ -479,6 +479,50 @@ object Similarity {
     }
   }
 
+  /** Fold every gate-COMMITTED vector generation into a FRESH base
+    * store at `newPath` — the
+    * [[graft.operators.Dedup.compactMinhashStore]] maintenance move
+    * for the semantic gate's index: a long-running stream adds one
+    * `batch=<id>` dir per admitting micro-batch, and compaction
+    * rewrites base ∪ committed generations as the new root's plain
+    * `vectors` dataset. Centroids are copied VERBATIM — every stored
+    * vector's cell was assigned under these frozen centroids, so
+    * recomputing them here would silently stale every cell assignment
+    * in the store; refreshing centroids is a REBUILD
+    * ([[writeIvfStore]] over the grown corpus), not a compaction.
+    * No re-assignment happens either: the generations already hold
+    * (id, vec, cell) in the store's on-disk shape. The manifest is
+    * written LAST (manifest-present ⇒ complete), so a crash
+    * mid-compaction reads as "no store at newPath" and the old root
+    * stays authoritative. Call only on a QUIESCED store; generations
+    * beyond the gatelog's committed horizon are excluded exactly as
+    * every reader excludes them — point the stream's next incarnation
+    * at `newPath` with a FRESH checkpoint and the crashed batch
+    * re-arrives through the source. */
+  def compactIvfStore(spark: org.apache.spark.sql.SparkSession,
+                      path: String, newPath: String): Unit = {
+    val base = readIvfStoreBase(spark, path) // validates round_scale
+    val committed = graft.operators.Stores.lastApplied(
+      spark, s"$path/gatelog")
+    base.centroids.write.mode("overwrite")
+      .parquet(s"$newPath/centroids")
+    gateVectors(spark, path)
+      .map(g => base.vectors.unionByName(
+        g.filter(col("batch") <= committed)
+          .select(base.vectors.columns.map(col).toSeq: _*)))
+      .getOrElse(base.vectors)
+      .write.mode("overwrite").parquet(s"$newPath/vectors")
+    // n_vecs from the just-written dataset's parquet metadata — the
+    // compacted base count IS the grown count ivfStoreIsCurrent probes
+    val n = spark.read.parquet(s"$newPath/vectors").count()
+    spark.createDataFrame(Seq(
+        (base.idCol, base.numCells, base.kmeansIters, CosineRoundScale,
+          n)))
+      .toDF("id_col", "num_cells", "kmeans_iters", "round_scale",
+        "n_vecs")
+      .write.mode("overwrite").parquet(s"$newPath/params")
+  }
+
   /** Probe a persisted/grown IVF index with a batch: each batch
     * vector is assigned to its nearest store centroid and compared
     * against ONLY that cell's store vectors; matches at rounded

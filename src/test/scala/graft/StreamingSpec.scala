@@ -923,6 +923,131 @@ class StreamingSpec extends SparkSpecBase {
       "a committed generation must be visible to non-gate readers")
   }
 
+  test("minhash store compaction: committed generations fold into a " +
+      "fresh base root — same rows, same probe verdicts, uncommitted " +
+      "generations excluded, manifest-last crash window") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_compact")
+    val storePath = root.resolve("store").toString
+    val newPath = root.resolve("compacted").toString
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    Dedup.writeMinhashStore(corpus, "doc_id", "text", storePath)
+    // two committed generations, novel texts so the behavioral probe
+    // below can only match through the generation rows
+    val novel1 = "zebra quark lantern voyage ember crystal meadow pylon"
+    val novel2 = "orchid basalt nimbus ferret cobalt prairie sonnet glint"
+    Dedup.appendToMinhashStore(
+      Seq((7000L, novel1)).toDF("doc_id", "text"), "text", storePath)
+    Dedup.appendToMinhashStore(
+      Seq((7001L, novel2)).toDF("doc_id", "text"), "text", storePath)
+    // plus one UNCOMMITTED generation (a crash before the gatelog flip)
+    val orphan = Seq((7002L, "umber krill zephyr doctrine marble onset"))
+      .toDF("doc_id", "text")
+    Dedup.writeGateAppend(
+      Dedup.minhashBandBuckets(orphan, "doc_id", "text"),
+      storePath, "buckets", 99L)
+    Dedup.writeGateAppend(
+      Dedup.portableShingleHashes(orphan, "doc_id", "text"),
+      storePath, "shingles", 99L)
+    Dedup.compactMinhashStore(spark, storePath, newPath)
+    // the compacted root is a plain base store: no generation roots,
+    // no gatelog to list per probe
+    for (d <- Seq("buckets-batches", "shingles-batches", "gatelog"))
+      assert(!java.nio.file.Files.exists(
+          root.resolve("compacted").resolve(d)),
+        s"compacted root must not carry $d")
+    // reader equivalence, row for row (committed horizon only)
+    val grown = Dedup.readMinhashStore(spark, storePath)
+    val compacted = Dedup.readMinhashStore(spark, newPath)
+    assertBagEqual(compacted.buckets, grown.buckets)
+    assertBagEqual(compacted.shingles, grown.shingles)
+    assert(compacted.buckets.filter(col("doc_id") === 7002L).isEmpty,
+      "an uncommitted generation leaked into the compaction")
+    // the compacted manifest counts the grown corpus, so the staleness
+    // probe accepts exactly base ∪ admitted
+    val grownCorpus = corpus.unionByName(
+      Seq((7000L, novel1), (7001L, novel2)).toDF("doc_id", "text"))
+    assert(Dedup.minhashStoreIsCurrent(grownCorpus, newPath),
+      "compacted manifest must count base + admitted docs")
+    // behavioral: a near-dup of a generation-admitted doc flags against
+    // the compacted store exactly as against the grown one
+    val probe = Seq((9000L, novel1.split(" ").drop(1).mkString(" ")))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.minhashNearDupAgainstStore(
+      probe, "text", compacted, 0.5)
+    assert(flagged.select("b", "best_match").as[(Long, Long)]
+        .collect().toSet == Set((9000L, 7000L)),
+      "compacted store must flag a near-dup of an admitted doc")
+    // manifest-last: a compaction that crashed before its params write
+    // reads as "no store" and never half-probes
+    val crashed = root.resolve("crashed").toString
+    Dedup.compactMinhashStore(spark, storePath, crashed)
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(
+        java.nio.file.Files.walk(root.resolve("crashed/params"))) {
+      _.iterator().asScala.toSeq
+    }.sortBy(-_.getNameCount)
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    assert(!Dedup.minhashStoreIsCurrent(grownCorpus, crashed),
+      "a params-less compaction must read as absent")
+  }
+
+  test("IVF store compaction: committed vector generations fold into " +
+      "a fresh base root under the FROZEN centroids — same rows, same " +
+      "probe verdicts, uncommitted generations excluded") {
+    import graft.operators.Similarity
+    val root = java.nio.file.Files.createTempDirectory("graft_vcompact")
+    val storePath = root.resolve("store").toString
+    val newPath = root.resolve("compacted").toString
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val vecs = all.filter(col("vec_id") < 64)
+    Similarity.writeIvfStore(vecs, "vec_id", "embedding", storePath)
+    // one committed generation: a vector OUTSIDE the base store under
+    // a fresh id, admitted through the generation protocol
+    val g1 = all.filter(col("vec_id") === 100)
+      .select(lit(7000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfStore(g1, "embedding", storePath)
+    // plus one UNCOMMITTED generation (crash before the gatelog flip)
+    val base = Similarity.readIvfStoreBase(spark, storePath)
+    val orphan = all.filter(col("vec_id") === 101)
+      .select(lit(7001L).as("vec_id"), col("embedding"))
+    Similarity.writeGateVectors(
+      Similarity.ivfStoreRows(orphan, "vec_id", "embedding",
+        base.centroids), storePath, 99L)
+    Similarity.compactIvfStore(spark, storePath, newPath)
+    for (d <- Seq("vectors-batches", "gatelog"))
+      assert(!java.nio.file.Files.exists(
+          root.resolve("compacted").resolve(d)),
+        s"compacted root must not carry $d")
+    val grown = Similarity.readIvfStore(spark, storePath)
+    val compacted = Similarity.readIvfStore(spark, newPath)
+    // centroids verbatim (frozen — cell assignments depend on them)
+    assertBagEqual(compacted.centroids, grown.centroids)
+    assertBagEqual(
+      compacted.vectors.select(col("vec_id"), col("cell")),
+      grown.vectors.select(col("vec_id"), col("cell")))
+    assert(compacted.vectors.filter(col("vec_id") === 7001L).isEmpty,
+      "an uncommitted generation leaked into the compaction")
+    // the compacted base count IS the grown count the staleness probe
+    // compares against
+    assert(Similarity.ivfStoreIsCurrent(
+        vecs.unionByName(g1), newPath),
+      "compacted manifest must count base + admitted vectors")
+    // behavioral: a copy of the admitted vector flags against the
+    // compacted store, best match = the generation-admitted id
+    val probe = all.filter(col("vec_id") === 100)
+      .select(lit(9000L).as("vec_id"), col("embedding"))
+    val flagged = Similarity.semanticDedupAgainstStore(
+      probe, "embedding", compacted.centroids, compacted.vectors,
+      "vec_id", 0.999)
+    val hit = flagged.select(col("b"), col("best_match"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hit == Set((9000L, 7000L)), s"flagged: $hit")
+  }
+
   test("crash replay through a real checkpoint: rewinding the commit " +
       "log past a folded batch re-delivers it as a no-op") {
     import spark.implicits._
