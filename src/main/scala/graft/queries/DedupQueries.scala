@@ -1225,6 +1225,120 @@ object DedupQueries {
     }
   }
 
+  /** q259: store compaction under the DuckDB oracle (★ — the
+    * [[Dedup.compactMinhashStore]] lifecycle made hash-checked, the
+    * q257 discipline applied to the gate store): build a
+    * quarter-corpus index, commit TWO generations through the gate
+    * protocol ([[Dedup.appendToMinhashStore]] — reversed docs,
+    * shingle-disjoint from their sources), plant one UNCOMMITTED
+    * orphan generation (written, never gatelog-flipped — a crashed
+    * batch), compact into a fresh root, and probe a three-family
+    * batch against the COMPACTED store: near-dups of base docs
+    * (flag ⇒ base rows survived), near-dups of generation-1 docs
+    * (flag ⇒ committed generations folded in), and near-dups of the
+    * ORPHAN docs (any flag ⇒ the uncommitted generation leaked —
+    * hash mismatch). The oracle replays sign+probe over
+    * base ∪ committed generations, where compaction is semantically
+    * the identity — so a hash match proves the compacted artifact
+    * preserves probe semantics against an independent engine, not
+    * just against this library's own grown-store reader
+    * (StreamingSpec carries that half). Output rides q139's flag
+    * shape plus the compacted manifest's `n_docs` staleness stamp,
+    * pinning the manifest arithmetic too. */
+  val q259GateCompaction: QuerySpec = {
+    val rev = "array_to_string(list_reverse(string_split(text, ' ')), ' ')"
+    QuerySpec(
+      "q259_gate_compaction",
+      s"""WITH store AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        |gen1 AS (
+        |  SELECT doc_id + 3000000 AS doc_id, $rev AS text
+        |  FROM documents WHERE doc_id % 10 = 1),
+        |gen2 AS (
+        |  SELECT doc_id + 4000000 AS doc_id, $rev AS text
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |grown AS (
+        |  SELECT doc_id, text FROM store
+        |  UNION ALL SELECT doc_id, text FROM gen1
+        |  UNION ALL SELECT doc_id, text FROM gen2),
+        |probe AS (
+        |  SELECT doc_id + 6000000 AS doc_id,
+        |    substr(text, strpos(text, ' ') + 1) AS text
+        |  FROM documents WHERE doc_id % 28 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 7000000, substr(r, strpos(r, ' ') + 1)
+        |  FROM (SELECT doc_id, $rev AS r
+        |        FROM documents WHERE doc_id % 10 = 1)
+        |  UNION ALL
+        |  SELECT doc_id + 8000000, substr(r, strpos(r, ' ') + 1)
+        |  FROM (SELECT doc_id, $rev AS r
+        |        FROM documents WHERE doc_id % 20 = 7)),
+        |ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM grown),
+        |${MinhashSql.shingleCtes("s", "grown")},
+        |${MinhashSql.shingleCtes("p", "probe")},
+        |${MinhashSql.probeCtes("p", "s", "")}
+        |SELECT b, best_match, jaccard, n_matches, n.n_docs
+        |FROM flag CROSS JOIN ndocs n ORDER BY b""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val store = docs.filter(col("doc_id") % 4 === 0)
+      val revC = concat_ws(" ", reverse(split(col("text"), " ")))
+      val gen1 = docs.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 3000000).as("doc_id"), revC.as("text"))
+      val gen2 = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 4000000).as("doc_id"), revC.as("text"))
+      val orphan = docs.filter(col("doc_id") % 20 === 7)
+        .select((col("doc_id") + 5000000).as("doc_id"), revC.as("text"))
+      val probe = docs.filter(col("doc_id") % 28 === 0)
+        .select((col("doc_id") + 6000000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 7000000).as("doc_id"), revC.as("r"))
+          .select(col("doc_id"),
+            expr("substring(r, instr(r, ' ') + 1)").as("text")))
+        .unionByName(docs.filter(col("doc_id") % 20 === 7)
+          .select((col("doc_id") + 8000000).as("doc_id"), revC.as("r"))
+          .select(col("doc_id"),
+            expr("substring(r, instr(r, ' ') + 1)").as("text")))
+      val root = java.nio.file.Files.createTempDirectory("graft_q259")
+      try {
+        val storePath = root.resolve("store").toString
+        val croot = root.resolve("compacted").toString
+        Dedup.writeMinhashStore(store, "doc_id", "text", storePath,
+          k = 3, numHashes = MinhashSql.nH, bands = MinhashSql.bands)
+        Dedup.appendToMinhashStore(gen1, "text", storePath)
+        Dedup.appendToMinhashStore(gen2, "text", storePath)
+        // the crashed batch: a generation without its gatelog flip —
+        // compaction must exclude it, or the +8M probe family below
+        // flags against it and the oracle hash-mismatches
+        Dedup.writeGateAppend(
+          Dedup.minhashBandBuckets(orphan, "doc_id", "text",
+            k = 3, numHashes = MinhashSql.nH, bands = MinhashSql.bands),
+          storePath, "buckets", 99L)
+        Dedup.writeGateAppend(
+          Dedup.portableShingleHashes(orphan, "doc_id", "text", k = 3),
+          storePath, "shingles", 99L)
+        Dedup.compactMinhashStore(s, storePath, croot)
+        for (d <- Seq("buckets-batches", "shingles-batches", "gatelog"))
+          require(!java.nio.file.Files.exists(
+              root.resolve("compacted").resolve(d)),
+            s"compacted root must not carry $d")
+        val idx = Dedup.readMinhashStore(s, croot)
+        val nDocs = s.read.parquet(s"$croot/params").head()
+          .getAs[Long]("n_docs")
+        // the probe checkpoints eagerly, so sweeping the temp root in
+        // the finally cannot pull the store out from under the plan
+        Dedup.minhashNearDupAgainstStore(probe, "text", idx,
+            threshold = 0.5)
+          .withColumn("n_docs", lit(nDocs))
+          .orderBy(col("b"))
+      } finally {
+        graft.streaming.IncrementalLoad.cleanStaging(root,
+          Seq("store", "compacted"))
+        java.nio.file.Files.deleteIfExists(root)
+      }
+    }
+  }
+
   /** q164: paragraph-level exact dedup with reconstruction (★ — the
     * MassiveText/RefinedWeb aligned-paragraph pass; see
     * [[Dedup.paragraphDedup]] for where it sits between q30's
@@ -2247,5 +2361,6 @@ object DedupQueries {
     q164ParagraphDedup, q165WinnowOverlap, q169NoveltyScore,
     q171DedupKeepBest, q176LshRecallAudit, q177IncrementalNovelty,
     q182SourceOverlap, q192ContainmentJoin, q251StreamingNeardupGate,
-    q254LshBandSweep, q256LshBandSweepSampled, q258StoreBandSweep)
+    q254LshBandSweep, q256LshBandSweepSampled, q258StoreBandSweep,
+    q259GateCompaction)
 }

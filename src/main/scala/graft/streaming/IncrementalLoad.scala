@@ -188,11 +188,15 @@ object IncrementalLoad {
     * leaf dirs). The idempotent-rewrite protocol deliberately has no
     * in-place compaction (any partial rewrite of a generation would
     * reopen the duplicate-admission window the protocol closes);
-    * the production remedy is the same as for every store here —
-    * periodically re-sign the grown corpus into a FRESH store root
-    * ([[graft.operators.Dedup.writeMinhashStore]] over base ∪
-    * admitted) and point the stream's next incarnation at it, which
-    * also resets the checkpoint horizon. */
+    * the production remedy is
+    * [[graft.operators.Dedup.compactMinhashStore]]: fold base ∪
+    * committed generations into a FRESH root (no re-signing — the
+    * generations already hold the admitted signatures; measured
+    * 2.9–4.4× cheaper than a corpus re-sign and sub-linear across a
+    * decade, SCALING.md) and point the stream's next incarnation at
+    * it with a fresh checkpoint.
+    * [[graft.operators.Similarity.compactIvfStore]] is the
+    * [[streamingSemanticGate]] twin. */
   def streamingNearDupGate(spark: SparkSession, stream: DataFrame,
                            textCol: String, storePath: String,
                            admittedPath: String, checkpoint: String,
