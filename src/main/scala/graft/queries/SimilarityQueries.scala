@@ -642,6 +642,123 @@ object SimilarityQueries {
     }
   }
 
+  /** q260: IVF store compaction under the DuckDB oracle (★ — q259's
+    * discipline for the EMBEDDING tier: the
+    * [[Similarity.compactIvfStore]] lifecycle hash-checked against an
+    * independent replay): build a 400-vector index, commit TWO
+    * generations through the gate protocol
+    * ([[Similarity.appendToIvfStore]] — novel vectors, then negated
+    * copies that are novel under the 0.999 gate), plant one
+    * UNCOMMITTED orphan generation (written, never gatelog-flipped),
+    * compact into a fresh root, and probe a four-family batch against
+    * the COMPACTED store: copies of base vectors (flag ⇒ base rows
+    * survived), copies of each generation (flag ⇒ the fold happened
+    * AND the copied-verbatim FROZEN centroids still assign them to
+    * the same cells), and copies of the orphan (any flag ⇒ the
+    * uncommitted generation leaked — hash mismatch). The oracle
+    * replays centroids/assignment/probe with the [[IvfSql]]
+    * generators over base ∪ committed generations, where compaction
+    * is semantically the identity; the compacted manifest's `n_vecs`
+    * rides every row, pinning the count arithmetic. */
+  val q260IvfCompaction: QuerySpec = {
+    import IvfSql.{assignSql, lloydSql, probeSql}
+    QuerySpec(
+      "q260_ivf_compaction",
+      s"""WITH vecs AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings WHERE vec_id < 400),
+        |g1 AS (
+        |  SELECT vec_id + 200000 AS id, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings WHERE vec_id >= 400 AND vec_id < 450),
+        |g2 AS (
+        |  SELECT vec_id + 400000 AS id,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> -x) AS dv
+        |  FROM embeddings WHERE vec_id < 20),
+        |grown AS (
+        |  SELECT id, dv FROM vecs
+        |  UNION ALL SELECT id, dv FROM g1
+        |  UNION ALL SELECT id, dv FROM g2),
+        |probe AS (
+        |  SELECT vec_id + 100000 AS id, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings WHERE vec_id < 20
+        |  UNION ALL
+        |  SELECT vec_id + 300000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id >= 400 AND vec_id < 450
+        |  UNION ALL
+        |  SELECT vec_id + 600000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id >= 450 AND vec_id < 460
+        |  UNION ALL
+        |  SELECT vec_id + 700000,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+        |  FROM embeddings WHERE vec_id < 20),
+        |allv AS (
+        |  SELECT id, dv FROM grown
+        |  UNION ALL SELECT id, dv FROM probe),
+        |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM grown),
+        |seed AS (SELECT id AS cell, dv AS cv FROM vecs ORDER BY id LIMIT 16),
+        |${lloydSql(1, "seed")},
+        |${assignSql("cs", "c1", "grown")},
+        |${assignSql("cp", "c1", "probe")},
+        |${probeSql("p", "cp", "cs", "0.999")}
+        |SELECT b, best_match, sim, n_matches, n.n_vecs
+        |FROM pflag CROSS JOIN nv n ORDER BY b""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val store = e.filter(col("vec_id") < 400)
+        .select(col("vec_id"), col("embedding"))
+      val g1 = e.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+        .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
+      val g2 = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 400000).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      val orphan = e.filter(col("vec_id") >= 450 && col("vec_id") < 460)
+        .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+      val probe = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+          .select((col("vec_id") + 300000).as("vec_id"), col("embedding")))
+        .unionByName(e.filter(col("vec_id") >= 450 && col("vec_id") < 460)
+          .select((col("vec_id") + 600000).as("vec_id"), col("embedding")))
+        .unionByName(e.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 700000).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+      val root = java.nio.file.Files.createTempDirectory("graft_q260")
+      try {
+        val storePath = root.resolve("store").toString
+        val croot = root.resolve("compacted").toString
+        Similarity.writeIvfStore(store, "vec_id", "embedding", storePath,
+          numCells = 16, kmeansIters = 1)
+        Similarity.appendToIvfStore(g1, "embedding", storePath)
+        Similarity.appendToIvfStore(g2, "embedding", storePath)
+        // the crashed batch: a generation without its gatelog flip —
+        // compaction must exclude it, or the +600000 probe family
+        // flags against it and the oracle hash-mismatches
+        val base = Similarity.readIvfStoreBase(s, storePath)
+        Similarity.writeGateVectors(
+          Similarity.ivfStoreRows(orphan, "vec_id", "embedding",
+            base.centroids), storePath, 99L)
+        Similarity.compactIvfStore(s, storePath, croot)
+        for (d <- Seq("vectors-batches", "gatelog"))
+          require(!java.nio.file.Files.exists(
+              root.resolve("compacted").resolve(d)),
+            s"compacted root must not carry $d")
+        val idx = Similarity.readIvfStore(s, croot)
+        val nVecs = s.read.parquet(s"$croot/params").head()
+          .getAs[Long]("n_vecs")
+        // materialize before the finally sweeps the store out from
+        // under the (otherwise lazy) probe plan
+        Similarity.semanticDedupAgainstStore(probe, "embedding", idx,
+            threshold = 0.999)
+          .withColumn("n_vecs", lit(nVecs))
+          .localCheckpoint(true)
+          .orderBy(col("b"))
+      } finally {
+        graft.streaming.IncrementalLoad.cleanStaging(root,
+          Seq("store", "compacted"))
+        java.nio.file.Files.deleteIfExists(root)
+      }
+    }
+  }
+
   /** q158: product-quantization codebook (★ — the IVF-PQ compression
     * tier: 4 subspaces × 8 L2 k-means centroids over the 64-dim
     * embeddings, one decimal-mean Lloyd pass; codes and the round-6
@@ -1655,7 +1772,7 @@ object SimilarityQueries {
     q190BitextMargin, q191RrfFusion, q195KCenterCoreset,
     q196PrototypePrune, q200MatryoshkaRecall, q220RetrievalMetrics,
     q227ClusterQuality, q231CentroidDrift, q234NprobeSweep, q247Rbo,
-    q252StreamingSemanticGate)
+    q252StreamingSemanticGate, q260IvfCompaction)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by

@@ -994,6 +994,56 @@ class StreamingSpec extends SparkSpecBase {
       "a params-less compaction must read as absent")
   }
 
+  test("gate handoff across compaction: a new gate incarnation on the " +
+      "compacted root (fresh checkpoint) keeps rejecting near-dups of " +
+      "pre-compaction admissions") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_handoff")
+    val store1 = root.resolve("store1").toString
+    val store2 = root.resolve("store2").toString
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    Dedup.writeMinhashStore(corpus, "doc_id", "text", store1)
+    // incarnation 1: admit one novel doc through the gate
+    val novel = "zebra quark lantern voyage ember crystal meadow pylon"
+    Seq((7001L, novel)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(root.resolve("in1/b1").toString)
+    val s1 = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in1/*/")
+    val q1 = graft.streaming.IncrementalLoad.streamingNearDupGate(
+      spark, s1, "text", store1, root.resolve("adm1").toString,
+      root.resolve("ckpt1").toString)
+    assert(q1.awaitTermination(120000), "first incarnation did not drain")
+    // the documented maintenance move: compact, then point the NEXT
+    // incarnation at the compacted root with a FRESH checkpoint
+    Dedup.compactMinhashStore(spark, store1, store2)
+    // incarnation 2: a near-dup of the PRE-COMPACTION admission plus a
+    // genuinely novel doc, in one batch through the new gate
+    val b2 = Seq(
+      (8001L, novel.split(" ").drop(1).mkString(" ")),
+      (8002L, "quartz fjord umbra lattice pinion sable grove tundra")
+    ).toDF("doc_id", "text")
+    b2.coalesce(1).write.parquet(root.resolve("in2/b1").toString)
+    val s2 = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in2/*/")
+    val q2 = graft.streaming.IncrementalLoad.streamingNearDupGate(
+      spark, s2, "text", store2, root.resolve("adm2").toString,
+      root.resolve("ckpt2").toString)
+    assert(q2.awaitTermination(120000), "second incarnation did not drain")
+    val admitted2 = spark.read.parquet(root.resolve("adm2").toString)
+      .select("doc_id").as[Long].collect().toSet
+    // 8001 rejected against the COMPACTED index (7001's signatures
+    // folded into the new base), 8002 admitted as the new horizon's
+    // first generation
+    assert(admitted2 == Set(8002L), s"admitted: $admitted2")
+    val grown2 = Dedup.readMinhashStore(spark, store2)
+    assert(grown2.buckets.filter(col("doc_id") === 8002L).count() > 0)
+    assert(grown2.buckets.filter(col("doc_id") === 8001L).isEmpty)
+  }
+
   test("IVF store compaction: committed vector generations fold into " +
       "a fresh base root under the FROZEN centroids — same rows, same " +
       "probe verdicts, uncommitted generations excluded") {
