@@ -214,6 +214,24 @@ object Dedup {
         (1 until numHashes).map(member) :+ count(lit(1)).as("n_sh"): _*)
   }
 
+  /** Band-bucket struct columns over `hs` (the signature members in
+    * order): per band, the Horner fold of its rows mod P. The ONE
+    * band-derivation arithmetic, shared by the from-text
+    * ([[minhashBandBuckets]]), from-signature-frame
+    * ([[lshCandidatePairs]]), and store-build
+    * ([[writeMinhashStore]] `withSignatures`) paths so they cannot
+    * drift. */
+  private def bandStructs(hs: Seq[Column], bands: Int): Seq[Column] = {
+    val rows = hs.length / bands
+    (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        (bnd * rows until (bnd + 1) * rows)
+          .map(hs)
+          .reduceLeft((acc, h) => (acc * lit(HornerC) + h) % lit(MinhashP))
+          .as("bucket"))
+    }
+  }
+
   /** LSH banding (tier 3b): signature → (band, bucket) rows; keys
     * sharing any bucket are candidate pairs. bands×rowsPerBand must
     * equal the signature width. The bucket is the Horner fold of the
@@ -222,20 +240,17 @@ object Dedup {
     * mixes the rest). The bucket join is the only shuffle. */
   def lshCandidatePairs(sig: DataFrame, keyCol: String,
                         bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val bandCols: Seq[Column] = (0 until bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
-          .map(i => col(s"h$i"))
-          .reduceLeft((acc, h) => (acc * lit(HornerC) + h) % lit(MinhashP))
-          .as("bucket"))
-    }
-    // cached: the self-join consumes this twice and AQE does not
-    // reuse the exchange across the alias-renamed sides; upstream
-    // sits the signature aggregation (|keys| × bands rows — tiny)
+    // NOT cached: both self-join sides re-derive the explode from the
+    // caller's signature frame (every caller holds it cached) — a
+    // projection-only recompute. An internal cache here has no release
+    // hook, and the band-sweep audits (q254/q256/q258) call this once
+    // per swept setting, so a pinned cache per call would accumulate
+    // for the life of the session.
     val buckets = sig.select(col(keyCol),
-      explode(array(bandCols: _*)).as("bb"))
+      explode(array(bandStructs(
+        (0 until bands * rowsPerBand).map(i => col(s"h$i")),
+        bands): _*)).as("bb"))
       .select(col(keyCol), col("bb.band"), col("bb.bucket"))
-      .cache()
     val l = buckets.select(col(keyCol).as("a"), col("band"), col("bucket"))
     val r = buckets.select(col(keyCol).as("b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))
@@ -267,7 +282,7 @@ object Dedup {
                           k: Int = 3, numHashes: Int = 64, bands: Int = 16,
                           threshold: Double = 0.5): DataFrame =
     nearDupPairsPlan(df, keyCol, textCol, k, numHashes, bands,
-      threshold)._1
+      threshold)
 
   /** Within-batch near-dup flags (the intra-batch half of the
     * streaming gate protocol — see
@@ -293,15 +308,13 @@ object Dedup {
     out
   }
 
-  /** The shared pairs plan behind [[minhashNearDupPairs]] and
-    * [[minhashIntraBatchFlags]]: verified (a, b, jaccard) pairs with
-    * a < b, plus the internal caches so an eager caller can drop them
-    * after materializing (the lazy public operator leaves them to the
-    * session, matching its one-shot registry usage). */
+  /** The pairs plan behind [[minhashNearDupPairs]]: verified
+    * (a, b, jaccard) pairs with a < b. LAZY — the two internal caches
+    * (signature row, shingle frame) belong to the session, matching
+    * the operator's one-shot registry usage. */
   private def nearDupPairsPlan(df: DataFrame, keyCol: String,
                                textCol: String, k: Int, numHashes: Int,
-                               bands: Int, threshold: Double)
-      : (DataFrame, Seq[DataFrame]) = {
+                               bands: Int, threshold: Double): DataFrame = {
     // signature + distinct-shingle count per document from the FUSED
     // codegen expression (graft.plans.MinHashSigExpr): one pass per
     // doc, no shingle explode and no 64-wide aggregate on this path —
@@ -344,7 +357,7 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    (pairs, Seq(sigRow, sh))
+    pairs
   }
 
   /** MinHash band-bucket index of a corpus — the ARTIFACT an
@@ -357,20 +370,13 @@ object Dedup {
     * corpus. */
   def minhashBandBuckets(df: DataFrame, keyCol: String, textCol: String,
                          k: Int = 3, numHashes: Int = 64,
-                         bands: Int = 16): DataFrame = {
-    val rows = numHashes / bands
-    val bandCols: Seq[Column] = (0 until bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        (bnd * rows until (bnd + 1) * rows)
-          .map(i => element_at(col("ms.sig"), i + 1))
-          .reduceLeft((acc, h) => (acc * lit(HornerC) + h) % lit(MinhashP))
-          .as("bucket"))
-    }
+                         bands: Int = 16): DataFrame =
     df.select(col(keyCol),
         graft.plans.MinHashSigExpr(col(textCol), k, numHashes).as("ms"))
-      .select(col(keyCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(keyCol), explode(array(bandStructs(
+        (0 until numHashes).map(i => element_at(col("ms.sig"), i + 1)),
+        bands): _*)).as("bb"))
       .select(col(keyCol), col("bb.band"), col("bb.bucket"))
-  }
 
   /** Incremental near-dup dedup (★ the nightly-ingest posture): flag
     * every BATCH document whose Jaccard against some STORED corpus
@@ -441,24 +447,35 @@ object Dedup {
                         withSignatures: Boolean = false): Unit = {
     require(numHashes % bands == 0,
       s"numHashes=$numHashes not divisible by bands=$bands")
-    minhashBandBuckets(df, keyCol, textCol, k, numHashes, bands)
-      .write.mode("overwrite").parquet(s"$path/buckets")
-    portableShingleHashes(df, keyCol, textCol, k)
-      .write.mode("overwrite").parquet(s"$path/shingles")
     // optional RAW signature dataset (doc → h0..h{n-1}): the band
-    // buckets above are one FIXED (bands, rows) reading of the
-    // signatures, so a band-parameter sweep (q254/q256's audit) needs
-    // the raw minhashes to re-derive other settings without
-    // re-signing the corpus — the store then feeds the tuning curve
-    // too, not just the probe path. Off by default: probe-only stores
-    // (the streaming gates re-sign theirs per run) shouldn't pay the
-    // numHashes-wide extra write.
-    if (withSignatures)
-      df.select(col(keyCol),
+    // buckets are one FIXED (bands, rows) reading of the signatures,
+    // so a band-parameter sweep (q254/q256's audit) needs the raw
+    // minhashes to re-derive other settings without re-signing the
+    // corpus — the store then feeds the tuning curve too, not just
+    // the probe path. Off by default: probe-only stores (the
+    // streaming gates re-sign theirs per run) shouldn't pay the
+    // numHashes-wide extra write. When requested, the corpus is
+    // signed exactly ONCE: buckets derive from the same cached
+    // signature frame the sigs dataset persists (signing is the
+    // dominant build cost — re-evaluating the fused expression per
+    // dataset would double it).
+    if (withSignatures) {
+      val sig = df.select(col(keyCol),
           graft.plans.MinHashSigExpr(col(textCol), k, numHashes).as("ms"))
         .select(col(keyCol) +: (0 until numHashes).map(i =>
           element_at(col("ms.sig"), i + 1).as(s"h$i")): _*)
-        .write.mode("overwrite").parquet(s"$path/sigs")
+        .cache()
+      sig.write.mode("overwrite").parquet(s"$path/sigs")
+      sig.select(col(keyCol), explode(array(bandStructs(
+          (0 until numHashes).map(i => col(s"h$i")), bands): _*)).as("bb"))
+        .select(col(keyCol), col("bb.band"), col("bb.bucket"))
+        .write.mode("overwrite").parquet(s"$path/buckets")
+      sig.unpersist(blocking = false)
+    } else
+      minhashBandBuckets(df, keyCol, textCol, k, numHashes, bands)
+        .write.mode("overwrite").parquet(s"$path/buckets")
+    portableShingleHashes(df, keyCol, textCol, k)
+      .write.mode("overwrite").parquet(s"$path/shingles")
     // n_docs records the signed corpus size — a cheap staleness probe
     // for reuse decisions (parquet-metadata count vs manifest), since
     // the store is deterministic in the corpus. Written LAST: its
@@ -492,15 +509,21 @@ object Dedup {
   /** True when `path` holds a completed index signed over exactly
     * `corpus` (same doc count — the store is a deterministic function
     * of the corpus, so count equality over an immutable warehouse
-    * table is the right cheap staleness probe; both sides are
-    * parquet-metadata counts). False on absent/partial/pre-count
-    * stores, so callers fall back to [[writeMinhashStore]]. */
+    * table is the right cheap staleness probe). The count probed is
+    * the GROWN one — the base manifest's `n_docs` plus the committed
+    * gate/append generations' distinct admitted keys (the
+    * [[ivfStoreIsCurrent]] contract) — so a store grown by
+    * [[appendToMinhashStore]] or the streaming gate stays current
+    * against base ∪ admitted instead of forever reading stale. False
+    * on absent/partial/pre-count stores, so callers fall back to
+    * [[writeMinhashStore]]. */
   def minhashStoreIsCurrent(corpus: DataFrame, path: String): Boolean =
     try {
       // Probe the manifest's existence through the Hadoop FS first:
       // read.parquet on an absent path raises AND error-logs a full
       // stack trace, which reads as a failure when a cold store is
-      // the normal first-run state.
+      // the normal first-run state. Manifest-field checks run before
+      // any count job.
       val spark = corpus.sparkSession
       val hp = new org.apache.hadoop.fs.Path(s"$path/params")
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -508,8 +531,15 @@ object Dedup {
         val p = spark.read.parquet(s"$path/params").head()
         p.schema.fieldNames.contains("n_docs") &&
           p.getAs[Long]("horner_c") == HornerC &&
-          p.getAs[Long]("minhash_p") == MinhashP &&
-          p.getAs[Long]("n_docs") == corpus.count()
+          p.getAs[Long]("minhash_p") == MinhashP && {
+            val committed = Stores.lastApplied(spark, s"$path/gatelog")
+            val keyCol = p.getAs[String]("key_col")
+            val admitted = gateAppends(spark, path, "buckets")
+              .map(_.filter(col("batch") <= committed)
+                .select(col(keyCol)).distinct().count())
+              .getOrElse(0L)
+            p.getAs[Long]("n_docs") + admitted == corpus.count()
+          }
       }
     } catch { case _: Exception => false }
 
@@ -598,7 +628,11 @@ object Dedup {
   def appendToMinhashStore(batch: DataFrame, textCol: String,
                            path: String): Unit = {
     val spark = batch.sparkSession
-    val st = readMinhashStore(spark, path)
+    // the BASE read suffices: only the manifest parameters are needed
+    // to sign the batch, and the grown read would pay a gatelog read
+    // plus a generation-dir listing per append (thousands of dirs on
+    // a long-lived store) just to discard the union
+    val st = readMinhashStoreBase(spark, path)
     val gatelog = s"$path/gatelog"
     val next = Stores.lastApplied(spark, gatelog) + 1L
     writeGateAppend(

@@ -375,15 +375,18 @@ object Similarity {
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(hp) && {
         val p = spark.read.parquet(s"$path/params").head()
-        val committed = graft.operators.Stores.lastApplied(
-          spark, s"$path/gatelog")
-        val grown = spark.read.parquet(s"$path/vectors").count() +
-          gateVectors(spark, path)
-            .map(_.filter(col("batch") <= committed).count())
-            .getOrElse(0L)
+        // manifest-field checks first — a pre-count or drifted-scale
+        // manifest short-circuits before any count job runs
         p.schema.fieldNames.contains("n_vecs") &&
-          p.getAs[Int]("round_scale") == CosineRoundScale &&
-          grown == corpus.count()
+          p.getAs[Int]("round_scale") == CosineRoundScale && {
+            val committed = graft.operators.Stores.lastApplied(
+              spark, s"$path/gatelog")
+            val grown = spark.read.parquet(s"$path/vectors").count() +
+              gateVectors(spark, path)
+                .map(_.filter(col("batch") <= committed).count())
+                .getOrElse(0L)
+            grown == corpus.count()
+          }
       }
     } catch { case _: Exception => false }
 
@@ -467,7 +470,11 @@ object Similarity {
   def appendToIvfStore(batch: DataFrame, vecCol: String,
                        path: String): Unit = {
     val spark = batch.sparkSession
-    val st = readIvfStore(spark, path)
+    // the BASE read suffices: assignment needs only the frozen
+    // centroids and the manifest's id column — the grown read would
+    // pay a gatelog read plus a generation-dir listing per append
+    // just to discard the vector union
+    val st = readIvfStoreBase(spark, path)
     val gatelog = s"$path/gatelog"
     val next = graft.operators.Stores.lastApplied(spark, gatelog) + 1L
     writeGateVectors(

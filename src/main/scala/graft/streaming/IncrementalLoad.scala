@@ -49,22 +49,30 @@ object IncrementalLoad {
     * plus per-run signature index (megabytes) behind until the OS tmp
     * cleaner runs; the NEXT invocation of the same wire retires them
     * here. The age guard keeps concurrent LIVE runs (bench
-    * parallelism, test suites on the same host) untouched: a root
-    * under an hour old is presumed active. */
+    * parallelism, test suites on the same host) untouched: a root is
+    * aged only when EVERY file under it is older than the cutoff —
+    * the root directory's own mtime is frozen near creation, but a
+    * live run's staging/checkpoint writes keep refreshing file
+    * mtimes inside, so a long-lived active stream (paused JVM, slow
+    * drain) is never judged by its birth time. */
   def sweepAgedRoots(tag: String, maxAgeMs: Long = 3600000L): Unit = {
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - maxAgeMs
+    def newestMtime(p: java.nio.file.Path): Long =
+      try scala.util.Using.resource(java.nio.file.Files.walk(p)) {
+        _.iterator().asScala.map(q =>
+          try java.nio.file.Files.getLastModifiedTime(q).toMillis
+          catch { case _: java.io.IOException => Long.MaxValue })
+          .foldLeft(0L)(math.max)
+      } catch { case _: java.io.IOException => Long.MaxValue }
     if (java.nio.file.Files.isDirectory(tmp)) {
       val aged = scala.util.Using.resource(
           java.nio.file.Files.list(tmp)) {
         _.iterator().asScala
           .filter(_.getFileName.toString.startsWith(tag))
-          .filter(p =>
-            try java.nio.file.Files.getLastModifiedTime(p)
-              .toMillis < cutoff
-            catch { case _: java.io.IOException => false })
+          .filter(p => newestMtime(p) < cutoff)
           .toSeq
       }
       aged.foreach { p =>
@@ -141,6 +149,52 @@ object IncrementalLoad {
       }
       .start()
 
+  /** Map a gate incarnation's foreachBatch ids into the store's
+    * gatelog generation space. foreachBatch ids restart at 0 with
+    * every FRESH checkpoint, but the gatelog counter is a property of
+    * the STORE: batch appends ([[graft.operators.Dedup
+    * .appendToMinhashStore]] / [[graft.operators.Similarity
+    * .appendToIvfStore]]) advance it too, and a prior stream
+    * incarnation may have left it anywhere. Without the mapping, a
+    * fresh-checkpoint gate attached to a store whose gatelog sits at
+    * N would judge its first N+1 micro-batches "already committed"
+    * and SKIP them silently — data loss with no error. The offset
+    * (gatelog horizon + 1 at incarnation start) is computed once and
+    * persisted INSIDE the checkpoint dir, so it shares the
+    * checkpoint's fate: replays of this incarnation read the same
+    * mapping (decide-once semantics preserved — the offset file is
+    * written before any batch commits, so every crash window replays
+    * to the same generation ids), while a fresh checkpoint computes a
+    * fresh offset aligned past the store's current horizon. A fresh
+    * store (no gatelog) resolves to offset 0, i.e. generation ids
+    * equal batch ids — the pre-offset layout, so existing stores,
+    * oracles, and fixtures read identically. The fold wires
+    * (Count-Min / quantile / drift) share the protocol against their
+    * stores' own stamp markers — batch folds never advance the stamp,
+    * but a prior stream incarnation does, which is the same trap. */
+  private def gateOffset(spark: SparkSession, checkpoint: String,
+                         markerRoot: String): Long = {
+    import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
+    import java.util.EnumSet
+    val f = new Path(checkpoint, "graft-gate-offset")
+    val ctx = FileContext.getFileContext(f.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    if (ctx.util().exists(f)) {
+      val in = ctx.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } else {
+      val off = graft.operators.Stores.lastApplied(spark, markerRoot) + 1L
+      val tmp = new Path(checkpoint, "graft-gate-offset.tmp")
+      val out = ctx.create(tmp,
+        EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+        Options.CreateOpts.createParent())
+      try out.write(off.toString.getBytes("UTF-8")) finally out.close()
+      ctx.rename(tmp, f, Options.Rename.OVERWRITE)
+      off
+    }
+  }
+
   /** Streaming NEAR-dup gate (★ — the nightly-ingest posture run as a
     * stream): every micro-batch first self-probes for WITHIN-batch
     * near-dups (keep the min key —
@@ -200,7 +254,10 @@ object IncrementalLoad {
   def streamingNearDupGate(spark: SparkSession, stream: DataFrame,
                            textCol: String, storePath: String,
                            admittedPath: String, checkpoint: String,
-                           threshold: Double = 0.5): StreamingQuery =
+                           threshold: Double = 0.5): StreamingQuery = {
+    // incarnation-start: pin this checkpoint's batch-id → generation
+    // mapping before any batch runs (see gateOffset)
+    val offset = gateOffset(spark, checkpoint, s"$storePath/gatelog")
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -208,11 +265,12 @@ object IncrementalLoad {
         import org.apache.spark.sql.functions.{col, lit}
         val D = graft.operators.Dedup
         val gatelog = s"$storePath/gatelog"
-        if (batchId > graft.operators.Stores.lastApplied(spark, gatelog)) {
+        val gen = offset + batchId
+        if (gen > graft.operators.Stores.lastApplied(spark, gatelog)) {
           val base = D.readMinhashStoreBase(spark, storePath)
           def upTo(ds: String, b: DataFrame): DataFrame =
             D.gateAppends(spark, storePath, ds)
-              .map(g => b.unionByName(g.filter(col("batch") < batchId)
+              .map(g => b.unionByName(g.filter(col("batch") < gen)
                 .select(b.columns.map(col).toSeq: _*)))
               .getOrElse(b)
           // the batch is signed exactly ONCE per micro-batch: these two
@@ -247,20 +305,20 @@ object IncrementalLoad {
             .localCheckpoint(true)
           if (admitted.count() > 0) {
             admitted.write.mode("overwrite")
-              .parquet(s"$admittedPath/batch=$batchId")
+              .parquet(s"$admittedPath/batch=$gen")
             val keys = admitted.select(col(base.keyCol))
             D.writeGateAppend(
               bb.join(keys, Seq(base.keyCol), "left_semi"),
-              storePath, "buckets", batchId)
+              storePath, "buckets", gen)
             D.writeGateAppend(
               bsh.join(keys, Seq(base.keyCol), "left_semi"),
-              storePath, "shingles", batchId)
+              storePath, "shingles", gen)
           }
           // the stamp rides the pointer flip; the one-row payload stays
           // for readers that predate the pointer-stamp protocol
           graft.operators.Stores.commitPayload(spark, gatelog,
-              Some(batchId)) { dir =>
-            spark.range(1).select(lit(batchId).as("applied"))
+              Some(gen)) { dir =>
+            spark.range(1).select(lit(gen).as("applied"))
               .write.mode("overwrite").parquet(dir)
           }
           bb.unpersist(blocking = false)
@@ -271,6 +329,7 @@ object IncrementalLoad {
         }
       }
       .start()
+  }
 
   /** Streaming SEMANTIC gate — the [[streamingNearDupGate]] posture
     * for the embedding tier: every micro-batch first self-probes for
@@ -300,7 +359,10 @@ object IncrementalLoad {
   def streamingSemanticGate(spark: SparkSession, stream: DataFrame,
                             vecCol: String, storePath: String,
                             admittedPath: String, checkpoint: String,
-                            threshold: Double = 0.999): StreamingQuery =
+                            threshold: Double = 0.999): StreamingQuery = {
+    // incarnation-start: pin this checkpoint's batch-id → generation
+    // mapping before any batch runs (see gateOffset)
+    val offset = gateOffset(spark, checkpoint, s"$storePath/gatelog")
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -308,11 +370,12 @@ object IncrementalLoad {
         import org.apache.spark.sql.functions.{col, lit}
         val S = graft.operators.Similarity
         val gatelog = s"$storePath/gatelog"
-        if (batchId > graft.operators.Stores.lastApplied(spark, gatelog)) {
+        val gen = offset + batchId
+        if (gen > graft.operators.Stores.lastApplied(spark, gatelog)) {
           val base = S.readIvfStoreBase(spark, storePath)
           val vectors = S.gateVectors(spark, storePath)
             .map(g => base.vectors.unionByName(
-              g.filter(col("batch") < batchId)
+              g.filter(col("batch") < gen)
                 .select(base.vectors.columns.map(col).toSeq: _*)))
             .getOrElse(base.vectors)
           // the batch is assigned exactly ONCE per micro-batch: this
@@ -337,15 +400,15 @@ object IncrementalLoad {
             .localCheckpoint(true)
           if (admitted.count() > 0) {
             admitted.write.mode("overwrite")
-              .parquet(s"$admittedPath/batch=$batchId")
+              .parquet(s"$admittedPath/batch=$gen")
             S.writeGateVectors(
               rows.join(admitted.select(col(base.idCol)),
                 Seq(base.idCol), "left_semi"),
-              storePath, batchId)
+              storePath, gen)
           }
           graft.operators.Stores.commitPayload(spark, gatelog,
-              Some(batchId)) { dir =>
-            spark.range(1).select(lit(batchId).as("applied"))
+              Some(gen)) { dir =>
+            spark.range(1).select(lit(gen).as("applied"))
               .write.mode("overwrite").parquet(dir)
           }
           rows.unpersist(blocking = false)
@@ -355,6 +418,7 @@ object IncrementalLoad {
         }
       }
       .start()
+  }
 
   /** Streaming Count-Min fold — the sketch-store posture of the gate
     * above: every micro-batch's increments fold into the persisted
@@ -373,15 +437,21 @@ object IncrementalLoad {
   def streamingCountMinFold(spark: SparkSession, stream: DataFrame,
                             valueCol: String, storePath: String,
                             checkpoint: String, depth: Int,
-                            width: Int): StreamingQuery =
+                            width: Int): StreamingQuery = {
+    // the gate wires' incarnation offset (see gateOffset): a fresh
+    // checkpoint restarts foreachBatch ids at 0, but the store's
+    // stamp horizon survives from prior incarnations — without the
+    // mapping, the new stream's first batches would read as replays
+    val offset = gateOffset(spark, checkpoint, s"$storePath/cells")
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.CountMin.foldIntoStore(batch, valueCol,
-          storePath, depth, width, batchId = Some(batchId))
+          storePath, depth, width, batchId = Some(offset + batchId))
       }
       .start()
+  }
 
   /** Fold every micro-batch into a persisted bottom-k quantile sketch
     * (the [[streamingCountMinFold]] posture for the rank summary).
@@ -397,15 +467,17 @@ object IncrementalLoad {
   def streamingQuantileFold(spark: SparkSession, stream: DataFrame,
                             keyCol: String, valueCol: String,
                             storePath: String, checkpoint: String,
-                            k: Int): StreamingQuery =
+                            k: Int): StreamingQuery = {
+    val offset = gateOffset(spark, checkpoint, s"$storePath/rows")
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.QuantileSketch.foldIntoStore(batch, keyCol,
-          valueCol, storePath, k, batchId = Some(batchId))
+          valueCol, storePath, k, batchId = Some(offset + batchId))
       }
       .start()
+  }
 
   /** Streaming drift monitor (★ — the q183 PSI monitor run as an
     * ingestion stream would run it: every micro-batch's length
@@ -421,13 +493,15 @@ object IncrementalLoad {
     * store write — [[graft.operators.Stores]]). */
   def streamingDriftFold(spark: SparkSession, stream: DataFrame,
                          bucketCol: String, storePath: String,
-                         checkpoint: String): StreamingQuery =
+                         checkpoint: String): StreamingQuery = {
+    val offset = gateOffset(spark, checkpoint, storePath)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Audit.histogramFoldIntoStore(batch, bucketCol,
-          storePath, batchId = Some(batchId))
+          storePath, batchId = Some(offset + batchId))
       }
       .start()
+  }
 }

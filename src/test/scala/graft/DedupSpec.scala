@@ -143,6 +143,46 @@ class DedupSpec extends SparkSpecBase {
       s"near-dup of the admitted doc not flagged by the grown index: $f2")
   }
 
+  test("minhashIntraBatchFlags keeps the min key of a within-batch " +
+      "near-dup pair and leaves unrelated docs unflagged") {
+    import spark.implicits._
+    val novel = "zebra quark lantern voyage ember crystal meadow pylon"
+    val batch = Seq(
+      (1L, novel),
+      (2L, novel.split(" ").drop(1).mkString(" ")),
+      (3L, "orchid basalt nimbus ferret cobalt prairie sonnet glint")
+    ).toDF("doc_id", "text")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val flags = Dedup.minhashIntraBatchFlags(batch, "doc_id", "text",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .as[Long].collect().toSet
+    assert(flags == Set(2L), s"flags: $flags")
+    // eager contract: no internal cache outlives the call (only the
+    // returned frame's own checkpoint blocks may remain)
+    val left = spark.sparkContext.getPersistentRDDs
+    assert(left.size <= 1,
+      s"wrapper leaked ${left.size} persistent RDDs")
+  }
+
+  test("minhashStoreIsCurrent counts committed generations: a grown " +
+      "store stays current against base ∪ admitted, not against the " +
+      "base corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur_").toString
+    val base = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 40)
+    Dedup.writeMinhashStore(base, "doc_id", "text", dir)
+    assert(Dedup.minhashStoreIsCurrent(base, dir))
+    val admitted = Seq(
+      (7000L, "zebra quark lantern voyage ember crystal meadow pylon"))
+      .toDF("doc_id", "text")
+    Dedup.appendToMinhashStore(admitted, "text", dir)
+    assert(Dedup.minhashStoreIsCurrent(base.unionByName(admitted), dir),
+      "a grown store must read current against base ∪ admitted")
+    assert(!Dedup.minhashStoreIsCurrent(base, dir),
+      "a grown store must not read current against the base alone")
+  }
+
   test("batch append crash heals: a generation written without its " +
       "gatelog commit is invisible, and the retried append overwrites " +
       "it — no partial rows, no duplicates") {

@@ -146,6 +146,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(!Similarity.ivfStoreIsCurrent(store, dir))
   }
 
+  test("semanticIntraBatchFlags keeps the min id of a within-batch " +
+      "copy pair under the index's frozen centroids") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_intra_spec")
+      .toString
+    val e = Tables.embeddings(spark, sf)
+    val store = e.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.writeIvfStore(store, "vec_id", "embedding", dir,
+      numCells = 8, kmeansIters = 1)
+    val idx = Similarity.readIvfStore(spark, dir)
+    // two copies of vec 200 (neither in the store) + one lone novel
+    val batch = e.filter(col("vec_id") === 200)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("vec_id") === 200)
+        .select((col("vec_id") + 6000).as("vec_id"), col("embedding")))
+      .unionByName(e.filter(col("vec_id") === 201)
+        .select((col("vec_id") + 7000).as("vec_id"), col("embedding")))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val flags = Similarity.semanticIntraBatchFlags(batch, "embedding",
+        idx.centroids, "vec_id", 0.999)
+      .collect().map(_.getLong(0)).toSet
+    assert(flags == Set(6200L), s"flags: $flags")
+    val left = spark.sparkContext.getPersistentRDDs
+    assert(left.size <= 1,
+      s"wrapper leaked ${left.size} persistent RDDs")
+  }
+
   test("MLlib BRP-LSH cross-check finds planted duplicates like the custom tier") {
     val e = Tables.embeddings(spark, sf)
     val queries = e.filter(col("vec_id") < 16)

@@ -434,14 +434,27 @@ class StreamingSpec extends SparkSpecBase {
     import java.nio.file.attribute.FileTime
     val tag = "graft_q251"
     // a killed run's leftovers: staging + a per-run index fragment,
-    // aged past the sweep horizon (only the ROOT mtime is consulted)
+    // EVERY file aged past the sweep horizon (a genuinely dead run
+    // stopped writing, so its whole tree is old — the sweep requires
+    // this, because a single fresh file marks the root as live)
     val stale = java.nio.file.Files.createTempDirectory(tag)
     java.nio.file.Files.createDirectories(stale.resolve("in/a"))
     java.nio.file.Files.createDirectories(stale.resolve("store"))
     java.nio.file.Files.write(stale.resolve("in/a/part-0.parquet"),
       Array[Byte](1, 2, 3))
-    java.nio.file.Files.setLastModifiedTime(stale,
-      FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+    val aged = FileTime.fromMillis(System.currentTimeMillis() - 7200000L)
+    java.nio.file.Files.walk(stale).forEach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, aged))
+    // a long-lived run with ONE recent write inside an otherwise aged
+    // tree must be judged live (the paused-JVM / slow-drain case the
+    // root-mtime heuristic got wrong)
+    val paused = java.nio.file.Files.createTempDirectory(tag)
+    java.nio.file.Files.createDirectories(paused.resolve("ckpt"))
+    java.nio.file.Files.write(paused.resolve("ckpt/offsets.0"),
+      Array[Byte](1))
+    java.nio.file.Files.setLastModifiedTime(paused, aged)
+    java.nio.file.Files.setLastModifiedTime(paused.resolve("ckpt"), aged)
+    // ckpt/offsets.0 keeps its fresh mtime — the live signal
     // a concurrent LIVE run's root: same tag, recent mtime
     val live = java.nio.file.Files.createTempDirectory(tag)
     val df = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
@@ -449,12 +462,16 @@ class StreamingSpec extends SparkSpecBase {
       df, col("doc_id") < 2L, tag)
     assert(!java.nio.file.Files.exists(stale),
       "a killed run's aged root survived the next wire start")
+    assert(java.nio.file.Files.exists(paused.resolve("ckpt/offsets.0")),
+      "a root with one recent inner write was swept as aged")
     assert(java.nio.file.Files.exists(live),
       "a live (recent) sibling root was swept")
     assert(java.nio.file.Files.exists(root.resolve("in")))
     // leave exactly nothing behind ourselves
     IncrementalLoad.cleanStaging(root, Seq("in"))
+    IncrementalLoad.cleanStaging(paused, Seq("ckpt"))
     java.nio.file.Files.deleteIfExists(root)
+    java.nio.file.Files.deleteIfExists(paused)
     java.nio.file.Files.deleteIfExists(live)
   }
 
@@ -496,6 +513,40 @@ class StreamingSpec extends SparkSpecBase {
     val leaked =
       spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
     assert(leaked.isEmpty, s"fold path leaked cached RDDs: $leaked")
+  }
+
+  test("a second fold-wire incarnation with a FRESH checkpoint keeps " +
+      "folding instead of skipping its first batches as phantom replays") {
+    import spark.implicits._
+    import graft.operators.CountMin
+    val root = java.nio.file.Files.createTempDirectory("graft_cms2")
+    val storePath = root.resolve("store").toString
+    val b1 = (1L to 400L).map(_ % 37).toDF("v")
+    val b2 = (1L to 300L).map(i => (i * 7) % 41).toDF("v")
+    b1.coalesce(1).write.parquet(root.resolve("in1/b1").toString)
+    b2.coalesce(1).write.parquet(root.resolve("in2/b1").toString)
+    def drain(in: String, ckpt: String): Unit = {
+      val s = spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root.toString + s"/$in/*/")
+      val q = graft.streaming.IncrementalLoad.streamingCountMinFold(
+        spark, s, "v", storePath, root.resolve(ckpt).toString,
+        depth = 4, width = 64)
+      assert(q.awaitTermination(120000), s"$in did not drain")
+      q.stop()
+      val deadline = System.nanoTime() + 60e9.toLong
+      while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    }
+    // incarnation 1 folds b1 and stamps the store at its horizon;
+    // incarnation 2 (fresh checkpoint — foreachBatch ids restart at 0)
+    // must fold b2 rather than judging its batch 0 a committed replay
+    drain("in1", "ckpt1")
+    drain("in2", "ckpt2")
+    val total = CountMin.readStore(spark, storePath).cells
+      .agg(sum(col("cnt"))).head.getLong(0)
+    assert(total == (400L + 300L) * 4,
+      s"second incarnation skipped its batch: total=$total")
   }
 
   test("fold stores are replay-idempotent: re-executing a committed " +
@@ -921,6 +972,54 @@ class StreamingSpec extends SparkSpecBase {
     assert(Dedup.readMinhashStore(spark, storePath)
       .buckets.filter(col("doc_id") === 7000L).count() > 0,
       "a committed generation must be visible to non-gate readers")
+  }
+
+  test("fresh-checkpoint gate after batch appends: the generation " +
+      "offset maps batch ids past the store's gatelog horizon, so no " +
+      "micro-batch is silently skipped as a phantom replay") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_offsetgate")
+    val storePath = root.resolve("store").toString
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    Dedup.writeMinhashStore(corpus, "doc_id", "text", storePath)
+    // two BATCH appends advance the store's gatelog to 1 before any
+    // stream exists — the foreachBatch ids of a later fresh-checkpoint
+    // gate restart at 0, and without the offset mapping its first two
+    // micro-batches would read as already-committed replays and be
+    // dropped on the floor
+    val novel1 = "zebra quark lantern voyage ember crystal meadow pylon"
+    Dedup.appendToMinhashStore(
+      Seq((7000L, novel1)).toDF("doc_id", "text"), "text", storePath)
+    Dedup.appendToMinhashStore(
+      Seq((7001L, "orchid basalt nimbus ferret cobalt prairie sonnet"))
+        .toDF("doc_id", "text"), "text", storePath)
+    // one micro-batch: a genuinely novel doc (must admit — the old
+    // guard silently skipped it) plus a near-dup of an APPENDED doc
+    // (must reject against the grown horizon)
+    val b1 = Seq(
+      (8000L, "quartz fjord umbra lattice pinion sable grove tundra"),
+      (8001L, novel1.split(" ").drop(1).mkString(" "))
+    ).toDF("doc_id", "text")
+    b1.coalesce(1).write.parquet(root.resolve("in/b1").toString)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in/*/")
+    val q = graft.streaming.IncrementalLoad.streamingNearDupGate(
+      spark, stream, "text", storePath,
+      root.resolve("admitted").toString, root.resolve("ckpt").toString)
+    assert(q.awaitTermination(120000), "gate did not drain")
+    val admitted = spark.read.parquet(root.resolve("admitted").toString)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(8000L),
+      s"admitted: $admitted (empty ⇒ the batch was skipped as a " +
+        "phantom replay; 8001 present ⇒ the grown horizon was ignored)")
+    // the admission landed as generation 2 — past the append horizon
+    assert(graft.operators.Stores.lastApplied(
+        spark, s"$storePath/gatelog") == 2L)
+    val grown = Dedup.readMinhashStore(spark, storePath)
+    assert(grown.buckets.filter(col("doc_id") === 8000L).count() > 0)
   }
 
   test("minhash store compaction: committed generations fold into a " +
