@@ -90,6 +90,38 @@ object Stores {
     FileContext.getFileContext(p.toUri,
       spark.sparkContext.hadoopConfiguration)
 
+  /** Read a small single-file marker's UTF-8 content, if present —
+    * the read half of the pointer idiom, exposed so other
+    * single-file commit protocols (the streaming wires' incarnation
+    * offset) share ONE implementation instead of re-rolling the
+    * FileContext open/decode sequence. */
+  private[graft] def readMarkerFile(spark: SparkSession,
+                                    p: Path): Option[String] = {
+    val ctx = fc(spark, p)
+    if (!ctx.util().exists(p)) None
+    else {
+      val in = ctx.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** Atomically (over)write a small single-file marker: create
+    * `<p>.tmp`, rename onto `p` with OVERWRITE — the write half of
+    * [[flipPointer]]'s commit idiom, shared for the same reason as
+    * [[readMarkerFile]]. */
+  private[graft] def writeMarkerFile(spark: SparkSession, p: Path,
+                                     content: String): Unit = {
+    val ctx = fc(spark, p)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = ctx.create(tmp,
+      EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+      Options.CreateOpts.createParent())
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    ctx.rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+
   /** Parse the pointer: committed generation plus the optional
     * `applied` stamp (absent on pointers written before the stamp
     * moved into the pointer, or by callers that never stamp). */

@@ -2103,7 +2103,12 @@ object DedupQueries {
       val st = Dedup.readMinhashStore(s, path)
       val nDocs = s.read.parquet(s"$path/params").head()
         .getAs[Long]("n_docs")
-      val sigRow = Dedup.readMinhashStoreSignatures(s, path)
+      // cached: lshCandidatePairs reads the signature frame on BOTH
+      // self-join sides per swept setting (it deliberately holds no
+      // internal cache — the caller owns the lifetime), and the three
+      // sweeps below would otherwise scan the numHashes-wide sigs
+      // parquet six times
+      val sigRow = Dedup.readMinhashStoreSignatures(s, path).cache()
       val inSample = (c: org.apache.spark.sql.Column) =>
         graft.functions.Scalars.portableHash64(c) % 10 < 2
       // the sampled truth from the PERSISTED shingle dataset — no
@@ -2141,6 +2146,7 @@ object DedupQueries {
       }
       val out = perB.reduce(_ unionByName _).localCheckpoint(true)
       truthS.unpersist(blocking = true)
+      sigRow.unpersist(blocking = true)
       out.orderBy(col("bands"))
     }
   }

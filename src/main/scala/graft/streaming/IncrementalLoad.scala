@@ -60,19 +60,27 @@ object IncrementalLoad {
     val tmp = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - maxAgeMs
-    def newestMtime(p: java.nio.file.Path): Long =
+    // short-circuits at the first fresh file (the common case for a
+    // live root); any walk/stat failure — including the
+    // UncheckedIOException Files.walk throws when a concurrent run
+    // deletes entries mid-iteration — reads as "live", never as a
+    // crash and never as a sweep
+    def isAged(p: java.nio.file.Path): Boolean =
       try scala.util.Using.resource(java.nio.file.Files.walk(p)) {
-        _.iterator().asScala.map(q =>
-          try java.nio.file.Files.getLastModifiedTime(q).toMillis
-          catch { case _: java.io.IOException => Long.MaxValue })
-          .foldLeft(0L)(math.max)
-      } catch { case _: java.io.IOException => Long.MaxValue }
+        !_.iterator().asScala.exists(q =>
+          (try java.nio.file.Files.getLastModifiedTime(q).toMillis
+           catch { case _: java.io.IOException => Long.MaxValue })
+            >= cutoff)
+      } catch {
+        case _: java.io.IOException => false
+        case _: java.io.UncheckedIOException => false
+      }
     if (java.nio.file.Files.isDirectory(tmp)) {
       val aged = scala.util.Using.resource(
           java.nio.file.Files.list(tmp)) {
         _.iterator().asScala
           .filter(_.getFileName.toString.startsWith(tag))
-          .filter(p => newestMtime(p) < cutoff)
+          .filter(isAged)
           .toSeq
       }
       aged.foreach { p =>
@@ -171,29 +179,103 @@ object IncrementalLoad {
     * oracles, and fixtures read identically. The fold wires
     * (Count-Min / quantile / drift) share the protocol against their
     * stores' own stamp markers — batch folds never advance the stamp,
-    * but a prior stream incarnation does, which is the same trap. */
-  private def gateOffset(spark: SparkSession, checkpoint: String,
-                         markerRoot: String): Long = {
-    import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
-    import java.util.EnumSet
-    val f = new Path(checkpoint, "graft-gate-offset")
-    val ctx = FileContext.getFileContext(f.toUri,
-      spark.sparkContext.hadoopConfiguration)
-    if (ctx.util().exists(f)) {
-      val in = ctx.open(f)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    } else {
-      val off = graft.operators.Stores.lastApplied(spark, markerRoot) + 1L
-      val tmp = new Path(checkpoint, "graft-gate-offset.tmp")
-      val out = ctx.create(tmp,
-        EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
-        Options.CreateOpts.createParent())
-      try out.write(off.toString.getBytes("UTF-8")) finally out.close()
-      ctx.rename(tmp, f, Options.Rename.OVERWRITE)
-      off
+    * but a prior stream incarnation does, which is the same trap.
+    *
+    * Two further cases the marker covers:
+    *  - A checkpoint written by the PRE-offset protocol (commits
+    *    exist, no marker) resolves to offset 0 — the exact legacy
+    *    mapping — so upgrading never renumbers a half-drained
+    *    incarnation's replayed batch (a fresh offset there would map
+    *    a committed batch to a NEW generation above the stamp and
+    *    double-fold it).
+    *  - The marker also records the incarnation's INTENT high-water:
+    *    the largest batch id this incarnation has STARTED, written
+    *    (atomically) at the top of every foreachBatch, BEFORE any
+    *    store commit. Intent-before-commit makes the ownership test
+    *    exact: every generation this incarnation can ever have
+    *    stamped is ≤ `offset + intentThrough`, so at wire start a
+    *    store stamp beyond that bound proves ANOTHER WRITER grew the
+    *    store while this checkpoint was live — batch appends between
+    *    incarnation runs, or a second stream — and
+    *    [[requireHorizonOwned]] fails the wire LOUDLY instead of
+    *    letting the shadowed generations silently swallow batches.
+    *    Crash windows replay cleanly: intent-written-but-uncommitted
+    *    re-runs the batch (its generation is still above the stamp),
+    *    committed-but-checkpoint-uncommitted re-delivers and skips
+    *    (its generation equals the stamp). Recovery from the loud
+    *    failure: hand off with a fresh checkpoint (and a compacted
+    *    root — [[graft.operators.Dedup.compactMinhashStore]]). */
+  private final case class Incarnation(offset: Long,
+                                       committedThrough: Long) {
+    def gen(batchId: Long): Long = offset + batchId
+  }
+
+  private def markerPath(checkpoint: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(checkpoint, "graft-gate-offset")
+
+  private def incarnation(spark: SparkSession, checkpoint: String,
+                          markerRoot: String): Incarnation = {
+    val S = graft.operators.Stores
+    S.readMarkerFile(spark, markerPath(checkpoint)) match {
+      case Some(content) =>
+        val parts = content.split("\\s+")
+        Incarnation(parts(0).toLong,
+          parts.lift(1).map(_.toLong).getOrElse(-1L))
+      case None =>
+        val last = S.lastApplied(spark, markerRoot)
+        // a checkpoint with committed batches but no marker predates
+        // the offset protocol: keep its legacy identity mapping and
+        // adopt the store's whole horizon as its own
+        val commits = new org.apache.hadoop.fs.Path(checkpoint, "commits")
+        val legacy = {
+          val fs = commits.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          fs.exists(commits) && fs.listStatus(commits).nonEmpty
+        }
+        val inc =
+          if (legacy) Incarnation(0L, last)
+          else Incarnation(last + 1L, -1L)
+        S.writeMarkerFile(spark, markerPath(checkpoint),
+          s"${inc.offset} ${inc.committedThrough}")
+        inc
     }
   }
+
+  /** The incarnation-start ownership check (see [[incarnation]]):
+    * refuse to run a wire whose store was grown by another writer
+    * while this checkpoint was live — the shadowed generations would
+    * otherwise be skipped silently. Exact under the
+    * intent-before-commit marker discipline: this incarnation's
+    * stamps never exceed `offset + intentThrough`. */
+  private def requireHorizonOwned(spark: SparkSession, inc: Incarnation,
+                                  markerRoot: String): Unit = {
+    val last = graft.operators.Stores.lastApplied(spark, markerRoot)
+    require(last <= inc.offset + inc.committedThrough,
+      s"store marker at $markerRoot sits at $last, past this " +
+        s"checkpoint's horizon (offset=${inc.offset}, committed " +
+        s"through batch ${inc.committedThrough}): another writer " +
+        "(a batch append between incarnation runs, or a second " +
+        "stream) grew the store while this checkpoint was live. " +
+        "Hand off with a FRESH checkpoint — for the dedup gates, " +
+        "compact the store first (Dedup.compactMinhashStore / " +
+        "Similarity.compactIvfStore) so the new incarnation starts " +
+        "from a clean horizon.")
+  }
+
+  /** Pre-batch intent update: record that this incarnation is about
+    * to run `batchId`, BEFORE any store commit — the ownership
+    * check's exactness depends on this ordering (a commit can never
+    * outrun the recorded intent). Atomic rename; idempotent across
+    * replays. */
+  private def recordIntent(spark: SparkSession, checkpoint: String,
+                           inc: Incarnation,
+                           intent: java.util.concurrent.atomic.AtomicLong,
+                           batchId: Long): Unit =
+    if (batchId > intent.get()) {
+      graft.operators.Stores.writeMarkerFile(spark,
+        markerPath(checkpoint), s"${inc.offset} $batchId")
+      intent.set(batchId)
+    }
 
   /** Streaming NEAR-dup gate (★ — the nightly-ingest posture run as a
     * stream): every micro-batch first self-probes for WITHIN-batch
@@ -256,8 +338,12 @@ object IncrementalLoad {
                            admittedPath: String, checkpoint: String,
                            threshold: Double = 0.5): StreamingQuery = {
     // incarnation-start: pin this checkpoint's batch-id → generation
-    // mapping before any batch runs (see gateOffset)
-    val offset = gateOffset(spark, checkpoint, s"$storePath/gatelog")
+    // mapping and refuse a horizon another writer moved (see
+    // incarnation / requireHorizonOwned)
+    val inc = incarnation(spark, checkpoint, s"$storePath/gatelog")
+    requireHorizonOwned(spark, inc, s"$storePath/gatelog")
+    val seen = new java.util.concurrent.atomic.AtomicLong(
+      inc.committedThrough)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -265,7 +351,8 @@ object IncrementalLoad {
         import org.apache.spark.sql.functions.{col, lit}
         val D = graft.operators.Dedup
         val gatelog = s"$storePath/gatelog"
-        val gen = offset + batchId
+        recordIntent(spark, checkpoint, inc, seen, batchId)
+        val gen = inc.gen(batchId)
         if (gen > graft.operators.Stores.lastApplied(spark, gatelog)) {
           val base = D.readMinhashStoreBase(spark, storePath)
           def upTo(ds: String, b: DataFrame): DataFrame =
@@ -360,9 +447,11 @@ object IncrementalLoad {
                             vecCol: String, storePath: String,
                             admittedPath: String, checkpoint: String,
                             threshold: Double = 0.999): StreamingQuery = {
-    // incarnation-start: pin this checkpoint's batch-id → generation
-    // mapping before any batch runs (see gateOffset)
-    val offset = gateOffset(spark, checkpoint, s"$storePath/gatelog")
+    // incarnation-start: the near-dup gate's pin + ownership check
+    val inc = incarnation(spark, checkpoint, s"$storePath/gatelog")
+    requireHorizonOwned(spark, inc, s"$storePath/gatelog")
+    val seen = new java.util.concurrent.atomic.AtomicLong(
+      inc.committedThrough)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -370,7 +459,8 @@ object IncrementalLoad {
         import org.apache.spark.sql.functions.{col, lit}
         val S = graft.operators.Similarity
         val gatelog = s"$storePath/gatelog"
-        val gen = offset + batchId
+        recordIntent(spark, checkpoint, inc, seen, batchId)
+        val gen = inc.gen(batchId)
         if (gen > graft.operators.Stores.lastApplied(spark, gatelog)) {
           val base = S.readIvfStoreBase(spark, storePath)
           val vectors = S.gateVectors(spark, storePath)
@@ -438,17 +528,21 @@ object IncrementalLoad {
                             valueCol: String, storePath: String,
                             checkpoint: String, depth: Int,
                             width: Int): StreamingQuery = {
-    // the gate wires' incarnation offset (see gateOffset): a fresh
+    // the gate wires' incarnation protocol (see incarnation): a fresh
     // checkpoint restarts foreachBatch ids at 0, but the store's
     // stamp horizon survives from prior incarnations — without the
     // mapping, the new stream's first batches would read as replays
-    val offset = gateOffset(spark, checkpoint, s"$storePath/cells")
+    val inc = incarnation(spark, checkpoint, s"$storePath/cells")
+    requireHorizonOwned(spark, inc, s"$storePath/cells")
+    val seen = new java.util.concurrent.atomic.AtomicLong(
+      inc.committedThrough)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        recordIntent(spark, checkpoint, inc, seen, batchId)
         graft.operators.CountMin.foldIntoStore(batch, valueCol,
-          storePath, depth, width, batchId = Some(offset + batchId))
+          storePath, depth, width, batchId = Some(inc.gen(batchId)))
       }
       .start()
   }
@@ -468,13 +562,17 @@ object IncrementalLoad {
                             keyCol: String, valueCol: String,
                             storePath: String, checkpoint: String,
                             k: Int): StreamingQuery = {
-    val offset = gateOffset(spark, checkpoint, s"$storePath/rows")
+    val inc = incarnation(spark, checkpoint, s"$storePath/rows")
+    requireHorizonOwned(spark, inc, s"$storePath/rows")
+    val seen = new java.util.concurrent.atomic.AtomicLong(
+      inc.committedThrough)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        recordIntent(spark, checkpoint, inc, seen, batchId)
         graft.operators.QuantileSketch.foldIntoStore(batch, keyCol,
-          valueCol, storePath, k, batchId = Some(offset + batchId))
+          valueCol, storePath, k, batchId = Some(inc.gen(batchId)))
       }
       .start()
   }
@@ -494,13 +592,17 @@ object IncrementalLoad {
   def streamingDriftFold(spark: SparkSession, stream: DataFrame,
                          bucketCol: String, storePath: String,
                          checkpoint: String): StreamingQuery = {
-    val offset = gateOffset(spark, checkpoint, storePath)
+    val inc = incarnation(spark, checkpoint, storePath)
+    requireHorizonOwned(spark, inc, storePath)
+    val seen = new java.util.concurrent.atomic.AtomicLong(
+      inc.committedThrough)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        recordIntent(spark, checkpoint, inc, seen, batchId)
         graft.operators.Audit.histogramFoldIntoStore(batch, bucketCol,
-          storePath, batchId = Some(offset + batchId))
+          storePath, batchId = Some(inc.gen(batchId)))
       }
       .start()
   }

@@ -1022,6 +1022,81 @@ class StreamingSpec extends SparkSpecBase {
     assert(grown.buckets.filter(col("doc_id") === 8000L).count() > 0)
   }
 
+  test("a store grown by another writer under a live gate checkpoint " +
+      "fails the wire LOUDLY at restart instead of silently dropping " +
+      "batches; legacy markerless checkpoints keep their id mapping") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_owncheck")
+    val storePath = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt").toString
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    Dedup.writeMinhashStore(corpus, "doc_id", "text", storePath)
+    val novel = "zebra quark lantern voyage ember crystal meadow pylon"
+    Seq((7000L, novel)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(root.resolve("in/b1").toString)
+    def stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in/*/")
+    val q1 = graft.streaming.IncrementalLoad.streamingNearDupGate(
+      spark, stream, "text", storePath,
+      root.resolve("admitted").toString, ckpt)
+    assert(q1.awaitTermination(120000), "first drain did not finish")
+    q1.stop()
+    val deadline = System.nanoTime() + 60e9.toLong
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    // a resumed incarnation with an UNMOVED horizon is fine (marker
+    // present, nothing new to drain)
+    val qOk = graft.streaming.IncrementalLoad.streamingNearDupGate(
+      spark, stream, "text", storePath,
+      root.resolve("admitted").toString, ckpt)
+    assert(qOk.awaitTermination(120000)); qOk.stop()
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    // another writer grows the store while the checkpoint is live —
+    // the gate's mapped generations are now shadowed; restarting on
+    // the same checkpoint must refuse, naming the handoff remedy
+    Dedup.appendToMinhashStore(
+      Seq((7500L, "orchid basalt nimbus ferret cobalt prairie sonnet"))
+        .toDF("doc_id", "text"), "text", storePath)
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.IncrementalLoad.streamingNearDupGate(
+        spark, stream, "text", storePath,
+        root.resolve("admitted").toString, ckpt)
+    }
+    assert(ex.getMessage.contains("another writer"),
+      s"wrong failure: ${ex.getMessage}")
+    // legacy path: a checkpoint from the pre-marker protocol (commits
+    // exist, no marker file) must resolve to the identity mapping —
+    // offset 0 — not to a fresh offset that would renumber a replayed
+    // batch into a new generation
+    val ckpt2 = root.resolve("ckpt2")
+    val store2 = root.resolve("store2").toString
+    Dedup.writeMinhashStore(corpus, "doc_id", "text", store2)
+    val q2 = graft.streaming.IncrementalLoad.streamingNearDupGate(
+      spark, stream, "text", store2,
+      root.resolve("admitted2").toString, ckpt2.toString)
+    assert(q2.awaitTermination(120000)); q2.stop()
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    java.nio.file.Files.deleteIfExists(ckpt2.resolve("graft-gate-offset"))
+    java.nio.file.Files.deleteIfExists(
+      ckpt2.resolve(".graft-gate-offset.crc"))
+    val q3 = graft.streaming.IncrementalLoad.streamingNearDupGate(
+      spark, stream, "text", store2,
+      root.resolve("admitted2").toString, ckpt2.toString)
+    assert(q3.awaitTermination(120000)); q3.stop()
+    // identity mapping re-adopted: the drained store still stamps the
+    // legacy horizon (batch 0 = gen 0), and no duplicate admissions
+    assert(graft.operators.Stores.lastApplied(
+        spark, s"$store2/gatelog") == 0L)
+    val admitted2 = spark.read.parquet(root.resolve("admitted2").toString)
+      .select("doc_id").as[Long].collect().toList
+    assert(admitted2 == List(7000L), s"admitted: $admitted2")
+  }
+
   test("minhash store compaction: committed generations fold into a " +
       "fresh base root — same rows, same probe verdicts, uncommitted " +
       "generations excluded, manifest-last crash window") {
