@@ -447,6 +447,11 @@ object Dedup {
                         withSignatures: Boolean = false): Unit = {
     require(numHashes % bands == 0,
       s"numHashes=$numHashes not divisible by bands=$bands")
+    // a full re-sign supersedes every gate generation and the
+    // gatelog: clear them FIRST, or a reader of the finished store
+    // would union stale pre-rebuild generations into the fresh base
+    Stores.clearGateState(df.sparkSession, path,
+      Seq("buckets-batches", "shingles-batches"))
     // optional RAW signature dataset (doc → h0..h{n-1}): the band
     // buckets are one FIXED (bands, rows) reading of the signatures,
     // so a band-parameter sweep (q254/q256's audit) needs the raw

@@ -348,6 +348,10 @@ object Similarity {
                     kmeansIters: Int = 1): Unit = {
     require(numCells >= 1 && numCells <= 4096,
       s"numCells=$numCells out of range: centroids broadcast to every task")
+    // a full rebuild supersedes every gate generation and the gatelog
+    // (the writeMinhashStore rule)
+    graft.operators.Stores.clearGateState(vectors.sparkSession, path,
+      Seq("vectors-batches"))
     val centroids = refinedCentroids(vectors, idCol, vecCol,
       numCells, kmeansIters)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")

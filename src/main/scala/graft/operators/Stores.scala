@@ -122,23 +122,35 @@ object Stores {
     ctx.rename(tmp, p, Options.Rename.OVERWRITE)
   }
 
-  /** Parse the pointer: committed generation plus the optional
-    * `applied` stamp (absent on pointers written before the stamp
-    * moved into the pointer, or by callers that never stamp). */
-  private def readPointer(spark: SparkSession,
-                          root: String): Option[(Long, Option[Long])] = {
-    val pp = new Path(root, PtrName)
-    val ctx = fc(spark, pp)
-    if (!ctx.util().exists(pp)) None
-    else {
-      val in = ctx.open(pp)
-      val parts =
-        try scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString.trim.split("\\s+").toSeq
-        finally in.close()
-      Some((parts.head.toLong, parts.lift(1).map(_.toLong)))
+  /** Delete a store root's gate generation datasets and gatelog — a
+    * FULL rebuild ([[graft.operators.Dedup.writeMinhashStore]] /
+    * [[graft.operators.Similarity.writeIvfStore]] over an existing
+    * root) supersedes every committed generation, and leaving them
+    * behind would let readers union stale pre-rebuild rows into the
+    * fresh base. Called BEFORE the rebuild's dataset writes: every
+    * crash window leaves the store non-current, and the caller's
+    * isCurrent-then-rebuild discipline retries. */
+  private[graft] def clearGateState(spark: SparkSession, root: String,
+                                    datasets: Seq[String]): Unit = {
+    val ctx = fc(spark, new Path(root))
+    (datasets :+ "gatelog").foreach { d =>
+      val p = new Path(root, d)
+      try if (ctx.util().exists(p)) ctx.delete(p, true)
+      catch { case _: java.io.IOException => () }
     }
   }
+
+  /** Parse the pointer: committed generation, the optional `applied`
+    * stamp, and the optional writer token (absent on pointers written
+    * before each field moved into the pointer, or by callers that
+    * never stamp). Reads through [[readMarkerFile]] — one single-file
+    * read idiom. */
+  private def readPointer(spark: SparkSession, root: String)
+      : Option[(Long, Option[Long], Option[String])] =
+    readMarkerFile(spark, new Path(root, PtrName)).map { content =>
+      val parts = content.split("\\s+").toSeq
+      (parts.head.toLong, parts.lift(1).map(_.toLong), parts.lift(2))
+    }
 
   /** Generation the pointer currently commits, if any. */
   private def currentGen(spark: SparkSession, root: String): Option[Long] =
@@ -208,11 +220,12 @@ object Stores {
     * the current generation committed and everything after it is
     * garbage collection. Single-writer only (object scaladoc). */
   def commitPayload(spark: SparkSession, root: String,
-                    applied: Option[Long] = None)
+                    applied: Option[Long] = None,
+                    writer: Option[String] = None)
                    (write: String => Unit): Unit = {
     val next = currentGen(spark, root).getOrElse(-1L) + 1L
     write(s"$root/g$next")
-    flipPointer(spark, root, next, applied)
+    flipPointer(spark, root, next, applied, writer)
     val rp = new Path(root)
     val ctx = fc(spark, rp)
     ctx.util().listStatus(rp).foreach { st =>
@@ -229,26 +242,29 @@ object Stores {
     }
   }
 
-  /** Single-file atomic pointer flip: write `PTR.tmp`, rename onto
-    * `PTR` with OVERWRITE. All pointer I/O goes through `FileContext`;
-    * on local disk that is `LocalFs` (a `ChecksumFs`), which DOES
-    * write `.crc` siblings — but its create(OVERWRITE) and rename
-    * keep the crc pair consistent with the data file, so no stale
-    * sibling can poison a later read. Content: the generation number,
-    * plus the `applied` stamp when the commit carries one. */
+  /** Single-file atomic pointer flip via [[writeMarkerFile]] (the
+    * shared tmp+rename-OVERWRITE idiom; on local disk FileContext is
+    * `LocalFs` — a `ChecksumFs` that DOES write `.crc` siblings, but
+    * its create(OVERWRITE) and rename keep the crc pair consistent,
+    * so no stale sibling can poison a later read). Content: the
+    * generation number, plus the `applied` stamp and the writer
+    * token when the commit carries them (a writer without a stamp is
+    * inexpressible — the writers that tag identity always stamp). */
   private def flipPointer(spark: SparkSession, root: String,
-                          gen: Long, applied: Option[Long]): Unit = {
-    val pp = new Path(root, PtrName)
-    val tmp = new Path(root, PtrName + ".tmp")
-    val ctx = fc(spark, pp)
-    val out = ctx.create(tmp,
-      EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
-      Options.CreateOpts.createParent())
-    val content = applied.fold(gen.toString)(a => s"$gen $a")
-    try out.write(content.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    ctx.rename(tmp, pp, Options.Rename.OVERWRITE)
+                          gen: Long, applied: Option[Long],
+                          writer: Option[String] = None): Unit = {
+    val content = applied.fold(gen.toString)(a =>
+      writer.fold(s"$gen $a")(w => s"$gen $a $w"))
+    writeMarkerFile(spark, new Path(root, PtrName), content)
   }
+
+  /** The writer token of the latest committed stamp, when the commit
+    * carried one — the streaming wires use it to distinguish "my own
+    * crash-window commit" from "another writer took my next
+    * generation slot" (see
+    * [[graft.streaming.IncrementalLoad]]'s incarnation protocol). */
+  def lastWriter(spark: SparkSession, root: String): Option[String] =
+    readPointer(spark, root).flatMap(_._3)
 
   /** Highest foreachBatch id already folded into the committed
     * payload: the pointer's own stamp when present (one file read —
@@ -257,7 +273,7 @@ object Stores {
     * -1 when the store is absent or was never stamped. */
   def lastApplied(spark: SparkSession, root: String): Long =
     readPointer(spark, root) match {
-      case Some((_, Some(a))) => a
+      case Some((_, Some(a), _)) => a
       case _ =>
         resolvePayload(spark, root) match {
           case None => -1L

@@ -2095,8 +2095,15 @@ object DedupQueries {
       // signed once EVER per corpus generation; every re-run of the
       // audit reads the artifact (staleness = the manifest n_docs
       // probe, the q139 discipline)
+      // re-sign when the store is stale, signature-less, OR grown by
+      // committed gate/append generations: the sigs dataset covers the
+      // BASE build only, so a grown store would feed the sweep a truth
+      // set from the GROWN shingles but candidates from base-only
+      // signatures — skewing recall silently (the rebuild clears the
+      // superseded generations)
       if (!Dedup.minhashStoreIsCurrent(all, path) ||
-          !Dedup.minhashStoreHasSignatures(s, path))
+          !Dedup.minhashStoreHasSignatures(s, path) ||
+          graft.operators.Stores.lastApplied(s, s"$path/gatelog") >= 0)
         Dedup.writeMinhashStore(all, "doc_id", "text", path,
           k = 3, numHashes = nH, bands = MinhashSql.bands,
           withSignatures = true)

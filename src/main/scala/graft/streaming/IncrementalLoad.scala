@@ -210,34 +210,51 @@ object IncrementalLoad {
     def gen(batchId: Long): Long = offset + batchId
   }
 
+  private final case class IncarnationId(inc: Incarnation, writer: String)
+
   private def markerPath(checkpoint: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(checkpoint, "graft-gate-offset")
 
   private def incarnation(spark: SparkSession, checkpoint: String,
-                          markerRoot: String): Incarnation = {
+                          markerRoot: String): IncarnationId = {
     val S = graft.operators.Stores
     S.readMarkerFile(spark, markerPath(checkpoint)) match {
       case Some(content) =>
         val parts = content.split("\\s+")
-        Incarnation(parts(0).toLong,
-          parts.lift(1).map(_.toLong).getOrElse(-1L))
+        IncarnationId(
+          Incarnation(parts(0).toLong,
+            parts.lift(1).map(_.toLong).getOrElse(-1L)),
+          parts.lift(2).getOrElse(""))
       case None =>
         val last = S.lastApplied(spark, markerRoot)
         // a checkpoint with committed batches but no marker predates
-        // the offset protocol: keep its legacy identity mapping and
-        // adopt the store's whole horizon as its own
+        // the offset protocol: keep its legacy identity mapping —
+        // intent bounded by the checkpoint's OWN committed batch ids,
+        // so a store grown past them by another writer still fails
+        // loudly at requireHorizonOwned rather than silently
+        // shadowing the next batch
         val commits = new org.apache.hadoop.fs.Path(checkpoint, "commits")
-        val legacy = {
-          val fs = commits.getFileSystem(
-            spark.sparkContext.hadoopConfiguration)
-          fs.exists(commits) && fs.listStatus(commits).nonEmpty
-        }
+        val fs = commits.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val committedIds =
+          if (!fs.exists(commits)) Seq.empty[Long]
+          else fs.listStatus(commits).toSeq.map(_.getPath.getName)
+            .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
         val inc =
-          if (legacy) Incarnation(0L, last)
+          if (committedIds.nonEmpty) Incarnation(0L, committedIds.max)
           else Incarnation(last + 1L, -1L)
+        // the writer token lets requireOwnSlot distinguish "my own
+        // crash-window commit" from "another writer took my slot" at
+        // the gen == stamp boundary; legacy incarnations keep an
+        // empty token (their pre-upgrade commits carry none — the
+        // tolerant skip). Randomness is fine here: this is
+        // infrastructure identity, never data.
+        val id = IncarnationId(inc,
+          if (committedIds.nonEmpty) ""
+          else java.util.UUID.randomUUID().toString)
         S.writeMarkerFile(spark, markerPath(checkpoint),
-          s"${inc.offset} ${inc.committedThrough}")
-        inc
+          s"${inc.offset} ${inc.committedThrough} ${id.writer}".trim)
+        id
     }
   }
 
@@ -247,8 +264,9 @@ object IncrementalLoad {
     * otherwise be skipped silently. Exact under the
     * intent-before-commit marker discipline: this incarnation's
     * stamps never exceed `offset + intentThrough`. */
-  private def requireHorizonOwned(spark: SparkSession, inc: Incarnation,
+  private def requireHorizonOwned(spark: SparkSession, id: IncarnationId,
                                   markerRoot: String): Unit = {
+    val inc = id.inc
     val last = graft.operators.Stores.lastApplied(spark, markerRoot)
     require(last <= inc.offset + inc.committedThrough,
       s"store marker at $markerRoot sits at $last, past this " +
@@ -268,14 +286,40 @@ object IncrementalLoad {
     * outrun the recorded intent). Atomic rename; idempotent across
     * replays. */
   private def recordIntent(spark: SparkSession, checkpoint: String,
-                           inc: Incarnation,
+                           id: IncarnationId,
                            intent: java.util.concurrent.atomic.AtomicLong,
                            batchId: Long): Unit =
     if (batchId > intent.get()) {
       graft.operators.Stores.writeMarkerFile(spark,
-        markerPath(checkpoint), s"${inc.offset} $batchId")
+        markerPath(checkpoint),
+        s"${id.inc.offset} $batchId ${id.writer}".trim)
       intent.set(batchId)
     }
+
+  /** The gen == stamp boundary disambiguator: a slot exactly AT the
+    * store's stamp is either this checkpoint's own crash-window
+    * commit (gatelog flipped, Spark's checkpoint commit lost — the
+    * replay must skip, a no-op) or another writer's append that took
+    * the intended slot during the crash window — the ONE interleave
+    * the intent arithmetic cannot see (intent already covers the
+    * batch, and one append advances the stamp exactly into its
+    * slot). The writer token in the pointer stamp tells them apart:
+    * own commit ⇒ token matches ⇒ skip; foreign append ⇒ no token ⇒
+    * fail loudly (processing would silently drop the batch). A
+    * legacy incarnation (empty token — its pre-upgrade commits carry
+    * none) keeps the tolerant skip. */
+  private def requireOwnSlot(spark: SparkSession, id: IncarnationId,
+                             markerRoot: String, gen: Long): Unit =
+    require(id.writer.isEmpty ||
+        graft.operators.Stores.lastWriter(spark, markerRoot)
+          .contains(id.writer),
+      s"generation $gen at $markerRoot is the store's latest stamp " +
+        "but was not committed by this checkpoint: another writer " +
+        "(a batch append between incarnation runs) took this " +
+        "checkpoint's next generation slot during a crash window. " +
+        "Hand off with a FRESH checkpoint (compact the store first " +
+        "for the dedup gates) so the new incarnation starts from a " +
+        "clean horizon.")
 
   /** Streaming NEAR-dup gate (★ — the nightly-ingest posture run as a
     * stream): every micro-batch first self-probes for WITHIN-batch
@@ -340,8 +384,9 @@ object IncrementalLoad {
     // incarnation-start: pin this checkpoint's batch-id → generation
     // mapping and refuse a horizon another writer moved (see
     // incarnation / requireHorizonOwned)
-    val inc = incarnation(spark, checkpoint, s"$storePath/gatelog")
-    requireHorizonOwned(spark, inc, s"$storePath/gatelog")
+    val id = incarnation(spark, checkpoint, s"$storePath/gatelog")
+    requireHorizonOwned(spark, id, s"$storePath/gatelog")
+    val inc = id.inc
     val seen = new java.util.concurrent.atomic.AtomicLong(
       inc.committedThrough)
     stream.writeStream
@@ -351,9 +396,11 @@ object IncrementalLoad {
         import org.apache.spark.sql.functions.{col, lit}
         val D = graft.operators.Dedup
         val gatelog = s"$storePath/gatelog"
-        recordIntent(spark, checkpoint, inc, seen, batchId)
+        recordIntent(spark, checkpoint, id, seen, batchId)
         val gen = inc.gen(batchId)
-        if (gen > graft.operators.Stores.lastApplied(spark, gatelog)) {
+        val last = graft.operators.Stores.lastApplied(spark, gatelog)
+        if (gen == last) requireOwnSlot(spark, id, gatelog, gen)
+        if (gen > last) {
           val base = D.readMinhashStoreBase(spark, storePath)
           def upTo(ds: String, b: DataFrame): DataFrame =
             D.gateAppends(spark, storePath, ds)
@@ -390,21 +437,26 @@ object IncrementalLoad {
             .join(intra, Seq(base.keyCol), "left_anti")
             .join(flagged, Seq(base.keyCol), "left_anti")
             .localCheckpoint(true)
-          if (admitted.count() > 0) {
-            admitted.write.mode("overwrite")
-              .parquet(s"$admittedPath/batch=$gen")
-            val keys = admitted.select(col(base.keyCol))
-            D.writeGateAppend(
-              bb.join(keys, Seq(base.keyCol), "left_semi"),
-              storePath, "buckets", gen)
-            D.writeGateAppend(
-              bsh.join(keys, Seq(base.keyCol), "left_semi"),
-              storePath, "shingles", gen)
-          }
+          // ALWAYS overwrite this generation — an empty admit set
+          // still writes empty datasets, so an orphan generation left
+          // at this id by a crashed prior incarnation (fresh-
+          // checkpoint handoff: new offset = old stamp + 1 lands
+          // exactly on the orphan's slot) is clobbered rather than
+          // silently adopted when the stamp advances past it
+          admitted.write.mode("overwrite")
+            .parquet(s"$admittedPath/batch=$gen")
+          val keys = admitted.select(col(base.keyCol))
+          D.writeGateAppend(
+            bb.join(keys, Seq(base.keyCol), "left_semi"),
+            storePath, "buckets", gen)
+          D.writeGateAppend(
+            bsh.join(keys, Seq(base.keyCol), "left_semi"),
+            storePath, "shingles", gen)
           // the stamp rides the pointer flip; the one-row payload stays
           // for readers that predate the pointer-stamp protocol
           graft.operators.Stores.commitPayload(spark, gatelog,
-              Some(gen)) { dir =>
+              Some(gen),
+              Option(id.writer).filter(_.nonEmpty)) { dir =>
             spark.range(1).select(lit(gen).as("applied"))
               .write.mode("overwrite").parquet(dir)
           }
@@ -448,8 +500,9 @@ object IncrementalLoad {
                             admittedPath: String, checkpoint: String,
                             threshold: Double = 0.999): StreamingQuery = {
     // incarnation-start: the near-dup gate's pin + ownership check
-    val inc = incarnation(spark, checkpoint, s"$storePath/gatelog")
-    requireHorizonOwned(spark, inc, s"$storePath/gatelog")
+    val id = incarnation(spark, checkpoint, s"$storePath/gatelog")
+    requireHorizonOwned(spark, id, s"$storePath/gatelog")
+    val inc = id.inc
     val seen = new java.util.concurrent.atomic.AtomicLong(
       inc.committedThrough)
     stream.writeStream
@@ -459,9 +512,11 @@ object IncrementalLoad {
         import org.apache.spark.sql.functions.{col, lit}
         val S = graft.operators.Similarity
         val gatelog = s"$storePath/gatelog"
-        recordIntent(spark, checkpoint, inc, seen, batchId)
+        recordIntent(spark, checkpoint, id, seen, batchId)
         val gen = inc.gen(batchId)
-        if (gen > graft.operators.Stores.lastApplied(spark, gatelog)) {
+        val last = graft.operators.Stores.lastApplied(spark, gatelog)
+        if (gen == last) requireOwnSlot(spark, id, gatelog, gen)
+        if (gen > last) {
           val base = S.readIvfStoreBase(spark, storePath)
           val vectors = S.gateVectors(spark, storePath)
             .map(g => base.vectors.unionByName(
@@ -488,16 +543,17 @@ object IncrementalLoad {
             .join(intra, Seq(base.idCol), "left_anti")
             .join(flagged, Seq(base.idCol), "left_anti")
             .localCheckpoint(true)
-          if (admitted.count() > 0) {
-            admitted.write.mode("overwrite")
-              .parquet(s"$admittedPath/batch=$gen")
-            S.writeGateVectors(
-              rows.join(admitted.select(col(base.idCol)),
-                Seq(base.idCol), "left_semi"),
-              storePath, gen)
-          }
+          // always overwrite this generation (the near-dup gate's
+          // orphan-clobber rule)
+          admitted.write.mode("overwrite")
+            .parquet(s"$admittedPath/batch=$gen")
+          S.writeGateVectors(
+            rows.join(admitted.select(col(base.idCol)),
+              Seq(base.idCol), "left_semi"),
+            storePath, gen)
           graft.operators.Stores.commitPayload(spark, gatelog,
-              Some(gen)) { dir =>
+              Some(gen),
+              Option(id.writer).filter(_.nonEmpty)) { dir =>
             spark.range(1).select(lit(gen).as("applied"))
               .write.mode("overwrite").parquet(dir)
           }
@@ -532,15 +588,16 @@ object IncrementalLoad {
     // checkpoint restarts foreachBatch ids at 0, but the store's
     // stamp horizon survives from prior incarnations — without the
     // mapping, the new stream's first batches would read as replays
-    val inc = incarnation(spark, checkpoint, s"$storePath/cells")
-    requireHorizonOwned(spark, inc, s"$storePath/cells")
+    val id = incarnation(spark, checkpoint, s"$storePath/cells")
+    requireHorizonOwned(spark, id, s"$storePath/cells")
+    val inc = id.inc
     val seen = new java.util.concurrent.atomic.AtomicLong(
       inc.committedThrough)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        recordIntent(spark, checkpoint, inc, seen, batchId)
+        recordIntent(spark, checkpoint, id, seen, batchId)
         graft.operators.CountMin.foldIntoStore(batch, valueCol,
           storePath, depth, width, batchId = Some(inc.gen(batchId)))
       }
@@ -562,15 +619,16 @@ object IncrementalLoad {
                             keyCol: String, valueCol: String,
                             storePath: String, checkpoint: String,
                             k: Int): StreamingQuery = {
-    val inc = incarnation(spark, checkpoint, s"$storePath/rows")
-    requireHorizonOwned(spark, inc, s"$storePath/rows")
+    val id = incarnation(spark, checkpoint, s"$storePath/rows")
+    requireHorizonOwned(spark, id, s"$storePath/rows")
+    val inc = id.inc
     val seen = new java.util.concurrent.atomic.AtomicLong(
       inc.committedThrough)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        recordIntent(spark, checkpoint, inc, seen, batchId)
+        recordIntent(spark, checkpoint, id, seen, batchId)
         graft.operators.QuantileSketch.foldIntoStore(batch, keyCol,
           valueCol, storePath, k, batchId = Some(inc.gen(batchId)))
       }
@@ -592,15 +650,16 @@ object IncrementalLoad {
   def streamingDriftFold(spark: SparkSession, stream: DataFrame,
                          bucketCol: String, storePath: String,
                          checkpoint: String): StreamingQuery = {
-    val inc = incarnation(spark, checkpoint, storePath)
-    requireHorizonOwned(spark, inc, storePath)
+    val id = incarnation(spark, checkpoint, storePath)
+    requireHorizonOwned(spark, id, storePath)
+    val inc = id.inc
     val seen = new java.util.concurrent.atomic.AtomicLong(
       inc.committedThrough)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        recordIntent(spark, checkpoint, inc, seen, batchId)
+        recordIntent(spark, checkpoint, id, seen, batchId)
         graft.operators.Audit.histogramFoldIntoStore(batch, bucketCol,
           storePath, batchId = Some(inc.gen(batchId)))
       }

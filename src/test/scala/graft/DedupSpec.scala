@@ -183,6 +183,32 @@ class DedupSpec extends SparkSpecBase {
       "a grown store must not read current against the base alone")
   }
 
+  test("a full re-sign supersedes gate generations: rebuild clears " +
+      "the -batches datasets and gatelog so no stale rows union into " +
+      "the fresh base") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_resign_")
+    val store = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 40)
+    Dedup.writeMinhashStore(store, "doc_id", "text", dir.toString)
+    Dedup.appendToMinhashStore(
+      Seq((7000L, "zebra quark lantern voyage ember crystal meadow"))
+        .toDF("doc_id", "text"), "text", dir.toString)
+    assert(Dedup.readMinhashStore(spark, dir.toString)
+      .buckets.filter(col("doc_id") === 7000L).count() > 0)
+    // rebuild over the SAME root (the isCurrent-then-rebuild posture):
+    // the superseded generation and its gatelog must go, or readers
+    // would union the stale 7000 rows into the fresh base
+    Dedup.writeMinhashStore(store, "doc_id", "text", dir.toString)
+    for (d <- Seq("buckets-batches", "shingles-batches", "gatelog"))
+      assert(!java.nio.file.Files.exists(dir.resolve(d)),
+        s"rebuild left superseded $d behind")
+    val rebuilt = Dedup.readMinhashStore(spark, dir.toString)
+    assert(rebuilt.buckets.filter(col("doc_id") === 7000L).isEmpty,
+      "a superseded generation leaked into the rebuilt store")
+    assert(Dedup.minhashStoreIsCurrent(store, dir.toString))
+  }
+
   test("batch append crash heals: a generation written without its " +
       "gatelog commit is invisible, and the retried append overwrites " +
       "it — no partial rows, no duplicates") {
