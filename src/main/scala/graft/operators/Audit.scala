@@ -141,7 +141,8 @@ object Audit {
     * (see [[Stores]] for why the stamp rides the histogram write). */
   def histogramFoldIntoStore(batch: DataFrame, bucketCol: String,
                              path: String,
-                             batchId: Option[Long] = None): Unit = {
+                             batchId: Option[Long] = None,
+                             writer: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val last = Stores.lastApplied(spark, path)
     if (batchId.exists(_ <= last)) return // replayed micro-batch
@@ -157,7 +158,7 @@ object Audit {
     // (Stores.commitPayload), so read and write never touch the same
     // files and a crash mid-write cannot erase the committed counts;
     // the applied stamp rides the pointer flip itself
-    Stores.commitPayload(spark, path, Some(applied)) { dir =>
+    Stores.commitPayload(spark, path, Some(applied), writer) { dir =>
       merged.coalesce(1).write.mode("overwrite").parquet(dir)
     }
   }

@@ -84,11 +84,12 @@ object CountMin {
     * stamped-but-manifestless store made the replay a no-op while the
     * next batch took the creation branch and erased prior counts.) */
   def writeStore(cells: DataFrame, path: String, depth: Int,
-                 width: Int, applied: Long = -1L): Unit = {
+                 width: Int, applied: Long = -1L,
+                 writer: Option[String] = None): Unit = {
     cells.sparkSession.createDataFrame(Seq((depth, width)))
       .toDF("depth", "width")
       .write.mode("overwrite").parquet(s"$path/params")
-    writeCells(cells, path, applied)
+    writeCells(cells, path, applied, writer)
   }
 
   /** The commit write alone — used by the merge branch, where the
@@ -100,9 +101,10 @@ object CountMin {
     * stamp rides the pointer (committed atomically with the flip),
     * keeping the payload schema free of bookkeeping columns. */
   private def writeCells(cells: DataFrame, path: String,
-                         applied: Long): Unit =
+                         applied: Long,
+                         writer: Option[String] = None): Unit =
     Stores.commitPayload(cells.sparkSession, s"$path/cells",
-        Some(applied)) { dir =>
+        Some(applied), writer) { dir =>
       cells.write.mode("overwrite").parquet(dir)
     }
 
@@ -135,7 +137,8 @@ object CountMin {
     * (written first), so stamp-present always means fully committed. */
   def foldIntoStore(batch: DataFrame, valueCol: String, path: String,
                     depth: Int, width: Int,
-                    batchId: Option[Long] = None): Unit = {
+                    batchId: Option[Long] = None,
+                    writer: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val exists = Stores.payloadExists(spark, s"$path/cells")
     val last = Stores.lastApplied(spark, s"$path/cells")
@@ -143,14 +146,15 @@ object CountMin {
     val applied = math.max(last, batchId.getOrElse(-1L))
     if (!exists) {
       writeStore(sketch(batch, Seq.empty, valueCol, depth, width),
-        path, depth, width, applied)
+        path, depth, width, applied, writer)
     } else {
       val store = readStore(spark, path)
       val grown = merge(
         store.cells.unionByName(
           sketch(batch, Seq.empty, valueCol, store.depth, store.width)),
         Seq.empty)
-      writeCells(grown, path, applied) // manifest immutable: cells only
+      // manifest immutable: cells only
+      writeCells(grown, path, applied, writer)
     }
   }
 

@@ -447,11 +447,17 @@ object Dedup {
                         withSignatures: Boolean = false): Unit = {
     require(numHashes % bands == 0,
       s"numHashes=$numHashes not divisible by bands=$bands")
-    // a full re-sign supersedes every gate generation and the
-    // gatelog: clear them FIRST, or a reader of the finished store
-    // would union stale pre-rebuild generations into the fresh base
+    // a full re-sign supersedes the params manifest, every gate
+    // generation, and the gatelog: clear them FIRST (params included,
+    // so a crashed same-count in-place rebuild can never read as
+    // current over partially rewritten datasets), or a reader of the
+    // finished store would union stale pre-rebuild generations into
+    // the fresh base. `sigs` clears too: a rebuild WITHOUT signatures
+    // over a root that had them would otherwise leave a stale
+    // signature dataset that minhashStoreHasSignatures keeps
+    // advertising.
     Stores.clearGateState(df.sparkSession, path,
-      Seq("buckets-batches", "shingles-batches"))
+      Seq("sigs", "buckets-batches", "shingles-batches"))
     // optional RAW signature dataset (doc → h0..h{n-1}): the band
     // buckets are one FIXED (bands, rows) reading of the signatures,
     // so a band-parameter sweep (q254/q256's audit) needs the raw
@@ -481,16 +487,21 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$path/buckets")
     portableShingleHashes(df, keyCol, textCol, k)
       .write.mode("overwrite").parquet(s"$path/shingles")
-    // n_docs records the signed corpus size — a cheap staleness probe
-    // for reuse decisions (parquet-metadata count vs manifest), since
-    // the store is deterministic in the corpus. Written LAST: its
-    // presence implies the bucket/shingle (and sigs, when requested)
-    // writes completed.
+    // n_docs + src_check record the signed corpus size and an
+    // additive key checksum (one aggregation job for both) — the
+    // staleness probe's currency, since the store is deterministic in
+    // the corpus. The checksum catches a same-count corpus mutation
+    // (a key swapped for a different key) that bare row-count
+    // equality reads as current. Written LAST: manifest presence
+    // implies the bucket/shingle (and sigs, when requested) writes
+    // completed.
+    val (nDocs, srcCheck) = Stores.keyStamp(df, keyCol)
     df.sparkSession
       .createDataFrame(Seq(
-        (keyCol, k, numHashes, bands, HornerC, MinhashP, df.count())))
+        (keyCol, k, numHashes, bands, HornerC, MinhashP, nDocs,
+          srcCheck)))
       .toDF("key_col", "k", "num_hashes", "bands", "horner_c",
-        "minhash_p", "n_docs")
+        "minhash_p", "n_docs", "src_check")
       .write.mode("overwrite").parquet(s"$path/params")
   }
 
@@ -512,16 +523,20 @@ object Dedup {
     spark.read.parquet(s"$path/sigs")
 
   /** True when `path` holds a completed index signed over exactly
-    * `corpus` (same doc count — the store is a deterministic function
-    * of the corpus, so count equality over an immutable warehouse
-    * table is the right cheap staleness probe). The count probed is
-    * the GROWN one — the base manifest's `n_docs` plus the committed
-    * gate/append generations' distinct admitted keys (the
-    * [[ivfStoreIsCurrent]] contract) — so a store grown by
+    * `corpus`: same doc count AND (when both sides carry one) the
+    * same additive key checksum, so a same-count corpus mutation — a
+    * key swapped for a different key — reads stale instead of
+    * current. The stamps probed are the GROWN ones — the base
+    * manifest's (`n_docs`, `src_check`) plus the committed gate/
+    * append generations' admitted-key stamp, read from the gatelog
+    * POINTER when the commits recorded it (one marker read — no
+    * generation-scan Spark job per probe; pre-stamp gatelogs fall
+    * back to one distinct scan) — so a store grown by
     * [[appendToMinhashStore]] or the streaming gate stays current
-    * against base ∪ admitted instead of forever reading stale. False
-    * on absent/partial/pre-count stores, so callers fall back to
-    * [[writeMinhashStore]]. */
+    * against base ∪ admitted instead of forever reading stale. The
+    * corpus side is one aggregation job (count + checksum together).
+    * False on absent/partial/pre-count stores, so callers fall back
+    * to [[writeMinhashStore]]. */
   def minhashStoreIsCurrent(corpus: DataFrame, path: String): Boolean =
     try {
       // Probe the manifest's existence through the Hadoop FS first:
@@ -537,16 +552,48 @@ object Dedup {
         p.schema.fieldNames.contains("n_docs") &&
           p.getAs[Long]("horner_c") == HornerC &&
           p.getAs[Long]("minhash_p") == MinhashP && {
-            val committed = Stores.lastApplied(spark, s"$path/gatelog")
             val keyCol = p.getAs[String]("key_col")
-            val admitted = gateAppends(spark, path, "buckets")
-              .map(_.filter(col("batch") <= committed)
-                .select(col(keyCol)).distinct().count())
-              .getOrElse(0L)
-            p.getAs[Long]("n_docs") + admitted == corpus.count()
+            val admitted = admittedStamp(spark, path, keyCol)
+            val checkable = p.schema.fieldNames.contains("src_check") &&
+              corpus.columns.contains(keyCol)
+            if (checkable) {
+              val (cn, cc) = Stores.keyStamp(corpus, keyCol)
+              p.getAs[Long]("n_docs") + admitted._1 == cn &&
+                java.lang.Math.floorMod(
+                  p.getAs[Long]("src_check") + admitted._2,
+                  Stores.StampMod) == cc
+            } else
+              p.getAs[Long]("n_docs") + admitted._1 == corpus.count()
           }
       }
     } catch { case _: Exception => false }
+
+  /** The admitted-key stamp (count, checksum) of the store's
+    * committed gate/append generations: the gatelog pointer's running
+    * stamp when the commits recorded one (a single marker read), else
+    * ONE distinct scan over the committed generations — the legacy
+    * path, paid once per pre-stamp store because the next commit
+    * records the migrated total. */
+  private def admittedStamp(spark: org.apache.spark.sql.SparkSession,
+                            path: String, keyCol: String)
+      : (Long, Long) =
+    Stores.lastAdmitted(spark, s"$path/gatelog").getOrElse {
+      val committed = Stores.lastApplied(spark, s"$path/gatelog")
+      gateAppends(spark, path, "buckets")
+        .map(g => Stores.keyStamp(
+          g.filter(col("batch") <= committed)
+            .select(col("batch"), col(keyCol)).distinct(), keyCol))
+        .getOrElse((0L, 0L))
+    }
+
+  /** [[admittedStamp]] for the streaming gate's commit accumulation
+    * (package-private: the gate reads the prior total, adds its
+    * batch, and commits the new total atomically with the
+    * generation). */
+  private[graft] def minhashAdmittedStamp(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, keyCol: String): (Long, Long) =
+    admittedStamp(spark, path, keyCol)
 
   /** Read a [[writeMinhashStore]] index back, validating the manifest
     * against this library's hash constants (see [[MinhashStore]] for
@@ -560,13 +607,11 @@ object Dedup {
                        path: String): MinhashStore = {
     val base = readMinhashStoreBase(spark, path)
     val committed = Stores.lastApplied(spark, s"$path/gatelog")
-    def grown(ds: String, b: DataFrame): DataFrame =
-      gateAppends(spark, path, ds)
-        .map(g => b.unionByName(g.filter(col("batch") <= committed)
-          .select(b.columns.map(col).toSeq: _*)))
-        .getOrElse(b)
-    base.copy(buckets = grown("buckets", base.buckets),
-      shingles = grown("shingles", base.shingles))
+    base.copy(
+      buckets = Stores.withGenerations(spark, path, "buckets",
+        base.buckets, committed),
+      shingles = Stores.withGenerations(spark, path, "shingles",
+        base.shingles, committed))
   }
 
   /** The base build alone — what [[writeMinhashStore]] wrote, without
@@ -600,13 +645,8 @@ object Dedup {
     * no gate has ever admitted. */
   private[graft] def gateAppends(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, ds: String): Option[DataFrame] = {
-    val root = s"$path/$ds-batches"
-    val hp = new org.apache.hadoop.fs.Path(root)
-    if (!hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(hp)) None
-    else Some(spark.read.parquet(root))
-  }
+      path: String, ds: String): Option[DataFrame] =
+    Stores.gateGenerations(spark, path, ds)
 
   /** Overwrite one gate generation — idempotent for a given batch id
     * by construction. */
@@ -639,6 +679,10 @@ object Dedup {
     // a long-lived store) just to discard the union
     val st = readMinhashStoreBase(spark, path)
     val gatelog = s"$path/gatelog"
+    // prior admitted stamp BEFORE the commit (a pointer read on
+    // stamped stores); the new running total commits atomically with
+    // the generation so staleness probes stay metadata reads
+    val prior = admittedStamp(spark, path, st.keyCol)
     val next = Stores.lastApplied(spark, gatelog) + 1L
     writeGateAppend(
       minhashBandBuckets(batch, st.keyCol, textCol, st.k, st.numHashes,
@@ -647,7 +691,9 @@ object Dedup {
     writeGateAppend(
       portableShingleHashes(batch, st.keyCol, textCol, st.k),
       path, "shingles", next)
-    Stores.commitPayload(spark, gatelog, Some(next)) { dir =>
+    val total = Stores.addStamp(prior, Stores.keyStamp(batch, st.keyCol))
+    Stores.commitPayload(spark, gatelog, Some(next),
+        admitted = Some(total)) { dir =>
       spark.range(1).select(lit(next).as("applied"))
         .write.mode("overwrite").parquet(dir)
     }
@@ -685,36 +731,28 @@ object Dedup {
   def compactMinhashStore(spark: org.apache.spark.sql.SparkSession,
                           path: String, newPath: String): Unit = {
     val base = readMinhashStoreBase(spark, path) // validates constants
-    val committed = Stores.lastApplied(spark, s"$path/gatelog")
-    def folded(ds: String, b: DataFrame): DataFrame =
-      gateAppends(spark, path, ds)
-        .map(g => b.unionByName(g.filter(col("batch") <= committed)
-          .select(b.columns.map(col).toSeq: _*)))
-        .getOrElse(b)
-    folded("buckets", base.buckets)
-      .write.mode("overwrite").parquet(s"$newPath/buckets")
-    folded("shingles", base.shingles)
-      .write.mode("overwrite").parquet(s"$newPath/shingles")
-    // n_docs = base manifest count + the committed generations'
-    // distinct admitted keys (generations are batch-sized, so the
-    // distinct is cheap); a pre-count base manifest falls back to one
+    Stores.foldGenerations(spark, path, newPath,
+      Seq("buckets" -> base.buckets, "shingles" -> base.shingles))
+    // the compacted manifest's (n_docs, src_check) = the base
+    // manifest's stamp plus the committed generations' admitted-key
+    // stamp (a pointer read on stamped gatelogs; one distinct scan on
+    // pre-stamp ones); a pre-count base manifest falls back to one
     // distinct over the compacted buckets (exact: every doc carries
     // `bands` bucket rows)
     val baseP = spark.read.parquet(s"$path/params").head()
-    val nDocs =
-      if (baseP.schema.fieldNames.contains("n_docs"))
-        baseP.getAs[Long]("n_docs") +
-          gateAppends(spark, path, "buckets")
-            .map(_.filter(col("batch") <= committed)
-              .select(col(base.keyCol)).distinct().count())
-            .getOrElse(0L)
-      else spark.read.parquet(s"$newPath/buckets")
-        .select(col(base.keyCol)).distinct().count()
+    val (nDocs, srcCheck) =
+      if (baseP.schema.fieldNames.contains("src_check"))
+        Stores.addStamp(
+          (baseP.getAs[Long]("n_docs"), baseP.getAs[Long]("src_check")),
+          admittedStamp(spark, path, base.keyCol))
+      else Stores.keyStamp(
+        spark.read.parquet(s"$newPath/buckets")
+          .select(col(base.keyCol)).distinct(), base.keyCol)
     spark.createDataFrame(Seq(
         (base.keyCol, base.k, base.numHashes, base.bands, HornerC,
-          MinhashP, nDocs)))
+          MinhashP, nDocs, srcCheck)))
       .toDF("key_col", "k", "num_hashes", "bands", "horner_c",
-        "minhash_p", "n_docs")
+        "minhash_p", "n_docs", "src_check")
       .write.mode("overwrite").parquet(s"$newPath/params")
   }
 

@@ -370,35 +370,47 @@ object Graph {
 
   /** Persist an (a, b) edge frame as a reusable graph artifact:
     * `edges` parquet plus a one-row `params` manifest recording the
-    * SOURCE row count the build derived from — the staleness probe
-    * (the MinHash store's `n_docs` discipline: a deterministic build
-    * over an immutable warehouse table makes count equality the right
-    * cheap currency check; both sides are parquet-metadata counts).
-    * Written edges FIRST, manifest LAST, so manifest-present implies
-    * a complete store and a crash mid-build reads as absent. At
-    * 100 TB this is the artifact that turns every graph diagnostic
-    * from "rebuild li → pairs → kNN" into one bounded edge-set scan —
-    * the build amortizes across the whole diagnostic family and every
-    * scheduled re-run until the source table actually grows. */
+    * SOURCE row count the build derived from AND the source key's max
+    * — the staleness probe (the MinHash store's `n_docs`/`src_check`
+    * discipline: a deterministic build over an immutable warehouse
+    * table makes (count, max-key) equality the right cheap currency
+    * check — both answer from parquet footer statistics, and the max
+    * catches a same-count mutation a bare row count reads as
+    * current). Written edges FIRST, manifest LAST, so
+    * manifest-present implies a complete store and a crash mid-build
+    * reads as absent. At 100 TB this is the artifact that turns every
+    * graph diagnostic from "rebuild li → pairs → kNN" into one
+    * bounded edge-set scan — the build amortizes across the whole
+    * diagnostic family and every scheduled re-run until the source
+    * table actually grows. */
   def writeEdgeStore(edges: DataFrame, path: String,
-                     nSourceRows: Long): Unit = {
+                     nSourceRows: Long,
+                     sourceMaxKey: Long = -1L): Unit = {
     edges.write.mode("overwrite").parquet(s"$path/edges")
     edges.sparkSession
-      .createDataFrame(Seq(Tuple1(nSourceRows))).toDF("n_source_rows")
+      .createDataFrame(Seq((nSourceRows, sourceMaxKey)))
+      .toDF("n_source_rows", "source_max_key")
       .write.mode("overwrite").parquet(s"$path/params")
   }
 
   /** True when `path` holds a completed edge store built from exactly
-    * `nSourceRows` source rows. False on absent/partial stores, so
-    * callers fall back to [[writeEdgeStore]]. */
+    * `nSourceRows` source rows whose max key was `sourceMaxKey`
+    * (callers that track no key pass the default −1 on both sides —
+    * the count-only legacy check; a pre-max manifest compares
+    * count-only too). False on absent/partial stores, so callers fall
+    * back to [[writeEdgeStore]]. */
   def edgeStoreIsCurrent(spark: org.apache.spark.sql.SparkSession,
-                         path: String, nSourceRows: Long): Boolean =
+                         path: String, nSourceRows: Long,
+                         sourceMaxKey: Long = -1L): Boolean =
     try {
       val hp = new org.apache.hadoop.fs.Path(s"$path/params")
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(hp) &&
-        spark.read.parquet(s"$path/params").head()
-          .getAs[Long]("n_source_rows") == nSourceRows
+        .exists(hp) && {
+        val p = spark.read.parquet(s"$path/params").head()
+        p.getAs[Long]("n_source_rows") == nSourceRows &&
+          (!p.schema.fieldNames.contains("source_max_key") ||
+            p.getAs[Long]("source_max_key") == sourceMaxKey)
+      }
     } catch { case _: Exception => false }
 
   /** Read a persisted edge store's (a, b) frame plus its staleness

@@ -134,10 +134,11 @@ object QuantileSketch {
     * stamped-but-manifestless store that silently erases prior
     * samples on the next fold. */
   def writeStore(sk: DataFrame, path: String, k: Int,
-                 applied: Long = -1L): Unit = {
+                 applied: Long = -1L,
+                 writer: Option[String] = None): Unit = {
     sk.sparkSession.createDataFrame(Seq(Tuple1(k))).toDF("k")
       .write.mode("overwrite").parquet(s"$path/params")
-    writeRows(sk, path, applied)
+    writeRows(sk, path, applied, writer)
   }
 
   /** The commit write alone — the merge branch's write (manifest
@@ -146,9 +147,10 @@ object QuantileSketch {
     * fresh generation dir and commits via the pointer flip, so a
     * crash mid-write can never erase the committed sample. */
   private def writeRows(sk: DataFrame, path: String,
-                        applied: Long): Unit =
+                        applied: Long,
+                        writer: Option[String] = None): Unit =
     Stores.commitPayload(sk.sparkSession, s"$path/rows",
-        Some(applied)) { dir =>
+        Some(applied), writer) { dir =>
       sk.select(col("h"), col("key").cast("string").as("key"),
           col("value").cast("double").as("value"))
         .write.mode("overwrite").parquet(dir)
@@ -181,7 +183,8 @@ object QuantileSketch {
     * first), so stamp-present always means fully committed. */
   def foldIntoStore(batch: DataFrame, keyCol: String, valueCol: String,
                     path: String, k: Int,
-                    batchId: Option[Long] = None): Unit = {
+                    batchId: Option[Long] = None,
+                    writer: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val exists = Stores.payloadExists(spark, s"$path/rows")
     val last = Stores.lastApplied(spark, s"$path/rows")
@@ -197,7 +200,7 @@ object QuantileSketch {
           col(valueCol).cast("double").as(valueCol))
         .groupBy(col(keyCol)).agg(min(col(valueCol)).as(valueCol)),
         Seq.empty, keyCol, valueCol, kk)
-    if (!exists) writeStore(batchOf(k), path, k, applied)
+    if (!exists) writeStore(batchOf(k), path, k, applied, writer)
     else {
       val store = readStore(spark, path)
       val grown = mergeToGlobal(
@@ -205,7 +208,8 @@ object QuantileSketch {
           .groupBy(col("h"), col("key"))
           .agg(min(col("value")).as("value")),
         store.k)
-      writeRows(grown, path, applied) // manifest immutable: rows only
+      // manifest immutable: rows only
+      writeRows(grown, path, applied, writer)
     }
   }
 }

@@ -357,10 +357,17 @@ object Similarity {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     ivfStoreRows(vectors, idCol, vecCol, centroids)
       .write.mode("overwrite").parquet(s"$path/vectors")
+    // n_vecs + src_check: corpus size and additive id checksum in one
+    // aggregation job (the writeMinhashStore stamp discipline — the
+    // checksum catches a same-count corpus mutation)
+    val (nVecs, srcCheck) = graft.operators.Stores.keyStamp(
+      vectors, idCol)
     vectors.sparkSession
       .createDataFrame(Seq(
-        (idCol, numCells, kmeansIters, CosineRoundScale, vectors.count())))
-      .toDF("id_col", "num_cells", "kmeans_iters", "round_scale", "n_vecs")
+        (idCol, numCells, kmeansIters, CosineRoundScale, nVecs,
+          srcCheck)))
+      .toDF("id_col", "num_cells", "kmeans_iters", "round_scale",
+        "n_vecs", "src_check")
       .write.mode("overwrite").parquet(s"$path/params")
   }
 
@@ -383,16 +390,52 @@ object Similarity {
         // manifest short-circuits before any count job runs
         p.schema.fieldNames.contains("n_vecs") &&
           p.getAs[Int]("round_scale") == CosineRoundScale && {
-            val committed = graft.operators.Stores.lastApplied(
-              spark, s"$path/gatelog")
-            val grown = spark.read.parquet(s"$path/vectors").count() +
-              gateVectors(spark, path)
-                .map(_.filter(col("batch") <= committed).count())
-                .getOrElse(0L)
-            grown == corpus.count()
+            val idCol = p.getAs[String]("id_col")
+            // committed gate/append stamp: the gatelog pointer's
+            // running total when recorded (one marker read), else one
+            // scan over the committed generations (the
+            // minhashStoreIsCurrent fallback, paid once per pre-stamp
+            // store)
+            val admitted = admittedVecStamp(spark, path, idCol)
+            val checkable = p.schema.fieldNames.contains("src_check") &&
+              corpus.columns.contains(idCol)
+            if (checkable) {
+              val (cn, cc) = graft.operators.Stores.keyStamp(
+                corpus, idCol)
+              p.getAs[Long]("n_vecs") + admitted._1 == cn &&
+                java.lang.Math.floorMod(
+                  p.getAs[Long]("src_check") + admitted._2,
+                  graft.operators.Stores.StampMod) == cc
+            } else
+              p.getAs[Long]("n_vecs") + admitted._1 == corpus.count()
           }
       }
     } catch { case _: Exception => false }
+
+  /** The admitted-vector stamp (count, id checksum) of the committed
+    * gate/append generations — pointer-recorded when available, one
+    * generation scan otherwise (see
+    * [[graft.operators.Dedup.minhashStoreIsCurrent]]'s twin). */
+  private def admittedVecStamp(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String): (Long, Long) =
+    graft.operators.Stores.lastAdmitted(spark, s"$path/gatelog")
+      .getOrElse {
+        val committed = graft.operators.Stores.lastApplied(
+          spark, s"$path/gatelog")
+        gateVectors(spark, path)
+          .map(g => graft.operators.Stores.keyStamp(
+            g.filter(col("batch") <= committed)
+              .select(col("batch"), col(idCol)).distinct(), idCol))
+          .getOrElse((0L, 0L))
+      }
+
+  /** [[admittedVecStamp]] for the streaming gate's commit
+    * accumulation. */
+  private[graft] def ivfAdmittedStamp(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String): (Long, Long) =
+    admittedVecStamp(spark, path, idCol)
 
   /** Read a [[writeIvfStore]] index back, refusing one signed under a
     * different rounding contract (a silently drifted probe ranks
@@ -407,12 +450,8 @@ object Similarity {
     val base = readIvfStoreBase(spark, path)
     val committed = graft.operators.Stores.lastApplied(
       spark, s"$path/gatelog")
-    val vectors = gateVectors(spark, path)
-      .map(g => base.vectors.unionByName(
-        g.filter(col("batch") <= committed)
-          .select(base.vectors.columns.map(col).toSeq: _*)))
-      .getOrElse(base.vectors)
-    base.copy(vectors = vectors)
+    base.copy(vectors = graft.operators.Stores.withGenerations(
+      spark, path, "vectors", base.vectors, committed))
   }
 
   /** The base build alone — what [[writeIvfStore]] wrote (plus any
@@ -444,13 +483,8 @@ object Similarity {
     * admitted. */
   private[graft] def gateVectors(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[DataFrame] = {
-    val root = s"$path/vectors-batches"
-    val hp = new org.apache.hadoop.fs.Path(root)
-    if (!hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(hp)) None
-    else Some(spark.read.parquet(root))
-  }
+      path: String): Option[DataFrame] =
+    graft.operators.Stores.gateGenerations(spark, path, "vectors")
 
   /** Overwrite one gate generation — idempotent for a given batch id
     * by construction. */
@@ -480,10 +514,17 @@ object Similarity {
     // just to discard the vector union
     val st = readIvfStoreBase(spark, path)
     val gatelog = s"$path/gatelog"
+    // prior admitted stamp BEFORE the commit; the running total
+    // commits atomically with the generation (the
+    // appendToMinhashStore discipline)
+    val prior = admittedVecStamp(spark, path, st.idCol)
     val next = graft.operators.Stores.lastApplied(spark, gatelog) + 1L
     writeGateVectors(
       ivfStoreRows(batch, st.idCol, vecCol, st.centroids), path, next)
-    graft.operators.Stores.commitPayload(spark, gatelog, Some(next)) {
+    val total = graft.operators.Stores.addStamp(prior,
+      graft.operators.Stores.keyStamp(batch, st.idCol))
+    graft.operators.Stores.commitPayload(spark, gatelog, Some(next),
+        admitted = Some(total)) {
       dir =>
         spark.range(1).select(lit(next).as("applied"))
           .write.mode("overwrite").parquet(dir)
@@ -513,24 +554,27 @@ object Similarity {
   def compactIvfStore(spark: org.apache.spark.sql.SparkSession,
                       path: String, newPath: String): Unit = {
     val base = readIvfStoreBase(spark, path) // validates round_scale
-    val committed = graft.operators.Stores.lastApplied(
-      spark, s"$path/gatelog")
     base.centroids.write.mode("overwrite")
       .parquet(s"$newPath/centroids")
-    gateVectors(spark, path)
-      .map(g => base.vectors.unionByName(
-        g.filter(col("batch") <= committed)
-          .select(base.vectors.columns.map(col).toSeq: _*)))
-      .getOrElse(base.vectors)
-      .write.mode("overwrite").parquet(s"$newPath/vectors")
-    // n_vecs from the just-written dataset's parquet metadata — the
-    // compacted base count IS the grown count ivfStoreIsCurrent probes
-    val n = spark.read.parquet(s"$newPath/vectors").count()
+    graft.operators.Stores.foldGenerations(spark, path, newPath,
+      Seq("vectors" -> base.vectors))
+    // the compacted manifest's (n_vecs, src_check) = the base
+    // manifest's stamp plus the committed admitted-vector stamp (a
+    // pointer read on stamped gatelogs); a pre-checksum base manifest
+    // falls back to one stamp scan over the compacted dataset
+    val baseP = spark.read.parquet(s"$path/params").head()
+    val (nVecs, srcCheck) =
+      if (baseP.schema.fieldNames.contains("src_check"))
+        graft.operators.Stores.addStamp(
+          (baseP.getAs[Long]("n_vecs"), baseP.getAs[Long]("src_check")),
+          admittedVecStamp(spark, path, base.idCol))
+      else graft.operators.Stores.keyStamp(
+        spark.read.parquet(s"$newPath/vectors"), base.idCol)
     spark.createDataFrame(Seq(
         (base.idCol, base.numCells, base.kmeansIters, CosineRoundScale,
-          n)))
+          nVecs, srcCheck)))
       .toDF("id_col", "num_cells", "kmeans_iters", "round_scale",
-        "n_vecs")
+        "n_vecs", "src_check")
       .write.mode("overwrite").parquet(s"$newPath/params")
   }
 
@@ -1175,6 +1219,67 @@ object Similarity {
                      queryId: String, queryVec: String, k: Int,
                      numCells: Int = 16,
                      kmeansIters: Int = 1): DataFrame = {
+    val (vecs, cc, cents) = inPlanAssignment(corpus, corpusId,
+      corpusVec, numCells, kmeansIters)
+    withRecall(recallSweepCore(vecs, cc, cents, queries, queryId,
+      queryVec, k, numCells))
+  }
+
+  /** The recall sweep with a SAMPLED truth set plus the exact probe
+    * cost — the q256 estimator applied to the nprobe tuning curve.
+    * The brute-force truth pass (the sweep's honest linear term:
+    * |queries| × corpus cosines) runs only for the deterministic 20%
+    * QUERY stratum (portable 60-bit hash residues 0–1 of 10 — the
+    * q256/q261 stratum applied to q_id), cutting it ~5× while the
+    * OPERATOR's side stays full and exact: centroids refine over the
+    * full corpus, every vector is cell-assigned, and `n_scanned`
+    * reports, per probe depth, exactly how many stored vectors the
+    * FULL query population would scan at that nprobe (cumulative cell
+    * sizes in each query's centroid order — the verify cost the
+    * setting buys, the q256 `n_candidates` analogue).
+    *
+    * Why sample QUERIES and not the corpus: kNN truth membership is
+    * competitive — "rank ≤ k" depends on the whole corpus — so a
+    * corpus stratum CHANGES the estimand (the sample's top-k are
+    * farther neighbors, whose cells the probe order reaches later;
+    * measured at sf0.01 the corpus-sampled curve reads nprobe=1
+    * recall 0.65 where the exact row is 0.91 — biased, not noisy).
+    * Per-query truth membership is evaluated against the FULL corpus
+    * here, so the sampled queries' per-pair recall is an unbiased
+    * estimator of the query population's recall at every depth, and
+    * the Wilson interval (the [[graft.queries]] Wilson helper the
+    * callers wrap it in) brackets the exact full-population curve —
+    * the q256 contract, preserved. (Pairs within one query share its
+    * draw — the standard mild-dependence caveat of query-sampled ANN
+    * audits; the q256 vertex-sampling note's twin.)
+    *
+    * Output: (nprobe, n_scanned, n_found_sampled, n_true_sampled),
+    * nprobe = 1..numCells; counts are exact ints. */
+  def ivfRecallSweepSampled(corpus: DataFrame, corpusId: String,
+                            corpusVec: String, queries: DataFrame,
+                            queryId: String, queryVec: String, k: Int,
+                            numCells: Int = 16,
+                            kmeansIters: Int = 1): DataFrame = {
+    val (vecs, cc, cents) = inPlanAssignment(corpus, corpusId,
+      corpusVec, numCells, kmeansIters)
+    recallSweepCore(vecs, cc, cents, queries, queryId, queryVec, k,
+        numCells,
+        truthQueryPred = Some(
+          graft.functions.Scalars.portableHash64(col("q_id")) % 10 < 2),
+        withScan = true)
+      .select(col("nprobe"), col("n_scanned"),
+        col("n_found").as("n_found_sampled"),
+        col("n_pairs").as("n_true_sampled"))
+  }
+
+  /** Shared in-plan prelude of the sweep forms: cast the corpus,
+    * refine centroids (guard-bounded collect — ≤ numCells rows),
+    * assign every vector to its nearest centroid via the join-free
+    * literal-centroid scan. */
+  private def inPlanAssignment(corpus: DataFrame, corpusId: String,
+                               corpusVec: String, numCells: Int,
+                               kmeansIters: Int)
+      : (DataFrame, DataFrame, List[(Long, List[Double])]) = {
     require(numCells >= 2 && numCells <= 256,
       s"numCells=$numCells out of the audit guard [2, 256]")
     val vecs = corpus.select(col(corpusId).cast("long").as("id"),
@@ -1189,9 +1294,15 @@ object Similarity {
       }: _*))
     val cc = vecs.select(col("id").as("c_id"),
       element_at(dArr(col("dv")), 1).getField("cell").as("cell"))
-    recallSweepCore(vecs, cc, cents, queries, queryId, queryVec, k,
-      numCells)
+    (vecs, cc, cents)
   }
+
+  /** Close the sweep's public contract: recall = n_found / n_pairs,
+    * round 6. */
+  private def withRecall(df: DataFrame): DataFrame =
+    df.select(col("nprobe"), col("n_found"), col("n_pairs"),
+      round(col("n_found").cast("double") /
+        col("n_pairs").cast("double"), 6).as("recall"))
 
   /** Store-reading overload: sweep the recall-vs-nprobe tuning curve
     * for a PERSISTED index ([[writeIvfStore]]'s layout) — the
@@ -1221,18 +1332,27 @@ object Similarity {
       .select(col("cell").cast("long").as("cell"), col("cent_vec"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList))
       .sortBy(_._1).toList
-    recallSweepCore(vecs, cc, cents, queries, queryId, queryVec, k,
-      store.numCells)
+    withRecall(recallSweepCore(vecs, cc, cents, queries, queryId,
+      queryVec, k, store.numCells))
   }
 
-  /** The sweep body shared by the in-plan and store-reading forms:
-    * exact truth pass + probe-rank join + cumulative spine over the
-    * GIVEN centroid list and cell assignment. */
+  /** The sweep body shared by the in-plan, store-reading, and sampled
+    * forms: exact truth pass (for the `truthQueryPred` query stratum
+    * when given, else every query — truth is ALWAYS ranked against
+    * the full `vecs`, see [[ivfRecallSweepSampled]] for why) +
+    * probe-rank join + cumulative spine over the GIVEN centroid list
+    * and cell assignment. `withScan` adds the exact per-depth scan
+    * cost (cumulative full-corpus cell sizes in each query's probe
+    * order, over the FULL query set). Returns
+    * (nprobe, [n_scanned,] n_found, n_pairs); the recall ratio is the
+    * callers' contract ([[withRecall]]). */
   private def recallSweepCore(vecs: DataFrame, cc: DataFrame,
                               cents: List[(Long, List[Double])],
                               queries: DataFrame, queryId: String,
                               queryVec: String, k: Int,
-                              numCells: Int): DataFrame = {
+                              numCells: Int,
+                              truthQueryPred: Option[Column] = None,
+                              withScan: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && k <= 64, s"k=$k outside [1, 64]")
     val spark = vecs.sparkSession
@@ -1243,10 +1363,12 @@ object Similarity {
       }: _*))
     val qv = queries.select(col(queryId).cast("long").as("q_id"),
       col(queryVec).cast("array<double>").as("q_dv"))
+    val tqv = truthQueryPred.map(qv.filter).getOrElse(qv)
     // exact top-k ground truth: rounded cosine desc, candidate asc
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id"))
-    val truth = vecs.join(broadcast(qv), col("q_id") =!= col("id"))
+    val truth = vecs
+      .join(broadcast(tqv), col("q_id") =!= col("id"))
       .select(col("q_id"),  col("id").as("c_id"),
         round(cosine(col("q_dv"), col("dv")), 6).as("sim"))
       .withColumn("rn", row_number().over(w))
@@ -1267,13 +1389,27 @@ object Similarity {
       .select(col("id").as("nprobe"))
     val cum = Window.orderBy(col("nprobe"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(hits, col("nprobe") === col("prank"), "left")
+    val base = spine
+      .join(hits, col("nprobe") === col("prank"), "left")
+      .drop("prank")
       .crossJoin(broadcast(tot))
-      .select(col("nprobe"),
+    if (!withScan)
+      base.select(col("nprobe"),
         sum(coalesce(col("h"), lit(0L))).over(cum).as("n_found"),
         col("n_pairs"))
-      .select(col("nprobe"), col("n_found"), col("n_pairs"),
-        round(col("n_found").cast("double") /
-          col("n_pairs").cast("double"), 6).as("recall"))
+    else {
+      // exact scan cost: FULL-corpus cell sizes (parquet-sized facts,
+      // numCells rows after the agg) summed over the query set at
+      // each probe rank, then accumulated down the spine
+      val csize = cc.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+      val scanAt = porder.join(csize, Seq("cell"), "left")
+        .groupBy(col("prank"))
+        .agg(sum(coalesce(col("sz"), lit(0L))).as("s"))
+      base.join(scanAt, col("nprobe") === col("prank"), "left")
+        .select(col("nprobe"),
+          sum(coalesce(col("s"), lit(0L))).over(cum).as("n_scanned"),
+          sum(coalesce(col("h"), lit(0L))).over(cum).as("n_found"),
+          col("n_pairs"))
+    }
   }
 }

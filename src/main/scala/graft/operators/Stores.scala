@@ -122,39 +122,59 @@ object Stores {
     ctx.rename(tmp, p, Options.Rename.OVERWRITE)
   }
 
-  /** Delete a store root's gate generation datasets and gatelog — a
-    * FULL rebuild ([[graft.operators.Dedup.writeMinhashStore]] /
+  /** Delete a store root's params manifest, gate generation datasets,
+    * and gatelog — a FULL rebuild
+    * ([[graft.operators.Dedup.writeMinhashStore]] /
     * [[graft.operators.Similarity.writeIvfStore]] over an existing
     * root) supersedes every committed generation, and leaving them
     * behind would let readers union stale pre-rebuild rows into the
-    * fresh base. Called BEFORE the rebuild's dataset writes: every
-    * crash window leaves the store non-current, and the caller's
+    * fresh base. Called BEFORE the rebuild's dataset writes, and the
+    * PARAMS manifest goes first: an IN-PLACE rebuild over an
+    * unchanged corpus (the q258 re-sign path) otherwise leaves the
+    * old manifest matching the corpus count while the datasets are
+    * only partially rewritten — manifest-present must imply complete
+    * for same-count rebuilds too. With params gone, every crash
+    * window leaves the store non-current, and the caller's
     * isCurrent-then-rebuild discipline retries. */
   private[graft] def clearGateState(spark: SparkSession, root: String,
                                     datasets: Seq[String]): Unit = {
     val ctx = fc(spark, new Path(root))
-    (datasets :+ "gatelog").foreach { d =>
+    ("params" +: datasets :+ "gatelog").foreach { d =>
       val p = new Path(root, d)
       try if (ctx.util().exists(p)) ctx.delete(p, true)
       catch { case _: java.io.IOException => () }
     }
   }
 
-  /** Parse the pointer: committed generation, the optional `applied`
-    * stamp, and the optional writer token (absent on pointers written
-    * before each field moved into the pointer, or by callers that
-    * never stamp). Reads through [[readMarkerFile]] — one single-file
-    * read idiom. */
+  /** One parsed pointer: committed generation, the optional `applied`
+    * stamp, the optional writer token, and the optional running
+    * admitted-key stamp (count, checksum) — each absent on pointers
+    * written before that field moved into the pointer, or by callers
+    * that never stamp it. */
+  private final case class Pointer(gen: Long, applied: Option[Long],
+                                   writer: Option[String],
+                                   admitted: Option[(Long, Long)])
+
+  /** Parse the pointer file. Field layout is positional
+    * (`gen [applied [writer [admittedCount admittedCheck]]]`); a
+    * commit that carries admitted counts but no writer token writes
+    * `-` in the writer slot so the positions stay unambiguous. Reads
+    * through [[readMarkerFile]] — one single-file read idiom. */
   private def readPointer(spark: SparkSession, root: String)
-      : Option[(Long, Option[Long], Option[String])] =
+      : Option[Pointer] =
     readMarkerFile(spark, new Path(root, PtrName)).map { content =>
       val parts = content.split("\\s+").toSeq
-      (parts.head.toLong, parts.lift(1).map(_.toLong), parts.lift(2))
+      Pointer(parts.head.toLong, parts.lift(1).map(_.toLong),
+        parts.lift(2).filter(_ != "-"),
+        (parts.lift(3), parts.lift(4)) match {
+          case (Some(n), Some(c)) => Some((n.toLong, c.toLong))
+          case _ => None
+        })
     }
 
   /** Generation the pointer currently commits, if any. */
   private def currentGen(spark: SparkSession, root: String): Option[Long] =
-    readPointer(spark, root).map(_._1)
+    readPointer(spark, root).map(_.gen)
 
   /** Root-level parquet part-files of a pre-generation (legacy)
     * payload — listed explicitly so the read survives a `g<N>` dir
@@ -221,11 +241,12 @@ object Stores {
     * garbage collection. Single-writer only (object scaladoc). */
   def commitPayload(spark: SparkSession, root: String,
                     applied: Option[Long] = None,
-                    writer: Option[String] = None)
+                    writer: Option[String] = None,
+                    admitted: Option[(Long, Long)] = None)
                    (write: String => Unit): Unit = {
     val next = currentGen(spark, root).getOrElse(-1L) + 1L
     write(s"$root/g$next")
-    flipPointer(spark, root, next, applied, writer)
+    flipPointer(spark, root, next, applied, writer, admitted)
     val rp = new Path(root)
     val ctx = fc(spark, rp)
     ctx.util().listStatus(rp).foreach { st =>
@@ -249,12 +270,22 @@ object Stores {
     * so no stale sibling can poison a later read). Content: the
     * generation number, plus the `applied` stamp and the writer
     * token when the commit carries them (a writer without a stamp is
-    * inexpressible — the writers that tag identity always stamp). */
+    * inexpressible — the writers that tag identity always stamp).
+    * A commit carrying the running admitted-key stamp appends
+    * `count check` after the writer slot (`-` when untagged), so the
+    * admitted total commits atomically with the generation it
+    * describes. */
   private def flipPointer(spark: SparkSession, root: String,
                           gen: Long, applied: Option[Long],
-                          writer: Option[String] = None): Unit = {
-    val content = applied.fold(gen.toString)(a =>
-      writer.fold(s"$gen $a")(w => s"$gen $a $w"))
+                          writer: Option[String] = None,
+                          admitted: Option[(Long, Long)] = None): Unit = {
+    val content = applied match {
+      case None => gen.toString
+      case Some(a) => admitted match {
+        case None => writer.fold(s"$gen $a")(w => s"$gen $a $w")
+        case Some((n, c)) => s"$gen $a ${writer.getOrElse("-")} $n $c"
+      }
+    }
     writeMarkerFile(spark, new Path(root, PtrName), content)
   }
 
@@ -264,7 +295,20 @@ object Stores {
     * generation slot" (see
     * [[graft.streaming.IncrementalLoad]]'s incarnation protocol). */
   def lastWriter(spark: SparkSession, root: String): Option[String] =
-    readPointer(spark, root).flatMap(_._3)
+    readPointer(spark, root).flatMap(_.writer)
+
+  /** The running admitted-key stamp (count, checksum) of the latest
+    * commit, when it carried one — lets the gate stores' staleness
+    * probes ([[graft.operators.Dedup.minhashStoreIsCurrent]] /
+    * [[graft.operators.Similarity.ivfStoreIsCurrent]]) answer from
+    * ONE marker read instead of a distinct-count Spark job over every
+    * committed generation (thousands of leaf dirs on a long-lived
+    * gate store — the very listing cost compaction exists to
+    * retire). None on pre-stamp pointers; probes then fall back to
+    * the generation scan. */
+  def lastAdmitted(spark: SparkSession, root: String)
+      : Option[(Long, Long)] =
+    readPointer(spark, root).flatMap(_.admitted)
 
   /** Highest foreachBatch id already folded into the committed
     * payload: the pointer's own stamp when present (one file read —
@@ -273,7 +317,7 @@ object Stores {
     * -1 when the store is absent or was never stamped. */
   def lastApplied(spark: SparkSession, root: String): Long =
     readPointer(spark, root) match {
-      case Some((_, Some(a), _)) => a
+      case Some(Pointer(_, Some(a), _, _)) => a
       case _ =>
         resolvePayload(spark, root) match {
           case None => -1L
@@ -292,4 +336,126 @@ object Stores {
     * still construct. */
   def stamp(df: DataFrame, applied: Long): DataFrame =
     df.withColumn("applied", lit(applied))
+
+  /** Modulus of the additive key checksum (2^61 − 1, Mersenne prime):
+    * large enough that a same-count corpus mutation collides only by
+    * design, small enough that the reduced value is a plain long. */
+  private[graft] val StampMod: Long = (1L << 61) - 1
+
+  /** (count, checksum) of a key column in ONE aggregation job: the
+    * checksum is the sum of each key's portable 60-bit hash, reduced
+    * mod [[StampMod]] (summed exactly as DECIMAL(38,0) — a long sum
+    * would overflow under ANSI arithmetic). Additive and
+    * order-independent, so the stamp of base ∪ admitted is the base
+    * stamp plus the admitted stamps — the property that lets the gate
+    * stores accumulate it per commit instead of rescanning. Catches
+    * the same-count mutation a bare row count cannot (a key swapped
+    * for a different key moves the sum). */
+  private[graft] def keyStamp(df: DataFrame, keyCol: String)
+      : (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      sum(graft.functions.Scalars.portableHash64(col(keyCol))
+        .cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 0)))).head()
+    val n = r.getLong(0)
+    val c = Option(r.getDecimal(1))
+      .map(_.remainder(java.math.BigDecimal.valueOf(StampMod))
+        .longValueExact())
+      .getOrElse(0L)
+    (n, c)
+  }
+
+  /** Sum two admitted stamps (counts add; checksums add mod
+    * [[StampMod]]). */
+  private[graft] def addStamp(a: (Long, Long), b: (Long, Long))
+      : (Long, Long) =
+    (a._1 + b._1, java.lang.Math.floorMod(a._2 + b._2, StampMod))
+
+  /** All gate generations of dataset `ds` under a store root: each
+    * admitting micro-batch / batch append lives in
+    * `<storePath>/<ds>-batches/batch=<id>` — an idempotent per-batch
+    * OVERWRITE, never an append, so a replayed batch rewrites its own
+    * generation instead of duplicating rows. The partition column
+    * `batch` is exposed for horizon filters. None when no generation
+    * was ever written. One implementation for every generation-dir
+    * store type (MinHash buckets/shingles, IVF vectors, and any
+    * future store). */
+  private[graft] def gateGenerations(spark: SparkSession,
+                                     storePath: String,
+                                     ds: String): Option[DataFrame] = {
+    val root = s"$storePath/$ds-batches"
+    val hp = new Path(root)
+    if (!hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(hp)) None
+    else Some(spark.read.parquet(root))
+  }
+
+  /** Union `base` with the gate generations of `ds` whose batch id is
+    * within `maxBatch` (`strict = true` excludes the boundary — the
+    * streaming gates' own-batch exclusion; false includes it — the
+    * committed-horizon read). Column order follows `base`. The grown
+    * read every store reader and compaction shares. */
+  private[graft] def withGenerations(spark: SparkSession,
+                                     storePath: String, ds: String,
+                                     base: DataFrame, maxBatch: Long,
+                                     strict: Boolean = false): DataFrame =
+    gateGenerations(spark, storePath, ds)
+      .map { g =>
+        val cut = if (strict) col("batch") < maxBatch
+                  else col("batch") <= maxBatch
+        base.unionByName(g.filter(cut)
+          .select(base.columns.map(col).toSeq: _*))
+      }
+      .getOrElse(base)
+
+  /** The generation-fold core of store compaction
+    * ([[graft.operators.Dedup.compactMinhashStore]] /
+    * [[graft.operators.Similarity.compactIvfStore]] are thin
+    * wrappers): for each (dataset, base frame), union the gatelog-
+    * COMMITTED generations into the base and write the result as
+    * `<newPath>/<ds>` — a plain dataset, no generation roots, no
+    * gatelog. Returns the committed horizon that was folded. The
+    * caller writes its params manifest LAST (manifest-present ⇒
+    * complete), so a crash mid-fold reads as "no store at newPath"
+    * and the old root stays authoritative. Generations beyond the
+    * committed horizon are excluded exactly as every reader excludes
+    * them. */
+  private[graft] def foldGenerations(spark: SparkSession,
+                                     storePath: String, newPath: String,
+                                     folds: Seq[(String, DataFrame)])
+      : Long = {
+    val committed = lastApplied(spark, s"$storePath/gatelog")
+    folds.foreach { case (ds, base) =>
+      withGenerations(spark, storePath, ds, base, committed)
+        .write.mode("overwrite").parquet(s"$newPath/$ds")
+    }
+    committed
+  }
+
+  /** Number of gate generation dirs of dataset `ds` under a store
+    * root — one filesystem listing, no Spark job. This is the
+    * operational "when do I compact?" probe: each admitting
+    * micro-batch adds one dir, and the per-probe listing cost grows
+    * with it (the gates' KNOWN BOUND), so schedule
+    * [[graft.streaming.IncrementalLoad.handoffCompacted]] once this
+    * crosses the deployment's threshold ([[shouldCompact]] packages
+    * the default). */
+  def generationCount(spark: SparkSession, storePath: String,
+                      ds: String): Long = {
+    val root = new Path(s"$storePath/$ds-batches")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch="))
+  }
+
+  /** True when any of the store's generation datasets has accumulated
+    * at least `threshold` generation dirs — the default compaction
+    * trigger (64: listings stay trivial below it; well before the
+    * thousands-of-dirs regime where probe listing cost shows). */
+  def shouldCompact(spark: SparkSession, storePath: String,
+                    datasets: Seq[String],
+                    threshold: Long = 64L): Boolean =
+    datasets.exists(ds => generationCount(spark, storePath, ds)
+      >= threshold)
 }

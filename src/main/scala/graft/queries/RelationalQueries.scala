@@ -1521,9 +1521,16 @@ object RelationalQueries {
       : (org.apache.spark.sql.DataFrame, Long) = {
     val G = graft.operators.Graph
     val path = scratchPath("backbone", dir)
-    val nLi = Tables.lineitem(s, dir).count()
-    if (!G.edgeStoreIsCurrent(s, path, nLi))
-      G.writeEdgeStore(BackboneSql.edges(s, dir), path, nLi)
+    // (count, max orderkey) in ONE probe job — the max catches a
+    // same-count lineitem mutation the bare count reads as current;
+    // both reduce to parquet footer statistics (enable
+    // spark.sql.parquet.aggregatePushDown on clusters where the probe
+    // should never touch row data)
+    val src = Tables.lineitem(s, dir)
+      .agg(count(lit(1)), max(col("l_orderkey"))).head()
+    val (nLi, maxKey) = (src.getLong(0), src.getLong(1))
+    if (!G.edgeStoreIsCurrent(s, path, nLi, maxKey))
+      G.writeEdgeStore(BackboneSql.edges(s, dir), path, nLi, maxKey)
     G.readEdgeStore(s, path)
   }
 

@@ -215,6 +215,15 @@ object IncrementalLoad {
   private def markerPath(checkpoint: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(checkpoint, "graft-gate-offset")
 
+  /** Deterministic writer identity for a checkpoint: md5 of the
+    * checkpoint path string. Two incarnations only share a token when
+    * they share a checkpoint dir — which IS the same incarnation
+    * (the marker inside the dir carries the mapping). */
+  private def writerToken(checkpoint: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
   private def incarnation(spark: SparkSession, checkpoint: String,
                           markerRoot: String): IncarnationId = {
     val S = graft.operators.Stores
@@ -247,11 +256,14 @@ object IncrementalLoad {
         // crash-window commit" from "another writer took my slot" at
         // the gen == stamp boundary; legacy incarnations keep an
         // empty token (their pre-upgrade commits carry none — the
-        // tolerant skip). Randomness is fine here: this is
-        // infrastructure identity, never data.
+        // tolerant skip). Derived from the checkpoint path — an
+        // incarnation IS its checkpoint (a fresh incarnation means a
+        // fresh checkpoint dir), so the path hash is exactly the
+        // identity needed, and it keeps the repo's
+        // no-ambient-randomness discipline uniform (the prior
+        // UUID.randomUUID did the same job non-deterministically).
         val id = IncarnationId(inc,
-          if (committedIds.nonEmpty) ""
-          else java.util.UUID.randomUUID().toString)
+          if (committedIds.nonEmpty) "" else writerToken(checkpoint))
         S.writeMarkerFile(spark, markerPath(checkpoint),
           s"${inc.offset} ${inc.committedThrough} ${id.writer}".trim)
         id
@@ -268,16 +280,28 @@ object IncrementalLoad {
                                   markerRoot: String): Unit = {
     val inc = id.inc
     val last = graft.operators.Stores.lastApplied(spark, markerRoot)
-    require(last <= inc.offset + inc.committedThrough,
+    // a LEGACY incarnation (empty writer token — adopted from a
+    // pre-marker checkpoint) bounds intent by its own COMMITTED batch
+    // ids, but the pre-upgrade protocol's normal crash window — store
+    // stamp flipped to N, Spark's commit for N lost — leaves the
+    // stamp ONE slot past the committed horizon. That is a routine
+    // crash recovery (the replay of N skips at gen == stamp under the
+    // legacy-tolerant requireOwnSlot), not a foreign writer: allow
+    // exactly one slot of slack there. Marker-carrying incarnations
+    // record INTENT (written before any commit), so their bound is
+    // exact and gets no slack; and a legacy store grown by ≥2 foreign
+    // appends still fails loudly below.
+    val slack = if (id.writer.isEmpty) 1L else 0L
+    require(last <= inc.offset + inc.committedThrough + slack,
       s"store marker at $markerRoot sits at $last, past this " +
         s"checkpoint's horizon (offset=${inc.offset}, committed " +
         s"through batch ${inc.committedThrough}): another writer " +
         "(a batch append between incarnation runs, or a second " +
         "stream) grew the store while this checkpoint was live. " +
         "Hand off with a FRESH checkpoint — for the dedup gates, " +
-        "compact the store first (Dedup.compactMinhashStore / " +
-        "Similarity.compactIvfStore) so the new incarnation starts " +
-        "from a clean horizon.")
+        "IncrementalLoad.handoffCompacted(storePath, newPath, " +
+        "newCheckpoint) performs the compact-and-handoff in one " +
+        "call — so the new incarnation starts from a clean horizon.")
   }
 
   /** Pre-batch intent update: record that this incarnation is about
@@ -307,19 +331,89 @@ object IncrementalLoad {
     * own commit ⇒ token matches ⇒ skip; foreign append ⇒ no token ⇒
     * fail loudly (processing would silently drop the batch). A
     * legacy incarnation (empty token — its pre-upgrade commits carry
-    * none) keeps the tolerant skip. */
+    * none) keeps the tolerant skip.
+    *
+    * `tolerateUntagged` is the FOLD-store variant: batch folds never
+    * advance those stores' stamps (only streams with incarnations
+    * do), so an untagged stamp at this slot can only be this wire's
+    * own pre-token-protocol commit — tolerate it, or a routine
+    * upgrade-then-crash recovery would fail loudly blaming a foreign
+    * writer. The GATE stores pass false: their batch-append path
+    * (appendToMinhashStore / appendToIvfStore) advances the stamp
+    * without a token, so an untagged slot there really is the
+    * foreign interleave the check exists to catch. */
   private def requireOwnSlot(spark: SparkSession, id: IncarnationId,
-                             markerRoot: String, gen: Long): Unit =
-    require(id.writer.isEmpty ||
-        graft.operators.Stores.lastWriter(spark, markerRoot)
-          .contains(id.writer),
+                             markerRoot: String, gen: Long,
+                             tolerateUntagged: Boolean = false): Unit = {
+    val lastWriter = graft.operators.Stores.lastWriter(spark, markerRoot)
+    require(id.writer.isEmpty || lastWriter.contains(id.writer) ||
+        (tolerateUntagged && lastWriter.isEmpty),
       s"generation $gen at $markerRoot is the store's latest stamp " +
         "but was not committed by this checkpoint: another writer " +
         "(a batch append between incarnation runs) took this " +
         "checkpoint's next generation slot during a crash window. " +
-        "Hand off with a FRESH checkpoint (compact the store first " +
-        "for the dedup gates) so the new incarnation starts from a " +
-        "clean horizon.")
+        "Hand off with a FRESH checkpoint — for the dedup gates, " +
+        "IncrementalLoad.handoffCompacted(storePath, newPath, " +
+        "newCheckpoint) performs the compact-and-handoff in one " +
+        "call — so the new incarnation starts from a clean horizon.")
+  }
+
+  /** The compact-and-handoff maintenance move as ONE operation — the
+    * remedy every loud ownership failure (and the gates' generation-
+    * accumulation KNOWN BOUND) prescribes, previously a four-step
+    * manual procedure (stop wire → compact → fresh checkpoint → new
+    * incarnation):
+    *
+    *  1. refuses a non-fresh `newCheckpoint` (reusing a live
+    *     checkpoint would replay its batch ids against the compacted
+    *     store's renumbered horizon — the very trap the incarnation
+    *     protocol exists to catch);
+    *  2. folds the QUIESCED store's committed generations into a
+    *     fresh base at `newStorePath` (store type detected from the
+    *     manifest: [[graft.operators.Dedup.compactMinhashStore]] for
+    *     a MinHash index, [[graft.operators.Similarity
+    *     .compactIvfStore]] for an IVF index — compaction scans only
+    *     index artifacts, never corpus text);
+    *  3. pins the new incarnation's marker INSIDE `newCheckpoint`
+    *     (offset past the compacted root's horizon — 0 on a fresh
+    *     root — intent −1, a checkpoint-derived writer token), so the
+    *     next gate start adopts the mapping instead of computing it.
+    *
+    * Call only after the old wire has STOPPED (single-writer
+    * discipline); then start the gate with (`newStorePath`,
+    * `newCheckpoint`) and any batch the old incarnation had staged
+    * but not committed re-arrives through the source. "When do I
+    * compact?" is [[graft.operators.Stores.generationCount]] /
+    * [[graft.operators.Stores.shouldCompact]] — one filesystem
+    * listing, no Spark job. */
+  def handoffCompacted(spark: SparkSession, storePath: String,
+                       newStorePath: String,
+                       newCheckpoint: String): Unit = {
+    val S = graft.operators.Stores
+    val cp = new org.apache.hadoop.fs.Path(newCheckpoint)
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(cp) || fs.listStatus(cp).isEmpty,
+      s"handoff checkpoint $newCheckpoint is not fresh: a used " +
+        "checkpoint's batch ids would replay against the compacted " +
+        "store's renumbered horizon — hand off to a NEW checkpoint " +
+        "dir")
+    val fields = spark.read.parquet(s"$storePath/params")
+      .schema.fieldNames.toSet
+    if (fields.contains("minhash_p"))
+      graft.operators.Dedup.compactMinhashStore(spark, storePath,
+        newStorePath)
+    else if (fields.contains("round_scale"))
+      graft.operators.Similarity.compactIvfStore(spark, storePath,
+        newStorePath)
+    else throw new IllegalArgumentException(
+      s"store at $storePath is neither a MinHash nor an IVF gate " +
+        "index (manifest carries neither minhash_p nor round_scale) " +
+        "— handoffCompacted only services the gate stores")
+    val offset =
+      S.lastApplied(spark, s"$newStorePath/gatelog") + 1L
+    S.writeMarkerFile(spark, markerPath(newCheckpoint),
+      s"$offset -1 ${writerToken(newCheckpoint)}")
+  }
 
   /** Streaming NEAR-dup gate (★ — the nightly-ingest posture run as a
     * stream): every micro-batch first self-probes for WITHIN-batch
@@ -368,15 +462,15 @@ object IncrementalLoad {
     * leaf dirs). The idempotent-rewrite protocol deliberately has no
     * in-place compaction (any partial rewrite of a generation would
     * reopen the duplicate-admission window the protocol closes);
-    * the production remedy is
-    * [[graft.operators.Dedup.compactMinhashStore]]: fold base ∪
-    * committed generations into a FRESH root (no re-signing — the
-    * generations already hold the admitted signatures; measured
-    * 2.9–4.4× cheaper than a corpus re-sign and sub-linear across a
-    * decade, SCALING.md) and point the stream's next incarnation at
-    * it with a fresh checkpoint.
-    * [[graft.operators.Similarity.compactIvfStore]] is the
-    * [[streamingSemanticGate]] twin. */
+    * the production remedy is [[handoffCompacted]] (one call: fold
+    * base ∪ committed generations into a FRESH root with no
+    * re-signing — the generations already hold the admitted
+    * signatures; measured 2.9–4.4× cheaper than a corpus re-sign and
+    * sub-linear across a decade, SCALING.md — then pin the next
+    * incarnation's checkpoint marker), triggered when
+    * [[graft.operators.Stores.shouldCompact]] says the generation
+    * count crossed the deployment's threshold. The same pair services
+    * [[streamingSemanticGate]]. */
   def streamingNearDupGate(spark: SparkSession, stream: DataFrame,
                            textCol: String, storePath: String,
                            admittedPath: String, checkpoint: String,
@@ -403,10 +497,8 @@ object IncrementalLoad {
         if (gen > last) {
           val base = D.readMinhashStoreBase(spark, storePath)
           def upTo(ds: String, b: DataFrame): DataFrame =
-            D.gateAppends(spark, storePath, ds)
-              .map(g => b.unionByName(g.filter(col("batch") < gen)
-                .select(b.columns.map(col).toSeq: _*)))
-              .getOrElse(b)
+            graft.operators.Stores.withGenerations(spark, storePath,
+              ds, b, gen, strict = true)
           // the batch is signed exactly ONCE per micro-batch: these two
           // CACHED frames feed the intra pass, the store probe, AND the
           // admission append (re-deriving them per consumer signs the
@@ -453,10 +545,18 @@ object IncrementalLoad {
             bsh.join(keys, Seq(base.keyCol), "left_semi"),
             storePath, "shingles", gen)
           // the stamp rides the pointer flip; the one-row payload stays
-          // for readers that predate the pointer-stamp protocol
+          // for readers that predate the pointer-stamp protocol. The
+          // running admitted stamp (prior total + this batch's
+          // admitted keys) commits atomically with the generation, so
+          // minhashStoreIsCurrent stays a marker read — the prior
+          // total is itself a pointer read on stamped gatelogs.
+          val total = graft.operators.Stores.addStamp(
+            D.minhashAdmittedStamp(spark, storePath, base.keyCol),
+            graft.operators.Stores.keyStamp(admitted, base.keyCol))
           graft.operators.Stores.commitPayload(spark, gatelog,
               Some(gen),
-              Option(id.writer).filter(_.nonEmpty)) { dir =>
+              Option(id.writer).filter(_.nonEmpty),
+              Some(total)) { dir =>
             spark.range(1).select(lit(gen).as("applied"))
               .write.mode("overwrite").parquet(dir)
           }
@@ -518,11 +618,8 @@ object IncrementalLoad {
         if (gen == last) requireOwnSlot(spark, id, gatelog, gen)
         if (gen > last) {
           val base = S.readIvfStoreBase(spark, storePath)
-          val vectors = S.gateVectors(spark, storePath)
-            .map(g => base.vectors.unionByName(
-              g.filter(col("batch") < gen)
-                .select(base.vectors.columns.map(col).toSeq: _*)))
-            .getOrElse(base.vectors)
+          val vectors = graft.operators.Stores.withGenerations(spark,
+            storePath, "vectors", base.vectors, gen, strict = true)
           // the batch is assigned exactly ONCE per micro-batch: this
           // CACHED frame feeds the intra pass, the store probe, AND
           // the admission append (the near-dup gate's sign-once rule)
@@ -551,9 +648,15 @@ object IncrementalLoad {
             rows.join(admitted.select(col(base.idCol)),
               Seq(base.idCol), "left_semi"),
             storePath, gen)
+          // running admitted stamp commits with the generation (the
+          // near-dup gate's rule)
+          val total = graft.operators.Stores.addStamp(
+            S.ivfAdmittedStamp(spark, storePath, base.idCol),
+            graft.operators.Stores.keyStamp(admitted, base.idCol))
           graft.operators.Stores.commitPayload(spark, gatelog,
               Some(gen),
-              Option(id.writer).filter(_.nonEmpty)) { dir =>
+              Option(id.writer).filter(_.nonEmpty),
+              Some(total)) { dir =>
             spark.range(1).select(lit(gen).as("applied"))
               .write.mode("overwrite").parquet(dir)
           }
@@ -598,8 +701,19 @@ object IncrementalLoad {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         recordIntent(spark, checkpoint, id, seen, batchId)
+        val gen = inc.gen(batchId)
+        // the gates' gen == stamp disambiguation, fold-store variant:
+        // own crash-window commit (token matches, or untagged
+        // pre-token commit) replays as foldIntoStore's no-op skip; a
+        // foreign post-token stream's commit fails loudly here
+        // instead of silently dropping the batch
+        if (gen == graft.operators.Stores.lastApplied(
+            spark, s"$storePath/cells"))
+          requireOwnSlot(spark, id, s"$storePath/cells", gen,
+            tolerateUntagged = true)
         graft.operators.CountMin.foldIntoStore(batch, valueCol,
-          storePath, depth, width, batchId = Some(inc.gen(batchId)))
+          storePath, depth, width, batchId = Some(gen),
+          writer = Option(id.writer).filter(_.nonEmpty))
       }
       .start()
   }
@@ -629,8 +743,16 @@ object IncrementalLoad {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         recordIntent(spark, checkpoint, id, seen, batchId)
+        val gen = inc.gen(batchId)
+        // gen == stamp ownership, fold-store variant (see the
+        // Count-Min wire)
+        if (gen == graft.operators.Stores.lastApplied(
+            spark, s"$storePath/rows"))
+          requireOwnSlot(spark, id, s"$storePath/rows", gen,
+            tolerateUntagged = true)
         graft.operators.QuantileSketch.foldIntoStore(batch, keyCol,
-          valueCol, storePath, k, batchId = Some(inc.gen(batchId)))
+          valueCol, storePath, k, batchId = Some(gen),
+          writer = Option(id.writer).filter(_.nonEmpty))
       }
       .start()
   }
@@ -660,8 +782,15 @@ object IncrementalLoad {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         recordIntent(spark, checkpoint, id, seen, batchId)
+        val gen = inc.gen(batchId)
+        // gen == stamp ownership, fold-store variant (see the
+        // Count-Min wire)
+        if (gen == graft.operators.Stores.lastApplied(spark, storePath))
+          requireOwnSlot(spark, id, storePath, gen,
+            tolerateUntagged = true)
         graft.operators.Audit.histogramFoldIntoStore(batch, bucketCol,
-          storePath, batchId = Some(inc.gen(batchId)))
+          storePath, batchId = Some(gen),
+          writer = Option(id.writer).filter(_.nonEmpty))
       }
       .start()
   }

@@ -220,6 +220,16 @@ class GraphSpec extends SparkSpecBase {
     assert(Graph.edgeStoreIsCurrent(spark, path, 101L) &&
       !Graph.edgeStoreIsCurrent(spark, path, 100L))
     assert(Graph.readEdgeStore(spark, path)._1.count() == 4L)
+    // max-key stamp: a SAME-COUNT source mutation (key swapped, max
+    // moved) reads stale — count equality alone cannot tell
+    val path2 = root.resolve("bb2").toString
+    Graph.writeEdgeStore(grown, path2, 101L, sourceMaxKey = 500L)
+    assert(Graph.edgeStoreIsCurrent(spark, path2, 101L, 500L))
+    assert(!Graph.edgeStoreIsCurrent(spark, path2, 101L, 501L),
+      "a same-count mutation (max key moved) read as current")
+    // a caller that tracks no key (default −1 on both sides) keeps
+    // the count-only check
+    assert(Graph.edgeStoreIsCurrent(spark, path, 101L))
   }
 
   test("triangleStats normalizes duplicates, reversed edges, and " +

@@ -1190,9 +1190,40 @@ class StreamingSpec extends SparkSpecBase {
       spark, s1, "text", store1, root.resolve("adm1").toString,
       root.resolve("ckpt1").toString)
     assert(q1.awaitTermination(120000), "first incarnation did not drain")
-    // the documented maintenance move: compact, then point the NEXT
-    // incarnation at the compacted root with a FRESH checkpoint
-    Dedup.compactMinhashStore(spark, store1, store2)
+    // "when do I compact?" — one FS listing, no Spark job: the gate's
+    // single admitting batch wrote one generation per dataset
+    val St = graft.operators.Stores
+    assert(St.generationCount(spark, store1, "buckets") == 1L)
+    assert(St.generationCount(spark, store1, "shingles") == 1L)
+    assert(St.shouldCompact(spark, store1, Seq("buckets", "shingles"),
+      threshold = 1L))
+    assert(!St.shouldCompact(spark, store1, Seq("buckets", "shingles")),
+      "one generation must not trip the default threshold")
+    // the documented maintenance move, as ONE call: compact into a
+    // fresh root AND pin the next incarnation's checkpoint marker
+    graft.streaming.IncrementalLoad.handoffCompacted(
+      spark, store1, store2, root.resolve("ckpt2").toString)
+    assert(java.nio.file.Files.exists(
+        root.resolve("ckpt2").resolve("graft-gate-offset")),
+      "handoff did not pin the new incarnation's marker")
+    // a used checkpoint is refused — replaying its batch ids against
+    // the compacted store's renumbered horizon is the silent-loss trap
+    val exNf = intercept[IllegalArgumentException] {
+      graft.streaming.IncrementalLoad.handoffCompacted(
+        spark, store1, root.resolve("store3").toString,
+        root.resolve("ckpt1").toString)
+    }
+    assert(exNf.getMessage.contains("not fresh"), exNf.getMessage)
+    // a non-gate store is refused by the manifest probe
+    val dummy = root.resolve("dummy").toString
+    Seq((4, 32)).toDF("depth", "width")
+      .write.parquet(s"$dummy/params")
+    val exKind = intercept[IllegalArgumentException] {
+      graft.streaming.IncrementalLoad.handoffCompacted(
+        spark, dummy, root.resolve("store4").toString,
+        root.resolve("ckpt3").toString)
+    }
+    assert(exKind.getMessage.contains("neither"), exKind.getMessage)
     // incarnation 2: a near-dup of the PRE-COMPACTION admission plus a
     // genuinely novel doc, in one batch through the new gate
     val b2 = Seq(
@@ -1216,6 +1247,143 @@ class StreamingSpec extends SparkSpecBase {
     val grown2 = Dedup.readMinhashStore(spark, store2)
     assert(grown2.buckets.filter(col("doc_id") === 8002L).count() > 0)
     assert(grown2.buckets.filter(col("doc_id") === 8001L).isEmpty)
+  }
+
+  test("legacy checkpoint crash window: a markerless checkpoint whose " +
+      "store stamp sits ONE past its committed horizon recovers as a " +
+      "no-op replay; a store grown two past it still fails loudly") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Stores}
+    val root = java.nio.file.Files.createTempDirectory("graft_legacycw")
+    val storePath = root.resolve("store").toString
+    val admittedPath = root.resolve("admitted").toString
+    val ckpt = root.resolve("ckpt")
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    Dedup.writeMinhashStore(corpus, "doc_id", "text", storePath)
+    val novel = "zebra quark lantern voyage ember crystal meadow pylon"
+    val novel2 = "glacier orbit thistle quarry lagoon saffron tundra vex"
+    Seq((7001L, novel)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(root.resolve("in/b1").toString)
+    Seq((9001L, novel2)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(root.resolve("in/b2").toString)
+    import java.nio.file.attribute.FileTime
+    def touch(sub: String, t: Long): Unit =
+      java.nio.file.Files.walk(root.resolve(sub)).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, FileTime.fromMillis(t)))
+    val now = System.currentTimeMillis()
+    touch("in/b1", now - 60000); touch("in/b2", now)
+    def stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in/*/")
+    val q1 = graft.streaming.IncrementalLoad.streamingNearDupGate(
+      spark, stream, "text", storePath, admittedPath, ckpt.toString)
+    assert(q1.awaitTermination(120000), "first drain did not finish")
+    q1.stop()
+    val deadline = System.nanoTime() + 60e9.toLong
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(Stores.lastApplied(spark, s"$storePath/gatelog") == 1L)
+    // stage the PRE-upgrade protocol's normal crash window: the
+    // checkpoint predates the marker (delete it) and Spark's commit
+    // for batch 1 was lost while the gatelog stamp flipped to 1 —
+    // committed horizon 0, store stamp 1
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("graft-gate-offset"))
+    java.nio.file.Files.deleteIfExists(
+      ckpt.resolve(".graft-gate-offset.crc"))
+    val lastCommit = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(lastCommit.getName.toLong == 1L && lastCommit.delete(),
+      "commit-log rewind failed")
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    // restart on the same checkpoint: this is routine crash recovery —
+    // the replay of batch 1 must skip as a no-op at the gen == stamp
+    // boundary, NOT fail the wire blaming another writer (the
+    // pre-slack horizon check did exactly that)
+    val q2 = graft.streaming.IncrementalLoad.streamingNearDupGate(
+      spark, stream, "text", storePath, admittedPath, ckpt.toString)
+    assert(q2.awaitTermination(120000), "legacy replay did not drain")
+    q2.stop()
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    val admitted = spark.read.parquet(admittedPath)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(admitted == Seq(7001L, 9001L), s"admitted: $admitted")
+    assert(Stores.lastApplied(spark, s"$storePath/gatelog") == 1L,
+      "the no-op replay must not advance the stamp")
+    // the slack is exactly ONE slot: a store grown TWO past the
+    // horizon by foreign appends still refuses loudly
+    Dedup.appendToMinhashStore(
+      Seq((7500L, "orchid basalt nimbus ferret cobalt prairie sonnet"))
+        .toDF("doc_id", "text"), "text", storePath)
+    Dedup.appendToMinhashStore(
+      Seq((7501L, "quartz fjord umbra lattice pinion sable grove"))
+        .toDF("doc_id", "text"), "text", storePath)
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.IncrementalLoad.streamingNearDupGate(
+        spark, stream, "text", storePath, admittedPath, ckpt.toString)
+    }
+    assert(ex.getMessage.contains("another writer"), ex.getMessage)
+  }
+
+  test("fold-wire slot ownership: an untagged stamp at the wire's " +
+      "next slot is tolerated as a pre-token commit (no-op replay); " +
+      "a foreign token at the slot fails loudly") {
+    import spark.implicits._
+    import graft.operators.{CountMin, Stores}
+    val root = java.nio.file.Files.createTempDirectory("graft_foldslot")
+    val df = Seq("a", "b", "c").toDF("v")
+    df.coalesce(1).write.parquet(root.resolve("in/b1").toString)
+    def stream = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in/*/")
+    // CASE 1: the stamp at the wire's next slot was committed WITHOUT
+    // a writer token — only a pre-token-protocol fold can have done
+    // that (batch folds never advance the stamp), so it is this
+    // wire's own upgrade-then-crash window and must replay as a no-op
+    val storeA = root.resolve("cmA").toString
+    CountMin.foldIntoStore(df, "v", storeA, 4, 32, batchId = Some(1L))
+    assert(Stores.lastWriter(spark, s"$storeA/cells").isEmpty)
+    val cellsBefore = CountMin.readStore(spark, storeA).cells
+      .collect().toSet
+    // a marker claiming offset 1, intent through batch 0: batch 0
+    // maps to gen 1 == the store's stamp
+    val ckptA = root.resolve("ckptA")
+    Stores.writeMarkerFile(spark,
+      new org.apache.hadoop.fs.Path(ckptA.toString, "graft-gate-offset"),
+      "1 0 aaaa5555aaaa5555")
+    val qA = graft.streaming.IncrementalLoad.streamingCountMinFold(
+      spark, stream, "v", storeA, ckptA.toString, 4, 32)
+    assert(qA.awaitTermination(120000), "tolerant replay did not drain")
+    qA.stop()
+    val deadline = System.nanoTime() + 60e9.toLong
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(CountMin.readStore(spark, storeA).cells.collect().toSet ==
+      cellsBefore, "the tolerated replay must not re-fold")
+    assert(Stores.lastApplied(spark, s"$storeA/cells") == 1L)
+    // CASE 2: the slot's stamp carries ANOTHER post-token stream's
+    // token — processing would silently drop the batch; the wire must
+    // fail loudly instead
+    val storeB = root.resolve("cmB").toString
+    CountMin.foldIntoStore(df, "v", storeB, 4, 32, batchId = Some(0L))
+    Stores.commitPayload(spark, s"$storeB/cells", Some(1L),
+        Some("feedfacefeedface")) { dir =>
+      CountMin.readStore(spark, storeB).cells
+        .write.mode("overwrite").parquet(dir)
+    }
+    val ckptB = root.resolve("ckptB")
+    Stores.writeMarkerFile(spark,
+      new org.apache.hadoop.fs.Path(ckptB.toString, "graft-gate-offset"),
+      "1 0 bbbb6666bbbb6666")
+    val qB = graft.streaming.IncrementalLoad.streamingCountMinFold(
+      spark, stream, "v", storeB, ckptB.toString, 4, 32)
+    val ex = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      qB.awaitTermination(120000)
+    }
+    assert(ex.getMessage.contains("not committed by this checkpoint"),
+      ex.getMessage)
   }
 
   test("IVF store compaction: committed vector generations fold into " +
