@@ -1815,14 +1815,11 @@ object DedupQueries {
     val minCols = cs.zipWithIndex.map { case ((a, b), i) =>
       s"min((s * $a + $b) % $P) AS h$i"
     }.mkString(",\n      |    ")
-    // the Wilson interval, spelled ONCE and interpolated into the
-    // oracle so both engines share the operation order exactly
-    val nD = "CAST(n_true_sampled AS DOUBLE)"
-    val pD = s"(CAST(n_hit_sampled AS DOUBLE) / $nD)"
-    val denomD = s"(1.0 + 3.8416 / $nD)"
-    val centerD = s"(($pD + 1.9208 / $nD) / $denomD)"
-    val halfD = s"((1.96 / $denomD) * sqrt($pD * (1.0 - $pD) / $nD" +
-      s" + 0.9604 / ($nD * $nD)))"
+    // the Wilson interval is spelled once for all sampled audits
+    // ([[Wilson]]) and interpolated into the oracle so both engines
+    // share the operation order exactly
+    val (wEst, wLo, wHi) = Wilson.sqlFragments(
+      "n_hit_sampled", "n_true_sampled")
     def bandCtes(b: Int): String = {
       val r = nH / b
       val selects = (0 until b).map { bnd =>
@@ -1905,9 +1902,9 @@ object DedupQueries {
         |SELECT CAST(bands AS INTEGER) AS bands,
         |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
         |  n_candidates, n_cand_sampled, n_true_sampled, n_hit_sampled,
-        |  round($pD, 6) AS recall_est,
-        |  round(greatest(0.0, $centerD - $halfD), 6) AS ci_lo,
-        |  round(least(1.0, $centerD + $halfD), 6) AS ci_hi
+        |  $wEst AS recall_est,
+        |  $wLo AS ci_lo,
+        |  $wHi AS ci_hi
         |FROM (${sweep.map(b => s"SELECT * FROM s$b").mkString(
             "\n      |  UNION ALL ")})
         |ORDER BY bands""".stripMargin) { (s, dir) =>
@@ -1938,13 +1935,9 @@ object DedupQueries {
           element_at(col("ms.sig"), i + 1).as(s"h$i")): _*)
         .cache()
       val nDbl = lit(nTrueS.toDouble)
+      val (rEst, rLo, rHi) = Wilson.columns(
+        col("n_hit_sampled"), nDbl)
       val perB = sweep.map { b =>
-        val p = col("n_hit_sampled").cast("double") / nDbl
-        val denom = lit(1.0) + lit(3.8416) / nDbl
-        val center = (p + lit(1.9208) / nDbl) / denom
-        val half = (lit(1.96) / denom) *
-          sqrt(p * (lit(1.0) - p) / nDbl +
-            lit(0.9604) / (nDbl * nDbl))
         Dedup.lshCandidatePairs(sigRow, "doc_id", b, nH / b)
           .join(truthS.withColumn("t", lit(1)), Seq("a", "b"), "left")
           .agg(count(lit(1)).as("n_candidates"),
@@ -1955,9 +1948,9 @@ object DedupQueries {
           .select(lit(b).as("bands"), lit(nH / b).as("rows_per_band"),
             col("n_candidates"), col("n_cand_sampled"),
             lit(nTrueS).as("n_true_sampled"), col("n_hit_sampled"),
-            round(p, 6).as("recall_est"),
-            round(greatest(lit(0.0), center - half), 6).as("ci_lo"),
-            round(least(lit(1.0), center + half), 6).as("ci_hi"))
+            rEst.as("recall_est"),
+            rLo.as("ci_lo"),
+            rHi.as("ci_hi"))
       }
       val out = perB.reduce(_ unionByName _).localCheckpoint(true)
       sigRow.unpersist(blocking = true)
@@ -1994,12 +1987,8 @@ object DedupQueries {
     val minCols = cs.zipWithIndex.map { case ((a, b), i) =>
       s"min((s * $a + $b) % $P) AS h$i"
     }.mkString(",\n      |    ")
-    val nD = "CAST(n_true_sampled AS DOUBLE)"
-    val pD = s"(CAST(n_hit_sampled AS DOUBLE) / $nD)"
-    val denomD = s"(1.0 + 3.8416 / $nD)"
-    val centerD = s"(($pD + 1.9208 / $nD) / $denomD)"
-    val halfD = s"((1.96 / $denomD) * sqrt($pD * (1.0 - $pD) / $nD" +
-      s" + 0.9604 / ($nD * $nD)))"
+    val (wEst, wLo, wHi) = Wilson.sqlFragments(
+      "n_hit_sampled", "n_true_sampled")
     def bandCtes(b: Int): String = {
       val r = nH / b
       val selects = (0 until b).map { bnd =>
@@ -2076,9 +2065,9 @@ object DedupQueries {
         |SELECT CAST(bands AS INTEGER) AS bands,
         |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
         |  n_candidates, n_cand_sampled, n_true_sampled, n_hit_sampled,
-        |  round($pD, 6) AS recall_est,
-        |  round(greatest(0.0, $centerD - $halfD), 6) AS ci_lo,
-        |  round(least(1.0, $centerD + $halfD), 6) AS ci_hi,
+        |  $wEst AS recall_est,
+        |  $wLo AS ci_lo,
+        |  $wHi AS ci_hi,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM all_docs) AS n_docs
         |FROM (${sweep.map(b => s"SELECT * FROM s$b").mkString(
             "\n      |  UNION ALL ")})
@@ -2129,13 +2118,9 @@ object DedupQueries {
         "sampled truth set is empty — the Wilson interval is undefined; " +
           "raise the sample rate for this corpus")
       val nDbl = lit(nTrueS.toDouble)
+      val (rEst, rLo, rHi) = Wilson.columns(
+        col("n_hit_sampled"), nDbl)
       val perB = sweep.map { b =>
-        val p = col("n_hit_sampled").cast("double") / nDbl
-        val denom = lit(1.0) + lit(3.8416) / nDbl
-        val center = (p + lit(1.9208) / nDbl) / denom
-        val half = (lit(1.96) / denom) *
-          sqrt(p * (lit(1.0) - p) / nDbl +
-            lit(0.9604) / (nDbl * nDbl))
         Dedup.lshCandidatePairs(sigRow, "doc_id", b, nH / b)
           .join(truthS.withColumn("t", lit(1)), Seq("a", "b"), "left")
           .agg(count(lit(1)).as("n_candidates"),
@@ -2146,15 +2131,180 @@ object DedupQueries {
           .select(lit(b).as("bands"), lit(nH / b).as("rows_per_band"),
             col("n_candidates"), col("n_cand_sampled"),
             lit(nTrueS).as("n_true_sampled"), col("n_hit_sampled"),
-            round(p, 6).as("recall_est"),
-            round(greatest(lit(0.0), center - half), 6).as("ci_lo"),
-            round(least(lit(1.0), center + half), 6).as("ci_hi"),
+            rEst.as("recall_est"),
+            rLo.as("ci_lo"),
+            rHi.as("ci_hi"),
             lit(nDocs).as("n_docs"))
       }
       val out = perB.reduce(_ unionByName _).localCheckpoint(true)
       truthS.unpersist(blocking = true)
       sigRow.unpersist(blocking = true)
       out.orderBy(col("bands"))
+    }
+  }
+
+  /** q261: the q176 LSH recall audit with a SAMPLED truth set (★ —
+    * the q256 estimator transplanted to the remaining exact-truth
+    * dedup audit, the r12 brief's named item: q176's AllPairs ground
+    * truth is the audit's honest super-linear term; here the truth
+    * pairs are built only over the deterministic 20% document stratum
+    * — portable 60-bit hash residues 0–1 of 10, q256's stratum — so
+    * the quadratic truth pass pays ~4% of the exact audit's pair work
+    * while the DETECTOR's own cost, the full q32 chain over the FULL
+    * corpus, is measured unchanged and its total detected-pair count
+    * is reported exactly). Per exact-Jaccard band: sampled truth
+    * count, sampled hits (vertex sampling — both endpoints in the
+    * stratum — so the per-band recall estimator is unbiased), the
+    * recall estimate, and its Wilson 95% interval ([[Wilson]] — one
+    * operation order, bit-for-bit in DuckDB). DedupSpec pins each
+    * band's interval against q176's exact recall at this SF. */
+  val q261LshRecallAuditSampled: QuerySpec = {
+    val P = Dedup.MinhashP
+    val C = Dedup.HornerC
+    val nH = 64
+    val bands = 16
+    val rows = nH / bands
+    val cs = Dedup.minhashCoeffs(nH)
+    val minCols = cs.zipWithIndex.map { case ((a, b), i) =>
+      s"min((s * $a + $b) % $P) AS h$i"
+    }.mkString(",\n      |    ")
+    val bandSelects = (0 until bands).map { bnd =>
+      val bucket = (bnd * rows until (bnd + 1) * rows).map(i => s"h$i")
+        .reduceLeft((acc, h) => s"(($acc) * $C + $h) % $P")
+      s"SELECT doc_id, $bnd AS band, $bucket AS bucket FROM sigs"
+    }.mkString("\n      |  UNION ALL ")
+    val (wEst, wLo, wHi) = Wilson.sqlFragments(
+      "n_hit_sampled", "n_true_sampled")
+    QuerySpec(
+      "q261_lsh_recall_audit_sampled",
+      s"""WITH base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |all_docs AS MATERIALIZED (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(
+        |      toks[CAST((doc_id % 10) * 4 + 1 AS BIGINT):len(toks)], ' ')
+        |      AS text
+        |  FROM base WHERE doc_id % 10 >= 1),
+        |samp AS MATERIALIZED (
+        |  SELECT doc_id FROM all_docs
+        |  WHERE ${graft.functions.Scalars.sqlPortableHash64("doc_id")}
+        |    % 10 < 2),
+        |tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+        |  WHERE doc_id IN (SELECT doc_id FROM samp)
+        |    AND len(string_split(text, ' ')) >= 3),
+        |ssh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        |  FROM tok),
+        |scounts AS (SELECT doc_id, COUNT(*) AS n_sh FROM ssh GROUP BY 1),
+        |struth AS MATERIALIZED (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(COUNT(*) AS DOUBLE) /
+        |      CAST(ANY_VALUE(ca.n_sh) + ANY_VALUE(cb.n_sh) - COUNT(*)
+        |        AS DOUBLE) AS j
+        |  FROM ssh x JOIN ssh y
+        |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  JOIN scounts ca ON ca.doc_id = x.doc_id
+        |  JOIN scounts cb ON cb.doc_id = y.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING CAST(COUNT(*) AS DOUBLE) /
+        |    CAST(ANY_VALUE(ca.n_sh) + ANY_VALUE(cb.n_sh) - COUNT(*)
+        |      AS DOUBLE) >= 0.5),
+        |th AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |    t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $P) AS ths
+        |  FROM all_docs),
+        |hsh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(ths) - 1),
+        |      i -> (((ths[i] * $C + ths[i+1]) % $P) * $C + ths[i+2]) % $P))
+        |      AS s
+        |  FROM th WHERE len(ths) >= 3),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    $minCols
+        |  FROM hsh GROUP BY doc_id),
+        |bands AS (
+        |  $bandSelects),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.bucket = r.bucket
+        |      AND l.doc_id < r.doc_id),
+        |hcounts AS (SELECT doc_id, COUNT(*) AS n_sh FROM hsh GROUP BY 1),
+        |detected AS MATERIALIZED (
+        |  SELECT c.a, c.b
+        |  FROM cand c
+        |  JOIN hsh x ON x.doc_id = c.a
+        |  JOIN hsh y ON y.doc_id = c.b AND y.s = x.s
+        |  JOIN hcounts ca ON ca.doc_id = c.a
+        |  JOIN hcounts cb ON cb.doc_id = c.b
+        |  GROUP BY 1, 2, ca.n_sh, cb.n_sh
+        |  HAVING CAST(COUNT(*) AS DOUBLE) /
+        |    CAST(ca.n_sh + cb.n_sh - COUNT(*) AS DOUBLE) >= 0.5),
+        |marked AS (
+        |  SELECT t.j, (d.a IS NOT NULL) AS hit
+        |  FROM struth t LEFT JOIN detected d ON d.a = t.a AND d.b = t.b),
+        |agg AS (
+        |  SELECT CAST(least(4, floor((j - 0.5) * 10)) AS INTEGER)
+        |      AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_true_sampled,
+        |    CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hit_sampled
+        |  FROM marked GROUP BY 1)
+        |SELECT band, n_true_sampled, n_hit_sampled,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM detected)
+        |    AS n_detected_full,
+        |  $wEst AS recall_est,
+        |  $wLo AS ci_lo,
+        |  $wHi AS ci_hi
+        |FROM agg ORDER BY band""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val toks = split(col("text"), " ")
+      val twins = d.filter(col("doc_id") % 10 >= 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(toks,
+            ((col("doc_id") % 10) * 4 + 1).cast("int"),
+            size(toks)), " ").as("text"))
+      val all = d.unionByName(twins)
+      val inSample = (c: org.apache.spark.sql.Column) =>
+        graft.functions.Scalars.portableHash64(c) % 10 < 2
+      // the quadratic truth pass runs on the 20% stratum ONLY (the
+      // q256 rule); the detector below stays full-corpus — the
+      // operator's own cost, measured honestly
+      val truthS = Dedup.prefixJaccardPairs(
+        all.filter(inSample(col("doc_id"))), "doc_id", "text",
+        threshold = 0.5, shingleK = 3)
+      // detected ⊆ truth by construction (candidates are
+      // exact-verified), so sampled recall is a clean ratio of exact
+      // ints; materialized once — the same frame feeds the exact
+      // full-corpus count and the sampled-pair join
+      val detected = Dedup.minhashNearDupPairs(all, "doc_id", "text",
+          k = 3, numHashes = nH, bands = bands, threshold = 0.5)
+        .select(col("a"), col("b"), lit(true).as("hit"))
+        .localCheckpoint(true)
+      val nDet = detected.count()
+      val agg = truthS.join(detected, Seq("a", "b"), "left")
+        .select(col("jaccard"),
+          coalesce(col("hit"), lit(false)).as("hit"))
+        .groupBy(least(lit(4),
+          floor((col("jaccard") - 0.5) * 10)).cast("int").as("band"))
+        .agg(count(lit(1)).as("n_true_sampled"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit_sampled"))
+      val (rEst, rLo, rHi) = Wilson.columns(col("n_hit_sampled"),
+        col("n_true_sampled").cast("double"))
+      val out = agg.select(col("band"), col("n_true_sampled"),
+          col("n_hit_sampled"), lit(nDet).as("n_detected_full"),
+          rEst.as("recall_est"), rLo.as("ci_lo"), rHi.as("ci_hi"))
+        .localCheckpoint(true)
+      graft.operators.Graph.checkpointRdd(detected)
+        .foreach(_.unpersist(false))
+      out.orderBy(col("band"))
     }
   }
 
@@ -2375,5 +2525,5 @@ object DedupQueries {
     q171DedupKeepBest, q176LshRecallAudit, q177IncrementalNovelty,
     q182SourceOverlap, q192ContainmentJoin, q251StreamingNeardupGate,
     q254LshBandSweep, q256LshBandSweepSampled, q258StoreBandSweep,
-    q259GateCompaction)
+    q259GateCompaction, q261LshRecallAuditSampled)
 }

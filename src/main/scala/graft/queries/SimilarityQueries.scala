@@ -1673,6 +1673,100 @@ object SimilarityQueries {
     }
   }
 
+  /** q262: the q234 nprobe sweep with a SAMPLED truth set (★ — the
+    * q256 estimator transplanted to the remaining exact-truth ANN
+    * audit, the r12 brief's named item: q234's brute-force top-k
+    * truth is the sweep's honest linear term — 8.5× per decade at
+    * sf10, SCALING.md — and a 100 TB operator reads this curve
+    * nightly). The QUERY population grows to 80 and the truth pass
+    * runs only for its deterministic 20% hash stratum (17 of 80),
+    * cutting the |queries| × corpus brute term ~4.7× — queries are
+    * sampled rather than the corpus because kNN truth is competitive
+    * and a corpus stratum would bias the curve low, see
+    * [[Similarity.ivfRecallSweepSampled]]. The OPERATOR's side stays
+    * full and exact, and gains the cost axis the recall axis is
+    * traded against: `n_scanned` = stored vectors the FULL 80-query
+    * population scans at each probe depth. Per nprobe: exact scan
+    * cost, sampled hits/truth counts, the recall estimate, and its
+    * Wilson 95% interval ([[Wilson]] — one operation order,
+    * bit-for-bit in DuckDB). SimilaritySpec pins the interval against
+    * the exact 80-query sweep at this SF. Oracle reuses the shared
+    * [[IvfSql]] chain for centroids and assignment. */
+  val q262NprobeSweepSampled: QuerySpec = {
+    import IvfSql.{assignSql, lloydSql}
+    val (wEst, wLo, wHi) = Wilson.sqlFragments(
+      "n_found_sampled", "n_true_sampled")
+    QuerySpec(
+      "q262_nprobe_sweep_sampled",
+      s"""WITH vecs AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings),
+        |q AS (SELECT id AS q_id, dv AS q_dv FROM vecs WHERE id < 80),
+        |seed AS (SELECT id AS cell, dv AS cv FROM vecs ORDER BY id LIMIT 16),
+        |${lloydSql(1, "seed")},
+        |${assignSql("cc", "c1")},
+        |qs AS MATERIALIZED (
+        |  SELECT q_id, q_dv FROM q
+        |  WHERE ${graft.functions.Scalars.sqlPortableHash64("q_id")}
+        |    % 10 < 2),
+        |struth AS MATERIALIZED (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT qs.q_id, v.id AS c_id,
+        |      row_number() OVER (PARTITION BY qs.q_id
+        |        ORDER BY round(list_cosine_similarity(qs.q_dv, v.dv), 6)
+        |          DESC, v.id) AS rn
+        |    FROM qs JOIN vecs v ON v.id <> qs.q_id) WHERE rn <= 5),
+        |porder AS MATERIALIZED (
+        |  SELECT q.q_id, c.cell,
+        |    CAST(row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY round(list_cosine_similarity(q.q_dv, c.cv), 6)
+        |        DESC, c.cell) AS BIGINT) AS prank
+        |  FROM q CROSS JOIN c1 c),
+        |csize AS (
+        |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM cc GROUP BY 1),
+        |scan_at AS (
+        |  SELECT p.prank, CAST(SUM(COALESCE(cs.sz, 0)) AS BIGINT) AS s
+        |  FROM porder p LEFT JOIN csize cs ON cs.cell = p.cell
+        |  GROUP BY 1),
+        |found AS (
+        |  SELECT t.q_id, p.prank
+        |  FROM struth t JOIN cc ON cc.id = t.c_id
+        |  JOIN porder p ON p.q_id = t.q_id AND p.cell = cc.cell),
+        |hits AS (
+        |  SELECT prank, CAST(COUNT(*) AS BIGINT) AS h
+        |  FROM found GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_sampled
+        |        FROM struth),
+        |sp AS (SELECT unnest(range(1, 17)) AS nprobe),
+        |agg AS (
+        |  SELECT sp.nprobe,
+        |    CAST(SUM(COALESCE(sc.s, 0)) OVER (ORDER BY sp.nprobe)
+        |      AS BIGINT) AS n_scanned,
+        |    CAST(SUM(COALESCE(h.h, 0)) OVER (ORDER BY sp.nprobe)
+        |      AS BIGINT) AS n_found_sampled,
+        |    t.n_true_sampled
+        |  FROM sp LEFT JOIN hits h ON h.prank = sp.nprobe
+        |  LEFT JOIN scan_at sc ON sc.prank = sp.nprobe
+        |  CROSS JOIN tot t)
+        |SELECT nprobe, n_scanned, n_found_sampled, n_true_sampled,
+        |  $wEst AS recall_est,
+        |  $wLo AS ci_lo,
+        |  $wHi AS ci_hi
+        |FROM agg ORDER BY nprobe""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val sw = Similarity.ivfRecallSweepSampled(e, "vec_id",
+        "embedding", e.filter(col("vec_id") < 80), "vec_id",
+        "embedding", k = 5, numCells = 16, kmeansIters = 1)
+      val (rEst, rLo, rHi) = Wilson.columns(col("n_found_sampled"),
+        col("n_true_sampled").cast("double"))
+      sw.select(col("nprobe"), col("n_scanned"),
+          col("n_found_sampled"), col("n_true_sampled"),
+          rEst.as("recall_est"), rLo.as("ci_lo"), rHi.as("ci_hi"))
+        .orderBy(col("nprobe"))
+    }
+  }
+
   /** q247: rank-biased overlap of the full-dimension vs 16-dim-prefix
     * rankings (★ — Webber et al. 2010's TOP-WEIGHTED ranking
     * similarity, the drift statistic q200's flat recall@5 cannot
@@ -1772,7 +1866,8 @@ object SimilarityQueries {
     q190BitextMargin, q191RrfFusion, q195KCenterCoreset,
     q196PrototypePrune, q200MatryoshkaRecall, q220RetrievalMetrics,
     q227ClusterQuality, q231CentroidDrift, q234NprobeSweep, q247Rbo,
-    q252StreamingSemanticGate, q260IvfCompaction)
+    q252StreamingSemanticGate, q260IvfCompaction,
+    q262NprobeSweepSampled)
 }
 
 /** One Lloyd pass / nearest-cell assignment in DuckDB SQL, shared by

@@ -164,6 +164,51 @@ class DedupSpec extends SparkSpecBase {
       s"wrapper leaked ${left.size} persistent RDDs")
   }
 
+  test("staleness checksum: a same-count key mutation reads stale, " +
+      "and the grown-store probe answers from the gatelog pointer " +
+      "stamp (no generation-scan job)") {
+    import spark.implicits._
+    import graft.operators.Stores
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_chk_").toString
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    Dedup.writeMinhashStore(base, "doc_id", "text", dir)
+    assert(Dedup.minhashStoreIsCurrent(base, dir))
+    // same row count, one key swapped for a different key: count
+    // equality alone reads current — the additive key checksum in the
+    // manifest must not
+    val mutated = base.filter(col("doc_id") =!= 5L).unionByName(
+      Seq((9999L, "swapped in under the same count"))
+        .toDF("doc_id", "text"))
+    assert(mutated.count() == base.count(), "fixture must be same-count")
+    assert(!Dedup.minhashStoreIsCurrent(mutated, dir),
+      "a same-count key mutation read as current")
+    // grow the store by one append: the commit records the running
+    // admitted stamp in the gatelog POINTER, so the staleness probe
+    // needs no distinct-count job over generation dirs
+    val admitted = Seq(
+      (7000L, "zebra quark lantern voyage ember crystal meadow pylon"))
+      .toDF("doc_id", "text")
+    Dedup.appendToMinhashStore(admitted, "text", dir)
+    assert(Stores.lastAdmitted(spark, s"$dir/gatelog")
+        .exists(_._1 == 1L),
+      "the append commit did not record the running admitted stamp")
+    assert(Dedup.minhashStoreIsCurrent(base.unionByName(admitted), dir))
+    // a same-count mutation of the GROWN corpus also reads stale
+    assert(!Dedup.minhashStoreIsCurrent(
+      mutated.unionByName(admitted), dir))
+    // and a second append accumulates onto the recorded total
+    val admitted2 = Seq(
+      (7001L, "orchid basalt nimbus ferret cobalt prairie sonnet"))
+      .toDF("doc_id", "text")
+    Dedup.appendToMinhashStore(admitted2, "text", dir)
+    assert(Stores.lastAdmitted(spark, s"$dir/gatelog")
+      .exists(_._1 == 2L))
+    assert(Dedup.minhashStoreIsCurrent(
+      base.unionByName(admitted).unionByName(admitted2), dir))
+  }
+
   test("minhashStoreIsCurrent counts committed generations: a grown " +
       "store stays current against base ∪ admitted, not against the " +
       "base corpus") {
@@ -712,6 +757,35 @@ class DedupSpec extends SparkSpecBase {
       val p = r.getAs[Double]("recall_est")
       assert(p >= 0.0 && p <= 1.0)
     }
+  }
+
+  test("sampled recall audit (q261): every populated band's Wilson " +
+      "interval brackets the exact per-band recall (q176), and the " +
+      "full-corpus detected count matches the exact audit's total") {
+    val exact = graft.queries.DedupQueries.q176LshRecallAudit
+      .run(spark, sf).collect()
+      .map(r => r.getAs[Int]("band") ->
+        (r.getAs[Double]("recall"), r.getAs[Long]("n_detected"))).toMap
+    val est = graft.queries.DedupQueries.q261LshRecallAuditSampled
+      .run(spark, sf).collect()
+    assert(est.nonEmpty, "sampled audit produced no bands")
+    est.foreach { r =>
+      val b = r.getAs[Int]("band")
+      val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo <= hi && lo >= 0.0 && hi <= 1.0,
+        s"band=$b: bad CI [$lo, $hi]")
+      assert(exact.contains(b),
+        s"sampled band $b absent from the exact audit")
+      assert(lo <= exact(b)._1 && exact(b)._1 <= hi,
+        s"band=$b: exact recall ${exact(b)._1} outside CI [$lo, $hi]")
+    }
+    // the detector's own output is measured unchanged: q261's exact
+    // full-corpus detected-pair count equals the exact audit's total
+    // (detected ⊆ truth by construction, so the audits partition the
+    // same pair set)
+    val nDetFull = est.head.getAs[Long]("n_detected_full")
+    assert(nDetFull == exact.values.map(_._2).sum,
+      s"n_detected_full $nDetFull != q176 total detected")
   }
 
   test("store-resident band sweep (q258) reproduces the from-scratch " +

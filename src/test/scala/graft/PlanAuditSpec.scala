@@ -131,6 +131,10 @@ class PlanAuditSpec extends SparkSpecBase {
       // q234's truth pass broadcasts the ≤16-query set (q34's shape)
       // and the sweep crosses a 1-row pair-count total (q76)
       "q234_nprobe_sweep",
+      // q262 is q234's sampled twin: broadcasts the ≤17 sampled-query
+      // truth set (q34's shape) and crosses the same 1-row pair-count
+      // total; the scan-cost side is a numCells-row equi-join
+      "q262_nprobe_sweep_sampled",
       // q236 assembles six 1-row statistic frames (totals, entropies,
       // MI, cat counts) with crosses — all single-row (q76); the only
       // data-sized work is the one joint grouped aggregate

@@ -146,6 +146,36 @@ class SimilaritySpec extends SparkSpecBase {
     assert(!Similarity.ivfStoreIsCurrent(store, dir))
   }
 
+  test("IVF staleness checksum: a same-count id mutation reads " +
+      "stale, and the grown-store probe answers from the gatelog " +
+      "pointer stamp") {
+    import graft.operators.Stores
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_chk_").toString
+    val e = Tables.embeddings(spark, sf)
+    val store = e.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.writeIvfStore(store, "vec_id", "embedding", dir,
+      numCells = 8, kmeansIters = 1)
+    assert(Similarity.ivfStoreIsCurrent(store, dir))
+    // same count, one id swapped: only the manifest checksum can tell
+    val mutated = store.filter(col("vec_id") =!= 3)
+      .unionByName(e.filter(col("vec_id") === 200)
+        .select(col("vec_id"), col("embedding")))
+    assert(mutated.count() == store.count())
+    assert(!Similarity.ivfStoreIsCurrent(mutated, dir),
+      "a same-count id mutation read as current")
+    // append records the running admitted stamp in the pointer
+    val novel = e.filter(col("vec_id") >= 100 && col("vec_id") < 103)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.appendToIvfStore(novel, "embedding", dir)
+    assert(Stores.lastAdmitted(spark, s"$dir/gatelog")
+      .exists(_._1 == 3L))
+    assert(Similarity.ivfStoreIsCurrent(store.unionByName(novel), dir))
+    assert(!Similarity.ivfStoreIsCurrent(
+      mutated.unionByName(novel), dir))
+  }
+
   test("semanticIntraBatchFlags keeps the min id of a within-batch " +
       "copy pair under the index's frozen centroids") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_intra_spec")
@@ -533,6 +563,52 @@ class SimilaritySpec extends SparkSpecBase {
     val recalls = r1.map(_.getDouble(3)).toSeq
     assert(recalls == recalls.sorted, "recall must be non-decreasing")
     assert(recalls.last === 1.0, "full probe depth must find every pair")
+  }
+
+  test("sampled nprobe sweep (q262): the Wilson interval brackets " +
+      "the exact 80-query recall at every probe depth, the scan-cost " +
+      "column is exact, and full depth finds every sampled pair") {
+    // the exact anchor is the FULL 80-query sweep — the audit the
+    // sampled row replaces (the query stratum estimates the query
+    // POPULATION's recall; truth membership stays competition-exact
+    // against the full corpus, so the estimator is unbiased and the
+    // deterministic interval localizes the exact curve at this SF)
+    val e = Tables.embeddings(spark, sf)
+    val exact = Similarity.ivfRecallSweep(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 80), "vec_id", "embedding",
+        k = 5, numCells = 16, kmeansIters = 1).collect()
+      .map(r => r.getAs[Long]("nprobe") -> r.getAs[Double]("recall"))
+      .toMap
+    val est = graft.queries.SimilarityQueries.q262NprobeSweepSampled
+      .run(spark, sf).collect()
+    assert(est.length == 16, s"expected 16 depths, got ${est.length}")
+    // a 95% interval read at 16 (correlated) depths is EXPECTED to
+    // graze once in a while — the pin admits the nominal miss rate
+    // (≥ 14/16 strictly bracketed) but bounds every miss to half a
+    // recall point, so a biased estimator (the corpus-stratum design
+    // this query deliberately avoids missed by 26 points at depth 1)
+    // still fails loudly
+    val bracketed = est.map { r =>
+      val np = r.getAs[Long]("nprobe")
+      val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo <= hi && lo >= 0.0 && hi <= 1.0,
+        s"nprobe=$np: bad CI [$lo, $hi]")
+      assert(lo - 0.005 <= exact(np) && exact(np) <= hi + 0.005,
+        s"nprobe=$np: exact recall ${exact(np)} far outside CI [$lo, $hi]")
+      lo <= exact(np) && exact(np) <= hi
+    }
+    assert(bracketed.count(identity) >= 14,
+      s"only ${bracketed.count(identity)}/16 depths strictly bracketed")
+    // the exact operator-side cost axis: n_scanned is non-decreasing
+    // and at full depth equals queries × corpus (every cell scanned
+    // for every query); recall_est reaches 1 at full depth (all
+    // sampled truth cells probed)
+    val scans = est.map(_.getAs[Long]("n_scanned")).toSeq
+    assert(scans == scans.sorted, "n_scanned must be non-decreasing")
+    assert(scans.last == 80L * e.count(),
+      s"full-depth scan ${scans.last} != 80 * corpus")
+    assert(est.last.getAs[Double]("recall_est") === 1.0,
+      "full probe depth must find every sampled pair")
   }
 
   test("ivfRecallSweep over a persisted store equals the in-plan " +
