@@ -415,6 +415,53 @@ object IncrementalLoad {
       s"$offset -1 ${writerToken(newCheckpoint)}")
   }
 
+  /** The two gates' shared foreachBatch protocol shell — the
+    * structural twin the gate wires re-rolled, factored once:
+    * incarnation pin + horizon ownership at wire start, then per
+    * micro-batch intent-before-commit, slot ownership at the
+    * gen == stamp boundary, decide-once skip of committed
+    * generations, and the atomic gatelog commit carrying the stamp,
+    * the writer token, and the running admitted stamp the body
+    * returns. `admit(batch, gen)` performs the store-type-specific
+    * middle — probe, admitted-rows write, generation writes — and
+    * returns the NEW running admitted (count, checksum) total to
+    * commit. */
+  private def runGateWire(spark: SparkSession, stream: DataFrame,
+                          storePath: String, checkpoint: String)
+                         (admit: (DataFrame, Long) => (Long, Long))
+      : StreamingQuery = {
+    val gatelog = s"$storePath/gatelog"
+    val id = incarnation(spark, checkpoint, gatelog)
+    requireHorizonOwned(spark, id, gatelog)
+    val inc = id.inc
+    val seen = new java.util.concurrent.atomic.AtomicLong(
+      inc.committedThrough)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        recordIntent(spark, checkpoint, id, seen, batchId)
+        val gen = inc.gen(batchId)
+        val last = graft.operators.Stores.lastApplied(spark, gatelog)
+        if (gen == last) requireOwnSlot(spark, id, gatelog, gen)
+        if (gen > last) {
+          val total = admit(batch, gen)
+          // the stamp rides the pointer flip, atomic with the running
+          // admitted total; the one-row payload stays for readers
+          // that predate the pointer-stamp protocol
+          graft.operators.Stores.commitPayload(spark, gatelog,
+              Some(gen),
+              Option(id.writer).filter(_.nonEmpty),
+              Some(total)) { dir =>
+            import org.apache.spark.sql.functions.lit
+            spark.range(1).select(lit(gen).as("applied"))
+              .write.mode("overwrite").parquet(dir)
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming NEAR-dup gate (★ — the nightly-ingest posture run as a
     * stream): every micro-batch first self-probes for WITHIN-batch
     * near-dups (keep the min key —
@@ -474,101 +521,73 @@ object IncrementalLoad {
   def streamingNearDupGate(spark: SparkSession, stream: DataFrame,
                            textCol: String, storePath: String,
                            admittedPath: String, checkpoint: String,
-                           threshold: Double = 0.5): StreamingQuery = {
-    // incarnation-start: pin this checkpoint's batch-id → generation
-    // mapping and refuse a horizon another writer moved (see
-    // incarnation / requireHorizonOwned)
-    val id = incarnation(spark, checkpoint, s"$storePath/gatelog")
-    requireHorizonOwned(spark, id, s"$storePath/gatelog")
-    val inc = id.inc
-    val seen = new java.util.concurrent.atomic.AtomicLong(
-      inc.committedThrough)
-    stream.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import org.apache.spark.sql.functions.{col, lit}
-        val D = graft.operators.Dedup
-        val gatelog = s"$storePath/gatelog"
-        recordIntent(spark, checkpoint, id, seen, batchId)
-        val gen = inc.gen(batchId)
-        val last = graft.operators.Stores.lastApplied(spark, gatelog)
-        if (gen == last) requireOwnSlot(spark, id, gatelog, gen)
-        if (gen > last) {
-          val base = D.readMinhashStoreBase(spark, storePath)
-          def upTo(ds: String, b: DataFrame): DataFrame =
-            graft.operators.Stores.withGenerations(spark, storePath,
-              ds, b, gen, strict = true)
-          // the batch is signed exactly ONCE per micro-batch: these two
-          // CACHED frames feed the intra pass, the store probe, AND the
-          // admission append (re-deriving them per consumer signs the
-          // batch three times). cache(), not localCheckpoint: the
-          // shingle frame is the batch × shingles row explosion, and
-          // checkpointing it writes gigabytes to the block store at
-          // scale where memory-speed reuse is the whole point.
-          val bb = D.minhashBandBuckets(batch, base.keyCol, textCol,
-            base.k, base.numHashes, base.bands).cache()
-          val bsh = D.portableShingleHashes(batch, base.keyCol, textCol,
-            base.k).cache()
-          // intra-batch pass FIRST: two near-dups arriving in the SAME
-          // micro-batch are invisible to the store probe (neither is
-          // in the index yet) and would both admit — self-probe the
-          // batch and keep the min key (the q32 within-corpus rule),
-          // exactly the within-batch dedup a nightly-batch posture
-          // composes before its store probe. Deterministic, so replays
-          // recompute the identical survivor set.
-          val intra = D.intraFlagsCore(bb, bsh, base.keyCol, threshold)
-            .localCheckpoint(true)
-          val survBB = bb.join(intra, Seq(base.keyCol), "left_anti")
-          val survSH = bsh.join(intra, Seq(base.keyCol), "left_anti")
-          val flagged = D.nearDupProbeCore(survBB, survSH, base.keyCol,
-              upTo("buckets", base.buckets),
-              upTo("shingles", base.shingles), threshold)
-            .select(col("b").as(base.keyCol))
-          val admitted = batch
-            .join(intra, Seq(base.keyCol), "left_anti")
-            .join(flagged, Seq(base.keyCol), "left_anti")
-            .localCheckpoint(true)
-          // ALWAYS overwrite this generation — an empty admit set
-          // still writes empty datasets, so an orphan generation left
-          // at this id by a crashed prior incarnation (fresh-
-          // checkpoint handoff: new offset = old stamp + 1 lands
-          // exactly on the orphan's slot) is clobbered rather than
-          // silently adopted when the stamp advances past it
-          admitted.write.mode("overwrite")
-            .parquet(s"$admittedPath/batch=$gen")
-          val keys = admitted.select(col(base.keyCol))
-          D.writeGateAppend(
-            bb.join(keys, Seq(base.keyCol), "left_semi"),
-            storePath, "buckets", gen)
-          D.writeGateAppend(
-            bsh.join(keys, Seq(base.keyCol), "left_semi"),
-            storePath, "shingles", gen)
-          // the stamp rides the pointer flip; the one-row payload stays
-          // for readers that predate the pointer-stamp protocol. The
-          // running admitted stamp (prior total + this batch's
-          // admitted keys) commits atomically with the generation, so
-          // minhashStoreIsCurrent stays a marker read — the prior
-          // total is itself a pointer read on stamped gatelogs.
-          val total = graft.operators.Stores.addStamp(
-            D.minhashAdmittedStamp(spark, storePath, base.keyCol),
-            graft.operators.Stores.keyStamp(admitted, base.keyCol))
-          graft.operators.Stores.commitPayload(spark, gatelog,
-              Some(gen),
-              Option(id.writer).filter(_.nonEmpty),
-              Some(total)) { dir =>
-            spark.range(1).select(lit(gen).as("applied"))
-              .write.mode("overwrite").parquet(dir)
-          }
-          bb.unpersist(blocking = false)
-          bsh.unpersist(blocking = false)
-          Seq(intra, admitted).foreach(df =>
-            graft.operators.Graph.checkpointRdd(df)
-              .foreach(_.unpersist(false)))
-        }
-      }
-      .start()
-  }
+                           threshold: Double = 0.5): StreamingQuery =
+    runGateWire(spark, stream, storePath, checkpoint) { (batch, gen) =>
+      import org.apache.spark.sql.functions.col
+      val D = graft.operators.Dedup
+      val base = D.readMinhashStoreBase(spark, storePath)
+      def upTo(ds: String, b: DataFrame): DataFrame =
+        graft.operators.Stores.withGenerations(spark, storePath,
+          ds, b, gen, strict = true)
+      // the batch is signed exactly ONCE per micro-batch: these two
+      // CACHED frames feed the intra pass, the store probe, AND the
+      // admission append (re-deriving them per consumer signs the
+      // batch three times). cache(), not localCheckpoint: the
+      // shingle frame is the batch × shingles row explosion, and
+      // checkpointing it writes gigabytes to the block store at
+      // scale where memory-speed reuse is the whole point.
+      val bb = D.minhashBandBuckets(batch, base.keyCol, textCol,
+        base.k, base.numHashes, base.bands).cache()
+      val bsh = D.portableShingleHashes(batch, base.keyCol, textCol,
+        base.k).cache()
+      // intra-batch pass FIRST: two near-dups arriving in the SAME
+      // micro-batch are invisible to the store probe (neither is
+      // in the index yet) and would both admit — self-probe the
+      // batch and keep the min key (the q32 within-corpus rule),
+      // exactly the within-batch dedup a nightly-batch posture
+      // composes before its store probe. Deterministic, so replays
+      // recompute the identical survivor set.
+      val intra = D.intraFlagsCore(bb, bsh, base.keyCol, threshold)
+        .localCheckpoint(true)
+      val survBB = bb.join(intra, Seq(base.keyCol), "left_anti")
+      val survSH = bsh.join(intra, Seq(base.keyCol), "left_anti")
+      val flagged = D.nearDupProbeCore(survBB, survSH, base.keyCol,
+          upTo("buckets", base.buckets),
+          upTo("shingles", base.shingles), threshold)
+        .select(col("b").as(base.keyCol))
+      val admitted = batch
+        .join(intra, Seq(base.keyCol), "left_anti")
+        .join(flagged, Seq(base.keyCol), "left_anti")
+        .localCheckpoint(true)
+      // ALWAYS overwrite this generation — an empty admit set
+      // still writes empty datasets, so an orphan generation left
+      // at this id by a crashed prior incarnation (fresh-
+      // checkpoint handoff: new offset = old stamp + 1 lands
+      // exactly on the orphan's slot) is clobbered rather than
+      // silently adopted when the stamp advances past it
+      admitted.write.mode("overwrite")
+        .parquet(s"$admittedPath/batch=$gen")
+      val keys = admitted.select(col(base.keyCol))
+      D.writeGateAppend(
+        bb.join(keys, Seq(base.keyCol), "left_semi"),
+        storePath, "buckets", gen)
+      D.writeGateAppend(
+        bsh.join(keys, Seq(base.keyCol), "left_semi"),
+        storePath, "shingles", gen)
+      // running admitted stamp = prior total (a pointer read on
+      // stamped gatelogs) + this batch's admitted keys — committed
+      // atomically with the generation by the shell, so
+      // minhashStoreIsCurrent stays a marker read
+      val total = graft.operators.Stores.addStamp(
+        D.minhashAdmittedStamp(spark, storePath, base.keyCol),
+        graft.operators.Stores.keyStamp(admitted, base.keyCol))
+      bb.unpersist(blocking = false)
+      bsh.unpersist(blocking = false)
+      Seq(intra, admitted).foreach(df =>
+        graft.operators.Graph.checkpointRdd(df)
+          .foreach(_.unpersist(false)))
+      total
+    }
 
   /** Streaming SEMANTIC gate — the [[streamingNearDupGate]] posture
     * for the embedding tier: every micro-batch first self-probes for
@@ -598,76 +617,52 @@ object IncrementalLoad {
   def streamingSemanticGate(spark: SparkSession, stream: DataFrame,
                             vecCol: String, storePath: String,
                             admittedPath: String, checkpoint: String,
-                            threshold: Double = 0.999): StreamingQuery = {
-    // incarnation-start: the near-dup gate's pin + ownership check
-    val id = incarnation(spark, checkpoint, s"$storePath/gatelog")
-    requireHorizonOwned(spark, id, s"$storePath/gatelog")
-    val inc = id.inc
-    val seen = new java.util.concurrent.atomic.AtomicLong(
-      inc.committedThrough)
-    stream.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import org.apache.spark.sql.functions.{col, lit}
-        val S = graft.operators.Similarity
-        val gatelog = s"$storePath/gatelog"
-        recordIntent(spark, checkpoint, id, seen, batchId)
-        val gen = inc.gen(batchId)
-        val last = graft.operators.Stores.lastApplied(spark, gatelog)
-        if (gen == last) requireOwnSlot(spark, id, gatelog, gen)
-        if (gen > last) {
-          val base = S.readIvfStoreBase(spark, storePath)
-          val vectors = graft.operators.Stores.withGenerations(spark,
-            storePath, "vectors", base.vectors, gen, strict = true)
-          // the batch is assigned exactly ONCE per micro-batch: this
-          // CACHED frame feeds the intra pass, the store probe, AND
-          // the admission append (the near-dup gate's sign-once rule)
-          val rows = S.ivfStoreRows(batch, base.idCol, vecCol,
-            base.centroids).cache()
-          // intra-batch pass FIRST (the near-dup gate's rule for the
-          // embedding tier): two semantic near-dups arriving in one
-          // micro-batch would both admit against an index containing
-          // neither — self-probe the batch within the index's own
-          // cells and keep the min id before the store probe.
-          val intra = S.semanticIntraFlagsCore(rows, base.idCol,
-            threshold).localCheckpoint(true)
-          val survRows = rows.join(intra, Seq(base.idCol), "left_anti")
-          val flagged = S.semanticProbeCore(survRows, vectors,
-              base.idCol, threshold)
-            .select(col("b").as(base.idCol))
-          val admitted = batch
-            .join(intra, Seq(base.idCol), "left_anti")
-            .join(flagged, Seq(base.idCol), "left_anti")
-            .localCheckpoint(true)
-          // always overwrite this generation (the near-dup gate's
-          // orphan-clobber rule)
-          admitted.write.mode("overwrite")
-            .parquet(s"$admittedPath/batch=$gen")
-          S.writeGateVectors(
-            rows.join(admitted.select(col(base.idCol)),
-              Seq(base.idCol), "left_semi"),
-            storePath, gen)
-          // running admitted stamp commits with the generation (the
-          // near-dup gate's rule)
-          val total = graft.operators.Stores.addStamp(
-            S.ivfAdmittedStamp(spark, storePath, base.idCol),
-            graft.operators.Stores.keyStamp(admitted, base.idCol))
-          graft.operators.Stores.commitPayload(spark, gatelog,
-              Some(gen),
-              Option(id.writer).filter(_.nonEmpty),
-              Some(total)) { dir =>
-            spark.range(1).select(lit(gen).as("applied"))
-              .write.mode("overwrite").parquet(dir)
-          }
-          rows.unpersist(blocking = false)
-          Seq(intra, admitted).foreach(df =>
-            graft.operators.Graph.checkpointRdd(df)
-              .foreach(_.unpersist(false)))
-        }
-      }
-      .start()
-  }
+                            threshold: Double = 0.999): StreamingQuery =
+    runGateWire(spark, stream, storePath, checkpoint) { (batch, gen) =>
+      import org.apache.spark.sql.functions.col
+      val S = graft.operators.Similarity
+      val base = S.readIvfStoreBase(spark, storePath)
+      val vectors = graft.operators.Stores.withGenerations(spark,
+        storePath, "vectors", base.vectors, gen, strict = true)
+      // the batch is assigned exactly ONCE per micro-batch: this
+      // CACHED frame feeds the intra pass, the store probe, AND
+      // the admission append (the near-dup gate's sign-once rule)
+      val rows = S.ivfStoreRows(batch, base.idCol, vecCol,
+        base.centroids).cache()
+      // intra-batch pass FIRST (the near-dup gate's rule for the
+      // embedding tier): two semantic near-dups arriving in one
+      // micro-batch would both admit against an index containing
+      // neither — self-probe the batch within the index's own
+      // cells and keep the min id before the store probe.
+      val intra = S.semanticIntraFlagsCore(rows, base.idCol,
+        threshold).localCheckpoint(true)
+      val survRows = rows.join(intra, Seq(base.idCol), "left_anti")
+      val flagged = S.semanticProbeCore(survRows, vectors,
+          base.idCol, threshold)
+        .select(col("b").as(base.idCol))
+      val admitted = batch
+        .join(intra, Seq(base.idCol), "left_anti")
+        .join(flagged, Seq(base.idCol), "left_anti")
+        .localCheckpoint(true)
+      // always overwrite this generation (the near-dup gate's
+      // orphan-clobber rule)
+      admitted.write.mode("overwrite")
+        .parquet(s"$admittedPath/batch=$gen")
+      S.writeGateVectors(
+        rows.join(admitted.select(col(base.idCol)),
+          Seq(base.idCol), "left_semi"),
+        storePath, gen)
+      // running admitted stamp, committed with the generation by the
+      // shell (the near-dup gate's rule)
+      val total = graft.operators.Stores.addStamp(
+        S.ivfAdmittedStamp(spark, storePath, base.idCol),
+        graft.operators.Stores.keyStamp(admitted, base.idCol))
+      rows.unpersist(blocking = false)
+      Seq(intra, admitted).foreach(df =>
+        graft.operators.Graph.checkpointRdd(df)
+          .foreach(_.unpersist(false)))
+      total
+    }
 
   /** Streaming Count-Min fold — the sketch-store posture of the gate
     * above: every micro-batch's increments fold into the persisted
