@@ -731,6 +731,13 @@ object Dedup {
   def compactMinhashStore(spark: org.apache.spark.sql.SparkSession,
                           path: String, newPath: String): Unit = {
     val base = readMinhashStoreBase(spark, path) // validates constants
+    // newPath should be a FRESH root, but enforce it: a dirty root —
+    // generation dirs, a gatelog, or a sigs dataset left by a prior
+    // life — would otherwise union stale rows into (or advertise
+    // signatures inconsistent with) the compacted base. Params goes
+    // first, so every crash window reads as "no store here".
+    Stores.clearGateState(spark, newPath,
+      Seq("sigs", "buckets-batches", "shingles-batches"))
     Stores.foldGenerations(spark, path, newPath,
       Seq("buckets" -> base.buckets, "shingles" -> base.shingles))
     // the compacted manifest's (n_docs, src_check) = the base

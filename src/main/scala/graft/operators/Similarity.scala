@@ -554,6 +554,11 @@ object Similarity {
   def compactIvfStore(spark: org.apache.spark.sql.SparkSession,
                       path: String, newPath: String): Unit = {
     val base = readIvfStoreBase(spark, path) // validates round_scale
+    // enforce a fresh target root (the compactMinhashStore rule): a
+    // gatelog or vector generations left at newPath by a prior life
+    // would union stale rows into the compacted base
+    graft.operators.Stores.clearGateState(spark, newPath,
+      Seq("vectors-batches"))
     base.centroids.write.mode("overwrite")
       .parquet(s"$newPath/centroids")
     graft.operators.Stores.foldGenerations(spark, path, newPath,

@@ -1527,7 +1527,8 @@ object RelationalQueries {
     // spark.sql.parquet.aggregatePushDown on clusters where the probe
     // should never touch row data)
     val src = Tables.lineitem(s, dir)
-      .agg(count(lit(1)), max(col("l_orderkey"))).head()
+      .agg(count(lit(1)),
+        coalesce(max(col("l_orderkey")), lit(-1L))).head()
     val (nLi, maxKey) = (src.getLong(0), src.getLong(1))
     if (!G.edgeStoreIsCurrent(s, path, nLi, maxKey))
       G.writeEdgeStore(BackboneSql.edges(s, dir), path, nLi, maxKey)

@@ -284,13 +284,18 @@ object IncrementalLoad {
     // pre-marker checkpoint) bounds intent by its own COMMITTED batch
     // ids, but the pre-upgrade protocol's normal crash window — store
     // stamp flipped to N, Spark's commit for N lost — leaves the
-    // stamp ONE slot past the committed horizon. That is a routine
-    // crash recovery (the replay of N skips at gen == stamp under the
-    // legacy-tolerant requireOwnSlot), not a foreign writer: allow
-    // exactly one slot of slack there. Marker-carrying incarnations
-    // record INTENT (written before any commit), so their bound is
-    // exact and gets no slack; and a legacy store grown by ≥2 foreign
-    // appends still fails loudly below.
+    // stamp ONE slot past the committed horizon. Allow exactly one
+    // slot of slack there: the replay of N then skips at gen == stamp
+    // under the legacy-tolerant requireOwnSlot, which is the routine
+    // crash recovery. The one-slot window is inherently ambiguous for
+    // a markerless checkpoint (a SINGLE foreign append between runs
+    // looks identical and would also skip — exactly the pre-upgrade
+    // protocol's behavior, which this tolerance deliberately
+    // preserves rather than turning into a hard failure with a
+    // misleading diagnosis); marker-carrying incarnations record
+    // INTENT before any commit, so their bound is exact, gets no
+    // slack, and tells the two apart by writer token. A legacy store
+    // grown ≥2 past its horizon still fails loudly below.
     val slack = if (id.writer.isEmpty) 1L else 0L
     require(last <= inc.offset + inc.committedThrough + slack,
       s"store marker at $markerRoot sits at $last, past this " +

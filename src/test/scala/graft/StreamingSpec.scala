@@ -1125,6 +1125,21 @@ class StreamingSpec extends SparkSpecBase {
     Dedup.writeGateAppend(
       Dedup.portableShingleHashes(orphan, "doc_id", "text"),
       storePath, "shingles", 99L)
+    // the TARGET root is dirty from a prior life: a committed-looking
+    // generation plus its gatelog — compaction must clear it, or the
+    // compacted reader would union the stale 7600 rows into the fresh
+    // base (the writeMinhashStore rebuild rule, applied to the
+    // compaction target)
+    val stale = Seq((7600L, "stale row from the target root's past"))
+      .toDF("doc_id", "text")
+    Dedup.writeGateAppend(
+      Dedup.minhashBandBuckets(stale, "doc_id", "text"),
+      newPath, "buckets", 0L)
+    graft.operators.Stores.commitPayload(spark, s"$newPath/gatelog",
+        Some(0L)) { dir =>
+      spark.range(1).select(lit(0L).as("applied"))
+        .write.mode("overwrite").parquet(dir)
+    }
     Dedup.compactMinhashStore(spark, storePath, newPath)
     // the compacted root is a plain base store: no generation roots,
     // no gatelog to list per probe
@@ -1139,6 +1154,9 @@ class StreamingSpec extends SparkSpecBase {
     assertBagEqual(compacted.shingles, grown.shingles)
     assert(compacted.buckets.filter(col("doc_id") === 7002L).isEmpty,
       "an uncommitted generation leaked into the compaction")
+    assert(compacted.buckets.filter(col("doc_id") === 7600L).isEmpty,
+      "the dirty target root's stale generation leaked into the " +
+        "compaction")
     // the compacted manifest counts the grown corpus, so the staleness
     // probe accepts exactly base ∪ admitted
     val grownCorpus = corpus.unionByName(
