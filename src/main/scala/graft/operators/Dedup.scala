@@ -730,6 +730,15 @@ object Dedup {
     * tuning path needs one over the grown corpus. */
   def compactMinhashStore(spark: org.apache.spark.sql.SparkSession,
                           path: String, newPath: String): Unit = {
+    // self-compaction is inexpressible under the generation protocol
+    // (the target clear below would delete the very generations being
+    // folded, and the fold cannot read a dataset it is overwriting) —
+    // refuse it loudly before touching anything
+    require(new org.apache.hadoop.fs.Path(path) !=
+        new org.apache.hadoop.fs.Path(newPath),
+      s"compactMinhashStore target equals the source root ($path) — " +
+        "compaction folds into a FRESH root; hand the stream off " +
+        "afterwards (IncrementalLoad.handoffCompacted)")
     val base = readMinhashStoreBase(spark, path) // validates constants
     // newPath should be a FRESH root, but enforce it: a dirty root —
     // generation dirs, a gatelog, or a sigs dataset left by a prior

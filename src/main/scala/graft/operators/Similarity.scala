@@ -553,6 +553,12 @@ object Similarity {
     * re-arrives through the source. */
   def compactIvfStore(spark: org.apache.spark.sql.SparkSession,
                       path: String, newPath: String): Unit = {
+    // self-compaction is inexpressible (the compactMinhashStore rule:
+    // the target clear would delete the generations being folded)
+    require(new org.apache.hadoop.fs.Path(path) !=
+        new org.apache.hadoop.fs.Path(newPath),
+      s"compactIvfStore target equals the source root ($path) — " +
+        "compaction folds into a FRESH root")
     val base = readIvfStoreBase(spark, path) // validates round_scale
     // enforce a fresh target root (the compactMinhashStore rule): a
     // gatelog or vector generations left at newPath by a prior life

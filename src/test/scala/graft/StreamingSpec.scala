@@ -1172,6 +1172,15 @@ class StreamingSpec extends SparkSpecBase {
     assert(flagged.select("b", "best_match").as[(Long, Long)]
         .collect().toSet == Set((9000L, 7000L)),
       "compacted store must flag a near-dup of an admitted doc")
+    // self-compaction is refused before anything is touched (the
+    // target clear would delete the generations being folded)
+    val exSelf = intercept[IllegalArgumentException] {
+      Dedup.compactMinhashStore(spark, storePath, storePath)
+    }
+    assert(exSelf.getMessage.contains("FRESH root"), exSelf.getMessage)
+    assert(graft.operators.Stores.lastApplied(
+        spark, s"$storePath/gatelog") == 1L,
+      "the refused self-compaction touched the source store")
     // manifest-last: a compaction that crashed before its params write
     // reads as "no store" and never half-probes
     val crashed = root.resolve("crashed").toString
