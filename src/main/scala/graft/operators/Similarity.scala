@@ -1329,6 +1329,41 @@ object Similarity {
   def ivfRecallSweep(store: IvfStore, queries: DataFrame,
                      queryId: String, queryVec: String,
                      k: Int): DataFrame = {
+    val (vecs, cc, cents) = storeAssignment(store)
+    withRecall(recallSweepCore(vecs, cc, cents, queries, queryId,
+      queryVec, k, store.numCells))
+  }
+
+  /** [[ivfRecallSweepSampled]]'s store-reading overload — the q258
+    * posture for the nprobe curve: the sampled audit run ENTIRELY off
+    * the persisted index (frozen centroids, persisted cell
+    * assignments, stored vectors as the truth universe — zero
+    * re-clustering, zero re-assignment), so the routine tuning
+    * instrument is one more reader of the index artifact. On an
+    * unappended store the output is identical to the in-plan sampled
+    * sweep with the same parameters (SimilaritySpec pins this,
+    * closing the store-lifecycle loop the way q258 closed it for the
+    * band sweep). */
+  def ivfRecallSweepSampled(store: IvfStore, queries: DataFrame,
+                            queryId: String, queryVec: String,
+                            k: Int): DataFrame = {
+    val (vecs, cc, cents) = storeAssignment(store)
+    recallSweepCore(vecs, cc, cents, queries, queryId, queryVec, k,
+        store.numCells,
+        truthQueryPred = Some(
+          graft.functions.Scalars.portableHash64(col("q_id")) % 10 < 2),
+        withScan = true)
+      .select(col("nprobe"), col("n_scanned"),
+        col("n_found").as("n_found_sampled"),
+        col("n_pairs").as("n_true_sampled"))
+  }
+
+  /** Shared store-reading prelude of the sweep forms: the persisted
+    * vectors, their persisted cell assignments (verbatim — the curve
+    * must describe the index on disk), and the frozen centroid list
+    * (guard-bounded collect). */
+  private def storeAssignment(store: IvfStore)
+      : (DataFrame, DataFrame, List[(Long, List[Double])]) = {
     require(store.numCells >= 2 && store.numCells <= 256,
       s"numCells=${store.numCells} out of the audit guard [2, 256]")
     val vecs = store.vectors.select(
@@ -1343,8 +1378,7 @@ object Similarity {
       .select(col("cell").cast("long").as("cell"), col("cent_vec"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList))
       .sortBy(_._1).toList
-    withRecall(recallSweepCore(vecs, cc, cents, queries, queryId,
-      queryVec, k, store.numCells))
+    (vecs, cc, cents)
   }
 
   /** The sweep body shared by the in-plan, store-reading, and sampled

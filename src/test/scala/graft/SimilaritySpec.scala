@@ -611,6 +611,31 @@ class SimilaritySpec extends SparkSpecBase {
       "full probe depth must find every sampled pair")
   }
 
+  test("ivfRecallSweepSampled over a persisted store reproduces the " +
+      "in-plan sampled sweep bit-for-bit on an unappended index") {
+    // the q258 discipline for the nprobe curve: the routine sampled
+    // audit must be runnable entirely off the index artifact without
+    // the two paths drifting
+    val e = Tables.embeddings(spark, sf).limit(200)
+    val q = e.filter(col("vec_id") < 80)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ssweep_store").toString
+    Similarity.writeIvfStore(e, "vec_id", "embedding", dir,
+      numCells = 4, kmeansIters = 1)
+    val fromStore = Similarity.ivfRecallSweepSampled(
+        Similarity.readIvfStore(spark, dir), q, "vec_id", "embedding",
+        k = 3).orderBy(col("nprobe")).collect().toSeq
+    val inPlan = Similarity.ivfRecallSweepSampled(e, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 3, numCells = 4,
+        kmeansIters = 1).orderBy(col("nprobe")).collect().toSeq
+    assert(fromStore == inPlan,
+      "store-read sampled sweep diverged from the in-plan one")
+    // and the truth really is the sampled stratum: fewer pairs than
+    // the exact sweep's 80 × k
+    assert(fromStore.head.getLong(3) < 80L * 3,
+      "sampled truth count should be the stratum's, not the full set")
+  }
+
   test("ivfRecallSweep over a persisted store equals the in-plan " +
       "sweep on an unappended index, and tracks appended rows") {
     val e = Tables.embeddings(spark, sf).limit(100)
