@@ -370,46 +370,56 @@ object Graph {
 
   /** Persist an (a, b) edge frame as a reusable graph artifact:
     * `edges` parquet plus a one-row `params` manifest recording the
-    * SOURCE row count the build derived from AND the source key's max
-    * — the staleness probe (the MinHash store's `n_docs`/`src_check`
-    * discipline: a deterministic build over an immutable warehouse
-    * table makes (count, max-key) equality the right cheap currency
-    * check — both answer from parquet footer statistics, and the max
-    * catches a same-count mutation a bare row count reads as
-    * current). Written edges FIRST, manifest LAST, so
-    * manifest-present implies a complete store and a crash mid-build
-    * reads as absent. At 100 TB this is the artifact that turns every
-    * graph diagnostic from "rebuild li → pairs → kNN" into one
-    * bounded edge-set scan — the build amortizes across the whole
-    * diagnostic family and every scheduled re-run until the source
-    * table actually grows. */
+    * SOURCE row count the build derived from AND the source key
+    * column's additive checksum ([[Stores.keyStamp]] — the SAME
+    * (count, checksum) currency the MinHash/IVF gate stores stamp, so
+    * staleness means one thing across all three store families). The
+    * checksum catches any same-count source mutation — including an
+    * interior key swapped for another that a (count, max-key) stamp
+    * reads as current. Cost note: the checksum side of the probe is a
+    * key-column scan folded into the SAME single aggregation as the
+    * count (it cannot come from parquet footer statistics the way a
+    * max can) — one column of the source table per scheduled probe,
+    * the price of exact currency; the probe never touches the edge
+    * payload. Written edges FIRST, manifest LAST, so manifest-present
+    * implies a complete store and a crash mid-build reads as absent.
+    * At 100 TB this is the artifact that turns every graph diagnostic
+    * from "rebuild li → pairs → kNN" into one bounded edge-set scan —
+    * the build amortizes across the whole diagnostic family and every
+    * scheduled re-run until the source table actually changes. */
   def writeEdgeStore(edges: DataFrame, path: String,
                      nSourceRows: Long,
-                     sourceMaxKey: Long = -1L): Unit = {
+                     srcCheck: Long = -1L): Unit = {
     edges.write.mode("overwrite").parquet(s"$path/edges")
     edges.sparkSession
-      .createDataFrame(Seq((nSourceRows, sourceMaxKey)))
-      .toDF("n_source_rows", "source_max_key")
+      .createDataFrame(Seq((nSourceRows, srcCheck)))
+      .toDF("n_source_rows", "src_check")
       .write.mode("overwrite").parquet(s"$path/params")
   }
 
   /** True when `path` holds a completed edge store built from exactly
-    * `nSourceRows` source rows whose max key was `sourceMaxKey`
+    * `nSourceRows` source rows whose key checksum was `srcCheck`
     * (callers that track no key pass the default −1 on both sides —
-    * the count-only legacy check; a pre-max manifest compares
-    * count-only too). False on absent/partial stores, so callers fall
-    * back to [[writeEdgeStore]]. */
+    * the count-only legacy check; −1 is outside [[Stores.keyStamp]]'s
+    * range, so it cannot collide with a real checksum). A manifest
+    * from the retired (count, max-key) stamp era compares count-only
+    * for an untracked caller and reads STALE for a checksum-tracking
+    * one — the one forced rebuild that upgrades it. False on
+    * absent/partial stores, so callers fall back to
+    * [[writeEdgeStore]]. */
   def edgeStoreIsCurrent(spark: org.apache.spark.sql.SparkSession,
                          path: String, nSourceRows: Long,
-                         sourceMaxKey: Long = -1L): Boolean =
+                         srcCheck: Long = -1L): Boolean =
     try {
       val hp = new org.apache.hadoop.fs.Path(s"$path/params")
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(hp) && {
         val p = spark.read.parquet(s"$path/params").head()
-        p.getAs[Long]("n_source_rows") == nSourceRows &&
-          (!p.schema.fieldNames.contains("source_max_key") ||
-            p.getAs[Long]("source_max_key") == sourceMaxKey)
+        p.getAs[Long]("n_source_rows") == nSourceRows && {
+          if (p.schema.fieldNames.contains("src_check"))
+            p.getAs[Long]("src_check") == srcCheck
+          else srcCheck == -1L
+        }
       }
     } catch { case _: Exception => false }
 

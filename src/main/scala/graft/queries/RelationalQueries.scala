@@ -1521,17 +1521,17 @@ object RelationalQueries {
       : (org.apache.spark.sql.DataFrame, Long) = {
     val G = graft.operators.Graph
     val path = scratchPath("backbone", dir)
-    // (count, max orderkey) in ONE probe job — the max catches a
-    // same-count lineitem mutation the bare count reads as current;
-    // both reduce to parquet footer statistics (enable
-    // spark.sql.parquet.aggregatePushDown on clusters where the probe
-    // should never touch row data)
-    val src = Tables.lineitem(s, dir)
-      .agg(count(lit(1)),
-        coalesce(max(col("l_orderkey")), lit(-1L))).head()
-    val (nLi, maxKey) = (src.getLong(0), src.getLong(1))
-    if (!G.edgeStoreIsCurrent(s, path, nLi, maxKey))
-      G.writeEdgeStore(BackboneSql.edges(s, dir), path, nLi, maxKey)
+    // (count, key checksum) in ONE probe job — Stores.keyStamp, the
+    // gate stores' staleness currency, so ANY same-count lineitem
+    // mutation (including an interior orderkey swap a max-key stamp
+    // misses) reads stale. The checksum costs one l_orderkey column
+    // scan per probe (a max could come from parquet footers; a hash
+    // sum cannot) — still a single aggregation job over one column,
+    // and the probe never touches the edge payload.
+    val (nLi, liCheck) = graft.operators.Stores.keyStamp(
+      Tables.lineitem(s, dir), "l_orderkey")
+    if (!G.edgeStoreIsCurrent(s, path, nLi, liCheck))
+      G.writeEdgeStore(BackboneSql.edges(s, dir), path, nLi, liCheck)
     G.readEdgeStore(s, path)
   }
 

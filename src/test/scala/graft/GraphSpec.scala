@@ -220,16 +220,36 @@ class GraphSpec extends SparkSpecBase {
     assert(Graph.edgeStoreIsCurrent(spark, path, 101L) &&
       !Graph.edgeStoreIsCurrent(spark, path, 100L))
     assert(Graph.readEdgeStore(spark, path)._1.count() == 4L)
-    // max-key stamp: a SAME-COUNT source mutation (key swapped, max
-    // moved) reads stale — count equality alone cannot tell
+    // key-checksum stamp (Stores.keyStamp — the gate stores'
+    // currency): a SAME-COUNT source mutation reads stale even when
+    // it moves neither the count nor the max key — an INTERIOR key
+    // swapped for another, the case the retired (count, max-key)
+    // stamp read as current
+    val src = Seq(10L, 20L, 30L, 500L).toDF("k")
+    val srcSwapped = Seq(10L, 25L, 30L, 500L).toDF("k") // same n, same max
+    val (n0, c0) = graft.operators.Stores.keyStamp(src, "k")
+    val (n1, c1) = graft.operators.Stores.keyStamp(srcSwapped, "k")
+    assert(n0 == n1 && c0 != c1, "keyStamp missed the interior swap")
     val path2 = root.resolve("bb2").toString
-    Graph.writeEdgeStore(grown, path2, 101L, sourceMaxKey = 500L)
-    assert(Graph.edgeStoreIsCurrent(spark, path2, 101L, 500L))
-    assert(!Graph.edgeStoreIsCurrent(spark, path2, 101L, 501L),
-      "a same-count mutation (max key moved) read as current")
+    Graph.writeEdgeStore(grown, path2, n0, c0)
+    assert(Graph.edgeStoreIsCurrent(spark, path2, n0, c0))
+    assert(!Graph.edgeStoreIsCurrent(spark, path2, n1, c1),
+      "a same-count same-max interior mutation read as current")
     // a caller that tracks no key (default −1 on both sides) keeps
     // the count-only check
     assert(Graph.edgeStoreIsCurrent(spark, path, 101L))
+    // a manifest from the (count, max-key) era: count-only for an
+    // untracked caller, stale for a checksum-tracking one (the one
+    // forced rebuild that upgrades it)
+    val path3 = root.resolve("bb3").toString
+    edges.write.parquet(s"$path3/edges")
+    spark.createDataFrame(Seq((101L, 500L)))
+      .toDF("n_source_rows", "source_max_key")
+      .write.parquet(s"$path3/params")
+    assert(Graph.edgeStoreIsCurrent(spark, path3, 101L),
+      "a max-key-era manifest must stay count-only for untracked callers")
+    assert(!Graph.edgeStoreIsCurrent(spark, path3, 101L, c0),
+      "a max-key-era manifest must read stale for a checksum caller")
   }
 
   test("triangleStats normalizes duplicates, reversed edges, and " +
