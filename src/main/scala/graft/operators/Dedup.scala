@@ -573,7 +573,15 @@ object Dedup {
     * stamp when the commits recorded one (a single marker read), else
     * ONE distinct scan over the committed generations — the legacy
     * path, paid once per pre-stamp store because the next commit
-    * records the migrated total. */
+    * records the migrated total. Both paths count a key ONCE per
+    * batch (the commit path distinct-s the admitted keys before
+    * stamping; this fallback distinct-s (batch, key)), so migration
+    * cannot flip a verdict on a duplicated key. Residue the fallback
+    * cannot recover: an admitted doc too short to emit any bucket row
+    * is invisible to the generation scan, so a pre-stamp store that
+    * admitted such docs underreads here and the probe says STALE —
+    * one spurious rebuild in the safe direction, never a false
+    * "current" (the commit path counts those docs exactly). */
   private def admittedStamp(spark: org.apache.spark.sql.SparkSession,
                             path: String, keyCol: String)
       : (Long, Long) =
@@ -691,7 +699,12 @@ object Dedup {
     writeGateAppend(
       portableShingleHashes(batch, st.keyCol, textCol, st.k),
       path, "shingles", next)
-    val total = Stores.addStamp(prior, Stores.keyStamp(batch, st.keyCol))
+    // per-batch stamp over the batch's DISTINCT keys — the same
+    // semantics the pre-stamp fallback recomputes from generations
+    // (distinct (batch, key)), so a store migrated mid-life cannot
+    // flip currency verdicts on a duplicated key
+    val total = Stores.addStamp(prior, Stores.keyStamp(
+      batch.select(col(st.keyCol)).distinct(), st.keyCol))
     Stores.commitPayload(spark, gatelog, Some(next),
         admitted = Some(total)) { dir =>
       spark.range(1).select(lit(next).as("applied"))
@@ -771,6 +784,15 @@ object Dedup {
         "minhash_p", "n_docs", "src_check")
       .write.mode("overwrite").parquet(s"$newPath/params")
   }
+
+  /** The MinHash gate store's
+    * [[graft.operators.Stores.GateStoreKind]] registration — beside
+    * its compactor, so [[graft.streaming.IncrementalLoad
+    * .handoffCompacted]]'s dispatch cannot silently miss this
+    * family. `minhash_p` appears in every MinHash manifest and no
+    * other store's. */
+  private[graft] val gateStoreKind: Stores.GateStoreKind =
+    Stores.GateStoreKind("MinHash", "minhash_p", compactMinhashStore)
 
   /** Probe a [[readMinhashStore]] index: the store's own manifest
     * supplies every signing parameter, so batch and index arithmetic

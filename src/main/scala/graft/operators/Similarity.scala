@@ -521,8 +521,10 @@ object Similarity {
     val next = graft.operators.Stores.lastApplied(spark, gatelog) + 1L
     writeGateVectors(
       ivfStoreRows(batch, st.idCol, vecCol, st.centroids), path, next)
+    // distinct ids per batch — the appendToMinhashStore stamp rule
     val total = graft.operators.Stores.addStamp(prior,
-      graft.operators.Stores.keyStamp(batch, st.idCol))
+      graft.operators.Stores.keyStamp(
+        batch.select(col(st.idCol)).distinct(), st.idCol))
     graft.operators.Stores.commitPayload(spark, gatelog, Some(next),
         admitted = Some(total)) {
       dir =>
@@ -588,6 +590,16 @@ object Similarity {
         "n_vecs", "src_check")
       .write.mode("overwrite").parquet(s"$newPath/params")
   }
+
+  /** The IVF gate store's [[graft.operators.Stores.GateStoreKind]]
+    * registration — beside its compactor (the
+    * [[graft.operators.Dedup.gateStoreKind]] discipline).
+    * `round_scale` appears in every IVF manifest and no other
+    * store's. */
+  private[graft] val gateStoreKind
+      : graft.operators.Stores.GateStoreKind =
+    graft.operators.Stores.GateStoreKind("IVF", "round_scale",
+      compactIvfStore)
 
   /** Probe a persisted/grown IVF index with a batch: each batch
     * vector is assigned to its nearest store centroid and compared

@@ -84,6 +84,19 @@ import org.apache.spark.sql.functions._
   */
 object Stores {
 
+  /** One gate-store family
+    * [[graft.streaming.IncrementalLoad.handoffCompacted]] can
+    * service: the params-manifest field that identifies it, and its
+    * compaction fold. Each family registers its kind BESIDE its
+    * compactor ([[graft.operators.Dedup.gateStoreKind]] /
+    * [[graft.operators.Similarity.gateStoreKind]]) and the handoff
+    * dispatches over the registered list — a third gate store family
+    * is added by registering a kind, not by remembering to extend a
+    * field-name switch inside the handoff. */
+  private[graft] final case class GateStoreKind(
+      name: String, manifestField: String,
+      compact: (SparkSession, String, String) => Unit)
+
   private val PtrName = "PTR"
 
   private def fc(spark: SparkSession, p: Path): FileContext =
@@ -279,6 +292,14 @@ object Stores {
                           gen: Long, applied: Option[Long],
                           writer: Option[String] = None,
                           admitted: Option[(Long, Long)] = None): Unit = {
+    // the positional layout cannot encode admitted without applied —
+    // fail loudly rather than silently dropping the running total (a
+    // lost stamp degrades every later probe to a generation scan and
+    // undercounts once a commit re-records it)
+    require(applied.isDefined || (writer.isEmpty && admitted.isEmpty),
+      s"pointer commit at $root carries a writer/admitted stamp " +
+        "without an applied stamp — the positional pointer layout " +
+        "cannot encode that; stamp applied as well")
     val content = applied match {
       case None => gen.toString
       case Some(a) => admitted match {

@@ -210,18 +210,49 @@ object IncrementalLoad {
     def gen(batchId: Long): Long = offset + batchId
   }
 
-  private final case class IncarnationId(inc: Incarnation, writer: String)
+  /** `adoptBound` is the store stamp OBSERVED when a markerless
+    * (pre-upgrade) checkpoint was adopted — the extent of the
+    * pre-upgrade protocol's possible crash window, recorded in the
+    * marker at adoption so it survives restarts. −1 for
+    * token-carrying incarnations (their intent bound is exact) and
+    * for markers written before the field existed. */
+  private final case class IncarnationId(inc: Incarnation,
+                                         writer: String,
+                                         adoptBound: Long)
 
   private def markerPath(checkpoint: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(checkpoint, "graft-gate-offset")
 
-  /** Deterministic writer identity for a checkpoint: md5 of the
-    * checkpoint path string. Two incarnations only share a token when
-    * they share a checkpoint dir — which IS the same incarnation
-    * (the marker inside the dir carries the mapping). */
-  private def writerToken(checkpoint: String): String =
+  /** Marker file layout: `offset intent writer [adoptBound]`,
+    * positional; an empty writer is written as `-` when a field
+    * follows it (and omitted, with the trailing space trimmed, when
+    * none does — the pre-adoptBound legacy form, still parsed). */
+  private def markerContent(offset: Long, intent: Long, writer: String,
+                            adoptBound: Long): String =
+    if (adoptBound >= 0L)
+      s"$offset $intent ${if (writer.isEmpty) "-" else writer} $adoptBound"
+    else s"$offset $intent $writer".trim
+
+  /** Deterministic writer identity for an incarnation: md5 of the
+    * checkpoint path PLUS the store horizon the incarnation started
+    * from (its initial offset). The path alone is not an identity —
+    * deleting and recreating a checkpoint dir at the same path starts
+    * a NEW life, and a path-only token would let a slot stamped by
+    * the previous life (a zombie stream's late commit) read as this
+    * incarnation's own at the gen == stamp boundary. Mixing in the
+    * creation-time offset separates two lives whenever the store
+    * moved between them; the token is minted ONCE and persisted in
+    * the marker, so restarts of the same life read it back rather
+    * than re-derive it. Residue: two lives of the same path starting
+    * from an UNMOVED store horizon still collide — but then the
+    * previous life committed nothing, so the slot a zombie could
+    * stamp carries the same mapping this life would commit there.
+    * Deterministic by design (the repo's no-ambient-randomness
+    * discipline; the prior UUID.randomUUID did this job
+    * non-deterministically). */
+  private def writerToken(checkpoint: String, offset: Long): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpoint.getBytes("UTF-8"))
+      .digest(s"$checkpoint@$offset".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
 
   private def incarnation(spark: SparkSession, checkpoint: String,
@@ -233,7 +264,8 @@ object IncrementalLoad {
         IncarnationId(
           Incarnation(parts(0).toLong,
             parts.lift(1).map(_.toLong).getOrElse(-1L)),
-          parts.lift(2).getOrElse(""))
+          parts.lift(2).filter(_ != "-").getOrElse(""),
+          parts.lift(3).map(_.toLong).getOrElse(-1L))
       case None =>
         val last = S.lastApplied(spark, markerRoot)
         // a checkpoint with committed batches but no marker predates
@@ -241,7 +273,16 @@ object IncrementalLoad {
         // intent bounded by the checkpoint's OWN committed batch ids,
         // so a store grown past them by another writer still fails
         // loudly at requireHorizonOwned rather than silently
-        // shadowing the next batch
+        // shadowing the next batch. The store stamp observed NOW is
+        // recorded as the adoption bound: anything at or below it is
+        // the pre-upgrade protocol's doing (its normal crash window
+        // leaves the stamp one past the committed horizon), anything
+        // beyond it must be covered by this incarnation's own
+        // intent-before-commit marker — so the pre-upgrade tolerance
+        // is confined to the adoption-time state instead of leaking
+        // one slot of slack into every later restart
+        // ([[migrateLegacyCheckpoint]] then closes the remaining
+        // tokenless ambiguity for good).
         val commits = new org.apache.hadoop.fs.Path(checkpoint, "commits")
         val fs = commits.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
@@ -249,25 +290,90 @@ object IncrementalLoad {
           if (!fs.exists(commits)) Seq.empty[Long]
           else fs.listStatus(commits).toSeq.map(_.getPath.getName)
             .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-        val inc =
-          if (committedIds.nonEmpty) Incarnation(0L, committedIds.max)
-          else Incarnation(last + 1L, -1L)
         // the writer token lets requireOwnSlot distinguish "my own
         // crash-window commit" from "another writer took my slot" at
         // the gen == stamp boundary; legacy incarnations keep an
         // empty token (their pre-upgrade commits carry none — the
-        // tolerant skip). Derived from the checkpoint path — an
-        // incarnation IS its checkpoint (a fresh incarnation means a
-        // fresh checkpoint dir), so the path hash is exactly the
-        // identity needed, and it keeps the repo's
-        // no-ambient-randomness discipline uniform (the prior
-        // UUID.randomUUID did the same job non-deterministically).
-        val id = IncarnationId(inc,
-          if (committedIds.nonEmpty) "" else writerToken(checkpoint))
+        // tolerant skip) until migrated.
+        val id =
+          if (committedIds.nonEmpty)
+            IncarnationId(Incarnation(0L, committedIds.max), "", last)
+          else {
+            val inc = Incarnation(last + 1L, -1L)
+            IncarnationId(inc, writerToken(checkpoint, inc.offset), -1L)
+          }
         S.writeMarkerFile(spark, markerPath(checkpoint),
-          s"${inc.offset} ${inc.committedThrough} ${id.writer}".trim)
+          markerContent(id.inc.offset, id.inc.committedThrough,
+            id.writer, id.adoptBound))
         id
     }
+  }
+
+  /** Stamp a writer token onto an adopted pre-upgrade (markerless-era)
+    * checkpoint, closing the one ambiguity the adoption tolerance
+    * must otherwise carry: without a token, a store stamp landing
+    * exactly on this checkpoint's next generation slot during a crash
+    * window cannot be told apart from the checkpoint's own lost
+    * commit, so [[requireOwnSlot]] skips it tolerantly — and a
+    * foreign append that took the slot would be skipped too, silently
+    * losing that batch's admissions. Once migrated, the incarnation's
+    * commits carry the token: its own crash-window commits skip
+    * (token matches) and a foreign append at the slot fails LOUDLY.
+    *
+    * Call with the wire STOPPED, in a drained state — the helper
+    * refuses anything else, because stamping a token while an
+    * UNTAGGED own commit is still pending at the gen == stamp slot
+    * would make the routine replay read as a foreign writer:
+    *  - every started batch must be checkpoint-committed (a pending
+    *    intent means a crash window is mid-recovery);
+    *  - the store stamp must not exceed the checkpoint's horizon (one
+    *    past = the pre-upgrade crash window not yet drained, or a
+    *    foreign append — run the wire once; if it refuses, hand off
+    *    with [[handoffCompacted]]).
+    * A checkpoint whose marker already carries a token is a no-op
+    * (idempotent); a fresh checkpoint (no marker, no commits) is
+    * refused — the first wire start mints its token itself. */
+  def migrateLegacyCheckpoint(spark: SparkSession, checkpoint: String,
+                              storePath: String): Unit = {
+    val S = graft.operators.Stores
+    val gatelog = s"$storePath/gatelog"
+    val mp = markerPath(checkpoint)
+    val commits = new org.apache.hadoop.fs.Path(checkpoint, "commits")
+    val fs = commits.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val committedIds =
+      if (!fs.exists(commits)) Seq.empty[Long]
+      else fs.listStatus(commits).toSeq.map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+    val committedMax =
+      if (committedIds.isEmpty) -1L else committedIds.max
+    val parsed = S.readMarkerFile(spark, mp).map { content =>
+      val parts = content.split("\\s+")
+      (parts(0).toLong, parts.lift(1).map(_.toLong).getOrElse(-1L),
+        parts.lift(2).filter(_ != "-").getOrElse(""))
+    }
+    if (parsed.exists(_._3.nonEmpty)) return // already token-carrying
+    require(parsed.isDefined || committedIds.nonEmpty,
+      s"checkpoint $checkpoint has no marker and no committed " +
+        "batches — nothing to migrate; a fresh wire start mints its " +
+        "writer token itself")
+    val (offset, intent) = parsed
+      .map(p => (p._1, p._2)).getOrElse((0L, committedMax))
+    require(intent <= committedMax,
+      s"checkpoint $checkpoint has started batch $intent but only " +
+        s"committed through $committedMax — a crash window is " +
+        "mid-recovery; run the wire once to drain it, then migrate")
+    val last = S.lastApplied(spark, gatelog)
+    require(last <= offset + intent,
+      s"store marker at $gatelog sits at $last, past this " +
+        s"checkpoint's horizon (offset=$offset, intent through batch " +
+        s"$intent): either the pre-upgrade crash window has not been " +
+        "drained yet (run the wire once on this checkpoint first — " +
+        "the replay skips as a no-op) or another writer grew the " +
+        "store (hand off with IncrementalLoad.handoffCompacted " +
+        "instead of migrating)")
+    S.writeMarkerFile(spark, mp,
+      s"$offset $intent ${writerToken(checkpoint, offset)}")
   }
 
   /** The incarnation-start ownership check (see [[incarnation]]):
@@ -284,20 +390,26 @@ object IncrementalLoad {
     // pre-marker checkpoint) bounds intent by its own COMMITTED batch
     // ids, but the pre-upgrade protocol's normal crash window — store
     // stamp flipped to N, Spark's commit for N lost — leaves the
-    // stamp ONE slot past the committed horizon. Allow exactly one
-    // slot of slack there: the replay of N then skips at gen == stamp
-    // under the legacy-tolerant requireOwnSlot, which is the routine
-    // crash recovery. The one-slot window is inherently ambiguous for
-    // a markerless checkpoint (a SINGLE foreign append between runs
-    // looks identical and would also skip — exactly the pre-upgrade
-    // protocol's behavior, which this tolerance deliberately
-    // preserves rather than turning into a hard failure with a
-    // misleading diagnosis); marker-carrying incarnations record
-    // INTENT before any commit, so their bound is exact, gets no
-    // slack, and tells the two apart by writer token. A legacy store
-    // grown ≥2 past its horizon still fails loudly below.
-    val slack = if (id.writer.isEmpty) 1L else 0L
-    require(last <= inc.offset + inc.committedThrough + slack,
+    // stamp ONE slot past the committed horizon. The tolerance for
+    // that window is the ADOPTION BOUND: the stamp observed when the
+    // markerless checkpoint was adopted, recorded in the marker.
+    // Anything at or below it is the pre-upgrade protocol's own doing
+    // (the replay of N then skips at gen == stamp under the
+    // legacy-tolerant requireOwnSlot — the routine crash recovery);
+    // anything beyond it happened under the marker's
+    // intent-before-commit discipline, so it must be intent-covered —
+    // a single foreign append on any LATER restart now fails loudly
+    // here instead of being silently skipped (the pre-r14 one-slot
+    // slack keyed on the empty writer token and so leaked into every
+    // restart of an adopted checkpoint). The adoption-time state
+    // itself stays inherently ambiguous for a tokenless checkpoint (a
+    // single foreign append sitting there looks identical to the
+    // crash window and is tolerated exactly as the pre-upgrade
+    // protocol would); migrateLegacyCheckpoint stamps a token once
+    // drained and closes that too. Markers from before the adoption
+    // bound existed parse to −1 — no tolerance, strictly safer.
+    require(last <= math.max(inc.offset + inc.committedThrough,
+        id.adoptBound),
       s"store marker at $markerRoot sits at $last, past this " +
         s"checkpoint's horizon (offset=${inc.offset}, committed " +
         s"through batch ${inc.committedThrough}): another writer " +
@@ -321,7 +433,7 @@ object IncrementalLoad {
     if (batchId > intent.get()) {
       graft.operators.Stores.writeMarkerFile(spark,
         markerPath(checkpoint),
-        s"${id.inc.offset} $batchId ${id.writer}".trim)
+        markerContent(id.inc.offset, batchId, id.writer, id.adoptBound))
       intent.set(batchId)
     }
 
@@ -363,6 +475,13 @@ object IncrementalLoad {
         "call — so the new incarnation starts from a clean horizon.")
   }
 
+  /** The gate-store families [[handoffCompacted]] services — each
+    * kind registered BESIDE its compactor, so the dispatch list and
+    * the family list cannot drift apart. */
+  private val gateStoreKinds: Seq[graft.operators.Stores.GateStoreKind] =
+    Seq(graft.operators.Dedup.gateStoreKind,
+      graft.operators.Similarity.gateStoreKind)
+
   /** The compact-and-handoff maintenance move as ONE operation — the
     * remedy every loud ownership failure (and the gates' generation-
     * accumulation KNOWN BOUND) prescribes, previously a four-step
@@ -374,11 +493,9 @@ object IncrementalLoad {
     *     store's renumbered horizon — the very trap the incarnation
     *     protocol exists to catch);
     *  2. folds the QUIESCED store's committed generations into a
-    *     fresh base at `newStorePath` (store type detected from the
-    *     manifest: [[graft.operators.Dedup.compactMinhashStore]] for
-    *     a MinHash index, [[graft.operators.Similarity
-    *     .compactIvfStore]] for an IVF index — compaction scans only
-    *     index artifacts, never corpus text);
+    *     fresh base at `newStorePath` (store family resolved from the
+    *     manifest through the [[gateStoreKinds]] registry —
+    *     compaction scans only index artifacts, never corpus text);
     *  3. pins the new incarnation's marker INSIDE `newCheckpoint`
     *     (offset past the compacted root's horizon — 0 on a fresh
     *     root — intent −1, a checkpoint-derived writer token), so the
@@ -390,7 +507,8 @@ object IncrementalLoad {
     * but not committed re-arrives through the source. "When do I
     * compact?" is [[graft.operators.Stores.generationCount]] /
     * [[graft.operators.Stores.shouldCompact]] — one filesystem
-    * listing, no Spark job. */
+    * listing, no Spark job; SCALING.md's round-14 section prices the
+    * default threshold. */
   def handoffCompacted(spark: SparkSession, storePath: String,
                        newStorePath: String,
                        newCheckpoint: String): Unit = {
@@ -404,20 +522,20 @@ object IncrementalLoad {
         "dir")
     val fields = spark.read.parquet(s"$storePath/params")
       .schema.fieldNames.toSet
-    if (fields.contains("minhash_p"))
-      graft.operators.Dedup.compactMinhashStore(spark, storePath,
-        newStorePath)
-    else if (fields.contains("round_scale"))
-      graft.operators.Similarity.compactIvfStore(spark, storePath,
-        newStorePath)
-    else throw new IllegalArgumentException(
-      s"store at $storePath is neither a MinHash nor an IVF gate " +
-        "index (manifest carries neither minhash_p nor round_scale) " +
-        "— handoffCompacted only services the gate stores")
+    val kinds = gateStoreKinds.filter(k =>
+      fields.contains(k.manifestField))
+    require(kinds.size == 1,
+      s"store at $storePath matches " +
+        (if (kinds.isEmpty) "none" else "more than one") +
+        " of the registered gate store kinds (" +
+        gateStoreKinds.map(k => s"${k.name} via ${k.manifestField}")
+          .mkString(", ") +
+        ") — handoffCompacted only services the gate stores")
+    kinds.head.compact(spark, storePath, newStorePath)
     val offset =
       S.lastApplied(spark, s"$newStorePath/gatelog") + 1L
     S.writeMarkerFile(spark, markerPath(newCheckpoint),
-      s"$offset -1 ${writerToken(newCheckpoint)}")
+      s"$offset -1 ${writerToken(newCheckpoint, offset)}")
   }
 
   /** The two gates' shared foreachBatch protocol shell — the
@@ -580,12 +698,16 @@ object IncrementalLoad {
         bsh.join(keys, Seq(base.keyCol), "left_semi"),
         storePath, "shingles", gen)
       // running admitted stamp = prior total (a pointer read on
-      // stamped gatelogs) + this batch's admitted keys — committed
-      // atomically with the generation by the shell, so
-      // minhashStoreIsCurrent stays a marker read
+      // stamped gatelogs) + this batch's admitted keys, DISTINCT-ed
+      // within the batch so the accumulation and the pre-stamp
+      // fallback (distinct (batch, key) over generations) count a
+      // duplicated key identically — committed atomically with the
+      // generation by the shell, so minhashStoreIsCurrent stays a
+      // marker read
       val total = graft.operators.Stores.addStamp(
         D.minhashAdmittedStamp(spark, storePath, base.keyCol),
-        graft.operators.Stores.keyStamp(admitted, base.keyCol))
+        graft.operators.Stores.keyStamp(
+          admitted.select(col(base.keyCol)).distinct(), base.keyCol))
       bb.unpersist(blocking = false)
       bsh.unpersist(blocking = false)
       Seq(intra, admitted).foreach(df =>
@@ -658,10 +780,12 @@ object IncrementalLoad {
           Seq(base.idCol), "left_semi"),
         storePath, gen)
       // running admitted stamp, committed with the generation by the
-      // shell (the near-dup gate's rule)
+      // shell (the near-dup gate's rule, including its per-batch
+      // DISTINCT — see that wire's stamp note)
       val total = graft.operators.Stores.addStamp(
         S.ivfAdmittedStamp(spark, storePath, base.idCol),
-        graft.operators.Stores.keyStamp(admitted, base.idCol))
+        graft.operators.Stores.keyStamp(
+          admitted.select(col(base.idCol)).distinct(), base.idCol))
       rows.unpersist(blocking = false)
       Seq(intra, admitted).foreach(df =>
         graft.operators.Graph.checkpointRdd(df)

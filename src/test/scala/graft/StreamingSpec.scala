@@ -1250,7 +1250,8 @@ class StreamingSpec extends SparkSpecBase {
         spark, dummy, root.resolve("store4").toString,
         root.resolve("ckpt3").toString)
     }
-    assert(exKind.getMessage.contains("neither"), exKind.getMessage)
+    assert(exKind.getMessage.contains("none of the registered gate " +
+      "store kinds"), exKind.getMessage)
     // incarnation 2: a near-dup of the PRE-COMPACTION admission plus a
     // genuinely novel doc, in one batch through the new gate
     val b2 = Seq(
@@ -1274,6 +1275,83 @@ class StreamingSpec extends SparkSpecBase {
     val grown2 = Dedup.readMinhashStore(spark, store2)
     assert(grown2.buckets.filter(col("doc_id") === 8002L).count() > 0)
     assert(grown2.buckets.filter(col("doc_id") === 8001L).isEmpty)
+  }
+
+  test("end-to-end operational loop: gate wire grows past " +
+      "shouldCompact, handoffCompacted hands off in one call, and the " +
+      "resumed incarnation keeps gating with the staleness stamp " +
+      "current over base ∪ admitted") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val St = graft.operators.Stores
+    val root = java.nio.file.Files.createTempDirectory("graft_oploop")
+    val store1 = root.resolve("store1").toString
+    val store2 = root.resolve("store2").toString
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    Dedup.writeMinhashStore(corpus, "doc_id", "text", store1)
+    // incarnation 1: two admitting micro-batches (one file each)
+    val novel1 = "zebra quark lantern voyage ember crystal meadow pylon"
+    val novel2 = "glacier orbit thistle quarry lagoon saffron tundra vex"
+    val novel3 = "quartz fjord umbra lattice pinion sable grove onset"
+    Seq((7001L, novel1)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(root.resolve("in1/b1").toString)
+    Seq((7002L, novel2)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(root.resolve("in1/b2").toString)
+    val s1 = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in1/*/")
+    val q1 = graft.streaming.IncrementalLoad.streamingNearDupGate(
+      spark, s1, "text", store1, root.resolve("adm1").toString,
+      root.resolve("ckpt1").toString)
+    assert(q1.awaitTermination(120000), "incarnation 1 did not drain")
+    val deadline = System.nanoTime() + 60e9.toLong
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    // the operational probe says "compact now" at this deployment's
+    // threshold (one FS listing, no Spark job)
+    assert(St.generationCount(spark, store1, "buckets") == 2L)
+    assert(St.shouldCompact(spark, store1, Seq("buckets", "shingles"),
+      threshold = 2L), "the probe must trip at its threshold")
+    // the prescribed maintenance move, ONE call: compact + pin the
+    // next incarnation's checkpoint marker
+    graft.streaming.IncrementalLoad.handoffCompacted(
+      spark, store1, store2, root.resolve("ckpt2").toString)
+    // incarnation 2 on the compacted root: a near-dup of a
+    // PRE-handoff admission is rejected, a novel doc admits
+    Seq((8001L, novel1.split(" ").drop(1).mkString(" ")),
+        (8002L, novel3)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(root.resolve("in2/b1").toString)
+    val s2 = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in2/*/")
+    val q2 = graft.streaming.IncrementalLoad.streamingNearDupGate(
+      spark, s2, "text", store2, root.resolve("adm2").toString,
+      root.resolve("ckpt2").toString)
+    assert(q2.awaitTermination(120000), "incarnation 2 did not drain")
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    val admitted2 = spark.read.parquet(root.resolve("adm2").toString)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted2 == Set(8002L), s"admitted: $admitted2")
+    // compaction reset the generation bound: only the resumed batch's
+    // generation stands, and the probe is quiet again
+    assert(St.generationCount(spark, store2, "buckets") == 1L)
+    assert(!St.shouldCompact(spark, store2, Seq("buckets", "shingles"),
+      threshold = 2L))
+    // staleness currency across the whole loop: the resumed store
+    // reads CURRENT against base ∪ every admission (both incarnations,
+    // through the compaction), via the pointer's running stamp — and
+    // a same-count key mutation reads stale
+    val fullCorpus = corpus.unionByName(Seq(
+      (7001L, novel1), (7002L, novel2), (8002L, novel3)
+    ).toDF("doc_id", "text"))
+    assert(Dedup.minhashStoreIsCurrent(fullCorpus, store2),
+      "grown store must read current against base ∪ admitted")
+    val mutated = fullCorpus.withColumn("doc_id",
+      when(col("doc_id") === 7002L, 7777L).otherwise(col("doc_id")))
+    assert(!Dedup.minhashStoreIsCurrent(mutated, store2),
+      "a same-count key mutation must read stale")
   }
 
   test("legacy checkpoint crash window: a markerless checkpoint whose " +
@@ -1351,6 +1429,174 @@ class StreamingSpec extends SparkSpecBase {
         spark, stream, "text", storePath, admittedPath, ckpt.toString)
     }
     assert(ex.getMessage.contains("another writer"), ex.getMessage)
+  }
+
+  test("adopted legacy checkpoint, later restart: a single foreign " +
+      "append is refused loudly at wire start — the adoption-window " +
+      "tolerance no longer leaks one slot of slack into every restart") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_adoptslack")
+    val storePath = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt")
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    Dedup.writeMinhashStore(corpus, "doc_id", "text", storePath)
+    val novel = "zebra quark lantern voyage ember crystal meadow pylon"
+    Seq((7001L, novel)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(root.resolve("in/b1").toString)
+    def stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(root.toString + "/in/*/")
+    val q1 = graft.streaming.IncrementalLoad.streamingNearDupGate(
+      spark, stream, "text", storePath,
+      root.resolve("admitted").toString, ckpt.toString)
+    assert(q1.awaitTermination(120000), "first drain did not finish")
+    q1.stop()
+    val deadline = System.nanoTime() + 60e9.toLong
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    // make the checkpoint pre-upgrade (markerless), then ADOPT it: the
+    // restart writes the legacy marker (empty writer token) carrying
+    // the adoption bound, and drains nothing new
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("graft-gate-offset"))
+    java.nio.file.Files.deleteIfExists(
+      ckpt.resolve(".graft-gate-offset.crc"))
+    val q2 = graft.streaming.IncrementalLoad.streamingNearDupGate(
+      spark, stream, "text", storePath,
+      root.resolve("admitted").toString, ckpt.toString)
+    assert(q2.awaitTermination(120000)); q2.stop()
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    // ONE foreign append between runs. Pre-r14, the empty writer token
+    // granted the adopted checkpoint one slot of slack on EVERY
+    // restart, so this passed the horizon check and the next batch was
+    // silently skipped at gen == stamp (its admissions lost). The
+    // adoption bound confines the tolerance to the adoption-time
+    // state: a later restart must refuse loudly.
+    Dedup.appendToMinhashStore(
+      Seq((7500L, "orchid basalt nimbus ferret cobalt prairie sonnet"))
+        .toDF("doc_id", "text"), "text", storePath)
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.IncrementalLoad.streamingNearDupGate(
+        spark, stream, "text", storePath,
+        root.resolve("admitted").toString, ckpt.toString)
+    }
+    assert(ex.getMessage.contains("another writer"), ex.getMessage)
+  }
+
+  test("legacy checkpoint migration: migrateLegacyCheckpoint stamps " +
+      "the writer token, so a foreign append at the crash-window slot " +
+      "fails loudly where an unmigrated checkpoint tolerantly skips; " +
+      "undrained/fresh checkpoints are refused; migration idempotent") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Stores}
+    val root = java.nio.file.Files.createTempDirectory("graft_migrate")
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    val novel = "zebra quark lantern voyage ember crystal meadow pylon"
+    val novel2 = "glacier orbit thistle quarry lagoon saffron tundra vex"
+    val deadline = System.nanoTime() + 300e9.toLong
+    def markerOf(ckpt: java.nio.file.Path) =
+      new org.apache.hadoop.fs.Path(ckpt.toString, "graft-gate-offset")
+    // stage one adopted-legacy gate per branch: drain batch 0, strip
+    // the marker (pre-upgrade checkpoint), re-adopt, stop
+    def stage(tag: String): (String, java.nio.file.Path,
+        () => org.apache.spark.sql.streaming.StreamingQuery) = {
+      val storePath = root.resolve(s"store_$tag").toString
+      val ckpt = root.resolve(s"ckpt_$tag")
+      Dedup.writeMinhashStore(corpus, "doc_id", "text", storePath)
+      Seq((7001L, novel)).toDF("doc_id", "text").coalesce(1)
+        .write.parquet(root.resolve(s"in_$tag/b1").toString)
+      def stream = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root.toString + s"/in_$tag/*/")
+      def start() = graft.streaming.IncrementalLoad.streamingNearDupGate(
+        spark, stream, "text", storePath,
+        root.resolve(s"adm_$tag").toString, ckpt.toString)
+      val q1 = start()
+      assert(q1.awaitTermination(120000), s"$tag: drain 0 did not finish")
+      q1.stop()
+      while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      java.nio.file.Files.deleteIfExists(
+        ckpt.resolve("graft-gate-offset"))
+      java.nio.file.Files.deleteIfExists(
+        ckpt.resolve(".graft-gate-offset.crc"))
+      val q2 = start()
+      assert(q2.awaitTermination(120000)); q2.stop()
+      while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      (storePath, ckpt, () => start())
+    }
+    val (storeM, ckptM, startM) = stage("mig")
+    // refusal 1: a pending crash window (started batch not committed)
+    // must refuse — stamping a token over an untagged own commit would
+    // make the routine replay read as a foreign writer
+    Stores.writeMarkerFile(spark, markerOf(ckptM), "0 1 - 0")
+    val exWin = intercept[IllegalArgumentException] {
+      graft.streaming.IncrementalLoad.migrateLegacyCheckpoint(
+        spark, ckptM.toString, storeM)
+    }
+    assert(exWin.getMessage.contains("crash window"), exWin.getMessage)
+    Stores.writeMarkerFile(spark, markerOf(ckptM), "0 0 - 0")
+    // refusal 2: a fresh checkpoint has nothing to migrate
+    val exFresh = intercept[IllegalArgumentException] {
+      graft.streaming.IncrementalLoad.migrateLegacyCheckpoint(
+        spark, root.resolve("ckpt_fresh").toString, storeM)
+    }
+    assert(exFresh.getMessage.contains("nothing to migrate"),
+      exFresh.getMessage)
+    // migrate — the marker gains a token; a second call is a no-op
+    graft.streaming.IncrementalLoad.migrateLegacyCheckpoint(
+      spark, ckptM.toString, storeM)
+    val tok = Stores.readMarkerFile(spark, markerOf(ckptM)).get
+      .split("\\s+")(2)
+    assert(tok.nonEmpty && tok != "-", s"no token stamped: $tok")
+    graft.streaming.IncrementalLoad.migrateLegacyCheckpoint(
+      spark, ckptM.toString, storeM)
+    assert(Stores.readMarkerFile(spark, markerOf(ckptM)).get
+      .split("\\s+")(2) == tok, "migration is not idempotent")
+    // THE closed ambiguity, on both branches: the wire STARTED batch 1
+    // (intent recorded), its own commit was lost, and a foreign append
+    // took generation slot 1 during the window
+    def stealSlot(storePath: String): Unit =
+      Dedup.appendToMinhashStore(
+        Seq((7500L, "orchid basalt nimbus ferret cobalt prairie sonnet"))
+          .toDF("doc_id", "text"), "text", storePath)
+    Seq((9001L, novel2)).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(root.resolve("in_mig/b2").toString)
+    Stores.writeMarkerFile(spark, markerOf(ckptM), s"0 1 $tok")
+    stealSlot(storeM)
+    // migrated: the foreign (untagged) stamp at the slot fails LOUDLY
+    val qM = startM()
+    val exSlot = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      qM.awaitTermination(120000)
+    }
+    assert(exSlot.getMessage.contains("not committed by this checkpoint"),
+      exSlot.getMessage)
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    // unmigrated contrast: the SAME staging skips tolerantly (the
+    // pre-upgrade protocol's behavior — the documented inherent
+    // ambiguity of a tokenless checkpoint), losing batch 1's
+    // admissions with the stamp unmoved
+    val (storeU, ckptU, startU) = stage("unm")
+    Seq((9001L, novel2)).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(root.resolve("in_unm/b2").toString)
+    Stores.writeMarkerFile(spark, markerOf(ckptU), "0 1 - 0")
+    stealSlot(storeU)
+    val qU = startU()
+    assert(qU.awaitTermination(120000), "unmigrated replay did not drain")
+    qU.stop()
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(Stores.lastApplied(spark, s"$storeU/gatelog") == 1L,
+      "the tolerated skip must not advance the stamp")
+    val admittedU = spark.read.parquet(root.resolve("adm_unm").toString)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(admittedU == Seq(7001L), s"unmigrated admitted: $admittedU")
   }
 
   test("fold-wire slot ownership: an untagged stamp at the wire's " +
