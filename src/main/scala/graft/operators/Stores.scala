@@ -472,8 +472,14 @@ object Stores {
 
   /** True when any of the store's generation datasets has accumulated
     * at least `threshold` generation dirs — the default compaction
-    * trigger (64: listings stay trivial below it; well before the
-    * thousands-of-dirs regime where probe listing cost shows). */
+    * trigger. The default 64 is PRICED in SCALING.md's round-14
+    * section (`tools/ProfileCompaction`): at 64 the per-batch cost of
+    * reading the grown store stays within ~⅓ of the probe itself and
+    * one compaction amortizes to ~0.02 s per admitting batch, while
+    * by 512 every batch pays ~0.9 s extra — more than a quarter of
+    * the whole compaction. Lower it on object stores (per-dir listing
+    * round-trips dominate); raise it when batches are rare. This
+    * probe itself is one FS listing — 6 ms even at 512 dirs. */
   def shouldCompact(spark: SparkSession, storePath: String,
                     datasets: Seq[String],
                     threshold: Long = 64L): Boolean =
