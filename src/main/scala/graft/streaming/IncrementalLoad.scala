@@ -364,6 +364,17 @@ object IncrementalLoad {
         s"committed through $committedMax — a crash window is " +
         "mid-recovery; run the wire once to drain it, then migrate")
     val last = S.lastApplied(spark, gatelog)
+    // a checkpoint with committed batches implies the store it gated
+    // carries their gatelog stamps — an absent/unstamped gatelog
+    // means a wrong store path or a store rebuilt/compacted since
+    // (either way the validation below would pass VACUOUSLY and the
+    // token would be stamped against the wrong horizon)
+    require(intent < 0L || last >= 0L,
+      s"store at $storePath has no gatelog stamp but checkpoint " +
+        s"$checkpoint has committed batches — wrong store path, or " +
+        "the store was rebuilt/compacted since; a handed-off store " +
+        "needs a FRESH checkpoint (handoffCompacted), not a migrated " +
+        "one")
     require(last <= offset + intent,
       s"store marker at $gatelog sits at $last, past this " +
         s"checkpoint's horizon (offset=$offset, intent through batch " +

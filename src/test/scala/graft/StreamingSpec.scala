@@ -1547,6 +1547,15 @@ class StreamingSpec extends SparkSpecBase {
     }
     assert(exFresh.getMessage.contains("nothing to migrate"),
       exFresh.getMessage)
+    // refusal 3: a wrong store path (no gatelog stamp under it) must
+    // refuse rather than validate vacuously and stamp the token
+    // against the wrong horizon
+    val exPath = intercept[IllegalArgumentException] {
+      graft.streaming.IncrementalLoad.migrateLegacyCheckpoint(
+        spark, ckptM.toString, root.resolve("not_a_store").toString)
+    }
+    assert(exPath.getMessage.contains("no gatelog stamp"),
+      exPath.getMessage)
     // migrate — the marker gains a token; a second call is a no-op
     graft.streaming.IncrementalLoad.migrateLegacyCheckpoint(
       spark, ckptM.toString, storeM)
