@@ -415,7 +415,14 @@ object Similarity {
   /** The admitted-vector stamp (count, id checksum) of the committed
     * gate/append generations — pointer-recorded when available, one
     * generation scan otherwise (see
-    * [[graft.operators.Dedup.minhashStoreIsCurrent]]'s twin). */
+    * [[graft.operators.Dedup.minhashStoreIsCurrent]]'s twin). Both
+    * paths count an id once per batch (commit path distinct-s the
+    * admitted ids; the fallback distinct-s (batch, id)); the
+    * fallback's only irrecoverable residue — an admitted row whose
+    * vector produced no store row is invisible to the generation
+    * scan — underreads in the STALE direction (one spurious rebuild,
+    * never a false "current"), mirroring the MinHash twin's
+    * short-doc note. */
   private def admittedVecStamp(
       spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String): (Long, Long) =

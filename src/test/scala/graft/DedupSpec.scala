@@ -207,6 +207,24 @@ class DedupSpec extends SparkSpecBase {
       .exists(_._1 == 2L))
     assert(Dedup.minhashStoreIsCurrent(
       base.unionByName(admitted).unionByName(admitted2), dir))
+    // stamp-semantics alignment: a batch carrying a DUPLICATED key is
+    // stamped once (distinct per batch), exactly what the pre-stamp
+    // fallback would recompute from the generations — so a store
+    // migrated mid-life cannot flip currency verdicts on it
+    val dup = Seq(
+      (7002L, "quartz fjord umbra lattice pinion sable grove onset"),
+      (7002L, "quartz fjord umbra lattice pinion sable grove onset"))
+      .toDF("doc_id", "text")
+    Dedup.appendToMinhashStore(dup, "text", dir)
+    val ptr = Stores.lastAdmitted(spark, s"$dir/gatelog")
+    assert(ptr.exists(_._1 == 3L), s"duplicate key double-counted: $ptr")
+    val committed = Stores.lastApplied(spark, s"$dir/gatelog")
+    val fallback = Stores.gateGenerations(spark, dir, "buckets")
+      .map(g => Stores.keyStamp(g.filter(col("batch") <= committed)
+        .select(col("batch"), col("doc_id")).distinct(), "doc_id"))
+    assert(fallback.contains(ptr.get),
+      s"pointer stamp $ptr diverges from the fallback recomputation " +
+        s"$fallback")
   }
 
   test("minhashStoreIsCurrent counts committed generations: a grown " +
