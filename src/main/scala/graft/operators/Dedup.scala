@@ -686,6 +686,18 @@ object Dedup {
     // plus a generation-dir listing per append (thousands of dirs on
     // a long-lived store) just to discard the union
     val st = readMinhashStoreBase(spark, path)
+    // set semantics at entry: an exact-duplicate row (a source replay
+    // artifact delivering the same doc twice in one batch) would
+    // otherwise sign twice and DOUBLE the key's bucket/shingle rows —
+    // and shingle row counts feed every later Jaccard, so the doubled
+    // doc reads 2c/(n_b + 2n_s − 2c) instead of c/(n_b + n_s − c) and
+    // falsely rejects novel docs against it. Full-row distinct is
+    // deterministic (no arbitrary winner), so the payload now matches
+    // the distinct-key stamp below. Same-key-DIFFERENT-content rows
+    // remain the caller's contract violation: both sign (the key's
+    // shingle rows union), which only inflates that key's Jaccard
+    // denominator — erring toward admission, never false rejection.
+    val b = batch.dropDuplicates()
     val gatelog = s"$path/gatelog"
     // prior admitted stamp BEFORE the commit (a pointer read on
     // stamped stores); the new running total commits atomically with
@@ -693,18 +705,18 @@ object Dedup {
     val prior = admittedStamp(spark, path, st.keyCol)
     val next = Stores.lastApplied(spark, gatelog) + 1L
     writeGateAppend(
-      minhashBandBuckets(batch, st.keyCol, textCol, st.k, st.numHashes,
+      minhashBandBuckets(b, st.keyCol, textCol, st.k, st.numHashes,
         st.bands),
       path, "buckets", next)
     writeGateAppend(
-      portableShingleHashes(batch, st.keyCol, textCol, st.k),
+      portableShingleHashes(b, st.keyCol, textCol, st.k),
       path, "shingles", next)
     // per-batch stamp over the batch's DISTINCT keys — the same
     // semantics the pre-stamp fallback recomputes from generations
     // (distinct (batch, key)), so a store migrated mid-life cannot
     // flip currency verdicts on a duplicated key
     val total = Stores.addStamp(prior, Stores.keyStamp(
-      batch.select(col(st.keyCol)).distinct(), st.keyCol))
+      b.select(col(st.keyCol)).distinct(), st.keyCol))
     Stores.commitPayload(spark, gatelog, Some(next),
         admitted = Some(total)) { dir =>
       spark.range(1).select(lit(next).as("applied"))

@@ -520,6 +520,10 @@ object Similarity {
     // pay a gatelog read plus a generation-dir listing per append
     // just to discard the vector union
     val st = readIvfStoreBase(spark, path)
+    // set semantics at entry (the appendToMinhashStore rule): an
+    // exact-duplicate row would store the vector twice, skewing
+    // count-based readers, while the stamp below counts its id once
+    val b = batch.dropDuplicates()
     val gatelog = s"$path/gatelog"
     // prior admitted stamp BEFORE the commit; the running total
     // commits atomically with the generation (the
@@ -527,11 +531,11 @@ object Similarity {
     val prior = admittedVecStamp(spark, path, st.idCol)
     val next = graft.operators.Stores.lastApplied(spark, gatelog) + 1L
     writeGateVectors(
-      ivfStoreRows(batch, st.idCol, vecCol, st.centroids), path, next)
+      ivfStoreRows(b, st.idCol, vecCol, st.centroids), path, next)
     // distinct ids per batch — the appendToMinhashStore stamp rule
     val total = graft.operators.Stores.addStamp(prior,
       graft.operators.Stores.keyStamp(
-        batch.select(col(st.idCol)).distinct(), st.idCol))
+        b.select(col(st.idCol)).distinct(), st.idCol))
     graft.operators.Stores.commitPayload(spark, gatelog, Some(next),
         admitted = Some(total)) {
       dir =>

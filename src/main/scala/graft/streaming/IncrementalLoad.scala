@@ -210,10 +210,14 @@ object IncrementalLoad {
     def gen(batchId: Long): Long = offset + batchId
   }
 
-  /** `adoptBound` is the store stamp OBSERVED when a markerless
-    * (pre-upgrade) checkpoint was adopted — the extent of the
-    * pre-upgrade protocol's possible crash window, recorded in the
-    * marker at adoption so it survives restarts. −1 for
+  /** `adoptBound` is the store stamp observed when a markerless
+    * (pre-upgrade) checkpoint was adopted, CLAMPED to one slot past
+    * the committed horizon — the pre-upgrade protocol's maximal crash
+    * window (it flips exactly one stamp per lost commit). The clamp
+    * matters: recording the raw stamp would make the adoption-time
+    * horizon check tautological, silently tolerating a store another
+    * writer had grown arbitrarily far before the upgrade. Recorded in
+    * the marker at adoption so it survives restarts. −1 for
     * token-carrying incarnations (their intent bound is exact) and
     * for markers written before the field existed. */
   private final case class IncarnationId(inc: Incarnation,
@@ -255,17 +259,38 @@ object IncrementalLoad {
       .digest(s"$checkpoint@$offset".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
 
+  /** Parse a marker file's positional fields (see [[markerContent]]):
+    * (offset, intent, writer — empty for `-` or absent, adoptBound —
+    * −1 when absent). The ONE parser for every marker reader
+    * ([[incarnation]], [[migrateLegacyCheckpoint]]) so a layout
+    * change cannot drift between them. */
+  private def parseMarker(content: String): (Long, Long, String, Long) = {
+    val parts = content.split("\\s+")
+    (parts(0).toLong, parts.lift(1).map(_.toLong).getOrElse(-1L),
+      parts.lift(2).filter(_ != "-").getOrElse(""),
+      parts.lift(3).map(_.toLong).getOrElse(-1L))
+  }
+
+  /** Batch ids Spark's checkpoint has COMMITTED — the legacy
+    * checkpoint's own horizon evidence, shared by [[incarnation]]'s
+    * adoption path and [[migrateLegacyCheckpoint]]'s validation. */
+  private def listCommittedIds(spark: SparkSession,
+                               checkpoint: String): Seq[Long] = {
+    val commits = new org.apache.hadoop.fs.Path(checkpoint, "commits")
+    val fs = commits.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(commits)) Seq.empty[Long]
+    else fs.listStatus(commits).toSeq.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+  }
+
   private def incarnation(spark: SparkSession, checkpoint: String,
                           markerRoot: String): IncarnationId = {
     val S = graft.operators.Stores
     S.readMarkerFile(spark, markerPath(checkpoint)) match {
       case Some(content) =>
-        val parts = content.split("\\s+")
-        IncarnationId(
-          Incarnation(parts(0).toLong,
-            parts.lift(1).map(_.toLong).getOrElse(-1L)),
-          parts.lift(2).filter(_ != "-").getOrElse(""),
-          parts.lift(3).map(_.toLong).getOrElse(-1L))
+        val (offset, intent, writer, adoptBound) = parseMarker(content)
+        IncarnationId(Incarnation(offset, intent), writer, adoptBound)
       case None =>
         val last = S.lastApplied(spark, markerRoot)
         // a checkpoint with committed batches but no marker predates
@@ -273,23 +298,20 @@ object IncrementalLoad {
         // intent bounded by the checkpoint's OWN committed batch ids,
         // so a store grown past them by another writer still fails
         // loudly at requireHorizonOwned rather than silently
-        // shadowing the next batch. The store stamp observed NOW is
-        // recorded as the adoption bound: anything at or below it is
-        // the pre-upgrade protocol's doing (its normal crash window
-        // leaves the stamp one past the committed horizon), anything
-        // beyond it must be covered by this incarnation's own
-        // intent-before-commit marker — so the pre-upgrade tolerance
-        // is confined to the adoption-time state instead of leaking
-        // one slot of slack into every later restart
+        // shadowing the next batch. The store stamp observed NOW,
+        // clamped to one slot past the committed horizon (the
+        // pre-upgrade protocol's MAXIMAL crash window — see
+        // [[IncarnationId]]), is recorded as the adoption bound:
+        // anything at or below it is the pre-upgrade protocol's
+        // doing, anything beyond it must be covered by this
+        // incarnation's own intent-before-commit marker — so the
+        // pre-upgrade tolerance is confined to the adoption-time
+        // crash window instead of leaking one slot of slack into
+        // every later restart, and a store grown ≥2 past the
+        // committed horizon fails loudly AT adoption
         // ([[migrateLegacyCheckpoint]] then closes the remaining
-        // tokenless ambiguity for good).
-        val commits = new org.apache.hadoop.fs.Path(checkpoint, "commits")
-        val fs = commits.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val committedIds =
-          if (!fs.exists(commits)) Seq.empty[Long]
-          else fs.listStatus(commits).toSeq.map(_.getPath.getName)
-            .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+        // one-slot tokenless ambiguity for good).
+        val committedIds = listCommittedIds(spark, checkpoint)
         // the writer token lets requireOwnSlot distinguish "my own
         // crash-window commit" from "another writer took my slot" at
         // the gen == stamp boundary; legacy incarnations keep an
@@ -297,7 +319,8 @@ object IncrementalLoad {
         // tolerant skip) until migrated.
         val id =
           if (committedIds.nonEmpty)
-            IncarnationId(Incarnation(0L, committedIds.max), "", last)
+            IncarnationId(Incarnation(0L, committedIds.max), "",
+              math.min(last, committedIds.max + 1L))
           else {
             val inc = Incarnation(last + 1L, -1L)
             IncarnationId(inc, writerToken(checkpoint, inc.offset), -1L)
@@ -338,20 +361,13 @@ object IncrementalLoad {
     val S = graft.operators.Stores
     val gatelog = s"$storePath/gatelog"
     val mp = markerPath(checkpoint)
-    val commits = new org.apache.hadoop.fs.Path(checkpoint, "commits")
-    val fs = commits.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val committedIds =
-      if (!fs.exists(commits)) Seq.empty[Long]
-      else fs.listStatus(commits).toSeq.map(_.getPath.getName)
-        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+    val committedIds = listCommittedIds(spark, checkpoint)
     val committedMax =
       if (committedIds.isEmpty) -1L else committedIds.max
-    val parsed = S.readMarkerFile(spark, mp).map { content =>
-      val parts = content.split("\\s+")
-      (parts(0).toLong, parts.lift(1).map(_.toLong).getOrElse(-1L),
-        parts.lift(2).filter(_ != "-").getOrElse(""))
-    }
+    // the adoptBound field (if any) is deliberately dropped by the
+    // migration: the token it stamps makes the intent bound exact,
+    // superseding the adoption-window tolerance
+    val parsed = S.readMarkerFile(spark, mp).map(parseMarker)
     if (parsed.exists(_._3.nonEmpty)) return // already token-carrying
     require(parsed.isDefined || committedIds.nonEmpty,
       s"checkpoint $checkpoint has no marker and no committed " +
@@ -663,6 +679,12 @@ object IncrementalLoad {
       def upTo(ds: String, b: DataFrame): DataFrame =
         graft.operators.Stores.withGenerations(spark, storePath,
           ds, b, gen, strict = true)
+      // set semantics at entry (the appendToMinhashStore rule): an
+      // exact-duplicate row arriving twice in one micro-batch would
+      // sign twice, double the key's bucket/shingle rows in the
+      // admitted generation, and skew every later Jaccard against it
+      // (full-row distinct — deterministic across replays)
+      val b = batch.dropDuplicates()
       // the batch is signed exactly ONCE per micro-batch: these two
       // CACHED frames feed the intra pass, the store probe, AND the
       // admission append (re-deriving them per consumer signs the
@@ -670,9 +692,9 @@ object IncrementalLoad {
       // shingle frame is the batch × shingles row explosion, and
       // checkpointing it writes gigabytes to the block store at
       // scale where memory-speed reuse is the whole point.
-      val bb = D.minhashBandBuckets(batch, base.keyCol, textCol,
+      val bb = D.minhashBandBuckets(b, base.keyCol, textCol,
         base.k, base.numHashes, base.bands).cache()
-      val bsh = D.portableShingleHashes(batch, base.keyCol, textCol,
+      val bsh = D.portableShingleHashes(b, base.keyCol, textCol,
         base.k).cache()
       // intra-batch pass FIRST: two near-dups arriving in the SAME
       // micro-batch are invisible to the store probe (neither is
@@ -689,7 +711,7 @@ object IncrementalLoad {
           upTo("buckets", base.buckets),
           upTo("shingles", base.shingles), threshold)
         .select(col("b").as(base.keyCol))
-      val admitted = batch
+      val admitted = b
         .join(intra, Seq(base.keyCol), "left_anti")
         .join(flagged, Seq(base.keyCol), "left_anti")
         .localCheckpoint(true)
@@ -762,10 +784,13 @@ object IncrementalLoad {
       val base = S.readIvfStoreBase(spark, storePath)
       val vectors = graft.operators.Stores.withGenerations(spark,
         storePath, "vectors", base.vectors, gen, strict = true)
+      // set semantics at entry (the near-dup gate's rule): an
+      // exact-duplicate row would store its vector twice
+      val b = batch.dropDuplicates()
       // the batch is assigned exactly ONCE per micro-batch: this
       // CACHED frame feeds the intra pass, the store probe, AND
       // the admission append (the near-dup gate's sign-once rule)
-      val rows = S.ivfStoreRows(batch, base.idCol, vecCol,
+      val rows = S.ivfStoreRows(b, base.idCol, vecCol,
         base.centroids).cache()
       // intra-batch pass FIRST (the near-dup gate's rule for the
       // embedding tier): two semantic near-dups arriving in one
@@ -778,7 +803,7 @@ object IncrementalLoad {
       val flagged = S.semanticProbeCore(survRows, vectors,
           base.idCol, threshold)
         .select(col("b").as(base.idCol))
-      val admitted = batch
+      val admitted = b
         .join(intra, Seq(base.idCol), "left_anti")
         .join(flagged, Seq(base.idCol), "left_anti")
         .localCheckpoint(true)

@@ -225,6 +225,14 @@ class DedupSpec extends SparkSpecBase {
     assert(fallback.contains(ptr.get),
       s"pointer stamp $ptr diverges from the fallback recomputation " +
         s"$fallback")
+    // the PAYLOAD matches the stamp's set semantics: the duplicated
+    // row signed once, so the key's shingle generation rows are not
+    // doubled (doubled rows would inflate every later Jaccard against
+    // this doc — 2c/(n_b + 2n_s − 2c) — and falsely reject novel docs)
+    val dupSh = spark.read.parquet(s"$dir/shingles-batches")
+      .filter(col("doc_id") === 7002L)
+    assert(dupSh.count() > 0 && dupSh.count() == dupSh.distinct().count(),
+      "duplicate-row batch doubled the stored shingle rows")
   }
 
   test("minhashStoreIsCurrent counts committed generations: a grown " +

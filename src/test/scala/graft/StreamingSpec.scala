@@ -1483,6 +1483,25 @@ class StreamingSpec extends SparkSpecBase {
         root.resolve("admitted").toString, ckpt.toString)
     }
     assert(ex.getMessage.contains("another writer"), ex.getMessage)
+    // the adoption bound is CLAMPED to one slot past the committed
+    // horizon (the pre-upgrade protocol's maximal crash window): a
+    // store grown TWO past it before a markerless checkpoint is
+    // adopted must refuse loudly AT adoption — recording the raw
+    // stamp would make the horizon check tautological and tolerate
+    // arbitrary pre-adoption foreign growth
+    Dedup.appendToMinhashStore(
+      Seq((7501L, "quartz fjord umbra lattice pinion sable grove"))
+        .toDF("doc_id", "text"), "text", storePath)
+    java.nio.file.Files.deleteIfExists(ckpt.resolve("graft-gate-offset"))
+    java.nio.file.Files.deleteIfExists(
+      ckpt.resolve(".graft-gate-offset.crc"))
+    val exAdopt = intercept[IllegalArgumentException] {
+      graft.streaming.IncrementalLoad.streamingNearDupGate(
+        spark, stream, "text", storePath,
+        root.resolve("admitted").toString, ckpt.toString)
+    }
+    assert(exAdopt.getMessage.contains("another writer"),
+      exAdopt.getMessage)
   }
 
   test("legacy checkpoint migration: migrateLegacyCheckpoint stamps " +
