@@ -231,7 +231,7 @@ object IncrementalLoad {
     * positional; an empty writer is written as `-` when a field
     * follows it (and omitted, with the trailing space trimmed, when
     * none does — the pre-adoptBound legacy form, still parsed). */
-  private def markerContent(offset: Long, intent: Long, writer: String,
+  private[graft] def markerContent(offset: Long, intent: Long, writer: String,
                             adoptBound: Long): String =
     if (adoptBound >= 0L)
       s"$offset $intent ${if (writer.isEmpty) "-" else writer} $adoptBound"
@@ -264,7 +264,7 @@ object IncrementalLoad {
     * −1 when absent). The ONE parser for every marker reader
     * ([[incarnation]], [[migrateLegacyCheckpoint]]) so a layout
     * change cannot drift between them. */
-  private def parseMarker(content: String): (Long, Long, String, Long) = {
+  private[graft] def parseMarker(content: String): (Long, Long, String, Long) = {
     val parts = content.split("\\s+")
     (parts(0).toLong, parts.lift(1).map(_.toLong).getOrElse(-1L),
       parts.lift(2).filter(_ != "-").getOrElse(""),

@@ -1627,6 +1627,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(admittedU == Seq(7001L), s"unmigrated admitted: $admittedU")
   }
 
+  test("incarnation marker layout round-trips through the one " +
+      "parser, including the '-' writer placeholder and the legacy " +
+      "trimmed form") {
+    val IL = graft.streaming.IncrementalLoad
+    // (offset, intent, writer, adoptBound) across every field shape:
+    // fresh token incarnation, adopted legacy (empty writer + bound),
+    // migrated (token, no bound), clean adoption, pre-adoptBound
+    // legacy (no writer, no bound — the trimmed two-field form)
+    val cases = Seq(
+      (0L, -1L, "ab12cd34ef56ab12", -1L),
+      (0L, 5L, "", 3L),
+      (7L, 2L, "", -1L),
+      (3L, 0L, "feedfacefeedface", 9L),
+      (12L, 40L, "", 41L))
+    cases.foreach { c =>
+      val content = IL.markerContent(c._1, c._2, c._3, c._4)
+      assert(IL.parseMarker(content) == c,
+        s"round-trip broke for $c via '$content'")
+      // the writer slot never leaks a raw empty field (positional
+      // layout): an empty writer is '-' when a field follows, absent
+      // otherwise
+      assert(!content.endsWith(" ") && !content.contains("  "),
+        s"malformed marker content '$content'")
+    }
+    // pre-r14 persisted forms parse with adoptBound −1 (no tolerance)
+    assert(IL.parseMarker("0 5") == ((0L, 5L, "", -1L)))
+    assert(IL.parseMarker("2 7 aabb") == ((2L, 7L, "aabb", -1L)))
+  }
+
   test("fold-wire slot ownership: an untagged stamp at the wire's " +
       "next slot is tolerated as a pre-token commit (no-op replay); " +
       "a foreign token at the slot fails loudly") {
