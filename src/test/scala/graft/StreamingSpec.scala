@@ -1625,6 +1625,42 @@ class StreamingSpec extends SparkSpecBase {
     val admittedU = spark.read.parquet(root.resolve("adm_unm").toString)
       .select("doc_id").as[Long].collect().toSeq.sorted
     assert(admittedU == Seq(7001L), s"unmigrated admitted: $admittedU")
+    // and migration must NOT turn the migrated checkpoint's OWN
+    // routine crash recovery into a loud failure: a post-migration
+    // commit whose Spark checkpoint commit is lost (gatelog flipped,
+    // token stamped) must replay as a token-matched no-op skip
+    val (storeO, ckptO, startO) = stage("own")
+    graft.streaming.IncrementalLoad.migrateLegacyCheckpoint(
+      spark, ckptO.toString, storeO)
+    Seq((9001L, novel2)).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(root.resolve("in_own/b2").toString)
+    val qO1 = startO()
+    assert(qO1.awaitTermination(120000), "post-migration drain failed")
+    qO1.stop()
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(Stores.lastApplied(spark, s"$storeO/gatelog") == 1L)
+    assert(Stores.lastWriter(spark, s"$storeO/gatelog").nonEmpty,
+      "post-migration commit must carry the token")
+    // stage the crash window: Spark's commit for batch 1 lost, the
+    // gatelog stamp (token-tagged) stays
+    val lastCommitO = new java.io.File(s"$ckptO/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(lastCommitO.getName.toLong == 1L && lastCommitO.delete())
+    new java.io.File(s"$ckptO/commits/.1.crc").delete()
+    val qO2 = startO()
+    assert(qO2.awaitTermination(120000),
+      "migrated own crash-window replay must drain as a no-op, " +
+        "not fail loudly")
+    qO2.stop()
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(Stores.lastApplied(spark, s"$storeO/gatelog") == 1L,
+      "the no-op replay must not advance the stamp")
+    val admittedO = spark.read.parquet(root.resolve("adm_own").toString)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(admittedO == Seq(7001L, 9001L),
+      s"own-window admitted: $admittedO")
   }
 
   test("incarnation marker layout round-trips through the one " +
