@@ -686,37 +686,37 @@ object Dedup {
     // plus a generation-dir listing per append (thousands of dirs on
     // a long-lived store) just to discard the union
     val st = readMinhashStoreBase(spark, path)
-    // set semantics at entry: an exact-duplicate row (a source replay
-    // artifact delivering the same doc twice in one batch) would
-    // otherwise sign twice and DOUBLE the key's bucket/shingle rows —
-    // and shingle row counts feed every later Jaccard, so the doubled
-    // doc reads 2c/(n_b + 2n_s − 2c) instead of c/(n_b + n_s − c) and
-    // falsely rejects novel docs against it. Full-row distinct is
-    // deterministic (no arbitrary winner), so the payload now matches
-    // the distinct-key stamp below. Same-key-DIFFERENT-content rows
-    // remain the caller's contract violation: both sign (the key's
-    // shingle rows union), which only inflates that key's Jaccard
-    // denominator — erring toward admission, never false rejection.
-    val b = batch.dropDuplicates()
     val gatelog = s"$path/gatelog"
     // prior admitted stamp BEFORE the commit (a pointer read on
     // stamped stores); the new running total commits atomically with
     // the generation so staleness probes stay metadata reads
     val prior = admittedStamp(spark, path, st.keyCol)
     val next = Stores.lastApplied(spark, gatelog) + 1L
+    // set semantics on the INDEX frames: a doc delivered twice in one
+    // batch (a source replay artifact — even with metadata columns
+    // differing, which a full-row dedup would miss) would otherwise
+    // sign twice and DOUBLE its bucket/shingle rows, and shingle row
+    // counts feed every later Jaccard: the doubled doc reads
+    // 2c/(n_b + 2n_s − 2c) instead of c/(n_b + n_s − c) and falsely
+    // rejects novel docs. distinct() on the derived frames — which
+    // carry ONLY the signed columns — is deterministic and matches
+    // the distinct-key stamp below; a same-key-DIFFERENT-TEXT pair
+    // remains the caller's contract violation (both texts' shingles
+    // union under the key, inflating only that key's denominator —
+    // erring toward admission, never false rejection).
     writeGateAppend(
-      minhashBandBuckets(b, st.keyCol, textCol, st.k, st.numHashes,
-        st.bands),
+      minhashBandBuckets(batch, st.keyCol, textCol, st.k, st.numHashes,
+        st.bands).distinct(),
       path, "buckets", next)
     writeGateAppend(
-      portableShingleHashes(b, st.keyCol, textCol, st.k),
+      portableShingleHashes(batch, st.keyCol, textCol, st.k).distinct(),
       path, "shingles", next)
     // per-batch stamp over the batch's DISTINCT keys — the same
     // semantics the pre-stamp fallback recomputes from generations
     // (distinct (batch, key)), so a store migrated mid-life cannot
     // flip currency verdicts on a duplicated key
     val total = Stores.addStamp(prior, Stores.keyStamp(
-      b.select(col(st.keyCol)).distinct(), st.keyCol))
+      batch.select(col(st.keyCol)).distinct(), st.keyCol))
     Stores.commitPayload(spark, gatelog, Some(next),
         admitted = Some(total)) { dir =>
       spark.range(1).select(lit(next).as("applied"))

@@ -520,22 +520,25 @@ object Similarity {
     // pay a gatelog read plus a generation-dir listing per append
     // just to discard the vector union
     val st = readIvfStoreBase(spark, path)
-    // set semantics at entry (the appendToMinhashStore rule): an
-    // exact-duplicate row would store the vector twice, skewing
-    // count-based readers, while the stamp below counts its id once
-    val b = batch.dropDuplicates()
     val gatelog = s"$path/gatelog"
     // prior admitted stamp BEFORE the commit; the running total
     // commits atomically with the generation (the
     // appendToMinhashStore discipline)
     val prior = admittedVecStamp(spark, path, st.idCol)
     val next = graft.operators.Stores.lastApplied(spark, gatelog) + 1L
+    // set semantics on the INDEX frame (the appendToMinhashStore
+    // rule): an id delivered twice in one batch — even with metadata
+    // columns differing — would store its vector twice and skew
+    // count-based readers, while the stamp below counts it once;
+    // distinct() on the derived rows (only the indexed columns) is
+    // deterministic
     writeGateVectors(
-      ivfStoreRows(b, st.idCol, vecCol, st.centroids), path, next)
+      ivfStoreRows(batch, st.idCol, vecCol, st.centroids).distinct(),
+      path, next)
     // distinct ids per batch — the appendToMinhashStore stamp rule
     val total = graft.operators.Stores.addStamp(prior,
       graft.operators.Stores.keyStamp(
-        b.select(col(st.idCol)).distinct(), st.idCol))
+        batch.select(col(st.idCol)).distinct(), st.idCol))
     graft.operators.Stores.commitPayload(spark, gatelog, Some(next),
         admitted = Some(total)) {
       dir =>

@@ -400,7 +400,8 @@ object IncrementalLoad {
         "store (hand off with IncrementalLoad.handoffCompacted " +
         "instead of migrating)")
     S.writeMarkerFile(spark, mp,
-      s"$offset $intent ${writerToken(checkpoint, offset)}")
+      markerContent(offset, intent, writerToken(checkpoint, offset),
+        -1L))
   }
 
   /** The incarnation-start ownership check (see [[incarnation]]):
@@ -562,7 +563,8 @@ object IncrementalLoad {
     val offset =
       S.lastApplied(spark, s"$newStorePath/gatelog") + 1L
     S.writeMarkerFile(spark, markerPath(newCheckpoint),
-      s"$offset -1 ${writerToken(newCheckpoint, offset)}")
+      markerContent(offset, -1L, writerToken(newCheckpoint, offset),
+        -1L))
   }
 
   /** The two gates' shared foreachBatch protocol shell — the
@@ -679,23 +681,25 @@ object IncrementalLoad {
       def upTo(ds: String, b: DataFrame): DataFrame =
         graft.operators.Stores.withGenerations(spark, storePath,
           ds, b, gen, strict = true)
-      // set semantics at entry (the appendToMinhashStore rule): an
-      // exact-duplicate row arriving twice in one micro-batch would
-      // sign twice, double the key's bucket/shingle rows in the
-      // admitted generation, and skew every later Jaccard against it
-      // (full-row distinct — deterministic across replays)
-      val b = batch.dropDuplicates()
       // the batch is signed exactly ONCE per micro-batch: these two
       // CACHED frames feed the intra pass, the store probe, AND the
       // admission append (re-deriving them per consumer signs the
       // batch three times). cache(), not localCheckpoint: the
       // shingle frame is the batch × shingles row explosion, and
       // checkpointing it writes gigabytes to the block store at
-      // scale where memory-speed reuse is the whole point.
-      val bb = D.minhashBandBuckets(b, base.keyCol, textCol,
-        base.k, base.numHashes, base.bands).cache()
-      val bsh = D.portableShingleHashes(b, base.keyCol, textCol,
-        base.k).cache()
+      // scale where memory-speed reuse is the whole point. The
+      // distinct() INSIDE the cached node is the set-semantics guard
+      // (the appendToMinhashStore rule): a doc delivered twice in
+      // one micro-batch — even with non-signed metadata columns
+      // differing — would otherwise double its bucket/shingle rows
+      // and skew every later Jaccard against it; on the derived
+      // frames (only the signed columns) it is deterministic, and
+      // being inside the cache it costs one batch-sized exchange per
+      // micro-batch, paid once.
+      val bb = D.minhashBandBuckets(batch, base.keyCol, textCol,
+        base.k, base.numHashes, base.bands).distinct().cache()
+      val bsh = D.portableShingleHashes(batch, base.keyCol, textCol,
+        base.k).distinct().cache()
       // intra-batch pass FIRST: two near-dups arriving in the SAME
       // micro-batch are invisible to the store probe (neither is
       // in the index yet) and would both admit — self-probe the
@@ -711,7 +715,7 @@ object IncrementalLoad {
           upTo("buckets", base.buckets),
           upTo("shingles", base.shingles), threshold)
         .select(col("b").as(base.keyCol))
-      val admitted = b
+      val admitted = batch
         .join(intra, Seq(base.keyCol), "left_anti")
         .join(flagged, Seq(base.keyCol), "left_anti")
         .localCheckpoint(true)
@@ -784,14 +788,13 @@ object IncrementalLoad {
       val base = S.readIvfStoreBase(spark, storePath)
       val vectors = graft.operators.Stores.withGenerations(spark,
         storePath, "vectors", base.vectors, gen, strict = true)
-      // set semantics at entry (the near-dup gate's rule): an
-      // exact-duplicate row would store its vector twice
-      val b = batch.dropDuplicates()
       // the batch is assigned exactly ONCE per micro-batch: this
       // CACHED frame feeds the intra pass, the store probe, AND
-      // the admission append (the near-dup gate's sign-once rule)
-      val rows = S.ivfStoreRows(b, base.idCol, vecCol,
-        base.centroids).cache()
+      // the admission append (the near-dup gate's sign-once rule);
+      // the distinct() inside the cached node is the set-semantics
+      // guard (the near-dup gate's rule — see that wire)
+      val rows = S.ivfStoreRows(batch, base.idCol, vecCol,
+        base.centroids).distinct().cache()
       // intra-batch pass FIRST (the near-dup gate's rule for the
       // embedding tier): two semantic near-dups arriving in one
       // micro-batch would both admit against an index containing
@@ -803,7 +806,7 @@ object IncrementalLoad {
       val flagged = S.semanticProbeCore(survRows, vectors,
           base.idCol, threshold)
         .select(col("b").as(base.idCol))
-      val admitted = b
+      val admitted = batch
         .join(intra, Seq(base.idCol), "left_anti")
         .join(flagged, Seq(base.idCol), "left_anti")
         .localCheckpoint(true)

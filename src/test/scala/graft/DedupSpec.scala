@@ -233,6 +233,22 @@ class DedupSpec extends SparkSpecBase {
       .filter(col("doc_id") === 7002L)
     assert(dupSh.count() > 0 && dupSh.count() == dupSh.distinct().count(),
       "duplicate-row batch doubled the stored shingle rows")
+    // the harder duplicate shape: same (key, text), a NON-SIGNED
+    // metadata column differing — a full-row dedup would miss it;
+    // the index-frame distinct must not (the stamp already counts
+    // the key once)
+    val dupMeta = Seq(
+      (7003L, "umber krill zephyr doctrine marble onset glade", 1L),
+      (7003L, "umber krill zephyr doctrine marble onset glade", 2L))
+      .toDF("doc_id", "text", "ingest_ts")
+    Dedup.appendToMinhashStore(dupMeta, "text", dir)
+    assert(Stores.lastAdmitted(spark, s"$dir/gatelog")
+      .exists(_._1 == 4L))
+    val metaSh = spark.read.parquet(s"$dir/shingles-batches")
+      .filter(col("doc_id") === 7003L)
+    assert(metaSh.count() > 0 &&
+        metaSh.count() == metaSh.distinct().count(),
+      "metadata-differing duplicate doubled the stored shingle rows")
   }
 
   test("minhashStoreIsCurrent counts committed generations: a grown " +
