@@ -355,7 +355,17 @@ object IncrementalLoad {
     *    with [[handoffCompacted]]).
     * A checkpoint whose marker already carries a token is a no-op
     * (idempotent); a fresh checkpoint (no marker, no commits) is
-    * refused — the first wire start mints its token itself. */
+    * refused — the first wire start mints its token itself.
+    *
+    * Scope: the GATE wires only (the helper validates against the
+    * store's `gatelog`). The fold wires' checkpoints
+    * ([[streamingCountMinFold]] / [[streamingQuantileFold]] /
+    * [[streamingDriftFold]]) need no migration: their batch-fold path
+    * never ADVANCES the store stamp (a batch fold re-records the
+    * committed id — [[graft.operators.CountMin.foldIntoStore]]), so
+    * the tokenless slot-steal interleave this helper closes cannot
+    * arise there, and a second post-upgrade STREAM at the slot is
+    * already caught by its own token under `tolerateUntagged`. */
   def migrateLegacyCheckpoint(spark: SparkSession, checkpoint: String,
                               storePath: String): Unit = {
     val S = graft.operators.Stores
