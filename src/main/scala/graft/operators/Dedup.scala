@@ -440,7 +440,13 @@ object Dedup {
     * [[MinhashP]] constants so a library whose arithmetic drifted
     * refuses the index instead of mis-probing it). The corpus is
     * signed ONCE, here; nightly batches probe and append without ever
-    * re-reading it. */
+    * re-reading it.
+    *
+    * Contract: `keyCol` must be NON-NULL (and unique) — every probe,
+    * intra-batch pass, and admission in this family joins on the key,
+    * and a NULL key matches nothing, so a NULL-keyed doc would bypass
+    * the probes and admit on every delivery. Same contract as the IVF
+    * store's id column. */
   def writeMinhashStore(df: DataFrame, keyCol: String, textCol: String,
                         path: String, k: Int = 3, numHashes: Int = 64,
                         bands: Int = 16,

@@ -87,12 +87,26 @@ object Relational {
     * One anti-join replaces N sequential warehouse round-trips.
     * `existing` is projected to the key columns first so only the key
     * set shuffles/broadcasts, never the full sink table.
-    */
+    *
+    * NULL-SAFE on every key column (`<=>`): a NULL-keyed row already
+    * present in the sink must read as present, or every re-run would
+    * append it again — breaking the running-twice-equals-once
+    * contract [[graft.operators.Sinks.dedupAppend]] promises. (The
+    * reference's equality probe re-inserted NULL-keyed rows forever;
+    * the ported contract is its INTENT — exactly-once per key — per
+    * the §3.3 upsert precedent.) Still an equi-join to the planner:
+    * EqualNullSafe extracts as hash-join keys, so the plan stays
+    * broadcast/shuffled-hash — PlanAuditSpec's no-BNL rule holds
+    * registry-wide. */
   def newKeysOnly(candidates: DataFrame, existing: DataFrame,
-                  keys: Seq[String]): DataFrame =
-    candidates.join(
-      existing.select(keys.map(col): _*).dropDuplicates(keys),
-      keys, "left_anti")
+                  keys: Seq[String]): DataFrame = {
+    val ex = existing.select(keys.map(col): _*).dropDuplicates(keys)
+      .toDF(keys.map("__existing_" + _): _*)
+    candidates.join(ex,
+      keys.map(k => candidates(k) <=> ex(s"__existing_$k"))
+        .reduce(_ && _),
+      "left_anti")
+  }
 
   /** Vertical union of homogeneous frames (U1) — `pd.concat`
     * (`daily_dag.py:96`). By-name to be robust to column order. */
@@ -349,8 +363,12 @@ object Relational {
     val latest = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-    val untouched =
-      base.join(latest.select(keys.map(col): _*), keys, "left_anti")
+    // null-safe anti via newKeysOnly: the window above groups a NULL
+    // key as ONE partition, so the join must match it too — under
+    // plain equality a NULL-keyed base row survived every change
+    // (an Update then DUPLICATED it in the union below, and a Delete
+    // could never delete it)
+    val untouched = newKeysOnly(base, latest, keys)
     val applied = latest.filter(col(opCol) =!= "D")
       .select(dataCols.map(col): _*)
     untouched.unionByName(applied)

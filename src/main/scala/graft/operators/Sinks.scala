@@ -29,9 +29,17 @@ object Sinks {
   def append(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
 
+  /** "No table yet" detection for the create-on-first-write branch.
+    * Only ANALYSIS failures (absent path, schemaless empty/crashed-
+    * first-append dir) read as "absent" — a TRANSIENT read error
+    * (an IOException surfacing mid-listing) must propagate instead:
+    * swallowing it would make [[dedupAppend]] treat the whole
+    * warehouse as new and append every candidate, DUPLICATING every
+    * already-present key. Absence errs loud, never toward
+    * duplication. */
   private def tableExists(spark: SparkSession, path: String): Boolean =
     try { spark.read.parquet(path).schema; true }
-    catch { case _: Exception => false }
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
 
   /** Insert-if-absent (J2/J3): append only candidate rows whose key is
     * not already present. The existing side is pruned to the key
@@ -61,6 +69,23 @@ object Sinks {
         count(lit(1)).as("_n"))
   }
 
+  /** NULL-SAFE left-semi on the partition key tuple. Plain-equality
+    * semi-joins silently DROP rows whose key tuple carries a NULL
+    * (NULL = NULL is not true): in [[upsertPartitions]] a
+    * NULL-partition batch row would reach the changed-key set but
+    * then vanish from the write — data loss, not just a skipped
+    * no-op. `groupBy` and `partitionBy` both treat NULL as a value
+    * (one group; one `__HIVE_DEFAULT_PARTITION__` dir), so the joins
+    * in between must too. EqualNullSafe still extracts as hash-join
+    * keys — no nested-loop regression. */
+  private def semiOnKeys(left: DataFrame, keys: DataFrame,
+                         partitionCols: Seq[String]): DataFrame = {
+    val k = keys.toDF(partitionCols.map("__k_" + _): _*)
+    left.join(k,
+      partitionCols.map(c => left(c) <=> k(s"__k_$c")).reduce(_ && _),
+      "left_semi")
+  }
+
   /** Small-file compaction (the production hygiene pass every
     * partitioned append sink eventually needs: a year of daily
     * dedupAppends leaves hundreds of row-group-sized files per
@@ -87,7 +112,10 @@ object Sinks {
       .agg(countDistinct(col("_f")).as("_nf"))
       .filter(col("_nf") > maxFiles)
       .select(partitionCols.map(col): _*)
-    val toRewrite = df.join(fragmented, partitionCols, "left_semi")
+    // null-safe semi (semiOnKeys): a fragmented NULL partition
+    // (`__HIVE_DEFAULT_PARTITION__`) must be compactable like any
+    // other — under plain equality it was silently never rewritten
+    val toRewrite = semiOnKeys(df, fragmented, partitionCols)
       .repartition(rewriteTasks, partitionCols.map(col): _*)
       .cache()
     try {
@@ -117,14 +145,22 @@ object Sinks {
       if (!tableExists(spark, path)) batch
       else {
         val existing = spark.read.parquet(path)
-        val changedKeys = partitionDigest(batch, partitionCols)
-          .join(partitionDigest(existing, partitionCols)
-              .withColumnRenamed("_digest", "_d2").withColumnRenamed("_n", "_n2"),
-            partitionCols, "left")
+        // NULL-SAFE digest compare (the semiOnKeys rationale): a NULL
+        // partition value is one group to groupBy and one dir to
+        // partitionBy, so it must be one key here too — under plain
+        // equality its digest rows never match and the partition
+        // reads "changed" forever (and the old plain-equality semi
+        // below then DROPPED its rows from the write entirely)
+        val bd = partitionDigest(batch, partitionCols)
+        val ed = partitionDigest(existing, partitionCols)
+          .toDF(partitionCols.map("__e_" + _) ++ Seq("_d2", "_n2"): _*)
+        val changedKeys = bd.join(ed,
+            partitionCols.map(c => bd(c) <=> ed(s"__e_$c")).reduce(_ && _),
+            "left")
           .filter(col("_d2").isNull || col("_digest") =!= col("_d2")
             || col("_n") =!= col("_n2"))
           .select(partitionCols.map(col): _*)
-        batch.join(changedKeys, partitionCols, "left_semi")
+        semiOnKeys(batch, changedKeys, partitionCols)
       }
     val staged = toWrite.cache()
     try {

@@ -154,8 +154,18 @@ object Stores {
     val ctx = fc(spark, new Path(root))
     ("params" +: datasets :+ "gatelog").foreach { d =>
       val p = new Path(root, d)
-      try if (ctx.util().exists(p)) ctx.delete(p, true)
-      catch { case _: java.io.IOException => () }
+      // a failed clear MUST fail the rebuild loudly: swallowing it
+      // would let the rebuild lay a fresh base over surviving stale
+      // generations/gatelog, and every later reader would union the
+      // pre-rebuild rows in — corruption, unlike the GC sweeps
+      // (commitPayload / sweepAgedRoots) whose leftovers are
+      // unreferenced garbage
+      if (ctx.util().exists(p)) {
+        ctx.delete(p, true)
+        require(!ctx.util().exists(p),
+          s"could not clear $p before rebuild — stale gate state " +
+            "left under the root would be unioned into the fresh base")
+      }
     }
   }
 

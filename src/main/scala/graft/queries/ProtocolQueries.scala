@@ -39,7 +39,8 @@ object ProtocolQueries {
        |  SELECT * FROM sink
        |  UNION ALL
        |  SELECT * FROM candidates c WHERE NOT EXISTS (
-       |    SELECT 1 FROM sink s WHERE s.year = c.year AND s.month = c.month))
+       |    SELECT 1 FROM sink s WHERE s.year IS NOT DISTINCT FROM c.year
+       |      AND s.month IS NOT DISTINCT FROM c.month))
        |SELECT year, month, total FROM merged ORDER BY year, month""".stripMargin) { (s, dir) =>
     def monthly(df: org.apache.spark.sql.DataFrame, bump: Double) = df
       .select(year(col("o_orderdate")).as("year"),
@@ -79,7 +80,8 @@ object ProtocolQueries {
        |  GROUP BY 1, 2),
        |merged AS (
        |  SELECT * FROM base b WHERE NOT EXISTS (
-       |    SELECT 1 FROM updates u WHERE u.year = b.year AND u.month = b.month)
+       |    SELECT 1 FROM updates u WHERE u.year IS NOT DISTINCT FROM b.year
+       |      AND u.month IS NOT DISTINCT FROM b.month)
        |  UNION ALL
        |  SELECT * FROM updates)
        |SELECT year, month, total, n FROM merged ORDER BY year, month""".stripMargin) { (s, dir) =>
@@ -133,7 +135,8 @@ object ProtocolQueries {
        |  SELECT year, month, value_ORDERS, value_REVENUE FROM wide c
        |  WHERE NOT EXISTS (
        |    SELECT 1 FROM existing e
-       |    WHERE e.year = c.year AND e.month = c.month))
+       |    WHERE e.year IS NOT DISTINCT FROM c.year
+       |      AND e.month IS NOT DISTINCT FROM c.month))
        |SELECT year, COUNT(*) AS n_months,
        |  ${Exact.sqlSum("value_ORDERS")} AS total_orders,
        |  ${Exact.sqlSum("value_REVENUE")} AS total_revenue

@@ -20,6 +20,29 @@ class RelationalSpec extends SparkSpecBase {
     assert(!dropped.columns.contains("o_orderdate"))
   }
 
+  test("newKeysOnly (J2) is NULL-SAFE on the keys: a NULL-keyed row " +
+      "already in the sink reads as present, and the plan stays a " +
+      "hash anti-join") {
+    val candidates = Seq(
+      (Some(1), "a"), (None, "b"), (Some(3), "c"))
+      .toDF("k", "v")
+    val existing = Seq(
+      (Some(1), "x"), (None, "y"))
+      .toDF("k", "v")
+    val fresh = Relational.newKeysOnly(candidates, existing, Seq("k"))
+    // plain-equality anti would keep the NULL-keyed candidate forever
+    // (NULL = NULL is not true), re-appending it on every dedupAppend
+    // run; null-safe keeps exactly the genuinely-new key
+    assert(fresh.select("v").as[String].collect().toSeq == Seq("c"))
+    // output schema is the candidates' frame, untouched
+    assert(fresh.columns.toSeq == Seq("k", "v"))
+    // EqualNullSafe must still extract as hash-join keys — a BNL here
+    // would be the 100 TB scan-per-key disaster the anti-join replaces
+    val physical = fresh.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin")
+        && !physical.contains("CartesianProduct"), physical)
+  }
+
   test("profile handles non-identifier column names (quoting, not splicing)") {
     val df = Seq((1, "a"), (2, "b"), (2, null))
       .toDF("weird name.v1", "it's")
@@ -45,6 +68,24 @@ class RelationalSpec extends SparkSpecBase {
     val got = Relational.applyChanges(base, changes, Seq("k"), "op", "seq")
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got == Map(1L -> 10.0, 2L -> 25.0, 4L -> 41.0))
+    // NULL key: the window groups it as ONE partition, so the apply
+    // must match it too — pre-fix the plain-equality anti left the
+    // NULL-keyed base row in place, so an Update DUPLICATED it and a
+    // Delete could never delete it
+    val nbase = Seq((Some(1L), 10.0), (Option.empty[Long], 20.0))
+      .toDF("k", "v")
+    val nupd = Seq((Option.empty[Long], 25.0, "U", 1))
+      .toDF("k", "v", "op", "seq")
+    val afterU = Relational.applyChanges(nbase, nupd, Seq("k"), "op", "seq")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0))
+        -> r.getDouble(1)).toMap
+    assert(afterU == Map(1L -> 10.0, -1L -> 25.0),
+      s"NULL-keyed update mis-applied: $afterU")
+    val ndel = Seq((Option.empty[Long], 20.0, "D", 1))
+      .toDF("k", "v", "op", "seq")
+    val afterD = Relational.applyChanges(nbase, ndel, Seq("k"), "op", "seq")
+    assert(afterD.count() == 1 && afterD.head.getLong(0) == 1L,
+      "NULL-keyed delete must delete the NULL-keyed row")
   }
 
   test("zscoreNormalize: mean 0, groups isolate, singleton group is null") {

@@ -25,6 +25,42 @@ class SimilaritySpec extends SparkSpecBase {
     assert(diffs.isEmpty)
   }
 
+  test("CosineSimilarity and DotProduct evaluate bit-identically " +
+      "interpreted and codegen'd") {
+    // these two are the ONLY graft expressions whose doGenCode
+    // hand-writes the Java loop instead of invoking the same static
+    // helper eval uses (MinHashSig/SimHash/headers call one object
+    // method from both paths — divergence inexpressible there), so
+    // they are the two places interpreted/codegen drift is possible;
+    // pin bit-equality over real vectors plus the edge shapes
+    // (length mismatch → min-length loop; zero vector → NaN, compared
+    // via raw bits)
+    val e = Tables.embeddings(spark, sf).limit(64)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.alias("x").join(e.alias("y"),
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.v").as("a"), col("y.v").as("b"))
+    val edges = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0)),        // length mismatch
+      (Array(0.0, 0.0), Array(1.0, 1.0)),             // zero vector → NaN
+      (Array.empty[Double], Array.empty[Double]))     // empty → NaN
+      .toDF("a", "b")
+    def run(df: org.apache.spark.sql.DataFrame,
+            mode: String): Array[(Long, Long)] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(
+          graft.plans.CosineSimilarity(col("a"), col("b")).as("c"),
+          graft.plans.DotProduct(col("a"), col("b")).as("d"))
+        .collect()
+        .map(r => (java.lang.Double.doubleToRawLongBits(r.getDouble(0)),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    Seq(pairs, edges).foreach { df =>
+      assert(run(df, "CODEGEN_ONLY").sameElements(run(df, "NO_CODEGEN")))
+    }
+  }
+
   test("cosine_sim is SQL-callable via GraftExtensions") {
     val s2 = spark.newSession()
     // extension injection happens at session build

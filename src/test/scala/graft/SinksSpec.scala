@@ -33,6 +33,47 @@ class SinksSpec extends SparkSpecBase {
     assert(result.filter($"day" === 2).select("oil_price").head.getDouble(0) == 71.0)
   }
 
+  test("dedupAppend initializes the table on the schemaless 'no " +
+      "table yet' states: an absent path, an empty dir, and a " +
+      "crashed-first-append dir holding only _temporary") {
+    // these three are the legitimate create-on-first-write states;
+    // tableExists maps exactly their ANALYSIS failures to "absent"
+    // (a transient IO error must propagate instead — swallowing it
+    // would append every candidate over a live warehouse,
+    // duplicating every present key)
+    val batch = macroDaily((2024, 1, 1, 70.0, 1900.0))
+    val absent = tmp() + "/never_created"
+    Sinks.dedupAppend(spark, batch, absent, Seq("year", "month", "day"),
+      Seq("year", "month"))
+    assert(spark.read.parquet(absent).count() == 1)
+    val empty = tmp()
+    Sinks.dedupAppend(spark, batch, empty, Seq("year", "month", "day"),
+      Seq("year", "month"))
+    assert(spark.read.parquet(empty).count() == 1)
+    val crashed = tmp()
+    Files.createDirectory(java.nio.file.Paths.get(crashed, "_temporary"))
+    Sinks.dedupAppend(spark, batch, crashed, Seq("year", "month", "day"),
+      Seq("year", "month"))
+    assert(spark.read.parquet(crashed).count() == 1)
+  }
+
+  test("dedupAppend is idempotent for NULL-keyed rows too: a row " +
+      "whose key tuple carries a NULL appends once, not once per run") {
+    val path = tmp()
+    // day is nullable here — the shape a failed date parse produces
+    val batch = Seq(
+      (2024, 1, Some(1), 70.0), (2024, 1, Option.empty[Int], 71.0))
+      .toDF("year", "month", "day", "oil_price")
+    Sinks.dedupAppend(spark, batch, path, Seq("year", "month", "day"),
+      Seq("year", "month"))
+    Sinks.dedupAppend(spark, batch, path, Seq("year", "month", "day"),
+      Seq("year", "month"))
+    val result = spark.read.parquet(path)
+    assert(result.count() == 2,
+      s"NULL-keyed row re-appended: ${result.count()} rows")
+    assert(result.filter($"day".isNull).count() == 1)
+  }
+
   test("upsertPartitions: absent appends, changed replaces, identical no-ops") {
     val path = tmp()
     val v1 = macroDaily((2024, 1, 1, 70.0, 1900.0), (2024, 2, 1, 75.0, 1950.0))
@@ -50,6 +91,29 @@ class SinksSpec extends SparkSpecBase {
     Sinks.upsertPartitions(spark, v2, path, Seq("year", "month"))
     assertBagEqual(spark.read.parquet(path)
       .select(result.columns.map(col): _*), v2.select(result.columns.map(col): _*))
+  }
+
+  test("upsertPartitions preserves NULL-partition rows: written, " +
+      "no-op'd when identical, replaced when changed — never dropped") {
+    val path = tmp()
+    def batch(oil: Double) = Seq(
+      (Some(1), 2024, 70.0), (Option.empty[Int], 2024, oil))
+      .toDF("month", "year", "oil_price")
+    Sinks.upsertPartitions(spark, batch(80.0), path, Seq("year", "month"))
+    // the existing-table branch is the one that dropped NULL-keyed
+    // rows pre-fix (digest flags the partition, the plain-equality
+    // semi then lost it): an identical re-upsert must keep both rows
+    Sinks.upsertPartitions(spark, batch(80.0), path, Seq("year", "month"))
+    val r1 = spark.read.parquet(path)
+    assert(r1.count() == 2, s"NULL-partition row lost: ${r1.count()}")
+    assert(r1.filter($"month".isNull).select("oil_price")
+      .head.getDouble(0) == 80.0)
+    // and a changed NULL partition replaces, like any other partition
+    Sinks.upsertPartitions(spark, batch(99.0), path, Seq("year", "month"))
+    val r2 = spark.read.parquet(path)
+    assert(r2.count() == 2)
+    assert(r2.filter($"month".isNull).select("oil_price")
+      .head.getDouble(0) == 99.0)
   }
 
   test("upsert replaces whole partition, not just matching rows") {
