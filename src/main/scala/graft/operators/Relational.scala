@@ -124,12 +124,20 @@ object Relational {
     * with a name-keyed pivot. `metrics` is the explicit value list —
     * always pass it so Spark skips the extra distinct-collect job and
     * the output schema is stable.
-    */
+    *
+    * The cell aggregate is `max`, not `first`: the contract is one
+    * value per (key, metric), but a payload that violates it must
+    * still pivot DETERMINISTICALLY — `first` is partition-order-
+    * dependent, and any nondeterminism here poisons every downstream
+    * digest (the [[graft.operators.Sinks.upsertPartitions]] change
+    * detector would read a re-pivoted identical table as "changed"
+    * and rewrite every partition on every run). `max` picks the same
+    * arbitrary-but-stable value on every executor layout. */
   def pivotKV(long: DataFrame, keyCol: String, metricCol: String,
               valueCol: String, metrics: Seq[String]): DataFrame =
     long.groupBy(col(keyCol))
       .pivot(metricCol, metrics)
-      .agg(first(col(valueCol)))
+      .agg(max(col(valueCol)))
 
   /** Column profile (warehouse data-quality pass): one row per
     * requested column with row/non-null/distinct counts and min/max

@@ -52,6 +52,18 @@ class IngestSpec extends SparkSpecBase {
     val d05 = wide.filter($"ticker" === "D05").head
     assert(d05.getString(1) == "10.5" && d05.getString(2) == "1.2")
     assert(wide.filter($"ticker" === "O39").head.isNullAt(2)) // missing → null
+    // a payload that VIOLATES the one-value-per-(key, metric)
+    // contract must still pivot deterministically (max, not the
+    // partition-order-dependent first): any nondeterminism here would
+    // make the upsert digest read an identical re-pivot as "changed"
+    val dup = Seq(
+      """{"ticker": "D05", "rows": [
+        {"metric": "PE", "value": "10.5"},
+        {"metric": "PE", "value": "9.9"}]}""").toDS()
+    val dupWide = Relational.pivotKV(
+      Ingest.keyValueScrape(spark, dup).repartition(8),
+      "ticker", "metric", "value", Seq("PE"))
+    assert(dupWide.head.getString(1) == "9.9") // max over strings, stable
   }
 
   test("S2: tagged per-entity union") {
