@@ -464,6 +464,7 @@ object Dedup {
     // advertising.
     Stores.clearGateState(df.sparkSession, path,
       Seq("sigs", "buckets-batches", "shingles-batches"))
+    val sc = df.sparkSession.sparkContext
     // optional RAW signature dataset (doc → h0..h{n-1}): the band
     // buckets are one FIXED (bands, rows) reading of the signatures,
     // so a band-parameter sweep (q254/q256's audit) needs the raw
@@ -477,6 +478,7 @@ object Dedup {
     // dominant build cost — re-evaluating the fused expression per
     // dataset would double it).
     if (withSignatures) {
+      sc.setJobDescription(s"writeMinhashStore: sigs+buckets")
       val sig = df.select(col(keyCol),
           graft.plans.MinHashSigExpr(col(textCol), k, numHashes).as("ms"))
         .select(col(keyCol) +: (0 until numHashes).map(i =>
@@ -488,11 +490,15 @@ object Dedup {
         .select(col(keyCol), col("bb.band"), col("bb.bucket"))
         .write.mode("overwrite").parquet(s"$path/buckets")
       sig.unpersist(blocking = false)
-    } else
+    } else {
+      sc.setJobDescription(s"writeMinhashStore: buckets")
       minhashBandBuckets(df, keyCol, textCol, k, numHashes, bands)
         .write.mode("overwrite").parquet(s"$path/buckets")
+    }
+    sc.setJobDescription(s"writeMinhashStore: shingles")
     portableShingleHashes(df, keyCol, textCol, k)
       .write.mode("overwrite").parquet(s"$path/shingles")
+    sc.setJobDescription(s"writeMinhashStore: stamp+params")
     // n_docs + src_check record the signed corpus size and an
     // additive key checksum (one aggregation job for both) — the
     // staleness probe's currency, since the store is deterministic in
@@ -509,6 +515,7 @@ object Dedup {
       .toDF("key_col", "k", "num_hashes", "bands", "horner_c",
         "minhash_p", "n_docs", "src_check")
       .write.mode("overwrite").parquet(s"$path/params")
+    sc.setJobDescription(null)
   }
 
   /** True when `path`'s index carries the optional raw-signature

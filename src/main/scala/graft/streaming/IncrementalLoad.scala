@@ -602,12 +602,17 @@ object IncrementalLoad {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // job labels (thread-local, set on the micro-batch thread) make
+        // the gate's many small jobs attributable in profiles/the UI
+        val sc = spark.sparkContext
         recordIntent(spark, checkpoint, id, seen, batchId)
         val gen = inc.gen(batchId)
         val last = graft.operators.Stores.lastApplied(spark, gatelog)
         if (gen == last) requireOwnSlot(spark, id, gatelog, gen)
         if (gen > last) {
+          sc.setJobDescription(s"gate admit gen=$gen")
           val total = admit(batch, gen)
+          sc.setJobDescription(s"gate commit gen=$gen")
           // the stamp rides the pointer flip, atomic with the running
           // admitted total; the one-row payload stays for readers
           // that predate the pointer-stamp protocol
@@ -619,6 +624,7 @@ object IncrementalLoad {
             spark.range(1).select(lit(gen).as("applied"))
               .write.mode("overwrite").parquet(dir)
           }
+          sc.setJobDescription(null)
         }
       }
       .start()
@@ -717,6 +723,8 @@ object IncrementalLoad {
       // exactly the within-batch dedup a nightly-batch posture
       // composes before its store probe. Deterministic, so replays
       // recompute the identical survivor set.
+      val sc = spark.sparkContext
+      sc.setJobDescription(s"neardup gate gen=$gen: intra self-probe")
       val intra = D.intraFlagsCore(bb, bsh, base.keyCol, threshold)
         .localCheckpoint(true)
       val survBB = bb.join(intra, Seq(base.keyCol), "left_anti")
@@ -725,6 +733,7 @@ object IncrementalLoad {
           upTo("buckets", base.buckets),
           upTo("shingles", base.shingles), threshold)
         .select(col("b").as(base.keyCol))
+      sc.setJobDescription(s"neardup gate gen=$gen: store probe + admit")
       val admitted = batch
         .join(intra, Seq(base.keyCol), "left_anti")
         .join(flagged, Seq(base.keyCol), "left_anti")
@@ -735,9 +744,11 @@ object IncrementalLoad {
       // checkpoint handoff: new offset = old stamp + 1 lands
       // exactly on the orphan's slot) is clobbered rather than
       // silently adopted when the stamp advances past it
+      sc.setJobDescription(s"neardup gate gen=$gen: admitted write")
       admitted.write.mode("overwrite")
         .parquet(s"$admittedPath/batch=$gen")
       val keys = admitted.select(col(base.keyCol))
+      sc.setJobDescription(s"neardup gate gen=$gen: generation writes")
       D.writeGateAppend(
         bb.join(keys, Seq(base.keyCol), "left_semi"),
         storePath, "buckets", gen)
@@ -751,6 +762,7 @@ object IncrementalLoad {
       // duplicated key identically — committed atomically with the
       // generation by the shell, so minhashStoreIsCurrent stays a
       // marker read
+      sc.setJobDescription(s"neardup gate gen=$gen: admitted stamp")
       val total = graft.operators.Stores.addStamp(
         D.minhashAdmittedStamp(spark, storePath, base.keyCol),
         graft.operators.Stores.keyStamp(
